@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EDA aggregation operators (SURVEY §2.5).
+  *
+  * Reference: `Data_integration and harmonization.py:123-157` — histogram
+  * bin counts, box-plot statistics, 2-D density histograms
+  * (`np.histogram2d(..., bins=30)`), and the full Pearson correlation
+  * matrix (`data.corr()`).
+  *
+  * Scale notes: histograms need a min/max pre-pass — a single-row aggregate
+  * broadcast back (never a global sort). The correlation matrix is ONE
+  * aggregate pass computing all O(n²) `corr` expressions together, not n²
+  * scans. Bin assignment stays inside whole-stage codegen.
+  */
+object Eda {
+
+  /** E1 — equal-width histogram: bin counts over [min, max] with the
+    * max value clamped into the last bin (numpy right-closed edge rule).
+    */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    val mm = df.agg(min(col(c)).cast("double").as("__lo"), max(col(c)).cast("double").as("__hi"))
+    df.where(col(c).isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(least(
+        floor((col(c) - col("__lo")) / ((col("__hi") - col("__lo")) / lit(bins.toDouble))),
+        lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  /** E2 — box-plot statistics per group: exact quartiles, 1.5*IQR fences,
+    * and outlier counts. Two passes: tiny per-group quartile aggregate,
+    * broadcast back for the outlier count. Quartiles are rounded before the
+    * fence arithmetic so the plan is reproducible against the SQL oracle.
+    */
+  def boxStats(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      round(percentile(v, lit(0.25)), 6).as("q1"),
+      round(percentile(v, lit(0.5)), 6).as("med"),
+      round(percentile(v, lit(0.75)), 6).as("q3"))
+      .withColumn("lo_fence", round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6))
+      .withColumn("hi_fence", round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6))
+    df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol), col("q1"), col("med"), col("q3"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(count(when(v < col("lo_fence") || v > col("hi_fence"), lit(1))).as("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+
+  /** E4 — 2-D density histogram: `bins x bins` equal-width grid counts over
+    * non-null (x, y) pairs; per-axis range = that column's min/max
+    * (numpy `histogram2d` semantics, right-most bin closed).
+    */
+  def histogram2d(df: DataFrame, xc: String, yc: String, bins: Int): DataFrame = {
+    val nn = df.where(col(xc).isNotNull && col(yc).isNotNull)
+    val mm = nn.agg(
+      min(col(xc)).cast("double").as("__xlo"), max(col(xc)).cast("double").as("__xhi"),
+      min(col(yc)).cast("double").as("__ylo"), max(col(yc)).cast("double").as("__yhi"))
+    def bucket(c: String, lo: String, hi: String) = least(
+      floor((col(c) - col(lo)) / ((col(hi) - col(lo)) / lit(bins.toDouble))),
+      lit((bins - 1).toLong))
+    nn.crossJoin(broadcast(mm))
+      .select(bucket(xc, "__xlo", "__xhi").as("bx"), bucket(yc, "__ylo", "__yhi").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+      .orderBy("bx", "by")
+  }
+
+  /** E5 — Pearson correlation matrix over the given columns, computed as a
+    * single aggregate pass of all pairwise `corr` expressions, reshaped to
+    * long form (col_a, col_b, r). Pairs with i < j only; the diagonal is 1
+    * by definition and symmetric entries are redundant.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices
+      j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__${b}`"
+    }.mkString(", ") + ") as (col_a, col_b, r)"
+    one.select(expr(stackExpr)).orderBy("col_a", "col_b")
+  }
+}

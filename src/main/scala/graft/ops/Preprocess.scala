@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Preprocessing operators (SURVEY §2.4).
+  *
+  * Reference: `Data_integration and harmonization.py:36-52` — z-score
+  * standardization of numeric columns (sklearn `StandardScaler`, population
+  * std ddof=0, zero-variance columns map to 0) and per-column label encoding
+  * (sklearn `LabelEncoder`: distinct values sorted lexicographically get
+  * codes 0..n-1).
+  *
+  * Scale notes: z-score is a two-pass plan — a single-row global aggregate
+  * broadcast back over the data (no global window, no single-task sort, no
+  * shuffle of the fact table). Label encoding shuffles only the tiny
+  * distinct-value set; codes join back via broadcast.
+  */
+object Preprocess {
+
+  /** P1 — z-score standardize: (x - mean) / stddev_pop, zero-variance
+    * columns become 0.0 (sklearn substitutes scale=1 for constant columns).
+    * `roundStats` rounds mean/std to that many decimals before the per-row
+    * arithmetic — used by the oracle harness so float aggregation order
+    * cannot leak into the output; pass -1 to disable.
+    */
+  def zscore(df: DataFrame, cols: Seq[String], roundStats: Int = -1): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val mu = avg(col(c))
+      val sigma = stddev_pop(col(c))
+      if (roundStats >= 0)
+        Seq(round(mu, roundStats).as(s"__mu_$c"), round(sigma, roundStats).as(s"__sigma_$c"))
+      else Seq(mu.as(s"__mu_$c"), sigma.as(s"__sigma_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val z = when(col(s"__sigma_$c") === 0.0 || col(s"__sigma_$c").isNull, 0.0)
+        .otherwise((col(c) - col(s"__mu_$c")) / col(s"__sigma_$c"))
+      acc.withColumn(c, z)
+    }
+    out.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")).toIndexedSeq: _*)
+  }
+
+  /** All-numeric-columns variant mirroring the reference's
+    * `select_dtypes(include)` sweep. */
+  def zscoreAll(df: DataFrame): DataFrame = {
+    val nums = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toIndexedSeq
+    if (nums.isEmpty) df else zscore(df, nums)
+  }
+
+  /** P2 — label encode one string column: lexicographically sorted distinct
+    * values -> 0..n-1 (sklearn `LabelEncoder` / `np.unique` order, NOT
+    * StringIndexer's frequency order). The window runs over the distinct
+    * set only (small); the code map joins back via broadcast.
+    */
+  def labelEncode(df: DataFrame, c: String, outCol: String): DataFrame = {
+    val codes = df.select(col(c)).where(col(c).isNotNull).distinct()
+      .withColumn(outCol, (dense_rank().over(Window.orderBy(col(c))) - 1).cast(LongType))
+    df.join(broadcast(codes), Seq(c), "left")
+  }
+
+  /** Label-encode every string column, appending `<col>_code` columns. */
+  def labelEncodeAll(df: DataFrame): DataFrame = {
+    val strs = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toIndexedSeq
+    strs.foldLeft(df)((acc, c) => labelEncode(acc, c, s"${c}_code"))
+  }
+}
