@@ -1,0 +1,367 @@
+package graft
+
+import graft.ext.{Similarity, TextAnalysis}
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]] (except ML,
+  * per SURVEY §5.4 — cross-library RNG cannot hash-match).
+  *
+  * Determinism rules (BASELINE.md): every statement ends in a total-order
+  * ORDER BY (NULLS FIRST to match Spark's ascending default); double
+  * aggregates are rounded to 6 decimals on both sides; money sums go
+  * through DECIMAL so they are exact regardless of aggregation order; all
+  * hash functions are md5 (identical hex output in Spark and DuckDB).
+  */
+object OracleSql {
+
+  private val toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def cosine(e: String, q: String): String =
+    s"CASE WHEN sqrt(list_dot_product($e,$e)) = 0 OR sqrt(list_dot_product($q,$q)) = 0 THEN 0.0 " +
+      s"ELSE list_dot_product($e,$q)/(sqrt(list_dot_product($e,$e))*sqrt(list_dot_product($q,$q))) END"
+
+  // ±1 hyperplane literals shared with Similarity.bucketExpr (same md5 seed)
+  private def planeList(j: Int, dims: Int): String =
+    Similarity.planeVector(j, dims).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  private def bucketSql(vec: String, planes: Int, dims: Int): String =
+    (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product($vec, ${planeList(j, dims)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val describeNumeric: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS cnt, round(avg($c), 6) AS mean,
+         |  round(stddev_samp($c), 6) AS std, round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+         |  round(quantile_cont($c, 0.25), 6) AS p25, round(quantile_cont($c, 0.5), 6) AS p50,
+         |  round(quantile_cont($c, 0.75), 6) AS p75, round(CAST(max($c) AS DOUBLE), 6) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+  }
+
+  private val corrMatrix: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS r FROM lineitem"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+  }
+
+  private val simhashSql: String = {
+    val digits = (0 until 8).map { d =>
+      s"strpos('0123456789abcdef', substr(hh, ${d + 1}, 1)) - 1 AS d$d"
+    }.mkString(", ")
+    val votes = (0 until 32).map { j =>
+      val w = math.pow(2, 3 - j % 4)
+      s"sum((CAST(floor(d${j / 4} / $w) AS INTEGER) % 2) * 2 - 1) AS v$j"
+    }.mkString(", ")
+    val sig = (0 until 32).map { j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
+       |h AS (SELECT id, md5(tok) AS hh FROM tok),
+       |d AS (SELECT id, $digits FROM h),
+       |v AS (SELECT id, $votes FROM d GROUP BY id)
+       |SELECT id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY id""".stripMargin
+  }
+
+  private def stopRatioSql(tk: String, words: Seq[String]): String =
+    s"CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, t2 -> list_contains(${sqlList(words)}, t2))) AS DOUBLE) / len($tk) END"
+
+  private val langIdSql: String = {
+    val sEn = stopRatioSql("tk", TextAnalysis.stopwordsEn)
+    val sDe = stopRatioSql("tk", TextAnalysis.stopwordsDe)
+    val sEs = stopRatioSql("tk", TextAnalysis.stopwordsEs)
+    val sFr = stopRatioSql("tk", TextAnalysis.stopwordsFr)
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN s_en = 0.0 AND s_de = 0.0 AND s_es = 0.0 AND s_fr = 0.0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_guess
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "q_pipeline" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         NULL::BIGINT AS s_suppkey, NULL::INTEGER AS s_nationkey, NULL::DOUBLE AS s_acctbal,
+        |         0 AS src, c_custkey AS ord
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT NULL::BIGINT, NULL::INTEGER, NULL::DOUBLE, s_suppkey, s_nationkey, s_acctbal, 1, s_suppkey
+        |  FROM supplier),
+        |st AS (SELECT
+        |  avg(c_custkey) AS mu1, stddev_pop(c_custkey) AS sd1,
+        |  avg(c_nationkey) AS mu2, stddev_pop(c_nationkey) AS sd2,
+        |  avg(c_acctbal) AS mu3, stddev_pop(c_acctbal) AS sd3,
+        |  avg(s_suppkey) AS mu4, stddev_pop(s_suppkey) AS sd4,
+        |  avg(s_nationkey) AS mu5, stddev_pop(s_nationkey) AS sd5,
+        |  avg(s_acctbal) AS mu6, stddev_pop(s_acctbal) AS sd6 FROM u)
+        |SELECT src, ord,
+        |  round(CASE WHEN sd1 = 0 OR sd1 IS NULL THEN 0.0 ELSE (c_custkey - mu1) / sd1 END, 6) AS c_custkey,
+        |  round(CASE WHEN sd2 = 0 OR sd2 IS NULL THEN 0.0 ELSE (c_nationkey - mu2) / sd2 END, 6) AS c_nationkey,
+        |  round(CASE WHEN sd3 = 0 OR sd3 IS NULL THEN 0.0 ELSE (c_acctbal - mu3) / sd3 END, 6) AS c_acctbal,
+        |  round(CASE WHEN sd4 = 0 OR sd4 IS NULL THEN 0.0 ELSE (s_suppkey - mu4) / sd4 END, 6) AS s_suppkey,
+        |  round(CASE WHEN sd5 = 0 OR sd5 IS NULL THEN 0.0 ELSE (s_nationkey - mu5) / sd5 END, 6) AS s_nationkey,
+        |  round(CASE WHEN sd6 = 0 OR sd6 IS NULL THEN 0.0 ELSE (s_acctbal - mu6) / sd6 END, 6) AS s_acctbal
+        |FROM u, st ORDER BY src, ord""".stripMargin,
+
+    "q_h2_union" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         NULL::BIGINT AS s_suppkey, NULL::VARCHAR AS s_name, NULL::INTEGER AS s_nationkey, NULL::DOUBLE AS s_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT NULL::BIGINT, NULL::VARCHAR, NULL::INTEGER, NULL::DOUBLE, NULL::VARCHAR,
+        |         s_suppkey, s_name, s_nationkey, s_acctbal
+        |  FROM supplier
+        |) u ORDER BY coalesce(c_custkey, -1), coalesce(s_suppkey, -1)""".stripMargin,
+
+    "q_c1_coerce" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'x' ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS qty_num,
+        |  TRY_CAST(l_returnflag AS DOUBLE) AS flag_num
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_num NULLS FIRST, flag_num NULLS FIRST""".stripMargin,
+
+    "q_c2_scrub_inf" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 2 THEN CAST('Infinity' AS DOUBLE)
+        |       WHEN l_linenumber = 3 THEN CAST('-Infinity' AS DOUBLE)
+        |       ELSE l_tax END AS x FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, CASE WHEN isinf(x) THEN NULL ELSE x END AS v
+        |FROM b ORDER BY l_orderkey, l_linenumber, v NULLS FIRST""".stripMargin,
+
+    "q_c3_interpolate" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |pos AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS p FROM base),
+        |w AS (SELECT event_id, p, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM pos)
+        |SELECT event_id,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS v
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "q_c4_ffill" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_c5_drop_null_cols" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 1 THEN l_discount END AS half
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, half NULLS FIRST""".stripMargin,
+
+    "q_c6_describe" -> describeNumeric,
+
+    "q_c6_describe_str" ->
+      """WITH lng AS (
+        |  SELECT 'l_returnflag' AS column_name, l_returnflag AS value FROM lineitem WHERE l_returnflag IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL),
+        |counts AS (SELECT column_name, value, count(*) AS vfreq FROM lng GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY column_name ORDER BY vfreq DESC, value) AS rn FROM counts)
+        |SELECT column_name, CAST(sum(vfreq) AS BIGINT) AS cnt, count(*) AS n_unique,
+        |       max(CASE WHEN rn = 1 THEN value END) AS top, max(CASE WHEN rn = 1 THEN vfreq END) AS top_freq
+        |FROM r GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_p1_zscore" ->
+      """WITH st AS (SELECT round(avg(l_quantity), 6) AS mu_q, round(stddev_pop(l_quantity), 6) AS sd_q,
+        |                   round(avg(l_extendedprice), 6) AS mu_e, round(stddev_pop(l_extendedprice), 6) AS sd_e
+        |            FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN sd_q = 0 OR sd_q IS NULL THEN 0.0 ELSE (l_quantity - mu_q) / sd_q END, 6) AS l_quantity,
+        |  round(CASE WHEN sd_e = 0 OR sd_e IS NULL THEN 0.0 ELSE (l_extendedprice - mu_e) / sd_e END, 6) AS l_extendedprice
+        |FROM lineitem, st
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_p2_label_encode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(dense_rank() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS flag_code,
+        |  CAST(dense_rank() OVER (ORDER BY l_linestatus) - 1 AS BIGINT) AS status_code
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, flag_code, status_code""".stripMargin,
+
+    "q_e1_histogram" ->
+      """WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo, CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem)
+        |SELECT CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) END AS bin,
+        |       count(*) AS cnt
+        |FROM lineitem, mm WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_e2_boxstats" ->
+      """WITH st AS (SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |                   round(quantile_cont(l_quantity, 0.5), 6) AS med, round(quantile_cont(l_quantity, 0.75), 6) AS q3
+        |            FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT *, round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence, round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence FROM st)
+        |SELECT f.l_returnflag, f.q1, f.med, f.q3, f.lo_fence, f.hi_fence,
+        |       count(CASE WHEN l.l_quantity < f.lo_fence OR l.l_quantity > f.hi_fence THEN 1 END) AS n_outliers
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin,
+
+    "q_e3_pairs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, x, y""".stripMargin,
+
+    "q_e4_histogram2d" ->
+      """WITH nn AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |mm AS (SELECT CAST(min(x) AS DOUBLE) AS xlo, CAST(max(x) AS DOUBLE) AS xhi,
+        |              CAST(min(y) AS DOUBLE) AS ylo, CAST(max(y) AS DOUBLE) AS yhi FROM nn)
+        |SELECT CASE WHEN xhi = xlo THEN 0 ELSE least(CAST(floor((x - xlo) / ((xhi - xlo) / 30.0)) AS BIGINT), 29) END AS bx,
+        |       CASE WHEN yhi = ylo THEN 0 ELSE least(CAST(floor((y - ylo) / ((yhi - ylo) / 30.0)) AS BIGINT), 29) END AS "by",
+        |       count(*) AS cnt
+        |FROM nn, mm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_e5_corr_matrix" -> corrMatrix,
+
+    "q_s1_csv_read" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, CAST(r_name AS VARCHAR) AS r_name
+        |FROM read_csv_auto('/tmp/graft_fixtures/sf0.01/region_csv/*.csv', header=true)
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "q_s3_json_read" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(n_name AS VARCHAR) AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM read_json_auto('/tmp/graft_fixtures/sf0.01/nation_json/*.json')
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_s5_empty_check" ->
+      """SELECT * FROM (
+        |  SELECT 'empty_filter' AS name, (SELECT count(*) FROM lineitem WHERE 1 = 0) = 0 AS is_empty
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT count(*) FROM lineitem) = 0
+        |) ORDER BY name""".stripMargin,
+
+    "q_s6_head" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name, c_mktsegment,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      (s"""WITH toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+         |       FROM toksrc),
+         |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, s,
+         |         list_transform(generate_series(0, 15), i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+         |        FROM sh2),
+         |banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
+         |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS bidx) bt),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
+         |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin),
+
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_sim_topk" ->
+      (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+         |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
+         |FROM s, q ORDER BY cos DESC, id LIMIT 10""".stripMargin),
+
+    "q_sim_ann_lsh" ->
+      (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+         |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
+         |FROM s, q
+         |WHERE (${bucketSql("e", 6, 64)}) = (${bucketSql("qe", 6, 64)})
+         |ORDER BY cos DESC, id LIMIT 5""".stripMargin),
+
+    "q_text_termstats" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+         |SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         |FROM t GROUP BY term ORDER BY term""".stripMargin),
+
+    "q_text_langid" -> langIdSql,
+
+    "q_text_quality" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_q,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) END AS mean_token_len,
+         |  round(${stopRatioSql("tk", TextAnalysis.stopwordsEn)}, 6) AS stopword_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) END AS non_alnum_ratio,
+         |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) END AS distinct_token_ratio
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |m AS (SELECT doc_id, n_bytes,
+        |        CAST(('0x' || substr(h, 1, 2))::INTEGER + 32 AS INTEGER) AS width,
+        |        CAST(('0x' || substr(h, 3, 2))::INTEGER + 32 AS INTEGER) AS height,
+        |        CAST(('0x' || substr(h, 1, 4))::INTEGER AS DOUBLE) / 65535.0 AS f0raw
+        |      FROM b)
+        |SELECT doc_id, n_bytes, width, height,
+        |  CASE WHEN 128.0 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE)) >= 1.0 THEN width
+        |       ELSE CAST(floor(CAST(width AS DOUBLE) * (128.0 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE)))) AS INTEGER) END AS resized_w,
+        |  CASE WHEN 128.0 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE)) >= 1.0 THEN height
+        |       ELSE CAST(floor(CAST(height AS DOUBLE) * (128.0 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE)))) AS INTEGER) END AS resized_h,
+        |  round(f0raw, 6) AS f0
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

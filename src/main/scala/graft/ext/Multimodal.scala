@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for LLM training-data pipelines (north-star
+  * extension).
+  *
+  * Model: an asset is an opaque `binary` payload plus a typed metadata
+  * struct (`kind`, `mime`, `n_bytes`, `width`, `height`, `sample_rate`).
+  * Everything Spark-side — schema, partition sizing, batch iteration,
+  * feature-column shapes — is real and tested; the actual media DECODE is a
+  * clearly marked STUB (`fakeDecodeFeatures`) because no image/audio codec
+  * libraries exist in this container. Swapping in a real decoder means
+  * replacing ONE function body; every plan shape stays identical.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),          // image | audio | video | text
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Attach a binary payload + metadata struct derived from a text column —
+    * a deterministic fixture generator so the plumbing is testable without
+    * real media. Payload = utf-8 bytes; metadata dimensions are md5-derived
+    * pseudo-values.
+    */
+  def attachBinary(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val payload = encode(t, "UTF-8")
+    val h = md5(t)
+    df.withColumn("payload", payload)
+      .withColumn("meta", struct(
+        lit("image").as("kind"),
+        lit("application/octet-stream").as("mime"),
+        octet_length(payload).cast(LongType).as("n_bytes"),
+        (conv(substring(h, 1, 2), 16, 10).cast(IntegerType) + 32).as("width"),
+        (conv(substring(h, 3, 2), 16, 10).cast(IntegerType) + 32).as("height"),
+        lit(16000).as("sample_rate")))
+  }
+
+  /** STUB decoder ==================================================
+    * A real deployment replaces this with a codec call (e.g. JPEG decode →
+    * pixel tensor). Here: a deterministic 8-dim pseudo-feature vector from
+    * the payload's md5, so downstream feature plumbing (arrays, joins,
+    * aggregation) is exercised with stable values.
+    */
+  def fakeDecodeFeatures(payload: Column, dims: Int = 8): Column = {
+    val h = md5(payload)
+    array((0 until dims).map { d =>
+      (conv(substring(h, d * 4 + 1, 4), 16, 10).cast(DoubleType) / lit(65535.0))
+    }: _*)
+  }
+
+  /** "Resize" stub: recompute target dims preserving aspect ratio — the
+    * arithmetic (and its null-safety) is the real part; pixel work would
+    * live in the decoder.
+    */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast(DoubleType)
+    val h = col("meta.height").cast(DoubleType)
+    val scale = lit(maxSide.toDouble) / greatest(w, h)
+    df.withColumn("resized_w",
+        when(scale >= 1.0, col("meta.width")).otherwise(floor(w * scale).cast(IntegerType)))
+      .withColumn("resized_h",
+        when(scale >= 1.0, col("meta.height")).otherwise(floor(h * scale).cast(IntegerType)))
+  }
+
+  /** Frame sampling stub for video-like payloads: n evenly spaced byte
+    * slices of the payload as `array<binary>` — the slicing/positioning
+    * math is the Spark-side contract a real frame extractor plugs into.
+    */
+  def sampleFrames(payload: Column, n: Int, frameBytes: Int): Column = {
+    val len = octet_length(payload)
+    array((0 until n).map { i =>
+      // start of slice i: 1-based, evenly spaced across the payload
+      val start = (len - lit(frameBytes)).cast(DoubleType) * lit(i.toDouble / math.max(n - 1, 1))
+      substring(payload, greatest(floor(start).cast(IntegerType) + 1, lit(1)), lit(frameBytes))
+    }: _*)
+  }
+
+  /** Batched per-partition processing: the shape a real decoder needs —
+    * group rows into fixed-size batches inside each partition (decoders
+    * amortize model/codec init per batch, not per row). Returns
+    * (id, batch_id, feature) rows. Uses mapPartitions deliberately: this is
+    * genuine per-partition imperative logic (batch accumulation), the one
+    * place SURVEY §7 allows it.
+    */
+  def batchedFeatures(df: DataFrame, idCol: String, batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val withFeat = df.select(col(idCol).cast(LongType).as("id"),
+      fakeDecodeFeatures(col("payload")).as("feature"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("batch_id", LongType),
+      StructField("feature", ArrayType(DoubleType))))
+    val rdd = withFeat.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val batchId = pid.toLong * 1000000L + bi
+        batch.map(r => Row(r.getLong(0), batchId, r.getSeq[Double](1)))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * extension.
+  *
+  * Two tiers, as an LLM data pipeline needs:
+  *  - brute-force cosine top-k: exact; Spark plans `orderBy(desc).limit(k)`
+  *    as TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  *    NO global sort shuffle) — the correct baseline even at scale when k is
+  *    small;
+  *  - random-hyperplane LSH bucketing: deterministic ±1 hyperplanes derived
+  *    from md5 (no RNG, engine-portable), giving 2^planes buckets. Candidate
+  *    generation is an equi-join on the bucket id — never a cross join.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): parity of the
+    * first hex digit of md5("plane:dim"). Pure function of its arguments —
+    * every run, every engine, same planes.
+    */
+  def planeSign(plane: Int, dim: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** The ±1.0 sign vector of one hyperplane. */
+  def planeVector(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => planeSign(plane, d).toDouble)
+
+  /** LSH bucket id: bit j set iff dot(v, plane_j) > 0. Narrow projection —
+    * computable at the scan, no shuffle.
+    */
+  def bucketExpr(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val plane = typedLit(planeVector(j, dims))
+      when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k against one query vector (given as a literal —
+    * e.g. the embedding of a probe document). TakeOrderedAndProject plan:
+    * each partition keeps a k-heap, driver merges k*numPartitions rows.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol).as("id"),
+      round(VectorOps.cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** ANN variant: same query, but only candidates in the query's LSH bucket
+    * are scored. At 1000 executors the bucket filter is a pushed-down
+    * predicate on a precomputed bucket column (see `withBucket`), so the
+    * scan prunes ~ (1 - 2^-planes) of the corpus.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, planes: Int): DataFrame = {
+    val dims = query.size
+    val qBucket = (0 until planes).map { j =>
+      val dot = planeVector(j, dims).zip(query).map { case (a, b) => a * b }.sum
+      if (dot > 0.0) 1L << j else 0L
+    }.sum
+    df.where(bucketExpr(col(vecCol), planes, dims) === lit(qBucket))
+      .select(col(idCol).as("id"),
+        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Precompute the bucket column (e.g. at ingest, then partition/bucket the
+    * table by it so every ANN probe touches one bucket's files only).
+    */
+  def withBucket(df: DataFrame, vecCol: String, planes: Int, dims: Int): DataFrame =
+    df.withColumn("lsh_bucket", bucketExpr(col(vecCol), planes, dims))
+
+  /** All near-duplicate embedding pairs: equi-join on the LSH bucket, then
+    * exact cosine filter. (id_a < id_b) one row per pair. This is the
+    * embedding-cosine near-dup dedup path: shuffle is keyed by bucket id,
+    * bucket population ~ n / 2^planes keeps the per-bucket quadratic term
+    * bounded; increase `planes` as the corpus grows.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, minCosine: Double): DataFrame = {
+    val b = withBucket(df, vecCol, planes, dims)
+    val l = b.select(col("lsh_bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = b.select(col("lsh_bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, "lsh_bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension surface; no reference counterpart — derived from the Spark
+  * public API and the `documents` testdata shape).
+  *
+  * Everything here is pure codegen'd Column expressions (split / filter /
+  * transform / aggregate higher-order functions) — no UDFs — so the hot
+  * path stays inside whole-stage codegen and scales linearly with input
+  * splits: tokenization is a narrow map, term stats are one map-side
+  * combinable shuffle keyed by term.
+  */
+object TextAnalysis {
+
+  /** Lowercase word tokens: split on non-alphanumeric runs, drop empties.
+    * Deliberately simple + deterministic so the DuckDB oracle can mirror it
+    * exactly (`string_split_regex` + `list_filter`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Token count — whitespace/punct tokenizer (above). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: alnum runs are split into ~4-char
+    * subword units (ceil(len/4)), other printable glyphs count 1 each —
+    * a cheap deterministic stand-in for a real tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Corpus term statistics: one row per term with total occurrences and
+    * document frequency. Single explode → groupBy(term) — one shuffle,
+    * partial-aggregated map-side. `minCount` prunes the long tail before
+    * the final sort.
+    */
+  def termStats(df: DataFrame, textCol: String, docIdCol: String,
+      minCount: Long = 1L): DataFrame =
+    df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .where(col("occurrences") >= minCount)
+
+  // Tiny built-in stopword lists per language family for the language-ID
+  // heuristic and stopword-ratio quality metric. Deterministic and mirrored
+  // verbatim in the oracle SQL.
+  val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "ein", "zu", "mit", "nicht")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los")
+  val stopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "dans", "que", "pour", "les")
+
+  private def stopRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Language-ID heuristic: stopword-family hit ratio per language, argmax
+    * with a fixed priority order (en > de > es > fr) breaking ties; all-zero
+    * scores → "und" (undetermined). At 100 TB this is a narrow projection —
+    * no shuffle at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val sEn = stopRatio(toks, stopwordsEn)
+    val sDe = stopRatio(toks, stopwordsDe)
+    val sEs = stopRatio(toks, stopwordsEs)
+    val sFr = stopRatio(toks, stopwordsFr)
+    when(sEn === 0.0 && sDe === 0.0 && sEs === 0.0 && sFr === 0.0, "und")
+      .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+  }
+
+  /** Per-document quality metrics (LLM data filtering): character length,
+    * token count, mean token length, stopword ratio (en), non-alphanumeric
+    * character ratio, and distinct-token ratio (repetition detector).
+    * A narrow projection — apply before any shuffle so low-quality rows are
+    * filtered at the scan.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val totTokLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    df.withColumn("n_chars_q", length(t).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        when(nTok === 0, 0.0).otherwise(round(totTokLen.cast("double") / nTok, 6)))
+      .withColumn("stopword_ratio", round(stopRatio(toks, stopwordsEn), 6))
+      .withColumn("non_alnum_ratio",
+        when(length(t) === 0, 0.0).otherwise(round(
+          (length(t) - length(regexp_replace(lower(t), "[^a-z0-9]", ""))).cast("double")
+            / length(t), 6)))
+      .withColumn("distinct_token_ratio",
+        when(nTok === 0, 0.0).otherwise(
+          round(size(array_distinct(toks)).cast("double") / nTok, 6)))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the canonical key for exact dedup across formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

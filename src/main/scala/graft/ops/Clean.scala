@@ -36,7 +36,7 @@ object Clean {
       if (cols.nonEmpty) cols.toSet
       else df.schema.fields.filter(_.dataType == StringType).map(_.name).toSet
     df.select(df.columns.toIndexedSeq.map { c =>
-      if (targets(c)) try_cast(col(c), "double").as(c) else col(c)
+      if (targets(c)) col(c).try_cast("double").as(c) else col(c)
     }: _*)
   }
 
@@ -152,5 +152,31 @@ object Clean {
     }.mkString(", ") +
       ") as (column_name, cnt, mean, std, min_v, p25, p50, p75, max_v)"
     one.select(expr(stackExpr)).orderBy("column_name")
+  }
+
+  /** C6 (string half) — pandas `describe(include='all')` for object columns:
+    * per column count, number of distinct values, the most frequent value
+    * (`top`) and its frequency (`freq`). Ties on frequency break to the
+    * lexicographically smallest value so the result is deterministic (pandas
+    * itself is tie-order-dependent; we pin a total order).
+    *
+    * Scale shape: all string columns are melted into (column_name, value)
+    * rows in ONE projection, then a single groupBy counts values — one
+    * shuffle of n_cols × n_rows narrow rows, map-side combinable. The
+    * per-column top is a window over the (tiny) distinct-value counts.
+    */
+  def summaryStatsStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, value)"
+    val long = df.select(expr(stackExpr)).where(col("value").isNotNull)
+    val counts = long.groupBy("column_name", "value").agg(count(lit(1)).as("vfreq"))
+    val w = Window.partitionBy("column_name").orderBy(col("vfreq").desc, col("value"))
+    counts.withColumn("__rn", row_number().over(w))
+      .groupBy("column_name").agg(
+        sum("vfreq").as("cnt"),
+        count(lit(1)).as("n_unique"),
+        max(when(col("__rn") === 1, col("value"))).as("top"),
+        max(when(col("__rn") === 1, col("vfreq"))).as("top_freq"))
+      .orderBy("column_name")
   }
 }

@@ -24,12 +24,20 @@ object Eda {
     val mm = df.agg(min(col(c)).cast("double").as("__lo"), max(col(c)).cast("double").as("__hi"))
     df.where(col(c).isNotNull)
       .crossJoin(broadcast(mm))
-      .select(least(
-        floor((col(c) - col("__lo")) / ((col("__hi") - col("__lo")) / lit(bins.toDouble))),
-        lit((bins - 1).toLong)).as("bin"))
+      .select(binOf(col(c), col("__lo"), col("__hi"), bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
       .orderBy("bin")
   }
+
+  /** Equal-width bin index with numpy edge semantics: max value is clamped
+    * into the last bin; a degenerate range (min == max) puts every value in
+    * bin 0 rather than dividing by zero (numpy `histogram` behavior).
+    */
+  private def binOf(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, bins: Int): org.apache.spark.sql.Column =
+    when(hi === lo, lit(0L)).otherwise(least(
+      floor((v - lo) / ((hi - lo) / lit(bins.toDouble))),
+      lit((bins - 1).toLong)))
 
   /** E2 — box-plot statistics per group: exact quartiles, 1.5*IQR fences,
     * and outlier counts. Two passes: tiny per-group quartile aggregate,
@@ -60,9 +68,8 @@ object Eda {
     val mm = nn.agg(
       min(col(xc)).cast("double").as("__xlo"), max(col(xc)).cast("double").as("__xhi"),
       min(col(yc)).cast("double").as("__ylo"), max(col(yc)).cast("double").as("__yhi"))
-    def bucket(c: String, lo: String, hi: String) = least(
-      floor((col(c) - col(lo)) / ((col(hi) - col(lo)) / lit(bins.toDouble))),
-      lit((bins - 1).toLong))
+    def bucket(c: String, lo: String, hi: String) =
+      binOf(col(c), col(lo), col(hi), bins)
     nn.crossJoin(broadcast(mm))
       .select(bucket(xc, "__xlo", "__xhi").as("bx"), bucket(yc, "__ylo", "__yhi").as("by"))
       .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))

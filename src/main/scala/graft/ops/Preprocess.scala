@@ -55,20 +55,37 @@ object Preprocess {
 
   /** P2 — label encode one string column: lexicographically sorted distinct
     * values -> 0..n-1 (sklearn `LabelEncoder` / `np.unique` order, NOT
-    * StringIndexer's frequency order). The window runs over the distinct
-    * set only (small); the code map joins back via broadcast.
+    * StringIndexer's frequency order). The reference calls
+    * `fit_transform(data[col].astype(str))` (DIH.py:50), so null becomes the
+    * literal string "nan" and receives a code like any other value —
+    * replicated here via `coalesce(c, 'nan')`. The window runs over the
+    * distinct set only (small); the code map joins back via broadcast.
     */
   def labelEncode(df: DataFrame, c: String, outCol: String): DataFrame = {
-    val codes = df.select(col(c)).where(col(c).isNotNull).distinct()
-      .withColumn(outCol, (dense_rank().over(Window.orderBy(col(c))) - 1).cast(LongType))
-    df.join(broadcast(codes), Seq(c), "left")
+    val keyCol = s"__graft_lbl_$c"
+    val keyed = df.withColumn(keyCol, coalesce(col(c).cast(StringType), lit("nan")))
+    val codes = keyed.select(col(keyCol)).distinct()
+      .withColumn(outCol, (dense_rank().over(Window.orderBy(col(keyCol))) - 1).cast(LongType))
+    keyed.join(broadcast(codes), Seq(keyCol)).drop(keyCol)
   }
 
-  /** Label-encode every string column, appending `<col>_code` columns. */
-  def labelEncodeAll(df: DataFrame): DataFrame = {
+  /** Label-encode every string column. With `replace = true` (the
+    * reference's behavior — `data[col] = le.fit_transform(...)`,
+    * DIH.py:50) the string column is replaced by its integer codes in
+    * place; with `replace = false` a `<col>_code` column is appended and
+    * the original kept (useful for inspection).
+    */
+  def labelEncodeAll(df: DataFrame, replace: Boolean = true): DataFrame = {
     val strs = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }.toIndexedSeq
-    strs.foldLeft(df)((acc, c) => labelEncode(acc, c, s"${c}_code"))
+    val order = df.columns.toIndexedSeq
+    val encoded = strs.foldLeft(df)((acc, c) => labelEncode(acc, c, s"${c}_code"))
+    if (!replace) encoded
+    else {
+      val cleaned = strs.foldLeft(encoded)((acc, c) =>
+        acc.drop(c).withColumnRenamed(s"${c}_code", c))
+      cleaned.select(order.map(col): _*)
+    }
   }
 }

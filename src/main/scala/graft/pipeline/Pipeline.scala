@@ -44,12 +44,27 @@ object Pipeline {
     Preprocess.labelEncodeAll(scaled)
   }
 
-  /** Full EP1 flow over already-loaded frames. */
-  def run(dfs: Seq[DataFrame]): DataFrame = {
-    val unioned = Harmonize.unionByName(dfs)
-      .withColumn("__ingest_order", monotonically_increasing_id())
-    val processed = process(unioned, "__ingest_order")
-    preprocess(processed, excludeCols = Set("__ingest_order"))
-      .drop("__ingest_order")
+  /** Full EP1 flow over already-loaded frames.
+    *
+    * Scale design: the order-sensitive fills (C3/C4) run PER SOURCE FRAME —
+    * each input is tagged with its ordinal (`__graft_src`) and the fill
+    * windows partition on it, so no global single-task sort ever happens;
+    * each source's window sort distributes across its own partitions. The
+    * per-source ordering key is `orderKey(df)` — a real data column
+    * expression the caller supplies (e.g. a primary key or timestamp).
+    * `monotonically_increasing_id` is deliberately NOT used: it is not
+    * stable across retries/re-partitioning, which would break deterministic
+    * verification.
+    */
+  def run(dfs: Seq[DataFrame], orderKey: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    val srcCol = "__graft_src"
+    val ordCol = "__graft_ord"
+    val tagged = dfs.zipWithIndex.map { case (df, i) =>
+      val std = Harmonize.standardizeColumns(df)
+      std.withColumn(srcCol, lit(i)).withColumn(ordCol, orderKey(std))
+    }
+    val unioned = Harmonize.unionByName(tagged)
+    val processed = process(unioned, ordCol, partitionCols = Seq(srcCol))
+    preprocess(processed, excludeCols = Set(srcCol, ordCol))
   }
 }

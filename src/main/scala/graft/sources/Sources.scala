@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-format ingestion (SURVEY §2.1, S1–S6).
+  *
+  * Reference: `Data_integration and harmonization.py:165-187` — CSV / JSON /
+  * Parquet upload with pandas type inference, empty-input rejection, and a
+  * 5-row preview. XLSX (S2) has no offline Spark reader and is documented
+  * unsupported (SURVEY §2.1); users export to CSV.
+  *
+  * Scale notes: `inferSchema` for CSV costs an extra pass — at 100 TB pass
+  * an explicit schema (the `schema` overloads) so the scan is single-pass
+  * and pushdown-friendly. JSON reads are line-delimited by default
+  * (splittable); `multiLine=true` (pandas array-of-records parity) makes
+  * each file a single unit of parallelism, so keep multiLine files small.
+  */
+object Sources {
+
+  /** S1 — CSV with header + type inference (pandas `read_csv` parity). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S3 — JSON-lines (pandas `read_json(lines=True)`); set `multiLine` for a
+    * whole-file array of records (pandas default orientation).
+    */
+  def readJson(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine.toString).json(path)
+
+  /** S4 — Parquet (self-describing schema). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S5 — empty-input check (`data.empty`, DIH.py:181). `isEmpty` runs a
+    * LocalLimit(1) job — O(first non-empty partition), not a full count.
+    */
+  def isEmpty(df: DataFrame): Boolean = df.isEmpty
+
+  /** S6 — preview head (`data.head()`, DIH.py:185). */
+  def head(df: DataFrame, n: Int = 5): DataFrame = df.limit(n)
+
+  /** S7 — sink: parquet write (the engine's materialization contract). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming flavor of the events analytics (north-star
+  * extension; the reference is strictly batch, SURVEY §2.7).
+  *
+  * The transform is defined ONCE over a DataFrame and reused by both the
+  * batch query (oracle-checkable) and the streaming query (same plan +
+  * watermark) — the Structured Streaming contract that batch and stream
+  * share semantics.
+  */
+object EventsStream {
+
+  /** Tumbling event-time window aggregate per event_type: count and mean
+    * value per (window, type). Output keys are epoch seconds so the result
+    * is engine-portable (no timestamp precision/zone hashing hazards).
+    */
+  def windowedStats(events: DataFrame, windowLen: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("avg_value"))
+
+  /** Batch entry (used by the registered query + DuckDB oracle). */
+  def batch(spark: SparkSession, dir: String, windowLen: String = "1 day"): DataFrame =
+    windowedStats(graft.Tables.load(spark, dir, "events"), windowLen)
+      .orderBy("window_start", "event_type")
+
+  /** Streaming entry: file-source stream over the same parquet directory,
+    * 10-minute watermark for late data, update-mode sink. The caller picks
+    * the sink (tests use a memory sink; production writes a Delta/parquet
+    * append per window close).
+    */
+  def stream(spark: SparkSession, dir: String, schema: StructType,
+      windowLen: String = "1 day"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val src = spark.readStream.schema(schema).parquet(dir)
+    windowedStats(src.withWatermark("ts", "10 minutes"), windowLen)
+      .writeStream.outputMode(OutputMode.Complete())
+  }
+
+  /** Sessionization-style stateful demo shape: per-user event counts over
+    * event-time windows — kept as plain windowed agg (mapGroupsWithState
+    * is unnecessary here; SURVEY §7 prefers built-ins when they express the
+    * semantics).
+    */
+  def perUserDaily(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+}
