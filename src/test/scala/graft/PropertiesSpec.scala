@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Clean, Eda, Harmonize, Preprocess}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven invariants (SURVEY §5.3). Cases are sampled
+  * with fixed seeds (deterministic CI) and kept to a handful per property —
+  * each case runs a Spark job.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+
+  private val vecGen: Gen[List[Option[Double]]] =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.const(Option.empty[Double]),
+      Gen.chooseNum(-1000.0, 1000.0).map(v => Some(math.rint(v * 100) / 100))))
+
+  test("interpolate: output has no nulls iff at least one non-null exists") {
+    cases(vecGen).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
+      val out = doubles(Clean.interpolate(df, Seq("v"), "idx").orderBy("idx"), "v")
+      if (xs.exists(_.isDefined)) assert(out.forall(_.isDefined), s"input=$xs out=$out")
+      else assert(out.forall(_.isEmpty))
+    }
+  }
+
+  test("interpolate: non-null inputs pass through unchanged") {
+    cases(vecGen).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
+      val out = doubles(Clean.interpolate(df, Seq("v"), "idx").orderBy("idx"), "v")
+      xs.zip(out).foreach { case (in, o) => if (in.isDefined) assert(o == in) }
+    }
+  }
+
+  test("zscore: |mean| < eps and population std is 0 or 1") {
+    cases(vecGen.map(_.flatten).suchThat(_.size > 1)).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
+      val z = Preprocess.zscore(df, Seq("v"))
+      val r = z.agg(avg("v"), stddev_pop("v")).head()
+      assert(math.abs(r.getDouble(0)) < 1e-6)
+      val sd = r.getDouble(1)
+      assert(approx(sd, 0.0, 1e-6) || approx(sd, 1.0, 1e-6))
+    }
+  }
+
+  test("label encoding: codes are a bijection onto 0..n-1 in lexicographic order") {
+    cases(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(6)))).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("idx", "s")
+      val enc = Preprocess.labelEncode(df, "s", "code")
+      val pairs = enc.select("s", "code").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(pairs.map(_._2) == pairs.indices.map(_.toLong))
+    }
+  }
+
+  test("histogram: counts sum to the non-null row count") {
+    cases(vecGen).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
+      val nonNull = xs.count(_.isDefined)
+      if (nonNull > 0) {
+        val total = Eda.histogram(df, "v", 7).agg(sum("cnt")).head().getLong(0)
+        assert(total == nonNull.toLong, s"input=$xs")
+      }
+    }
+  }
+
+  test("union-by-name: row count is the sum of inputs, any column order") {
+    cases(Gen.zip(Gen.chooseNum(1, 30), Gen.chooseNum(1, 30))).foreach { case (n, m) =>
+      val a = (1 to n).map(i => (i, s"a$i")).toDF("k", "x")
+      val b = (1 to m).map(i => (i.toDouble, i)).toDF("y", "K")
+      val u = Harmonize.unionByName(Seq(a, b))
+      assert(u.count() == (n + m).toLong)
+      assert(u.columns.toSet == Set("k", "x", "y"))
+    }
+  }
+
+  test("corr matrix values are within [-1, 1] and pairs are i<j only") {
+    val df = (1 to 40).map(i => (i.toDouble, math.sin(i.toDouble), i % 7.0)).toDF("a", "b", "c")
+    val m = Eda.corrMatrix(df, Seq("a", "b", "c")).collect()
+    assert(m.length == 3)
+    m.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+}

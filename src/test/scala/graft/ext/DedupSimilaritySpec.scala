@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+  private val nearDup = base.replace("lazy", "sleepy") // one-token diff, high Jaccard
+  private val unrelated = "completely different content about spark shuffles and joins " * 5
+
+  test("exact dedup keeps one row per fingerprint, smallest id wins") {
+    val df = Seq((3L, "Hello  World"), (1L, "hello world"), (2L, "other")).toDF("id", "text")
+    val out = Dedup.exactCanonical(df, "text", "id").orderBy("id")
+    // fingerprint normalizes case+whitespace: doc 3 is a dup of doc 1
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds the crafted near-dup pair and not the unrelated one") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhash(df, "text", "doc_id", threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("minhash LSH candidates never invent pairs and recall high-similarity ones") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " tail extra"), (5L, "tiny")).toDF("doc_id", "text")
+    // rows-per-band = 2 targets high recall at j >= 0.5 (1-(1-j^2)^8)
+    val lsh = Dedup.nearDupMinhash(df, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bruteAll = Dedup.jaccardAllPairs(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.subsetOf(bruteAll.keySet)) // verification step: no false positives, ever
+    // recall check on the pairs banding is tuned for (deterministic md5 -> stable)
+    val strong = bruteAll.filter(_._2 >= 0.7).keySet
+    assert(strong.subsetOf(lsh), s"missed strong pairs: ${strong -- lsh}; lsh=$lsh brute=$bruteAll")
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated docs far") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(ham(sig(1L), sig(2L)) <= 6)
+  }
+
+  test("cosine top-k: identical vector ranks first with cos 1.0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3).collect()
+    assert(top(0).getLong(0) == 1L && approx(top(0).getDouble(1), 1.0))
+    assert(top(1).getLong(0) == 2L)
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ANN LSH bucket contains the identical vector (self-recall)") {
+    val dims = 8
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => math.sin(i * 31 + d).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2.map(_.toDouble).toSeq
+    val top = Similarity.annTopK(df, "vec_id", "embedding", q, 1, planes = 4).collect()
+    assert(top.nonEmpty && top(0).getLong(0) == 7L && approx(top(0).getDouble(1), 1.0, 1e-6))
+  }
+
+  test("nearDupPairs finds duplicate embeddings within LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.1f, 0.9f)), (2L, Array(0.5f, 0.5f, 0.1f, 0.9f)),
+      (3L, Array(-0.5f, 0.2f, -0.8f, 0.1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(df, "vec_id", "embedding", planes = 3, dims = 4, minCosine = 0.999)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase, split on non-alnum, drop empties") {
+    val df = Seq("Hello, World!!  42-foo").toDF("text")
+    val out = df.select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
+    assert(out == Seq("hello", "world", "42", "foo"))
+  }
+
+  test("langId picks the language with the highest stopword hit ratio") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is warm"),
+      (2L, "der hund ist gross und das haus ist klein"),
+      (3L, "el gato es negro y la casa es grande"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es" && got(4L) == "und")
+  }
+
+  test("qualityMetrics golden on a hand-computed doc") {
+    val df = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "text").head()
+    assert(r.getAs[Long]("n_chars_q") == 8L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(approx(r.getAs[Double]("mean_token_len"), 2.0))
+    assert(approx(r.getAs[Double]("non_alnum_ratio"), 0.25)) // 2 spaces / 8 chars
+    assert(approx(r.getAs[Double]("distinct_token_ratio"), 2.0 / 3.0, 1e-6))
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world "), (3L, "different")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("subwordCount: ceil(len/4) per alnum run") {
+    val df = Seq("abcdefgh xy").toDF("text") // 8/4=2 + 2/4->1 = 3
+    assert(df.select(TextAnalysis.subwordCount(col("text"))).head().getLong(0) == 3L)
+  }
+
+  test("termStats counts occurrences and doc frequency") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextAnalysis.termStats(df, "text", "doc_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("a") == (3L, 2L) && m("b") == (1L, 1L) && m("c") == (1L, 1L))
+  }
+
+  test("multimodal: payload bytes round-trip and metadata is populated") {
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+    val out = Multimodal.attachBinary(df, "text")
+    val r = out.select(col("payload"), col("meta.n_bytes"), col("meta.width"), col("meta.height")).head()
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello")
+    assert(r.getLong(1) == 5L)
+    assert(r.getInt(2) >= 32 && r.getInt(2) < 288 && r.getInt(3) >= 32)
+  }
+
+  test("multimodal: resize preserves aspect ratio and never upscales") {
+    val df = Multimodal.attachBinary(Seq((1L, "some text payload")).toDF("doc_id", "text"), "text")
+    val r = Multimodal.resizeMeta(df, 64)
+      .select("meta.width", "meta.height", "resized_w", "resized_h").head()
+    val (w, h, rw, rh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    assert(rw <= w && rh <= h && math.max(rw, rh) <= 64)
+  }
+
+  test("multimodal: sampleFrames returns n slices of the payload") {
+    val df = Multimodal.attachBinary(Seq((1L, "0123456789abcdef")).toDF("doc_id", "text"), "text")
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), 4, 4)).head().getSeq[Array[Byte]](0)
+    assert(frames.size == 4 && frames.forall(_.length == 4))
+    assert(new String(frames.head, "UTF-8") == "0123")
+  }
+
+  test("multimodal: batchedFeatures covers every row exactly once with fixed batch size") {
+    val df = Multimodal.attachBinary(
+      (1L to 20L).map(i => (i, s"doc number $i")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.batchedFeatures(df, "doc_id", batchSize = 6)
+    assert(out.select("id").distinct().count() == 20L)
+    val feat = out.where(col("id") === 1L).select("feature").head().getSeq[Double](0)
+    assert(feat.size == 8 && feat.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** pandas-fidelity goldens for the cleaning operators (SURVEY §5.2) —
+  * expected values are the judge-verified reference behaviors.
+  */
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C3 interpolation matches pandas golden [nan,nan,1,nan,5,nan,nan] -> [1,1,1,3,5,5,5]") {
+    val df = Seq[(Int, Option[Double])](
+      (1, None), (2, None), (3, Some(1.0)), (4, None),
+      (5, Some(5.0)), (6, None), (7, None)).toDF("idx", "v")
+    val out = Clean.interpolate(df, Seq("v"), "idx").orderBy("idx")
+    assert(doubles(out, "v") == Seq(Some(1.0), Some(1.0), Some(1.0), Some(3.0),
+      Some(5.0), Some(5.0), Some(5.0)))
+  }
+
+  test("C3 interpolation is per-partition when partitionCols given") {
+    val df = Seq(
+      ("a", 1, Option.empty[Double]), ("a", 2, Some(2.0)),
+      ("b", 1, Some(10.0)), ("b", 2, None), ("b", 3, Some(20.0))).toDF("g", "idx", "v")
+    val out = Clean.interpolate(df, Seq("v"), "idx", Seq("g")).orderBy("g", "idx")
+    assert(doubles(out, "v") == Seq(Some(2.0), Some(2.0), Some(10.0), Some(15.0), Some(20.0)))
+  }
+
+  test("C3 all-null column stays all-null") {
+    val df = Seq((1, Option.empty[Double]), (2, None)).toDF("idx", "v")
+    val out = Clean.interpolate(df, Seq("v"), "idx")
+    assert(doubles(out, "v") == Seq(None, None))
+  }
+
+  test("C1 coercion matches pandas golden ['1','x','3'] -> [1.0, null, 3.0]") {
+    val df = Seq((1, "1"), (2, "x"), (3, "3")).toDF("idx", "s")
+    val out = Clean.coerceNumeric(df).orderBy("idx")
+    assert(doubles(out, "s") == Seq(Some(1.0), None, Some(3.0)))
+  }
+
+  test("C2 scrubInf maps ±inf to null and keeps NaN/values") {
+    val df = Seq(1.0, Double.PositiveInfinity, Double.NegativeInfinity, -2.5)
+      .toDF("v").withColumn("idx", monotonically_increasing_id())
+    val out = Clean.scrubInf(df, Seq("v")).orderBy("idx")
+    assert(doubles(out, "v") == Seq(Some(1.0), None, None, Some(-2.5)))
+  }
+
+  test("C4 ffill carries last non-null forward, leading nulls stay") {
+    val df = Seq[(Int, Option[Double])]((1, None), (2, Some(4.0)), (3, None), (4, Some(7.0)), (5, None))
+      .toDF("idx", "v")
+    val out = Clean.ffill(df, Seq("v"), "idx").orderBy("idx")
+    assert(doubles(out, "v") == Seq(None, Some(4.0), Some(4.0), Some(7.0), Some(7.0)))
+  }
+
+  test("C5 dropAllNullCols drops only fully-null columns") {
+    val df = Seq((1, Option.empty[Double], Option.empty[Double]), (2, Some(1.0), None))
+      .toDF("k", "half", "dead")
+    val out = Clean.dropAllNullCols(df)
+    assert(out.columns.toSeq == Seq("k", "half"))
+  }
+
+  test("C6 summaryStats matches hand-computed describe() for [1,2,3,4]") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = Clean.summaryStats(df, Seq("v")).head()
+    assert(r.getAs[Long]("cnt") == 4L)
+    assert(approx(r.getAs[Double]("mean"), 2.5))
+    // pandas std is ddof=1: sqrt(5/3) = 1.290994
+    assert(approx(r.getAs[Double]("std"), 1.290994, 1e-6))
+    assert(approx(r.getAs[Double]("p25"), 1.75)) // linear interpolation
+    assert(approx(r.getAs[Double]("p50"), 2.5))
+    assert(approx(r.getAs[Double]("p75"), 3.25))
+  }
+
+  test("C6 string describe: top is most frequent, ties break lexicographically") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("s")
+    val r = Clean.summaryStatsStrings(df, Seq("s")).head()
+    assert(r.getAs[Long]("cnt") == 5L)
+    assert(r.getAs[Long]("n_unique") == 3L)
+    assert(r.getAs[String]("top") == "a") // a and b tie at 2 -> lexicographic
+    assert(r.getAs[Long]("top_freq") == 2L)
+  }
+}
