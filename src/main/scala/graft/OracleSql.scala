@@ -283,21 +283,26 @@ object OracleSql {
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_dedup_minhash" ->
-      (s"""WITH toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
-         |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-         |       FROM toksrc),
-         |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+    "q_dedup_minhash" -> {
+      val p = graft.ext.Dedup.MinhashP
+      val params = graft.ext.Dedup.hashParams(16)
+      val aList = params.map(_._1).mkString("[", ", ", "]")
+      val bList = params.map(_._2).mkString("[", ", ", "]")
+      s"""WITH toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tk2 AS (SELECT * FROM toksrc WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |       FROM tk2),
+         |hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM sh),
          |sig AS (SELECT doc_id, s,
-         |         list_transform(generate_series(0, 15), i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
-         |        FROM sh2),
+         |         list_transform(generate_series(1, 16), i -> list_min(list_transform(hv, h -> (h * ($aList)[i] + ($bList)[i]) % $p))) AS g
+         |        FROM hs),
          |banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
          |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS bidx) bt),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
          |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)
-         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin),
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_dedup_simhash" -> simhashSql,
 

@@ -288,10 +288,21 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
+    // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
+    // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
+    // loop and adds no oracle value)
     "q_ml_train_clf" -> ((s, dir) =>
       Models.trainModels(s,
         Models.assembleFromArray(T(s, dir, "embeddings"), "embedding", "label"),
-        isClassification = true, rfTrees = 20, gbtIter = 5))
+        isClassification = true, rfTrees = 20,
+        include = Set("decision_tree", "random_forest"))),
+    "q_ml_train_reg" -> ((s, dir) =>
+      Models.trainModels(s,
+        Models.assemble(T(s, dir, "lineitem")
+          .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+          "l_extendedprice"),
+        isClassification = false, rfTrees = 10, gbtIter = 5,
+        include = Set("decision_tree", "random_forest")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

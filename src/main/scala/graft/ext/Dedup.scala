@@ -37,8 +37,15 @@ object Dedup {
   }
 
   /** Word k-shingles of a text column, as a distinct set. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
+
+  /** Shingles from an already-projected token column. Referencing a token
+    * COLUMN (not the tokenize expression) matters for the plan: `toks` is
+    * used three times below, so CollapseProject keeps the tokenization in
+    * its own projection instead of inlining (= re-evaluating) it per use.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
     array_distinct(
       when(n < k, array()).otherwise(
@@ -46,14 +53,47 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  /** MinHash signature: `numHashes` values, the i-th being the minimum of
-    * md5(i ++ ":" ++ shingle) over the shingle set. md5-as-hex-string min is
-    * deterministic and engine-portable (no seed, no platform hash).
+  /** MinHash universe: arithmetic stays below 2^60 (a,h < 2^30) so the
+    * affine permutations never overflow a signed 64-bit int — in Spark OR
+    * in the DuckDB oracle that mirrors them.
     */
+  val MinhashP: Long = 1073741789L // largest prime < 2^30
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Deterministic affine-permutation parameters (a_i, b_i), a_i != 0. */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (1L + md5Long(s"a:$i") % (MinhashP - 1), md5Long(s"b:$i") % MinhashP)
+    }
+
+  /** Base hash per shingle: first 60 bits of md5 reduced mod P. Each
+    * shingle is md5'd exactly ONCE; the `numHashes` MinHash functions are
+    * cheap integer permutations of this value (the classic a*h+b mod p
+    * construction) — not `numHashes` separate crypto hashes.
+    */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+
+  /** MinHash signature (array<long>) from the base-hash column. `hs` must
+    * be a materialized column, not an expression — it is referenced once
+    * per hash function.
+    */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column = {
+    val sigs = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % MinhashP))
+    }
+    array(sigs: _*)
+  }
+
+  /** Convenience one-shot signature from a shingle set (tests/ad-hoc). */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleSet,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
 
   /** Banded LSH near-dup candidate pairs with exact Jaccard verification.
     *
@@ -78,24 +118,36 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sh.select(col("id"), col("sh"),
+    // staged projections: tokens, then shingles, then signature — each a
+    // separate Project so nothing is inlined and re-evaluated per use.
+    // Empty-shingle docs are dropped via the cheap token-count predicate
+    // (equivalent to size(sh)==0, without re-deriving the shingle array).
+    val tk = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+    val sh = tk.select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
+    val hs = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
+    val sig = hs.select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    // banded rows carry ONLY (band_idx, band_key, id): the candidate
+    // self-join shuffles narrow rows — shingle arrays never enter this
+    // shuffle, which is what keeps the join viable at corpus scale.
+    val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
-          md5(concat_ws("|", slice(col("sig"), b * rows + lit(1), lit(rows)))).as("band_key"))))
+          md5(concat_ws("|", slice(col("sig"), b * rows + lit(1), lit(rows))
+            .cast("array<string>"))).as("band_key"))))
         .as("band"))
-      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_key"))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .distinct()
+    // exact Jaccard verification: fetch each side's shingle set by id —
+    // candidates are few, so these joins move only the surviving arrays.
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))))

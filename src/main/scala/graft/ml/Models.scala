@@ -108,15 +108,16 @@ object Models {
     * tidy (model, metric, value) frame.
     */
   def trainModels(spark: SparkSession, assembled: DataFrame,
-      isClassification: Boolean, rfTrees: Int = 100, gbtIter: Int = 20): DataFrame = {
+      isClassification: Boolean, rfTrees: Int = 100, gbtIter: Int = 20,
+      include: Set[String] = Set("decision_tree", "random_forest", "gbt")): DataFrame = {
     val (train, test) = split(assembled)
     train.cache(); test.cache()
     val numClasses =
       if (isClassification) train.select(countDistinct(col("label"))).head().getLong(0).toInt
       else 0
     val models: Seq[(String, PipelineStage)] =
-      if (isClassification) classifiers(numClasses, rfTrees, gbtIter)
-      else regressors(rfTrees, gbtIter)
+      (if (isClassification) classifiers(numClasses, rfTrees, gbtIter)
+       else regressors(rfTrees, gbtIter)).filter(m => include(m._1))
     val rows = models.flatMap { case (name, stage) =>
       val fitted = new Pipeline().setStages(Array(stage)).fit(train)
       val preds = fitted.transform(test)

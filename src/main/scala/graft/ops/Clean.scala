@@ -76,8 +76,15 @@ object Clean {
     val wPos = base.orderBy(col(orderCol))
     val wPrev = base.orderBy(col(posCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = base.orderBy(col(posCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next non-null" is expressed as last-over-DESCENDING-order rather than
+    // first-over-(currentRow, unboundedFollowing): Spark's unbounded-
+    // FOLLOWING frame recomputes its aggregate from scratch for every row
+    // (O(n^2) per partition — pathological on long null runs), while the
+    // unbounded-PRECEDING frame is a single accumulating O(n) pass. The
+    // price is one extra sort per partitioning, which Catalyst schedules
+    // once for all reversed expressions together.
+    val wNextRev = base.orderBy(col(posCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withPos = df.withColumn(posCol, row_number().over(wPos))
     val out = valueCols.foldLeft(withPos) { (acc, c) =>
@@ -85,8 +92,8 @@ object Clean {
       val pos = col(posCol)
       val prevV = last(v, ignoreNulls = true).over(wPrev)
       val prevP = last(when(v.isNotNull, pos), ignoreNulls = true).over(wPrev)
-      val nextV = first(v, ignoreNulls = true).over(wNext)
-      val nextP = first(when(v.isNotNull, pos), ignoreNulls = true).over(wNext)
+      val nextV = last(v, ignoreNulls = true).over(wNextRev)
+      val nextP = last(when(v.isNotNull, pos), ignoreNulls = true).over(wNextRev)
       val interp = when(v.isNotNull, v)
         .when(prevV.isNull, nextV)
         .when(nextV.isNull, prevV)
@@ -133,6 +140,9 @@ object Clean {
     * can be relaxed.
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // ONE exact-percentile accumulator per column (array of quantiles), not
+    // three: the exact percentile buffers every distinct value, so separate
+    // p25/p50/p75 aggregates would triple the memory the merge phase holds.
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
@@ -140,18 +150,45 @@ object Clean {
         round(avg(v), 6).as(s"${c}__mean"),
         round(stddev_samp(v), 6).as(s"${c}__std"),
         round(min(v).cast(DoubleType), 6).as(s"${c}__min"),
-        round(percentile(v, lit(0.25)), 6).as(s"${c}__p25"),
-        round(percentile(v, lit(0.5)), 6).as(s"${c}__p50"),
-        round(percentile(v, lit(0.75)), 6).as(s"${c}__p75"),
+        percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as(s"${c}__pct"),
         round(max(v).cast(DoubleType), 6).as(s"${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val one = agged.select(cols.flatMap { c =>
+      Seq(col(s"${c}__cnt"), col(s"${c}__mean"), col(s"${c}__std"), col(s"${c}__min"),
+        round(col(s"${c}__pct")(0), 6).as(s"${c}__p25"),
+        round(col(s"${c}__pct")(1), 6).as(s"${c}__p50"),
+        round(col(s"${c}__pct")(2), 6).as(s"${c}__p75"),
+        col(s"${c}__max"))
+    }: _*)
     val stackExpr = s"stack(${cols.size}, " + cols.map { c =>
       s"'$c', `${c}__cnt`, `${c}__mean`, `${c}__std`, `${c}__min`, " +
         s"`${c}__p25`, `${c}__p50`, `${c}__p75`, `${c}__max`"
     }.mkString(", ") +
       ") as (column_name, cnt, mean, std, min_v, p25, p50, p75, max_v)"
     one.select(expr(stackExpr)).orderBy("column_name")
+  }
+
+  /** C6 combined — pandas `describe(include='all')`: numeric stats and
+    * string unique/top/freq in one long-form frame keyed by column_name
+    * (full outer join of the two halves; stats that don't apply are null,
+    * exactly like pandas' NaN-filled describe matrix).
+    */
+  def describeAll(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val nums = df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toIndexedSeq
+    val strs = df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toIndexedSeq
+    (nums.nonEmpty, strs.nonEmpty) match {
+      case (true, true) =>
+        val s = summaryStatsStrings(df, strs).withColumnRenamed("cnt", "__cnt_str")
+        summaryStats(df, nums).join(s, Seq("column_name"), "full_outer")
+          .withColumn("cnt", coalesce(col("cnt"), col("__cnt_str")))
+          .drop("__cnt_str")
+          .orderBy("column_name")
+      case (true, false) => summaryStats(df, nums)
+      case (false, true) => summaryStatsStrings(df, strs)
+      case _ => df.sparkSession.emptyDataFrame
+    }
   }
 
   /** C6 (string half) — pandas `describe(include='all')` for object columns:

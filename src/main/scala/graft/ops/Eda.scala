@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Eda {
 
+  /** E6 — skip-empty guard (`DIH.py:126,137,155-156`): the reference skips
+    * all-NaN columns before charting (`notna().any()`). One aggregate pass
+    * over ALL candidate columns (a single-row result collected to the
+    * driver — the same driver-side decision point the reference has), so
+    * the EDA fan-out never launches jobs for empty columns.
+    */
+  def nonEmptyCols(df: DataFrame, cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty) return Nil
+    val counts = df.agg(count(col(cols.head)).as(cols.head),
+      cols.tail.map(c => count(col(c)).as(c)): _*).head()
+    cols.filter(c => counts.getAs[Long](c) > 0L)
+  }
+
   /** E1 — equal-width histogram: bin counts over [min, max] with the
     * max value clamped into the last bin (numpy right-closed edge rule).
     */
@@ -46,10 +59,12 @@ object Eda {
     */
   def boxStats(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val v = col(valueCol)
-    val stats = df.groupBy(col(groupCol)).agg(
-      round(percentile(v, lit(0.25)), 6).as("q1"),
-      round(percentile(v, lit(0.5)), 6).as("med"),
-      round(percentile(v, lit(0.75)), 6).as("q3"))
+    val stats = df.groupBy(col(groupCol))
+      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("__pct"))
+      .select(col(groupCol),
+        round(col("__pct")(0), 6).as("q1"),
+        round(col("__pct")(1), 6).as("med"),
+        round(col("__pct")(2), 6).as("q3"))
       .withColumn("lo_fence", round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6))
       .withColumn("hi_fence", round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6))
     df.join(broadcast(stats), Seq(groupCol))

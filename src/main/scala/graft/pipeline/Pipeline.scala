@@ -21,13 +21,19 @@ object Pipeline {
   def process(df: DataFrame, orderCol: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
     val coerced = Clean.scrubInf(Clean.coerceNumeric(df))
-    val fillable = coerced.schema.fields.collect {
+    // C5 runs BEFORE the fills (reference statement order is C3,C4,C5):
+    // interpolation/ffill only propagate existing values, so a column is
+    // all-null after filling iff it was all-null before — the output is
+    // identical, but the fill windows are never evaluated over columns
+    // that are about to be dropped (with string-heavy inputs those are
+    // most of the coerced columns).
+    val pruned = Clean.dropAllNullCols(coerced)
+    val fillable = pruned.schema.fields.collect {
       case f if (f.dataType == DoubleType || f.dataType == FloatType) && f.name != orderCol =>
         f.name
     }.toIndexedSeq
-    val interp = Clean.interpolate(coerced, fillable, orderCol, partitionCols)
-    val filled = Clean.ffill(interp, fillable, orderCol, partitionCols)
-    Clean.dropAllNullCols(filled)
+    val interp = Clean.interpolate(pruned, fillable, orderCol, partitionCols)
+    Clean.ffill(interp, fillable, orderCol, partitionCols)
   }
 
   /** `preprocess_data` (DIH.py:36-52): z-score numeric columns, label-encode

@@ -21,6 +21,7 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args(1) == "pipe-debug") { pipeDebug(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (showPlan) fn(spark, sfDir).explain("formatted")
@@ -31,5 +32,63 @@ object Explain {
       }
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the flagship pipeline. */
+  private def pipeDebug(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ops.{Clean, Harmonize, Preprocess}
+    import org.apache.spark.sql.functions._
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val c = df.count()
+      println(f"[pipe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$c")
+    }
+    val dfs = Seq(graft.Tables.load(spark, sfDir, "customer"),
+      graft.Tables.load(spark, sfDir, "supplier"))
+    val tagged = dfs.zipWithIndex.map { case (df, i) =>
+      val std = Harmonize.standardizeColumns(df)
+      std.withColumn("__graft_src", lit(i)).withColumn("__graft_ord", col(std.columns.head))
+    }
+    val unioned = Harmonize.unionByName(tagged)
+    time("union")(unioned)
+    val coerced = Clean.scrubInf(Clean.coerceNumeric(unioned))
+    time("coerce+scrub")(coerced)
+    val fillable = coerced.schema.fields.collect {
+      case f if (f.dataType == org.apache.spark.sql.types.DoubleType) && f.name != "__graft_ord" => f.name
+    }.toIndexedSeq
+    println(s"[pipe] fillable=$fillable")
+    val interp = Clean.interpolate(coerced, fillable, "__graft_ord", Seq("__graft_src"))
+    time("interpolate")(interp)
+    val filled = Clean.ffill(interp, fillable, "__graft_ord", Seq("__graft_src"))
+    time("ffill")(filled)
+    val dropped = Clean.dropAllNullCols(filled)
+    time("dropAllNull")(dropped)
+    val zCols = dropped.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        && f.name != "__graft_src" && f.name != "__graft_ord" => f.name
+    }.toIndexedSeq
+    val pre = Preprocess.zscore(dropped, zCols)
+    time("zscore")(pre)
+    val rounded = pre.select(
+      (col("__graft_src").as("src") +: col("__graft_ord").as("ord") +:
+        zCols.map(c => round(col(c), 6).as(c))): _*)
+    time("round-select")(rounded)
+    time("orderBy")(rounded.orderBy("src", "ord"))
+    val tc0 = System.nanoTime()
+    val q = graft.SparkEntry.queries("q_pipeline")(spark, sfDir)
+    println(f"[pipe] entry-construct: ${(System.nanoTime() - tc0) / 1e9}%.2fs")
+    val tc1 = System.nanoTime()
+    q.count()
+    println(f"[pipe] entry-count: ${(System.nanoTime() - tc1) / 1e9}%.2fs")
+    val tc2 = System.nanoTime()
+    Clean.dropAllNullCols(filled)
+    println(f"[pipe] dropAllNull-construct-again: ${(System.nanoTime() - tc2) / 1e9}%.2fs")
+    val mine = rounded.orderBy("src", "ord")
+    val real = graft.SparkEntry.queries("q_pipeline")(spark, sfDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plan_mine.txt"),
+      mine.queryExecution.optimizedPlan.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plan_real.txt"),
+      real.queryExecution.optimizedPlan.toString)
+    println("[pipe] plans dumped")
   }
 }

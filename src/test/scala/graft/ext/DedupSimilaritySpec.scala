@@ -19,7 +19,10 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("minhash LSH finds the crafted near-dup pair and not the unrelated one") {
     val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
-    val pairs = Dedup.nearDupMinhash(df, "text", "doc_id", threshold = 0.5).collect()
+    // 8 bands of 2 rows: collision prob at j=0.6 is 1-(1-0.36)^8 ~ 0.97
+    // (4 bands of 4 would be a coin flip at this similarity)
+    val pairs = Dedup.nearDupMinhash(df, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(pairs(0).getAs[Double]("jaccard") > 0.5)
   }
