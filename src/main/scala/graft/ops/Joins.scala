@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-family operators (north-star extension; the reference's only
+  * multi-table op is union-by-name, SURVEY §2.7).
+  *
+  * Standard equi/semi/anti joins are thin, deliberate wrappers — the value
+  * is the scale contract each one documents. The as-of join is the one
+  * operator Spark lacks natively: implemented as union + partitioned
+  * running-last window (the distributed as-of construction), NOT a range
+  * cross-join — cost is one shuffle + per-partition sort, independent of
+  * the time-distance between matches.
+  */
+object Joins {
+
+  /** Fact-to-dimension equi-join with an explicit broadcast of the dim:
+    * at 100 TB the fact side must never shuffle for a small dim.
+    */
+  def broadcastDim(fact: DataFrame, dim: DataFrame, on: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), on, joinType)
+
+  /** Semi-join: fact rows with a match in `filter` (no columns added). */
+  def semi(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left_semi")
+
+  /** Anti-join: fact rows WITHOUT a match (the dedup/backfill primitive). */
+  def anti(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left_anti")
+
+  /** As-of join: for every probe row, the most recent `ref` values with
+    * ref.timeCol <= probe.timeCol within the same `keys` partition
+    * (inclusive, DuckDB `ASOF JOIN` semantics).
+    *
+    * Construction: tag both inputs, union, then one running
+    * `last(_, ignoreNulls)` window per fetched column ordered by
+    * (time, isProbe) — ref rows sort before probes at equal timestamps, so
+    * "at-or-before" is inclusive. Probe rows are then filtered back out.
+    * ONE shuffle keyed by `keys`; scales with rows, never with time gaps.
+    *
+    * @param refCols ref columns to fetch, each becomes `asof_<name>`
+    */
+  def asof(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      timeCol: String, refCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toIndexedSeq
+    val tagCol = "__graft_is_probe"
+    val taggedProbe = refCols.foldLeft(probe.withColumn(tagCol, lit(1))) {
+      (acc, c) => acc.withColumn(s"__graft_ref_$c", lit(null).cast(ref.schema(c).dataType))
+    }
+    val taggedRef = {
+      val base = ref.select(
+        (keys.map(col) :+ col(timeCol) :+ lit(0).as(tagCol)) ++
+          refCols.map(c => col(c).as(s"__graft_ref_$c")): _*)
+      probeCols.filterNot(c => keys.contains(c) || c == timeCol)
+        .foldLeft(base)((acc, c) => acc.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
+    }
+    val unioned = taggedProbe.unionByName(taggedRef)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col(tagCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = refCols.foldLeft(unioned) { (acc, c) =>
+      acc.withColumn(s"asof_$c", last(col(s"__graft_ref_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col(tagCol) === 1)
+      .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** Top-k rows per group by `orderBy` (window rank family — the reference
+    * exposes no window surface; this is the extension's canonical use).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      orderBy: Seq[Column], k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
+  }
+}
