@@ -343,6 +343,12 @@ object OracleSql {
          |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
          |FROM s, q ORDER BY cos DESC, id LIMIT 10""".stripMargin),
 
+    "q_sim_topk_native" ->
+      (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+         |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
+         |FROM s, q ORDER BY cos DESC, id LIMIT 10""".stripMargin),
+
     "q_sim_ann_lsh" ->
       (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

@@ -281,6 +281,9 @@ object SparkEntry {
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 10)),
+    "q_sim_topk_native" -> ((s, dir) =>
+      Similarity.bruteForceTopKNative(T(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), 10)),
     "q_sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 5, planes = 6)),

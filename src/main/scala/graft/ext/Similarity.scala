@@ -54,6 +54,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Same top-k, but scoring through the codegen'd native `graft_dot`
+    * Catalyst expression (GraftExtensions must be registered). Values are
+    * bit-identical to [[bruteForceTopK]]; only the execution tier differs.
+    */
+  def bruteForceTopKNative(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol).as("id"),
+      round(VectorOps.cosineNative(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** ANN variant: same query, but only candidates in the query's LSH bucket
     * are scored. At 1000 executors the bucket filter is a pushed-down
     * predicate on a precomputed bucket column (see `withBucket`), so the

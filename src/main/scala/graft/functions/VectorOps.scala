@@ -34,4 +34,20 @@ object VectorOps {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
+
+  // ---- native-Expression tier (requires GraftExtensions registered) ----
+
+  /** Dot product via the codegen'd [[DotProduct]] Catalyst expression —
+    * same left-to-right double summation as [[dot]], so results are
+    * bit-identical; the loop runs inside whole-stage codegen instead of
+    * interpreted lambdas. Needs `graft_dot` registered (GraftExtensions).
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Cosine via the native dot product; 0.0 when either norm is zero. */
+  def cosineNative(a: Column, b: Column): Column = {
+    val na = sqrt(dotNative(a, a))
+    val nb = sqrt(dotNative(b, b))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotNative(a, b) / (na * nb))
+  }
 }

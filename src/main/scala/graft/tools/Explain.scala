@@ -14,6 +14,7 @@ object Explain {
     val showPlan = args.length > 2 && args(2) == "plan"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,6 +23,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args(1) == "pipe-debug") { pipeDebug(spark, sfDir); spark.stop(); return }
+    if (args(1) == "vec-bench") { vecBench(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (showPlan) fn(spark, sfDir).explain("formatted")
@@ -32,6 +34,26 @@ object Explain {
       }
     }
     spark.stop()
+  }
+
+  /** HOF vs native-Expression dot product micro-benchmark: ~1M 64-dim dot
+    * products (embeddings x 200 query vectors), summed to force full
+    * evaluation. Run twice each to amortize codegen compilation.
+    */
+  private def vecBench(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val q = e.limit(200).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = e.crossJoin(broadcast(q))
+    def run(label: String, dotCol: org.apache.spark.sql.Column): Unit =
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val s = pairs.agg(sum(dotCol)).head().getDouble(0)
+        println(f"[vec] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s%.3f")
+      }
+    run("hof   ", VectorOps.dot(col("embedding"), col("qe")))
+    run("native", VectorOps.dotNative(col("embedding"), col("qe")))
   }
 
   /** Stage-by-stage timing of the flagship pipeline. */

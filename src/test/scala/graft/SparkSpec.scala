@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
