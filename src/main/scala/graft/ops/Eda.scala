@@ -74,6 +74,14 @@ object Eda {
       .orderBy(col(groupCol))
   }
 
+  /** E2 (whole-column variant — the reference's `px.box` has no group):
+    * quartiles, fences and outlier count for one column. Degenerate input
+    * (constant or single-row column) yields zero-width IQR and no outliers.
+    */
+  def boxStatsAll(df: DataFrame, valueCol: String): DataFrame =
+    boxStats(df.withColumn("__graft_all", lit(1)), valueCol, "__graft_all")
+      .drop("__graft_all")
+
   /** E4 — 2-D density histogram: `bins x bins` equal-width grid counts over
     * non-null (x, y) pairs; per-axis range = that column's min/max
     * (numpy `histogram2d` semantics, right-most bin closed).

@@ -34,6 +34,13 @@ class EdaSpec extends SparkSpec {
     assert(m.size == 3) // i<j pairs only
   }
 
+  test("E2 boxStatsAll (ungrouped): reference whole-column shape, degenerate input safe") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val r = Eda.boxStatsAll(df, "v").head()
+    assert(approx(r.getAs[Double]("q1"), 5.0) && approx(r.getAs[Double]("q3"), 5.0))
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("E2 boxStats: quartiles and fences on a known group") {
     val df = ((1 to 11).map(i => ("g", i.toDouble)) :+ (("g", 100.0))).toDF("k", "v")
     val r = Eda.boxStats(df, "v", "k").head()
