@@ -401,6 +401,24 @@ object OracleSql {
         |  round(f0raw, 6) AS f0
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_sim_neardup" ->
+      (s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |b AS (SELECT id, e, ${bucketSql("e", 4, 64)} AS bk FROM s),
+         |p AS (SELECT x.id AS id_a, y.id AS id_b, round(${cosine("x.e", "y.e")}, 6) AS cos
+         |      FROM b x JOIN b y ON x.bk = y.bk AND x.id < y.id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
         |       event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value

@@ -326,6 +326,13 @@ object SparkEntry {
 
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
+    "q_sessionize" -> ((s, dir) =>
+      EventsStream.sessionStats(T(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start")),
+    "q_sim_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 4, dims = 64, minCosine = 0.45)
+        .orderBy("id_a", "id_b")),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

@@ -108,6 +108,44 @@ object Similarity {
       .withColumn("cos", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .distinct()
+  }
+
+  /** IVF (inverted-file) ANN: cluster the corpus once with k-means, store
+    * the centroid id per row (at ingest time this becomes the table's
+    * partition column), then probe only the `nProbe` clusters whose
+    * centroids are nearest to the query. The scan prunes ~(1 - nProbe/k)
+    * of the corpus — the standard trade against hyperplane LSH when the
+    * corpus has real cluster structure.
+    *
+    * Not oracle-checkable (k-means init is RNG-seeded, and cluster ids are
+    * not portable across libraries); covered by recall tests instead.
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L):
+      (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__ivf_feat", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__ivf_feat").setPredictionCol("ivf_cluster")
+      .fit(feat)
+    val indexed = model.transform(feat).drop("__ivf_feat")
+    (indexed, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe an IVF-indexed frame: score only rows in the `nProbe` clusters
+    * closest to the query (driver-side centroid ranking — k centroids are
+    * tiny), exact cosine within them.
+    */
+  def ivfTopK(indexed: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]], query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probeClusters = centers.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    indexed.where(col("ivf_cluster").isin(probeClusters: _*))
+      .select(col(idCol).as("id"),
+        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
   }
 }

@@ -53,4 +53,27 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("day_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization per user via the built-in `session_window`
+    * (events closer than `gap` merge into one session) — the canonical
+    * stateful-streaming shape, expressed with the built-in so batch and
+    * stream share one definition (SURVEY §7: built-ins before custom
+    * state). Output keys are epoch seconds; session start is the first
+    * event's timestamp.
+    */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup with a watermark: state holds only ids newer
+    * than the watermark, so memory is bounded by (arrival rate x
+    * watermark), not by corpus size — the streaming face of Dedup.exact.
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
 }

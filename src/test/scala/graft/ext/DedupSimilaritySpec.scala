@@ -82,4 +82,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  test("IVF index + probe: identical vector found with nProbe=1, full recall at nProbe=k") {
+    val dims = 8
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (math.sin(i * 31 + d) + (i % 3) * 4).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (indexed, centers) = Similarity.ivfIndex(df, "embedding", k = 3)
+    assert(centers.length == 3 && centers.head.length == dims)
+    val q = vecs(11)._2.map(_.toDouble).toSeq
+    val hit = Similarity.ivfTopK(indexed, "vec_id", "embedding", centers, q, 1, nProbe = 1).head()
+    assert(hit.getLong(0) == 11L && approx(hit.getDouble(1), 1.0, 1e-6))
+    // nProbe = k degrades to exact brute force: must match bruteForceTopK
+    val ivfAll = Similarity.ivfTopK(indexed, "vec_id", "embedding", centers, q, 5, nProbe = 3)
+      .select("id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(ivfAll == brute)
+  }
 }

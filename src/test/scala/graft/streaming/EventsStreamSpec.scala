@@ -31,6 +31,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("sessionStats merges events within the gap and splits across it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(25), 3.0), // one session (gaps < 30)
+      (1L, ts(70), 4.0),                                       // new session (45-min gap)
+      (2L, ts(5), 5.0)).toDF("user_id", "ts", "value")
+    val out = EventsStream.sessionStats(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3L && approx(out(0).getAs[Double]("sum_value"), 6.0))
+    assert(out(1).getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streamingDedup drops duplicate ids within the watermark") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    // duplicate the stream: same ids twice -> dedup must halve it
+    val doubled = events.unionByName(events)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    doubled.write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp)
+    val q = EventsStream.streamingDedup(src, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_stream").count() == events.count())
+  }
+
   test("perUserDaily aggregates per user and day") {
     val events = Tables.load(spark, dir, "events")
     val out = EventsStream.perUserDaily(events)
