@@ -34,6 +34,22 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Multi-format dispatch by file extension — the reference's upload loop
+    * (`DIH.py:172-179`: csv/xlsx/json/parquet). XLSX (S2) has no offline
+    * Spark reader: rejected with an explicit error, mirroring the
+    * reference's unsupported-format message rather than failing obscurely.
+    */
+  def readAny(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) readCsv(spark, path)
+    else if (lower.endsWith(".json")) readJson(spark, path)
+    else if (lower.endsWith(".parquet")) readParquet(spark, path)
+    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      throw new UnsupportedOperationException(
+        "Excel ingestion is not supported offline (SURVEY §2.1 S2); export to CSV")
+    else throw new IllegalArgumentException(s"Unsupported file format: $path")
+  }
+
   /** S5 — empty-input check (`data.empty`, DIH.py:181). `isEmpty` runs a
     * LocalLimit(1) job — O(first non-empty partition), not a full count.
     */

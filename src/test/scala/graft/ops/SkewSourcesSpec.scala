@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SkewSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals plain groupBy aggregation") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedAggregate(df, Seq("k"), col("v"), salt = 8,
+      Seq((sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c), "sum_v"),
+        (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c), "n")))
+      .orderBy("k").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getString(0) == s.getString(0))
+      assert(approx(p.getDouble(1), s.getDouble(1), 1e-6))
+      assert(p.getLong(2) == s.getLong(2))
+    }
+  }
+
+  test("saltedJoin output equals the plain join") {
+    val left = (1 to 300).map(i => (if (i % 5 == 0) i % 7 else 3, i)).toDF("k", "lv")
+    val right = (0 to 6).map(k => (k, s"dim$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv").collect()
+    val salted = Skew.saltedJoin(left, right, Seq("k"), col("lv"), salt = 4)
+      .select("k", "lv", "rv").orderBy("k", "lv").collect()
+    assert(plain.map(_.toString).toSeq == salted.map(_.toString).toSeq)
+  }
+
+  test("readAny dispatches by extension and rejects xlsx explicitly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_readany").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    df.write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    assert(Sources.readAny(spark, s"$tmp/t.parquet").count() == 2)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/t.csv")
+    assert(Sources.readAny(spark, s"$tmp/t.csv").count() == 2)
+    intercept[UnsupportedOperationException] { Sources.readAny(spark, "/x/y.xlsx") }
+    intercept[IllegalArgumentException] { Sources.readAny(spark, "/x/y.avro") }
+  }
+}
