@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinhashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension registering graft's native Catalyst functions.
   *
@@ -19,5 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // graft_minhash(baseHashes, numHashes): numHashes must be an int literal
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an integer literal, got $other")
+        }
+        MinhashSignature(children.head, n)
+      }))
   }
 }

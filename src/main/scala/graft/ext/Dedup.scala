@@ -55,21 +55,14 @@ object Dedup {
 
   /** MinHash universe: arithmetic stays below 2^60 (a,h < 2^30) so the
     * affine permutations never overflow a signed 64-bit int — in Spark OR
-    * in the DuckDB oracle that mirrors them.
+    * in the DuckDB oracle that mirrors them. Shared with the native
+    * expression tier (graft.functions.MinhashParams).
     */
-  val MinhashP: Long = 1073741789L // largest prime < 2^30
-
-  private def md5Long(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  val MinhashP: Long = graft.functions.MinhashParams.P
 
   /** Deterministic affine-permutation parameters (a_i, b_i), a_i != 0. */
   def hashParams(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map { i =>
-      (1L + md5Long(s"a:$i") % (MinhashP - 1), md5Long(s"b:$i") % MinhashP)
-    }
+    graft.functions.MinhashParams.hashParams(numHashes)
 
   /** Base hash per shingle: first 60 bits of md5 reduced mod P. Each
     * shingle is md5'd exactly ONCE; the `numHashes` MinHash functions are
@@ -80,16 +73,23 @@ object Dedup {
     transform(shingleSet, s =>
       conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
 
-  /** MinHash signature (array<long>) from the base-hash column. `hs` must
-    * be a materialized column, not an expression — it is referenced once
-    * per hash function.
+  /** MinHash signature (array<long>) from the base-hash column.
+    *
+    * `native = true` (default) uses the codegen'd `graft_minhash` Catalyst
+    * expression (requires GraftExtensions registered — all of this repo's
+    * sessions do); `false` falls back to the pure higher-order-function
+    * formulation with identical arithmetic. With the HOF tier, `hs` must be
+    * a materialized column — it is referenced once per hash function.
     */
-  def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column = {
-    val sigs = hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(hs, h => (h * a + b) % MinhashP))
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int,
+      native: Boolean = true): Column =
+    if (native) call_function("graft_minhash", hs, lit(numHashes))
+    else {
+      val sigs = hashParams(numHashes).map { case (a, b) =>
+        array_min(transform(hs, h => (h * a + b) % MinhashP))
+      }
+      array(sigs: _*)
     }
-    array(sigs: _*)
-  }
 
   /** Convenience one-shot signature from a shingle set (tests/ad-hoc). */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
@@ -115,7 +115,7 @@ object Dedup {
     */
   def nearDupMinhash(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, cacheIntermediate: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // staged projections: tokens, then shingles, then signature — each a
@@ -124,7 +124,16 @@ object Dedup {
     // (equivalent to size(sh)==0, without re-deriving the shingle array).
     val tk = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= k)
-    val sh = tk.select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
+    val shPlain = tk.select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
+    // (id, shingles) feeds THREE branches (band generation + both
+    // verification fetch joins); without a materialization boundary each
+    // branch re-tokenizes and re-shingles the corpus. Persisted
+    // MEMORY_AND_DISK: spills instead of failing when the shingle table
+    // outgrows executor memory at corpus scale.
+    val sh =
+      if (cacheIntermediate)
+        shPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlain
     val hs = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
     val sig = hs.select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
     // banded rows carry ONLY (band_idx, band_key, id): the candidate

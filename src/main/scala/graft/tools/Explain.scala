@@ -21,7 +21,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "ERROR"))
     if (args(1) == "pipe-debug") { pipeDebug(spark, sfDir); spark.stop(); return }
     if (args(1) == "vec-bench") { vecBench(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
