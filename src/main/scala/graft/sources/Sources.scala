@@ -61,4 +61,23 @@ object Sources {
   /** S7 — sink: parquet write (the engine's materialization contract). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet: queries filtering on `partitionCols`
+    * prune whole directories at planning time (PartitionFilters in the
+    * scan) — the first lever for 100 TB layouts (partition by date/source,
+    * never by high-cardinality keys).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table: pre-shuffles rows into `numBuckets` files by hash of
+    * `bucketCol` so equi-joins/aggregations on that key need NO exchange at
+    * read time (both sides report HashPartitioning). Requires a table name
+    * (bucket metadata lives in the session catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }
