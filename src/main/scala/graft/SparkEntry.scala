@@ -252,6 +252,12 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_cube_counts" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
     "q_window_topk" -> ((s, dir) =>
       Joins.topKPerGroup(
         T(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
