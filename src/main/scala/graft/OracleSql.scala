@@ -382,6 +382,19 @@ object OracleSql {
          |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) END AS distinct_token_ratio
          |FROM t ORDER BY doc_id""".stripMargin),
 
+    "q_text_tfidf" ->
+      (s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS term FROM documents) GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT term, df, round(ln((nd + 1.0) / (df + 1.0)), 6) AS idf FROM dfreq, n),
+         |x AS (SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idf.idf, 6) AS tfidf
+         |      FROM tf JOIN idf ON tf.term = idf.term),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM x)
+         |SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin),
+
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -306,6 +306,9 @@ object SparkEntry {
         .select("doc_id", "n_chars_q", "n_tokens", "mean_token_len",
           "stopword_ratio", "non_alnum_ratio", "distinct_token_ratio")
         .orderBy("doc_id")),
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(T(s, dir, "documents"), "text", "doc_id", 5)
+        .orderBy("doc_id", "rank")),
     "q_text_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

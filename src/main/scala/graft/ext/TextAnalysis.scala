@@ -108,4 +108,31 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** TF-IDF, top-k terms per document.
+    *
+    * tf = term count in the doc; idf = ln((N+1)/(df+1)) rounded to 6
+    * decimals BEFORE the multiply, so tf*idf is a product of an integer
+    * and a fixed 6-dp constant — bit-identical across engines (raw ln()
+    * can differ in the last ulp between libm implementations).
+    *
+    * Shape: one explode → groupBy(doc, term) for tf (map-side combinable),
+    * a groupBy(term) for df joined back via broadcast (vocabulary is small
+    * relative to the corpus), and a per-doc window for the top-k cut.
+    */
+  def tfidfTopK(df: DataFrame, textCol: String, docIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "tfidf")
+  }
 }
