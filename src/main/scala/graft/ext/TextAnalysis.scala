@@ -109,6 +109,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Quality gate for training-data curation: keep documents whose metrics
+    * pass all thresholds. A narrow filter — apply directly after the scan,
+    * before any shuffle, so rejected documents never move.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minTokens: Long = 10L, maxNonAlnumRatio: Double = 0.5,
+      minDistinctTokenRatio: Double = 0.1, minMeanTokenLen: Double = 2.0): DataFrame = {
+    val m = qualityMetrics(df, textCol)
+    m.where(col("n_tokens") >= minTokens &&
+        col("non_alnum_ratio") <= maxNonAlnumRatio &&
+        col("distinct_token_ratio") >= minDistinctTokenRatio &&
+        col("mean_token_len") >= minMeanTokenLen)
+      .drop("n_chars_q", "n_tokens", "mean_token_len", "stopword_ratio",
+        "non_alnum_ratio", "distinct_token_ratio")
+  }
+
   /** TF-IDF, top-k terms per document.
     *
     * tf = term count in the doc; idf = ln((N+1)/(df+1)) rounded to 6

@@ -50,6 +50,21 @@ object Pipeline {
     Preprocess.labelEncodeAll(scaled)
   }
 
+  /** The reference's complete main() flow (`DIH.py:160-202`): ingest a
+    * heterogeneous set of files (format dispatched per extension, exactly
+    * like the upload loop at DIH.py:172-179), then run the composed
+    * pipeline. Empty inputs are rejected up front (S5, DIH.py:181-182).
+    */
+  def ingest(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      orderKey: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    val dfs = paths.map { p =>
+      val df = graft.sources.Sources.readAny(spark, p)
+      require(!graft.sources.Sources.isEmpty(df), s"Empty input: $p")
+      df
+    }
+    run(dfs, orderKey)
+  }
+
   /** Full EP1 flow over already-loaded frames.
     *
     * Scale design: the order-sensitive fills (C3/C4) run PER SOURCE FRAME —
