@@ -99,6 +99,22 @@ object Eda {
       .orderBy("bx", "by")
   }
 
+  /** Approx tier of the box/quantile stats for corpus scale: t-digest
+    * approximate percentiles (bounded-memory sketch, mergeable across
+    * partitions — no distinct-value map) with a configurable accuracy.
+    * Exact `boxStats` is the oracle-checkable variant; this is what runs
+    * at 100 TB when quantiles feed thresholds rather than reports.
+    */
+  def boxStatsApprox(df: DataFrame, valueCol: String, groupCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(col(groupCol))
+      .agg(approx_percentile(v, array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__pct"))
+      .select(col(groupCol),
+        col("__pct")(0).as("q1"), col("__pct")(1).as("med"), col("__pct")(2).as("q3"))
+      .orderBy(col(groupCol))
+  }
+
   /** E5 — Pearson correlation matrix over the given columns, computed as a
     * single aggregate pass of all pairwise `corr` expressions, reshaped to
     * long form (col_a, col_b, r). Pairs with i < j only; the diagonal is 1

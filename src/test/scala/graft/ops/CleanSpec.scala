@@ -71,6 +71,28 @@ class CleanSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p75"), 3.25))
   }
 
+  test("C6 describeAll merges numeric and string halves keyed by column") {
+    val df = Seq((1.0, "x"), (2.0, "x"), (3.0, "y")).toDF("v", "s")
+    val rows = Clean.describeAll(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("v", "s"))
+    assert(approx(rows("v").getAs[Double]("mean"), 2.0))
+    assert(rows("v").isNullAt(rows("v").fieldIndex("top")))
+    assert(rows("s").getAs[String]("top") == "x")
+    assert(rows("s").getAs[Long]("cnt") == 3L)
+  }
+
+  test("approx tiers track exact within tolerance (boxStatsApprox, termStatsApprox)") {
+    val df = (1 to 2000).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val exact = Eda.boxStats(df, "v", "k").head()
+    val approxR = Eda.boxStatsApprox(df, "v", "k").head()
+    assert(math.abs(exact.getAs[Double]("med") - approxR.getAs[Double]("med")) < 5.0)
+    val docs = (1L to 200L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val ts = graft.ext.TextAnalysis.termStatsApprox(docs, "text", "doc_id")
+      .where(col("term") === "alpha").head()
+    assert(math.abs(ts.getAs[Long]("doc_freq") - 200L) <= 6L) // ~1% rsd
+  }
+
   test("C6 string describe: top is most frequent, ties break lexicographically") {
     val df = Seq("b", "b", "a", "a", "c").toDF("s")
     val r = Clean.summaryStatsStrings(df, Seq("s")).head()
