@@ -86,6 +86,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN: also search the buckets reachable by flipping each
+    * single hyperplane bit (the standard recall lever — near neighbors that
+    * fall just across one hyperplane land in a 1-bit-distant bucket).
+    * Probes 1 + planes buckets, still pruning ~(1 - (planes+1)/2^planes)
+    * of the corpus; recall approaches brute force without the cross-join.
+    */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, planes: Int): DataFrame = {
+    val dims = query.size
+    val qBucket = (0 until planes).map { j =>
+      val dot = planeVector(j, dims).zip(query).map { case (a, b) => a * b }.sum
+      if (dot > 0.0) 1L << j else 0L
+    }.sum
+    val probes = qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
+    df.where(bucketExpr(col(vecCol), planes, dims).isin(probes: _*))
+      .select(col(idCol).as("id"),
+        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Precompute the bucket column (e.g. at ingest, then partition/bucket the
     * table by it so every ANN probe touches one bucket's files only).
     */

@@ -83,6 +83,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("multi-probe ANN recall >= single-bucket recall, both subsets of brute top-k") {
+    val dims = 16
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => math.sin(i * 13 + d * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(42)._2.map(_.toDouble).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val single = Similarity.annTopK(df, "vec_id", "embedding", q, 10, planes = 5)
+      .select("id").as[Long].collect().toSet
+    val multi = Similarity.annTopKMultiProbe(df, "vec_id", "embedding", q, 10, planes = 5)
+      .select("id").as[Long].collect().toSet
+    assert(single.contains(42L) && multi.contains(42L)) // self-recall
+    assert((multi intersect brute).size >= (single intersect brute).size)
+  }
+
   test("IVF index + probe: identical vector found with nProbe=1, full recall at nProbe=k") {
     val dims = 8
     val vecs = (0 until 120).map { i =>
