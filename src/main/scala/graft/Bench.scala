@@ -28,6 +28,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+        finally Caches.releaseAll() // drop operator-persisted intermediates
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0)
     }

@@ -13,6 +13,21 @@ import graft.ext.{Similarity, TextAnalysis}
   */
 object OracleSql {
 
+  /** q_s1/q_s3 round-trip fixtures live under FixtureRoot/<sf-basename>
+    * (written by the Spark side of those queries). `all` is authored
+    * against sf0.01; [[forDataDir]] rebinds the fixture path to the actual
+    * runtime data dir so Verify's oracle dump never compares against stale
+    * fixtures from another scale factor.
+    */
+  val FixtureRoot = "/tmp/graft_fixtures"
+
+  def forDataDir(dataDir: String): Map[String, String] = {
+    val base = new java.io.File(dataDir).getName
+    all.map { case (k, v) =>
+      k -> v.replace(s"$FixtureRoot/sf0.01", s"$FixtureRoot/$base")
+    }
+  }
+
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 

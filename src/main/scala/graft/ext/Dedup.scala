@@ -129,10 +129,13 @@ object Dedup {
     // verification fetch joins); without a materialization boundary each
     // branch re-tokenizes and re-shingles the corpus. Persisted
     // MEMORY_AND_DISK: spills instead of failing when the shingle table
-    // outgrows executor memory at corpus scale.
+    // outgrows executor memory at corpus scale. The handle goes into
+    // graft.Caches so callers can unpersist once the result materializes
+    // (a long-lived session would otherwise accumulate cached blocks).
     val sh =
       if (cacheIntermediate)
-        shPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.Caches.register(
+          shPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else shPlain
     val hs = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
     val sig = hs.select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))

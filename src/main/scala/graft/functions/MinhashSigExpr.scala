@@ -87,23 +87,27 @@ case class MinhashSignature(child: Expression, numHashes: Int)
       val j = ctx.freshName("j")
       val m = ctx.freshName("m")
       val v = ctx.freshName("v")
+      // freshName: two graft_minhash calls can land in one codegen scope
+      // (e.g. same projection); a bare `anyNull` would redeclare and fail
+      // janino, silently dropping the stage to interpreted execution.
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |final int $n = $c.numElements();
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $sig = new long[$numHashes];
-         |  boolean anyNull = false;
-         |  for (int $j = 0; $j < $numHashes && !anyNull; $j++) {
+         |  boolean $anyNull = false;
+         |  for (int $j = 0; $j < $numHashes && !$anyNull; $j++) {
          |    long $m = Long.MAX_VALUE;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      if ($c.isNullAt($i)) { anyNull = true; break; }
+         |      if ($c.isNullAt($i)) { $anyNull = true; break; }
          |      final long $v = ($c.getLong($i) * $aRef[$j] + $bRef[$j]) % ${MinhashParams.P}L;
          |      if ($v < $m) { $m = $v; }
          |    }
          |    $sig[$j] = $m;
          |  }
-         |  if (anyNull) {
+         |  if ($anyNull) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);

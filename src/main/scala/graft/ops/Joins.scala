@@ -58,8 +58,15 @@ object Joins {
         .foldLeft(base)((acc, c) => acc.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
     }
     val unioned = taggedProbe.unionByName(taggedRef)
+    // Tiebreaker: when several ref rows share the same (key, time), order
+    // additionally by the fetched ref values so last(ignoreNulls) always
+    // picks the same row regardless of partitioning/parallelism — without
+    // it, run-to-run determinism (and oracle hash-matching) breaks on data
+    // with duplicate ref timestamps. Probe rows are unaffected: the tag
+    // column already sorts them after every equal-time ref row.
+    val tieBreak = refCols.map(c => col(s"__graft_ref_$c"))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col(tagCol))
+      .orderBy((col(timeCol) +: col(tagCol) +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = refCols.foldLeft(unioned) { (acc, c) =>
       acc.withColumn(s"asof_$c", last(col(s"__graft_ref_$c"), ignoreNulls = true).over(w))

@@ -32,15 +32,20 @@ object EventsStream {
       .orderBy("window_start", "event_type")
 
   /** Streaming entry: file-source stream over the same parquet directory,
-    * 10-minute watermark for late data, update-mode sink. The caller picks
-    * the sink (tests use a memory sink; production writes a Delta/parquet
-    * append per window close).
+    * 10-minute watermark for late data. Default sink mode is Update so the
+    * watermark actually evicts closed-window state (in Complete mode state
+    * grows with the number of windows forever); callers that need the full
+    * re-emitted table each trigger (e.g. tests snapshotting a memory sink)
+    * can pass Complete explicitly. The caller picks the sink (tests use a
+    * memory sink; production writes a Delta/parquet append per window
+    * close).
     */
   def stream(spark: SparkSession, dir: String, schema: StructType,
-      windowLen: String = "1 day"): DataStreamWriter[org.apache.spark.sql.Row] = {
+      windowLen: String = "1 day",
+      mode: OutputMode = OutputMode.Update()): DataStreamWriter[org.apache.spark.sql.Row] = {
     val src = spark.readStream.schema(schema).parquet(dir)
     windowedStats(src.withWatermark("ts", "10 minutes"), windowLen)
-      .writeStream.outputMode(OutputMode.Complete())
+      .writeStream.outputMode(mode)
   }
 
   /** Sessionization-style stateful demo shape: per-user event counts over
