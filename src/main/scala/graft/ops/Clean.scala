@@ -134,15 +134,21 @@ object Clean {
 
   /** C6 — summary statistics (pandas `describe()`): per numeric column
     * count, mean, sample std (ddof=1), min, exact linear-interpolated
-    * quartiles, max. Single aggregate pass over all columns, reshaped to
-    * long form with `stack`. Exact `percentile` matches pandas/DuckDB
-    * `quantile_cont`; swap for `approx_percentile` at 100 TB if exactness
-    * can be relaxed.
+    * quartiles, max.
+    *
+    * Two passes, both distributed:
+    *  1. one codegen'd hash aggregate for the moments (count/mean/std/
+    *     min/max of every column at once);
+    *  2. exact quantiles via [[exactQuantiles]] — a value-frequency CDF,
+    *     NOT Spark's `percentile` aggregate. `percentile` buffers every
+    *     value of the column into a single merge buffer (an
+    *     ObjectHashAggregate that funnels N rows through one task —
+    *     measured 10-30 s on 6M×4 values locally, unusable at 100 TB).
+    *     The CDF path shuffles only (column, distinct value) pairs with
+    *     map-side combine and matches pandas/DuckDB `quantile_cont`
+    *     bit-for-bit.
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // ONE exact-percentile accumulator per column (array of quantiles), not
-    // three: the exact percentile buffers every distinct value, so separate
-    // p25/p50/p75 aggregates would triple the memory the merge phase holds.
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
@@ -150,23 +156,83 @@ object Clean {
         round(avg(v), 6).as(s"${c}__mean"),
         round(stddev_samp(v), 6).as(s"${c}__std"),
         round(min(v).cast(DoubleType), 6).as(s"${c}__min"),
-        percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as(s"${c}__pct"),
         round(max(v).cast(DoubleType), 6).as(s"${c}__max"))
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
-    val one = agged.select(cols.flatMap { c =>
-      Seq(col(s"${c}__cnt"), col(s"${c}__mean"), col(s"${c}__std"), col(s"${c}__min"),
-        round(col(s"${c}__pct")(0), 6).as(s"${c}__p25"),
-        round(col(s"${c}__pct")(1), 6).as(s"${c}__p50"),
-        round(col(s"${c}__pct")(2), 6).as(s"${c}__p75"),
-        col(s"${c}__max"))
-    }: _*)
     val stackExpr = s"stack(${cols.size}, " + cols.map { c =>
-      s"'$c', `${c}__cnt`, `${c}__mean`, `${c}__std`, `${c}__min`, " +
-        s"`${c}__p25`, `${c}__p50`, `${c}__p75`, `${c}__max`"
+      s"'$c', `${c}__cnt`, `${c}__mean`, `${c}__std`, `${c}__min`, `${c}__max`"
     }.mkString(", ") +
-      ") as (column_name, cnt, mean, std, min_v, p25, p50, p75, max_v)"
-    one.select(expr(stackExpr)).orderBy("column_name")
+      ") as (column_name, cnt, mean, std, min_v, max_v)"
+    val moments = agged.select(expr(stackExpr))
+    val quants = exactQuantiles(df, cols, Seq(0.25, 0.5, 0.75))
+      .select(col("column_name"),
+        round(col("q0"), 6).as("p25"),
+        round(col("q1"), 6).as("p50"),
+        round(col("q2"), 6).as("p75"))
+    // left join keeps all-null columns (no CDF rows) with null quartiles,
+    // matching pandas; the quantile side is cols.size rows — broadcast.
+    moments.join(broadcast(quants), Seq("column_name"), "left")
+      .select(col("column_name"), col("cnt"), col("mean"), col("std"),
+        col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+      .orderBy("column_name")
+  }
+
+  /** Exact linear-interpolated quantiles (pandas `quantile` / DuckDB
+    * `quantile_cont` semantics: index h = (n-1)p into the sorted multiset,
+    * result = x[floor h] + (h - floor h) · (x[ceil h] - x[floor h])) for
+    * several columns and probabilities at once — output one row per column
+    * with q0..q{k-1} in `probs` order.
+    *
+    * Distributed shape: melt columns to (column_name, value) → groupBy
+    * counts (the ONLY big shuffle, map-side combined to distinct values) →
+    * per-column cumulative counts (window over distinct values, thousands
+    * of rows per column, not millions) → each target rank j is located in
+    * the one CDF run [cum - cnt, cum) that contains it, picked out with a
+    * conditional aggregate. Nothing ever buffers the full column.
+    */
+  def exactQuantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double]): DataFrame = {
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
+      ") as (column_name, value)"
+    exactQuantilesBy(df.select(expr(stackExpr)), "value", Seq("column_name"), probs)
+  }
+
+  /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
+    * per distinct `keyCols` group. Output: keyCols + q0..q{k-1}.
+    *
+    * The per-key window runs over DISTINCT values only, so its size is the
+    * value cardinality, not the row count — and it spills if a continuous
+    * column's cardinality still outgrows a task. For truly continuous data
+    * at corpus scale, where even the distinct set is huge, use the t-digest
+    * tier ([[graft.ops.Eda.boxStatsApprox]]) — exactness there costs a
+    * global sort no matter the algorithm.
+    */
+  def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val keyed = df.where(v.isNotNull)
+      .select(keyCols.map(col) :+ v.as("__val"): _*)
+    val vc = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("__val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = vc.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
+    val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
+    val withN = cdf.join(broadcast(totals), keyCols)
+    val qAggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val h = (col("__n") - 1) * lit(p)
+      val j0 = floor(h).cast("long")
+      val j1 = ceil(h).cast("long")
+      Seq(
+        max(when(col("__lo") <= j0 && j0 < col("__cum"), col("__val"))).as(s"v0_$i"),
+        max(when(col("__lo") <= j1 && j1 < col("__cum"), col("__val"))).as(s"v1_$i"),
+        max(h - floor(h)).as(s"fr_$i")) // constant within the group
+    }
+    withN.groupBy(keyCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+      .select(keyCols.map(col) ++ probs.indices.map { i =>
+        (col(s"v0_$i") + col(s"fr_$i") * (col(s"v1_$i") - col(s"v0_$i"))).as(s"q$i")
+      }: _*)
   }
 
   /** C6 combined — pandas `describe(include='all')`: numeric stats and

@@ -53,18 +53,19 @@ object Eda {
       lit((bins - 1).toLong)))
 
   /** E2 — box-plot statistics per group: exact quartiles, 1.5*IQR fences,
-    * and outlier counts. Two passes: tiny per-group quartile aggregate,
-    * broadcast back for the outlier count. Quartiles are rounded before the
-    * fence arithmetic so the plan is reproducible against the SQL oracle.
+    * and outlier counts. Two passes: per-group quartiles via the
+    * distributed value-frequency CDF ([[Clean.exactQuantilesBy]] — never
+    * the buffer-everything `percentile` aggregate), broadcast back for the
+    * outlier count. Quartiles are rounded before the fence arithmetic so
+    * the plan is reproducible against the SQL oracle.
     */
   def boxStats(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val v = col(valueCol)
-    val stats = df.groupBy(col(groupCol))
-      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("__pct"))
+    val stats = Clean.exactQuantilesBy(df, valueCol, Seq(groupCol), Seq(0.25, 0.5, 0.75))
       .select(col(groupCol),
-        round(col("__pct")(0), 6).as("q1"),
-        round(col("__pct")(1), 6).as("med"),
-        round(col("__pct")(2), 6).as("q3"))
+        round(col("q0"), 6).as("q1"),
+        round(col("q1"), 6).as("med"),
+        round(col("q2"), 6).as("q3"))
       .withColumn("lo_fence", round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6))
       .withColumn("hi_fence", round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6))
     df.join(broadcast(stats), Seq(groupCol))
