@@ -85,6 +85,44 @@ object OracleSql {
        |SELECT id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY id""".stripMargin
   }
 
+  /** Shared CTE chain mirroring Dedup.nearDupMinhash (k=3, 16 hashes,
+    * 4 bands): tokens → shingles → base hashes → signatures → bands →
+    * candidates → exact Jaccard (`j`). Consumers append their own final
+    * SELECT over `j`.
+    */
+  private val minhashCtes: String = {
+    val p = graft.ext.Dedup.MinhashP
+    val params = graft.ext.Dedup.hashParams(16)
+    val aList = params.map(_._1).mkString("[", ", ", "]")
+    val bList = params.map(_._2).mkString("[", ", ", "]")
+    s"""toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tk2 AS (SELECT * FROM toksrc WHERE len(tk) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+       |       FROM tk2),
+       |hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM sh),
+       |sig AS (SELECT doc_id, s,
+       |         list_transform(generate_series(1, 16), i -> list_min(list_transform(hv, h -> (h * ($aList)[i] + ($bList)[i]) % $p))) AS g
+       |        FROM hs),
+       |banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
+       |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS bidx) bt),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
+       |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
+  }
+
+  /** Gaps-and-islands sessionization — shared by the session_window query
+    * and the flatMapGroupsWithState variant (identical semantics). */
+  private val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |l AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS brk FROM e),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+      |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+      |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private def stopRatioSql(tk: String, words: Seq[String]): String =
     s"CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, t2 -> list_contains(${sqlList(words)}, t2))) AS DOUBLE) / len($tk) END"
 
@@ -336,26 +374,23 @@ object OracleSql {
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val p = graft.ext.Dedup.MinhashP
-      val params = graft.ext.Dedup.hashParams(16)
-      val aList = params.map(_._1).mkString("[", ", ", "]")
-      val bList = params.map(_._2).mkString("[", ", ", "]")
-      s"""WITH toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
-         |tk2 AS (SELECT * FROM toksrc WHERE len(tk) >= 3),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
-         |       FROM tk2),
-         |hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM sh),
-         |sig AS (SELECT doc_id, s,
-         |         list_transform(generate_series(1, 16), i -> list_min(list_transform(hv, h -> (h * ($aList)[i] + ($bList)[i]) % $p))) AS g
-         |        FROM hs),
-         |banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
-         |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS bidx) bt),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
-         |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)
-         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster" ->
+      // connected components of the verified pair graph: transitive closure
+      // via a recursive CTE (self-edges make singletons reachable), then
+      // label = min reachable id — the same fixpoint the Spark min-label
+      // propagation converges to.
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 
@@ -436,16 +471,37 @@ object OracleSql {
         |  round(f0raw, 6) AS f0
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |l AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |                     THEN 1 ELSE 0 END AS brk FROM e),
-        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
-        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+
+    // the custom-state (flatMapGroupsWithState) sessionizer computes the
+    // exact same sessions as the built-in session_window path
+    "q_sessionize_stateful" -> sessionizeSql,
+
+    "q_p3_winsorize" ->
+      """WITH b AS (SELECT round(quantile_cont(price_w, 0.05), 6) AS lo_e, round(quantile_cont(price_w, 0.95), 6) AS hi_e,
+        |                  round(quantile_cont(qty_w, 0.05), 6) AS lo_q, round(quantile_cont(qty_w, 0.95), 6) AS hi_q
+        |           FROM (SELECT l_extendedprice AS price_w, l_quantity AS qty_w FROM lineitem))
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_extendedprice < lo_e THEN lo_e WHEN l_extendedprice > hi_e THEN hi_e ELSE l_extendedprice END, 6) AS price_w,
+        |  round(CASE WHEN l_quantity < lo_q THEN lo_q WHEN l_quantity > hi_q THEN hi_q ELSE l_quantity END, 6) AS qty_w
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber, price_w, qty_w""".stripMargin,
+
+    "q_pivot_counts" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // bloom pruning is invisible to the result: false positives are
+    // removed by the join, so the oracle is the PLAIN join
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_sim_neardup" ->
       (s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

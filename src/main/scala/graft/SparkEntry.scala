@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape}
 import graft.pipeline.Pipeline
 import graft.sources.Sources
 import graft.streaming.EventsStream
@@ -342,6 +342,48 @@ object SparkEntry {
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 4, dims = 64, minCosine = 0.45)
         .orderBy("id_a", "id_b")),
+
+    // -- P3 winsorization (clamp to [p5, p95] exact quantiles) ------------
+    "q_p3_winsorize" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price_w"), col("l_quantity").as("qty_w"))
+      Preprocess.winsorize(li, Seq("price_w", "qty_w"), 0.05, 0.95, roundBounds = 6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price_w"), 6).as("price_w"), round(col("qty_w"), 6).as("qty_w"))
+        .orderBy("l_orderkey", "l_linenumber", "price_w", "qty_w")
+    }),
+
+    // -- pivot / reshape ---------------------------------------------------
+    "q_pivot_counts" -> ((s, dir) =>
+      Reshape.pivotCounts(T(s, dir, "orders"), "o_orderpriority", "o_orderstatus",
+        Seq("F", "O", "P")).orderBy("o_orderpriority")),
+
+    // -- bloom-pruned join (result identical to the plain join) -----------
+    "q_bloom_join" -> ((s, dir) => {
+      val build = T(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Joins.bloomPrunedJoin(
+        T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        build, Seq("l_orderkey"), expectedItems = 1 << 20)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // -- near-dup clustering (connected components over minhash pairs) ---
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
+      Dedup.clusterNearDups(pairs, docs, "doc_id").orderBy("id")
+    }),
+
+    // -- custom-state sessionization (flatMapGroupsWithState) -------------
+    "q_sessionize_stateful" -> ((s, dir) =>
+      EventsStream.sessionStatsStateful(T(s, dir, "events"), 30).toDF()
+        .orderBy("user_id", "session_start")),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

@@ -167,6 +167,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTER assignment: connected components over a verified
+    * near-dup pair graph, labels = the smallest member id of each
+    * component. This is the step that turns pairwise near-dups into "keep
+    * one doc per cluster" — pairs alone over-delete when A~B and B~C but
+    * A!~C.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes min(own label, neighbors' labels) — one shuffle join + one
+    * aggregate per round; rounds needed = graph diameter (near-dup
+    * components are tiny cliques, so 2-4 in practice; `maxIter` bounds
+    * pathological chains). Each round materializes via localCheckpoint so
+    * the plan does not grow with iterations, and convergence is a
+    * driver-side single-row count — the standard large-graph CC shape
+    * (label propagation, not a driver-side union-find, which would pull
+    * the whole edge list into one process).
+    *
+    * @param pairs  (id_a, id_b) verified near-dup pairs (e.g.
+    *               [[nearDupMinhash]] output)
+    * @param allIds one row per document id — singletons keep their own id
+    * @return (id, cluster_id)
+    */
+  def clusterNearDups(pairs: DataFrame, allIds: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels flow along edges; min over (own, incoming)
+      val incoming = labels.join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(incoming)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
     * the brute-force O(n²) baseline used to validate LSH recall on samples.
     * NEVER run this at corpus scale; it exists as the correctness yardstick.

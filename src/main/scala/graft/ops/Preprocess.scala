@@ -53,6 +53,37 @@ object Preprocess {
     if (nums.isEmpty) df else zscore(df, nums)
   }
 
+  /** Winsorization: clamp each column to its [pLo, pHi] exact quantiles —
+    * the robust-outlier-taming preprocessing step (a StandardScaler
+    * companion the reference lacks). Quantile bounds come from
+    * [[Clean.exactQuantiles]] (distributed CDF, never a buffer-everything
+    * percentile); the tiny per-column bound set is collected to the driver
+    * — the same small-aggregate decision shape as dropAllNullCols — and
+    * applied as a codegen'd CASE per row. Nulls stay null.
+    *
+    * `roundBounds` rounds the bounds to that many decimals before clamping
+    * (oracle reproducibility); pass -1 to disable.
+    */
+  def winsorize(df: DataFrame, cols: Seq[String], pLo: Double = 0.05,
+      pHi: Double = 0.95, roundBounds: Int = -1): DataFrame = {
+    val q = Clean.exactQuantiles(df, cols, Seq(pLo, pHi)).collect()
+    val bounds = q.map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    cols.foldLeft(df) { (acc, c) =>
+      bounds.get(c) match {
+        case None => acc // all-null column: nothing to clamp
+        case Some((lo0, hi0)) =>
+          val (lo, hi) =
+            if (roundBounds >= 0)
+              (BigDecimal(lo0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                BigDecimal(hi0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else (lo0, hi0)
+          val v = col(c)
+          acc.withColumn(c,
+            when(v < lit(lo), lit(lo)).when(v > lit(hi), lit(hi)).otherwise(v))
+      }
+    }
+  }
+
   /** P2 — label encode one string column: lexicographically sorted distinct
     * values -> 0..n-1 (sklearn `LabelEncoder` / `np.unique` order, NOT
     * StringIndexer's frequency order). The reference calls

@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Row types for the custom-state sessionization (top level so the
+  * case-class Encoders derive). */
+case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
+case class SessionRow(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
 
 /** Structured-Streaming flavor of the events analytics (north-star
   * extension; the reference is strictly batch, SURVEY §2.7).
@@ -72,6 +78,71 @@ object EventsStream {
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Gap sessionization via flatMapGroupsWithState — the CUSTOM-state tier
+    * below [[sessionStats]] (which should stay the default: built-in
+    * `session_window` already expresses plain gap sessions). This variant
+    * exists for session logic the built-in cannot express (e.g. emitting
+    * per-session custom payloads, capping session length, side outputs)
+    * and demonstrates the mapGroupsWithState contract.
+    *
+    * Batch semantics: each user's events arrive as one group; sort by
+    * time, split on `gapMinutes`, emit every session (identical output to
+    * [[sessionStats]] — property-tested). Streaming semantics: the open
+    * session lives in GroupState with an event-time timeout at
+    * last_ts + gap; closed sessions emit on the trigger that closes them,
+    * the open one emits when the watermark passes its timeout — state per
+    * key is ONE OpenSession, so memory is bounded by active users, not by
+    * history.
+    */
+  def sessionStatsStateful(events: DataFrame, gapMinutes: Int): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val isStreaming = events.isStreaming
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("value").cast("double").as("value")).as[SessEvent]
+
+    def close(uid: Long, s: OpenSession): SessionRow =
+      SessionRow(uid, s.start_us / 1000000L, s.n,
+        BigDecimal(s.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    val fn = (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) => {
+      if (state.hasTimedOut) {
+        val out = close(uid, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        evs.foreach { e =>
+          open match {
+            case Some(s) if e.ts_us - s.last_us < gapUs =>
+              open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed += close(uid, s)
+              open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+            case None =>
+              open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+          }
+        }
+        if (isStreaming) {
+          open.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L) // ms
+          }
+        } else {
+          open.foreach(s => closed += close(uid, s)) // batch: no later trigger
+        }
+        closed.iterator
+      }
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 
   /** Streaming exact dedup with a watermark: state holds only ids newer
     * than the watermark, so memory is bounded by (arrival rate x

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+/** Round-3 operator additions: winsorize, pivot/melt, bloom-pruned join,
+  * near-dup clustering, custom-state sessionization.
+  */
+class ReshapeJoinsPreprocessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize clamps to the exact [pLo, pHi] quantiles, nulls pass through") {
+    // 1..100: p05 = 5.95, p95 = 95.05 (linear-interpolated)
+    val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val w = Preprocess.winsorize(df, Seq("v"), 0.05, 0.95)
+    val vals = doubles(w, "v")
+    assert(vals.count(_.isEmpty) == 1)
+    val defined = vals.flatten
+    assert(approx(defined.min, 5.95) && approx(defined.max, 95.05))
+    // interior values unchanged
+    assert(defined.count(v => approx(v, 50.0)) == 1)
+    // everything below p05 clamps UP to p05 (values 1..5 -> 5.95)
+    assert(defined.count(v => approx(v, 5.95)) == 5)
+  }
+
+  test("exactQuantiles matches quantile_cont semantics incl. duplicates") {
+    // sorted multiset [1,1,2,10]: h(0.5) = 1.5 -> 1 + 0.5*(2-1) = 1.5
+    val df = Seq(1.0, 1.0, 2.0, 10.0).toDF("x")
+    val q = Clean.exactQuantiles(df, Seq("x"), Seq(0.0, 0.5, 1.0)).head()
+    assert(approx(q.getDouble(1), 1.0) && approx(q.getDouble(2), 1.5)
+      && approx(q.getDouble(3), 10.0))
+  }
+
+  test("pivotCounts: absent combos are 0 and counts match a groupBy") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")).toDF("r", "c")
+    val p = Reshape.pivotCounts(df, "r", "c", Seq("x", "y", "z"))
+      .orderBy("r").collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq(("a", 2L, 1L, 0L), ("b", 0L, 1L, 0L)))
+  }
+
+  test("melt folds columns into long form without shuffling row counts") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "a", "b")
+    val m = Reshape.melt(df, Seq("id"), Seq("a", "b"))
+    assert(m.count() == 4)
+    assert(m.where(col("variable") === "a" && col("id") === 2L)
+      .head().getDouble(2) == 4.0)
+  }
+
+  test("bloomPrunedJoin returns exactly the plain join result") {
+    val probe = (1L to 1000L).map(i => (i % 97, i)).toDF("k", "pv")
+    val build = (0L to 96L by 7).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k")).orderBy("k", "pv").collect()
+    val bloomed = Joins.bloomPrunedJoin(probe, build, Seq("k"), expectedItems = 100)
+      .orderBy("k", "pv").collect()
+    assert(bloomed.toSeq == plain.toSeq)
+  }
+
+  test("clusterNearDups: transitive chain merges, singleton keeps own id") {
+    // pairs: 1-2, 2-3 (chain), 7-8; docs 1..9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val out = Dedup.clusterNearDups(pairs, ids, "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("stateful sessionization equals the session_window path on real events") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val a = EventsStream.sessionStats(ev, "30 minutes")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val b = EventsStream.sessionStatsStateful(ev, 30).toDF()
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1)
+        && x.getLong(2) == y.getLong(2) && approx(x.getDouble(3), y.getDouble(3), 1e-6))
+    }
+  }
+}
