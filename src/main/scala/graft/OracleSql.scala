@@ -331,6 +331,18 @@ object OracleSql {
         |FROM lineitem WHERE l_quantity < 45
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id,
+        |  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, round(p.value, 6) AS purchase_value, round(r.value, 6) AS last_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -493,6 +505,32 @@ object OracleSql {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT o_orderkey, o_orderstatus,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus FROM r
+        |WHERE rn <= floor(n * 0.1) ORDER BY o_orderkey""".stripMargin,
+
+    "q_bucketize" ->
+      """WITH e AS (SELECT
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q1q, round(quantile_cont(l_quantity, 0.5), 6) AS q2q,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3q,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q1p, round(quantile_cont(l_extendedprice, 0.5), 6) AS q2p,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q3p
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN l_quantity <= q1q THEN 0 WHEN l_quantity <= q2q THEN 1 WHEN l_quantity <= q3q THEN 2 ELSE 3 END AS BIGINT) AS qty_bucket,
+        |  CAST(CASE WHEN l_extendedprice <= q1p THEN 0 WHEN l_extendedprice <= q2p THEN 1 WHEN l_extendedprice <= q3p THEN 2 ELSE 3 END AS BIGINT) AS price_bucket
+        |FROM lineitem, e
+        |ORDER BY l_orderkey, l_linenumber, qty_bucket, price_bucket""".stripMargin,
 
     // bloom pruning is invisible to the result: false positives are
     // removed by the join, so the oracle is the PLAIN join

@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Sampling}
 import graft.pipeline.Pipeline
 import graft.sources.Sources
 import graft.streaming.EventsStream
@@ -227,6 +227,28 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q6: the canonical pushdown showcase — every predicate reaches
+    // the parquet scan (PushedFilters), the agg is a single partial+final
+    // pair over the surviving rows; no shuffle wider than one row.
+    "q_tpch_q6" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(4,2)")).cast("decimal(30,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // lag/lead window family: per-user consecutive event-value delta
+    "q_window_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events").select(col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"))
+        .orderBy("event_id")
+    }),
+
     // -- join family + windowed/grouped extensions ------------------------
     "q_asof_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -384,6 +406,26 @@ object SparkEntry {
     "q_sessionize_stateful" -> ((s, dir) =>
       EventsStream.sessionStatsStateful(T(s, dir, "events"), 30).toDF()
         .orderBy("user_id", "session_start")),
+
+    // -- deterministic sampling (curation primitives) ---------------------
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(T(s, dir, "orders"), "o_orderkey", 100)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedExact(T(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_orderkey", 0.1)
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")),
+
+    // -- quantile bucketizer ----------------------------------------------
+    "q_bucketize" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Preprocess.quantileBucketize(li, Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_bucket").as("qty_bucket"),
+          col("l_extendedprice_bucket").as("price_bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_bucket", "price_bucket")
+    }),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

@@ -84,6 +84,33 @@ object Preprocess {
     }
   }
 
+  /** Quantile bucketizer (sklearn KBinsDiscretizer(strategy='quantile') /
+    * Spark QuantileDiscretizer, but with EXACT edges): assign bucket
+    * 0..probs.size by comparing against the exact quantile edges of each
+    * column. Edges come from the distributed CDF and are rounded to 6
+    * decimals (oracle reproducibility); the per-row assignment is a
+    * codegen'd CASE chain. Values ≤ edge_i take bucket i; nulls get null.
+    */
+  def quantileBucketize(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75), outSuffix: String = "_bucket"): DataFrame = {
+    val q = Clean.exactQuantiles(df, cols, probs).collect()
+    val edges = q.map(r => r.getString(0) ->
+      probs.indices.map(i =>
+        BigDecimal(r.getDouble(i + 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    cols.foldLeft(df) { (acc, c) =>
+      edges.get(c) match {
+        case None => acc.withColumn(s"$c$outSuffix", lit(null).cast(LongType))
+        case Some(es) =>
+          val v = col(c)
+          val bucket = es.zipWithIndex.foldRight(
+            when(v.isNotNull, lit(es.size.toLong)).otherwise(lit(null).cast(LongType))) {
+            case ((e, i), rest) => when(v <= lit(e), lit(i.toLong)).otherwise(rest)
+          }
+          acc.withColumn(s"$c$outSuffix", bucket)
+      }
+    }
+  }
+
   /** P2 — label encode one string column: lexicographically sorted distinct
     * values -> 0..n-1 (sklearn `LabelEncoder` / `np.unique` order, NOT
     * StringIndexer's frequency order). The reference calls

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. Spark's built-in
+  * `sample`/`sampleBy` are seeded-RNG based — reproducible within Spark
+  * but not across engines, partitionings, or re-reads, so they can never
+  * be oracle-checked and a re-run on re-partitioned data picks different
+  * rows. Both operators here key the decision on md5 of a STABLE id, so
+  * the same row is always in or out, everywhere.
+  */
+object Sampling {
+
+  /** md5-based per-mille of a stable id: uniform in [0, 1000). */
+  private def hashMill(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 1000L
+
+  /** Stateless hash sample: keep a row iff hash(id) mod 1000 < rate‰.
+    * ZERO shuffle, zero pre-pass — a codegen'd filter that composes with
+    * scan pruning; the fraction is approximate per partition but
+    * deterministic row-by-row. This is the 100 TB default: sampling
+    * decisions must not cost a sort.
+    */
+  def hashSample(df: DataFrame, idCol: String, ratePerMille: Int): DataFrame =
+    df.where(hashMill(col(idCol)) < ratePerMille)
+
+  /** Exact stratified sample: precisely floor(frac · n_k) rows for every
+    * `keyCols` stratum, rows chosen by stable md5 order (so the selection
+    * is a deterministic function of the data). Costs one shuffle + sort
+    * per stratum (two window functions sharing the sort); use
+    * [[hashSample]] when approximate per-stratum counts are acceptable.
+    */
+  def stratifiedExact(df: DataFrame, keyCols: Seq[String], idCol: String,
+      frac: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rn") <= floor(col("__n") * lit(frac)))
+      .drop("__rn", "__n")
+  }
+}

@@ -68,6 +68,39 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("hashSample is a deterministic row-level filter (re-run identical, rate close)") {
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 100).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(7), "id", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // partitioning-independent
+    assert(math.abs(a.size - 1000) < 150) // ~10% ± sampling noise
+  }
+
+  test("stratifiedExact takes exactly floor(frac*n) rows per stratum") {
+    val df = (1L to 1000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "k")
+    val s = Sampling.stratifiedExact(df, Seq("k"), "id", 0.25)
+    val counts = s.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 333 / 4 && counts("b") == 667 / 4)
+    // deterministic under re-partitioning
+    val s2 = Sampling.stratifiedExact(df.repartition(5), Seq("k"), "id", 0.25)
+    assert(s.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("quantileBucketize: quartile buckets are balanced and edge-inclusive") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val b = Preprocess.quantileBucketize(df, Seq("v"))
+    val counts = b.groupBy("v_bucket").count().orderBy("v_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // edges 25.75/50.5/75.25 -> buckets of 25, 25, 25, 25
+    assert(counts == Seq(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+    // null in -> null bucket
+    val withNull = (Seq(Some(1.0), None)).toDF("v")
+    val nb = Preprocess.quantileBucketize(withNull, Seq("v"))
+    assert(nb.where(col("v").isNull).head().isNullAt(1))
+  }
+
   test("stateful sessionization equals the session_window path on real events") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val a = EventsStream.sessionStats(ev, "30 minutes")
