@@ -426,6 +426,12 @@ object OracleSql {
          |WHERE (${bucketSql("e", 6, 64)}) = (${bucketSql("qe", 6, 64)})
          |ORDER BY cos DESC, id LIMIT 5""".stripMargin),
 
+    "q_embed_centroids" ->
+      """SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS mean_v
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "q_text_termstats" ->
       (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
          |SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq

@@ -316,6 +316,9 @@ object SparkEntry {
       Similarity.annTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 5, planes = 6)),
 
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")),
+
     // -- text analysis ------------------------------------------------------
     "q_text_termstats" -> ((s, dir) =>
       TextAnalysis.termStats(T(s, dir, "documents"), "text", "doc_id").orderBy("term")),

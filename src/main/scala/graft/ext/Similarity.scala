@@ -41,6 +41,20 @@ object Similarity {
       when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-label mean embedding (centroids) — the k-means / IVF / class-
+    * prototype building block. Long-form shape: posexplode to
+    * (label, pos, component), ONE hash aggregate keyed by (label, pos) —
+    * map-side combinable, shuffle carries dims × labels partial sums, not
+    * vectors. The wide-form alternative (aggregate arrays elementwise)
+    * holds whole vectors in agg buffers; long form keeps rows scalar and
+    * codegen-friendly.
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos")) // 1-based like SQL subscripts
+      .agg(round(avg(col("v")), 6).as("mean_v"))
+      .orderBy("label", "pos")
+
   /** Exact cosine top-k against one query vector (given as a literal —
     * e.g. the embedding of a probe document). TakeOrderedAndProject plan:
     * each partition keeps a k-heap, driver merges k*numPartitions rows.

@@ -6,8 +6,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 import org.apache.spark.sql.types.StructType
 
 /** Row types for the custom-state sessionization (top level so the
-  * case-class Encoders derive). */
-case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+  * case-class Encoders derive). `ts` stays a Timestamp through the typed
+  * boundary — converting it to a long BEFORE the stateful op would strip
+  * the watermark metadata from the attribute and fail the streaming
+  * analyzer's event-time-timeout check.
+  */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
 case class SessionRow(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
 
@@ -102,8 +106,13 @@ object EventsStream {
     val isStreaming = events.isStreaming
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
-      unix_micros(col("ts")).as("ts_us"),
+      col("ts"),
       col("value").cast("double").as("value")).as[SessEvent]
+
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
 
     def close(uid: Long, s: OpenSession): SessionRow =
       SessionRow(uid, s.start_us / 1000000L, s.n,
@@ -115,18 +124,18 @@ object EventsStream {
         state.remove()
         Iterator.single(out)
       } else {
-        val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+        val evs = it.map(e => (micros(e.ts), e.value)).toArray.sorted
         var open = state.getOption
         val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-        evs.foreach { e =>
+        evs.foreach { case (us, v) =>
           open match {
-            case Some(s) if e.ts_us - s.last_us < gapUs =>
-              open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
+            case Some(s) if us - s.last_us < gapUs =>
+              open = Some(OpenSession(s.start_us, us, s.n + 1, s.sum + v))
             case Some(s) =>
               closed += close(uid, s)
-              open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+              open = Some(OpenSession(us, us, 1L, v))
             case None =>
-              open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+              open = Some(OpenSession(us, us, 1L, v))
           }
         }
         if (isStreaming) {

@@ -101,6 +101,36 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
     assert(nb.where(col("v").isNull).head().isNullAt(1))
   }
 
+  test("plan: hashSample is a pure filter — no Exchange, no Sort") {
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val plan = Sampling.hashSample(df, "o_orderkey", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"hashSample must stay shuffle-free:\n$plan")
+  }
+
+  test("plan: q_tpch_q6 predicates reach the parquet scan as PushedFilters") {
+    val q6 = graft.SparkEntry.queries("q_tpch_q6")(spark, "/root/testdata/sf0.001")
+    val scan = q6.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate")
+      && scan.contains("l_quantity"), s"expected pushed filters in scan:\n$scan")
+  }
+
+  test("plan: bloomPrunedJoin filters the probe side BEFORE its exchange") {
+    val probe = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val build = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val joined = Joins.bloomPrunedJoin(probe, build, Seq("l_orderkey"))
+    // the bloom UDF must run AT THE PROBE SCAN (as a DataFilter), i.e.
+    // before any exchange — printed as UDF(l_orderkey...) in the leaf
+    val leaves = joined.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val probeScan = leaves.find(_.contains("lineitem"))
+    assert(probeScan.exists(s => s.contains("DataFilters") && s.contains("UDF(")),
+      s"bloom filter not at the probe scan:\n${leaves.mkString("\n---\n")}")
+  }
+
   test("stateful sessionization equals the session_window path on real events") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val a = EventsStream.sessionStats(ev, "30 minutes")

@@ -64,6 +64,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == events.count())
   }
 
+  test("stateful sessionization runs in STREAMING mode: GroupState + event-time timeout") {
+    val events = Tables.load(spark, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+    val q = EventsStream.sessionStatsStateful(src, 30)
+      .writeStream.format("memory").queryName("sess_stateful")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stateful").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = EventsStream.sessionStats(events, "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the final watermark stops at max(ts) - delay, so sessions still open
+    // at end-of-stream never time out and don't emit: streamed ⊆ batch,
+    // and every emitted session matches the batch computation exactly.
+    assert(streamed.nonEmpty, "no sessions emitted — timeout path never fired")
+    streamed.foreach { case (k, (n, s)) =>
+      assert(batch.contains(k), s"streamed session $k not in batch result")
+      val (bn, bs) = batch(k)
+      assert(n == bn && approx(s, bs, 1e-6), s"session $k: ($n,$s) vs ($bn,$bs)")
+    }
+  }
+
   test("perUserDaily aggregates per user and day") {
     val events = Tables.load(spark, dir, "events")
     val out = EventsStream.perUserDaily(events)
