@@ -338,6 +338,20 @@ object OracleSql {
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    // identical text to the spark.sql the engine runs (dialect-shared SQL)
+    "q_sql_surface" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(avg(o_totalprice), 6) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_window_lag" ->
       """SELECT event_id,
         |  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta

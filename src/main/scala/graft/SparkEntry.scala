@@ -240,6 +240,26 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // scalar date-function family: truncate/extract over order dates
+    "q_date_parts" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("y", "m")),
+
+    // SQL surface: the same engine drives spark.sql over registered views —
+    // dialect-shared text runs verbatim on DuckDB as its own oracle
+    "q_sql_surface" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n,
+          |  round(avg(o_totalprice), 6) AS avg_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // lag/lead window family: per-user consecutive event-value delta
     "q_window_lag" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
