@@ -193,7 +193,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    // Iterate over the TOUCHED node set only (nodes with ≥1 near-dup edge)
+    // — at corpus scale that's the tiny near-dup subgraph, not the corpus.
+    // Untouched docs are singletons and join their own id back at the end.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -211,7 +215,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    allIds.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
