@@ -395,6 +395,29 @@ object OracleSql {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
 
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_purchases, round(sum(p.value), 6) AS sum_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 20 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (
+        |  SELECT epoch(time_bucket(INTERVAL 12 HOUR, ts)) AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT epoch(time_bucket(INTERVAL 12 HOUR, ts)) - 43200, event_type, value FROM e)
+        |SELECT CAST(ws AS BIGINT) AS window_start, event_type, count(*) AS n_events,
+        |       round(avg(value), 6) AS avg_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies

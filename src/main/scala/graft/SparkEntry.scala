@@ -311,6 +311,36 @@ object SparkEntry {
       val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
       f.intersect(open).orderBy("o_custkey")
     }),
+    "q_set_except" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F").select("o_custkey")
+      val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
+      f.except(open).orderBy("o_custkey")
+    }),
+
+    // binned interval join: purchases within 20 min after each click
+    "q_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("lo"), (col("ts") + expr("INTERVAL 20 MINUTES")).as("hi"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Joins.rangeJoinBinned(clicks, "lo", "hi", purchases, "ts",
+        Seq("user_id"), binSeconds = 1200)
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy("click_id")
+    }),
+
+    // sliding (hopping) event-time windows: 1-day span, 12-hour slide
+    "q_window_sliding" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("avg_value"))
+        .orderBy("window_start", "event_type")),
 
     // -- dedup family ------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>

@@ -75,6 +75,36 @@ object Joins {
       .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Interval (range) join via binning — the operator Spark lacks natively
+    * (a naive `a.ts BETWEEN b.lo AND b.hi` join plans as broadcast-nested-
+    * loop or cartesian). Both sides are assigned equi-joinable time bins of
+    * `binSeconds`: point rows get their containing bin, interval rows
+    * EXPLODE to every bin they overlap (ceil(len/bin)+1 rows — choose
+    * binSeconds ≈ typical interval length so the blow-up is ~2×). The join
+    * is then a plain shuffled equi-join on (keys, bin) — AQE/skew handling
+    * apply — and the exact range predicate filters bin-collisions.
+    * Duplicate (interval, point) matches from multi-bin overlap are
+    * impossible: a point lives in exactly ONE bin.
+    *
+    * @param intervals frame with [loCol, hiCol) timestamp bounds
+    * @param points    frame with a `tsCol` timestamp
+    * @param keys      additional equi-join keys (e.g. user_id) — strongly
+    *                  recommended: they bound bucket sizes at scale
+    */
+  def rangeJoinBinned(intervals: DataFrame, loCol: String, hiCol: String,
+      points: DataFrame, tsCol: String, keys: Seq[String],
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(unix_micros(col(loCol)) / binUs).cast("long"),
+        floor(unix_micros(col(hiCol)) / binUs).cast("long"))))
+    val pt = points.withColumn("__bin",
+      floor(unix_micros(col(tsCol)) / binUs).cast("long"))
+    iv.join(pt, keys :+ "__bin")
+      .where(col(tsCol) >= col(loCol) && col(tsCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Bloom-filter join pruning: build a Bloom filter over the build side's
     * join key, broadcast it, and pre-filter the probe side BEFORE its
     * shuffle — probe rows with no possible match never leave their scan

@@ -37,6 +37,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles equals the sorted-multiset linear-interpolation reference") {
+    val valGen: Gen[List[Double]] = Gen.nonEmptyListOf(
+      Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 10) / 10)) // dups likely
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    def ref(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.size - 1) * p
+      val j = math.floor(h).toInt
+      val v0 = s(j); val v1 = s(math.ceil(h).toInt)
+      v0 + (h - j) * (v1 - v0)
+    }
+    cases(valGen).foreach { xs =>
+      val df = xs.toDF("v")
+      val row = Clean.exactQuantiles(df, Seq("v"), probs).head()
+      probs.zipWithIndex.foreach { case (p, i) =>
+        assert(approx(row.getDouble(i + 1), ref(xs, p), 1e-9),
+          s"p=$p xs=$xs got=${row.getDouble(i + 1)} want=${ref(xs, p)}")
+      }
+    }
+  }
+
+  test("rangeJoinBinned equals the direct range-predicate join on random intervals") {
+    val g = for {
+      n <- Gen.chooseNum(5, 30)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 10000L)))
+      ivs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9000L),
+        Gen.chooseNum(1L, 3000L)))
+    } yield (pts, ivs)
+    cases(g, n = 4).foreach { case (pts, ivs) =>
+      def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision here
+      val points = pts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t * 1000)) }
+        .toDF("pid", "k", "ts")
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, lo, len), i) => (i.toLong, k, ts(lo * 1000), ts((lo + len) * 1000)) }
+        .toDF("iid", "k", "lo", "hi")
+      val binned = graft.ops.Joins.rangeJoinBinned(intervals, "lo", "hi",
+        points, "ts", Seq("k"), binSeconds = 2)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = intervals.join(points, Seq("k"))
+        .where(col("ts") >= col("lo") && col("ts") < col("hi"))
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == direct, s"binned=$binned direct=$direct")
+    }
+  }
+
   test("zscore: |mean| < eps and population std is 0 or 1") {
     cases(vecGen.map(_.flatten).suchThat(_.size > 1)).foreach { xs =>
       val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
