@@ -395,6 +395,18 @@ object OracleSql {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
 
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_melt" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, variable, value""".stripMargin,
+
     "q_set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT

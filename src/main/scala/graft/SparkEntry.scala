@@ -311,6 +311,21 @@ object SparkEntry {
       val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
       f.intersect(open).orderBy("o_custkey")
     }),
+    // anti join: customers that never placed an order (dedup/backfill shape)
+    "q_join_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey").as("k"), col("c_name"))
+      val o = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      Joins.anti(c, o, Seq("k")).select(col("k").as("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // melt: wide lineitem measures to (variable, value) long form
+    "q_melt" -> ((s, dir) =>
+      Reshape.melt(
+        T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"),
+        Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "variable", "value")),
+
     "q_set_except" -> ((s, dir) => {
       val o = T(s, dir, "orders")
       val f = o.where(col("o_orderstatus") === "F").select("o_custkey")
