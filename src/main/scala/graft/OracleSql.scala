@@ -475,6 +475,28 @@ object OracleSql {
          |WHERE (${bucketSql("e", 6, 64)}) = (${bucketSql("qe", 6, 64)})
          |ORDER BY cos DESC, id LIMIT 5""".stripMargin),
 
+    "q_embed_quantize" ->
+      """WITH b AS (SELECT vec_id AS id, CAST(list_min(embedding) AS DOUBLE) AS lo0,
+        |                  CAST(list_max(embedding) AS DOUBLE) AS hi0, embedding FROM embeddings),
+        |q AS (SELECT id, round(lo0, 6) AS lo, round(hi0, 6) AS hi,
+        |        CASE WHEN hi0 = lo0 THEN list_transform(embedding, x -> 0)
+        |             ELSE list_transform(embedding, x -> least(255, CAST(floor((CAST(x AS DOUBLE) - lo0) * 255.0 / (hi0 - lo0)) AS INTEGER))) END AS codes
+        |      FROM b)
+        |SELECT id, lo, hi, CAST(generate_subscripts(codes, 1) AS INTEGER) AS pos,
+        |       CAST(unnest(codes) AS INTEGER) AS code
+        |FROM q ORDER BY id, pos""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin,
+
     "q_embed_centroids" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS mean_v
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v

@@ -381,6 +381,18 @@ object SparkEntry {
       Similarity.annTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 5, planes = 6)),
 
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), col("lo"), col("hi"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("id"), col("lo"), col("hi"), (col("pos") + 1).as("pos"), col("code"))
+        .orderBy("id", "pos")),
+
+    "q_dedup_apply" -> ((s, dir) =>
+      Dedup.applyNearDupDedup(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.25)
+        .select("doc_id").orderBy("doc_id")),
+
     "q_embed_centroids" -> ((s, dir) =>
       Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")),
 

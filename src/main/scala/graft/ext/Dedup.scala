@@ -220,6 +220,23 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** End-to-end near-dup dedup: keep exactly one representative (the
+    * smallest id) per connected near-dup cluster — the "apply" step after
+    * [[nearDupMinhash]] + [[clusterNearDups]]. A kept row is one whose id
+    * IS its cluster label; the corpus filter is a broadcast-friendly
+    * semi-join on the (tiny) kept-id set, so document bodies never
+    * shuffle.
+    */
+  def applyNearDupDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold)
+    val labels = clusterNearDups(pairs, df, idCol)
+    val keep = labels.where(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(org.apache.spark.sql.functions.broadcast(keep), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
     * the brute-force O(n²) baseline used to validate LSH recall on samples.
     * NEVER run this at corpus scale; it exists as the correctness yardstick.

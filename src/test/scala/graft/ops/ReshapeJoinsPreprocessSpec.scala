@@ -101,6 +101,43 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
     assert(nb.where(col("v").isNull).head().isNullAt(1))
   }
 
+  test("quantizeInt8: dequantized cosine stays within 2% of exact") {
+    import graft.ext.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getSeq[Int](3))))
+      .toMap
+    val exact = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = exact.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      val deq = (id: Long) => {
+        val (lo, hi, codes) = q(id)
+        codes.map(c => lo + c * (hi - lo) / 255.0)
+      }
+      val ce = cos(exact(i), exact(j))
+      val cq = cos(deq(i), deq(j))
+      assert(math.abs(ce - cq) < 0.02, s"pair ($i,$j): exact=$ce quant=$cq")
+    }
+  }
+
+  test("applyNearDupDedup keeps exactly the min-id representative per cluster") {
+    import graft.ext.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (10L, base), (11L, base + " ok"), (12L, base + " yes"), // one cluster -> keep 10
+      (20L, "completely different text about spark catalyst optimizer internals plans")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyNearDupDedup(docs, "text", "doc_id", threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L), s"kept=$kept")
+  }
+
   test("plan: hashSample is a pure filter — no Exchange, no Sort") {
     val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val plan = Sampling.hashSample(df, "o_orderkey", 100)
