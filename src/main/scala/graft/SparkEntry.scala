@@ -294,6 +294,15 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     "q_cube_counts" -> ((s, dir) =>
       T(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
