@@ -396,6 +396,14 @@ object OracleSql {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    // the UDAF heap-aggregate top-k must equal the window formulation
+    "q_topk_agg" ->
+      """SELECT o_orderstatus, rn, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+
     "q_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT

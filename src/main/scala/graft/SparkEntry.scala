@@ -314,6 +314,12 @@ object SparkEntry {
         T(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
         Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
         .orderBy("o_custkey", "rn")),
+    // UDAF top-k: bounded-buffer hash aggregate, no window sort
+    "q_topk_agg" -> ((s, dir) =>
+      Joins.topKPerGroupAgg(T(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_orderstatus", "rn")),
+
     "q_set_ops" -> ((s, dir) => {
       val o = T(s, dir, "orders")
       val f = o.where(col("o_orderstatus") === "F").select("o_custkey")

@@ -146,4 +146,21 @@ object Joins {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
   }
+
+  /** Aggregate-based top-k per group — the scale tier of [[topKPerGroup]]:
+    * a bounded-buffer UDAF hash aggregate (map-side combinable, shuffles
+    * k-sized buffers per group, never sorts the data) instead of a
+    * partition-wide window sort. Output: one row per kept entry with
+    * 1-based rank by (value desc, id asc).
+    */
+  def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk(col(valueCol).cast("double"), col(idCol).cast("long")).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("rank0", "entry")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("rank0") + 1).cast("int").as("rn"),
+        col("entry._1").as(valueCol), col("entry._2").as(idCol)): _*)
+  }
 }

@@ -101,6 +101,23 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
     assert(nb.where(col("v").isNull).head().isNullAt(1))
   }
 
+  test("topKPerGroupAgg equals the window top-k and plans without a Window sort") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val viaAgg = Joins.topKPerGroupAgg(orders, Seq("o_orderstatus"),
+      "o_totalprice", "o_orderkey", 3)
+      .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "rn").collect().toSeq
+    val viaWindow = Joins.topKPerGroup(
+      orders.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+      Seq("o_orderstatus"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "rn").collect().toSeq
+    assert(viaAgg == viaWindow)
+    val plan = Joins.topKPerGroupAgg(orders, Seq("o_orderstatus"),
+      "o_totalprice", "o_orderkey", 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg top-k must not window-sort:\n$plan")
+  }
+
   test("quantizeInt8: dequantized cosine stays within 2% of exact") {
     import graft.ext.Similarity
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
