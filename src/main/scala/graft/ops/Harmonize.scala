@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Integration / harmonization operators (SURVEY §2.2).
   *
@@ -26,5 +28,62 @@ object Harmonize {
   def unionByName(dfs: Seq[DataFrame]): DataFrame = {
     require(dfs.nonEmpty, "unionByName needs at least one input")
     dfs.map(standardizeColumns).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** H2b — union-by-name with TYPE WIDENING. pandas `concat` silently
+    * promotes dtypes (int64 + float64 → float64, anything + object →
+    * object); Spark's `unionByName` throws on a type conflict instead.
+    * This variant computes the pandas-style common type per column name
+    * across all inputs — numeric∪numeric → double (bigint only when every
+    * source is integral), anything∪string → string — casts each frame,
+    * then unions. Pure projections + plan-level concat: still no shuffle.
+    */
+  def unionWidened(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionWidened needs at least one input")
+    val std = dfs.map(standardizeColumns)
+    val types: Map[String, Seq[DataType]] =
+      std.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+        .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+    def widen(ts: Seq[DataType]): DataType = {
+      val distinct = ts.distinct
+      if (distinct.size == 1) distinct.head
+      else if (distinct.forall(t => t == LongType || t == IntegerType ||
+        t == ShortType || t == ByteType)) LongType
+      else if (distinct.forall(_.isInstanceOf[NumericType])) DoubleType
+      else StringType
+    }
+    val target = types.map { case (n, ts) => n -> widen(ts) }
+    val casted = std.map { df =>
+      df.select(df.columns.toIndexedSeq.map(c => col(c).cast(target(c)).as(c)): _*)
+    }
+    casted.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Blocked fuzzy matching for dimension-value reconciliation (entity
+    * resolution — the harmonization step AFTER names/types align): pairs
+    * of values from `left`/`right` within `maxDist` Levenshtein edits.
+    * Candidates come from an equi-join on a cheap blocking key (default:
+    * string length — an edit-distance-d match differs by at most d in
+    * length, so each left row joins its length ±maxDist neighborhood);
+    * the exact distance filters candidates. NEVER a cross join: cost is
+    * sum of block-pair sizes, and the blocking column is the knob for
+    * skew (compose length with a prefix/phonetic key for tighter blocks
+    * at corpus scale).
+    */
+  def fuzzyMatchBlocked(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String, maxDist: Int): DataFrame = {
+    val l = left.select(col(leftCol).as("l_val"))
+      .where(col("l_val").isNotNull).distinct()
+      .withColumn("l_len", length(col("l_val")))
+    val r = right.select(col(rightCol).as("r_val"))
+      .where(col("r_val").isNotNull).distinct()
+      .withColumn("r_len", length(col("r_val")))
+      // each right value replicates to every length block it can match
+      .withColumn("l_len", explode(sequence(
+        col("r_len") - maxDist, col("r_len") + maxDist)))
+    l.join(r, Seq("l_len"))
+      .withColumn("dist", levenshtein(col("l_val"), col("r_val")))
+      .where(col("dist") <= maxDist)
+      .select(col("l_val"), col("r_val"), col("dist").cast("int").as("dist"))
   }
 }
