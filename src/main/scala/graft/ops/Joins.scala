@@ -118,11 +118,20 @@ object Joins {
     * itself, so the result is IDENTICAL to the plain join — which is
     * exactly how the oracle checks it. Supports long/int and string keys
     * (the two `BloomFilter.put` families).
+    *
+    * Join types are restricted to those where dropping non-matching probe
+    * rows is semantics-preserving (inner / left_semi / cross): an outer or
+    * anti join must KEEP unmatched probe rows, so pre-filtering them would
+    * silently change the result.
     */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
       expectedItems: Long = 1000000L, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
     require(on.size == 1, "bloom pruning keys one column; compose for more")
+    val prunable = Set("inner", "leftsemi", "semi", "cross")
+    require(prunable.contains(joinType.toLowerCase.replace("_", "")),
+      s"bloom pruning drops unmatched probe rows; joinType '$joinType' must keep " +
+        "them — use inner/left_semi/cross, or a plain join for outer/anti types")
     val key = on.head
     val bf = build.stat.bloomFilter(key, expectedItems, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
@@ -156,7 +165,11 @@ object Joins {
   def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String],
       valueCol: String, idCol: String, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
-    df.groupBy(groupCols.map(col): _*)
+    // the aggregator's buffer encoder is primitive (Double, Long) tuples —
+    // a null value/id would fail at runtime, and the window formulation
+    // this mirrors skips null sort keys anyway
+    df.where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(topk(col(valueCol).cast("double"), col(idCol).cast("long")).as("top"))
       .select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("rank0", "entry")): _*)
       .select(groupCols.map(col) ++ Seq(

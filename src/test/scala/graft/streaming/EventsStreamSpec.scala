@@ -18,7 +18,12 @@ class EventsStreamSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(tmp)
 
-    val q = EventsStream.stream(spark, tmp, spark.read.parquet(tmp).schema, "1 day")
+    // Complete mode explicitly: this test snapshots the FULL table from the
+    // memory sink, which only Complete guarantees — the production default
+    // (Update) re-emits changed windows per micro-batch, so a multi-trigger
+    // run would append duplicate window rows and break the equality below.
+    val q = EventsStream.stream(spark, tmp, spark.read.parquet(tmp).schema, "1 day",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
       .format("memory").queryName("win_stats").start()
     q.processAllAvailable()
     q.stop()
