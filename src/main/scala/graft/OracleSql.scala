@@ -67,7 +67,8 @@ object OracleSql {
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
   }
 
-  private val simhashSql: String = {
+  /** CTE chain mirroring Dedup.simhash, ending in `sg(id, simhash)`. */
+  private val simhashCtes: String = {
     val digits = (0 until 8).map { d =>
       s"strpos('0123456789abcdef', substr(hh, ${d + 1}, 1)) - 1 AS d$d"
     }.mkString(", ")
@@ -78,12 +79,16 @@ object OracleSql {
     val sig = (0 until 32).map { j =>
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
+    s"""tok AS (SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
        |h AS (SELECT id, md5(tok) AS hh FROM tok),
        |d AS (SELECT id, $digits FROM h),
-       |v AS (SELECT id, $votes FROM d GROUP BY id)
-       |SELECT id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY id""".stripMargin
+       |v AS (SELECT id, $votes FROM d GROUP BY id),
+       |sg AS (SELECT id, CAST($sig AS BIGINT) AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT id, simhash FROM sg ORDER BY id""".stripMargin
 
   /** Shared CTE chain mirroring Dedup.nearDupMinhash (k=3, 16 hashes,
     * 4 bands): tokens → shingles → base hashes → signatures → bands →
@@ -643,6 +648,122 @@ object OracleSql {
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
         |       event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same regex text the Spark side applies (RE2-safe, no backrefs)
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |      || '-4567 from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.77 today',
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |c AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+         |r AS (SELECT doc_id, term, cnt,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term) AS rn FROM c)
+         |SELECT r.doc_id, t.n_tokens, r.term AS top_term,
+         |       round(CAST(r.cnt AS DOUBLE) / t.n_tokens, 6) AS top_share
+         |FROM r JOIN t ON r.doc_id = t.doc_id WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin),
+
+    // banded blocking has GUARANTEED recall for dist <= 3 with 4 bands
+    // (pigeonhole), so the oracle is the brute-force all-pairs scan
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCtes
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+         |FROM sg a JOIN sg b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_resample_gapfill" ->
+      """WITH b AS (SELECT event_type,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS bin,
+        |             count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS bin
+        |      FROM s)
+        |SELECT g.event_type, g.bin AS bin_start,
+        |       coalesce(b.n_events, 0) AS n_events, b.avg_value
+        |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bin = b.bin
+        |ORDER BY g.event_type, bin_start""".stripMargin,
+
+    "q_window_rangeframe" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS trail_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH f AS (SELECT DISTINCT o_custkey, 1 AS in_f FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey, 1 AS in_o FROM orders WHERE o_orderstatus = 'O')
+        |SELECT coalesce(f.o_custkey, o.o_custkey) AS o_custkey,
+        |       coalesce(f.in_f, 0) AS in_f, coalesce(o.in_o, 0) AS in_o
+        |FROM f FULL JOIN o ON f.o_custkey = o.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH l AS (SELECT CASE WHEN o_custkey % 37 = 0 THEN NULL ELSE o_custkey % 37 END AS k,
+        |                  count(*) AS n_orders FROM orders GROUP BY 1),
+        |r AS (SELECT CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_custkey % 37 END AS ck,
+        |             count(*) AS n_customers FROM customer GROUP BY 1)
+        |SELECT l.k, l.n_orders, r.n_customers
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.ck
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q_agg_conditional" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS avg_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 12)) AS up12,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS lev,
+        |  concat_ws('-', c_mktsegment, c_name) AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // raw power sums in exact DECIMAL (order-independent), final formulas
+    // in double with the SAME expression DAG as the Spark side; m2^1.5 is
+    // spelled m2 * sqrt(m2) because sqrt is IEEE-exact in both engines
+    "q_stats_moments" ->
+      """WITH src AS (SELECT CAST(l_discount AS DECIMAL(4,2)) AS d,
+        |                    CAST(l_quantity AS DECIMAL(18,2)) AS qx,
+        |                    CAST(l_extendedprice AS DECIMAL(18,2)) AS qy,
+        |                    l_discount FROM lineitem),
+        |x AS (SELECT count(l_discount) AS n,
+        |        CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2,
+        |        CAST(sum(d * d * d) AS DOUBLE) AS s3, CAST(sum((d * d) * (d * d)) AS DOUBLE) AS s4,
+        |        CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(qx * qy AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |      FROM src)
+        |SELECT n,
+        |  round(s1 / n, 6) AS mean_disc,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_disc,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew_disc,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6) AS kurt_disc,
+        |  round(sxy / n - (sx / n) * (sy / n), 6) AS covar_qty_price
+        |FROM x""".stripMargin
   )
 }

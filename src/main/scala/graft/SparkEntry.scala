@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Sampling}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Resample, Sampling}
 import graft.pipeline.Pipeline
 import graft.sources.Sources
 import graft.streaming.EventsStream
@@ -520,6 +520,142 @@ object SparkEntry {
           col("l_quantity_bucket").as("qty_bucket"),
           col("l_extendedprice_bucket").as("price_bucket"))
         .orderBy("l_orderkey", "l_linenumber", "qty_bucket", "price_bucket")
+    }),
+
+    // -- PII redaction (synthetic PII injected per doc, like C1/C2's
+    // null/inf injection — the corpus itself is clean word soup) ----------
+    "q_pii_redact" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(concat(
+          substring(col("text"), 1, 40),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-4567 from 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".77 today"))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // -- repetition / boilerplate metrics ---------------------------------
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- simhash banded near-dup pairs (guaranteed-recall blocking) -------
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.nearDupSimhash(T(s, dir, "documents"), "text", "doc_id",
+        bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // -- time-series resample with gap filling ----------------------------
+    "q_resample_gapfill" -> ((s, dir) =>
+      Resample.resampleGapFill(T(s, dir, "events"), "ts",
+        Seq("event_type"), "value", 3600L)
+        .orderBy("event_type", "bin_start")),
+
+    // -- range-frame window: trailing 1-hour average per user -------------
+    "q_window_rangeframe" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("es"))
+        .rangeBetween(-3600L, org.apache.spark.sql.expressions.Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .select(col("event_id"), round(avg(col("value")).over(w), 6).as("trail_avg"))
+        .orderBy("event_id")
+    }),
+
+    // -- rank-family windows: ntile / percent_rank / cume_dist ------------
+    "q_window_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- full outer join with coalesced key -------------------------------
+    "q_join_full" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .distinct().withColumn("in_f", lit(1))
+      val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
+        .distinct().withColumn("in_o", lit(1))
+      f.join(open, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("in_f"), lit(0)).as("in_f"),
+          coalesce(col("in_o"), lit(0)).as("in_o"))
+        .orderBy("o_custkey")
+    }),
+
+    // -- null-safe equality join (<=> / IS NOT DISTINCT FROM) -------------
+    "q_join_nullsafe" -> ((s, dir) => {
+      val l = T(s, dir, "orders")
+        .select(when(col("o_custkey") % 37 === 0, lit(null))
+          .otherwise(col("o_custkey") % 37).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      val r = T(s, dir, "customer")
+        .select(when(col("c_custkey") % 37 === 0, lit(null))
+          .otherwise(col("c_custkey") % 37).as("ck"))
+        .groupBy("ck").agg(count(lit(1)).as("n_customers"))
+      l.join(r, l("k") <=> r("ck"))
+        .select(col("k"), col("n_orders"), col("n_customers"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // -- conditional aggregation (count_if / filtered sum + avg) ----------
+    "q_agg_conditional" -> ((s, dir) =>
+      T(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("sum_f"),
+          round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 6).as("avg_f"))
+        .orderBy("o_orderpriority")),
+
+    // -- scalar string-function family ------------------------------------
+    "q_string_funcs" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        upper(substring(col("c_name"), 1, 12)).as("up12"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey")),
+
+    // -- higher-moment statistics from exact decimal power sums -----------
+    // skewness/kurtosis/covariance computed from raw sums kept in DECIMAL
+    // (exact, order-independent) with the final formulas in double — the
+    // only way the oracle hash-matches: the engines' built-in skewness/
+    // kurtosis aggregates use different estimators AND non-deterministic
+    // float accumulation.
+    "q_stats_moments" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val d = col("l_discount").cast("decimal(4,2)")
+      val d2 = d * d
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = li.agg(
+        count(col("l_discount")).as("n"),
+        sum(d).as("s1"), sum(d2).as("s2"),
+        sum(d2 * d).as("s3"), sum(d2 * d2).as("s4"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"))
+      val n = col("n").cast("double")
+      val m = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - m * m
+      val m3 = col("s3").cast("double") / n - lit(3.0) * m * (col("s2").cast("double") / n) + lit(2.0) * m * m * m
+      val m4 = col("s4").cast("double") / n - lit(4.0) * m * (col("s3").cast("double") / n) +
+        lit(6.0) * m * m * (col("s2").cast("double") / n) - lit(3.0) * m * m * m * m
+      val covar = col("sxy").cast("double") / n -
+        (col("sx").cast("double") / n) * (col("sy").cast("double") / n)
+      sums.select(col("n"),
+        round(m, 6).as("mean_disc"),
+        round(m2, 6).as("var_disc"),
+        // m2 * sqrt(m2) = m2^1.5 via IEEE-exact ops (libm pow can differ
+        // in the last ulp between JVM and C, sqrt cannot)
+        round(m3 / (m2 * sqrt(m2)), 6).as("skew_disc"),
+        round(m4 / (m2 * m2) - 3.0, 6).as("kurt_disc"),
+        round(covar, 6).as("covar_qty_price"))
     }),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------

@@ -318,4 +318,43 @@ object Dedup {
     * near-dup joins): popcount of xor via bit_count.
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via banded blocking: split the 32-bit
+    * signature into `bands` equal bit-slices; candidate pairs share at
+    * least one identical slice; verification is exact Hamming distance.
+    *
+    * Recall is GUARANTEED (not probabilistic) when `maxDist < bands`: by
+    * pigeonhole, two signatures within Hamming distance d differ in at
+    * most d of the bands, so with bands > d at least one band matches
+    * exactly. The result is therefore identical to the all-pairs
+    * O(n²) scan — which is exactly how the oracle checks it — while the
+    * join shuffles only (band_idx, band_value, id, sig) rows keyed by
+    * tiny band values, the same narrow-candidate-join shape as
+    * [[nearDupMinhash]].
+    */
+  def nearDupSimhash(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist < bands,
+      s"guaranteed recall needs bands > maxDist (got bands=$bands, maxDist=$maxDist)")
+    require(32 % bands == 0, "bands must divide the 32-bit signature")
+    val width = 32 / bands
+    val sig = simhash(df, textCol, idCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        pmod(shiftright(col("simhash"), b * width), lit(1L << width)).as("band_val"))
+    }
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_a"), col("simhash").as("sig_a"))
+      .join(banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_b"), col("simhash").as("sig_b")),
+        Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("int").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
 }

@@ -121,6 +121,49 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  // PII patterns kept deliberately RE2-safe (no backrefs/lookaround) so the
+  // DuckDB oracle applies the identical regex text. Order matters: emails
+  // before phones (an email's digits must not be half-eaten by the phone
+  // pattern).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction for training-data curation: replace emails, phone
+    * numbers, and IPv4 addresses with typed placeholder tags. A narrow
+    * projection (three chained codegen'd regexp_replace) — runs at the
+    * scan, no shuffle; at 100 TB this is exactly where scrubbing must
+    * happen, before any data moves.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-document repetition statistics (boilerplate/spam detector): token
+    * count, the most frequent token, and its share of all tokens. High
+    * top-share = repeated boilerplate; composes with [[qualityFilter]]'s
+    * distinct-token ratio. Shape: explode → groupBy(doc, term) (one
+    * map-side-combinable shuffle) → per-doc top-1 via a window over the
+    * (small) per-doc vocabulary; ties break to the lexicographically first
+    * term so results hash-match across engines.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, docIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("term").as("top_term"),
+        round(col("cnt").cast("double") / col("n_tokens"), 6).as("top_share"))
+  }
+
   /** Quality gate for training-data curation: keep documents whose metrics
     * pass all thresholds. A narrow filter — apply directly after the scan,
     * before any shuffle, so rejected documents never move.

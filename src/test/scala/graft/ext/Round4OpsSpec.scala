@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ops.Resample
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator additions: PII redaction, repetition stats, simhash
+  * banded near-dup, time-series resample with gap filling.
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones, and IPs and leaves prose alone") {
+    val df = Seq(
+      (1L, "write to alice.smith+spam@mail.example.org for info"),
+      (2L, "call 555-123-4567 or 555 1234 4567 now"),
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "plain text with numbers 12345 and version 1.2 stays")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "write to <EMAIL> for info")
+    assert(out(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2) == "server at <IP> responded")
+    assert(out(3) == "plain text with numbers 12345 and version 1.2 stays")
+  }
+
+  test("repetitionStats finds the dominant token; ties break lexicographically") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),       // top = spam, 3/4
+      (2L, "b a b a")).toDF("doc_id", "text") // tie 2-2 -> 'a'
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("top_term") == "spam"
+      && approx(r(0).getAs[Double]("top_share"), 0.75))
+    assert(r(1).getAs[String]("top_term") == "a"
+      && approx(r(1).getAs[Double]("top_share"), 0.5))
+    assert(r(0).getAs[Long]("n_tokens") == 4L)
+  }
+
+  test("nearDupSimhash equals the brute-force all-pairs scan (guaranteed recall)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val banded = Dedup.nearDupSimhash(docs, "text", "doc_id", bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+    val a = sig.select(col("id").as("id_a"), col("simhash").as("sa"))
+    val b = sig.select(col("id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("sa"), col("sb")).cast("int").as("dist"))
+      .where(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "test vacuous: no pairs within distance 3")
+  }
+
+  test("nearDupSimhash rejects parameters that break the recall guarantee") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupSimhash(docs, "text", "doc_id", bands = 4, maxDist = 4)
+    }
+  }
+
+  test("resampleGapFill emits zero-count rows for empty bins and matches direct agg") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // key "a": events in hours 0, 0, 3 -> bins 1 and 2 are gaps
+    val df = Seq(("a", ts(0), 2.0), ("a", ts(0), 4.0), ("a", ts(3), 6.0),
+      ("b", ts(1), 1.0)).toDF("k", "ts", "value")
+    val out = Resample.resampleGapFill(df, "ts", Seq("k"), "value", 3600L)
+      .orderBy("k", "bin_start").collect()
+    val aRows = out.filter(_.getString(0) == "a")
+    assert(aRows.length == 4) // hours 0..3 inclusive
+    assert(aRows(0).getAs[Long]("n_events") == 2L
+      && approx(aRows(0).getAs[Double]("avg_value"), 3.0))
+    assert(aRows(1).getAs[Long]("n_events") == 0L && aRows(1).isNullAt(3))
+    assert(aRows(2).getAs[Long]("n_events") == 0L)
+    assert(aRows(3).getAs[Long]("n_events") == 1L
+      && approx(aRows(3).getAs[Double]("avg_value"), 6.0))
+    assert(out.count(_.getString(0) == "b") == 1)
+  }
+}
