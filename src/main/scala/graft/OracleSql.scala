@@ -131,21 +131,28 @@ object OracleSql {
   private def stopRatioSql(tk: String, words: Seq[String]): String =
     s"CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, t2 -> list_contains(${sqlList(words)}, t2))) AS DOUBLE) / len($tk) END"
 
-  private val langIdSql: String = {
+  /** CTE chain mirroring TextAnalysis.langId, ending in
+    * `lg(doc_id, lang_guess)`.
+    */
+  private val langGuessCtes: String = {
     val sEn = stopRatioSql("tk", TextAnalysis.stopwordsEn)
     val sDe = stopRatioSql("tk", TextAnalysis.stopwordsDe)
     val sEs = stopRatioSql("tk", TextAnalysis.stopwordsEs)
     val sFr = stopRatioSql("tk", TextAnalysis.stopwordsFr)
-    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-       |sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr FROM t)
-       |SELECT doc_id,
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr FROM t),
+       |lg AS (SELECT doc_id,
        |  CASE WHEN s_en = 0.0 AND s_de = 0.0 AND s_es = 0.0 AND s_fr = 0.0 THEN 'und'
        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
        |       WHEN s_es >= s_fr THEN 'es'
        |       ELSE 'fr' END AS lang_guess
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |  FROM sc)""".stripMargin
   }
+
+  private val langIdSql: String =
+    s"""WITH $langGuessCtes
+       |SELECT doc_id, lang_guess FROM lg ORDER BY doc_id""".stripMargin
 
   val all: Map[String, String] = Map(
     "q_pipeline" ->
@@ -740,6 +747,39 @@ object OracleSql {
         |  CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS lev,
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_text_langdist" ->
+      s"""WITH $langGuessCtes
+         |SELECT d.lang, lg.lang_guess, count(*) AS n
+         |FROM documents d JOIN lg ON d.doc_id = lg.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH c AS (SELECT doc_id, text,
+        |             greatest(CAST(ceil(length(text) / 64.0) AS INTEGER), 1) AS n_chunks
+        |           FROM documents),
+        |u AS (SELECT doc_id, text, n_chunks,
+        |        CAST(unnest(generate_series(1, n_chunks)) AS INTEGER) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx, n_chunks,
+        |       md5(substr(text, (chunk_idx - 1) * 64 + 1, 64)) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_embed_normalize" ->
+      """WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nr AS (SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm FROM s),
+        |u AS (SELECT id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS unit FROM nr)
+        |SELECT id, CAST(generate_subscripts(unit, 1) AS INTEGER) AS pos, round(unnest(unit), 6) AS u
+        |FROM u ORDER BY id, pos""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT event_id,
+        |  round(first_value(value) OVER w, 6) AS first_v,
+        |  round(last_value(value) OVER w, 6) AS last_v,
+        |  round(nth_value(value, 2) OVER w, 6) AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
 
     // raw power sums in exact DECIMAL (order-independent), final formulas
     // in double with the SAME expression DAG as the Spark side; m2^1.5 is

@@ -658,6 +658,40 @@ object SparkEntry {
         round(covar, 6).as("covar_qty_price"))
     }),
 
+    // -- language distribution: detector guess vs labeled lang ------------
+    "q_text_langdist" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")),
+
+    // -- chunked payload hashing (frame-split plumbing, oracle-able) ------
+    "q_text_chunks" -> ((s, dir) =>
+      Multimodal.chunkedHashes(T(s, dir, "documents"), "text", "doc_id", 64)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_chunks"),
+          col("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // -- L2 normalization (ingest-time pre-step for cosine-as-dot) --------
+    "q_embed_normalize" -> ((s, dir) =>
+      Similarity.l2Normalize(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), posexplode(col("unit")).as(Seq("p", "u")))
+        .select(col("id"), (col("p") + 1).as("pos"), round(col("u"), 6).as("u"))
+        .orderBy("id", "pos")),
+
+    // -- first/last/nth window family -------------------------------------
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      T(s, dir, "events").select(col("event_id"),
+        round(first(col("value")).over(w), 6).as("first_v"),
+        round(last(col("value")).over(w), 6).as("last_v"),
+        round(nth_value(col("value"), 2).over(w), 6).as("second_v"))
+        .orderBy("event_id")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

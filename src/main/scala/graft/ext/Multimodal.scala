@@ -84,6 +84,28 @@ object Multimodal {
     }: _*)
   }
 
+  /** Fixed-length payload chunking with a per-chunk content hash — the
+    * audio/video "frame split" plumbing shape: one row per chunk, indexed,
+    * with the total chunk count attached. Demonstrated on a STRING payload
+    * so the DuckDB oracle can mirror it byte-for-byte (substr + md5 are
+    * dialect-shared); a binary payload needs only `substring`→byte-slice.
+    * Pure codegen'd expressions (sequence + transform + posexplode) — a
+    * narrow per-row explode, no shuffle; chunk rows inherit the scan's
+    * partitioning, which is what a downstream per-chunk decoder wants.
+    * Empty payloads produce one empty chunk (n_chunks >= 1).
+    */
+  def chunkedHashes(df: DataFrame, payloadCol: String, idCol: String,
+      chunkLen: Int): DataFrame = {
+    val t = col(payloadCol)
+    val n = greatest(ceil(length(t).cast(DoubleType) / chunkLen.toDouble)
+      .cast(IntegerType), lit(1))
+    df.select(col(idCol).as("id"), n.as("n_chunks"),
+        posexplode(transform(sequence(lit(1), n),
+          i => md5(t.substr((i - 1) * chunkLen + 1, lit(chunkLen))))).as(Seq("p", "chunk_md5")))
+      .select(col("id"), (col("p") + 1).cast(IntegerType).as("chunk_idx"),
+        col("n_chunks"), col("chunk_md5"))
+  }
+
   /** Batched per-partition processing: the shape a real decoder needs —
     * group rows into fixed-size batches inside each partition (decoders
     * amortize model/codec init per batch, not per row). Returns

@@ -70,6 +70,24 @@ object Similarity {
         .as("codes"))
   }
 
+  /** L2 normalization of an embedding column: v / ||v||, zero vectors pass
+    * through unchanged. The standard pre-step before cosine similarity
+    * collapses to a dot product (normalize once at ingest, score with the
+    * cheap dot everywhere after). The norm is STAGED as a scalar column
+    * before the transform lambda references it — HOFs are interpreted, so
+    * an inlined aggregate would re-scan the array per element (the
+    * quantizeInt8 lesson). Narrow projection: runs at the scan, no shuffle.
+    */
+  def l2Normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val staged = df.select(col(idCol).as("id"), v.as("__v"),
+      VectorOps.norm(v).as("__norm"))
+    staged.select(col("id"),
+      when(col("__norm") === 0.0, transform(col("__v"), x => x.cast("double")))
+        .otherwise(transform(col("__v"), x => x.cast("double") / col("__norm")))
+        .as("unit"))
+  }
+
   /** Per-label mean embedding (centroids) — the k-means / IVF / class-
     * prototype building block. Long-form shape: posexplode to
     * (label, pos, component), ONE hash aggregate keyed by (label, pos) —

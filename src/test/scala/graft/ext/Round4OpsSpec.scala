@@ -60,6 +60,32 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkedHashes splits payloads into indexed fixed-length chunks") {
+    val text130 = "x" * 130
+    val df = Seq((1L, text130), (2L, "short"), (3L, "")).toDF("doc_id", "t")
+    val out = Multimodal.chunkedHashes(df, "t", "doc_id", 64)
+      .orderBy("id", "chunk_idx").collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).length == 3 && byId(1L).forall(_.getAs[Int]("n_chunks") == 3))
+    assert(byId(2L).length == 1 && byId(3L).length == 1) // empty -> one empty chunk
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(1L)(0).getAs[String]("chunk_md5") == md5hex("x" * 64))
+    assert(byId(1L)(2).getAs[String]("chunk_md5") == md5hex("x" * 2))
+    assert(byId(3L)(0).getAs[String]("chunk_md5") == md5hex(""))
+  }
+
+  test("l2Normalize yields unit vectors; zero vectors pass through") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalize(df, "vec_id", "embedding")
+      .orderBy("id").collect()
+    val u1 = out(0).getSeq[Double](1)
+    assert(approx(u1(0), 0.6) && approx(u1(1), 0.8))
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
   test("resampleGapFill emits zero-count rows for empty bins and matches direct agg") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
