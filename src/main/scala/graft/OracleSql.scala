@@ -748,6 +748,39 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+        |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_date
+        |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // identical text to the spark.sql the engine runs (dialect-shared SQL)
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_text_langdist" ->
       s"""WITH $langGuessCtes
          |SELECT d.lang, lg.lang_guess, count(*) AS n

@@ -658,6 +658,58 @@ object SparkEntry {
         round(covar, 6).as("covar_qty_price"))
     }),
 
+    // -- TPC-H Q3 (shipping priority, adapted to the synthetic schema):
+    // two selective dimension filters, a two-join star, top-10 by revenue.
+    // The date filters reach both scans as PushedFilters; the final top-k
+    // plans as TakeOrderedAndProject (no global sort).
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5 (local supplier volume, adapted): 5-way join where the
+    // supplier and customer must share a nation, dims broadcast.
+    "q_tpch_q5" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer"); val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1997)
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // -- correlated EXISTS subquery (dialect-shared SQL text) -------------
+    "q_sql_exists" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // -- language distribution: detector guess vs labeled lang ------------
     "q_text_langdist" -> ((s, dir) =>
       T(s, dir, "documents")

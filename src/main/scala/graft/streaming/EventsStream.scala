@@ -153,6 +153,27 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Stream-stream inner join: purchases matched to same-user clicks at
+    * most `windowMinutes` earlier. Works unchanged on batch frames (plain
+    * range-predicate join) and on streams, where BOTH sides must carry a
+    * watermark and the time-range condition lets Spark bound the join
+    * state: click state older than the watermark minus the window is
+    * evicted, so memory is (rate × window), not history. This is the
+    * streaming tier of the batch `Joins.rangeJoinBinned` query.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") < col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("value").as("purchase_value"))
+  }
+
   /** Streaming exact dedup with a watermark: state holds only ids newer
     * than the watermark, so memory is bounded by (arrival rate x
     * watermark), not by corpus size — the streaming face of Dedup.exact.

@@ -170,6 +170,15 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
       && scan.contains("l_quantity"), s"expected pushed filters in scan:\n$scan")
   }
 
+  test("plan: q_tpch_q3 top-10 is TakeOrdered (no global sort) with pushed date filters") {
+    val q3 = graft.SparkEntry.queries("q_tpch_q3")(spark, "/root/testdata/sf0.001")
+    val plan = q3.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+    val scans = q3.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("lineitem") && s.contains("PushedFilters")
+      && s.contains("l_shipdate")), "l_shipdate filter not pushed to the lineitem scan")
+  }
+
   test("plan: bloomPrunedJoin filters the probe side BEFORE its exchange") {
     val probe = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_quantity")

@@ -95,6 +95,30 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join equals the batch range join over the same events") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    def src() = spark.readStream.schema(schema).parquet(tmp)
+    val sClicks = src().where(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+    val sPurch = src().where(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+    val q = EventsStream.clickPurchaseJoin(sClicks, sPurch, 20)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj")
+      .orderBy("click_id", "user_id", "purchase_value").collect().toSeq
+    val batch = EventsStream.clickPurchaseJoin(
+      events.where(col("event_type") === "click"),
+      events.where(col("event_type") === "purchase"), 20)
+      .orderBy("click_id", "user_id", "purchase_value").collect().toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("perUserDaily aggregates per user and day") {
     val events = Tables.load(spark, dir, "events")
     val out = EventsStream.perUserDaily(events)
