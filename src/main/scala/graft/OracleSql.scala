@@ -748,6 +748,33 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_h2_union_widen" ->
+      """SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal FROM (
+        |  SELECT CAST(CAST(c_custkey AS INTEGER) AS BIGINT) AS c_custkey,
+        |         CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
+        |  UNION ALL
+        |  -- trunc: Spark's double->int cast truncates toward zero, DuckDB's rounds
+        |  SELECT c_custkey + 1000000, CAST(CAST(trunc(c_acctbal) AS INTEGER) AS DOUBLE) FROM customer)
+        |ORDER BY c_custkey, c_acctbal""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH l AS (SELECT DISTINCT n_name AS l_val FROM nation WHERE n_name IS NOT NULL),
+        |r AS (SELECT DISTINCT n_name || 'X' AS r_val FROM nation WHERE n_name IS NOT NULL)
+        |SELECT l_val, r_val, CAST(levenshtein(l_val, r_val) AS INTEGER) AS dist
+        |FROM l, r WHERE levenshtein(l_val, r_val) <= 2
+        |ORDER BY l_val, r_val""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INTEGER) AS prio_num,
+        |  count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_tpch_q3" ->
       """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
         |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *

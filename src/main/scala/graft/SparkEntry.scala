@@ -658,6 +658,45 @@ object SparkEntry {
         round(covar, 6).as("covar_qty_price"))
     }),
 
+    // -- H2b type-widening union (pandas concat dtype-promotion fidelity) -
+    "q_h2_union_widen" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val a = c.select(col("c_custkey").cast("int").as("c_custkey"),
+        col("c_acctbal"))
+      val b = c.select((col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_acctbal").cast("int").as("c_acctbal"))
+      Harmonize.unionWidened(Seq(a, b))
+        .select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey", "c_acctbal")
+    }),
+
+    // -- blocked fuzzy matching (entity resolution) -----------------------
+    // blocking by length is COMPLETE for dist <= maxDist (lengths differ by
+    // at most the edit distance), so the oracle is the brute-force cross
+    // join — same guaranteed-recall pattern as q_simhash_pairs.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val n = T(s, dir, "nation")
+      val mutated = n.select(concat(col("n_name"), lit("X")).as("m_name"))
+      Harmonize.fuzzyMatchBlocked(n, "n_name", mutated, "m_name", 2)
+        .orderBy("l_val", "r_val")
+    }),
+
+    // -- regex extraction (scalar regexp surface) -------------------------
+    "q_regex_extract" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(regexp_extract(col("o_orderpriority"), "^(\\d+)", 1)
+          .cast("int").as("prio_num"), col("o_totalprice"))
+        .groupBy("prio_num")
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 6).as("avg_price"))
+        .orderBy("prio_num")),
+
+    // -- array aggregation: sorted distinct set folded to a string --------
+    "q_agg_collect" -> ((s, dir) =>
+      T(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority")),
+
     // -- TPC-H Q3 (shipping priority, adapted to the synthetic schema):
     // two selective dimension filters, a two-join star, top-10 by revenue.
     // The date filters reach both scans as PushedFilters; the final top-k

@@ -171,4 +171,22 @@ object Models {
     metrics.toSeq.sortBy(_._1).map { case (m, v) => ("random_forest_cv", m, v) }
       .toDF("model", "metric", "value").orderBy("metric")
   }
+
+  /** Unsupervised tier: k-means over an array<float> embedding column.
+    * Seeded (deterministic within Spark; not oracle-gated — k-means||
+    * init RNG does not transfer across libraries, SURVEY §5.4). Returns
+    * (id, cluster) plus the trained model's training cost for quality
+    * assertions. At scale this is the IVF-index builder
+    * (Similarity.ivfIndex wraps the same construction).
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, arrayCol: String,
+      k: Int, seed: Long = 42L): (DataFrame, Double) = {
+    val feat = df.select(col(idCol).as("id"),
+      array_to_vector(col(arrayCol).cast(ArrayType(DoubleType))).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+    val model = km.fit(feat)
+    val cost = model.summary.trainingCost
+    (model.transform(feat).select(col("id"), col("prediction").as("cluster")), cost)
+  }
 }

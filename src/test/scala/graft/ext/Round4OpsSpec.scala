@@ -86,6 +86,35 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0))
   }
 
+  test("unionWidened promotes conflicting column types like pandas concat") {
+    import graft.ops.Harmonize
+    val a = Seq((1, 2.5)).toDF("k", "v")                       // int, double
+    val b = Seq((2L, 3)).toDF("k", "v")                        // long, int
+    val c = Seq(("x", 4)).toDF("k", "v")                       // string, int
+    val numeric = Harmonize.unionWidened(Seq(a, b))
+    assert(numeric.schema("k").dataType.typeName == "long")    // int ∪ long -> long
+    assert(numeric.schema("v").dataType.typeName == "double")  // double ∪ int -> double
+    assert(numeric.count() == 2)
+    val stringy = Harmonize.unionWidened(Seq(a, c))
+    assert(stringy.schema("k").dataType.typeName == "string")  // int ∪ string -> string
+  }
+
+  test("fuzzyMatchBlocked equals the brute-force cross join (blocking is complete)") {
+    import graft.ops.Harmonize
+    val n = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val mutated = n.select(concat(col("n_name"), lit("X")).as("m_name"))
+    val blocked = Harmonize.fuzzyMatchBlocked(n, "n_name", mutated, "m_name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val brute = n.select(col("n_name").as("l_val")).distinct()
+      .crossJoin(mutated.select(col("m_name").as("r_val")).distinct())
+      .withColumn("dist", levenshtein(col("l_val"), col("r_val")))
+      .where(col("dist") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(blocked == brute && brute.nonEmpty)
+    // every nation matches its own single-char mutation at distance 1
+    assert(brute.count(_._3 == 1) >= 25)
+  }
+
   test("resampleGapFill emits zero-count rows for empty bins and matches direct agg") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)

@@ -74,4 +74,17 @@ class ModelsSpec extends SparkSpec {
     val acc = out.filter(_.getString(1) == "accuracy").head.getDouble(2)
     assert(acc > 0.8 && acc <= 1.0)
   }
+
+  test("kmeansAssign partitions embeddings; more clusters never cost more") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assign4, cost4) = Models.kmeansAssign(emb, "vec_id", "embedding", 4)
+    val (_, cost2) = Models.kmeansAssign(emb, "vec_id", "embedding", 2)
+    val clusters = assign4.select("cluster").distinct().count()
+    assert(clusters == 4, s"expected 4 clusters, got $clusters")
+    assert(assign4.count() == emb.count())
+    assert(cost4 < cost2, s"k=4 cost $cost4 should beat k=2 cost $cost2")
+    // deterministic under the fixed seed
+    val (again, _) = Models.kmeansAssign(emb, "vec_id", "embedding", 4)
+    assert(assign4.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
+  }
 }
