@@ -748,6 +748,32 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_merge_upsert" ->
+      """WITH upd AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+        |             FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM upd)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+        |neu AS (SELECT c_custkey,
+        |          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END AS c_acctbal
+        |        FROM customer WHERE c_custkey % 11 <> 0
+        |        UNION ALL
+        |        SELECT r_regionkey + 5000000, 1.5 FROM region)
+        |SELECT coalesce(old.c_custkey, neu.c_custkey) AS c_custkey,
+        |  CASE WHEN old.c_custkey IS NULL THEN 'added'
+        |       WHEN neu.c_custkey IS NULL THEN 'removed'
+        |       WHEN NOT (old.c_acctbal IS NOT DISTINCT FROM neu.c_acctbal) THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  round(old.c_acctbal, 6) AS old_bal, round(neu.c_acctbal, 6) AS new_bal
+        |FROM old FULL JOIN neu ON old.c_custkey = neu.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_h2_union_widen" ->
       """SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal FROM (
         |  SELECT CAST(CAST(c_custkey AS INTEGER) AS BIGINT) AS c_custkey,

@@ -658,6 +658,35 @@ object SparkEntry {
         round(covar, 6).as("covar_qty_price"))
     }),
 
+    // -- keyed upsert (MERGE): CDC batch replaces same-key rows -----------
+    "q_merge_upsert" -> ((s, dir) => {
+      val cur = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val upd = cur.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      ops.Merge.upsert(cur, upd, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- snapshot diff (CDC extraction: added/removed/changed) ------------
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = T(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val neu = old.where(col("c_custkey") % 11 =!= 0) // %11 keys removed
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 5.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName( // five added keys derived from region
+          T(s, dir, "region").select((col("r_regionkey") + 5000000L).as("c_custkey"),
+            lit(1.5).as("c_acctbal")))
+      ops.Merge.snapshotDiff(old, neu, Seq("c_custkey"), Seq("c_acctbal"))
+        .select(col("c_custkey"), col("change_type"),
+          round(col("old_c_acctbal"), 6).as("old_bal"),
+          round(col("new_c_acctbal"), 6).as("new_bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- H2b type-widening union (pandas concat dtype-promotion fidelity) -
     "q_h2_union_widen" -> ((s, dir) => {
       val c = T(s, dir, "customer")

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance operators (north-star extension): keyed upsert and
+  * snapshot diffing — the two primitives every incremental integration
+  * pipeline needs (the reference app re-uploads whole files; these are the
+  * scale-correct replacements).
+  */
+object Merge {
+
+  /** Keyed upsert (MERGE): rows from `updates` replace same-key rows in
+    * `current`; unmatched current rows pass through. Exactly one wide op —
+    * the anti join keyed on `keys` (broadcast-able when the update batch is
+    * small, the common CDC shape); the union is plan-level concat.
+    * Precondition: `updates` has at most one row per key (enforce upstream
+    * with dropDuplicates — not here, so the cost is visible to the caller).
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /** Snapshot diff (CDC extraction): classify every key across two
+    * snapshots as added / removed / changed / unchanged. One full-outer
+    * join keyed on `keys`; comparison uses null-safe equality so a
+    * value-to-null transition counts as changed, not unchanged.
+    * Output: keys…, change_type, then old_/new_ pairs of `compareCols`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+      .toDF(keys ++ compareCols.map("old_" + _) :+ "__in_old": _*)
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+      .toDF(keys ++ compareCols.map("new_" + _) :+ "__in_new": _*)
+    val anyChanged = compareCols
+      .map(c => !(col("old_" + c) <=> col("new_" + c)))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(anyChanged, "changed")
+          .otherwise("unchanged"))
+      .drop("__in_old", "__in_new")
+  }
+}

@@ -115,6 +115,27 @@ class Round4OpsSpec extends SparkSpec {
     assert(brute.count(_._3 == 1) >= 25)
   }
 
+  test("upsert replaces matched keys and passes unmatched rows through") {
+    import graft.ops.Merge
+    val cur = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val upd = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Merge.upsert(cur, upd, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. null transitions") {
+    import graft.ops.Merge
+    val old = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)), (5L, None))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some(1.0)), (2L, Some(9.0)), (4L, Some(4.0)), (5L, Some(5.0)))
+      .toDF("k", "v")
+    val out = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getAs[String]("change_type")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed")) // null -> 5.0 must be 'changed'
+  }
+
   test("resampleGapFill emits zero-count rows for empty bins and matches direct agg") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
