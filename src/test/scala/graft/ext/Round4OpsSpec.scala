@@ -136,6 +136,20 @@ class Round4OpsSpec extends SparkSpec {
       4L -> "added", 5L -> "changed")) // null -> 5.0 must be 'changed'
   }
 
+  test("upsert is idempotent and snapshotDiff(x, x) is all-unchanged") {
+    import graft.ops.Merge
+    val cur = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_acctbal")
+    val upd = cur.where(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"))
+    val once = Merge.upsert(cur, upd, Seq("c_custkey"))
+    val twice = Merge.upsert(once, upd, Seq("c_custkey"))
+    assert(once.orderBy("c_custkey").collect().toSeq
+      == twice.orderBy("c_custkey").collect().toSeq)
+    val d = Merge.snapshotDiff(cur, cur, Seq("c_custkey"), Seq("c_acctbal"))
+    assert(d.where(col("change_type") =!= "unchanged").isEmpty)
+  }
+
   test("resampleGapFill emits zero-count rows for empty bins and matches direct agg") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)

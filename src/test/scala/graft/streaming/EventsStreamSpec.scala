@@ -119,6 +119,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("foreachBatch sink: per-microbatch parquet appends reassemble the input") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events").select("event_id", "user_id", "value")
+    val src = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    events.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    // foreachBatch = the arbitrary-sink escape hatch: each micro-batch is a
+    // normal DataFrame; appends keyed by batchId are idempotent on retry
+    // when the target supports overwrite-by-batch (plain append here).
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == events.count())
+    assert(written.select("event_id").except(events.select("event_id")).isEmpty)
+  }
+
   test("perUserDaily aggregates per user and day") {
     val events = Tables.load(spark, dir, "events")
     val out = EventsStream.perUserDaily(events)
