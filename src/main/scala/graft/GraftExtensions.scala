@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature}
+import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cos"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cos"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
     // graft_minhash(baseHashes, numHashes): numHashes must be an int literal
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

@@ -44,10 +44,10 @@ object VectorOps {
     */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Cosine via the native dot product; 0.0 when either norm is zero. */
-  def cosineNative(a: Column, b: Column): Column = {
-    val na = sqrt(dotNative(a, a))
-    val nb = sqrt(dotNative(b, b))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotNative(a, b) / (na * nb))
-  }
+  /** Cosine via the FUSED native [[graft.functions.CosineSimilarity]]
+    * expression: one array pass for dot + both norms, vs three passes for
+    * the composed graft_dot formulation. Bit-identical accumulation order,
+    * so results (and oracle hashes) are unchanged.
+    */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cos", a, b)
 }

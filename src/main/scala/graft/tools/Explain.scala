@@ -54,6 +54,8 @@ object Explain {
       }
     run("hof   ", VectorOps.dot(col("embedding"), col("qe")))
     run("native", VectorOps.dotNative(col("embedding"), col("qe")))
+    run("cosHof", VectorOps.cosine(col("embedding"), col("qe")))
+    run("cosFus", VectorOps.cosineNative(col("embedding"), col("qe")))
   }
 
   /** Stage-by-stage timing of the flagship pipeline. */

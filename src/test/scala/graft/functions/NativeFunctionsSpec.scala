@@ -50,4 +50,18 @@ class NativeFunctionsSpec extends SparkSpec {
       VectorOps.cosineNative(col("embedding"), typedLit(q)).as("nat")).collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("graft_cos zero-norm and null semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),   // zero norm -> 0.0
+      (None, Some(Seq(1.0, 2.0))),                  // null array -> null
+      (Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // length mismatch -> null
+      (Some(Seq(3.0, 4.0)), Some(Seq(3.0, 4.0)))    // identical -> 1.0
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.cosineNative(col("a"), col("b")).as("c")).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+    assert(math.abs(out(3).getDouble(0) - 1.0) < 1e-12)
+  }
 }
