@@ -679,6 +679,18 @@ object OracleSql {
          |       round(CAST(r.cnt AS DOUBLE) / t.n_tokens, 6) AS top_share
          |FROM r JOIN t ON r.doc_id = t.doc_id WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin),
 
+    "q_text_dupngrams" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(tk) < 3 THEN []
+         |             ELSE list_transform(generate_series(1, len(tk) - 2),
+         |                                 i -> array_to_string(tk[i:i+2], ' ')) END AS ng
+         |      FROM t)
+         |SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ngrams,
+         |  CASE WHEN len(ng) = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 6) END AS dup_ratio
+         |FROM g ORDER BY doc_id""".stripMargin),
+
     // banded blocking has GUARANTEED recall for dist <= 3 with 4 bands
     // (pigeonhole), so the oracle is the brute-force all-pairs scan
     "q_simhash_pairs" ->

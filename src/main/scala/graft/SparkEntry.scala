@@ -539,6 +539,9 @@ object SparkEntry {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "q_text_dupngrams" -> ((s, dir) =>
+      TextAnalysis.dupNgramRatio(T(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id")),
 
     // -- simhash banded near-dup pairs (guaranteed-recall blocking) -------
     "q_simhash_pairs" -> ((s, dir) =>

@@ -142,6 +142,33 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** Word n-grams WITH duplicates (unlike Dedup.shinglesFromTokens, which
+    * is a distinct set for Jaccard) — the repeat structure is the signal
+    * here. `toks` must be a materialized column (referenced per n-gram).
+    */
+  def ngramsRaw(toks: Column, n: Int): Column =
+    when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Intra-document duplicate n-gram ratio — the C4/RefinedWeb-style
+    * internal-repetition filter: share of n-gram occurrences that are
+    * repeats of an earlier n-gram in the SAME document
+    * (1 - distinct/total; 0 for docs shorter than n tokens). A narrow
+    * per-row computation (tokenize → n-grams → two array sizes): runs at
+    * the scan, no shuffle — apply before any data moves, like
+    * [[qualityFilter]].
+    */
+  def dupNgramRatio(df: DataFrame, textCol: String, docIdCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), ngramsRaw(col("__tk"), n).as("__ng"))
+      .select(col("doc_id"), size(col("__ng")).cast("long").as("n_ngrams"),
+        when(size(col("__ng")) === 0, 0.0)
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("__ng"))).cast("double") / size(col("__ng")), 6))
+          .as("dup_ratio"))
+
   /** Per-document repetition statistics (boilerplate/spam detector): token
     * count, the most frequent token, and its share of all tokens. High
     * top-share = repeated boilerplate; composes with [[qualityFilter]]'s

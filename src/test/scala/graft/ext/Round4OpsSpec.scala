@@ -136,6 +136,18 @@ class Round4OpsSpec extends SparkSpec {
       4L -> "added", 5L -> "changed")) // null -> 5.0 must be 'changed'
   }
 
+  test("dupNgramRatio measures internal repetition; short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 trigrams, 3 distinct -> 4/7 repeats
+      (2L, "all distinct words here now"), // 3 trigrams, all distinct -> 0
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramRatio(df, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 7L && approx(out(0).getDouble(2), 1.0 - 3.0 / 7, 1e-6))
+    assert(out(1).getDouble(2) == 0.0)
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
+  }
+
   test("upsert is idempotent and snapshotDiff(x, x) is all-unchanged") {
     import graft.ops.Merge
     val cur = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
