@@ -148,6 +148,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
   }
 
+  test("pageRank: mass conserved, hub outranks leaves, runs are identical") {
+    val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("id") // 5 is isolated (dangling)
+    def run() = Graph.pageRank(edges, nodes, "id", iters = 10)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val r = run()
+    val byId = r.toMap
+    assert(math.abs(r.map(_._2).sum - 5.0) < 1e-9, s"mass not conserved: $r")
+    // the 1<->2 cycle concentrates mass: both outrank the leaf nodes 3/4
+    // (which only receive the dangling redistribution + base rank)
+    assert(byId(1L) > byId(3L) && byId(2L) > byId(3L), s"unexpected order: ${r.toSeq}")
+    assert(byId(3L) == byId(4L)) // symmetric leaves
+    assert(r.toSeq == run().toSeq) // fixed iterations -> fully deterministic
+  }
+
   test("upsert is idempotent and snapshotDiff(x, x) is all-unchanged") {
     import graft.ops.Merge
     val cur = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
