@@ -4,7 +4,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Resample, Sampling}
 import graft.pipeline.Pipeline
-import graft.sources.Sources
+import graft.sources.{Sources, Xlsx}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -182,6 +182,18 @@ object SparkEntry {
           col("n_name").cast("string").as("n_name"),
           col("n_regionkey").cast("long").as("n_regionkey"))
         .orderBy("n_nationkey")
+    }),
+
+    // -- S2 Excel read (JDK-only xlsx round-trip; no DuckDB xlsx reader,
+    // so this is the contract's rows-only check — fidelity is pinned by
+    // the ScalaTest round-trip against the source table instead) ----------
+    "q_s2_excel_read" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/region_xlsx/region.xlsx"
+      new java.io.File(p).getParentFile.mkdirs()
+      Xlsx.write(T(s, dir, "region").orderBy("r_regionkey"), p)
+      Sources.readExcel(s, p)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
     }),
 
     // -- S5/S6 empty check + head -----------------------------------------

@@ -34,19 +34,27 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S2 — minimal JDK-only XLSX reader (see [[Xlsx]]): single sheet,
+    * header row, pandas-style numeric inference. Driver-side parse — the
+    * upload-ingestion contract for small workbooks, mirroring
+    * `pd.read_excel`'s eager single-file read; convert to parquet before
+    * heavy processing. Legacy binary .xls is NOT supported.
+    */
+  def readExcel(spark: SparkSession, path: String): DataFrame =
+    Xlsx.read(spark, path)
+
   /** Multi-format dispatch by file extension — the reference's upload loop
-    * (`DIH.py:172-179`: csv/xlsx/json/parquet). XLSX (S2) has no offline
-    * Spark reader: rejected with an explicit error, mirroring the
-    * reference's unsupported-format message rather than failing obscurely.
+    * (`DIH.py:172-179`: csv/xlsx/json/parquet).
     */
   def readAny(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".json")) readJson(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
-    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+    else if (lower.endsWith(".xlsx")) readExcel(spark, path)
+    else if (lower.endsWith(".xls"))
       throw new UnsupportedOperationException(
-        "Excel ingestion is not supported offline (SURVEY §2.1 S2); export to CSV")
+        "Legacy binary .xls is not supported; use .xlsx or export to CSV")
     else throw new IllegalArgumentException(s"Unsupported file format: $path")
   }
 

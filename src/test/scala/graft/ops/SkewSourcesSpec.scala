@@ -33,14 +33,48 @@ class SkewSourcesSpec extends SparkSpec {
     assert(plain.map(_.toString).toSeq == salted.map(_.toString).toSeq)
   }
 
-  test("readAny dispatches by extension and rejects xlsx explicitly") {
+  test("readAny dispatches by extension and rejects legacy xls explicitly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_readany").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
     df.write.mode("overwrite").parquet(s"$tmp/t.parquet")
     assert(Sources.readAny(spark, s"$tmp/t.parquet").count() == 2)
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/t.csv")
     assert(Sources.readAny(spark, s"$tmp/t.csv").count() == 2)
-    intercept[UnsupportedOperationException] { Sources.readAny(spark, "/x/y.xlsx") }
+    intercept[UnsupportedOperationException] { Sources.readAny(spark, "/x/y.xls") }
     intercept[IllegalArgumentException] { Sources.readAny(spark, "/x/y.avro") }
+  }
+
+  test("S2 xlsx round-trip: write then read preserves values, types, and nulls") {
+    import graft.sources.Xlsx
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val df = Seq(
+      (1L, Some(12.5), Some("plain")),
+      (2L, None, Some("needs <escaping> & \"quotes\"")),
+      (3L, Some(-0.75), None)).toDF("id", "score", "note")
+    Xlsx.write(df, s"$tmp/t.xlsx")
+    val back = Sources.readAny(spark, s"$tmp/t.xlsx")
+    assert(back.columns.toSeq == Seq("id", "score", "note"))
+    assert(back.schema("id").dataType.typeName == "double")    // numeric inference
+    assert(back.schema("score").dataType.typeName == "double")
+    assert(back.schema("note").dataType.typeName == "string")
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getDouble(1) == 12.5
+      && rows(1).getString(2) == "needs <escaping> & \"quotes\"")
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(2).getDouble(1) == -0.75)
+  }
+
+  test("S2 xlsx reads a real table identically to its source (rows-only query fidelity)") {
+    import graft.sources.Xlsx
+    val region = graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_region").toString
+    Xlsx.write(region.orderBy("r_regionkey"), s"$tmp/region.xlsx")
+    val back = Sources.readExcel(spark, s"$tmp/region.xlsx")
+      .select(org.apache.spark.sql.functions.col("r_regionkey").cast("long").as("r_regionkey"),
+        org.apache.spark.sql.functions.col("r_name"))
+      .orderBy("r_regionkey").collect()
+    val orig = region.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    assert(back.toSeq == orig.toSeq)
   }
 }
