@@ -266,6 +266,37 @@ object Dedup {
     df.join(org.apache.spark.sql.functions.broadcast(keep), Seq(idCol), "left_semi")
   }
 
+  /** Near-dup dedup keeping the HIGHEST-SCORED member per cluster (e.g.
+    * PageRank over the similarity graph via [[Graph.pageRank]], or a
+    * quality score from TextAnalysis.qualityMetrics) instead of
+    * [[applyNearDupDedup]]'s min-id representative — at corpus scale the
+    * kept document should be the best one, not an id accident. Ties break
+    * to the smaller id so the choice is deterministic. Same scale shape:
+    * clusters come from label propagation; the winner per cluster is one
+    * map-combinable aggregate over (cluster, score, id); the corpus filter
+    * is a broadcast semi-join on the tiny winner set.
+    *
+    * @param scores (idCol, scoreCol) one score per document
+    */
+  def applyNearDupDedupByScore(df: DataFrame, textCol: String, idCol: String,
+      scores: DataFrame, scoreCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold)
+    val labels = clusterNearDups(pairs, df, idCol)
+    val scored = labels.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__score")),
+      Seq("id"), "left")
+      .withColumn("__score", coalesce(col("__score"), lit(Double.MinValue)))
+    // winner per cluster = max (score, -id): encode as a struct max so the
+    // selection is ONE aggregate, no window sort
+    val winners = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("w"))
+      .select((-col("w.__negid")).cast("long").as(idCol))
+    df.join(org.apache.spark.sql.functions.broadcast(winners), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
     * the brute-force O(n²) baseline used to validate LSH recall on samples.
     * NEVER run this at corpus scale; it exists as the correctness yardstick.

@@ -148,6 +148,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
   }
 
+  test("applyNearDupDedupByScore keeps the best-scored doc per cluster, min-id on ties") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (10L, base), (11L, base + " ok"), (12L, base + " yes"), // one cluster
+      (20L, "completely different text about spark catalyst optimizer internals plans")
+    ).toDF("doc_id", "text")
+    val scores = Seq((10L, 0.1), (11L, 0.9), (12L, 0.9), (20L, 0.5))
+      .toDF("doc_id", "quality")
+    val kept = Dedup.applyNearDupDedupByScore(docs, "text", "doc_id",
+      scores, "quality", threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 and 12 tie at 0.9 -> smaller id 11 wins; 20 is a singleton
+    assert(kept == Set(11L, 20L), s"kept=$kept")
+  }
+
   test("pageRank: mass conserved, hub outranks leaves, runs are identical") {
     val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = (1L to 5L).toDF("id") // 5 is isolated (dangling)
