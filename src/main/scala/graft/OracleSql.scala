@@ -760,6 +760,43 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_outlier_flags" ->
+      """WITH st AS (SELECT round(avg(l_quantity), 6) AS mu_q, round(stddev_pop(l_quantity), 6) AS sd_q,
+        |                   round(avg(l_extendedprice), 6) AS mu_e, round(stddev_pop(l_extendedprice), 6) AS sd_e
+        |            FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (abs(CASE WHEN sd_q = 0 OR sd_q IS NULL THEN 0.0 ELSE (l_quantity - mu_q) / sd_q END) > 2.0) AS qty_out,
+        |  (abs(CASE WHEN sd_e = 0 OR sd_e IS NULL THEN 0.0 ELSE (l_extendedprice - mu_e) / sd_e END) > 2.0) AS price_out
+        |FROM lineitem, st
+        |ORDER BY l_orderkey, l_linenumber, qty_out, price_out""".stripMargin,
+
+    // gap-fill CTEs from q_resample_gapfill + the positional interpolation
+    // formula from q_c3 over the dense per-type grid
+    "q_resample_interp" ->
+      """WITH b AS (SELECT event_type,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS bin,
+        |             count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS bin
+        |      FROM s),
+        |gf AS (SELECT g.event_type, g.bin AS bin_start,
+        |         coalesce(b.n_events, 0) AS n_events, b.avg_value AS v
+        |       FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bin = b.bin),
+        |pos AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin_start) AS p FROM gf),
+        |w AS (SELECT event_type, bin_start, n_events, p, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM pos)
+        |SELECT event_type, bin_start, n_events,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS avg_value
+        |FROM w ORDER BY event_type, bin_start""".stripMargin,
+
     "q_merge_upsert" ->
       """WITH upd AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
         |             FROM customer WHERE c_custkey % 10 = 0)

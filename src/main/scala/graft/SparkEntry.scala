@@ -483,6 +483,29 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "price_w", "qty_w")
     }),
 
+    // -- P4 sigma-rule outlier flags --------------------------------------
+    "q_outlier_flags" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Preprocess.outlierFlags(li, Seq("l_quantity", "l_extendedprice"),
+        zThresh = 2.0, roundStats = 6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_outlier").as("qty_out"),
+          col("l_extendedprice_outlier").as("price_out"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_out", "price_out")
+    }),
+
+    // -- resample + interpolate composition: gap-filled series with the
+    // empty bins linearly interpolated (Resample feeding Clean.interpolate)
+    "q_resample_interp" -> ((s, dir) => {
+      val rs = Resample.resampleGapFill(T(s, dir, "events"), "ts",
+        Seq("event_type"), "value", 3600L)
+      Clean.interpolate(rs, Seq("avg_value"), "bin_start", Seq("event_type"))
+        .select(col("event_type"), col("bin_start"), col("n_events"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("event_type", "bin_start")
+    }),
+
     // -- pivot / reshape ---------------------------------------------------
     "q_pivot_counts" -> ((s, dir) =>
       Reshape.pivotCounts(T(s, dir, "orders"), "o_orderpriority", "o_orderstatus",

@@ -44,6 +44,20 @@ object Preprocess {
     out.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")).toIndexedSeq: _*)
   }
 
+  /** Sigma-rule outlier flags: `<col>_outlier` = |z| > zThresh per column
+    * (population std, zero-variance columns never flag — [[zscore]]
+    * semantics). Same scale shape as zscore: one broadcast one-row stats
+    * aggregate, then a codegen'd projection at the scan. The detection
+    * companion to [[winsorize]] (which clamps instead of flagging).
+    */
+  def outlierFlags(df: DataFrame, cols: Seq[String], zThresh: Double = 3.0,
+      roundStats: Int = -1): DataFrame = {
+    val zs = zscore(df, cols, roundStats)
+    cols.foldLeft(zs) { (acc, c) =>
+      acc.withColumn(s"${c}_outlier", abs(col(c)) > zThresh)
+    }
+  }
+
   /** All-numeric-columns variant mirroring the reference's
     * `select_dtypes(include)` sweep. */
   def zscoreAll(df: DataFrame): DataFrame = {

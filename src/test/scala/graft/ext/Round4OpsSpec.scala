@@ -115,6 +115,14 @@ class Round4OpsSpec extends SparkSpec {
     assert(brute.count(_._3 == 1) >= 25)
   }
 
+  test("outlierFlags flags only sigma-rule violations; constant columns never flag") {
+    import graft.ops.Preprocess
+    val df = ((1 to 99).map(_ => (5.0, 1.0)) :+ (100.0, 1.0)).toDF("v", "const")
+    val out = Preprocess.outlierFlags(df, Seq("v", "const"), zThresh = 3.0)
+    assert(out.where(col("v_outlier")).count() == 1)   // only the 100.0 spike
+    assert(out.where(col("const_outlier")).count() == 0) // zero variance -> no flags
+  }
+
   test("upsert replaces matched keys and passes unmatched rows through") {
     import graft.ops.Merge
     val cur = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
