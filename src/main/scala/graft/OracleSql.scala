@@ -876,6 +876,9 @@ object OracleSql {
         |WHERE r_name = 'ASIA' AND EXTRACT(YEAR FROM o_orderdate) = 1997
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    // identical text object the engine's spark.sql runs (SqlTexts)
+    "q_sql_recursive" -> SqlTexts.recursiveChain,
+
     // identical text to the spark.sql the engine runs (dialect-shared SQL)
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer

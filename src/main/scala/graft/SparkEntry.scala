@@ -805,6 +805,14 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // -- recursive CTE (dialect-shared SQL text; Spark 4 WITH RECURSIVE) --
+    // synthetic binary-ancestor chain (parent = key div 2): exercises the
+    // iterative self-referencing plan both engines run verbatim
+    "q_sql_recursive" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(SqlTexts.recursiveChain)
+    }),
+
     // -- correlated EXISTS subquery (dialect-shared SQL text) -------------
     "q_sql_exists" -> ((s, dir) => {
       T(s, dir, "orders").createOrReplaceTempView("orders")

@@ -1,0 +1,21 @@
+package graft
+
+/** SQL statements shared VERBATIM between the engine (`spark.sql`) and the
+  * DuckDB oracle — the dialect-shared subset is itself the correctness
+  * argument: one text, two engines, hash-equal results.
+  */
+object SqlTexts {
+
+  /** Recursive CTE: binary-ancestor chain (parent = key div 2, spelled as
+    * CAST(floor(x / 2)) because bare integer `/` differs between dialects).
+    * Bounded: halving any key reaches 1.
+    */
+  val recursiveChain: String =
+    """WITH RECURSIVE anc(c_custkey, anc_key, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 AS depth FROM customer WHERE c_custkey <= 100
+      |  UNION ALL
+      |  SELECT a.c_custkey, CAST(floor(a.anc_key / 2) AS BIGINT), a.depth + 1
+      |  FROM anc a WHERE a.anc_key > 1)
+      |SELECT c_custkey, max(depth) AS depth_to_root, count(*) AS chain_len
+      |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+}
