@@ -152,4 +152,31 @@ class PropertiesSpec extends SparkSpec {
     assert(m.length == 3)
     m.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
+
+  test("clusterNearDups equals a driver-side union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 50)
+      m <- Gen.chooseNum(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    cases(edgeGen, n = 6).foreach { edges =>
+      val nodes = (0L until 50L).toList
+      // reference: plain union-find with min-label roots
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = nodes.map(i => i -> find(i)).toMap
+      val pairsDf = (if (edges.isEmpty) Seq((0L, 0L)) else edges).toDF("id_a", "id_b")
+      val got = graft.ext.Dedup.clusterNearDups(pairsDf, nodes.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges\nmismatch: ${
+        got.toSeq.filter { case (k, v) => expected(k) != v }.take(5)}")
+    }
+  }
 }
