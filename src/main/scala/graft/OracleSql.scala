@@ -760,6 +760,20 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_window_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share,
+        |  round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS global_share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
     "q_outlier_flags" ->
       """WITH st AS (SELECT round(avg(l_quantity), 6) AS mu_q, round(stddev_pop(l_quantity), 6) AS sd_q,
         |                   round(avg(l_extendedprice), 6) AS mu_e, round(stddev_pop(l_extendedprice), 6) AS sd_e

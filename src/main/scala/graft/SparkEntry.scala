@@ -483,6 +483,29 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "price_w", "qty_w")
     }),
 
+    // -- percent-of-total window shares (ratio_to_report idiom) -----------
+    // window sums run over the DECIMAL revenue so totals are exact and
+    // order-independent; only the final ratio is double
+    "q_window_share" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev_dec"))
+      val wRegion = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(wRegion).cast("double"), 6).as("region_share"),
+        round(col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(wAll).cast("double"), 6).as("global_share"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // -- P4 sigma-rule outlier flags --------------------------------------
     "q_outlier_flags" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
