@@ -760,6 +760,19 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS q_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS q_ts FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.q_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS q_ts FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.q_ts GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS name, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+
     "q_window_share" ->
       """WITH rev AS (
         |  SELECT r_name, n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec

@@ -483,6 +483,11 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "price_w", "qty_w")
     }),
 
+    // -- funnel analysis over the event stream ----------------------------
+    "q_events_funnel" -> ((s, dir) =>
+      EventsStream.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).orderBy("stage")),
+
     // -- percent-of-total window shares (ratio_to_report idiom) -----------
     // window sums run over the DECIMAL revenue so totals are exact and
     // order-independent; only the final ratio is double

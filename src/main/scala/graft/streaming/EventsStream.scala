@@ -153,6 +153,35 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Ordered funnel analysis: for each stage i, users whose FIRST stage-i
+    * event at-or-after their qualifying stage-(i-1) time exists. Output one
+    * row per stage: (stage, name, n_users), monotonically non-increasing.
+    *
+    * Scale shape: each stage is one filtered groupBy(user) min-aggregate
+    * (map-side combinable) joined to the previous stage's (small,
+    * one-row-per-qualifying-user) table — the chain never shuffles raw
+    * events more than once per stage, and stage tables only shrink.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"), col(tsCol).as("ts"))
+    var prev = ev.where(col("t") === stages.head)
+      .groupBy("u").agg(min(col("ts")).as("q_ts"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      (1, stages.head, prev.count()))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      prev = ev.where(col("t") === st)
+        .join(prev.select(col("u"), col("q_ts").as("prev_ts")), "u")
+        .where(col("ts") >= col("prev_ts"))
+        .groupBy("u").agg(min(col("ts")).as("q_ts"))
+      counts += ((i + 1, st, prev.count()))
+    }
+    counts.toSeq.toDF("stage", "name", "n_users")
+  }
+
   /** Stream-stream inner join: purchases matched to same-user clicks at
     * most `windowMinutes` earlier. Works unchanged on batch frames (plain
     * range-predicate join) and on streams, where BOTH sides must carry a

@@ -142,6 +142,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(written.select("event_id").except(events.select("event_id")).isEmpty)
   }
 
+  test("funnel counts are ordered-stage-qualified and non-increasing") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)), // full funnel
+      (2L, "view", ts(0)), (2L, "click", ts(3)),                          // no purchase
+      (3L, "click", ts(0)), (3L, "view", ts(5)),                          // click BEFORE view
+      (4L, "purchase", ts(0))                                             // purchase only
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventsStream.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).orderBy("stage").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    // user 3's click precedes their first view -> not stage-2 qualified
+  }
+
   test("perUserDaily aggregates per user and day") {
     val events = Tables.load(spark, dir, "events")
     val out = EventsStream.perUserDaily(events)
