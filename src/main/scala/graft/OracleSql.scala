@@ -760,6 +760,23 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_events_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |                 CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT) AS wk
+        |               FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY 1)
+        |SELECT c.cohort_wk, w.wk - c.cohort_wk AS "offset", count(*) AS n_users
+        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_weighted" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                       CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) /
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, min(ts) AS q_ts FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -488,6 +488,32 @@ object SparkEntry {
       EventsStream.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase")).orderBy("stage")),
 
+    // -- cohort retention over the event stream ---------------------------
+    // cohort = each user's first active week; cell (cohort_wk, offset) =
+    // users of that cohort active `offset` weeks later. Two aggregates +
+    // one join on the (small) per-user cohort table.
+    "q_events_retention" -> ((s, dir) => {
+      val wk = (floor(unix_timestamp(col("ts")) / 604800L)).cast("long")
+      val weeks = T(s, dir, "events")
+        .select(col("user_id"), wk.as("wk")).distinct()
+      val cohort = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      weeks.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "offset")
+    }),
+
+    // -- decimal-exact weighted average -----------------------------------
+    "q_agg_weighted" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,4)")).cast("double") /
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6)
+          .as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // -- percent-of-total window shares (ratio_to_report idiom) -----------
     // window sums run over the DECIMAL revenue so totals are exact and
     // order-independent; only the final ratio is double
