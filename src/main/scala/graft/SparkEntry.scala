@@ -294,6 +294,21 @@ object SparkEntry {
           round(col("asof_value"), 6).as("last_click_value"))
         .orderBy("event_id")
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // ref deduped to one row per (user, ts): duplicate-timestamp
+      // tie-breaking is engine-unspecified, so remove the ambiguity
+      val ref = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+      Joins.asofForward(probe, ref, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("asof_value"), 6).as("next_click_value"))
+        .orderBy("event_id")
+    }),
+
     "q_rollup_revenue" -> ((s, dir) => {
       val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")

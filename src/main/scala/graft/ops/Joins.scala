@@ -75,6 +75,45 @@ object Joins {
       .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** FORWARD as-of join: for every probe row, the EARLIEST ref values with
+    * ref.timeCol >= probe.timeCol within the same `keys` partition — the
+    * "next event at-or-after" lookup (e.g. first fill after an order).
+    * Same one-shuffle union construction as [[asof]], with the window
+    * ordered descending so the running `last(ignoreNulls)` sees the
+    * nearest LATER ref row; at equal timestamps the ref row still
+    * qualifies (inclusive), mirrored by ordering probes before refs is
+    * inverted via the tag sort. @see [[asof]] for the construction notes.
+    */
+  def asofForward(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      timeCol: String, refCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toIndexedSeq
+    val tagCol = "__graft_is_probe"
+    val taggedProbe = refCols.foldLeft(probe.withColumn(tagCol, lit(1))) {
+      (acc, c) => acc.withColumn(s"__graft_ref_$c", lit(null).cast(ref.schema(c).dataType))
+    }
+    val taggedRef = {
+      val base = ref.select(
+        (keys.map(col) :+ col(timeCol) :+ lit(0).as(tagCol)) ++
+          refCols.map(c => col(c).as(s"__graft_ref_$c")): _*)
+      probeCols.filterNot(c => keys.contains(c) || c == timeCol)
+        .foldLeft(base)((acc, c) => acc.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
+    }
+    val unioned = taggedProbe.unionByName(taggedRef)
+    val tieBreak = refCols.map(c => col(s"__graft_ref_$c"))
+    // descending time: the running last(ignoreNulls) is the nearest ref at
+    // a LATER-or-equal time; tag ASC puts equal-time refs before probes in
+    // the traversal (inclusive), ref-value tiebreak keeps duplicate-ts refs
+    // deterministic
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(timeCol).desc +: col(tagCol) +: tieBreak): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = refCols.foldLeft(unioned) { (acc, c) =>
+      acc.withColumn(s"asof_$c", last(col(s"__graft_ref_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col(tagCol) === 1)
+      .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
+  }
+
   /** Interval (range) join via binning — the operator Spark lacks natively
     * (a naive `a.ts BETWEEN b.lo AND b.hi` join plans as broadcast-nested-
     * loop or cartesian). Both sides are assigned equi-joinable time bins of

@@ -146,6 +146,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofForward equals a per-row scan reference on random inputs") {
+    import graft.ops.Joins
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 100L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 100L))))
+    cases(gen, n = 4).foreach { case (probeRaw, refRaw) =>
+      val probes = probeRaw.distinct.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t * 1000) }
+      val refs = refRaw.distinct.map { case (k, t) => (k, t * 1000 + 1, t.toDouble) }
+      val p = probes.toDF("pid", "k", "t")
+      val r = refs.toDF("k", "t", "rv")
+      val got = Joins.asofForward(p, r, Seq("k"), "t", Seq("rv")).collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+      probes.foreach { case (pid, k, t) =>
+        val expected = refs.filter(x => x._1 == k && x._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        assert(got(pid) == expected, s"pid=$pid k=$k t=$t refs=$refs")
+      }
+    }
+  }
+
   test("corr matrix values are within [-1, 1] and pairs are i<j only") {
     val df = (1 to 40).map(i => (i.toDouble, math.sin(i.toDouble), i % 7.0)).toDF("a", "b", "c")
     val m = Eda.corrMatrix(df, Seq("a", "b", "c")).collect()
