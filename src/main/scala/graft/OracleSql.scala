@@ -769,6 +769,21 @@ object OracleSql {
         |  concat_ws('-', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // C5b: the surviving projection (konst dropped, null_variant kept)
+    "q_c5b_drop_const" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 1 THEN 7.0 END AS null_variant, l_tax
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, null_variant, l_tax""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                                   ORDER BY cnt DESC, o_orderstatus) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS freq
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
     "q_events_retention" ->
       """WITH weeks AS (SELECT DISTINCT user_id,
         |                 CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT) AS wk

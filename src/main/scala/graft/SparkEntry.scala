@@ -503,6 +503,33 @@ object SparkEntry {
       EventsStream.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase")).orderBy("stage")),
 
+    // -- C5b drop constant columns ----------------------------------------
+    "q_c5b_drop_const" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit(42.0).as("konst"),
+        when(col("l_linenumber") === 1, lit(7.0)).as("null_variant"),
+        col("l_tax"))
+      Clean.dropConstantCols(li)
+        .orderBy("l_orderkey", "l_linenumber", "null_variant", "l_tax")
+    }),
+
+    // -- per-group mode (group-level describe top/freq) -------------------
+    // deterministic tie-break: count desc, value asc — spelled identically
+    // in the oracle (DuckDB's mode() tie choice is unspecified)
+    "q_agg_mode" -> ((s, dir) => {
+      val counts = T(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("cnt").desc, col("o_orderstatus"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("cnt").as("freq"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- cohort retention over the event stream ---------------------------
     // cohort = each user's first active week; cell (cohort_wk, offset) =
     // users of that cohort active `offset` weeks later. Two aggregates +

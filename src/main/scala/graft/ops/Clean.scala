@@ -132,6 +132,29 @@ object Clean {
     if (dead.isEmpty) df else df.drop(dead.toIndexedSeq: _*)
   }
 
+  /** C5b — drop constant columns (≤1 distinct non-null value): the
+    * feature-engineering companion to [[dropAllNullCols]] (a constant
+    * feature carries zero signal and breaks z-scoring into all-zeros).
+    * ONE approx-free aggregate pass: `count_distinct` per column in a
+    * single hash aggregate; `keepNullVariants = true` treats a column
+    * whose only variation is null-vs-value as non-constant.
+    */
+  def dropConstantCols(df: DataFrame, keepNullVariants: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("__total") +:
+      df.columns.toIndexedSeq.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"__d_$c"), count(col(c)).as(s"__n_$c"))
+      }
+    val row = df.select(aggs: _*).head()
+    val total = row.getAs[Long]("__total")
+    val dead = df.columns.filter { c =>
+      val distinct = row.getAs[Long](s"__d_$c")
+      val nonNull = row.getAs[Long](s"__n_$c")
+      val hasNulls = nonNull < total
+      distinct <= 1L && !(keepNullVariants && hasNulls && distinct == 1L)
+    }
+    if (dead.isEmpty) df else df.drop(dead.toIndexedSeq: _*)
+  }
+
   /** C6 — summary statistics (pandas `describe()`): per numeric column
     * count, mean, sample std (ddof=1), min, exact linear-interpolated
     * quartiles, max.

@@ -115,6 +115,18 @@ class Round4OpsSpec extends SparkSpec {
     assert(brute.count(_._3 == 1) >= 25)
   }
 
+  test("dropConstantCols drops constants, keeps null-variant and varying columns") {
+    import graft.ops.Clean
+    val df = Seq(
+      (1L, 5.0, Some(1.0), "x"),
+      (2L, 5.0, None, "y")).toDF("id", "konst", "nullvar", "s")
+    val out = Clean.dropConstantCols(df)
+    assert(out.columns.toSeq == Seq("id", "nullvar", "s"))
+    // strict mode: null-variant counts as constant too
+    val strict = Clean.dropConstantCols(df, keepNullVariants = false)
+    assert(strict.columns.toSeq == Seq("id", "s"))
+  }
+
   test("outlierFlags flags only sigma-rule violations; constant columns never flag") {
     import graft.ops.Preprocess
     val df = ((1 to 99).map(_ => (5.0, 1.0)) :+ (100.0, 1.0)).toDF("v", "const")
