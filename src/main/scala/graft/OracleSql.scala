@@ -918,6 +918,25 @@ object OracleSql {
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q_part_brand" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  round(avg(l_extendedprice / p_retailprice), 6) AS avg_price_ratio
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_part_promo" ->
+      """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y,
+        |       CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS m,
+        |  round(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN
+        |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4)) END) AS DOUBLE) * 100.0 /
+        |        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE), 6) AS economy_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY y, m ORDER BY y, m""".stripMargin,
+
     "q_tpch_q3" ->
       """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
         |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *

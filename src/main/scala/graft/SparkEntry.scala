@@ -860,6 +860,32 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderpriority")),
 
+    // -- part-dimension queries (the one testdata table no query touched) -
+    "q_part_brand" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          round(avg(col("l_extendedprice") / col("p_retailprice")), 6).as("avg_price_ratio"))
+        .orderBy("p_brand")),
+
+    // TPC-H Q14 shape: ECONOMY-type revenue share per ship month —
+    // part join + conditional agg, both sums exact DECIMAL
+    "q_part_promo" -> ((s, dir) => {
+      val disc = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(30,4)")
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+        .agg(round(
+          sum(when(col("p_type") === "ECONOMY", disc)).cast("double") * 100.0 /
+            sum(disc).cast("double"), 6).as("economy_share"),
+          count(lit(1)).as("n"))
+        .orderBy("y", "m")
+    }),
+
     // -- TPC-H Q3 (shipping priority, adapted to the synthetic schema):
     // two selective dimension filters, a two-join star, top-10 by revenue.
     // The date filters reach both scans as PushedFilters; the final top-k
