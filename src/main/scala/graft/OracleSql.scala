@@ -973,6 +973,22 @@ object OracleSql {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_text_zipf" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |ts AS (SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         |       FROM t GROUP BY term),
+         |r AS (SELECT term, occurrences,
+         |        CAST(row_number() OVER (ORDER BY occurrences DESC, term) AS INTEGER) AS rank
+         |      FROM ts)
+         |SELECT rank, term, occurrences, rank * occurrences AS rank_x_freq
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin),
+
+    "q_events_errors" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_events,
+        |  CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+        |  round(CAST(count_if(event_type = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
     "q_text_langdist" ->
       s"""WITH $langGuessCtes
          |SELECT d.lang, lg.lang_guess, count(*) AS n

@@ -946,6 +946,30 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // -- Zipf rank-frequency profile of the corpus vocabulary -------------
+    "q_text_zipf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("occurrences").desc, col("term"))
+      TextAnalysis.termStats(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("term"), col("occurrences"),
+          row_number().over(w).as("rank"))
+        .where(col("rank") <= 50)
+        .select(col("rank"), col("term"), col("occurrences"),
+          // rank × frequency ≈ const under Zipf; emit the product
+          (col("rank") * col("occurrences")).as("rank_x_freq"))
+        .orderBy("rank")
+    }),
+
+    // -- operational error-rate report over the event stream --------------
+    "q_events_errors" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("event_type") === "error").as("n_errors"),
+          round(count_if(col("event_type") === "error").cast("double") /
+            count(lit(1)), 6).as("error_rate"))
+        .orderBy("day")),
+
     // -- language distribution: detector guess vs labeled lang ------------
     "q_text_langdist" -> ((s, dir) =>
       T(s, dir, "documents")
