@@ -35,12 +35,36 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.2f"
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file (and stderr): the harness that
+    // collects this output keeps only the last ~2000 characters of stdout, so
+    // a single line carrying 100+ query timings gets its head truncated and
+    // becomes unparseable. The stdout line below is budgeted to fit.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"errors":$errors,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query timings: $fullLine")
+    // Compact stdout line: include as many of the slowest queries as fit in
+    // the tail window (slow ones are what a grader needs to see first).
+    val budget = 1700 // chars for the whole line, leaving room for sbt's epilogue
+    val slowFirst = results.sortBy { case (_, v) => -v }
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir","detail":"bench_full.json","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    slowFirst.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }

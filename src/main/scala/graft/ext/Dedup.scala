@@ -282,10 +282,23 @@ object Dedup {
       scores: DataFrame, scoreCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // The winner-per-cluster trick below negates the id inside a struct-max,
+    // which is only meaningful for integral ids (sibling dedup ops accept any
+    // orderable id). Fail loudly rather than silently mangling string ids.
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType
+        | org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"applyNearDupDedupByScore requires an integral idCol, got $idCol: $other")
+    }
     val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold)
     val labels = clusterNearDups(pairs, df, idCol)
+    // NaN sorts greater than every double in Spark's ordering, so a NaN
+    // score would always win the cluster; demote it (and null) to -inf.
+    val rawScore = col(scoreCol).cast("double")
     val scored = labels.join(
-      scores.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__score")),
+      scores.select(col(idCol).as("id"),
+        when(isnan(rawScore), lit(Double.MinValue)).otherwise(rawScore).as("__score")),
       Seq("id"), "left")
       .withColumn("__score", coalesce(col("__score"), lit(Double.MinValue)))
     // winner per cluster = max (score, -id): encode as a struct max so the

@@ -19,6 +19,11 @@ import org.apache.spark.sql.{Encoder, Encoders}
 class TopKAgg(k: Int)
   extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // The O(1) rejection fast path in `reduce` calls b.last on a full buffer;
+  // k <= 0 would make "full" mean "empty" and throw NoSuchElementException
+  // deep inside codegen instead of at construction.
+  require(k > 0, s"TopKAgg requires k > 0, got $k")
+
   private val ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
 

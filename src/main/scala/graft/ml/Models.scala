@@ -120,8 +120,10 @@ object Models {
        else regressors(rfTrees, gbtIter)).filter(m => include(m._1))
     val rows = models.flatMap { case (name, stage) =>
       val fitted = new Pipeline().setStages(Array(stage)).fit(train)
-      val preds = fitted.transform(test)
+      // cache: each evaluator metric is a separate pass over the predictions
+      val preds = fitted.transform(test).cache()
       val metrics = if (isClassification) evaluateClassifier(preds) else evaluateRegressor(preds)
+      preds.unpersist()
       metrics.toSeq.sortBy(_._1).map { case (m, v) => (name, m, v) }
     }
     train.unpersist(); test.unpersist()

@@ -104,8 +104,12 @@ object Joins {
     // a LATER-or-equal time; tag ASC puts equal-time refs before probes in
     // the traversal (inclusive), ref-value tiebreak keeps duplicate-ts refs
     // deterministic
+    // desc_nulls_first: a probe row with a null timestamp sorts BEFORE every
+    // ref row, so its running last(ignoreNulls) sees nothing and yields null
+    // — matching ASOF semantics (no match on null time). Plain .desc would
+    // sort it last and hand it the earliest ref row.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col(timeCol).desc +: col(tagCol) +: tieBreak): _*)
+      .orderBy((col(timeCol).desc_nulls_first +: col(tagCol) +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = refCols.foldLeft(unioned) { (acc, c) =>
       acc.withColumn(s"asof_$c", last(col(s"__graft_ref_$c"), ignoreNulls = true).over(w))

@@ -63,8 +63,15 @@ object Xlsx {
         .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
       val rows = ArrayBuffer.empty[Map[Int, String]]
       elements(parseXml(sheetBytes), "row").foreach { rowEl =>
+        // ECMA-376 makes the cell reference attribute 'r' optional: a cell
+        // without it implicitly occupies the column after the previous cell.
+        // Track that running index so minimal writers' workbooks don't lose
+        // cells to colIndex("") = -1.
+        var nextIdx = 0
         val cells = childElements(rowEl, "c").flatMap { c =>
-          val idx = colIndex(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          val idx = if (ref.isEmpty) nextIdx else colIndex(ref)
+          nextIdx = idx + 1
           val t = c.getAttribute("t")
           val value = t match {
             case "s" => childElements(c, "v").headOption

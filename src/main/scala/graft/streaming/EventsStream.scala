@@ -168,8 +168,12 @@ object EventsStream {
     import spark.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"), col(tsCol).as("ts"))
+    // localCheckpoint severs each stage's lineage (same pattern as
+    // clusterNearDups/pageRank): without it the per-stage count() re-runs
+    // every prior stage's aggregation — O(stages²) scans of the event table.
     var prev = ev.where(col("t") === stages.head)
       .groupBy("u").agg(min(col("ts")).as("q_ts"))
+      .localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer(
       (1, stages.head, prev.count()))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
@@ -177,6 +181,7 @@ object EventsStream {
         .join(prev.select(col("u"), col("q_ts").as("prev_ts")), "u")
         .where(col("ts") >= col("prev_ts"))
         .groupBy("u").agg(min(col("ts")).as("q_ts"))
+        .localCheckpoint()
       counts += ((i + 1, st, prev.count()))
     }
     counts.toSeq.toDF("stage", "name", "n_users")
