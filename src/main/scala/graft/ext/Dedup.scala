@@ -337,21 +337,20 @@ object Dedup {
     * signature prefix for LSH-style blocking at scale.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // one conv() turns the first 8 md5 hex chars into the 32-bit token hash
+    // directly — same big-endian value as parsing the 8 hex digits one by
+    // one (bit j of the signature = bit (31-j) of hv), so signatures (and
+    // oracle hashes) are unchanged, but the per-token expression tree is
+    // ~10× smaller and the 32 vote aggregates reduce to shift-and-mask.
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // hex digit d (0..7) → integer value via position lookup
-    val withDigits = (0 until 8).foldLeft(tok) { (acc, d) =>
-      acc.withColumn(s"d$d",
-        (instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)) - 1).cast("int"))
-    }
-    // bit j lives in hex digit j/4 at weight 2^(3 - j%4); vote = 2*bit - 1
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    // vote = 2*bit - 1 where bit j = (hv >> (31-j)) & 1
     val voteAggs = (0 until 32).map { j =>
-      val digit = col(s"d${j / 4}")
-      val bit = floor(digit / math.pow(2, 3 - j % 4)).cast("int") % 2
+      val bit = (shiftright(col("hv"), 31 - j) % 2).cast("int")
       sum(bit * 2 - 1).as(s"v$j")
     }
-    val votes = withDigits.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = tok.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
     val sig = (0 until 32).map { j =>
       when(col(s"v$j") > 0, lit(1L) * (1L << j)).otherwise(0L)
     }.reduce(_ + _)

@@ -38,7 +38,11 @@ object Similarity {
   def bucketExpr(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { j =>
       val plane = typedLit(planeVector(j, dims))
-      when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      // native graft_dot: same left-to-right double accumulation as the
+      // zip_with/aggregate formulation, but runs inside whole-stage codegen
+      // instead of interpreted lambdas — the bucket id is computed per row
+      // at the scan, so this sits on the hot path of every LSH op.
+      when(VectorOps.dotNative(vec, plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Int8 quantization of an embedding column — the storage/bandwidth tier
@@ -142,7 +146,7 @@ object Similarity {
     }.sum
     df.where(bucketExpr(col(vecCol), planes, dims) === lit(qBucket))
       .select(col(idCol).as("id"),
-        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+        round(VectorOps.cosineNative(col(vecCol), typedLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
@@ -163,7 +167,7 @@ object Similarity {
     val probes = qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
     df.where(bucketExpr(col(vecCol), planes, dims).isin(probes: _*))
       .select(col(idCol).as("id"),
-        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+        round(VectorOps.cosineNative(col(vecCol), typedLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
@@ -187,7 +191,7 @@ object Similarity {
     val r = b.select(col("lsh_bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     l.join(r, "lsh_bucket")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos", round(VectorOps.cosineNative(col("v_a"), col("v_b")), 6))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -226,7 +230,7 @@ object Similarity {
     }.sortBy(_._2).take(nProbe).map(_._1).toSeq
     indexed.where(col("ivf_cluster").isin(probeClusters: _*))
       .select(col(idCol).as("id"),
-        round(VectorOps.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+        round(VectorOps.cosineNative(col(vecCol), typedLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
