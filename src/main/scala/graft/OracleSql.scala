@@ -1045,6 +1045,108 @@ object OracleSql {
         |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6) AS kurt_disc,
         |  round(sxy / n - (sx / n) * (sy / n), 6) AS covar_qty_price
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+        |  o_totalprice, CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // DESCRIBE output's column_type, lowercased, matches the engine's
+    // Spark-DataType -> SQL-name mapping (Harmonize.schemaDiff)
+    "q_schema_diff" ->
+      """WITH lc AS (SELECT regexp_replace(column_name, '^[cs]_', '') AS name,
+        |                   lower(column_type) AS t
+        |            FROM (DESCRIBE SELECT * FROM customer)),
+        |     rc AS (SELECT regexp_replace(column_name, '^[cs]_', '') AS name,
+        |                   lower(column_type) AS t
+        |            FROM (DESCRIBE SELECT * FROM supplier))
+        |SELECT coalesce(lc.name, rc.name) AS col_name,
+        |  CASE WHEN lc.name IS NULL THEN 'right_only'
+        |       WHEN rc.name IS NULL THEN 'left_only' ELSE 'both' END AS status,
+        |  lc.t AS type_left, rc.t AS type_right,
+        |  CASE WHEN lc.name IS NULL OR rc.name IS NULL THEN NULL
+        |       ELSE lc.t = rc.t END AS type_match
+        |FROM lc FULL OUTER JOIN rc ON lc.name = rc.name
+        |ORDER BY col_name""".stripMargin,
+
+    // the salted two-level aggregation must equal the plain GROUP BY
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_ignorenulls" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT event_id, user_id,
+        |  lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // lift = (n_ab/B) / ((n_a/U)*(n_b/U)) — same IEEE division/multiply
+    // DAG as TextAnalysis.collocations; totals counted before the cut
+    "q_text_collocations" ->
+      (s"""WITH tk AS (SELECT $toks AS tk FROM documents),
+         |u AS (SELECT unnest(tk) AS term FROM tk),
+         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM u GROUP BY term),
+         |ut AS (SELECT CAST(count(*) AS DOUBLE) AS u_total FROM u),
+         |bg AS (SELECT tk[i] AS term_a, tk[i+1] AS term_b
+         |       FROM tk, unnest(generate_series(1, len(tk)-1)) AS g(i)),
+         |bc AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM bg GROUP BY term_a, term_b),
+         |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b_total FROM bg)
+         |SELECT bc.term_a, bc.term_b, bc.n_ab,
+         |  round((CAST(bc.n_ab AS DOUBLE) / bt.b_total) /
+         |        ((CAST(a.n_term AS DOUBLE) / ut.u_total) *
+         |         (CAST(b.n_term AS DOUBLE) / ut.u_total)), 6) AS lift
+         |FROM bc
+         |JOIN uni a ON bc.term_a = a.term
+         |JOIN uni b ON bc.term_b = b.term, ut, bt
+         |WHERE bc.n_ab >= 5
+         |ORDER BY term_a, term_b""".stripMargin)
   )
 }

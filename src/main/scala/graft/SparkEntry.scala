@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Resample, Sampling}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
 import graft.sources.{Sources, Xlsx}
 import graft.streaming.EventsStream
@@ -1003,6 +1003,122 @@ object SparkEntry {
         round(nth_value(col("value"), 2).over(w), 6).as("second_v"))
         .orderBy("event_id")
     }),
+
+    // -- TPC-H Q4 (adapted: no l_commitdate/l_receiptdate in this synth
+    // schema — "late" = shipped >60 days after the order date). EXISTS
+    // plans as a left-semi hash join with the extra non-equi condition.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -- TPC-H Q10 (returned-item revenue by customer, top 20) ------------
+    "q_tpch_q10" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // -- TPC-H Q18 (large-volume orders: HAVING over a pre-aggregation,
+    // then dimension joins and a top-100 TakeOrdered — no global sort)
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+        .where(col("sum_qty_d") > 220)
+      big.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // -- TPC-H Q19 (adapted: no p_container — disjunctive brand/size/qty
+    // predicate; Catalyst extracts the common l_partkey=p_partkey equi-key
+    // and pushes the residual OR below the join as a part-side filter)
+    "q_tpch_q19" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val p = T(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+           (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+           (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+    }),
+
+    // -- schema-drift report (pre-union integration check) ----------------
+    // customer vs supplier with the table prefix stripped: name/nationkey/
+    // acctbal align, custkey/suppkey/mktsegment don't. Driver-side schema
+    // metadata only — constant cost at any scale.
+    "q_schema_diff" -> ((s, dir) =>
+      Harmonize.schemaDiff(T(s, dir, "customer"), T(s, dir, "supplier"),
+        _.replaceFirst("^[cs]_", ""))),
+
+    // -- skew-safe two-level aggregation ----------------------------------
+    // 3 hot keys (l_returnflag) spread over 16 salts; result is identical
+    // to the plain GROUP BY (that is the oracle), but no reduce task ever
+    // sees a whole key's rows. DECIMAL sums keep it order-independent.
+    "q_skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(T(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_orderkey"), salt = 16, aggs = Seq(
+          (sum(col("l_quantity").cast("decimal(18,2)")), c => sum(c), "sum_qty_d"),
+          (count(lit(1)), c => sum(c), "n_rows"),
+          (max(col("l_extendedprice")), c => max(c), "max_price")))
+        .select(col("l_returnflag"),
+          col("sum_qty_d").cast("double").as("sum_qty"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("max_price"))
+        .orderBy("l_returnflag")),
+
+    // -- ignore-nulls window family (lag/last over a gappy series) --------
+    "q_window_ignorenulls" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val e = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")).as("v"))
+      e.select(col("event_id"), col("user_id"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)).as("filled_v"))
+        .orderBy("event_id")
+    }),
+
+    // -- bigram collocations by lift (exp-PMI; ratio-only => engine-exact)
+    "q_text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(T(s, dir, "documents"), "text", "doc_id",
+        minCount = 5)
+        .orderBy("term_a", "term_b")),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

@@ -233,4 +233,45 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "tfidf")
   }
+
+  /** Bigram collocations scored by LIFT (the exp of PMI): how much more
+    * often two tokens appear adjacent than independence predicts —
+    *   lift = (n_ab / B) / ((n_a / U) * (n_b / U))
+    * with U = total tokens, B = total bigrams (both counted BEFORE the
+    * min-count cut). Lift is a pure ratio of IEEE divisions/multiplies on
+    * exact counts, so unlike ln()-based PMI it is bit-identical across
+    * engines; rank by lift, take ln() downstream if PMI units are wanted.
+    *
+    * Shape: tokens explode once into bigrams (adjacent zip — no shuffle),
+    * ONE groupBy(bigram) for n_ab, one groupBy(term) for the unigram
+    * table joined back twice (vocabulary-sized — broadcast at corpus
+    * scale), and two one-row totals cross-joined in. The min-count filter
+    * cuts the long tail before the joins, so the joined side is small.
+    */
+  def collocations(df: DataFrame, textCol: String, docIdCol: String,
+      minCount: Long): DataFrame = {
+    val tk = df.select(tokens(col(textCol)).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_term"))
+    val uTotal = uni.agg(sum(col("n_term")).cast("double").as("u_total"))
+    val bigrams = tk.select(explode(
+        when(size(col("tk")) < 2, typedLit(Seq.empty[String]))
+          .otherwise(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b)))).as("bigram"))
+    val bCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    val bTotal = bCounts.agg(sum(col("n_ab")).cast("double").as("b_total"))
+    bCounts.where(col("n_ab") >= minCount)
+      .withColumn("term_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("term_b", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("term").as("term_a"), col("n_term").as("n_a"))), "term_a")
+      .join(broadcast(uni.select(col("term").as("term_b"), col("n_term").as("n_b"))), "term_b")
+      .crossJoin(broadcast(uTotal))
+      .crossJoin(broadcast(bTotal))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("b_total")) /
+          ((col("n_a").cast("double") / col("u_total")) *
+            (col("n_b").cast("double") / col("u_total"))), 6).as("lift"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -85,5 +85,46 @@ object Harmonize {
       .withColumn("dist", levenshtein(col("l_val"), col("r_val")))
       .where(col("dist") <= maxDist)
       .select(col("l_val"), col("r_val"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Schema-drift report between two tables — the pre-flight check before
+    * union-by-name integration (ref `DIH.py:20-23` silently null-fills
+    * mismatches; this surfaces them). One row per canonical column name:
+    * status `both`/`left_only`/`right_only`, the SQL type on each side,
+    * and whether the types agree. `canon` normalizes names first (e.g.
+    * strip a per-table prefix) so renamed-but-equivalent columns line up.
+    *
+    * Pure schema metadata — built driver-side from `df.schema`, scans no
+    * data, so it is constant-cost at any corpus size.
+    */
+  def schemaDiff(left: DataFrame, right: DataFrame,
+      canon: String => String = identity): DataFrame = {
+    def typeName(dt: DataType): String = dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case StringType => "varchar"
+      case TimestampType => "timestamp"
+      case ArrayType(e, _) => typeName(e) + "[]"
+      case other => other.sql.toLowerCase
+    }
+    val l = left.schema.fields.map(f => canon(f.name) -> typeName(f.dataType)).toMap
+    val r = right.schema.fields.map(f => canon(f.name) -> typeName(f.dataType)).toMap
+    val rows = (l.keySet ++ r.keySet).toSeq.sorted.map { name =>
+      val (tl, tr) = (l.get(name), r.get(name))
+      val status =
+        if (tl.isEmpty) "right_only" else if (tr.isEmpty) "left_only" else "both"
+      val matches: java.lang.Boolean =
+        if (tl.isEmpty || tr.isEmpty) null else Boolean.box(tl == tr)
+      Row(name, status, tl.orNull, tr.orNull, matches)
+    }
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("type_left", StringType, nullable = true),
+      StructField("type_right", StringType, nullable = true),
+      StructField("type_match", BooleanType, nullable = true)))
+    val spark = left.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

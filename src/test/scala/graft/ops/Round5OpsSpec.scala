@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: schema-drift report, bigram collocations,
+  * ignore-nulls windows via the registered query shapes.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schemaDiff: both/left_only/right_only statuses and type comparison") {
+    val left = Seq((1L, "a", 1.5)).toDF("x_id", "x_name", "x_score")
+    val right = Seq((2, "b", true)).toDF("y_id", "y_name", "y_flag")
+    val diff = Harmonize.schemaDiff(left, right, _.replaceFirst("^[xy]_", ""))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+        if (r.isNullAt(4)) null else Boolean.box(r.getBoolean(4)))).toSeq
+    assert(diff === Seq(
+      ("flag", "right_only", null, "boolean", null),
+      ("id", "both", "bigint", "integer", Boolean.box(false)),
+      ("name", "both", "varchar", "varchar", Boolean.box(true)),
+      ("score", "left_only", "double", null, null)))
+  }
+
+  test("schemaDiff is sorted, constant-size, and scans no data") {
+    // a diff over a wide-but-huge table must not trigger a job on the data
+    val left = spark.range(0).selectExpr("id", "cast(id as double) d")
+    val right = spark.range(0).selectExpr("id", "cast(id as string) d")
+    val rows = Harmonize.schemaDiff(left, right).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("d", "id"))
+    assert(rows.find(_.getString(0) == "d").get.getBoolean(4) === false)
+  }
+
+  test("collocations: lift matches the hand formula on a tiny corpus") {
+    // corpus: "big data" appears twice adjacent, tokens counted exactly
+    val docs = Seq(
+      (1L, "big data big data"),
+      (2L, "big apple"),
+      (3L, "data lake")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // tokens U = 8; bigrams B = 3 + 1 + 1 = 5
+    // "big data": n_ab=2, n_big=3, n_data=3 ->
+    // lift = (2/5) / ((3/8)*(3/8)) = 0.4 / 0.140625 = 2.844444
+    assert(out.toSeq === Seq(("big", "data", 2L, 2.844444)))
+  }
+
+  test("collocations: single-token and empty docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 1)
+    assert(out.count() === 1) // only ("a","b")
+    val r = out.head()
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === ("a", "b", 1L))
+  }
+
+  test("saltedAggregate equals the plain groupBy on skewed keys") {
+    val df = spark.range(10000)
+      .select((col("id") % 3).cast("string").as("k"),
+        (col("id") % 97).cast("double").as("v"))
+    val plain = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAggregate(df, Seq("k"), col("v"), salt = 8,
+      Seq((sum(col("v").cast("decimal(18,2)")), c => sum(c), "s"),
+        (count(lit(1)), c => sum(c), "n")))
+      .select(col("k"), col("s").cast("decimal(18,2)").as("s"), col("n"))
+      .orderBy("k").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))) ===
+      plain.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))))
+  }
+}
