@@ -1147,6 +1147,73 @@ object OracleSql {
          |JOIN uni a ON bc.term_a = a.term
          |JOIN uni b ON bc.term_b = b.term, ut, bt
          |WHERE bc.n_ab >= 5
-         |ORDER BY term_a, term_b""".stripMargin)
+         |ORDER BY term_a, term_b""".stripMargin),
+
+    "q_quality_fk" ->
+      """WITH dirty AS (SELECT CASE WHEN o_orderkey % 11 = 0
+        |    THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'customer.c_nationkey->nation' AS edge, CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM customer WHERE c_nationkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_partkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_dirty.o_custkey->customer', CAST(count(*) AS BIGINT) FROM dirty d
+        |  WHERE d.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = d.o_custkey)
+        |) ORDER BY edge""".stripMargin,
+
+    "q_profile_cols" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |    CAST(count(*) - count(l_partkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |    CAST(count(*) - count(l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |    CAST(count(*) - count(l_shipdate) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax_masked',
+        |    CAST(count(DISTINCT CASE WHEN l_linenumber = 1 THEN NULL ELSE l_tax END) AS BIGINT),
+        |    CAST(count(*) - count(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_tax END) AS BIGINT)
+        |  FROM lineitem
+        |) ORDER BY column_name""".stripMargin,
+
+    // expected/chi2_term spell the identical double DAG as Eda.crosstabChi2
+    "q_e7_crosstab" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS row_total FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS col_total FROM cells GROUP BY b),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS grand FROM cells)
+        |SELECT a, b, n,
+        |  round(CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand, 6) AS expected,
+        |  round((CAST(n AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand)
+        |      * (CAST(n AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand)
+        |      / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand), 6) AS chi2_term
+        |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Reshape, Resample, Sampling, Skew}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
 import graft.sources.{Sources, Xlsx}
 import graft.streaming.EventsStream
@@ -1119,6 +1119,43 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text", "doc_id",
         minCount = 5)
         .orderBy("term_a", "term_b")),
+
+    // -- referential-integrity report (anti-join counts per FK edge) ------
+    // real edges prove the corpus is consistent (0 orphans); the "dirty"
+    // edge deterministically breaks every 11th order's custkey to prove
+    // the check actually counts
+    "q_quality_fk" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val dirty = o.select(
+        when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("o_custkey"))
+      Quality.fkOrphans(Seq(
+        Quality.FkEdge("customer.c_nationkey->nation", T(s, dir, "customer"),
+          "c_nationkey", T(s, dir, "nation"), "n_nationkey"),
+        Quality.FkEdge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          o, "o_orderkey"),
+        Quality.FkEdge("lineitem.l_partkey->part", li, "l_partkey",
+          T(s, dir, "part"), "p_partkey"),
+        Quality.FkEdge("orders.o_custkey->customer", o, "o_custkey",
+          T(s, dir, "customer"), "c_custkey"),
+        Quality.FkEdge("orders_dirty.o_custkey->customer", dirty, "o_custkey",
+          T(s, dir, "customer"), "c_custkey")))
+        .orderBy("edge")
+    }),
+
+    // -- column-profile report (distributed nunique + null counts) --------
+    "q_profile_cols" -> ((s, dir) =>
+      Quality.profile(
+        T(s, dir, "lineitem").withColumn("tax_masked",
+          when(col("l_linenumber") === 1, lit(null)).otherwise(col("l_tax"))),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag", "l_shipdate", "tax_masked"))
+        .orderBy("column_name")),
+
+    // -- E7 chi-square contingency table ----------------------------------
+    "q_e7_crosstab" -> ((s, dir) =>
+      Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

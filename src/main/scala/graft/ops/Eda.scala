@@ -135,4 +135,33 @@ object Eda {
     }.mkString(", ") + ") as (col_a, col_b, r)"
     one.select(expr(stackExpr)).orderBy("col_a", "col_b")
   }
+
+  /** E7 — contingency table with chi-square-of-independence terms: per
+    * (a, b) cell the observed count, the independence expectation
+    * row_total*col_total/grand, and the cell's chi² contribution
+    * (n-e)²/e (sum the column for the statistic; compare against the
+    * chi² distribution with (R-1)(C-1) dof downstream).
+    *
+    * Shape: ONE groupBy(a, b) over the fact table; row/col totals are
+    * re-aggregated from the CELLS (category-cardinality sized, never the
+    * fact table again) and broadcast back; grand total likewise. All
+    * ratios are IEEE double divisions of exact counts — engine-portable.
+    */
+  def crosstabChi2(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("a"), col(b).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("a").agg(sum("n").as("row_total"))
+    val colT = cells.groupBy("b").agg(sum("n").as("col_total"))
+    val grand = cells.agg(sum("n").cast("double").as("grand"))
+    val e = col("row_total").cast("double") * col("col_total").cast("double") /
+      col("grand")
+    cells.join(broadcast(rowT), "a")
+      .join(broadcast(colT), "b")
+      .crossJoin(broadcast(grand))
+      .select(col("a"), col("b"), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n").cast("double") - e) * (col("n").cast("double") - e) / e, 6)
+          .as("chi2_term"))
+      .orderBy("a", "b")
+  }
 }

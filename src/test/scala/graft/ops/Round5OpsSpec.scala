@@ -57,6 +57,35 @@ class Round5OpsSpec extends SparkSpec {
     assert((r.getString(0), r.getString(1), r.getLong(2)) === ("a", "b", 1L))
   }
 
+  test("fkOrphans counts unresolved FKs; null FKs are not orphans") {
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.fkOrphans(Seq(Quality.FkEdge("f->d", fact, "fk", dim, "pk")))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("f->d", 1L)))
+  }
+
+  test("profile: distinct excludes nulls, null count exact") {
+    val df = Seq(Some(1), Some(1), Some(2), None).toDF("x")
+    val out = Quality.profile(df, Seq("x")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("x", 2L, 1L)))
+  }
+
+  test("crosstabChi2: cell terms sum to the textbook chi2 statistic") {
+    // 2x2 table: [[10, 20], [30, 40]] -> chi2 = 100*(10*40-20*30)^2/(30*70*40*60)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val df = rows.toDF("u", "v")
+    val out = Eda.crosstabChi2(df, "u", "v")
+    val chi2 = out.agg(sum("chi2_term")).head().getDouble(0)
+    val expected = 100.0 * math.pow(10 * 40 - 20 * 30, 2) / (30.0 * 70 * 40 * 60)
+    assert(approx(chi2, expected, 1e-4))
+    // expected counts: row_total*col_total/grand, e.g. cell (a,x) = 30*40/100
+    val ax = out.where(col("a") === "a" && col("b") === "x").head()
+    assert(approx(ax.getDouble(3), 12.0))
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
