@@ -1214,6 +1214,19 @@ object OracleSql {
         |      * (CAST(n AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand)
         |      / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand), 6) AS chi2_term
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // CDF over distinct values joined back — same count-ratio DAG as
+    // Preprocess.quantileRank (cume_dist would sort the fact table)
+    "q_p4_quantile_rank" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS fc FROM lineitem GROUP BY v),
+        |c AS (SELECT v, CAST(sum(fc) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM f),
+        |t AS (SELECT CAST(max(cum) AS DOUBLE) AS n FROM c)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(CAST(cum AS DOUBLE) / n, 6) AS l_quantity_qrank
+        |FROM lineitem JOIN c ON CAST(l_quantity AS DOUBLE) = c.v, t
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
   )
 }

@@ -1157,6 +1157,13 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- P4 quantile-rank (empirical-CDF) normalization -------------------
+    "q_p4_quantile_rank" -> ((s, dir) =>
+      Preprocess.quantileRank(
+        T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

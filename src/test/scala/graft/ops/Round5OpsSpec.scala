@@ -86,6 +86,30 @@ class Round5OpsSpec extends SparkSpec {
     assert(approx(ax.getDouble(3), 12.0))
   }
 
+  test("quantileRank: ties share a rank, nulls pass through, max is 1.0") {
+    val df = Seq(Some(10.0), Some(10.0), Some(20.0), Some(40.0), None).toDF("x")
+    val out = Preprocess.quantileRank(df, Seq("x"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+         if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (None, None),
+      (Some(10.0), Some(0.5)), (Some(10.0), Some(0.5)),
+      (Some(20.0), Some(0.75)), (Some(40.0), Some(1.0))))
+  }
+
+  test("quantileRank matches cume_dist on a null-free column") {
+    val df = spark.range(1, 101).select((col("id") % 13).cast("double").as("x"))
+    val viaOp = Preprocess.quantileRank(df, Seq("x"))
+      .groupBy("x").agg(first("x_qrank").as("qr")).orderBy("x")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val viaWindow = df.select(col("x"), cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("x")).as("cd"))
+      .groupBy("x").agg(round(first("cd"), 6).as("cd")).orderBy("x")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(viaOp === viaWindow)
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
