@@ -110,6 +110,32 @@ class Round5OpsSpec extends SparkSpec {
     assert(viaOp === viaWindow)
   }
 
+  test("plan: q_tpch_q19 pushes the OR residual to the part side of a broadcast join") {
+    val q = graft.SparkEntry.queries("q_tpch_q19")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // the brand/size disjunction must filter part BEFORE the join (scan-level
+    // pushdown of the extracted part-only predicate)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("part") && s.contains("PushedFilters")
+      && s.contains("p_brand")), "p_brand predicate not pushed to the part scan")
+  }
+
+  test("plan: q_tpch_q4 EXISTS becomes a left-semi join, no aggregate-side shuffle of lineitem") {
+    val q = graft.SparkEntry.queries("q_tpch_q4")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
+  }
+
+  test("plan: q_p4_quantile_rank windows over distinct values, joins broadcast") {
+    val q = graft.SparkEntry.queries("q_p4_quantile_rank")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the CDF to broadcast back to the fact table:\n$plan")
+    // the Window must sit above an aggregate (distinct values), not the scan
+    assert(plan.contains("Window"), s"expected a window over the CDF:\n$plan")
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
