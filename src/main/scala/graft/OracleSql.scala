@@ -1216,6 +1216,13 @@ object OracleSql {
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
 
+    "q_recode_dict" ->
+      """SELECT CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO'
+        |  WHEN 'HOUSEHOLD' THEN 'HOME' WHEN 'MACHINERY' THEN 'MACH'
+        |  ELSE c_mktsegment END AS c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // CDF over distinct values joined back — same count-ratio DAG as
     // Preprocess.quantileRank (cume_dist would sort the fact table)
     "q_p4_quantile_rank" ->

@@ -1157,6 +1157,15 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- dictionary recode (pandas map/replace; chained codegen'd CASE) ---
+    "q_recode_dict" -> ((s, dir) =>
+      Harmonize.recode(
+        T(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_mktsegment",
+        Seq("AUTOMOBILE" -> "AUTO", "HOUSEHOLD" -> "HOME", "MACHINERY" -> "MACH"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
     // -- P4 quantile-rank (empirical-CDF) normalization -------------------
     "q_p4_quantile_rank" -> ((s, dir) =>
       Preprocess.quantileRank(

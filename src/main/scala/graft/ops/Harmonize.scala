@@ -87,6 +87,24 @@ object Harmonize {
       .select(col("l_val"), col("r_val"), col("dist").cast("int").as("dist"))
   }
 
+  /** Dictionary recode of a categorical column (pandas `Series.map` /
+    * `replace` analog) — the value-level harmonization step after names
+    * and types align (e.g. mapping per-source category spellings onto one
+    * vocabulary). Small dictionaries compile to a chained CASE — pure
+    * scan-local codegen'd projection, no join, no shuffle; for
+    * dictionary tables too big to inline, broadcast-join a mapping table
+    * instead. Unmapped values keep their original (`keepUnmapped=true`,
+    * pandas `replace`) or become null (`false`, pandas `map`).
+    */
+  def recode(df: DataFrame, c: String, mapping: Seq[(String, String)],
+      keepUnmapped: Boolean = true): DataFrame = {
+    val fallback = if (keepUnmapped) col(c) else lit(null)
+    val cased = mapping.foldRight(fallback) { case ((from, to), els) =>
+      when(col(c) === from, lit(to)).otherwise(els)
+    }
+    df.withColumn(c, cased)
+  }
+
   /** Schema-drift report between two tables — the pre-flight check before
     * union-by-name integration (ref `DIH.py:20-23` silently null-fills
     * mismatches; this surfaces them). One row per canonical column name:

@@ -136,6 +136,16 @@ class Round5OpsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window over the CDF:\n$plan")
   }
 
+  test("recode: mapped values translate; keepUnmapped toggles pass-through vs null") {
+    val df = Seq("a", "b", "c").toDF("k")
+    val kept = Harmonize.recode(df, "k", Seq("a" -> "A", "b" -> "B"))
+      .orderBy("k").collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("A", "B", "c"))
+    val mapped = Harmonize.recode(df, "k", Seq("a" -> "A"), keepUnmapped = false)
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(mapped.sortBy(_.getOrElse("")) === Seq(None, None, Some("A")))
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
