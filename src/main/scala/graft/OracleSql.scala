@@ -1216,6 +1216,37 @@ object OracleSql {
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
 
+    // midrank = cum - (freq-1)/2 over the distinct-value CDF, then plain
+    // Pearson corr of the rank columns — identical DAG to Eda.spearmanMatrix
+    "q_e8_spearman" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_discount AS DOUBLE) AS d, CAST(l_tax AS DOUBLE) AS t FROM lineitem),
+        |rq AS (SELECT v, CAST(sum(fc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - (fc - 1) / 2.0 AS r
+        |       FROM (SELECT q AS v, CAST(count(*) AS BIGINT) AS fc FROM base GROUP BY q)),
+        |rd AS (SELECT v, CAST(sum(fc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - (fc - 1) / 2.0 AS r
+        |       FROM (SELECT d AS v, CAST(count(*) AS BIGINT) AS fc FROM base GROUP BY d)),
+        |rt AS (SELECT v, CAST(sum(fc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - (fc - 1) / 2.0 AS r
+        |       FROM (SELECT t AS v, CAST(count(*) AS BIGINT) AS fc FROM base GROUP BY t)),
+        |ranked AS (SELECT rq.r AS l_quantity, rd.r AS l_discount, rt.r AS l_tax
+        |           FROM base JOIN rq ON base.q = rq.v
+        |           JOIN rd ON base.d = rd.v JOIN rt ON base.t = rt.v)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+        |    round(corr(l_quantity, l_discount), 6) AS r FROM ranked
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM ranked
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM ranked
+        |) ORDER BY col_a, col_b""".stripMargin,
+
+    "q_dedup_keepfirst" ->
+      """SELECT o_custkey, o_orderpriority, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+
     "q_recode_dict" ->
       """SELECT CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO'
         |  WHEN 'HOUSEHOLD' THEN 'HOME' WHEN 'MACHINERY' THEN 'MACH'

@@ -1157,6 +1157,20 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- E8 Spearman rank correlation (midrank ties, CDF-ranked) ----------
+    "q_e8_spearman" -> ((s, dir) =>
+      Eda.spearmanMatrix(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"))),
+
+    // -- keep-first dedup (pandas drop_duplicates keep='first') -----------
+    "q_dedup_keepfirst" -> ((s, dir) =>
+      Dedup.keepFirst(T(s, dir, "orders"),
+        Seq("o_custkey", "o_orderpriority"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date"))
+        .orderBy("o_custkey", "o_orderpriority")),
+
     // -- dictionary recode (pandas map/replace; chained codegen'd CASE) ---
     "q_recode_dict" -> ((s, dir) =>
       Harmonize.recode(

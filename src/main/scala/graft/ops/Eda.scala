@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EDA aggregation operators (SURVEY §2.5).
@@ -134,6 +135,32 @@ object Eda {
       s"'$a', '$b', `${a}__${b}`"
     }.mkString(", ") + ") as (col_a, col_b, r)"
     one.select(expr(stackExpr)).orderBy("col_a", "col_b")
+  }
+
+  /** E8 — Spearman rank-correlation matrix: Pearson correlation of the
+    * columns' average ranks (ties get the midrank, the standard
+    * definition). Ranks come from the distinct-value CDF broadcast back
+    * (the [[graft.ops.Preprocess.quantileRank]] shape) — never a
+    * `rank() OVER (ORDER BY col)` corpus sort. Best for bounded-
+    * cardinality columns: a near-unique column's CDF is corpus-sized, at
+    * which point bin first (quantileBucketize) or accept the sort.
+    *
+    * avg rank of value v = cum(v) - (freq(v) - 1)/2.
+    */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val base = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val vcol = s"__v_$c"
+      val freq = base.where(col(c).isNotNull)
+        .groupBy(col(c).as(vcol)).agg(count(lit(1)).as("__f"))
+      val w = Window.orderBy(vcol) // distinct values only
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = freq.select(col(vcol),
+        (sum(col("__f")).over(w) - (col("__f") - 1) / 2.0).as(s"__rank_$c"))
+      acc.join(broadcast(cdf), acc(c) === col(vcol), "left").drop(vcol)
+    }
+    corrMatrix(
+      ranked.select(cols.map(c => col(s"__rank_$c").as(c)): _*), cols)
   }
 
   /** E7 — contingency table with chi-square-of-independence terms: per

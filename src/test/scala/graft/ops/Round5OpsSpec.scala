@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.ext.TextAnalysis
+import graft.ext.{Dedup, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,25 @@ class Round5OpsSpec extends SparkSpec {
     val mapped = Harmonize.recode(df, "k", Seq("a" -> "A"), keepUnmapped = false)
       .collect().map(r => Option(r.getString(0))).toSeq
     assert(mapped.sortBy(_.getOrElse("")) === Seq(None, None, Some("A")))
+  }
+
+  test("spearmanMatrix: monotonic is 1.0; midrank ties match the hand formula") {
+    val mono = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 9.0)).toDF("x", "y")
+    val r1 = Eda.spearmanMatrix(mono, Seq("x", "y")).head().getDouble(2)
+    assert(r1 === 1.0)
+    // x ranks with midrank ties: [1.5, 1.5, 3]; y ranks [1, 3, 2] -> rho = 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("x", "y")
+    val r2 = Eda.spearmanMatrix(tied, Seq("x", "y")).head().getDouble(2)
+    assert(r2 === 0.0)
+  }
+
+  test("keepFirst keeps exactly the first row per key under the given order") {
+    val df = Seq(
+      ("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "z")
+    ).toDF("k", "ord", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq === Seq(("k1", 1, "a"), ("k2", 5, "z")))
   }
 
   test("saltedAggregate equals the plain groupBy on skewed keys") {
