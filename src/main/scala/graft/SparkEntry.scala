@@ -1116,8 +1116,7 @@ object SparkEntry {
 
     // -- bigram collocations by lift (exp-PMI; ratio-only => engine-exact)
     "q_text_collocations" -> ((s, dir) =>
-      TextAnalysis.collocations(T(s, dir, "documents"), "text", "doc_id",
-        minCount = 5)
+      TextAnalysis.collocations(T(s, dir, "documents"), "text", minCount = 5)
         .orderBy("term_a", "term_b")),
 
     // -- referential-integrity report (anti-join counts per FK edge) ------

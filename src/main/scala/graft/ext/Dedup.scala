@@ -36,21 +36,18 @@ object Dedup {
     keyed.join(winners, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
-  /** Word k-shingles of a text column, as a distinct set. */
   /** Keep-first dedup (pandas `drop_duplicates(subset, keep='first')`,
     * made deterministic): one row per `keys` group — the first under
     * `order` (pandas' implicit positional order has no distributed
-    * analogue, so the caller names the tie-break explicitly). Plans as a
-    * partitioned window row_number + filter: one shuffle on the keys, no
-    * global sort.
+    * analogue, so the caller names the tie-break explicitly). Delegates
+    * to [[graft.ops.Joins.topKPerGroup]] with k=1: a partitioned window
+    * row_number + filter — one shuffle on the keys, no global sort.
     */
-  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-  }
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    graft.ops.Joins.topKPerGroup(df, keys, order, k = 1, rankCol = "__rn")
+      .drop("__rn")
 
+  /** Word k-shingles of a text column, as a distinct set. */
   def shingles(text: Column, k: Int): Column =
     shinglesFromTokens(TextAnalysis.tokens(text), k)
 

@@ -242,13 +242,14 @@ object TextAnalysis {
     * exact counts, so unlike ln()-based PMI it is bit-identical across
     * engines; rank by lift, take ln() downstream if PMI units are wanted.
     *
-    * Shape: tokens explode once into bigrams (adjacent zip — no shuffle),
-    * ONE groupBy(bigram) for n_ab, one groupBy(term) for the unigram
-    * table joined back twice (vocabulary-sized — broadcast at corpus
-    * scale), and two one-row totals cross-joined in. The min-count filter
-    * cuts the long tail before the joins, so the joined side is small.
+    * Shape: tokens explode once into bigrams (adjacent zip — no shuffle;
+    * bigrams never cross a row boundary), ONE groupBy(bigram) for n_ab,
+    * one groupBy(term) for the unigram table joined back twice — no
+    * broadcast hint: the surviving-bigram side is minCount-filtered and
+    * small, so AQE broadcasts IT, never the (possibly corpus-vocabulary-
+    * sized) unigram table. The two one-row totals cross-join in.
     */
-  def collocations(df: DataFrame, textCol: String, docIdCol: String,
+  def collocations(df: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
     val tk = df.select(tokens(col(textCol)).as("tk"))
     val uni = tk.select(explode(col("tk")).as("term"))
@@ -265,8 +266,8 @@ object TextAnalysis {
     bCounts.where(col("n_ab") >= minCount)
       .withColumn("term_a", split(col("bigram"), " ").getItem(0))
       .withColumn("term_b", split(col("bigram"), " ").getItem(1))
-      .join(broadcast(uni.select(col("term").as("term_a"), col("n_term").as("n_a"))), "term_a")
-      .join(broadcast(uni.select(col("term").as("term_b"), col("n_term").as("n_b"))), "term_b")
+      .join(uni.select(col("term").as("term_a"), col("n_term").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("n_term").as("n_b")), "term_b")
       .crossJoin(broadcast(uTotal))
       .crossJoin(broadcast(bTotal))
       .select(col("term_a"), col("term_b"), col("n_ab"),

@@ -148,16 +148,20 @@ object Eda {
     * avg rank of value v = cum(v) - (freq(v) - 1)/2.
     */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // complete cases only (listwise deletion): ranks computed over a
+    // per-column non-null set would diverge from Spearman-on-complete-data
+    // the moment one column has nulls the others don't
     val base = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
     val ranked = cols.foldLeft(base) { (acc, c) =>
       val vcol = s"__v_$c"
-      val freq = base.where(col(c).isNotNull)
+      val freq = base
         .groupBy(col(c).as(vcol)).agg(count(lit(1)).as("__f"))
       val w = Window.orderBy(vcol) // distinct values only
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cdf = freq.select(col(vcol),
         (sum(col("__f")).over(w) - (col("__f") - 1) / 2.0).as(s"__rank_$c"))
-      acc.join(broadcast(cdf), acc(c) === col(vcol), "left").drop(vcol)
+      acc.join(broadcast(cdf), acc(c) === col(vcol)).drop(vcol)
     }
     corrMatrix(
       ranked.select(cols.map(c => col(s"__rank_$c").as(c)): _*), cols)

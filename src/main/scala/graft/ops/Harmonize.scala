@@ -125,8 +125,17 @@ object Harmonize {
       case ArrayType(e, _) => typeName(e) + "[]"
       case other => other.sql.toLowerCase
     }
-    val l = left.schema.fields.map(f => canon(f.name) -> typeName(f.dataType)).toMap
-    val r = right.schema.fields.map(f => canon(f.name) -> typeName(f.dataType)).toMap
+    def canonSide(df: DataFrame, side: String): Map[String, String] = {
+      val named = df.schema.fields.map(f => canon(f.name) -> typeName(f.dataType))
+      val dups = named.groupBy(_._1).collect { case (n, fs) if fs.length > 1 => n }
+      // fail loudly: toMap would silently keep one of the colliding columns
+      // and the drift report would hide the other — the opposite of its job
+      require(dups.isEmpty,
+        s"canon maps multiple $side columns to the same name: ${dups.mkString(", ")}")
+      named.toMap
+    }
+    val l = canonSide(left, "left")
+    val r = canonSide(right, "right")
     val rows = (l.keySet ++ r.keySet).toSeq.sorted.map { name =>
       val (tl, tr) = (l.get(name), r.get(name))
       val status =

@@ -17,21 +17,22 @@ object Quality {
       dim: DataFrame, pkCol: String)
 
   /** Referential-integrity report: per edge, how many fact rows have a
-    * foreign key with no match in the dimension (NULL fk counts as an
-    * orphan only if `countNulls`; default false = SQL NOT EXISTS
-    * semantics, where a NULL never matches but also never "exists").
+    * non-null foreign key with no match in the dimension (SQL NOT EXISTS
+    * semantics: a NULL fk never matches but is not an orphan).
     *
     * Each edge is a LEFT ANTI join — at scale the dim side broadcasts
     * when small, otherwise a shuffled hash join keyed on the fk; the
     * output is one row per edge, so the union is plan-level only.
     */
-  def fkOrphans(edges: Seq[FkEdge]): DataFrame =
+  def fkOrphans(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "fkOrphans needs at least one FK edge")
     edges.map { e =>
       e.fact.join(e.dim, e.fact(e.fkCol) === e.dim(e.pkCol), "left_anti")
         .where(e.fact(e.fkCol).isNotNull)
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(e.name).as("edge"), col("n_orphans"))
     }.reduce(_.unionByName(_))
+  }
 
   /** Column-profile report: per column, distinct-value count and null
     * count — the distributed analogue of pandas `nunique()` + `isna().
@@ -44,11 +45,13 @@ object Quality {
     * Expand that replicates every row n times — a non-starter when the
     * fact table is the 100 TB side.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
       df.agg(
         count_distinct(col(c)).as("n_distinct"),
         (count(lit(1)) - count(col(c))).as("n_null"))
         .select(lit(c).as("column_name"), col("n_distinct"), col("n_null"))
     }.reduce(_.unionByName(_))
+  }
 }

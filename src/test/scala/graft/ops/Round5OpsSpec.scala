@@ -41,7 +41,7 @@ class Round5OpsSpec extends SparkSpec {
       (2L, "big apple"),
       (3L, "data lake")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 2)
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     // tokens U = 8; bigrams B = 3 + 1 + 1 = 5
     // "big data": n_ab=2, n_big=3, n_data=3 ->
@@ -51,7 +51,7 @@ class Round5OpsSpec extends SparkSpec {
 
   test("collocations: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
-    val out = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 1)
+    val out = TextAnalysis.collocations(docs, "text", minCount = 1)
     assert(out.count() === 1) // only ("a","b")
     val r = out.head()
     assert((r.getString(0), r.getString(1), r.getLong(2)) === ("a", "b", 1L))
