@@ -1216,6 +1216,19 @@ object OracleSql {
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
 
+    "q_c6_describe_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_extendedprice) AS cnt,
+        |  round(avg(l_extendedprice), 6) AS mean,
+        |  round(stddev_samp(l_extendedprice), 6) AS std,
+        |  round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_v,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_v
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // midrank = cum - (freq-1)/2 over the distinct-value CDF, then plain
     // Pearson corr of the rank columns — identical DAG to Eda.spearmanMatrix
     "q_e8_spearman" ->

@@ -1156,6 +1156,12 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- C6g grouped describe (pandas groupby().describe()) ---------------
+    "q_c6_describe_group" -> ((s, dir) =>
+      Clean.summaryStatsBy(T(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // -- E8 Spearman rank correlation (midrank ties, CDF-ranked) ----------
     "q_e8_spearman" -> ((s, dir) =>
       Eda.spearmanMatrix(T(s, dir, "lineitem"),

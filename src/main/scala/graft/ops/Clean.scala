@@ -200,6 +200,31 @@ object Clean {
       .orderBy("column_name")
   }
 
+  /** C6g — grouped describe (pandas `groupby(keys)[col].describe()`):
+    * count/mean/std/min/quartiles/max of `valueCol` per `keys` group.
+    * Same two-branch shape as [[summaryStats]]: ONE moments aggregate per
+    * group plus the distributed per-key exact-quantile CDF
+    * ([[exactQuantilesBy]]), joined on the keys — both sides are
+    * group-cardinality sized after their aggregates, so the join never
+    * touches fact-table rows.
+    */
+  def summaryStatsBy(df: DataFrame, valueCol: String,
+      keys: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    val moments = df.groupBy(keys.map(col): _*).agg(
+      count(v).as("cnt"),
+      round(avg(v), 6).as("mean"),
+      round(stddev_samp(v), 6).as("std"),
+      round(min(v).cast(DoubleType), 6).as("min_v"),
+      round(max(v).cast(DoubleType), 6).as("max_v"))
+    val quants = exactQuantilesBy(df, valueCol, keys, Seq(0.25, 0.5, 0.75))
+      .select(keys.map(col) :+ round(col("q0"), 6).as("p25")
+        :+ round(col("q1"), 6).as("p50") :+ round(col("q2"), 6).as("p75"): _*)
+    moments.join(quants, keys, "left")
+      .select(keys.map(col) ++ Seq(col("cnt"), col("mean"), col("std"),
+        col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v")): _*)
+  }
+
   /** Exact linear-interpolated quantiles (pandas `quantile` / DuckDB
     * `quantile_cont` semantics: index h = (n-1)p into the sorted multiset,
     * result = x[floor h] + (h - floor h) · (x[ceil h] - x[floor h])) for

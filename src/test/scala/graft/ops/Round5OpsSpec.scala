@@ -165,6 +165,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("k1", 1, "a"), ("k2", 5, "z")))
   }
 
+  test("summaryStatsBy matches per-group pandas describe on a hand corpus") {
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0), ("g2", 10.0))
+      .toDF("g", "v")
+    val out = Clean.summaryStatsBy(df, "v", Seq("g")).orderBy("g").collect()
+    val g1 = out(0)
+    // pandas describe of [1,2,3,4]: mean 2.5, std ~1.290994, q25 1.75, q50 2.5, q75 3.25
+    assert(g1.getLong(1) === 4L)
+    assert(approx(g1.getDouble(2), 2.5))
+    assert(approx(g1.getDouble(3), 1.290994, 1e-6))
+    assert(approx(g1.getDouble(5), 1.75))
+    assert(approx(g1.getDouble(6), 2.5))
+    assert(approx(g1.getDouble(7), 3.25))
+    val g2 = out(1)
+    assert(g2.getLong(1) === 1L && g2.isNullAt(3)) // std of one value = null
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
