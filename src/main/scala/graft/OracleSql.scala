@@ -95,12 +95,12 @@ object OracleSql {
     * candidates → exact Jaccard (`j`). Consumers append their own final
     * SELECT over `j`.
     */
-  private val minhashCtes: String = {
+  private def minhashCtes(src: String = "documents"): String = {
     val p = graft.ext.Dedup.MinhashP
     val params = graft.ext.Dedup.hashParams(16)
     val aList = params.map(_._1).mkString("[", ", ", "]")
     val bList = params.map(_._2).mkString("[", ", ", "]")
-    s"""toksrc AS (SELECT doc_id, $toks AS tk FROM documents),
+    s"""toksrc AS (SELECT doc_id, $toks AS tk FROM $src),
        |tk2 AS (SELECT * FROM toksrc WHERE len(tk) >= 3),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
        |       FROM tk2),
@@ -472,7 +472,7 @@ object OracleSql {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_cluster" ->
@@ -480,7 +480,7 @@ object OracleSql {
       // via a recursive CTE (self-edges make singletons reachable), then
       // label = min reachable id — the same fixpoint the Spark min-label
       // propagation converges to.
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
@@ -523,7 +523,7 @@ object OracleSql {
         |FROM q ORDER BY id, pos""".stripMargin,
 
     "q_dedup_apply" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
@@ -1215,6 +1215,34 @@ object OracleSql {
         |      / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / grand), 6) AS chi2_term
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
+
+    // quality predicates filter on the ROUNDED metrics (same as
+    // TextAnalysis.qualityFilter -> qualityMetrics), then the fingerprint
+    // keep-min-id dedup, then the shared minhash CTE chain over `curated`
+    "q_curation_pipeline" ->
+      (s"""WITH RECURSIVE
+         |qm AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |q AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) END AS mean_token_len,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) END AS non_alnum_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) END AS distinct_token_ratio
+         |  FROM qm)
+         |  WHERE n_tokens >= 5 AND non_alnum_ratio <= 0.4
+         |    AND distinct_token_ratio >= 0.3 AND mean_token_len >= 2.0),
+         |fpt AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM q),
+         |keepfp AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY f),
+         |curated AS (SELECT fpt.doc_id, fpt.text FROM fpt JOIN keepfp USING (doc_id)),
+         |${minhashCtes("curated")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM curated),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin),
 
     "q_c6_describe_group" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1156,6 +1156,20 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- end-to-end curation pipeline (the LLM-data north-star composite):
+    // quality filter -> exact (fingerprint) dedup -> MinHash-LSH near-dup
+    // dedup, emitting the kept doc ids. Each stage only shrinks the data,
+    // and the expensive LSH stage runs on the already-curated remnant.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val q = TextAnalysis.qualityFilter(docs, "text",
+        minTokens = 5, maxNonAlnumRatio = 0.4,
+        minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
+      val exact = Dedup.exactCanonical(q, "text", "doc_id")
+      Dedup.applyNearDupDedup(exact, "text", "doc_id", threshold = 0.25)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // -- C6g grouped describe (pandas groupby().describe()) ---------------
     "q_c6_describe_group" -> ((s, dir) =>
       Clean.summaryStatsBy(T(s, dir, "lineitem"), "l_extendedprice",
