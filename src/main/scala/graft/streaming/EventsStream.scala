@@ -208,6 +208,16 @@ object EventsStream {
         col("value").as("purchase_value"))
   }
 
+  /** Stream-static enrichment join: attach a small, slowly-changing
+    * dimension to the event stream (the reference-data pattern). The
+    * static side is re-planned per micro-batch and broadcast, so the
+    * stream side never shuffles; inner equi-joins need no watermark and
+    * keep no state.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Streaming exact dedup with a watermark: state holds only ids newer
     * than the watermark, so memory is bounded by (arrival rate x
     * watermark), not by corpus size — the streaming face of Dedup.exact.

@@ -165,4 +165,49 @@ class EventsStreamSpec extends SparkSpec {
     val total = out.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
     assert(total == events.count())
   }
+
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = EventsStream.enrichWithDim(
+        spark.readStream.schema(schema).parquet(tmp), dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched").orderBy("event_id").collect().toSeq
+    val batch = EventsStream.enrichWithDim(events, dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment").orderBy("event_id").collect().toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("watermark drops events later than the delay (append-mode window agg)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF.toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum(col("v")).as("s"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((t(0), 1L), (t(5), 2L))
+    q.processAllAvailable()
+    mem.addData((t(40), 10L)) // watermark -> 10:30, closes [10:00, 10:10)
+    q.processAllAvailable()
+    mem.addData((t(1), 100L)) // later than the watermark: must be dropped
+    q.processAllAvailable()
+    q.stop()
+    val sums = spark.table("late_drop").select("s").collect().map(_.getLong(0)).toSet
+    assert(sums.contains(3L), s"expected the closed window sum 3 in $sums")
+    assert(!sums.contains(103L) && !sums.contains(100L),
+      s"late event leaked into $sums")
+  }
 }
