@@ -1216,6 +1216,62 @@ object OracleSql {
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
 
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN ns.n_name = 'NATION_5'
+        |      THEN CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))
+        |      ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |JOIN region ON nc.n_regionkey = r_regionkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
     // quality predicates filter on the ROUNDED metrics (same as
     // TextAnalysis.qualityFilter -> qualityMetrics), then the fingerprint
     // keep-min-id dedup, then the shared minhash CTE chain over `curated`

@@ -1156,6 +1156,88 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- TPC-H Q7 (bi-national shipping volume by year; the two nation
+    // dimensions broadcast; synth names NATION_3/NATION_7)
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = T(s, dir, "nation").select(col("n_nationkey").as("nk1"),
+        col("n_name").as("supp_nation"))
+      val n2 = T(s, dir, "nation").select(col("n_nationkey").as("nk2"),
+        col("n_name").as("cust_nation"))
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // -- TPC-H Q8 (market share of one supplier nation within a region for
+    // one part type; conditional/total DECIMAL sums, ratio in double)
+    "q_tpch_q8" -> ((s, dir) => {
+      val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(30,4)")
+      val nCust = T(s, dir, "nation").select(col("n_nationkey").as("cnk"),
+        col("n_regionkey"))
+      val nSupp = T(s, dir, "nation").select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cnk"))
+        .join(broadcast(T(s, dir, "region")).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(30,4)"))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // -- TPC-H Q13 (customer order-count distribution via left join) ------
+    "q_tpch_q13" -> ((s, dir) => {
+      val perCust = T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- TPC-H Q15 (top supplier by quarterly revenue; scalar-max filter
+    // via a broadcast one-row aggregate, DECIMAL-exact equality)
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .where(col("total_rev") === col("max_rev"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // -- end-to-end curation pipeline (the LLM-data north-star composite):
     // quality filter -> exact (fingerprint) dedup -> MinHash-LSH near-dup
     // dedup, emitting the kept doc ids. Each stage only shrinks the data,
