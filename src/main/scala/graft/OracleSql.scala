@@ -1174,6 +1174,40 @@ object OracleSql {
         |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = d.o_custkey)
         |) ORDER BY edge""".stripMargin,
 
+    // per-column CTE triplet: value counts -> (n_distinct, total, sum n²)
+    // + deterministic mode (count desc, value desc = Spark's struct max)
+    "q_profile_categorical" -> {
+      def block(tbl: String, c: String): String =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT $c FROM $tbl WHERE $c IS NOT NULL GROUP BY $c)) AS n_distinct,
+           |  (SELECT round(1.0 - CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6)
+           |   FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM $tbl WHERE $c IS NOT NULL GROUP BY $c)) AS gini,
+           |  (SELECT CAST($c AS VARCHAR) FROM $tbl WHERE $c IS NOT NULL GROUP BY $c
+           |   ORDER BY count(*) DESC, CAST($c AS VARCHAR) DESC LIMIT 1) AS top_value,
+           |  (SELECT round(CAST(max_n AS DOUBLE) / CAST(tot AS DOUBLE), 6) FROM
+           |    (SELECT max(n) AS max_n, sum(n) AS tot FROM
+           |      (SELECT count(*) AS n FROM $tbl WHERE $c IS NOT NULL GROUP BY $c))) AS top_share""".stripMargin
+      Seq(block("lineitem", "l_returnflag"), block("lineitem", "l_linestatus"),
+        block("orders", "o_orderpriority"), block("orders", "o_orderstatus"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    },
+
+    // same power-of-ten CASE ladder as Quality.benfordProfile — identical
+    // IEEE comparisons/divisions, no log10 (libm last-ulp divergence)
+    "q_profile_benford" -> {
+      val ladder = Seq("1e15", "1e14", "1e13", "1e12", "1e11", "1e10", "1e9",
+        "1e8", "1e7", "1e6", "1e5", "1e4", "1e3", "1e2", "1e1", "1e0")
+      val cases = ladder.map(p =>
+        s"WHEN v >= $p THEN CAST(floor(v / $p) AS INTEGER)").mkString(" ")
+      s"""WITH vals AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
+         |              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |d AS (SELECT CASE $cases END AS digit FROM vals WHERE v >= 1.0),
+         |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+         |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+         |FROM c, t ORDER BY digit""".stripMargin
+    },
+
     "q_profile_cols" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS column_name,

@@ -1143,6 +1143,18 @@ object SparkEntry {
         .orderBy("edge")
     }),
 
+    // -- categorical profile (distinct, Gini impurity, modal value/share) -
+    "q_profile_categorical" -> ((s, dir) =>
+      Quality.categoricalProfile(T(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"))
+        .unionByName(Quality.categoricalProfile(T(s, dir, "orders"),
+          Seq("o_orderpriority", "o_orderstatus")))
+        .orderBy("column_name")),
+
+    // -- Benford first-digit profile (fraud/quality screen) ---------------
+    "q_profile_benford" -> ((s, dir) =>
+      Quality.benfordProfile(T(s, dir, "lineitem"), "l_extendedprice")),
+
     // -- column-profile report (distributed nunique + null counts) --------
     "q_profile_cols" -> ((s, dir) =>
       Quality.profile(

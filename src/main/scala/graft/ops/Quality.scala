@@ -34,6 +34,69 @@ object Quality {
     }.reduce(_.unionByName(_))
   }
 
+  /** Categorical-column profile: per column, distinct count, Gini
+    * impurity 1 - Σ p², and the modal value with its share. Gini (not
+    * entropy) deliberately: it is pure ratio arithmetic on exact counts,
+    * so it hash-matches across engines where Σ p·ln p would differ in
+    * libm ulps.
+    *
+    * One groupBy per column (column-pruned scan, map-side combinable);
+    * the per-value table is category-cardinality sized, and everything
+    * after it is a tiny re-aggregation.
+    */
+  def categoricalProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "categoricalProfile needs at least one column")
+    cols.map { c =>
+      val counts = df.where(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("n"))
+      counts.agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("n")).as("total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max(struct(col("n"), col("v").as("value"))).as("top"))
+        .select(lit(c).as("column_name"),
+          col("n_distinct"),
+          round(lit(1.0) - col("sum_sq").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")), 6).as("gini"),
+          col("top.value").as("top_value"),
+          round(col("top.n").cast("double") / col("total").cast("double"), 6).as("top_share"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Benford first-significant-digit profile of a numeric column with
+    * |value| ≥ 1 — the classic fabricated-data screen. Emits observed
+    * counts and shares per digit 1-9 (compare against log10(1+1/d)
+    * downstream; the expected curve is a constant table, not computed
+    * here, keeping the output pure exact-count ratios).
+    *
+    * First digit via a power-of-ten CASE ladder, floor(v/p) for the
+    * largest decimal literal p ≤ v: every branch is one IEEE comparison
+    * + division + floor of identical double constants, so it is
+    * engine-exact where floor(v/10^floor(log10 v)) is not (log10 differs
+    * in the last ulp across libm implementations). Values in (0, 1) are
+    * excluded by the ladder's v ≥ 1 floor — extend with negative-power
+    * literals if a sub-1 domain needs screening.
+    */
+  def benfordProfile(df: DataFrame, c: String): DataFrame = {
+    val v = abs(col(c).cast("double"))
+    val ladder = Seq(1e15, 1e14, 1e13, 1e12, 1e11, 1e10, 1e9, 1e8, 1e7,
+      1e6, 1e5, 1e4, 1e3, 1e2, 1e1, 1e0)
+    // foldRight nests smallest-power checks innermost, so the evaluated
+    // CASE tests v >= 1e15 first and takes the LARGEST power <= v
+    val firstDigit = ladder.map(p => (p, floor(v / lit(p)).cast("int")))
+      .foldRight(lit(null).cast("int")) { case ((p, d), els) =>
+        when(v >= lit(p), d).otherwise(els)
+      }
+    val counts = df.where(col(c).isNotNull && v >= 1.0)
+      .select(firstDigit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy("digit")
+  }
+
   /** Column-profile report: per column, distinct-value count and null
     * count — the distributed analogue of pandas `nunique()` + `isna().
     * sum()` that a schema-drift review reads next to [[Harmonize.

@@ -181,6 +181,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(g2.getLong(1) === 1L && g2.isNullAt(3)) // std of one value = null
   }
 
+  test("categoricalProfile: gini and modal share match hand counts") {
+    // values: a,a,a,b -> p = (3/4, 1/4), gini = 1 - (9+1)/16 = 0.375
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val r = Quality.categoricalProfile(df, Seq("k")).head()
+    assert(r.getString(0) === "k" && r.getLong(1) === 2L)
+    assert(approx(r.getDouble(2), 0.375))
+    assert(r.getString(3) === "a" && approx(r.getDouble(4), 0.75))
+  }
+
+  test("benfordProfile: ladder extracts the first significant digit") {
+    val df = Seq(1.0, 19.5, 250.0, 2.0, 999999.0, 0.5, 9.99).toDF("x")
+    val out = Quality.benfordProfile(df, "x")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // 0.5 excluded (< 1); digits: 1,1,2,2,9,9 -> {1:2, 2:2, 9:2}
+    assert(out === Map(1 -> 2L, 2 -> 2L, 9 -> 2L))
+  }
+
   test("saltedAggregate equals the plain groupBy on skewed keys") {
     val df = spark.range(10000)
       .select((col("id") % 3).cast("string").as("k"),
