@@ -1250,6 +1250,19 @@ object OracleSql {
         |FROM cells JOIN rt USING (a) JOIN ct USING (b), g
         |ORDER BY a, b""".stripMargin,
 
+    "q_events_transitions" ->
+      """WITH l AS (SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |trans AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |          FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM trans GROUP BY 1)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE), 6) AS share
+        |FROM trans JOIN rt USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,

@@ -498,6 +498,12 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "price_w", "qty_w")
     }),
 
+    // -- per-user event transition matrix (first-order Markov counts) -----
+    "q_events_transitions" -> ((s, dir) =>
+      EventsStream.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
+        "event_type")
+        .orderBy("prev_type", "next_type")),
+
     // -- funnel analysis over the event stream ----------------------------
     "q_events_funnel" -> ((s, dir) =>
       EventsStream.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",

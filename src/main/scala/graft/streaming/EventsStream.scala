@@ -208,6 +208,30 @@ object EventsStream {
         col("value").as("purchase_value"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov counts):
+    * (prev_type -> type) occurrence counts plus each transition's share
+    * of its source state's outgoing edges. One partitioned window (lag
+    * per user — the sessionize shuffle shape) + one count aggregate;
+    * row totals re-aggregated from the transition cells (state-space
+    * sized) and broadcast back, so shares cost no second pass over the
+    * events.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, "event_id")
+    val trans = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = trans.groupBy("prev_type").agg(sum("n").as("row_total"))
+    trans.join(broadcast(rowTotals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("row_total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Stream-static enrichment join: attach a small, slowly-changing
     * dimension to the event stream (the reference-data pattern). The
     * static side is re-planned per micro-batch and broadcast, so the
