@@ -248,12 +248,15 @@ object Clean {
   /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
     * per distinct `keyCols` group. Output: keyCols + q0..q{k-1}.
     *
-    * The per-key window runs over DISTINCT values only, so its size is the
-    * value cardinality, not the row count — and it spills if a continuous
-    * column's cardinality still outgrows a task. For truly continuous data
-    * at corpus scale, where even the distinct set is huge, use the t-digest
-    * tier ([[graft.ops.Eda.boxStatsApprox]]) — exactness there costs a
-    * global sort no matter the algorithm.
+    * The CDF (value → cumulative count) is a DISTRIBUTED prefix sum, not a
+    * per-key window: the distinct-value table is range-partitioned on
+    * (keys, value), each range partition cumsums locally in parallel, and
+    * per-partition offsets (one row per partition — hundreds, not
+    * millions) are prefix-summed and broadcast back. A near-unique
+    * continuous column therefore never funnels its whole distinct set
+    * through one window task — the previous formulation's scale ceiling.
+    * The resulting cumulative counts are independent of where the range
+    * boundaries fall, so results (and oracle hashes) are unchanged.
     */
   def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
       probs: Seq[Double]): DataFrame = {
@@ -262,9 +265,28 @@ object Clean {
       .select(keyCols.map(col) :+ v.as("__val"): _*)
     val vc = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("__val")
+    // range-partition the distinct values and stamp the partition id; ONE
+    // exchange feeds both the offset aggregation and the local cumsum
+    // (ReuseExchange dedupes the identical repartitionByRange subplans)
+    val ranged = vc
+      .repartitionByRange((keyCols :+ "__val").map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
+      .agg(sum(col("__c")).as("__pt"))
+    // prefix offsets over partition ids: <= numShufflePartitions rows per
+    // key — a tiny window, broadcast back to the value table
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pidTotals
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
+    val wLocal = Window.partitionBy((keyCols :+ "__pid").map(col): _*)
+      .orderBy("__val")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = vc.withColumn("__cum", sum(col("__c")).over(w))
+    val cdf = ranged
+      .withColumn("__lcum", sum(col("__c")).over(wLocal))
+      .join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn("__cum", col("__lcum") + col("__off"))
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
     val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
     val withN = cdf.join(broadcast(totals), keyCols)
