@@ -245,36 +245,32 @@ object Clean {
     exactQuantilesBy(df.select(expr(stackExpr)), "value", Seq("column_name"), probs)
   }
 
-  /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
-    * per distinct `keyCols` group. Output: keyCols + q0..q{k-1}.
+  /** Distributed value-frequency CDF: one row per (keys, distinct value)
+    * with its count `__c` and cumulative count `__cum` (ranks covered:
+    * (__cum - __c, __cum]). The primitive under exact quantiles,
+    * quantile-rank normalization, and Spearman midranks.
     *
-    * The CDF (value → cumulative count) is a DISTRIBUTED prefix sum, not a
-    * per-key window: the distinct-value table is range-partitioned on
-    * (keys, value), each range partition cumsums locally in parallel, and
-    * per-partition offsets (one row per partition — hundreds, not
-    * millions) are prefix-summed and broadcast back. A near-unique
-    * continuous column therefore never funnels its whole distinct set
-    * through one window task — the previous formulation's scale ceiling.
-    * The resulting cumulative counts are independent of where the range
-    * boundaries fall, so results (and oracle hashes) are unchanged.
+    * Shape: groupBy counts (the only fact-table shuffle, map-side
+    * combined) → range-partition (keys, value) → per-partition local
+    * cumsum in PARALLEL windows → per-partition totals (rows = partition
+    * count) prefix-summed and broadcast back as offsets. No single-task
+    * window even when one key's distinct set is corpus-sized; cumulative
+    * counts are independent of where the range boundaries fall, so
+    * results are engine/partitioning-portable.
     */
-  def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
-      probs: Seq[Double]): DataFrame = {
+  def valueCdf(df: DataFrame, valueCol: String, keyCols: Seq[String]): DataFrame = {
     val v = col(valueCol).cast(DoubleType)
     val keyed = df.where(v.isNotNull)
       .select(keyCols.map(col) :+ v.as("__val"): _*)
     val vc = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
       .agg(count(lit(1)).as("__c"))
-    // range-partition the distinct values and stamp the partition id; ONE
-    // exchange feeds both the offset aggregation and the local cumsum
+    // ONE exchange feeds both the offset aggregation and the local cumsum
     // (ReuseExchange dedupes the identical repartitionByRange subplans)
     val ranged = vc
       .repartitionByRange((keyCols :+ "__val").map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col("__c")).as("__pt"))
-    // prefix offsets over partition ids: <= numShufflePartitions rows per
-    // key — a tiny window, broadcast back to the value table
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = pidTotals
@@ -283,10 +279,23 @@ object Clean {
     val wLocal = Window.partitionBy((keyCols :+ "__pid").map(col): _*)
       .orderBy("__val")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = ranged
+    ranged
       .withColumn("__lcum", sum(col("__c")).over(wLocal))
       .join(broadcast(offsets), keyCols :+ "__pid")
       .withColumn("__cum", col("__lcum") + col("__off"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
+  /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
+    * per distinct `keyCols` group, on the [[valueCdf]] distributed prefix
+    * sum. Output: keyCols + q0..q{k-1}. Each target rank j = (n-1)p is
+    * located in the one CDF run (__lo, __cum] that contains it via a
+    * conditional aggregate — nothing buffers a column, or even its
+    * distinct set, in one task.
+    */
+  def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val cdf = valueCdf(df, valueCol, keyCols)
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
     val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
     val withN = cdf.join(broadcast(totals), keyCols)

@@ -155,12 +155,10 @@ object Eda {
       .na.drop(cols)
     val ranked = cols.foldLeft(base) { (acc, c) =>
       val vcol = s"__v_$c"
-      val freq = base
-        .groupBy(col(c).as(vcol)).agg(count(lit(1)).as("__f"))
-      val w = Window.orderBy(vcol) // distinct values only
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = freq.select(col(vcol),
-        (sum(col("__f")).over(w) - (col("__f") - 1) / 2.0).as(s"__rank_$c"))
+      // distributed CDF (Clean.valueCdf) — midrank = cum - (freq-1)/2
+      val cdf = Clean.valueCdf(base.select(col(c).as(vcol)), vcol, Nil)
+        .select(col("__val").as(vcol),
+          (col("__cum") - (col("__c") - 1) / 2.0).as(s"__rank_$c"))
       acc.join(broadcast(cdf), acc(c) === col(vcol)).drop(vcol)
     }
     corrMatrix(

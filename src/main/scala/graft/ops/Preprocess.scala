@@ -168,22 +168,19 @@ object Preprocess {
     *
     * Scale shape: the naive spelling — `cume_dist() OVER (ORDER BY v)` —
     * is an unpartitioned window, i.e. a single-task sort of the corpus.
-    * Instead the CDF is built over the DISTINCT values (groupBy value +
-    * running sum over the value table, distinct-cardinality sized, the
-    * [[Clean.exactQuantilesBy]] pattern) and broadcast-joined back, so
-    * the fact table is never sorted. The ratio is one IEEE division of
-    * exact counts — engine-portable.
+    * Instead the CDF comes from [[Clean.valueCdf]] (distributed range-
+    * partitioned prefix sum over the distinct values — parallel even for
+    * near-unique columns) and is broadcast-joined back, so the fact
+    * table is never sorted. The ratio is one IEEE division of exact
+    * counts — engine-portable.
     */
   def quantileRank(df: DataFrame, cols: Seq[String],
       suffix: String = "_qrank"): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
       val vcol = s"__v_$c"
-      val freq = df.where(col(c).isNotNull)
-        .groupBy(col(c).cast("double").as(vcol))
-        .agg(count(lit(1)).as("__f"))
-      val w = Window.orderBy(vcol) // distinct values only — never the corpus
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = freq.select(col(vcol), sum(col("__f")).over(w).as("__cum"))
+      val cdf = Clean.valueCdf(df.select(col(c).cast("double").as(vcol)),
+          vcol, Nil)
+        .select(col("__val").as(vcol), col("__cum"))
       val tot = cdf.agg(max(col("__cum")).cast("double").as("__n"))
       acc.join(broadcast(cdf.crossJoin(tot)),
           acc(c).cast("double") === col(vcol), "left")
