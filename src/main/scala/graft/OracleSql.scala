@@ -1409,6 +1409,140 @@ object OracleSql {
         |SELECT l_orderkey, l_linenumber, l_quantity,
         |  round(CAST(cum AS DOUBLE) / n, 6) AS l_quantity_qrank
         |FROM lineitem JOIN c ON CAST(l_quantity AS DOUBLE) = c.v, t
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // C7 imputation: per-user rounded mean fill + global exact-median fill
+    // over the same deterministically-injected nulls as q_c3/q_c4
+    "q_c7_impute" ->
+      """WITH base AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events),
+        |mu AS (SELECT user_id, round(avg(v), 6) AS m FROM base GROUP BY user_id),
+        |med AS (SELECT round(quantile_cont(v, 0.5), 6) AS md FROM base)
+        |SELECT event_id, round(coalesce(v, m), 6) AS v_mean_fill,
+        |  round(coalesce(v, md), 6) AS v_med_fill
+        |FROM base JOIN mu USING (user_id) CROSS JOIN med
+        |ORDER BY event_id""".stripMargin,
+
+    // P5 one-hot: indicator column per distinct value, get_dummies order
+    "q_p5_onehot" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS o_orderpriority_1_URGENT,
+        |  CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS BIGINT) AS o_orderpriority_2_HIGH,
+        |  CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS BIGINT) AS o_orderpriority_3_MEDIUM,
+        |  CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS BIGINT) AS o_orderpriority_4_NOT_SPECIFIED,
+        |  CAST(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS BIGINT) AS o_orderpriority_5_LOW
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_p6_minmax" ->
+      """WITH st AS (SELECT min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+        |    min(l_extendedprice) AS lo_e, max(l_extendedprice) AS hi_e FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity - lo_q) / (hi_q - lo_q), 6) AS qty_mm,
+        |  round((l_extendedprice - lo_e) / (hi_e - lo_e), 6) AS price_mm
+        |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // P7 robust scale: quartiles rounded to 6 BEFORE the per-row
+    // arithmetic, mirroring Preprocess.robustScale's driver-side rounding
+    "q_p7_robust" ->
+      """WITH st AS (SELECT
+        |    round(quantile_cont(l_quantity, 0.25), 6) AS q1_q,
+        |    round(quantile_cont(l_quantity, 0.5), 6) AS m_q,
+        |    round(quantile_cont(l_quantity, 0.75), 6) AS q3_q,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS q1_e,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS m_e,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS q3_e
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity - m_q) / (q3_q - q1_q), 6) AS qty_rb,
+        |  round((l_extendedprice - m_e) / (q3_e - q1_e), 6) AS price_rb
+        |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // MAD modified z-score flags: both medians rounded to 6 before the
+    // per-row test (Preprocess.outlierFlagsMad's driver-side rounding)
+    "q_outlier_mad" ->
+      """WITH m AS (SELECT round(quantile_cont(l_quantity, 0.5), 6) AS mq,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS me FROM lineitem),
+        |a AS (SELECT round(quantile_cont(abs(l_quantity - mq), 0.5), 6) AS madq,
+        |    round(quantile_cont(abs(l_extendedprice - me), 0.5), 6) AS made
+        |  FROM lineitem, m)
+        |SELECT l_orderkey, l_linenumber,
+        |  (abs(0.6745 * (l_quantity - mq) / madq) > 3.5) AS qty_mad_out,
+        |  (abs(0.6745 * (l_extendedprice - me) / made) > 3.5) AS price_mad_out
+        |FROM lineitem, m, a
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // rolling 7-row median/mean; median = quantile_cont's lo + 0.5*(hi-lo)
+    "q_window_rollmed" ->
+      """SELECT event_id, event_type,
+        |  round(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med,
+        |  round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_events_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, max(len) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_heatmap" ->
+      """SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+
+    // SCD2: collapse consecutive repeats per user, emit validity intervals
+    "q_scd2_history" ->
+      """WITH w AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |t AS (SELECT user_id, event_type, ts, event_id FROM w
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+        |  epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS vt,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM t ORDER BY user_id, vf, vt NULLS FIRST, event_type""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // per-part mean from a DECIMAL-exact sum; threshold rounded identically
+    "q_tpch_q17" ->
+      """WITH f AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'),
+        |a AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS avg_qty FROM f GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM f JOIN a USING (l_partkey)
+        |WHERE l_quantity < round(0.2 * avg_qty, 6)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS ab FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab AND NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |     AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin
   )
 }

@@ -7,6 +7,7 @@ import graft.pipeline.Pipeline
 import graft.sources.{Sources, Xlsx}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1305,6 +1306,170 @@ object SparkEntry {
         T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         Seq("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // -- C7 imputation: per-group mean fill + global median fill ----------
+    // nulls injected deterministically (events.value has none in testdata),
+    // same convention as q_c3/q_c4
+    "q_c7_impute" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      val meanFill = Clean.imputeMeanBy(ev, "v", Seq("user_id"), roundStats = 6)
+        .select(col("event_id"), round(col("v"), 6).as("v_mean_fill"))
+      val medFill = Clean.imputeMedian(ev, Seq("v"))
+        .select(col("event_id").as("__eid"), round(col("v"), 6).as("v_med_fill"))
+      meanFill.join(medFill, col("event_id") === col("__eid"))
+        .drop("__eid").orderBy("event_id")
+    }),
+
+    // -- P5 one-hot encoding (pandas get_dummies) -------------------------
+    "q_p5_onehot" -> ((s, dir) =>
+      Preprocess.oneHot(
+        T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // -- P6 min-max scaling (sklearn MinMaxScaler) ------------------------
+    "q_p6_minmax" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty_mm"), col("l_extendedprice").as("price_mm"))
+      Preprocess.minMaxScale(li, Seq("qty_mm", "price_mm"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty_mm"), 6).as("qty_mm"),
+          round(col("price_mm"), 6).as("price_mm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -- P7 robust scaling ((x - median) / IQR, exact CDF quantiles) ------
+    "q_p7_robust" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty_rb"), col("l_extendedprice").as("price_rb"))
+      Preprocess.robustScale(li, Seq("qty_rb", "price_rb"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty_rb"), 6).as("qty_rb"),
+          round(col("price_rb"), 6).as("price_rb"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -- MAD (modified z-score) outlier flags, robust outlierFlags twin ---
+    "q_outlier_mad" -> ((s, dir) =>
+      Preprocess.outlierFlagsMad(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), k = 3.5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_mad_outlier").as("qty_mad_out"),
+          col("l_extendedprice_mad_outlier").as("price_mad_out"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // -- rolling median + mean over a bounded 7-row trailing frame --------
+    // (pandas rolling(7).median()/mean() analog; the frame buffer is
+    // bounded so the per-row cost is O(frame), partitioned by event_type —
+    // no global sort). Median mirrors quantile_cont's lo + 0.5*(hi - lo).
+    "q_window_rollmed" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      val arr = array_sort(collect_list(col("value")).over(w))
+      val n = size(arr)
+      val lo = element_at(arr, floor((n + 1) / 2).cast("int"))
+      val hi = element_at(arr, floor(n / 2 + 1).cast("int"))
+      val med = when(n === 0, lit(null).cast("double"))
+        .otherwise(lo + (hi - lo) * 0.5)
+      T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("roll_med", round(med, 6))
+        .withColumn("roll_avg", round(avg(col("value")).over(w), 6))
+        .select("event_id", "event_type", "roll_med", "roll_avg")
+        .orderBy("event_id")
+    }),
+
+    // -- gaps-and-islands: consecutive-active-day streaks per user --------
+    "q_events_islands" -> ((s, dir) => {
+      val days = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val grp = datediff(col("day"), lit("1970-01-01").cast("date")) -
+        row_number().over(w)
+      days.withColumn("grp", grp)
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"), max("len").as("longest"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    }),
+
+    // -- activity heatmap: day-of-week x hour-of-day profile --------------
+    // (dow 0=Sunday..6 — DuckDB's dayofweek convention; Spark's is 1-based)
+    "q_events_heatmap" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("dow", "hod")),
+
+    // -- SCD type-2 dimension history from the event change log -----------
+    "q_scd2_history" -> ((s, dir) =>
+      ops.Merge.scd2(
+        T(s, dir, "events").select("user_id", "event_type", "ts", "event_id"),
+        Seq("user_id"), "event_type", "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("vf"),
+          unix_micros(col("valid_to")).as("vt"), col("is_current"))
+        .orderBy(col("user_id"), col("vf"), col("vt"), col("event_type"))),
+
+    // -- TPC-H Q9 (adapted: no partsupp => profit = disc. revenue) --------
+    "q_tpch_q9" -> ((s, dir) => {
+      val profit = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(30,4)")
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").where(col("p_name").contains("red"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit).cast("double"), 6).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // -- TPC-H Q17 (small-quantity orders vs 0.2x per-part average) -------
+    "q_tpch_q17" -> ((s, dir) => {
+      val filtered = T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").where(col("p_brand") === "Brand#23")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      // per-part mean from a DECIMAL-exact sum so the 0.2x threshold is
+      // aggregation-order-independent; rounded identically on both sides
+      val avgq = filtered.groupBy(col("l_partkey").as("__pk"))
+        .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      filtered.join(broadcast(avgq), col("l_partkey") === col("__pk"))
+        .where(col("l_quantity") < round(lit(0.2) * col("avg_qty"), 6))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 6).as("avg_yearly"))
+    }),
+
+    // -- TPC-H Q22 (adapted: high-balance customers with no URGENT order) -
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("__ab"))
+      cust
+        .join(T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("__ab"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6)
+            .as("totacctbal"))
+        .orderBy("seg")
+    }),
 
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by

@@ -314,6 +314,50 @@ object Clean {
       }: _*)
   }
 
+  /** C7 — per-group mean imputation: fill nulls in `valueCol` with the
+    * mean of its `keyCols` group (pandas
+    * `df.groupby(keys)[col].transform(lambda s: s.fillna(s.mean()))`).
+    * Groups whose values are ALL null keep their nulls (group mean is
+    * null, `coalesce` passes the null through) — pandas behavior.
+    *
+    * Scale shape: a map-side-combined groupBy produces one tiny row per
+    * key; the join back shuffles on the same key the caller's data is
+    * usually already organized by (AQE broadcasts when the key set is
+    * small). No window over the fact table, no global sort.
+    *
+    * `roundStats` rounds the group mean before filling (oracle
+    * reproducibility — double `avg` is aggregation-order-dependent);
+    * pass -1 to disable.
+    */
+  def imputeMeanBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      roundStats: Int = -1): DataFrame = {
+    require(keyCols.nonEmpty, "imputeMeanBy needs grouping keys; use imputeGlobal for whole-column fills")
+    val mu0 = avg(col(valueCol))
+    val mu = if (roundStats >= 0) round(mu0, roundStats) else mu0
+    val means = df.groupBy(keyCols.map(col): _*).agg(mu.as("__graft_mu"))
+    df.join(means, keyCols)
+      .withColumn(valueCol, coalesce(col(valueCol), col("__graft_mu")))
+      .drop("__graft_mu")
+  }
+
+  /** C7b — whole-column median imputation (pandas
+    * `fillna(df[col].median())`): exact medians from the distributed CDF
+    * ([[exactQuantiles]] — never a buffer-everything percentile), rounded
+    * to 6 decimals (oracle reproducibility), applied as a codegen'd
+    * `coalesce` at the scan. All-null columns stay null.
+    */
+  def imputeMedian(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val q = exactQuantiles(df, cols, Seq(0.5)).collect()
+    val med = q.map(r => r.getString(0) ->
+      BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    cols.foldLeft(df) { (acc, c) =>
+      med.get(c) match {
+        case None    => acc // all-null column: nothing to fill with
+        case Some(m) => acc.withColumn(c, coalesce(col(c).cast(DoubleType), lit(m)))
+      }
+    }
+  }
+
   /** C6 combined — pandas `describe(include='all')`: numeric stats and
     * string unique/top/freq in one long-form frame keyed by column_name
     * (full outer join of the two halves; stats that don't apply are null,

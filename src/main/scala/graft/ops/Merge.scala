@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot maintenance operators (north-star extension): keyed upsert and
@@ -45,5 +46,34 @@ object Merge {
           .when(anyChanged, "changed")
           .otherwise("unchanged"))
       .drop("__in_old", "__in_new")
+  }
+
+  /** SCD type-2 history build from a change log: collapse consecutive
+    * repeats of `attrCol` per key (only transitions survive) and emit one
+    * validity interval per surviving state — `valid_from` = the change
+    * timestamp, `valid_to` = the next change (null = current row).
+    * Deterministic under timestamp ties via `tieBreakCols` appended to the
+    * window order.
+    *
+    * Scale shape: both windows partition by the dimension key — no global
+    * sort — and share one (key, ts) sort order, so Catalyst plans a single
+    * exchange+sort for the lag and the lead. The collapse filter shrinks
+    * the data BEFORE the second window's shuffle.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String], attrCol: String,
+      tsCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieBreakCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val transitions = log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // first row per key always survives; later rows only on value change
+      // (null-safe: a null->value or value->null flip is a real transition)
+      .where(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
+      .drop("__prev", "__rn")
+    transitions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

@@ -161,6 +161,107 @@ object Preprocess {
     }
   }
 
+  /** P5 — one-hot encode a string column (pandas `get_dummies`): one 0/1
+    * integer column `<c>_<value>` per distinct value, lexicographic column
+    * order, null rows all-zero (get_dummies' default `dummy_na=False`).
+    * The distinct set is collected to the driver (same small-decision
+    * shape as winsorize bounds — one tiny aggregate) and the indicator
+    * columns are a codegen'd projection at the scan; the fact table is
+    * never shuffled. Values are sanitized to identifier-safe column names.
+    */
+  def oneHot(df: DataFrame, c: String, drop: Boolean = true): DataFrame = {
+    val values = df.select(col(c).cast(StringType)).where(col(c).isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
+    val out = values.foldLeft(df) { (acc, v) =>
+      val safe = v.replaceAll("[^A-Za-z0-9]+", "_")
+      acc.withColumn(s"${c}_$safe",
+        when(col(c).cast(StringType) === lit(v), 1L).otherwise(0L))
+    }
+    if (drop) out.drop(c) else out
+  }
+
+  /** P6 — min-max scale to [0, 1]: (x - min) / (max - min); constant
+    * columns map to 0.0 (sklearn MinMaxScaler substitutes scale=1 for a
+    * zero range, same convention as [[zscore]]). Nulls stay null. One
+    * broadcast one-row min/max aggregate, then a codegen'd projection —
+    * the [[zscore]] scale shape. `roundStats` rounds min/max first
+    * (oracle reproducibility); min/max of doubles are order-independent
+    * so this matters only for symmetric presentation.
+    */
+  def minMaxScale(df: DataFrame, cols: Seq[String], roundStats: Int = -1): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val lo = min(col(c)).cast(DoubleType)
+      val hi = max(col(c)).cast(DoubleType)
+      if (roundStats >= 0)
+        Seq(round(lo, roundStats).as(s"__lo_$c"), round(hi, roundStats).as(s"__hi_$c"))
+      else Seq(lo.as(s"__lo_$c"), hi.as(s"__hi_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val range = col(s"__hi_$c") - col(s"__lo_$c")
+      val scaled = when(range === 0.0 || range.isNull,
+          when(col(c).isNotNull, 0.0).otherwise(lit(null).cast(DoubleType)))
+        .otherwise((col(c) - col(s"__lo_$c")) / range)
+      acc.withColumn(c, scaled)
+    }
+    out.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")).toIndexedSeq: _*)
+  }
+
+  /** P7 — robust scale: (x - median) / IQR (sklearn RobustScaler);
+    * zero-IQR columns map to 0.0 (scale=1 substitution). Median and
+    * quartiles are EXACT, from the distributed CDF
+    * ([[Clean.exactQuantiles]]), rounded to 6 decimals before the per-row
+    * arithmetic so the projection is engine-portable. Nulls stay null.
+    */
+  def robustScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val q = Clean.exactQuantiles(df, cols, Seq(0.25, 0.5, 0.75)).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stats = q.map(r => r.getString(0) -> ((r6(r.getDouble(1)), r6(r.getDouble(2)), r6(r.getDouble(3))))).toMap
+    cols.foldLeft(df) { (acc, c) =>
+      stats.get(c) match {
+        case None => acc // all-null column
+        case Some((q1, med, q3)) =>
+          val iqr = q3 - q1
+          val scaled =
+            if (iqr == 0.0) when(col(c).isNotNull, 0.0).otherwise(lit(null).cast(DoubleType))
+            else (col(c) - lit(med)) / lit(iqr)
+          acc.withColumn(c, scaled)
+      }
+    }
+  }
+
+  /** MAD (median-absolute-deviation) outlier flags — the robust companion
+    * to the sigma-rule [[outlierFlags]]: flag |0.6745 · (x - median) /
+    * MAD| > k (Iglewicz-Hoaglin modified z-score, k = 3.5 convention).
+    * Zero-MAD columns never flag (the robust analog of zero variance).
+    *
+    * Two CDF passes — median of x, then median of |x - median| — each a
+    * distributed prefix sum; both medians are rounded to 6 decimals
+    * before the per-row arithmetic so the flag boundary is
+    * engine-portable. The per-row test is a codegen'd projection.
+    */
+  def outlierFlagsMad(df: DataFrame, cols: Seq[String], k: Double = 3.5): DataFrame = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val meds = Clean.exactQuantiles(df, cols, Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r6(r.getDouble(1))).toMap
+    val absDev = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"__ad_$c",
+        meds.get(c).map(m => abs(col(c) - lit(m))).getOrElse(lit(null).cast(DoubleType)))
+    }
+    val mads = Clean.exactQuantiles(absDev, cols.map(c => s"__ad_$c"), Seq(0.5)).collect()
+      .map(r => r.getString(0).stripPrefix("__ad_") -> r6(r.getDouble(1))).toMap
+    cols.foldLeft(df) { (acc, c) =>
+      val flag = (meds.get(c), mads.get(c)) match {
+        case (Some(m), Some(mad)) if mad != 0.0 =>
+          abs(lit(0.6745) * (col(c) - lit(m)) / lit(mad)) > k
+        case (Some(_), Some(_)) => when(col(c).isNotNull, false) // zero MAD: never flag
+        case _ => lit(null).cast("boolean") // all-null column
+      }
+      acc.withColumn(s"${c}_mad_outlier", flag)
+    }
+  }
+
   /** P4 — quantile-rank (empirical-CDF) normalization: v → #{x ≤ v} / n,
     * the rank-based transform that makes any distribution uniform on
     * (0, 1] (sklearn QuantileTransformer's first stage; robust to

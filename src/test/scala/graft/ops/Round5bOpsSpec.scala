@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Goldens for the round-5 second-wave operators: imputation (C7),
+  * one-hot / min-max / robust scaling (P5-P7), MAD outlier flags, and
+  * the SCD2 history builder.
+  */
+class Round5bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C7 imputeMeanBy fills nulls with the group mean; all-null groups stay null") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("k", "v")
+    val out = Clean.imputeMeanBy(df, "v", Seq("k")).orderBy("k", "v")
+    assert(doubles(out, "v") == Seq(Some(1.0), Some(2.0), Some(3.0), None, None))
+  }
+
+  test("C7b imputeMedian fills with the exact column median (linear interpolation)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(10.0), Some(20.0), None).toDF("v")
+    // median of [1,2,10,20] = 2 + 0.5*(10-2) = 6
+    val out = Clean.imputeMedian(df, Seq("v"))
+    assert(doubles(out.orderBy("v"), "v").flatten.contains(6.0))
+    assert(out.where(col("v").isNull).count() == 0)
+  }
+
+  test("C7b imputeMedian leaves an all-null column untouched") {
+    val df = Seq[Option[Double]](None, None).toDF("v")
+    assert(Clean.imputeMedian(df, Seq("v")).where(col("v").isNull).count() == 2)
+  }
+
+  test("P5 oneHot emits a 0/1 column per value, sanitized names, null rows all-zero") {
+    val df = Seq((1, Some("x y")), (2, Some("z")), (3, None)).toDF("id", "c")
+    val out = Preprocess.oneHot(df, "c").orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "c_x_y", "c_z"))
+    assert(out.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L), (0L, 1L), (0L, 0L)))
+  }
+
+  test("P6 minMaxScale maps to [0,1]; constant columns to 0; nulls stay null") {
+    val df = Seq((Some(0.0), Some(5.0)), (Some(5.0), Some(5.0)),
+      (Some(10.0), Some(5.0)), (None, None)).toDF("a", "b")
+    val out = Preprocess.minMaxScale(df, Seq("a", "b")).orderBy("a")
+    assert(doubles(out, "a") == Seq(None, Some(0.0), Some(0.5), Some(1.0)))
+    assert(doubles(out, "b") == Seq(None, Some(0.0), Some(0.0), Some(0.0)))
+  }
+
+  test("P7 robustScale centers on the median and scales by IQR") {
+    // values 1..5: q1=2, med=3, q3=4, iqr=2 -> scaled = (v-3)/2
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val out = Preprocess.robustScale(df, Seq("v")).orderBy("v")
+    assert(doubles(out, "v") == Seq(Some(-1.0), Some(-0.5), Some(0.0), Some(0.5), Some(1.0)))
+  }
+
+  test("MAD outlier flags: a gross outlier flags, the bulk does not; zero-MAD never flags") {
+    val df = Seq(10.0, 11.0, 12.0, 11.0, 10.0, 12.0, 11.0, 1000.0).toDF("v")
+      .withColumn("c", lit(5.0))
+    val out = Preprocess.outlierFlagsMad(df, Seq("v", "c"))
+    val flags = out.orderBy("v").select("v_mad_outlier").collect().map(_.getBoolean(0)).toSeq
+    assert(flags == Seq(false, false, false, false, false, false, false, true))
+    assert(out.where(col("c_mad_outlier")).count() == 0)
+  }
+
+  test("SCD2 collapses consecutive repeats and emits validity intervals") {
+    val log = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L), (1L, "A", 40L, 4L),
+      (2L, "X", 10L, 5L)).toDF("k", "attr", "t", "id")
+      .withColumn("t", timestamp_seconds(col("t")))
+    val out = Merge.scd2(log, Seq("k"), "attr", "t", Seq("id"))
+      .select(col("k"), col("attr"), unix_timestamp(col("valid_from")).as("vf"),
+        unix_timestamp(col("valid_to")).as("vt"), col("is_current"))
+      .orderBy("k", "vf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "A", 10L, 30L, false), // the t=20 repeat collapsed
+      (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),
+      (2L, "X", 10L, -1L, true)))
+  }
+
+  test("SCD2 treats value<->null flips as real transitions (null-safe compare)") {
+    val log = Seq(
+      (1L, Option("A"), 10L), (1L, Option.empty[String], 20L), (1L, Option("A"), 30L))
+      .toDF("k", "attr", "t").withColumn("t", timestamp_seconds(col("t")))
+    val out = Merge.scd2(log, Seq("k"), "attr", "t")
+    assert(out.count() == 3)
+  }
+}
