@@ -1543,6 +1543,56 @@ object OracleSql {
         |WHERE c_acctbal > ab AND NOT EXISTS
         |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |     AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
+
+    // trimmed mean: quantile bounds rounded to 6 (Eda.trimmedMean's
+    // driver-side rounding), DECIMAL-exact conditional sum
+    "q_stats_trimmed" ->
+      """WITH b AS (SELECT
+        |    round(quantile_cont(l_quantity, 0.05), 6) AS lo_q,
+        |    round(quantile_cont(l_quantity, 0.95), 6) AS hi_q,
+        |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo_e,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi_e
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_extendedprice' AS column_name,
+        |    round(CAST(sum(CASE WHEN l_extendedprice BETWEEN lo_e AND hi_e
+        |        THEN CAST(l_extendedprice AS DECIMAL(24,8)) END) AS DOUBLE)
+        |      / count(CASE WHEN l_extendedprice BETWEEN lo_e AND hi_e THEN 1 END), 6) AS trimmed_mean,
+        |    CAST(count(CASE WHEN l_extendedprice BETWEEN lo_e AND hi_e THEN 1 END) AS BIGINT) AS n_kept
+        |  FROM lineitem, b
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |    round(CAST(sum(CASE WHEN l_quantity BETWEEN lo_q AND hi_q
+        |        THEN CAST(l_quantity AS DECIMAL(24,8)) END) AS DOUBLE)
+        |      / count(CASE WHEN l_quantity BETWEEN lo_q AND hi_q THEN 1 END), 6),
+        |    CAST(count(CASE WHEN l_quantity BETWEEN lo_q AND hi_q THEN 1 END) AS BIGINT)
+        |  FROM lineitem, b
+        |) ORDER BY column_name""".stripMargin,
+
+    "q_text_sentences" ->
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+        |  CASE WHEN len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) = 0 THEN 0.0
+        |       ELSE round(CAST(len($toks) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')), 6) END AS mean_sent_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // first-seen-flag cumulative distinct (count(DISTINCT) OVER surrogate)
+    "q_window_cumdistinct" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fi
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(fi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_mktsegment AS seg, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin
   )
 }

@@ -1471,6 +1471,43 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // -- trimmed mean (robust location; one conditional DECIMAL agg) ------
+    "q_stats_trimmed" -> ((s, dir) =>
+      Eda.trimmedMean(T(s, dir, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"), 0.05, 0.95)),
+
+    // -- per-document sentence statistics ---------------------------------
+    "q_text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_sentences", "mean_sent_tokens")
+        .orderBy("doc_id")),
+
+    // -- cumulative distinct count over a window (first-seen-flag trick:
+    // count(DISTINCT) OVER is unsupported/unscalable; two PARTITIONED
+    // windows — mark each (user, type)'s first row, then running-sum the
+    // marks per user. No global sort anywhere.
+    "q_window_cumdistinct" -> ((s, dir) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val wCum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .withColumn("__f", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("__f")).over(wCum))
+        .select("event_id", "user_id", "n_types_seen")
+        .orderBy("event_id")
+    }),
+
+    // -- right outer join (join-family completeness) ----------------------
+    "q_join_right" -> ((s, dir) =>
+      T(s, dir, "orders").join(T(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy("seg")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

@@ -115,6 +115,22 @@ object TextAnalysis {
           round(size(array_distinct(toks)).cast("double") / nTok, 6)))
   }
 
+  /** Per-document sentence statistics: sentence count (split on
+    * `[.!?]+` runs, blank segments dropped) and mean tokens per sentence.
+    * Scan-local per-document arithmetic — no shuffle; the split arrays are
+    * bounded by document length and never leave the row.
+    */
+  def sentenceStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sents = filter(split(t, "[.!?]+"), s => trim(s) =!= "")
+    val nSent = size(sents)
+    val nTok = size(tokens(t))
+    df.withColumn("n_sentences", nSent.cast("long"))
+      .withColumn("mean_sent_tokens",
+        when(nSent === 0, 0.0)
+          .otherwise(round(nTok.cast("double") / nSent, 6)))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the canonical key for exact dedup across formatting variants.
     */

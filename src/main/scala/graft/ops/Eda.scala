@@ -193,4 +193,42 @@ object Eda {
           .as("chi2_term"))
       .orderBy("a", "b")
   }
+
+  /** Trimmed mean — the robust location estimate: mean of the values
+    * inside the [pLo, pHi] exact-quantile band (bounds inclusive). One row
+    * per column: column_name, trimmed_mean, n_kept.
+    *
+    * Scale shape: bounds come from the distributed CDF
+    * ([[Clean.exactQuantiles]]), rounded to 6 decimals on the driver (the
+    * same small-decision shape as winsorize); the trimmed mean itself is
+    * ONE conditional aggregate pass over all columns with the sum in
+    * exact DECIMAL, so the result is aggregation-order-independent and
+    * engine-portable.
+    */
+  def trimmedMean(df: DataFrame, cols: Seq[String], pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bounds = Clean.exactQuantiles(df, cols, Seq(pLo, pHi)).collect()
+      .map(r => r.getString(0) -> ((r6(r.getDouble(1)), r6(r.getDouble(2))))).toMap
+    val aggs = cols.flatMap { c =>
+      bounds.get(c) match {
+        case None => // all-null column: no bounds, nothing kept
+          Seq(lit(null).cast("decimal(30,8)").as(s"__s_$c"),
+            lit(0L).as(s"__n_$c"))
+        case Some((lo, hi)) =>
+          val in = col(c) >= lo && col(c) <= hi
+          Seq(sum(when(in, col(c).cast("decimal(24,8)"))).cast("decimal(30,8)").as(s"__s_$c"),
+            count(when(in, lit(1))).as(s"__n_$c"))
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      one.select(lit(c).as("column_name"),
+        when(col(s"__n_$c") > 0,
+          round(col(s"__s_$c").cast("double") / col(s"__n_$c").cast("double"), 6))
+          .as("trimmed_mean"),
+        col(s"__n_$c").as("n_kept"))
+    }
+    stacked.reduce(_ unionByName _).orderBy("column_name")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import graft.ext.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Goldens for the round-5 second-wave operators: imputation (C7),
@@ -87,5 +88,50 @@ class Round5bOpsSpec extends SparkSpec {
       .toDF("k", "attr", "t").withColumn("t", timestamp_seconds(col("t")))
     val out = Merge.scd2(log, Seq("k"), "attr", "t")
     assert(out.count() == 3)
+  }
+
+  test("trimmedMean drops the tails and averages the band; all-null column yields null") {
+    // 1..10 with p=[0.05,0.95]: bounds 1.45/9.55 -> keeps 2..9, mean 5.5
+    val df = (1 to 10).map(i => (i.toDouble, Option.empty[Double])).toDF("v", "z")
+    val out = Eda.trimmedMean(df, Seq("v", "z"), 0.05, 0.95).collect()
+    val byName = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byName("v") == Some(5.5))
+    assert(byName("z") == None)
+  }
+
+  test("sentenceStats counts non-blank sentence segments and mean tokens per sentence") {
+    val df = Seq((1L, "Hello world. Two words! End?"), (2L, ""), (3L, "no punct here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(df, "text").orderBy("doc_id")
+      .select("n_sentences", "mean_sent_tokens").collect()
+    assert(out(0).getLong(0) == 3L && out(0).getDouble(1) == 1.666667)
+    assert(out(1).getLong(0) == 0L && out(1).getDouble(1) == 0.0)
+    assert(out(2).getLong(0) == 1L && out(2).getDouble(1) == 3.0)
+  }
+
+  test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
+    val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+  }
+
+  test("plan: q_tpch_q17 broadcasts the filtered part list and the per-part averages") {
+    val q = graft.SparkEntry.queries("q_tpch_q17")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    // the brand predicate must reach the part scan
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("part") && s.contains("PushedFilters")
+      && s.contains("p_brand")), "p_brand predicate not pushed to the part scan")
+  }
+
+  test("plan: q_window_cumdistinct never plans a single-partition exchange") {
+    val q = graft.SparkEntry.queries("q_window_cumdistinct")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // both windows are keyed; only the final presentation sort may range-
+    // partition, never Exchange SinglePartition before a Window
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"unexpected single-partition exchange:\n$plan")
   }
 }
