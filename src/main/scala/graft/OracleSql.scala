@@ -1593,6 +1593,35 @@ object OracleSql {
       """SELECT c_mktsegment AS seg, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY seg""".stripMargin
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    // grouped z-score: per-flag mean/stddev_pop rounded to 6 before the
+    // per-row arithmetic (Preprocess.zscoreBy roundStats=6)
+    "q_p1b_zscore_group" ->
+      """WITH st AS (SELECT l_returnflag, round(avg(l_extendedprice), 6) AS mu,
+        |    round(stddev_pop(l_extendedprice), 6) AS sd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN sd = 0 OR sd IS NULL THEN 0.0
+        |             ELSE (l_extendedprice - mu) / sd END, 6) AS price_z
+        |FROM lineitem JOIN st USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, price_z""".stripMargin,
+
+    // OLS closed form: DECIMAL power sums, double formula DAG shared
+    // verbatim with the Spark side
+    "q_stats_linreg" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1508,6 +1508,46 @@ object SparkEntry {
           countDistinct(col("c_custkey")).as("n_cust"))
         .orderBy("seg")),
 
+    // -- P1b grouped z-score (per-group standardization) ------------------
+    "q_p1b_zscore_group" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice").as("price_z"))
+      Preprocess.zscoreBy(li, Seq("price_z"), Seq("l_returnflag"), roundStats = 6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price_z"), 6).as("price_z"))
+        .orderBy("l_orderkey", "l_linenumber", "price_z")
+    }),
+
+    // -- simple OLS (closed form from one DECIMAL-exact aggregate pass) ---
+    // slope/intercept/r2 of price ~ quantity per return flag; power sums in
+    // exact DECIMAL so the double formulas (identical DAG in the oracle)
+    // are aggregation-order-independent. The grouped moments-method
+    // regression — no MLlib, no iterative solver, one shuffle.
+    "q_stats_linreg" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * x).cast("decimal(38,4)")).as("sxx"),
+          sum((y * y).cast("decimal(38,4)")).as("syy"),
+          sum((x * y).cast("decimal(38,4)")).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val cov = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      val slope = cov / varx
+      sums.select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

@@ -44,6 +44,33 @@ object Preprocess {
     out.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")).toIndexedSeq: _*)
   }
 
+  /** P1b — grouped z-score: standardize each column within its `keyCols`
+    * group (pandas `groupby(keys)[col].transform(zscore)`), same ddof=0
+    * and zero-variance→0 conventions as [[zscore]]. The stats aggregate is
+    * map-side combined to one row per key and joined back on the group key
+    * (AQE broadcasts when the key set is small) — the fact table is never
+    * windowed or globally sorted.
+    */
+  def zscoreBy(df: DataFrame, cols: Seq[String], keyCols: Seq[String],
+      roundStats: Int = -1): DataFrame = {
+    require(keyCols.nonEmpty, "zscoreBy needs grouping keys; use zscore for whole-table stats")
+    val aggs = cols.flatMap { c =>
+      val mu = avg(col(c))
+      val sigma = stddev_pop(col(c))
+      if (roundStats >= 0)
+        Seq(round(mu, roundStats).as(s"__mu_$c"), round(sigma, roundStats).as(s"__sigma_$c"))
+      else Seq(mu.as(s"__mu_$c"), sigma.as(s"__sigma_$c"))
+    }
+    val stats = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(stats, keyCols)
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val z = when(col(s"__sigma_$c") === 0.0 || col(s"__sigma_$c").isNull, 0.0)
+        .otherwise((col(c) - col(s"__mu_$c")) / col(s"__sigma_$c"))
+      acc.withColumn(c, z)
+    }
+    out.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")).toIndexedSeq: _*)
+  }
+
   /** Sigma-rule outlier flags: `<col>_outlier` = |z| > zThresh per column
     * (population std, zero-variance columns never flag — [[zscore]]
     * semantics). Same scale shape as zscore: one broadcast one-row stats

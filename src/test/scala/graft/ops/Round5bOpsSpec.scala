@@ -110,6 +110,16 @@ class Round5bOpsSpec extends SparkSpec {
     assert(out(2).getLong(0) == 1L && out(2).getDouble(1) == 3.0)
   }
 
+  test("P1b zscoreBy standardizes within each group; constant groups map to 0") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Preprocess.zscoreBy(df, Seq("v"), Seq("g")).orderBy("g", "v")
+    val vs = doubles(out, "v").flatten
+    // group a: mean 2, std_pop sqrt(2/3); group b constant -> 0
+    assert(approx(vs(1), 0.0) && approx(vs(0), -vs(2)))
+    assert(vs(3) == 0.0 && vs(4) == 0.0)
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
