@@ -95,25 +95,33 @@ object OracleSql {
     * candidates → exact Jaccard (`j`). Consumers append their own final
     * SELECT over `j`.
     */
-  private def minhashCtes(src: String = "documents"): String = {
+  /** Shingle → signature → LSH band CTE chain (names prefixed with `pre`
+    * so two instances can coexist, e.g. batch + corpus sides of the
+    * incremental dedup oracle). Ends in `<pre>banded(doc_id, s, bidx,
+    * band_key)`.
+    */
+  private def minhashBandCtes(pre: String, src: String): String = {
     val p = graft.ext.Dedup.MinhashP
     val params = graft.ext.Dedup.hashParams(16)
     val aList = params.map(_._1).mkString("[", ", ", "]")
     val bList = params.map(_._2).mkString("[", ", ", "]")
-    s"""toksrc AS (SELECT doc_id, $toks AS tk FROM $src),
-       |tk2 AS (SELECT * FROM toksrc WHERE len(tk) >= 3),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
-       |       FROM tk2),
-       |hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM sh),
-       |sig AS (SELECT doc_id, s,
+    s"""${pre}toksrc AS (SELECT doc_id, $toks AS tk FROM $src),
+       |${pre}tk2 AS (SELECT * FROM ${pre}toksrc WHERE len(tk) >= 3),
+       |${pre}sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+       |       FROM ${pre}tk2),
+       |${pre}hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM ${pre}sh),
+       |${pre}sig AS (SELECT doc_id, s,
        |         list_transform(generate_series(1, 16), i -> list_min(list_transform(hv, h -> (h * ($aList)[i] + ($bList)[i]) % $p))) AS g
-       |        FROM hs),
-       |banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
-       |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS bidx) bt),
+       |        FROM ${pre}hs),
+       |${pre}banded AS (SELECT doc_id, s, bidx, md5(array_to_string(g[bidx*4+1:bidx*4+4], '|')) AS band_key
+       |           FROM ${pre}sig, (SELECT unnest(generate_series(0, 3)) AS bidx) ${pre}bt)""".stripMargin
+  }
+
+  private def minhashCtes(src: String = "documents"): String =
+    s"""${minhashBandCtes("", src)},
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
        |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
-  }
 
   /** Gaps-and-islands sessionization — shared by the session_window query
     * and the flatMapGroupsWithState variant (identical semantics). */
@@ -1622,6 +1630,39 @@ object OracleSql {
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-        |FROM s ORDER BY l_returnflag""".stripMargin
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // incremental dedup: fingerprint anti-join vs corpus, within-batch
+    // canonical exact, batch-bands × corpus-bands near-dup (Jaccard ≥
+    // 0.25), then the within-batch minhash chain + recursive closure —
+    // mirrors Dedup.incrementalDedup stage by stage
+    "q_dedup_incremental" ->
+      s"""WITH RECURSIVE
+         |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus),
+         |b1 AS (SELECT b.*, md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) AS fp
+         |       FROM batch b WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) NOT IN (SELECT fp FROM cfp)),
+         |bwin AS (SELECT fp, min(doc_id) AS keep_id FROM b1 GROUP BY fp),
+         |b2 AS (SELECT b1.* FROM b1 JOIN bwin ON b1.fp = bwin.fp AND b1.doc_id = bwin.keep_id),
+         |${minhashBandCtes("b", "b2")},
+         |${minhashBandCtes("c", "corpus")},
+         |xcand AS (SELECT DISTINCT x.doc_id AS bid, x.s AS sa, y.s AS sb
+         |          FROM bbanded x JOIN cbanded y ON x.bidx = y.bidx AND x.band_key = y.band_key),
+         |xmatch AS (SELECT DISTINCT bid FROM xcand
+         |           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.25),
+         |b3 AS (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT bid FROM xmatch)),
+         |${minhashBandCtes("w", "b3")},
+         |wcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
+         |          FROM wbanded x JOIN wbanded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |wpairs AS (SELECT id_a, id_b FROM wcand
+         |           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM wpairs
+         |          UNION SELECT id_b, id_a FROM wpairs
+         |          UNION SELECT doc_id, doc_id FROM b3),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1548,6 +1548,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- incremental dedup: new batch curated against an existing corpus --
+    // (deterministic split: doc_id % 5 = 0 is the "incoming batch")
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      Dedup.incrementalDedup(batch, corpus, "text", "doc_id", threshold = 0.25)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

@@ -178,6 +178,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** (id, sh) shingle-set table: the staged tokenize → shingle projection
+    * shared by the batch and corpus sides of [[incrementalDedup]].
+    * Sub-`k`-token docs are dropped (no shingles → can never match).
+    */
+  private def shingleTable(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+      .select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
+
+  /** (id, band_idx, band_key) LSH band table from a shingle table — the
+    * narrow probe rows for banded candidate joins (shingle arrays never
+    * enter the shuffle).
+    */
+  private def bandTable(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_idx"),
+          md5(concat_ws("|", slice(col("sig"), b * rows + lit(1), lit(rows))
+            .cast("array<string>"))).as("band_key"))))
+        .as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Incremental curation — dedupe an incoming batch against an existing
+    * (already-deduplicated) corpus, the production shape where re-running
+    * [[applyNearDupDedup]] over corpus+batch would redo corpus×corpus work
+    * that can never produce new pairs:
+    *
+    *  1. exact-vs-corpus: anti-join on the content fingerprint;
+    *  2. within-batch exact: canonical min-id representative per fingerprint;
+    *  3. near-dup-vs-corpus: the batch's LSH band rows probe the CORPUS band
+    *     table (equi-join on (band_idx, band_key)) — the corpus is never
+    *     self-joined, so this step costs |batch| × collision-rate, not
+    *     |corpus|²; candidates are verified with exact shingle Jaccard and
+    *     matching batch docs dropped;
+    *  4. within-batch near-dup: [[applyNearDupDedup]] on the remnant.
+    *
+    * At 100 TB the corpus fingerprint set and band table are precomputed
+    * artifacts maintained alongside the corpus (append-only — this method
+    * recomputes them from `corpus` only because it takes raw text).
+    * Returns the surviving batch rows (original schema).
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // 1. exact vs corpus
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val b1 = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+    // 2. within-batch exact
+    val b2 = exactCanonical(b1, textCol, idCol)
+    // 3. near-dup vs corpus: both shingle tables feed band generation AND
+    //    the verification fetch joins — persist so neither side re-shingles
+    val shB = graft.Caches.register(shingleTable(b2, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shC = graft.Caches.register(shingleTable(corpus, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = bandTable(shB, numHashes, bands)
+      .select(col("band_idx"), col("band_key"), col("id").as("__bid"))
+      .join(bandTable(shC, numHashes, bands)
+        .select(col("band_idx"), col("band_key"), col("id").as("__cid")),
+        Seq("band_idx", "band_key"))
+      .select("__bid", "__cid").distinct()
+    val matched = cand
+      .join(shB.select(col("id").as("__bid"), col("sh").as("__sh_b")), Seq("__bid"))
+      .join(shC.select(col("id").as("__cid"), col("sh").as("__sh_c")), Seq("__cid"))
+      .where(size(array_intersect(col("__sh_b"), col("__sh_c"))).cast("double")
+        / size(array_union(col("__sh_b"), col("__sh_c"))) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    val b3 = b2.join(broadcast(matched), Seq(idCol), "left_anti")
+    // 4. within-batch near-dup
+    applyNearDupDedup(b3, textCol, idCol, k, numHashes, bands, threshold)
+  }
+
   /** Near-dup CLUSTER assignment: connected components over a verified
     * near-dup pair graph, labels = the smallest member id of each
     * component. This is the step that turns pairwise near-dups into "keep

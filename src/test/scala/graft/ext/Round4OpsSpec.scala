@@ -230,4 +230,23 @@ class Round4OpsSpec extends SparkSpec {
       && approx(aRows(3).getAs[Double]("avg_value"), 6.0))
     assert(out.count(_.getString(0) == "b") == 1)
   }
+
+  test("incrementalDedup drops exact-vs-corpus, within-batch exact, and near-dup docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning"),
+      (2L, "completely different corpus text about spark engines and data processing"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the morning"), // exact vs corpus
+      (11L, "some unique new document about machine learning pipelines"), // keeper
+      (12L, "some unique new document about machine learning pipelines"), // within-batch exact
+      (13L, "the quick brown fox jumps over the lazy dog in the morning today"), // near-dup of corpus 1
+      (14L, "another fresh doc entirely unlike anything else present here today friends"), // keeper
+      (15L, "another fresh doc entirely unlike anything else present here today my friends")) // near-dup of 14
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L, 14L))
+  }
 }
