@@ -1663,6 +1663,16 @@ object OracleSql {
          |reach(a, b) AS (SELECT a, b FROM edges
          |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
-         |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin
+         |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin,
+
+    // choose-then-filter (pandas merge_asof tolerance): the ASOF match is
+    // made first, then nulled when older than the 30-minute tolerance
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, round(p.value, 6) AS purchase_value,
+        |  round(CASE WHEN r.ts >= p.ts - INTERVAL 30 MINUTE THEN r.value END, 6) AS recent_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON p.user_id = r.user_id AND p.ts >= r.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

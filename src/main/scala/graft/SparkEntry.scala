@@ -1558,6 +1558,21 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- as-of join with tolerance (pandas merge_asof tolerance) ----------
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val ref = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asofTolerance(probe, ref, Seq("user_id"), "ts", Seq("value"),
+        toleranceSeconds = 1800L)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("asof_value"), 6).as("recent_click_value"))
+        .orderBy("event_id")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

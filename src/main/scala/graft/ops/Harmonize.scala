@@ -154,4 +154,32 @@ object Harmonize {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Column-mapping suggestion for heterogeneous uploads: for every left
+    * column, the closest right column by Levenshtein distance over
+    * canonicalized names (the upload-harmonization assist the reference's
+    * manual rename step implies). Driver-side only — schemas are metadata,
+    * never data — and cost is |left|×|right| name pairs (trivial).
+    * Ties break lexicographically; suggestions above `maxDist` are
+    * dropped. Suggestions are independent per left column (two left
+    * columns may map to one right column — the caller reviews).
+    *
+    * @return (left_col, suggested_right_col, distance), left order
+    */
+  def suggestColumnMapping(left: DataFrame, right: DataFrame,
+      maxDist: Int = 3): Seq[(String, String, Int)] = {
+    def canon(c: String) = c.toLowerCase.replace(" ", "_")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rightCols = right.columns.toIndexedSeq
+    left.columns.toIndexedSeq.flatMap { lc =>
+      val scored = rightCols.map(rc => (rc, lev(canon(lc), canon(rc)))).sortBy { case (rc, s) => (s, rc) }
+      scored.headOption.collect { case (rc, s) if s <= maxDist => (lc, rc, s) }
+    }
+  }
 }

@@ -118,6 +118,26 @@ object Joins {
       .select((probeCols.map(col) ++ refCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** As-of join with a tolerance (pandas `merge_asof(..., tolerance=...)`):
+    * like [[asof]], but the matched ref row is discarded (nulled) when it
+    * is older than `toleranceSeconds` before the probe time — choose-then-
+    * filter semantics, exactly pandas'. Implemented by fetching the ref
+    * row's own timestamp alongside `refCols` through the same one-shuffle
+    * union window, then a codegen'd per-row tolerance test; no extra
+    * shuffle over [[asof]].
+    */
+  def asofTolerance(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      timeCol: String, refCols: Seq[String], toleranceSeconds: Long): DataFrame = {
+    val tCol = "__graft_asof_t"
+    val refT = ref.withColumn(tCol, col(timeCol))
+    val joined = asof(probe, refT, keys, timeCol, refCols :+ tCol)
+    val inTol = col(s"asof_$tCol") >=
+      col(timeCol) - expr(s"INTERVAL $toleranceSeconds SECONDS")
+    refCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"asof_$c", when(inTol, col(s"asof_$c")))
+    }.drop(s"asof_$tCol")
+  }
+
   /** Interval (range) join via binning — the operator Spark lacks natively
     * (a naive `a.ts BETWEEN b.lo AND b.hi` join plans as broadcast-nested-
     * loop or cartesian). Both sides are assigned equi-joinable time bins of

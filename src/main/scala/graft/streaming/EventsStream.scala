@@ -250,4 +250,32 @@ object EventsStream {
       watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
+
+  /** Streaming upsert sink: maintain a keyed snapshot from a change
+    * stream via `foreachBatch` + [[graft.ops.Merge.upsert]] — the
+    * standard "stream into a dimension table" production sink when the
+    * target store has no native MERGE. Each micro-batch is first
+    * collapsed to its latest row per key (`orderCol` descending —
+    * within-batch last-write-wins), then merged into the running
+    * snapshot; the snapshot is `localCheckpoint`ed every batch so the
+    * plan does not grow with stream length (the same lineage-severing
+    * pattern as clusterNearDups). `onSnapshot` receives the new snapshot
+    * after every batch (write it to the real sink there).
+    */
+  def upsertSink(updates: DataFrame, keys: Seq[String], orderCol: String)(
+      onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var snapshot: Option[DataFrame] = None
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = graft.ext.Dedup.keepFirst(batch.toDF(), keys,
+          Seq(col(orderCol).desc))
+        val merged = snapshot match {
+          case None      => latest
+          case Some(cur) => graft.ops.Merge.upsert(cur, latest, keys)
+        }
+        snapshot = Some(merged.localCheckpoint())
+        onSnapshot(snapshot.get)
+      }
+      .start()
+  }
 }

@@ -120,6 +120,25 @@ class Round5bOpsSpec extends SparkSpec {
     assert(vs(3) == 0.0 && vs(4) == 0.0)
   }
 
+  test("asofTolerance nulls matches older than the tolerance, keeps fresh ones") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val probe = Seq((1L, ts(30), "p1"), (1L, ts(59), "p2"), (2L, ts(10), "p3"))
+      .toDF("k", "t", "tag")
+    val ref = Seq((1L, ts(25), 100.0), (2L, ts(0), 50.0)).toDF("k", "t", "v")
+    val out = graft.ops.Joins.asofTolerance(probe, ref, Seq("k"), "t", Seq("v"),
+      toleranceSeconds = 600L).orderBy("tag")
+      .select("asof_v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // p1: ref@25 within 10 min ✓; p2: ref@25 is 34 min old ✗; p3: ref@0 is 10 min old (inclusive) ✓
+    assert(out.toSeq == Seq(Some(100.0), None, Some(50.0)))
+  }
+
+  test("suggestColumnMapping proposes nearest names within maxDist, independent per column") {
+    val l = Seq((1, "x")).toDF("Cust Key", "acct_bal")
+    val r = Seq((1, "x", 2.0)).toDF("cust_key", "acctbal", "unrelated_thing")
+    val m = Harmonize.suggestColumnMapping(l, r, maxDist = 3)
+    assert(m == Seq(("Cust Key", "cust_key", 0), ("acct_bal", "acctbal", 1)))
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

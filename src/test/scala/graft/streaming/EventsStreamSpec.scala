@@ -210,4 +210,25 @@ class EventsStreamSpec extends SparkSpec {
     assert(!sums.contains(103L) && !sums.contains(100L),
       s"late event leaked into $sums")
   }
+
+  test("upsertSink maintains a last-write-wins snapshot across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val updates = mem.toDF.toDF("k", "v", "seq")
+    @volatile var last: Option[Array[(Long, String)]] = None
+    val q = EventsStream.upsertSink(updates, Seq("k"), "seq") { snap =>
+      last = Some(snap.select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1))
+    }
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    assert(last.get.toSeq == Seq((1L, "a"), (2L, "b")))
+    // batch 2: key 1 updated (two in-batch writes -> seq 3 wins), key 3 new
+    mem.addData((1L, "stale", 2L), (1L, "c", 3L), (3L, "d", 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(last.get.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
+  }
 }
