@@ -1673,6 +1673,44 @@ object OracleSql {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         |  ON p.user_id = r.user_id AND p.ts >= r.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // gap-fill CTEs from q_resample_gapfill, then trailing-24-bin rolling
+    // mean/std and the sigma test over the SAME rounded per-bin averages
+    "q_events_anomaly" ->
+      """WITH b AS (SELECT event_type,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS bin,
+        |             count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS bin
+        |      FROM s),
+        |gf AS (SELECT g.event_type, g.bin AS bin_start, b.avg_value AS v
+        |       FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bin = b.bin),
+        |w AS (SELECT event_type, bin_start, v,
+        |        count(v) OVER win AS n,
+        |        CAST(sum(CAST(v AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER win AS DOUBLE) AS sxx
+        |      FROM gf
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY bin_start
+        |                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bin_start, v AS avg_value, n AS n_bins,
+        |  round(sx, 6) AS roll_sum,
+        |  CASE WHEN n >= 2 THEN
+        |    round(sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1.0))), 6)
+        |  END AS sd,
+        |  CASE WHEN v IS NULL OR n < 2
+        |         OR sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1.0))) = 0
+        |       THEN false
+        |       ELSE abs(v - sx / n)
+        |         > 2.0 * sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1.0)))
+        |  END AS is_anomaly
+        |FROM w ORDER BY event_type, bin_start""".stripMargin,
+
+    "q_events_daily_quantiles" ->
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

@@ -1573,6 +1573,52 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- time-series anomaly flags: resample -> trailing-24h rolling
+    // mean/std -> sigma test (composition of Resample + window ops; every
+    // window is keyed by event_type — no global sort)
+    "q_events_anomaly" -> ((s, dir) => {
+      val series = Resample.resampleGapFill(T(s, dir, "events"), "ts",
+        Seq("event_type"), "value", 3600L)
+      val w = Window.partitionBy("event_type").orderBy("bin_start")
+        .rowsBetween(-23, 0)
+      // rolling mean/std from DECIMAL-exact frame sums + a double formula
+      // DAG shared verbatim with the oracle: a plain avg()/stddev() OVER
+      // differs from DuckDB's in the last ulp (different summation order),
+      // and the frame average of 6-decimal values lands EXACTLY on
+      // round-half boundaries (sum/24 ends in ...5e-7), so ulp noise
+      // becomes visible 6th-decimal flips
+      // the rolling SUM is reported, not the mean: sum/24 of 6-decimal
+      // values lands exactly on round-half boundaries where Spark's
+      // BigDecimal rounding and DuckDB's float rounding disagree, while
+      // the sum itself sits on a 6-decimal grid point (0.5e-6 from any
+      // boundary). The sigma test uses the UNROUNDED mean/std — the same
+      // IEEE DAG on both engines, so the boolean is exact.
+      val x = col("avg_value").cast("decimal(18,6)")
+      val cnt = count(col("avg_value")).over(w)
+      val n = cnt.cast("double")
+      val sx = sum(x).over(w).cast("double")
+      val sxx = sum((x * x).cast("decimal(38,12)")).over(w).cast("double")
+      val sdRaw = sqrt(greatest(n * sxx - sx * sx, lit(0.0)) / (n * (n - lit(1.0))))
+      series.withColumn("n_bins", cnt)
+        .withColumn("roll_sum", round(sx, 6))
+        .withColumn("sd", when(cnt >= 2, round(sdRaw, 6)))
+        .withColumn("is_anomaly",
+          when(col("avg_value").isNull || cnt < 2 || sdRaw === 0.0, lit(false))
+            .otherwise(abs(col("avg_value") - sx / n) > lit(2.0) * sdRaw))
+        .select("event_type", "bin_start", "avg_value", "n_bins", "roll_sum",
+          "sd", "is_anomaly")
+        .orderBy("event_type", "bin_start")
+    }),
+
+    // -- per-day exact quantile bands (keyed distributed CDF) -------------
+    "q_events_daily_quantiles" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("day", to_date(col("ts")))
+      Clean.exactQuantilesBy(ev, "value", Seq("day"), Seq(0.5, 0.95))
+        .select(col("day").cast("string").as("day"),
+          round(col("q0"), 6).as("p50"), round(col("q1"), 6).as("p95"))
+        .orderBy("day")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
