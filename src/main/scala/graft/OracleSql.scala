@@ -1711,6 +1711,33 @@ object OracleSql {
       """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_events_wow" ->
+      """WITH weekly AS (SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week, n_purchases,
+        |  round(rev, 6) AS revenue,
+        |  round((rev - lag(rev) OVER (ORDER BY wk)) / lag(rev) OVER (ORDER BY wk), 6) AS wow_pct
+        |FROM weekly ORDER BY week""".stripMargin,
+
+    "q_events_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS uday, user_id FROM events),
+        |d AS (SELECT DISTINCT uday AS day FROM du)
+        |SELECT CAST(d.day AS VARCHAR) AS day,
+        |  CAST(count(DISTINCT du.user_id) AS BIGINT) AS dau7
+        |FROM d JOIN du ON datediff('day', du.uday, d.day) BETWEEN 0 AND 6
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6) AS skew_factor,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
+        |FROM c""".stripMargin
   )
 }

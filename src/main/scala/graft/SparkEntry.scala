@@ -1619,6 +1619,58 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // -- week-over-week revenue growth (period-over-period lag) -----------
+    // the lag window is over the ALREADY-AGGREGATED weekly series (a few
+    // dozen rows) — the single-partition window is on tiny data by
+    // construction, never the fact table
+    "q_events_wow" -> ((s, dir) => {
+      val weekly = T(s, dir, "events").where(col("event_type") === "purchase")
+        .groupBy(date_trunc("week", col("ts")).as("wk"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev_dec"),
+          count(lit(1)).as("n_purchases"))
+      val w = Window.orderBy("wk")
+      val rev = col("rev_dec").cast("double")
+      val prev = lag(rev, 1).over(w)
+      weekly
+        .withColumn("week", to_date(col("wk")).cast("string"))
+        .withColumn("revenue", round(rev, 6))
+        .withColumn("wow_pct", round((rev - prev) / prev, 6))
+        .select("week", "n_purchases", "revenue", "wow_pct")
+        .orderBy("week")
+    }),
+
+    // -- rolling 7-day distinct users (sliding distinct via day-grid join:
+    // COUNT(DISTINCT) over a sliding frame has no streaming-safe window
+    // form, so the (day, user) distinct pairs join a broadcast day grid
+    // and re-aggregate — cost = days x active users, not events) ----------
+    "q_events_rolling_dau" -> ((s, dir) => {
+      val du = T(s, dir, "events")
+        .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+      val days = du.select(col("uday").as("day")).distinct()
+      du.join(broadcast(days),
+          datediff(col("day"), col("uday")).between(0, 6))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
+        .select(col("day").cast("string").as("day"), col("dau7"))
+        .orderBy("day")
+    }),
+
+    // -- key-skew diagnosis report (the pre-join planning tool: how hot is
+    // the hottest key vs the mean — decides salting / AQE skew handling) --
+    "q_skew_report" -> ((s, dir) => {
+      val counts = T(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"))
+        .withColumn("skew_factor",
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("total").cast("double"), 6))
+        .withColumn("top_share",
+          round(col("max_cnt").cast("double") / col("total").cast("double"), 6))
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
