@@ -1738,6 +1738,18 @@ object OracleSql {
         |  CAST(max(cnt) AS BIGINT) AS max_cnt,
         |  round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6) AS skew_factor,
         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS pair_cnt
+        |      FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM oi GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM oi)
+        |SELECT pk_a, pk_b, pair_cnt,
+        |  round(CAST(pair_cnt AS DOUBLE) * n_orders / (ia.cnt * ib.cnt), 6) AS lift
+        |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, t
+        |ORDER BY pk_a, pk_b""".stripMargin
   )
 }

@@ -1671,6 +1671,31 @@ object SparkEntry {
           round(col("max_cnt").cast("double") / col("total").cast("double"), 6))
     }),
 
+    // -- market-basket pair mining (co-occurrence support + lift) ---------
+    // per-order distinct items self-joined on the order key: the pair
+    // blow-up is O(items-per-order²) per order — bounded by basket size,
+    // never corpus size. Item totals and the order count come back as
+    // broadcast one-row/tiny aggregates; lift is a ratio of exact counts.
+    "q_basket_pairs" -> ((s, dir) => {
+      val oi = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = oi.select(col("ok"), col("pk").as("pk_a"))
+        .join(oi.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+        .where(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 3)
+      val itemCnt = oi.groupBy(col("pk")).agg(count(lit(1)).as("item_cnt"))
+      val nOrders = oi.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(itemCnt.select(col("pk").as("pk_a"), col("item_cnt").as("cnt_a"))), Seq("pk_a"))
+        .join(broadcast(itemCnt.select(col("pk").as("pk_b"), col("item_cnt").as("cnt_b"))), Seq("pk_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pk_a"), col("pk_b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") * col("n_orders").cast("double") /
+            (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6).as("lift"))
+        .orderBy("pk_a", "pk_b")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
