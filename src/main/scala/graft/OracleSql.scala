@@ -1750,6 +1750,15 @@ object OracleSql {
         |SELECT pk_a, pk_b, pair_cnt,
         |  round(CAST(pair_cnt AS DOUBLE) * n_orders / (ia.cnt * ib.cnt), 6) AS lift
         |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, t
-        |ORDER BY pk_a, pk_b""".stripMargin
+        |ORDER BY pk_a, pk_b""".stripMargin,
+
+    "q_docs_composition" ->
+      """WITH a AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM a)
+        |SELECT source, lang, n_docs, chars,
+        |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
+        |FROM a, t ORDER BY source, lang""".stripMargin
   )
 }

@@ -1696,6 +1696,18 @@ object SparkEntry {
         .orderBy("pk_a", "pk_b")
     }),
 
+    // -- corpus composition report (per source x lang share) --------------
+    "q_docs_composition" -> ((s, dir) => {
+      val agg = T(s, dir, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = agg.agg(sum(col("n_docs")).as("tot"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("chars"),
+          round(col("n_docs").cast("double") / col("tot").cast("double"), 6)
+            .as("doc_share"))
+        .orderBy("source", "lang")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

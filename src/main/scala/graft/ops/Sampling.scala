@@ -42,4 +42,19 @@ object Sampling {
       .where(col("__rn") <= floor(col("__n") * lit(frac)))
       .drop("__rn", "__n")
   }
+
+  /** Deterministic train/test split by stable hash — the scale-safe
+    * `randomSplit` replacement for ML pipelines: `randomSplit` assigns
+    * rows by seeded RNG over the CURRENT partitioning, so a re-read or
+    * repartition silently reassigns rows across the split (train/test
+    * leakage on re-runs). Here membership is a pure function of the row
+    * id: hash(id) mod 1000 < rate‰ → train. Both sides are zero-shuffle
+    * codegen'd filters over the same scan; train ∪ test = df exactly,
+    * train ∩ test = ∅, on every engine and every re-run.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+      trainPerMille: Int = 800): (DataFrame, DataFrame) = {
+    val m = hashMill(col(idCol))
+    (df.where(m < trainPerMille), df.where(m >= trainPerMille))
+  }
 }

@@ -139,6 +139,18 @@ class Round5bOpsSpec extends SparkSpec {
     assert(m == Seq(("Cust Key", "cust_key", 0), ("acct_bal", "acctbal", 1)))
   }
 
+  test("splitByHash partitions exactly: disjoint, exhaustive, repartition-stable") {
+    val df = (1L to 500L).toDF("id")
+    val (train, test) = Sampling.splitByHash(df, "id", trainPerMille = 800)
+    val (nTrain, nTest) = (train.count(), test.count())
+    assert(nTrain + nTest == 500L)
+    assert(train.join(test, Seq("id"), "inner").count() == 0)
+    assert(nTrain > 300 && nTrain < 490) // ~80%, hash-approximate
+    // membership is a pure function of the id: repartitioning changes nothing
+    val (train2, _) = Sampling.splitByHash(df.repartition(7), "id", 800)
+    assert(train2.select("id").except(train.select("id")).count() == 0)
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
