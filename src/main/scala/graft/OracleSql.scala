@@ -1759,6 +1759,15 @@ object OracleSql {
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM a)
         |SELECT source, lang, n_docs, chars,
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
-        |FROM a, t ORDER BY source, lang""".stripMargin
+        |FROM a, t ORDER BY source, lang""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY path""".stripMargin
   )
 }

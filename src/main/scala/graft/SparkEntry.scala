@@ -1708,6 +1708,24 @@ object SparkEntry {
         .orderBy("source", "lang")
     }),
 
+    // -- user-journey paths: each user's first-3-event-type sequence ------
+    // (collect_list in a groupBy has NO deterministic order — the path is
+    // rebuilt from (rank, type) structs sorted INSIDE the row, the
+    // order-safe ordered-string-agg pattern)
+    "q_events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val first3 = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 3)
+      first3.groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy("path")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
