@@ -1761,6 +1761,26 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'lt30'
+        |            WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN '30to90'
+        |            ELSE 'gt90' END AS latency_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY latency_bucket""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH po AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+        |    max(l_shipdate) AS maxd FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+        |ll AS (SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+        |       JOIN po ON l.l_orderkey = po.ok AND l.l_shipdate = po.maxd),
+        |ul AS (SELECT l_orderkey, count(*) AS n_last, min(l_suppkey) AS sk
+        |       FROM ll GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ul JOIN supplier ON sk = s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
     "q_events_paths" ->
       """WITH r AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

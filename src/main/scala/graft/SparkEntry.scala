@@ -1726,6 +1726,44 @@ object SparkEntry {
         .orderBy("path")
     }),
 
+    // -- TPC-H Q12 (adapted: ship-latency buckets x priority class) -------
+    "q_tpch_q12" -> ((s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      val bucket = when(lat < 30, "lt30").when(lat <= 90, "30to90").otherwise("gt90")
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(bucket.as("latency_bucket"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("latency_bucket")
+    }),
+
+    // -- TPC-H Q21 (adapted: the UNIQUE latest-shipping supplier per
+    // multi-supplier order — the "who held up the order" report; preserves
+    // Q21's exists + not-exists double correlation as two tiny per-order
+    // aggregates joined back, never a correlated subquery per row) --------
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          max(col("l_shipdate")).as("maxd"))
+        .where(col("n_supp") >= 2)
+      val lastLines = li
+        .join(perOrder, col("l_orderkey") === col("ok") &&
+          col("l_shipdate") === col("maxd"))
+      val uniqueLast = lastLines.groupBy("ok")
+        .agg(count(lit(1)).as("n_last"), min(col("l_suppkey")).as("sk"))
+        .where(col("n_last") === 1)
+      uniqueLast
+        .join(T(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
