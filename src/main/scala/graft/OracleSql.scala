@@ -1761,6 +1761,26 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_embed_label_sim" ->
+      (s"""WITH c AS (SELECT label, CAST(pos AS INTEGER) AS pos,
+         |    round(avg(v), 6) AS mean_v
+         |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |vecs AS (SELECT label, list(mean_v ORDER BY pos) AS cv FROM c GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round(${cosine("a.cv", "b.cv")}, 6) AS cos
+         |FROM vecs a JOIN vecs b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin),
+
+    "q_quality_duprate" ->
+      """WITH f AS (SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "q_tpch_q12" ->
       """SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'lt30'
         |            WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN '30to90'

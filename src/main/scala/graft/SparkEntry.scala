@@ -1764,6 +1764,35 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
     }),
 
+    // -- cross-label centroid similarity matrix (two-stage: corpus-sized
+    // centroid agg, then a label x label cross join on the TINY result) --
+    "q_embed_label_sim" -> ((s, dir) => {
+      val cent = Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
+      val vecs = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+          x => x.getField("mean_v")).as("cv"))
+      val a = vecs.select(col("label").as("label_a"), col("cv").as("va"))
+      val b = vecs.select(col("label").as("label_b"), col("cv").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(graft.functions.VectorOps.cosineNative(col("va"), col("vb")), 6)
+            .as("cos"))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // -- per-source duplicate-rate report (curation targeting: which
+    // source needs dedup most) -------------------------------------------
+    "q_quality_duprate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
