@@ -35,7 +35,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0)
     }
-    def fmt(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the default-locale f interpolator renders 1.5 as "1,5"
+    // on comma-decimal locales, which corrupts the JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -1209,7 +1209,7 @@ object OracleSql {
         s"WHEN v >= $p THEN CAST(floor(v / $p) AS INTEGER)").mkString(" ")
       s"""WITH vals AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
          |              FROM lineitem WHERE l_extendedprice IS NOT NULL),
-         |d AS (SELECT CASE $cases END AS digit FROM vals WHERE v >= 1.0),
+         |d AS (SELECT CASE $cases END AS digit FROM vals WHERE v >= 1.0 AND v < 1e16),
          |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
          |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
          |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share

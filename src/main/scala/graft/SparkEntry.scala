@@ -502,7 +502,7 @@ object SparkEntry {
     // -- per-user event transition matrix (first-order Markov counts) -----
     "q_events_transitions" -> ((s, dir) =>
       EventsStream.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
-        "event_type")
+        "event_type", tieBreakCols = Seq("event_id"))
         .orderBy("prev_type", "next_type")),
 
     // -- funnel analysis over the event stream ----------------------------

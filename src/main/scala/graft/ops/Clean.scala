@@ -264,11 +264,18 @@ object Clean {
       .select(keyCols.map(col) :+ v.as("__val"): _*)
     val vc = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
       .agg(count(lit(1)).as("__c"))
-    // ONE exchange feeds both the offset aggregation and the local cumsum
-    // (ReuseExchange dedupes the identical repartitionByRange subplans)
-    val ranged = vc
+    // the partition ids MUST be identical for the offset aggregation and
+    // the local cumsum below. ReuseExchange usually guarantees that by
+    // deduping the identical repartitionByRange subplans, but correctness
+    // may not hinge on an optimizer flag (spark.sql.exchange.reuse=false,
+    // or any canonicalization change, would let two independently-sampled
+    // range exchanges assign DIFFERENT pids and silently mis-offset the
+    // CDF) — so the ranged table is persisted: one physical computation,
+    // one set of pids, both consumers read the same blocks.
+    val ranged = graft.Caches.register(vc
       .repartitionByRange((keyCols :+ "__val").map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col("__c")).as("__pt"))
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
@@ -334,10 +341,16 @@ object Clean {
     require(keyCols.nonEmpty, "imputeMeanBy needs grouping keys; use imputeGlobal for whole-column fills")
     val mu0 = avg(col(valueCol))
     val mu = if (roundStats >= 0) round(mu0, roundStats) else mu0
+    // null-SAFE key join: a plain equi-join would silently DROP every row
+    // whose grouping key is null (inner join never matches null = null),
+    // turning an imputation into a row filter. The stats side's keys are
+    // renamed so the <=> condition is unambiguous.
     val means = df.groupBy(keyCols.map(col): _*).agg(mu.as("__graft_mu"))
-    df.join(means, keyCols)
+      .toDF(keyCols.map("__graft_k_" + _) :+ "__graft_mu": _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+    df.join(means, cond)
       .withColumn(valueCol, coalesce(col(valueCol), col("__graft_mu")))
-      .drop("__graft_mu")
+      .drop(keyCols.map("__graft_k_" + _) :+ "__graft_mu": _*)
   }
 
   /** C7b — whole-column median imputation (pandas

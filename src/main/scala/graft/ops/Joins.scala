@@ -51,7 +51,11 @@ object Joins {
       (acc, c) => acc.withColumn(s"__graft_ref_$c", lit(null).cast(ref.schema(c).dataType))
     }
     val taggedRef = {
-      val base = ref.select(
+      // a ref row with a null timestamp can never legitimately match any
+      // probe — but under nulls-first ordering it would sort ahead of the
+      // whole partition and leak its values into probes that have no real
+      // match. Drop such rows up front (ASOF semantics on both sides).
+      val base = ref.where(col(timeCol).isNotNull).select(
         (keys.map(col) :+ col(timeCol) :+ lit(0).as(tagCol)) ++
           refCols.map(c => col(c).as(s"__graft_ref_$c")): _*)
       probeCols.filterNot(c => keys.contains(c) || c == timeCol)
@@ -92,7 +96,11 @@ object Joins {
       (acc, c) => acc.withColumn(s"__graft_ref_$c", lit(null).cast(ref.schema(c).dataType))
     }
     val taggedRef = {
-      val base = ref.select(
+      // a ref row with a null timestamp can never legitimately match any
+      // probe — but under nulls-first ordering it would sort ahead of the
+      // whole partition and leak its values into probes that have no real
+      // match. Drop such rows up front (ASOF semantics on both sides).
+      val base = ref.where(col(timeCol).isNotNull).select(
         (keys.map(col) :+ col(timeCol) :+ lit(0).as(tagCol)) ++
           refCols.map(c => col(c).as(s"__graft_ref_$c")): _*)
       probeCols.filterNot(c => keys.contains(c) || c == timeCol)

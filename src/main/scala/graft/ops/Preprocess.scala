@@ -61,14 +61,19 @@ object Preprocess {
         Seq(round(mu, roundStats).as(s"__mu_$c"), round(sigma, roundStats).as(s"__sigma_$c"))
       else Seq(mu.as(s"__mu_$c"), sigma.as(s"__sigma_$c"))
     }
+    // null-SAFE key join (see Clean.imputeMeanBy): a plain equi-join would
+    // silently drop null-key rows instead of standardizing them
+    val statCols = cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c"))
     val stats = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val joined = df.join(stats, keyCols)
+      .toDF(keyCols.map("__graft_k_" + _) ++ statCols: _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+    val joined = df.join(stats, cond)
     val out = cols.foldLeft(joined) { (acc, c) =>
       val z = when(col(s"__sigma_$c") === 0.0 || col(s"__sigma_$c").isNull, 0.0)
         .otherwise((col(c) - col(s"__mu_$c")) / col(s"__sigma_$c"))
       acc.withColumn(c, z)
     }
-    out.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")).toIndexedSeq: _*)
+    out.drop(keyCols.map("__graft_k_" + _) ++ statCols: _*)
   }
 
   /** Sigma-rule outlier flags: `<col>_outlier` = |z| > zThresh per column
@@ -199,8 +204,18 @@ object Preprocess {
   def oneHot(df: DataFrame, c: String, drop: Boolean = true): DataFrame = {
     val values = df.select(col(c).cast(StringType)).where(col(c).isNotNull)
       .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
-    val out = values.foldLeft(df) { (acc, v) =>
+    // sanitized names can collide ("a b" and "a.b" both -> "a_b"); a plain
+    // withColumn would silently REPLACE the earlier indicator and lose a
+    // category. Collisions get a deterministic ordinal suffix (values are
+    // sorted, so the numbering is stable).
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val named = values.map { v =>
       val safe = v.replaceAll("[^A-Za-z0-9]+", "_")
+      val n = seen.getOrElse(safe, 0)
+      seen(safe) = n + 1
+      (v, if (n == 0) safe else s"${safe}_$n")
+    }
+    val out = named.foldLeft(df) { case (acc, (v, safe)) =>
       acc.withColumn(s"${c}_$safe",
         when(col(c).cast(StringType) === lit(v), 1L).otherwise(0L))
     }

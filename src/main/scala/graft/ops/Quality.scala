@@ -87,7 +87,11 @@ object Quality {
       .foldRight(lit(null).cast("int")) { case ((p, d), els) =>
         when(v >= lit(p), d).otherwise(els)
       }
-    val counts = df.where(col(c).isNotNull && v >= 1.0)
+    // the ladder tops out at 1e15: values >= 1e16 would yield floor(v/1e15)
+    // in 10..99 — not a digit — so they are out of the supported magnitude
+    // range and excluded (as is infinity). Extend the ladder if a column
+    // genuinely carries >= 1e16 magnitudes.
+    val counts = df.where(col(c).isNotNull && v >= 1.0 && v < 1e16)
       .select(firstDigit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).cast("double").as("total"))

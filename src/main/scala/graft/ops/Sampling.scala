@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** md5-based per-mille of a stable id: uniform in [0, 1000). */
+  /** md5-based per-mille of a stable id: uniform in [0, 1000). Null ids
+    * hash as the empty string — they land in ONE deterministic bucket
+    * (all in or all out together) instead of being silently dropped by
+    * null propagation, which would break splitByHash's exhaustiveness.
+    */
   private def hashMill(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 1000L
+    conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 15), 16, 10)
+      .cast("long") % 1000L
 
   /** Stateless hash sample: keep a row iff hash(id) mod 1000 < rate‰.
     * ZERO shuffle, zero pre-pass — a codegen'd filter that composes with

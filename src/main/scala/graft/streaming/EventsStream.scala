@@ -217,9 +217,10 @@ object EventsStream {
     * events.
     */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String): DataFrame = {
+      typeCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(userCol).orderBy(tsCol, "event_id")
+      .partitionBy(userCol)
+      .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
     val trans = events
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .where(col("prev_type").isNotNull)
@@ -261,10 +262,19 @@ object EventsStream {
     * plan does not grow with stream length (the same lineage-severing
     * pattern as clusterNearDups). `onSnapshot` receives the new snapshot
     * after every batch (write it to the real sink there).
+    *
+    * Durability contract: the running snapshot is DRIVER-SESSION state —
+    * on a query restart it starts over from `initial`, so a durable
+    * deployment must pass the last persisted table as `initial` (read it
+    * back from wherever `onSnapshot` writes). localCheckpoint blocks are
+    * also lost with an executor, which fails the stream rather than
+    * corrupting it; the persisted sink + `initial` re-seed is the
+    * recovery path.
     */
-  def upsertSink(updates: DataFrame, keys: Seq[String], orderCol: String)(
+  def upsertSink(updates: DataFrame, keys: Seq[String], orderCol: String,
+      initial: Option[DataFrame] = None)(
       onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    var snapshot: Option[DataFrame] = None
+    var snapshot: Option[DataFrame] = initial
     updates.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val latest = graft.ext.Dedup.keepFirst(batch.toDF(), keys,

@@ -151,6 +151,48 @@ class Round5bOpsSpec extends SparkSpec {
     assert(train2.select("id").except(train.select("id")).count() == 0)
   }
 
+  test("C7 imputeMeanBy keeps and fills null-KEY rows (null-safe join)") {
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), None),
+      (Option.empty[String], Some(10.0)), (Option.empty[String], None)).toDF("k", "v")
+    val out = Clean.imputeMeanBy(df, "v", Seq("k"))
+    assert(out.count() == 4) // no rows dropped
+    val nullKey = out.where(col("k").isNull).orderBy("v")
+    assert(doubles(nullKey, "v") == Seq(Some(10.0), Some(10.0)))
+  }
+
+  test("P1b zscoreBy keeps null-key rows and standardizes them as a group") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 7.0)).toDF("k", "v")
+    val out = Preprocess.zscoreBy(df, Seq("v"), Seq("k"))
+    assert(out.count() == 4)
+    val zs = doubles(out.where(col("k").isNull).orderBy("v"), "v").flatten
+    assert(approx(zs(0), -1.0) && approx(zs(1), 1.0))
+  }
+
+  test("P5 oneHot disambiguates colliding sanitized names instead of overwriting") {
+    val df = Seq((1, "a b"), (2, "a.b"), (3, "c")).toDF("id", "x")
+    val out = Preprocess.oneHot(df, "x").orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "x_a_b", "x_a_b_1", "x_c"))
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L))) // "a b" < "a.b" (space < dot)
+  }
+
+  test("asofForward never matches a null-timestamp ref row") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val probe = Seq((1L, ts(50), "late")).toDF("k", "t", "tag")
+    val ref = Seq((1L, Option.empty[java.sql.Timestamp], 42.0),
+      (1L, Option(ts(10)), 7.0)).toDF("k", "t", "v")
+    val out = graft.ops.Joins.asofForward(probe, ref, Seq("k"), "t", Seq("v"))
+    // probe at 10:50 has no ref at-or-after it; the null-ts ref must not leak
+    assert(out.select("asof_v").head().isNullAt(0))
+  }
+
+  test("splitByHash routes null ids to exactly one side (exhaustive)") {
+    val df = Seq(Some(1L), Some(2L), None, None).toDF("id")
+    val (train, test) = Sampling.splitByHash(df, "id", 800)
+    assert(train.count() + test.count() == 4)
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
