@@ -1761,6 +1761,23 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    // weighted lower quantiles: cumulative DECIMAL weight per distinct
+    // value, threshold compare p * total in double (exact casts)
+    "q_stats_weighted_quantiles" ->
+      """WITH vw AS (SELECT l_returnflag, l_quantity AS v,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vw),
+        |t AS (SELECT l_returnflag, CAST(sum(w) AS DOUBLE) AS tw FROM vw GROUP BY 1)
+        |SELECT c.l_returnflag,
+        |  round(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * tw THEN v END), 6) AS wq50,
+        |  round(min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * tw THEN v END), 6) AS wq90
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin,
+
     "q_embed_label_sim" ->
       (s"""WITH c AS (SELECT label, CAST(pos AS INTEGER) AS pos,
          |    round(avg(v), 6) AS mean_v

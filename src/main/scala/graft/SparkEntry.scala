@@ -1793,6 +1793,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- revenue-weighted quantity quantiles (weighted distributed CDF) ---
+    "q_stats_weighted_quantiles" -> ((s, dir) =>
+      Clean.weightedQuantilesBy(T(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", Seq("l_returnflag"), Seq(0.5, 0.9))
+        .select(col("l_returnflag"),
+          round(col("q0"), 6).as("wq50"), round(col("q1"), 6).as("wq90"))
+        .orderBy("l_returnflag")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

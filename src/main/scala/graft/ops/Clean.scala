@@ -293,6 +293,65 @@ object Clean {
       .drop("__pid", "__lcum", "__off")
   }
 
+  /** Weighted value-frequency CDF: [[valueCdf]] with per-value summed
+    * DECIMAL weights instead of row counts — the primitive under weighted
+    * quantiles. Same distributed shape: one map-combined groupBy, range
+    * partition, parallel local cumsums, broadcast prefix offsets;
+    * persisted for the same pid-stability reason as [[valueCdf]].
+    * Output: keys, __val, __w (value's weight), __cum (cumulative).
+    */
+  def weightedCdf(df: DataFrame, valueCol: String, weightCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val keyed = df.where(v.isNotNull && col(weightCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(v.as("__val"),
+        col(weightCol).cast("decimal(28,6)").as("__wt")): _*)
+    val vw = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
+      .agg(sum(col("__wt")).as("__w"))
+    val ranged = graft.Caches.register(vw
+      .repartitionByRange((keyCols :+ "__val").map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
+      .agg(sum(col("__w")).as("__pt"))
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pidTotals
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff),
+        lit(0).cast("decimal(38,6)")))
+      .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
+    val wLocal = Window.partitionBy((keyCols :+ "__pid").map(col): _*)
+      .orderBy("__val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lcum", sum(col("__w")).over(wLocal))
+      .join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn("__cum", col("__lcum") + col("__off"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
+  /** Weighted lower quantiles per `keyCols` group: for each probability p,
+    * the SMALLEST value whose cumulative weight reaches p · total-weight
+    * (the lower-weighted-quantile convention — no interpolation, so the
+    * result is always an observed value and the p·W threshold compare is
+    * one engine-portable IEEE multiply of exact DECIMAL casts).
+    * Output: keyCols + q0..q{k-1}.
+    */
+  def weightedQuantilesBy(df: DataFrame, valueCol: String, weightCol: String,
+      keyCols: Seq[String], probs: Seq[Double]): DataFrame = {
+    val cdf = weightedCdf(df, valueCol, weightCol, keyCols)
+    val totals = cdf.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__cum")).cast(DoubleType).as("__tw"))
+    val withT =
+      if (keyCols.isEmpty) cdf.crossJoin(broadcast(totals))
+      else cdf.join(broadcast(totals), keyCols)
+    val qAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum").cast(DoubleType) >= lit(p) * col("__tw"),
+        col("__val"))).as(s"q$i")
+    }
+    withT.groupBy(keyCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+  }
+
   /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
     * per distinct `keyCols` group, on the [[valueCdf]] distributed prefix
     * sum. Output: keyCols + q0..q{k-1}. Each target rank j = (n-1)p is

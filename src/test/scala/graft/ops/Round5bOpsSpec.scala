@@ -193,6 +193,14 @@ class Round5bOpsSpec extends SparkSpec {
     assert(train.count() + test.count() == 4)
   }
 
+  test("weightedQuantilesBy picks the smallest value whose cum weight reaches p*W") {
+    // values 1,2,3 with weights 1,1,8: W=10; p=0.5 -> cum(3)=10 >= 5 first at v=3?
+    // cum(1)=1, cum(2)=2, cum(3)=10 -> wq50 = 3; p=0.1 -> cum(1)=1 >= 1 -> 1
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 8.0)).toDF("v", "w")
+    val out = Clean.weightedQuantilesBy(df, "v", "w", Nil, Seq(0.1, 0.5)).head()
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 3.0)
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
