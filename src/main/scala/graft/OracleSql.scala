@@ -1761,6 +1761,22 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    // Gini from the distinct-value CDF: tied ranks via c*(2*cum - c + 1),
+    // DECIMAL-exact sums, shared double formula
+    "q_stats_gini" ->
+      """WITH xs AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |vc AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM xs GROUP BY 1),
+        |cdf AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM vc),
+        |s AS (SELECT
+        |    CAST(sum(CAST(v AS DECIMAL(28,2)) * (c * (2 * cum - c + 1))) AS DOUBLE) AS sxn,
+        |    CAST(sum(CAST(v AS DECIMAL(28,2)) * c) AS DOUBLE) AS sx,
+        |    CAST(sum(c) AS DOUBLE) AS n
+        |  FROM cdf)
+        |SELECT round(sxn / (n * sx) - (n + 1.0) / n, 6) AS gini FROM s""".stripMargin,
+
     // weighted lower quantiles: cumulative DECIMAL weight per distinct
     // value, threshold compare p * total in double (exact casts)
     "q_stats_weighted_quantiles" ->

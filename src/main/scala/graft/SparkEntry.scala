@@ -1801,6 +1801,27 @@ object SparkEntry {
           round(col("q0"), 6).as("wq50"), round(col("q1"), 6).as("wq90"))
         .orderBy("l_returnflag")),
 
+    // -- Gini coefficient of customer revenue (inequality/concentration) --
+    // ranks come from the distributed CDF; tied values contribute the
+    // exact rank-run sum c*(2*cum - c + 1)/2, so gini reduces to two
+    // DECIMAL-exact sums and a shared double formula — no global sort of
+    // the customer table, no row-number window over the corpus
+    "q_stats_gini" -> ((s, dir) => {
+      val totals = T(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
+      val cdf = Clean.valueCdf(totals, "x", Nil)
+      val xn = (col("__val").cast("decimal(28,2)") *
+        (col("__c") * (lit(2) * col("__cum") - col("__c") + 1))).as("__xn")
+      val sums = cdf.select(xn,
+          (col("__val").cast("decimal(28,2)") * col("__c")).as("__xc"),
+          col("__c"))
+        .agg(sum(col("__xn")).cast("double").as("sxn"),
+          sum(col("__xc")).cast("double").as("sx"),
+          sum(col("__c")).cast("double").as("n"))
+      sums.select(round(col("sxn") / (col("n") * col("sx")) -
+        (col("n") + 1.0) / col("n"), 6).as("gini"))
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
