@@ -1761,6 +1761,29 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_events_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+        |f AS (SELECT user_id, wk,
+        |    (lead(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NULL
+        |     OR lead(wk) OVER (PARTITION BY user_id ORDER BY wk) <> wk + INTERVAL 7 DAY) AS churned
+        |  FROM uw)
+        |SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week,
+        |  CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS churned_next_week
+        |FROM f GROUP BY 1 ORDER BY week""".stripMargin,
+
+    "q_part_hhi" ->
+      """WITH rev AS (SELECT p_type, p_brand,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |t AS (SELECT p_type, sum(rev) AS tot FROM rev GROUP BY 1)
+        |SELECT rev.p_type, CAST(count(*) AS BIGINT) AS n_brands,
+        |  round(sum((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
+        |          * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS hhi
+        |FROM rev JOIN t ON rev.p_type = t.p_type
+        |GROUP BY rev.p_type ORDER BY rev.p_type""".stripMargin,
+
     // Gini from the distinct-value CDF: tied ranks via c*(2*cum - c + 1),
     // DECIMAL-exact sums, shared double formula
     "q_stats_gini" ->

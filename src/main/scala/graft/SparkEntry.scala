@@ -1822,6 +1822,45 @@ object SparkEntry {
         (col("n") + 1.0) / col("n"), 6).as("gini"))
     }),
 
+    // -- weekly churn: active last week, absent this week ------------------
+    // (user, week) distinct pairs lag-checked per user — the window is
+    // keyed by user; week totals re-aggregate the tiny pair table
+    "q_events_churn" -> ((s, dir) => {
+      val uw = T(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val nextWk = lead(col("wk"), 1).over(w)
+      // a user churns in week x+1 if active in x and the NEXT active week
+      // is not x + 7 days (or there is none)
+      val flagged = uw.withColumn("__churned",
+        nextWk.isNull || nextWk =!= col("wk") + expr("INTERVAL 7 DAYS"))
+      flagged.groupBy(to_date(col("wk")).cast("string").as("week"))
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("__churned"), 1L).otherwise(0L)).as("churned_next_week"))
+        .orderBy("week")
+    }),
+
+    // -- HHI revenue-concentration index per part type ---------------------
+    // Herfindahl = sum of squared brand shares; shares are IEEE ratios of
+    // DECIMAL-exact revenue sums, so the index is engine-portable without
+    // any libm call (the ln-free concentration metric)
+    "q_part_hhi" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").select("p_partkey", "p_type", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(30,4)")).as("rev"))
+      val totals = rev.groupBy("p_type").agg(sum(col("rev")).as("tot"))
+      val share = col("rev").cast("double") / col("tot").cast("double")
+      rev.join(broadcast(totals), Seq("p_type"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_brands"),
+          round(sum(share * share), 6).as("hhi"))
+        .orderBy("p_type")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
