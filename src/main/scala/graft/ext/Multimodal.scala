@@ -44,6 +44,23 @@ object Multimodal {
         lit(16000).as("sample_rate")))
   }
 
+  /** Modality detection by magic bytes — the dispatch step in front of
+    * per-modality decode pipelines. A codegen'd hex-prefix CASE over the
+    * first payload bytes (no UDF, no decode): PNG/JPEG/GIF images,
+    * RIFF(WAV) audio, ISO-BMFF(`ftyp` at offset 4) video, PDF documents;
+    * everything else falls through to `unknown`. Scan-local.
+    */
+  def detectKind(payload: Column): Column = {
+    def hexAt(off: Int, len: Int) = hex(substring(payload, off, len))
+    when(hexAt(1, 4) === "89504E47", "image/png")
+      .when(hexAt(1, 3) === "FFD8FF", "image/jpeg")
+      .when(hexAt(1, 4) === "47494638", "image/gif")
+      .when(hexAt(1, 4) === "52494646" && hexAt(9, 4) === "57415645", "audio/wav")
+      .when(hexAt(5, 4) === "66747970", "video/mp4")
+      .when(hexAt(1, 4) === "25504446", "application/pdf")
+      .otherwise("unknown")
+  }
+
   /** STUB decoder ==================================================
     * A real deployment replaces this with a codec call (e.g. JPEG decode →
     * pixel tensor). Here: a deterministic 8-dim pseudo-feature vector from

@@ -78,6 +78,16 @@ object Models {
       m -> new MulticlassClassificationEvaluator().setMetricName(m).evaluate(predictions)
     }.toMap
 
+  /** Confusion matrix from a predictions frame: one grouped count over
+    * (label, prediction) — map-side combined, classes² output rows. The
+    * per-class drill-down companion to [[evaluateClassifier]]'s scalar
+    * weighted metrics.
+    */
+  def confusionMatrix(predictions: DataFrame): DataFrame =
+    predictions.groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+
   /** M8 — regression metrics (`DIH.py:115-120`): MAE, MSE, R². */
   def evaluateRegressor(predictions: DataFrame): Map[String, Double] =
     regMetrics.map { m =>

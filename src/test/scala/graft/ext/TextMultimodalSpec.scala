@@ -83,4 +83,28 @@ class TextMultimodalSpec extends SparkSpec {
     val feat = out.where(col("id") === 1L).select("feature").head().getSeq[Double](0)
     assert(feat.size == 8 && feat.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("multimodal: detectKind dispatches on magic bytes, unknown otherwise") {
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      (Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 13, 10), "image/png"),
+      (Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte), "image/jpeg"),
+      ("GIF89a".getBytes("UTF-8"), "image/gif"),
+      ("RIFF1234WAVEfmt ".getBytes("UTF-8"), "audio/wav"),
+      (Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("UTF-8"), "video/mp4"),
+      ("%PDF-1.7".getBytes("UTF-8"), "application/pdf"),
+      ("just some text".getBytes("UTF-8"), "unknown"))
+    val df = cases.zipWithIndex.map { case ((b, exp), i) => (i, b, exp) }
+      .toDF("i", "payload", "expected")
+    val out = df.select(col("expected"),
+      Multimodal.detectKind(col("payload")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("ml: confusionMatrix counts (label, prediction) cells") {
+    val preds = Seq((0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("label", "prediction")
+    val cm = graft.ml.Models.confusionMatrix(preds).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(cm == Seq((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 1.0, 1L)))
+  }
 }
