@@ -173,6 +173,23 @@ class PropertiesSpec extends SparkSpec {
     m.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("weightedQuantilesBy equals the brute-force sorted cumulative-weight scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(200)((rnd.nextInt(20).toDouble, (rnd.nextInt(9) + 1).toDouble))
+    val probs = Seq(0.1, 0.5, 0.9)
+    val out = graft.ops.Clean.weightedQuantilesBy(
+      data.toDF("v", "w"), "v", "w", Nil, probs).head()
+    // reference: smallest v whose cumulative weight reaches p * W
+    val sorted = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val cums = sorted.scanLeft(0.0)(_ + _._2).tail.zip(sorted.map(_._1))
+    probs.zipWithIndex.foreach { case (p, i) =>
+      val expect = cums.collectFirst { case (c, v) if c >= p * total => v }.get
+      assert(out.getDouble(i) == expect, s"p=$p")
+    }
+  }
+
   test("clusterNearDups equals a driver-side union-find on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] = for {
       n <- Gen.chooseNum(2, 50)

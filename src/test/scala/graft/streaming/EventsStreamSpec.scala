@@ -231,4 +231,32 @@ class EventsStreamSpec extends SparkSpec {
     q.stop()
     assert(last.get.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
   }
+
+  test("upsertSink re-seeds from `initial` after a restart (documented recovery path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // phase 1: accumulate a snapshot, persist it like a real sink would
+    val mem1 = MemoryStream[(Long, String, Long)]
+    @volatile var saved: Option[Array[(Long, String, Long)]] = None
+    val q1 = EventsStream.upsertSink(mem1.toDF.toDF("k", "v", "seq"), Seq("k"), "seq") { s =>
+      saved = Some(s.select("k", "v", "seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+    mem1.addData((1L, "a", 1L), (2L, "b", 1L))
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: "restart" — a fresh query seeded with the persisted snapshot
+    val seed = saved.get.toSeq.toDF("k", "v", "seq")
+    val mem2 = MemoryStream[(Long, String, Long)]
+    @volatile var last: Option[Seq[(Long, String)]] = None
+    val q2 = EventsStream.upsertSink(mem2.toDF.toDF("k", "v", "seq"), Seq("k"), "seq",
+      initial = Some(seed)) { s =>
+      last = Some(s.select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    }
+    mem2.addData((2L, "updated", 2L), (3L, "c", 1L))
+    q2.processAllAvailable(); q2.stop()
+    // pre-restart key 1 survives; key 2 updated; key 3 new
+    assert(last.get == Seq((1L, "a"), (2L, "updated"), (3L, "c")))
+  }
 }
