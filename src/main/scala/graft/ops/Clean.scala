@@ -220,7 +220,8 @@ object Clean {
     val quants = exactQuantilesBy(df, valueCol, keys, Seq(0.25, 0.5, 0.75))
       .select(keys.map(col) :+ round(col("q0"), 6).as("p25")
         :+ round(col("q1"), 6).as("p50") :+ round(col("q2"), 6).as("p75"): _*)
-    moments.join(quants, keys, "left")
+    // null-safe: a null-key group must pick up ITS quantiles, not nulls
+    joinStatsNullSafe(moments, quants, keys, joinType = "left")
       .select(keys.map(col) ++ Seq(col("cnt"), col("mean"), col("std"),
         col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v")): _*)
   }
@@ -264,41 +265,12 @@ object Clean {
       .select(keyCols.map(col) :+ v.as("__val"): _*)
     val vc = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
       .agg(count(lit(1)).as("__c"))
-    // the partition ids MUST be identical for the offset aggregation and
-    // the local cumsum below. ReuseExchange usually guarantees that by
-    // deduping the identical repartitionByRange subplans, but correctness
-    // may not hinge on an optimizer flag (spark.sql.exchange.reuse=false,
-    // or any canonicalization change, would let two independently-sampled
-    // range exchanges assign DIFFERENT pids and silently mis-offset the
-    // CDF) — so the ranged table is persisted: one physical computation,
-    // one set of pids, both consumers read the same blocks.
-    val ranged = graft.Caches.register(vc
-      .repartitionByRange((keyCols :+ "__val").map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
-      .agg(sum(col("__c")).as("__pt"))
-    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = pidTotals
-      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
-      .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
-    val wLocal = Window.partitionBy((keyCols :+ "__pid").map(col): _*)
-      .orderBy("__val")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("__lcum", sum(col("__c")).over(wLocal))
-      .join(broadcast(offsets), keyCols :+ "__pid")
-      .withColumn("__cum", col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum", "__off")
+    prefixSumCdf(vc, keyCols, "__c", lit(0L))
   }
 
   /** Weighted value-frequency CDF: [[valueCdf]] with per-value summed
     * DECIMAL weights instead of row counts — the primitive under weighted
-    * quantiles. Same distributed shape: one map-combined groupBy, range
-    * partition, parallel local cumsums, broadcast prefix offsets;
-    * persisted for the same pid-stability reason as [[valueCdf]].
-    * Output: keys, __val, __w (value's weight), __cum (cumulative).
+    * quantiles. Output: keys, __val, __w (value's weight), __cum.
     */
   def weightedCdf(df: DataFrame, valueCol: String, weightCol: String,
       keyCols: Seq[String]): DataFrame = {
@@ -308,26 +280,73 @@ object Clean {
         col(weightCol).cast("decimal(28,6)").as("__wt")): _*)
     val vw = keyed.groupBy(keyCols.map(col) :+ col("__val"): _*)
       .agg(sum(col("__wt")).as("__w"))
-    val ranged = graft.Caches.register(vw
+    prefixSumCdf(vw, keyCols, "__w", lit(0).cast("decimal(38,6)"))
+  }
+
+  /** Shared distributed-prefix-sum core of [[valueCdf]]/[[weightedCdf]]:
+    * takes the pre-aggregated (keys, __val, measure) table and appends
+    * `__cum`, the per-key running sum of `measure` in __val order.
+    *
+    * Shape: range-partition (keys, __val) → per-partition local cumsums
+    * in PARALLEL windows → per-partition totals (rows = partition count)
+    * prefix-summed and broadcast back as offsets. No single-task window
+    * even when one key's distinct set is corpus-sized.
+    *
+    * The partition ids MUST be identical for the offset aggregation and
+    * the local cumsum. ReuseExchange usually guarantees that by deduping
+    * the identical repartitionByRange subplans, but correctness may not
+    * hinge on an optimizer flag (spark.sql.exchange.reuse=false, or any
+    * canonicalization change, would let two independently-sampled range
+    * exchanges assign DIFFERENT pids and silently mis-offset the CDF) —
+    * so the ranged table is persisted: one physical computation, one set
+    * of pids, both consumers read the same blocks.
+    */
+  private def prefixSumCdf(perValue: DataFrame, keyCols: Seq[String],
+      measure: String, zero: Column): DataFrame = {
+    val ranged = graft.Caches.register(perValue
       .repartitionByRange((keyCols :+ "__val").map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
-      .agg(sum(col("__w")).as("__pt"))
+      .agg(sum(col(measure)).as("__pt"))
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets keys renamed + joined null-SAFELY: a null grouping key is a
+    // legitimate group, and a plain equi-join here would silently drop its
+    // entire CDF
     val offsets = pidTotals
-      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff),
-        lit(0).cast("decimal(38,6)")))
-      .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), zero))
+      .select(keyCols.map(k => col(k).as(s"__graft_k_$k")) ++
+        Seq(col("__pid").as("__opid"), col("__off")): _*)
     val wLocal = Window.partitionBy((keyCols :+ "__pid").map(col): _*)
       .orderBy("__val")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joinCond = (keyCols.map(k => col(k) <=> col(s"__graft_k_$k")) :+
+      (col("__pid") === col("__opid"))).reduce(_ && _)
     ranged
-      .withColumn("__lcum", sum(col("__w")).over(wLocal))
-      .join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn("__lcum", sum(col(measure)).over(wLocal))
+      .join(broadcast(offsets), joinCond)
       .withColumn("__cum", col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum", "__off")
+      .drop(keyCols.map("__graft_k_" + _) ++
+        Seq("__opid", "__pid", "__lcum", "__off"): _*)
+  }
+
+  /** Null-SAFE broadcast join of per-key stats back onto a keyed frame:
+    * a plain equi-join silently drops null-key groups (null never equals
+    * null), so every stats-join here goes through `<=>`. The right side's
+    * keys are renamed to keep the condition unambiguous.
+    */
+  private def joinStatsNullSafe(left: DataFrame, stats: DataFrame,
+      keyCols: Seq[String], joinType: String = "inner"): DataFrame = {
+    if (keyCols.isEmpty) left.crossJoin(broadcast(stats))
+    else {
+      val renamed = stats.toDF(stats.columns.map { c =>
+        if (keyCols.contains(c)) s"__graft_k_$c" else c
+      }.toIndexedSeq: _*)
+      val cond = keyCols.map(k => col(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+      left.join(broadcast(renamed), cond, joinType)
+        .drop(keyCols.map("__graft_k_" + _): _*)
+    }
   }
 
   /** Weighted lower quantiles per `keyCols` group: for each probability p,
@@ -342,9 +361,7 @@ object Clean {
     val cdf = weightedCdf(df, valueCol, weightCol, keyCols)
     val totals = cdf.groupBy(keyCols.map(col): _*)
       .agg(max(col("__cum")).cast(DoubleType).as("__tw"))
-    val withT =
-      if (keyCols.isEmpty) cdf.crossJoin(broadcast(totals))
-      else cdf.join(broadcast(totals), keyCols)
+    val withT = joinStatsNullSafe(cdf, totals, keyCols)
     val qAggs = probs.zipWithIndex.map { case (p, i) =>
       min(when(col("__cum").cast(DoubleType) >= lit(p) * col("__tw"),
         col("__val"))).as(s"q$i")
@@ -364,7 +381,7 @@ object Clean {
     val cdf = valueCdf(df, valueCol, keyCols)
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
     val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
-    val withN = cdf.join(broadcast(totals), keyCols)
+    val withN = joinStatsNullSafe(cdf, totals, keyCols)
     val qAggs = probs.zipWithIndex.flatMap { case (p, i) =>
       val h = (col("__n") - 1) * lit(p)
       val j0 = floor(h).cast("long")

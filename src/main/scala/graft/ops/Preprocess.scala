@@ -206,14 +206,18 @@ object Preprocess {
       .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
     // sanitized names can collide ("a b" and "a.b" both -> "a_b"); a plain
     // withColumn would silently REPLACE the earlier indicator and lose a
-    // category. Collisions get a deterministic ordinal suffix (values are
-    // sorted, so the numbering is stable).
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // category. Each FINAL name is reserved (not just the base, which
+    // would let a suffixed name collide with a later value that sanitizes
+    // to the same string, e.g. "a.b"->a_b_1 vs literal "a_b_1"); suffixes
+    // increment until free, and values are sorted so numbering is stable.
+    val reserved = scala.collection.mutable.Set.empty[String]
     val named = values.map { v =>
-      val safe = v.replaceAll("[^A-Za-z0-9]+", "_")
-      val n = seen.getOrElse(safe, 0)
-      seen(safe) = n + 1
-      (v, if (n == 0) safe else s"${safe}_$n")
+      val base = v.replaceAll("[^A-Za-z0-9]+", "_")
+      val name = Iterator.single(base)
+        .concat(Iterator.from(1).map(n => s"${base}_$n"))
+        .find(!reserved.contains(_)).get
+      reserved += name
+      (v, name)
     }
     val out = named.foldLeft(df) { case (acc, (v, safe)) =>
       acc.withColumn(s"${c}_$safe",

@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** md5-based per-mille of a stable id: uniform in [0, 1000). Null ids
-    * hash as the empty string — they land in ONE deterministic bucket
-    * (all in or all out together) instead of being silently dropped by
-    * null propagation, which would break splitByHash's exhaustiveness.
+    * hash as a reserved sentinel (NUL-prefixed, which no cast("string")
+    * of real data produces) — they land in ONE deterministic bucket (all
+    * in or all out together) instead of being silently dropped by null
+    * propagation, and they do NOT share a bucket with empty-string ids.
     */
   private def hashMill(id: Column): Column =
-    conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 15), 16, 10)
+    conv(substring(md5(coalesce(id.cast("string"), lit("\u0000graft_null"))), 1, 15), 16, 10)
       .cast("long") % 1000L
 
   /** Stateless hash sample: keep a row iff hash(id) mod 1000 < rate‰.

@@ -216,6 +216,11 @@ object EventsStream {
     * sized) and broadcast back, so shares cost no second pass over the
     * events.
     */
+  /** NOTE: with duplicate (user, ts) pairs the lag order — and therefore
+    * the transition counts — is only deterministic if `tieBreakCols`
+    * makes the per-user sort total; pass the event id (as the registered
+    * query does) whenever timestamps can tie.
+    */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

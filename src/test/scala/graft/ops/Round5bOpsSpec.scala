@@ -193,6 +193,33 @@ class Round5bOpsSpec extends SparkSpec {
     assert(train.count() + test.count() == 4)
   }
 
+  test("P5 oneHot reserves FINAL names: a literal value equal to a generated suffix") {
+    val df = Seq((1, "a b"), (2, "a.b"), (3, "a_b_1")).toDF("id", "x")
+    val out = Preprocess.oneHot(df, "x").orderBy("id")
+    // "a b"->x_a_b, "a.b"->x_a_b_1? no: a_b taken -> a_b_1... but literal
+    // "a_b_1" sorts first among collisions? sorted values: "a b","a.b","a_b_1"
+    // -> a_b, a_b_1, then literal a_b_1 collides -> a_b_1_1
+    assert(out.columns.toSeq == Seq("id", "x_a_b", "x_a_b_1", "x_a_b_1_1"))
+    assert(out.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L)))
+  }
+
+  test("weightedQuantilesBy retains null-key groups (null-safe stats join)") {
+    val df = Seq((Some("a"), 1.0, 1.0), (Some("a"), 2.0, 1.0),
+      (Option.empty[String], 5.0, 1.0), (Option.empty[String], 6.0, 3.0)).toDF("k", "v", "w")
+    val out = Clean.weightedQuantilesBy(df, "v", "w", Seq("k"), Seq(0.5))
+    assert(out.count() == 2)
+    val nullRow = out.where(col("k").isNull).head()
+    assert(nullRow.getDouble(1) == 6.0) // cum(5)=1 < 2, cum(6)=4 >= 2
+  }
+
+  test("summaryStatsBy keeps a null-key group with ITS quantiles") {
+    val df = Seq((Some("a"), 1.0), (Option.empty[String], 10.0),
+      (Option.empty[String], 20.0)).toDF("k", "v")
+    val out = Clean.summaryStatsBy(df, "v", Seq("k")).where(col("k").isNull).head()
+    assert(out.getAs[Double]("p50") == 15.0)
+  }
+
   test("weightedQuantilesBy picks the smallest value whose cum weight reaches p*W") {
     // values 1,2,3 with weights 1,1,8: W=10; p=0.5 -> cum(3)=10 >= 5 first at v=3?
     // cum(1)=1, cum(2)=2, cum(3)=10 -> wq50 = 3; p=0.1 -> cum(1)=1 >= 1 -> 1
