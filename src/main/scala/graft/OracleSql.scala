@@ -1761,6 +1761,28 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    // decontamination: distinct 5-gram md5s; benchmark = every 50th doc
+    "q_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 4), i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g
+         |  FROM tok WHERE len(tk) >= 5),
+         |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0)
+         |SELECT DISTINCT gr.doc_id FROM gr JOIN bg USING (g)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_rebalance" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id FROM r
+        |  WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+        |    WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_events_churn" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
         |f AS (SELECT user_id, wk,

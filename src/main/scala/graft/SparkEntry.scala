@@ -1861,6 +1861,23 @@ object SparkEntry {
         .orderBy("p_type")
     }),
 
+    // -- benchmark decontamination (train-test n-gram overlap) ------------
+    // (deterministic "benchmark": every 50th doc; 5-gram overlap)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      TextAnalysis.contaminatedDocs(docs, "text", "doc_id", bench, "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // -- corpus mixture rebalancing (exact per-language targets) ----------
+    "q_sample_rebalance" -> ((s, dir) =>
+      Sampling.stratifiedTargets(T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 50L, "de" -> 30L, "fr" -> 20L, "es" -> 20L))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

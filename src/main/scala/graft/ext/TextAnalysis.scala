@@ -131,6 +131,28 @@ object TextAnalysis {
           .otherwise(round(nTok.cast("double") / nSent, 6)))
   }
 
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the train-test contamination check
+    * every LLM data pipeline runs before training). The benchmark's
+    * n-gram hash set is tiny relative to the corpus, so it BROADCASTS and
+    * the corpus side is a semi-join at the scan — the corpus's exploded
+    * n-grams never shuffle. N-grams are md5'd so the broadcast rows are
+    * fixed-width (and the set could be precomputed/persisted alongside
+    * the benchmark at production scale).
+    *
+    * @return the distinct ids of contaminated corpus docs
+    */
+  def contaminatedDocs(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    def gramHashes(text: Column) =
+      transform(graft.ext.Dedup.shingles(text, n), g => md5(g))
+    val bGrams = benchmark
+      .select(explode(gramHashes(col(benchTextCol))).as("__g")).distinct()
+    corpus.select(col(idCol), explode(gramHashes(col(textCol))).as("__g"))
+      .join(broadcast(bGrams), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the canonical key for exact dedup across formatting variants.
     */

@@ -49,6 +49,25 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Corpus mixture rebalancing: EXACTLY `targets(k)` rows per stratum
+    * (fewer when the stratum is smaller), rows chosen by stable md5 order
+    * — the "resample the corpus to a target language/source mix" step of
+    * a training-data pipeline, deterministic across runs and engines.
+    * Strata absent from `targets` are dropped (target 0). One shuffle on
+    * the stratum key; the per-stratum cap is a codegen'd CASE.
+    */
+  def stratifiedTargets(df: DataFrame, keyCol: String, idCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cap = targets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (els, (k, n)) => when(col(keyCol) === k, lit(n)).otherwise(els)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic train/test split by stable hash — the scale-safe
     * `randomSplit` replacement for ML pipelines: `randomSplit` assigns
     * rows by seeded RNG over the CURRENT partitioning, so a re-read or

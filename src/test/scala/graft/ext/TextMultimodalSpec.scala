@@ -101,6 +101,28 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("contaminatedDocs flags docs sharing an n-gram with the benchmark, misses clean ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-gram
+      (2L, "totally unrelated content about spark executors and shuffles"),
+      (3L, "quick brown fox appears here too")) // shares "quick brown fox"
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("bid", "btext")
+    val out = TextAnalysis.contaminatedDocs(corpus, "text", "doc_id", bench, "btext", n = 3)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("stratifiedTargets returns exactly the target count per stratum, capped by size") {
+    import graft.ops.Sampling
+    val df = (1 to 30).map(i => (if (i <= 20) "a" else "b", i.toLong)).toDF("k", "id")
+    val out = Sampling.stratifiedTargets(df, "k", "id", Map("a" -> 5L, "b" -> 100L))
+    val counts = out.groupBy("k").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("a" -> 5L, "b" -> 10L)) // b capped by stratum size
+    // strata not in targets are dropped
+    assert(Sampling.stratifiedTargets(df, "k", "id", Map("a" -> 2L)).count() == 2)
+  }
+
   test("ml: confusionMatrix counts (label, prediction) cells") {
     val preds = Seq((0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("label", "prediction")
     val cm = graft.ml.Models.confusionMatrix(preds).collect()
