@@ -1761,6 +1761,18 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_text_readability" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS ns,
+         |    len($toks) AS nt,
+         |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS sy
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN ns = 0 OR nt = 0 THEN NULL
+         |       ELSE round(206.835 - 1.015 * (CAST(nt AS DOUBLE) / ns)
+         |              - 84.6 * (CAST(sy AS DOUBLE) / nt), 6) END AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     // decontamination: distinct 5-gram md5s; benchmark = every 50th doc
     "q_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),

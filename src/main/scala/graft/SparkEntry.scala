@@ -1878,6 +1878,11 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")),
 
+    // -- readability scoring (Flesch proxy; libm-free exact-count ratio) --
+    "q_text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(T(s, dir, "documents"), "text")
+        .select("doc_id", "flesch").orderBy("doc_id")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

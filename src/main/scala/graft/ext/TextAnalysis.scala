@@ -131,6 +131,23 @@ object TextAnalysis {
           .otherwise(round(nTok.cast("double") / nSent, 6)))
   }
 
+  /** Flesch-style readability per document: 206.835 − 1.015·(tokens/
+    * sentences) − 84.6·(syllables/tokens), with syllables approximated as
+    * vowel-group runs (the standard regex proxy). Pure IEEE arithmetic on
+    * exact counts — no libm — and scan-local like the other per-doc
+    * metrics. Docs with no sentences or no tokens yield null.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nSent = size(filter(split(t, "[.!?]+"), s => trim(s) =!= ""))
+    val nTok = size(tokens(t))
+    val nSyl = size(regexp_extract_all(lower(t), lit("[aeiou]+"), lit(0)))
+    df.withColumn("flesch",
+      when(nSent === 0 || nTok === 0, lit(null).cast("double"))
+        .otherwise(round(lit(206.835) - lit(1.015) * (nTok.cast("double") / nSent)
+          - lit(84.6) * (nSyl.cast("double") / nTok), 6)))
+  }
+
   /** Benchmark decontamination — flag corpus documents sharing any word
     * n-gram with a benchmark/eval set (the train-test contamination check
     * every LLM data pipeline runs before training). The benchmark's
