@@ -1761,6 +1761,24 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_pivot_multi" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS f_qty,
+        |  CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+        |  round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS o_qty,
+        |  CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS o_n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_cut_bins" ->
+      """WITH b AS (SELECT CASE
+        |    WHEN l_extendedprice >= 0 AND l_extendedprice < 10000 THEN '[0,10000)'
+        |    WHEN l_extendedprice >= 10000 AND l_extendedprice < 30000 THEN '[10000,30000)'
+        |    WHEN l_extendedprice >= 30000 AND l_extendedprice < 60000 THEN '[30000,60000)'
+        |    WHEN l_extendedprice >= 60000 AND l_extendedprice < 100000 THEN '[60000,100000)'
+        |  END AS bin FROM lineitem)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin ORDER BY coalesce(bin, '~')""".stripMargin,
+
     "q_text_readability" ->
       s"""WITH m AS (SELECT doc_id,
          |    len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS ns,

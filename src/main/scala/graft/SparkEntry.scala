@@ -1883,6 +1883,32 @@ object SparkEntry {
       TextAnalysis.readability(T(s, dir, "documents"), "text")
         .select("doc_id", "flesch").orderBy("doc_id")),
 
+    // -- pivot with MULTIPLE aggregates per cell (sum + count) -------------
+    // Spark suffixes pivot columns per aggregate; aliases keep the names
+    // oracle-stable
+    "q_pivot_multi" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("F_qty"), 6).as("f_qty"), col("F_n").as("f_n"),
+          round(col("O_qty"), 6).as("o_qty"), col("O_n").as("o_n"))
+        .orderBy("l_returnflag")),
+
+    // -- explicit-edge binning (pandas cut): codegen'd CASE ladder ---------
+    "q_cut_bins" -> ((s, dir) => {
+      val edges = Seq(0.0, 10000.0, 30000.0, 60000.0, 100000.0)
+      val v = col("l_extendedprice")
+      val label = edges.sliding(2).toSeq.foldRight(lit(null).cast("string")) {
+        case (Seq(lo, hi), els) =>
+          when(v >= lo && v < hi, s"[${lo.toLong},${hi.toLong})").otherwise(els)
+      }
+      T(s, dir, "lineitem")
+        .groupBy(label.as("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(coalesce(col("bin"), lit("~")))
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
