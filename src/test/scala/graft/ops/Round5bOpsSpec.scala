@@ -228,6 +228,20 @@ class Round5bOpsSpec extends SparkSpec {
     assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 3.0)
   }
 
+  test("plan: q_decontaminate broadcasts the benchmark gram set as a left-semi join") {
+    val q = graft.SparkEntry.queries("q_decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi join:\n$plan")
+  }
+
+  test("plan: q_stats_gini's CDF never plans a single-partition window over values") {
+    val q = graft.SparkEntry.queries("q_stats_gini")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // local cumsums partition by __pid; only the tiny offsets window is keyless
+    assert(plan.contains("__pid"), s"expected pid-partitioned local cumsum:\n$plan")
+  }
+
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
     val q = graft.SparkEntry.queries("q_tpch_q9")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
