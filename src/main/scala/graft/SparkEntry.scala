@@ -1891,9 +1891,14 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
           count(lit(1)).as("n"))
+        // empty pivot cells: Spark's PivotFirst leaves the count null where
+        // the oracle's count(CASE ...) is 0 — coalesce (sum stays null on
+        // both sides, matching)
         .select(col("l_returnflag"),
-          round(col("F_qty"), 6).as("f_qty"), col("F_n").as("f_n"),
-          round(col("O_qty"), 6).as("o_qty"), col("O_n").as("o_n"))
+          round(col("F_qty"), 6).as("f_qty"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          round(col("O_qty"), 6).as("o_qty"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"))
         .orderBy("l_returnflag")),
 
     // -- explicit-edge binning (pandas cut): codegen'd CASE ladder ---------

@@ -120,10 +120,17 @@ object TextAnalysis {
     * Scan-local per-document arithmetic — no shuffle; the split arrays are
     * bounded by document length and never leave the row.
     */
+  /** Sentence count: non-blank segments split on `[.!?]+` runs. The split
+    * regex and blank rule are an oracle-parity contract shared by
+    * [[sentenceStats]] and [[readability]] (and mirrored in their SQL) —
+    * ONE definition so the three can never desync.
+    */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(text, "[.!?]+"), s => trim(s) =!= ""))
+
   def sentenceStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val sents = filter(split(t, "[.!?]+"), s => trim(s) =!= "")
-    val nSent = size(sents)
+    val nSent = sentenceCount(t)
     val nTok = size(tokens(t))
     df.withColumn("n_sentences", nSent.cast("long"))
       .withColumn("mean_sent_tokens",
@@ -139,7 +146,7 @@ object TextAnalysis {
     */
   def readability(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nSent = size(filter(split(t, "[.!?]+"), s => trim(s) =!= ""))
+    val nSent = sentenceCount(t)
     val nTok = size(tokens(t))
     val nSyl = size(regexp_extract_all(lower(t), lit("[aeiou]+"), lit(0)))
     df.withColumn("flesch",

@@ -238,8 +238,13 @@ class Round5bOpsSpec extends SparkSpec {
   test("plan: q_stats_gini's CDF never plans a single-partition window over values") {
     val q = graft.SparkEntry.queries("q_stats_gini")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
-    // local cumsums partition by __pid; only the tiny offsets window is keyless
-    assert(plan.contains("__pid"), s"expected pid-partitioned local cumsum:\n$plan")
+    // every Window node ORDERED BY the value column must be partitioned by
+    // __pid (the local cumsum); only the tiny per-pid offsets window — which
+    // never touches __val — may be keyless
+    val valWindows = plan.split("\n").filter(l => l.contains("Window") && l.contains("__val"))
+    assert(valWindows.nonEmpty, s"expected a window over __val:\n$plan")
+    assert(valWindows.forall(_.contains("__pid")),
+      s"found a value-ordered window without pid partitioning:\n${valWindows.mkString("\n")}")
   }
 
   test("plan: q_tpch_q9 broadcasts part and nation, shuffles only the big joins") {
