@@ -1761,6 +1761,34 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_window_drawdown" ->
+      """SELECT event_id, user_id,
+        |  round(max(value) OVER w, 6) AS run_max,
+        |  round(round(max(value) OVER w, 6) - value, 6) AS drawdown
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_events_ttfp" ->
+      """SELECT user_id,
+        |  epoch_us(CAST(min(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP))
+        |    - epoch_us(CAST(min(CASE WHEN event_type = 'signup' THEN ts END) AS TIMESTAMP)) AS ttfp_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // sessionize CTEs (30-min gap) -> per-day share of 1-event sessions
+    "q_events_bounce" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+        |s AS (SELECT user_id, sid, CAST(min(ts) AS DATE) AS day, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT CAST(day AS VARCHAR) AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate
+        |FROM s GROUP BY day ORDER BY day""".stripMargin,
+
     "q_pivot_multi" ->
       """SELECT l_returnflag,
         |  round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS f_qty,

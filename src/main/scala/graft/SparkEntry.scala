@@ -1914,6 +1914,42 @@ object SparkEntry {
         .orderBy(coalesce(col("bin"), lit("~")))
     }),
 
+    // -- running max + drawdown per user (finance-style cumulative window) -
+    "q_window_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("run_max", round(max(col("value")).over(w), 6))
+        .withColumn("drawdown", round(col("run_max") - col("value"), 6))
+        .select("event_id", "user_id", "run_max", "drawdown")
+        .orderBy("event_id")
+    }),
+
+    // -- time-to-first-purchase per user (activation latency) -------------
+    "q_events_ttfp" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .select(col("user_id"),
+          (unix_micros(col("first_purchase")) - unix_micros(col("first_signup")))
+            .as("ttfp_us"))
+        .orderBy("user_id")),
+
+    // -- session bounce rate per day (share of 1-event sessions) ----------
+    "q_events_bounce" -> ((s, dir) => {
+      val sess = EventsStream.sessionStats(T(s, dir, "events"), "30 minutes")
+      sess.groupBy(to_date(timestamp_seconds(col("session_start")))
+          .cast("string").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
+        .withColumn("bounce_rate",
+          round(col("bounces").cast("double") / col("n_sessions").cast("double"), 6))
+        .orderBy("day")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
