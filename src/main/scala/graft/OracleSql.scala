@@ -1761,6 +1761,18 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    // winnowing: 8-char-gram 60-bit md5 hashes, min per 4-hash window
+    "q_text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+         |    i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT)) AS grams
+         |  FROM t),
+         |m AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(grams) - 3, 0)),
+         |    j -> list_min(grams[j:j+3]))) AS fps FROM g)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_window_drawdown" ->
       """SELECT event_id, user_id,
         |  round(max(value) OVER w, 6) AS run_max,

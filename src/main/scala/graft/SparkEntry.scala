@@ -1950,6 +1950,12 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // -- winnowing (rolling-hash) fingerprints ------------------------------
+    "q_text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fps"))
+        .orderBy("doc_id")),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

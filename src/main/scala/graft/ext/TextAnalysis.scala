@@ -177,6 +177,31 @@ object TextAnalysis {
       .select(idCol).distinct()
   }
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * character `k`-gram, slide a window of `w` hashes, keep each window's
+    * minimum, return the distinct set. Guarantee: any shared substring of
+    * length ≥ k + w − 1 between two documents yields at least one shared
+    * fingerprint — the local-similarity detector exact fingerprints and
+    * whole-doc MinHash both miss. Scan-local per document (cost
+    * O(len · w) inside the row, nothing shuffles); k-gram hashes use the
+    * same 60-bit md5 trick as the MinHash base hash so the oracle can
+    * mirror them exactly.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    // short-input guards spelled as explicit CASEs: Spark's sequence(1, 0)
+    // DESCENDS ([1, 0]) instead of returning empty like generate_series
+    df.select(col(idCol), lower(col(textCol)).as("__t"))
+      .withColumn("__grams", expr(
+        s"CASE WHEN length(__t) < $k THEN CAST(array() AS ARRAY<BIGINT>) " +
+          s"ELSE transform(sequence(1, length(__t) - ${k - 1}), " +
+          s"i -> CAST(conv(substring(md5(substring(__t, i, $k)), 1, 15), 16, 10) AS BIGINT)) END"))
+      .withColumn("fingerprints", expr(
+        s"CASE WHEN size(__grams) < $w THEN CAST(array() AS ARRAY<BIGINT>) " +
+          s"ELSE array_distinct(transform(sequence(1, size(__grams) - ${w - 1}), " +
+          s"j -> array_min(slice(__grams, j, $w)))) END"))
+      .drop("__t", "__grams")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —
     * the canonical key for exact dedup across formatting variants.
     */

@@ -123,6 +123,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Sampling.stratifiedTargets(df, "k", "id", Map("a" -> 2L)).count() == 2)
   }
 
+  test("winnowing guarantee: docs sharing a substring >= k+w-1 share a fingerprint; short docs empty") {
+    val shared = "this exact common passage is long enough to guarantee overlap"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"different lead-in $shared and another tail"),
+      (3L, "completely disjoint text with nothing in common here at all"),
+      (4L, "tiny")) // < k chars -> no grams -> empty fingerprint set
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((out(1) intersect out(2)).nonEmpty, "guaranteed shared fingerprint missing")
+    // (docs 1/3 may legitimately share a fingerprint on any common 8-char
+    // gram that wins a window — winnowing detects LOCAL overlap by design)
+    assert(out(4).isEmpty)
+  }
+
   test("ml: confusionMatrix counts (label, prediction) cells") {
     val preds = Seq((0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("label", "prediction")
     val cm = graft.ml.Models.confusionMatrix(preds).collect()
