@@ -1761,6 +1761,27 @@ object OracleSql {
         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
         |FROM a, t ORDER BY source, lang""".stripMargin,
 
+    "q_window_reset_cumsum" ->
+      """WITH s AS (SELECT event_id, user_id, ts, value,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_filter_topdecile" ->
+      """WITH q AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |  FROM lineitem GROUP BY 1)
+        |SELECT lineitem.l_returnflag, CAST(count(*) AS BIGINT) AS n_top,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS top_revenue
+        |FROM lineitem JOIN q ON lineitem.l_returnflag = q.l_returnflag
+        |WHERE l_extendedprice > p90
+        |GROUP BY 1 ORDER BY lineitem.l_returnflag""".stripMargin,
+
     // winnowing: 8-char-gram 60-bit md5 hashes, min per 4-hash window
     "q_text_winnow" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -1956,6 +1956,43 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fingerprints")).as("n_fps"))
         .orderBy("doc_id")),
 
+    // -- segmented cumulative sum: running value total that RESETS at each
+    // signup event (two keyed windows sharing one (user, ts) sort: mark
+    // segment starts, running-sum the marks into a segment id, then sum
+    // within (user, segment))
+    "q_window_reset_cumsum" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seg = sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"))
+        .withColumn("__seg", seg)
+      val bySeg = Window.partitionBy("user_id", "__seg")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("running_value",
+          round(sum(col("value").cast("decimal(18,2)")).over(bySeg).cast("double"), 6))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    }),
+
+    // -- filter to rows above their group's exact p90 (keyed CDF as a
+    // filter: quantile bounds broadcast back, fact table only filtered) --
+    "q_filter_topdecile" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val p90 = Clean.exactQuantilesBy(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.9))
+        .select(col("l_returnflag"), round(col("q0"), 6).as("__p90"))
+      li.join(broadcast(p90), Seq("l_returnflag"))
+        .where(col("l_extendedprice") > col("__p90"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_top"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6)
+            .as("top_revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
