@@ -106,6 +106,35 @@ object Dedup {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
 
+  /** Skew guard for banded candidate joins: when `cap > 0`, band buckets
+    * with more than `cap` members are EXCLUDED from candidate generation —
+    * at crawl scale one boilerplate template can put 10⁷ docs in a single
+    * band bucket, turning the self-join into one 10¹⁴-pair task. Dropped
+    * buckets are counted (one 2-value aggregate, never an unbounded
+    * collect) and logged — no silent caps. The input is persisted so the
+    * size pass and the candidate join share one materialization; the
+    * exclusion itself is a distributed anti-join on the oversized keys.
+    * `cap <= 0` disables the guard and returns the input untouched (the
+    * plan is byte-identical to the uncapped one).
+    */
+  private def capBuckets(banded: DataFrame, cap: Int, what: String): DataFrame = {
+    if (cap <= 0) banded
+    else {
+      val b = graft.Caches.register(
+        banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val over = b.groupBy("band_idx", "band_key").count()
+        .where(col("count") > cap)
+      val stats = over.agg(count(lit(1)).as("n"), sum(col("count")).as("rows")).first()
+      if (stats.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$what skew cap: excluding ${stats.getLong(0)} band bucket(s) with " +
+            s"> $cap members (${stats.getLong(1)} banded rows) from candidate " +
+            "generation — near-dups inside those buckets are NOT detected")
+      b.join(over.select("band_idx", "band_key"),
+        Seq("band_idx", "band_key"), "left_anti")
+    }
+  }
+
   /** Banded LSH near-dup candidate pairs with exact Jaccard verification.
     *
     * @param numHashes total minhash functions (bands * rowsPerBand)
@@ -113,6 +142,12 @@ object Dedup {
     *                  slice of the signature matches exactly
     * @param threshold exact word-`k`-shingle Jaccard cutoff applied to the
     *                  candidates
+    * @param maxBucketSize when > 0, the hot-bucket skew guard: band buckets
+    *                  with more members are excluded from candidate
+    *                  generation (each would contribute O(size²) pairs —
+    *                  in practice one boilerplate template), with an eager
+    *                  warning of how many buckets/rows were dropped.
+    *                  0 (default) = no cap, exhaustive candidates.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, one row per verified
     * near-dup pair.
@@ -120,13 +155,13 @@ object Dedup {
     * Scale shape: docs → (band_idx, band_key, id, shingles) exploded rows;
     * self-equi-join on (band_idx, band_key) generates candidates *within
     * buckets only*; `array_intersect`/`array_union` on the (small) shingle
-    * sets verifies. Skew guard: gigantic buckets (near-identical boilerplate
-    * clusters) are the classic hot key — cap or salt in production; here the
-    * band key is 32 hex chars so collisions are genuine near-dups.
+    * sets verifies. Production callers at crawl scale should set
+    * `maxBucketSize` (e.g. 10 000) — see [[capBuckets]].
     */
   def nearDupMinhash(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, cacheIntermediate: Boolean = true): DataFrame = {
+      threshold: Double = 0.5, cacheIntermediate: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // staged projections: tokens, then shingles, then signature — each a
@@ -153,13 +188,14 @@ object Dedup {
     // banded rows carry ONLY (band_idx, band_key, id): the candidate
     // self-join shuffles narrow rows — shingle arrays never enter this
     // shuffle, which is what keeps the join viable at corpus scale.
-    val banded = sig.select(col("id"),
+    val bandedRaw = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
           md5(concat_ws("|", slice(col("sig"), b * rows + lit(1), lit(rows))
             .cast("array<string>"))).as("band_key"))))
         .as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val banded = capBuckets(bandedRaw, maxBucketSize, "nearDupMinhash")
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -226,7 +262,7 @@ object Dedup {
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // 1. exact vs corpus
     val corpusFps = corpus
@@ -241,9 +277,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val shC = graft.Caches.register(shingleTable(corpus, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cand = bandTable(shB, numHashes, bands)
+    // skew guard both probe sides: a boilerplate bucket on EITHER side of
+    // the batch×corpus join multiplies the pair count
+    val cand = capBuckets(bandTable(shB, numHashes, bands), maxBucketSize,
+        "incrementalDedup(batch)")
       .select(col("band_idx"), col("band_key"), col("id").as("__bid"))
-      .join(bandTable(shC, numHashes, bands)
+      .join(capBuckets(bandTable(shC, numHashes, bands), maxBucketSize,
+          "incrementalDedup(corpus)")
         .select(col("band_idx"), col("band_key"), col("id").as("__cid")),
         Seq("band_idx", "band_key"))
       .select("__bid", "__cid").distinct()
@@ -253,9 +293,12 @@ object Dedup {
       .where(size(array_intersect(col("__sh_b"), col("__sh_c"))).cast("double")
         / size(array_union(col("__sh_b"), col("__sh_c"))) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
-    val b3 = b2.join(broadcast(matched), Seq(idCol), "left_anti")
+    // matched scales with the incoming batch (worst case: every batch doc
+    // near-dups the corpus) — no broadcast hint, AQE decides.
+    val b3 = b2.join(matched, Seq(idCol), "left_anti")
     // 4. within-batch near-dup
-    applyNearDupDedup(b3, textCol, idCol, k, numHashes, bands, threshold)
+    applyNearDupDedup(b3, textCol, idCol, k, numHashes, bands, threshold,
+      maxBucketSize)
   }
 
   /** Near-dup CLUSTER assignment: connected components over a verified
@@ -343,18 +386,22 @@ object Dedup {
   /** End-to-end near-dup dedup: keep exactly one representative (the
     * smallest id) per connected near-dup cluster — the "apply" step after
     * [[nearDupMinhash]] + [[clusterNearDups]]. A kept row is one whose id
-    * IS its cluster label; the corpus filter is a broadcast-friendly
-    * semi-join on the (tiny) kept-id set, so document bodies never
-    * shuffle.
+    * IS its cluster label. The KEPT set is corpus-sized (every
+    * non-duplicate singleton is its own representative), so the corpus
+    * filter is an anti-join on the DROPPED ids — the genuinely small side
+    * (only near-dup losers) — with no broadcast hint: AQE broadcasts it
+    * when it fits and shuffles when it doesn't. Document bodies still
+    * move at most once.
     */
   def applyNearDupDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold)
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
     val labels = clusterNearDups(pairs, df, idCol)
-    val keep = labels.where(col("id") === col("cluster_id"))
+    val dropped = labels.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    df.join(org.apache.spark.sql.functions.broadcast(keep), Seq(idCol), "left_semi")
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Near-dup dedup keeping the HIGHEST-SCORED member per cluster (e.g.
@@ -362,17 +409,20 @@ object Dedup {
     * quality score from TextAnalysis.qualityMetrics) instead of
     * [[applyNearDupDedup]]'s min-id representative — at corpus scale the
     * kept document should be the best one, not an id accident. Ties break
-    * to the smaller id so the choice is deterministic. Same scale shape:
-    * clusters come from label propagation; the winner per cluster is one
-    * map-combinable aggregate over (cluster, score, id); the corpus filter
-    * is a broadcast semi-join on the tiny winner set.
+    * to the smaller id so the choice is deterministic. Scale shape:
+    * clusters come from label propagation; scoring and winner selection
+    * run over the TOUCHED subgraph only (docs with ≥1 near-dup edge —
+    * untouched singletons are trivially their own winners), so the winner
+    * aggregate and the loser set never grow with the corpus; the corpus
+    * filter is an anti-join on the (small) loser set with no broadcast
+    * hint — AQE broadcasts it when it fits.
     *
     * @param scores (idCol, scoreCol) one score per document
     */
   def applyNearDupDedupByScore(df: DataFrame, textCol: String, idCol: String,
       scores: DataFrame, scoreCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     // The winner-per-cluster trick below negates the id inside a struct-max,
     // which is only meaningful for integral ids (sibling dedup ops accept any
     // orderable id). Fail loudly rather than silently mangling string ids.
@@ -382,12 +432,20 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"applyNearDupDedupByScore requires an integral idCol, got $idCol: $other")
     }
-    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold)
+    val pairs = nearDupMinhash(df, textCol, idCol, k, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
     val labels = clusterNearDups(pairs, df, idCol)
+    // Every member of a size-≥2 cluster has at least one edge, so the
+    // touched node set (pair endpoints) is exactly the set of docs that can
+    // LOSE — restrict scoring to it and the whole winner computation stays
+    // proportional to the near-dup subgraph, not the corpus.
+    val touched = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val members = labels.join(touched, Seq("id"), "left_semi")
     // NaN sorts greater than every double in Spark's ordering, so a NaN
     // score would always win the cluster; demote it (and null) to -inf.
     val rawScore = col(scoreCol).cast("double")
-    val scored = labels.join(
+    val scored = members.join(
       scores.select(col(idCol).as("id"),
         when(isnan(rawScore), lit(Double.MinValue)).otherwise(rawScore).as("__score")),
       Seq("id"), "left")
@@ -397,8 +455,13 @@ object Dedup {
     val winners = scored
       .groupBy("cluster_id")
       .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("w"))
-      .select((-col("w.__negid")).cast("long").as(idCol))
-    df.join(org.apache.spark.sql.functions.broadcast(winners), Seq(idCol), "left_semi")
+      .select(col("cluster_id"), (-col("w.__negid")).cast("long").as("__winner"))
+    // losers = touched members that are not their cluster's winner — the
+    // genuinely small side; anti-join with no hint, AQE picks the strategy.
+    val dropped = scored.join(winners, Seq("cluster_id"))
+      .where(col("id") =!= col("__winner"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —

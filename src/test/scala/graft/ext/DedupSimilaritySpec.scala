@@ -118,4 +118,48 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(ivfAll == brute)
   }
+
+  test("dedup-apply never force-broadcasts the kept-id relation (anti-join on losers)") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val kept = Dedup.applyNearDupDedup(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5)
+    // the kept-id set is corpus-sized at scale: the plan must not contain a
+    // broadcast HINT anywhere (AQE may still choose broadcast for the small
+    // dropped side — that's the point), and the corpus filter is a LeftAnti
+    val analyzed = kept.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      s"forced broadcast hint found in dedup-apply plan:\n$analyzed")
+    assert(kept.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "expected an anti-join on the dropped-id set")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "score")
+    val best = Dedup.applyNearDupDedupByScore(docs, "text", "doc_id", scores, "score",
+      numHashes = 16, bands = 8, threshold = 0.5)
+    val analyzedB = best.queryExecution.analyzed.toString
+    assert(!analyzedB.contains("ResolvedHint") && !analyzedB.contains("UnresolvedHint"),
+      s"forced broadcast hint found in by-score dedup-apply plan:\n$analyzedB")
+    assert(best.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("LSH mega-bucket cap bounds candidates and keeps normal pairs") {
+    // 40 identical boilerplate docs = one mega bucket in EVERY band; a real
+    // near-dup pair lives outside it
+    val boiler = (1L to 40L).map(i => (i, "standard legal disclaimer text repeated verbatim " * 4))
+    val df = (boiler ++ Seq((100L, base), (101L, nearDup))).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupMinhash(df, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1) // full quadratic blow-up + the real pair
+    val capped = Dedup.nearDupMinhash(df, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"cap should drop mega-bucket pairs, keep the real near-dup: $capped")
+    // a cap larger than any bucket is a no-op
+    val loose = Dedup.nearDupMinhash(df, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 0.5, maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == uncapped)
+  }
 }
