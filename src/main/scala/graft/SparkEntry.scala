@@ -1981,9 +1981,13 @@ object SparkEntry {
     // filter: quantile bounds broadcast back, fact table only filtered) --
     "q_filter_topdecile" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
+      // eager localCheckpoint: the 3-row p90 materializes in its own jobs
+      // (full parallelism) instead of inside the broadcast-exchange thread,
+      // and the broadcast subtree's codegen shrinks to a 3-row scan
       val p90 = Clean.exactQuantilesBy(li, "l_extendedprice",
         Seq("l_returnflag"), Seq(0.9))
         .select(col("l_returnflag"), round(col("q0"), 6).as("__p90"))
+        .localCheckpoint(true)
       li.join(broadcast(p90), Seq("l_returnflag"))
         .where(col("l_extendedprice") > col("__p90"))
         .groupBy(col("l_returnflag"))
