@@ -141,12 +141,12 @@ object Models {
     rows.toDF("model", "metric", "value").orderBy("model", "metric")
   }
 
-  /** M6 — grid-search CV (`DIH.py:71-95`): 3-fold CrossValidator over the
-    * reference's grids (RF numTrees ∈ {50,100,200} × maxDepth ∈
-    * {unlimited→30,10,20}; GBT stepSize ∈ {0.01,0.1} × maxIter ∈
-    * {50,100,200}), best model then evaluated on the held-out TEST split —
-    * exactly the reference's protocol (best_estimator_ predicts X_test,
-    * DIH.py:86-89), not the CV score.
+  /** M6, the random-forest arm (`DIH.py:73-76`): 3-fold CrossValidator
+    * over the reference's RF grid (numTrees ∈ {50,100,200} × maxDepth ∈
+    * {unlimited→30,10,20}), best model then evaluated on the held-out TEST
+    * split — exactly the reference's protocol (best_estimator_ predicts
+    * X_test, DIH.py:86-89), not the CV score. The gradient-boosting arm is
+    * [[gridSearchGBT]].
     */
   def gridSearchRF(spark: SparkSession, assembled: DataFrame,
       isClassification: Boolean, numFolds: Int = 3): DataFrame = {
@@ -169,6 +169,58 @@ object Models {
             .build(),
           new RegressionEvaluator().setMetricName("r2"))
       }
+    cvSelectAndScore(spark, train, test, estimator, grid, evaluator,
+      isClassification, numFolds, "random_forest_cv")
+  }
+
+  /** M6, the gradient-boosting arm — the reference also grids XGBoost
+    * (`DIH.py:77-81`: learning_rate ∈ {0.01,0.1} × n_estimators ∈
+    * {50,100,200}); the Spark GBT analogue grids stepSize × maxIter with
+    * the same 3-fold CV, best model evaluated on the held-out TEST split
+    * (the `best_estimator_` protocol, `DIH.py:86-89`). Classification is
+    * binary (GBTClassifier's contract; the reference's multiclass XGBoost
+    * path has no OneVsRest-gridable Spark analogue — ParamGridBuilder
+    * cannot reach through OneVsRest to the inner classifier's params).
+    * `stepSizes`/`maxIters` default to the reference grid; callers on a
+    * tight loop (tests) pass a smaller one — boosting is sequential, so
+    * maxIter dominates wall-clock.
+    */
+  def gridSearchGBT(spark: SparkSession, assembled: DataFrame,
+      isClassification: Boolean, numFolds: Int = 3,
+      stepSizes: Array[Double] = Array(0.01, 0.1),
+      maxIters: Array[Int] = Array(50, 100, 200)): DataFrame = {
+    val (train, test) = split(assembled)
+    val (estimator, grid, evaluator) =
+      if (isClassification) {
+        val gbt = new GBTClassifier()
+        (gbt: PipelineStage,
+          new ParamGridBuilder()
+            .addGrid(gbt.stepSize, stepSizes)
+            .addGrid(gbt.maxIter, maxIters)
+            .build(),
+          new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      } else {
+        val gbt = new GBTRegressor()
+        (gbt: PipelineStage,
+          new ParamGridBuilder()
+            .addGrid(gbt.stepSize, stepSizes)
+            .addGrid(gbt.maxIter, maxIters)
+            .build(),
+          new RegressionEvaluator().setMetricName("r2"))
+      }
+    cvSelectAndScore(spark, train, test, estimator, grid, evaluator,
+      isClassification, numFolds, "gbt_cv")
+  }
+
+  /** Shared CV tail for the M6 arms: k-fold select over the grid on the
+    * TRAIN split, refit-on-full-train (CrossValidator's bestModel), score
+    * on the held-out test split.
+    */
+  private def cvSelectAndScore(spark: SparkSession, train: DataFrame,
+      test: DataFrame, estimator: PipelineStage,
+      grid: Array[org.apache.spark.ml.param.ParamMap],
+      evaluator: AnyRef, isClassification: Boolean, numFolds: Int,
+      modelName: String): DataFrame = {
     val cv = new CrossValidator()
       .setEstimator(estimator.asInstanceOf[org.apache.spark.ml.Estimator[_]])
       .setEstimatorParamMaps(grid)
@@ -180,7 +232,7 @@ object Models {
     val preds = model.transform(test)
     val metrics = if (isClassification) evaluateClassifier(preds) else evaluateRegressor(preds)
     import spark.implicits._
-    metrics.toSeq.sortBy(_._1).map { case (m, v) => ("random_forest_cv", m, v) }
+    metrics.toSeq.sortBy(_._1).map { case (m, v) => (modelName, m, v) }
       .toDF("model", "metric", "value").orderBy("metric")
   }
 

@@ -75,6 +75,28 @@ class ModelsSpec extends SparkSpec {
     assert(acc > 0.8 && acc <= 1.0)
   }
 
+  test("M6 GBT grid arm: CV-selected GBT beats the default-params GBT on held-out data") {
+    // noise-free nonlinear signal: boosting improves monotonically with
+    // iterations here, so the grid (which contains a longer run than the
+    // 20-iteration default) must win on the held-out split
+    val df = (0 until 300).map { i =>
+      val x = i / 5.0
+      (x, math.sin(x / 2.0) * 10.0 + 0.5 * x)
+    }.toDF("x", "y")
+    val asm = Models.assemble(df, "y")
+    val (train, test) = Models.split(asm)
+    val default = new org.apache.spark.ml.regression.GBTRegressor().fit(train)
+    val defaultR2 = Models.evaluateRegressor(default.transform(test))("r2")
+    val out = Models.gridSearchGBT(spark, asm, isClassification = false,
+      numFolds = 2, stepSizes = Array(0.1, 0.3), maxIters = Array(20, 80)).collect()
+    assert(out.map(_.getString(0)).toSet == Set("gbt_cv"))
+    assert(out.map(_.getString(1)).toSet == Set("mae", "mse", "r2"))
+    val cvR2 = out.filter(_.getString(1) == "r2").head.getDouble(2)
+    assert(cvR2 > defaultR2,
+      s"CV-selected GBT (r2=$cvR2) should beat default GBT (r2=$defaultR2)")
+    assert(cvR2 > 0.9 && cvR2 <= 1.0)
+  }
+
   test("kmeansAssign partitions embeddings; more clusters never cost more") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assign4, cost4) = Models.kmeansAssign(emb, "vec_id", "embedding", 4)
