@@ -1977,6 +1977,69 @@ object OracleSql {
         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         |      FROM r WHERE rn <= 3 GROUP BY user_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
-        |FROM p GROUP BY path ORDER BY path""".stripMargin
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
+
+    // Q2: the correlated scalar subquery evaluates over the SAME
+    // region+part-filtered pair relation the Spark side decorrelates
+    "q_tpch_q2" ->
+      """WITH eps AS (
+        |  SELECT l_partkey AS partkey, min(l_extendedprice) AS supplycost,
+        |    s_acctbal, s_name, n_name, p_partkey, p_type
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'LARGE'
+        |  GROUP BY l_partkey, l_suppkey, s_acctbal, s_name, n_name, p_partkey, p_type)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+        |FROM eps e1
+        |WHERE supplycost = (SELECT min(supplycost) FROM eps e2
+        |                    WHERE e2.partkey = e1.partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    // Q11: threshold from the DECIMAL-exact grand total (order-independent)
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS partkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      AS DECIMAL(30,4))) AS dv
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' GROUP BY 1),
+        |t AS (SELECT CAST(sum(dv) AS DOUBLE) * 0.001 AS thr FROM v)
+        |SELECT partkey, round(CAST(dv AS DOUBLE), 6) AS value
+        |FROM v, t WHERE CAST(dv AS DOUBLE) > thr
+        |ORDER BY value DESC, partkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        |      FROM lineitem) ps
+        |JOIN part ON partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%red%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 30.0)
+        |ORDER BY s_name""".stripMargin
   )
 }

@@ -1764,6 +1764,112 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
     }),
 
+    // -- TPC-H Q2 (adapted: lineitem's (part, supplier) pairs stand in for
+    // partsupp; supplycost = min observed sale price per pair. The
+    // correlated "= (SELECT min(supplycost) WHERE partkey = p_partkey)"
+    // is decorrelated into a per-part min over the region-filtered pair
+    // relation joined back on equality — the same shape Catalyst's
+    // subquery rewrite produces, but with the part filter applied FIRST
+    // so the min is only computed for candidate parts (at 100 TB the
+    // unfiltered per-part min would be a partkey-cardinality shuffle for
+    // rows that are immediately discarded). Dims broadcast. -------------
+    "q_tpch_q2" -> ((s, dir) => {
+      val eps = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg(min(col("l_extendedprice")).as("supplycost"))
+        .join(broadcast(T(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_name", "s_acctbal")),
+          col("suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(T(s, dir, "part")
+          .where(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select("p_partkey", "p_type")), col("partkey") === col("p_partkey"))
+        .select("partkey", "supplycost", "s_acctbal", "s_name", "n_name",
+          "p_partkey", "p_type")
+      val minCost = eps.groupBy(col("partkey").as("__pk"))
+        .agg(min(col("supplycost")).as("__minc"))
+      eps.join(broadcast(minCost), col("partkey") === col("__pk") &&
+          col("supplycost") === col("__minc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+          "supplycost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // -- TPC-H Q11 (adapted: per-part revenue from one region's suppliers,
+    // HAVING value > 0.001x the global total — the global-share threshold
+    // pattern. Threshold derives from the DECIMAL-exact grand total (sum
+    // of the per-part decimal sums), so the borderline comparison is
+    // summation-order-independent across engines; the 1-row threshold
+    // broadcasts. --------------------------------------------------------
+    "q_tpch_q11" -> ((s, dir) => {
+      val value = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(30,4)")
+      val v = T(s, dir, "lineitem")
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(value).as("__dv"))
+      val thr = v.agg((sum(col("__dv")).cast("double") * 0.001).as("__thr"))
+      v.crossJoin(broadcast(thr))
+        .where(col("__dv").cast("double") > col("__thr"))
+        .select(col("partkey"), round(col("__dv").cast("double"), 6).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
+    }),
+
+    // -- TPC-H Q16 (adapted: distinct (part, supplier) pairs from lineitem;
+    // "complaint" suppliers = negative account balance, excluded via the
+    // NOT IN pattern — s_suppkey is non-null so left_anti is exactly
+    // NOT IN; the exclusion set is a filtered dim, broadcast. ------------
+    "q_tpch_q16" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .distinct()
+        .join(broadcast(T(s, dir, "supplier").where(col("s_acctbal") < 0)
+          .select("s_suppkey")), col("suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(T(s, dir, "part")
+          .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // -- TPC-H Q20 (adapted: suppliers in a region who shipped > 30 units
+    // of any 'red' part in 1996-97 — the nested semi-join chain: parts
+    // semi-filter lineitem, the HAVING'd shipper set semi-filters
+    // supplier. Both probe sides stay narrow (partkey / suppkey only); no
+    // row of supplier is ever duplicated by the join. --------------------
+    "q_tpch_q20" -> ((s, dir) => {
+      val bigShippers = T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(T(s, dir, "part").where(col("p_name").contains("red"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("__q"))
+        .where(col("__q") > 30.0)
+        .select(col("l_suppkey")).distinct()
+      T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
     // -- cross-label centroid similarity matrix (two-stage: corpus-sized
     // centroid agg, then a label x label cross join on the TINY result) --
     "q_embed_label_sim" -> ((s, dir) => {

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-6 plan-shape goldens: the last four TPC-H adaptations must keep
+  * their scale-safe join shapes (broadcast dims, semi/anti joins, no
+  * cartesian product wider than the 1-row threshold broadcast).
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("plan: q_tpch_q2 broadcasts every dim and the per-part min; no cartesian") {
+    val plan = executed("q_tpch_q2")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("plan: q_tpch_q11's only nested-loop join is the 1-row threshold broadcast") {
+    val plan = executed("q_tpch_q11")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // the global-share threshold joins as a broadcast (1 row), never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected broadcast threshold:\n$plan")
+  }
+
+  test("plan: q_tpch_q16 plans NOT IN as a broadcast anti-join") {
+    val plan = executed("q_tpch_q16")
+    assert(plan.contains("LeftAnti"), s"expected an anti-join for NOT IN:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast exclusion set:\n$plan")
+  }
+
+  test("plan: q_tpch_q20 keeps both nesting levels as semi-joins") {
+    val plan = executed("q_tpch_q20")
+    val semis = plan.split("\n").count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected two semi-join levels, got $semis:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("q_tpch_q2 returns the min-cost supplier rows (nonempty, cost = per-part min)") {
+    val out = graft.SparkEntry.queries("q_tpch_q2")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // every surviving row's supplycost equals the min over rows of its part
+    val byPart = out.groupBy(_.getAs[Long]("p_partkey"))
+    byPart.foreach { case (_, rows) =>
+      val costs = rows.map(_.getAs[Double]("supplycost")).distinct
+      assert(costs.size == 1, s"multiple costs for one part: ${costs.toSeq}")
+    }
+  }
+}
