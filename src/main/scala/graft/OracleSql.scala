@@ -604,6 +604,15 @@ object OracleSql {
         |  round(f0raw, 6) AS f0
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // the Spark side recovers these values from synthesized PNG bytes;
+    // the oracle recomputes the source geometry directly
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  CAST(('0x' || substr(md5(text), 1, 2))::INTEGER + 32 AS INTEGER) AS width,
+        |  CAST(('0x' || substr(md5(text), 3, 2))::INTEGER + 32 AS INTEGER) AS height,
+        |  8 AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_sessionize" -> sessionizeSql,
 
     // the custom-state (flatMapGroupsWithState) sessionizer computes the

@@ -478,6 +478,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- real PNG header decode round-trip: synthesize a spec-shaped
+    // PNG signature+IHDR from md5-derived geometry, then recover the
+    // geometry from the BYTES via decodeMeta (the oracle recomputes it
+    // arithmetically — if the parser misread any offset, the hash breaks)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val h = md5(col("text"))
+      val w = conv(substring(h, 1, 2), 16, 10).cast("int") + 32
+      val ht = conv(substring(h, 3, 2), 16, 10).cast("int") + 32
+      val meta = Multimodal.decodeMeta(Multimodal.pngHeader(w, ht, lit(8)))
+      T(s, dir, "documents")
+        .select(col("doc_id"), meta.getField("mime").as("mime"),
+          meta.getField("width").as("width"),
+          meta.getField("height").as("height"),
+          meta.getField("bit_depth").as("bit_depth"))
+        .orderBy("doc_id")
+    }),
+
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
     "q_sessionize" -> ((s, dir) =>

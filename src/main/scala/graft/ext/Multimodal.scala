@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * Model: an asset is an opaque `binary` payload plus a typed metadata
   * struct (`kind`, `mime`, `n_bytes`, `width`, `height`, `sample_rate`).
   * Everything Spark-side — schema, partition sizing, batch iteration,
-  * feature-column shapes — is real and tested; the actual media DECODE is a
-  * clearly marked STUB (`fakeDecodeFeatures`) because no image/audio codec
-  * libraries exist in this container. Swapping in a real decoder means
-  * replacing ONE function body; every plan shape stays identical.
+  * feature-column shapes — is real and tested. Header METADATA decode is
+  * real too: `decodeMeta` parses width/height/bit-depth straight from PNG
+  * IHDR / JPEG SOFn / GIF logical-screen bytes and the WAV fmt chunk's
+  * sample rate, JDK-only. Only pixel/sample decode is a clearly marked
+  * STUB (`fakeDecodeFeatures`) because no codec libraries exist in this
+  * container; swapping in a real codec means replacing ONE function body —
+  * every plan shape stays identical.
   */
 object Multimodal {
 
@@ -61,11 +64,119 @@ object Multimodal {
       .otherwise("unknown")
   }
 
+  // ===== real header decode ==============================================
+  // Dimensions / bit depth / sample rate parsed straight from the payload
+  // bytes — no codec library. PNG, GIF and WAV have fixed-offset headers,
+  // so they decode as pure codegen'd expressions (hex-slice arithmetic,
+  // scan-local, stays inside WholeStageCodegen). JPEG requires walking a
+  // variable-length marker chain to find SOFn, which is genuine per-row
+  // imperative logic — the one decode done as a UDF.
+
+  private def beInt(payload: Column, off1: Int, len: Int): Column =
+    conv(hex(substring(payload, off1, len)), 16, 10).cast(IntegerType)
+
+  /** Little-endian unsigned int from `len` bytes at 1-based offset. */
+  private def leInt(payload: Column, off1: Int, len: Int): Column =
+    (0 until len).map { i =>
+      beInt(payload, off1 + i, 1) * lit(1 << (8 * i))
+    }.reduce(_ + _)
+
+  /** PNG IHDR: width/height as BE32 at bytes 17/21, bit depth at 25 —
+    * valid only when the IHDR chunk tag sits at byte 13 as the spec
+    * requires; returns nulls otherwise (truncated or non-PNG payload).
+    */
+  private def pngField(payload: Column, f: Column): Column =
+    when(hex(substring(payload, 13, 4)) === "49484452", f)
+
+  /** JPEG SOFn walk: skip fill bytes and standalone markers, hop over
+    * length-prefixed segments until a start-of-frame (C0-CF minus the
+    * non-frame C4/C8/CC) yields precision, height, width. Returns null on
+    * truncated / scan-before-frame payloads.
+    */
+  private def jpegSofBytes(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None // lost marker sync
+      var j = i + 1
+      while (j < b.length - 1 && (b(j) & 0xFF) == 0xFF) j += 1 // fill bytes
+      val marker = b(j) & 0xFF
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i = j + 1 // standalone marker, no length word
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return None // EOI / entropy-coded scan reached without a SOF
+      } else {
+        if (j + 2 >= b.length) return None
+        val len = ((b(j + 1) & 0xFF) << 8) | (b(j + 2) & 0xFF)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          if (j + 7 >= b.length) return None
+          val precision = b(j + 3) & 0xFF
+          val h = ((b(j + 4) & 0xFF) << 8) | (b(j + 5) & 0xFF)
+          val w = ((b(j + 6) & 0xFF) << 8) | (b(j + 7) & 0xFF)
+          return Some((w, h, precision))
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  private case class JpegSof(width: Int, height: Int, bit_depth: Int)
+  private val jpegSofUdf =
+    udf((b: Array[Byte]) => jpegSofBytes(b).map {
+      case (w, h, p) => JpegSof(w, h, p)
+    })
+
+  /** Decode real metadata from the payload header: mime (magic bytes),
+    * width/height/bit_depth for PNG/JPEG/GIF, sample_rate for WAV. Null
+    * fields where the modality doesn't define them or the header is
+    * malformed. Scan-local; only the JPEG branch leaves codegen.
+    */
+  def decodeMeta(payload: Column): Column = {
+    val kind = detectKind(payload)
+    val jpeg = jpegSofUdf(payload)
+    // GIF logical-screen: LE16 at 7/9; color resolution bits 4-6 of the
+    // packed byte at 11
+    val gifDepth = (shiftright(beInt(payload, 11, 1), 4).bitwiseAND(lit(7)) +
+      1).cast(IntegerType)
+    val width = when(kind === "image/png", pngField(payload, beInt(payload, 17, 4)))
+      .when(kind === "image/gif", leInt(payload, 7, 2).cast(IntegerType))
+      .when(kind === "image/jpeg", jpeg.getField("width"))
+    val height = when(kind === "image/png", pngField(payload, beInt(payload, 21, 4)))
+      .when(kind === "image/gif", leInt(payload, 9, 2).cast(IntegerType))
+      .when(kind === "image/jpeg", jpeg.getField("height"))
+    val depth = when(kind === "image/png", pngField(payload, beInt(payload, 25, 1)))
+      .when(kind === "image/gif", gifDepth)
+      .when(kind === "image/jpeg", jpeg.getField("bit_depth"))
+    // WAV fmt chunk at its canonical offset: sample rate = LE32 at 25
+    val rate = when(kind === "audio/wav" &&
+      hex(substring(payload, 13, 4)) === "666D7420",
+      leInt(payload, 25, 4).cast(IntegerType))
+    struct(kind.as("mime"), width.as("width"), height.as("height"),
+      depth.as("bit_depth"), rate.as("sample_rate"))
+  }
+
+  /** Synthesize a spec-shaped PNG signature + IHDR prefix for a given
+    * geometry — the fixture generator that lets `decodeMeta`'s PNG parse
+    * round-trip under the DuckDB oracle (the oracle recomputes the
+    * geometry arithmetically; Spark recovers it from the bytes).
+    */
+  def pngHeader(width: Column, height: Column, bitDepth: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      unhex(lpad(hex(width.cast(LongType)), 8, "0")),
+      unhex(lpad(hex(height.cast(LongType)), 8, "0")),
+      unhex(lpad(hex(bitDepth.cast(LongType)), 2, "0")),
+      unhex(lit("060000000000000000"))) // color/compress/filter/interlace + CRC pad
+
   /** STUB decoder ==================================================
     * A real deployment replaces this with a codec call (e.g. JPEG decode →
     * pixel tensor). Here: a deterministic 8-dim pseudo-feature vector from
     * the payload's md5, so downstream feature plumbing (arrays, joins,
-    * aggregation) is exercised with stable values.
+    * aggregation) is exercised with stable values. (Header METADATA decode
+    * is real — see `decodeMeta`; only pixel/sample decode is stubbed.)
     */
   def fakeDecodeFeatures(payload: Column, dims: Int = 8): Column = {
     val h = md5(payload)

@@ -145,4 +145,71 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(cm == Seq((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 1.0, 1L)))
   }
+
+  // ---- real header decode, against REAL codec output (javax.imageio) ----
+
+  private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // non-constant pixels so JPEG doesn't degenerate
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeMeta recovers dimensions from real PNG, JPEG and GIF bytes") {
+    val rows = Seq(
+      (1L, encodeImage(37, 21, "png"), "image/png"),
+      (2L, encodeImage(64, 48, "jpg"), "image/jpeg"),
+      (3L, encodeImage(13, 7, "gif"), "image/gif"))
+    val df = rows.toDF("id", "payload", "want_mime")
+    val got = df.select(col("id"), col("want_mime"),
+        Multimodal.decodeMeta(col("payload")).as("m"))
+      .select(col("id"), col("want_mime"), col("m.mime"), col("m.width"),
+        col("m.height"), col("m.bit_depth"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(got(1L) == ("image/png", 37, 21, 8))
+    assert(got(2L) == ("image/jpeg", 64, 48, 8))
+    assert(got(3L)._1 == "image/gif")
+    assert((got(3L)._2, got(3L)._3) == (13, 7))
+  }
+
+  test("decodeMeta reads the WAV fmt chunk's sample rate (little-endian)") {
+    // minimal canonical RIFF/WAVE header, 22050 Hz mono 16-bit
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(22050).putInt(44100)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII")).putInt(0)
+    val df = Seq((1L, bb.array())).toDF("id", "payload")
+    val m = df.select(Multimodal.decodeMeta(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.sample_rate")).head()
+    assert(m.getString(0) == "audio/wav" && m.getInt(1) == 22050)
+  }
+
+  test("decodeMeta yields null dims on truncated/malformed payloads, not errors") {
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),       // PNG magic only
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), // JPEG SOI only
+      (3L, "plain text".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.decodeMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.mime"), col("m.width")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2))).toMap
+    assert(got(1L)._2 && got(2L)._2 && got(3L) == ("unknown", true))
+  }
+
+  test("pngHeader -> decodeMeta round-trips arbitrary geometry") {
+    val df = Seq((1L, 640, 480), (2L, 33, 100000)).toDF("id", "w", "h")
+    val m = df.select(col("id"), Multimodal.decodeMeta(
+        Multimodal.pngHeader(col("w"), col("h"), lit(16))).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"), col("m.bit_depth"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(1L) == (640, 480, 16))
+    assert(m(2L) == (33, 100000, 16))
+  }
 }
