@@ -28,4 +28,27 @@ object Caches {
     handles.foreach(_.unpersist(false))
     handles.clear()
   }
+
+  /** Scoped lifecycle for long-lived sessions: frames registered while
+    * `body` runs are unpersisted when it returns, without touching frames
+    * registered outside the block (nesting-safe). The body MUST
+    * materialize everything it needs (collect/write/count) — the returned
+    * value may not hold a lazy plan over the scope's intermediates, or
+    * re-evaluation recomputes them unpersisted (for prefixSumCdf that
+    * also re-samples range bounds, which its pid-stability contract
+    * forbids). Library callers who invoke exactQuantiles/valueCdf
+    * repeatedly wrap each compute-and-materialize step here instead of
+    * calling releaseAll() (which would clobber concurrent queries'
+    * intermediates).
+    */
+  def scoped[T](body: => T): T = {
+    val before = synchronized(handles.length)
+    val out = body
+    synchronized {
+      // only this scope's suffix; an inner scope already removed its own
+      handles.drop(before).foreach(_.unpersist(false))
+      handles.remove(before, handles.length - before)
+    }
+    out
+  }
 }

@@ -300,6 +300,12 @@ object Clean {
     * exchanges assign DIFFERENT pids and silently mis-offset the CDF) —
     * so the ranged table is persisted: one physical computation, one set
     * of pids, both consumers read the same blocks.
+    *
+    * LIFECYCLE: the persisted frame is tracked in [[graft.Caches]] and
+    * lives until released — the sequential Verify/Bench harness calls
+    * `Caches.releaseAll()` per query; a long-lived session invoking the
+    * quantile entry points repeatedly wraps each compute-and-materialize
+    * step in `Caches.scoped { ... }` so intermediates never accumulate.
     */
   private def prefixSumCdf(perValue: DataFrame, keyCols: Seq[String],
       measure: String, zero: Column): DataFrame = {

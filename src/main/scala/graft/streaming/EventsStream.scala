@@ -218,11 +218,12 @@ object EventsStream {
     */
   /** NOTE: with duplicate (user, ts) pairs the lag order — and therefore
     * the transition counts — is only deterministic if `tieBreakCols`
-    * makes the per-user sort total; pass the event id (as the registered
-    * query does) whenever timestamps can tie.
+    * makes the per-user sort total. The parameter is deliberately
+    * REQUIRED (no default): pass the event id whenever timestamps can
+    * tie, or `Nil` explicitly to assert that (user, ts) is unique.
     */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
+      typeCol: String, tieBreakCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol)
       .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
@@ -277,13 +278,16 @@ object EventsStream {
     * recovery path.
     */
   def upsertSink(updates: DataFrame, keys: Seq[String], orderCol: String,
-      initial: Option[DataFrame] = None)(
+      initial: Option[DataFrame] = None, tieBreakCols: Seq[String] = Nil)(
       onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var snapshot: Option[DataFrame] = initial
     updates.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // within-batch winner: orderCol desc, then tieBreakCols desc so
+        // two same-key rows with equal orderCol pick deterministically
+        // (without tie-breaks, orderCol must be unique per key per batch)
         val latest = graft.ext.Dedup.keepFirst(batch.toDF(), keys,
-          Seq(col(orderCol).desc))
+          col(orderCol).desc +: tieBreakCols.map(col(_).desc))
         val merged = snapshot match {
           case None      => latest
           case Some(cur) => graft.ops.Merge.upsert(cur, latest, keys)

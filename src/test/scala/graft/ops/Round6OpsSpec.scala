@@ -39,6 +39,36 @@ class Round6OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("Caches.scoped releases its own registrations, leaves outer ones cached") {
+    import spark.implicits._
+    val outer = graft.Caches.register(
+      Seq(1, 2, 3).toDF("v").persist())
+    outer.count()
+    val inner = graft.Caches.scoped {
+      val df = graft.Caches.register(Seq(4, 5).toDF("w").persist())
+      df.count() // materialize inside the scope, per the contract
+      df
+    }
+    assert(outer.storageLevel.useMemory, "outer frame was unpersisted by the scope")
+    assert(!inner.storageLevel.useMemory, "scoped frame still cached after the scope")
+    graft.Caches.releaseAll()
+    assert(!outer.storageLevel.useMemory)
+  }
+
+  test("exactQuantilesBy inside Caches.scoped leaves no cached intermediates behind") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = graft.Caches.scoped {
+      Clean.exactQuantilesBy(df, "v", Seq("k"), Seq(0.5)).collect()
+    }
+    assert(rows.length == 3)
+    // delta-based (not global-empty) so a concurrently-running suite's own
+    // persisted frames can't flake this assertion
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"prefixSumCdf intermediate leaked past the scope: $leaked")
+  }
+
   test("q_tpch_q2 returns the min-cost supplier rows (nonempty, cost = per-part min)") {
     val out = graft.SparkEntry.queries("q_tpch_q2")(spark, "/root/testdata/sf0.001")
       .collect()

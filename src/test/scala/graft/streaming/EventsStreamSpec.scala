@@ -259,4 +259,22 @@ class EventsStreamSpec extends SparkSpec {
     // pre-restart key 1 survives; key 2 updated; key 3 new
     assert(last.get == Seq((1L, "a"), (2L, "updated"), (3L, "c")))
   }
+
+  test("upsertSink tie-breaks equal orderCol values deterministically via tieBreakCols") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    @volatile var last: Option[Seq[(Long, String)]] = None
+    val q = EventsStream.upsertSink(mem.toDF.toDF("k", "v", "seq"), Seq("k"),
+      "seq", tieBreakCols = Seq("v")) { s =>
+      last = Some(s.select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    }
+    // same key, SAME seq: tie broken on v desc -> "z" wins regardless of
+    // arrival order within the batch
+    mem.addData((1L, "a", 5L), (1L, "z", 5L), (1L, "m", 5L))
+    q.processAllAvailable(); q.stop()
+    assert(last.get == Seq((1L, "z")))
+  }
 }
