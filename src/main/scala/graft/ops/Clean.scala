@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   *
   * Order sensitivity: pandas interpolation/ffill operate over the positional
   * row index. Spark has no stable row order, so every order-sensitive op here
-  * takes an explicit `orderCol` (and optional `partitionCols`). With
-  * `partitionCols` empty the window is global — exact reference parity, but a
-  * single-task sort; at 100 TB always pass a partitioning key (per source
-  * file / per entity) so the sort distributes.
+  * takes an explicit `orderCol` (and optional `partitionCols`). The fills
+  * range-partition on (partitionCols, orderCol) and carry boundary values
+  * across partitions, so even an empty `partitionCols` (global order — exact
+  * reference parity) or one giant key never plans a single-task sort.
   */
 object Clean {
 
