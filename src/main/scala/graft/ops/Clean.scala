@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * row index. Spark has no stable row order, so every order-sensitive op here
   * takes an explicit `orderCol` (and optional `partitionCols`). The fills
   * range-partition on (partitionCols, orderCol) and carry boundary values
-  * across partitions, so even an empty `partitionCols` (global order — exact
-  * reference parity) or one giant key never plans a single-task sort.
+  * across partitions ([[orderedWithCarry]]), so even an empty `partitionCols`
+  * (global order — exact reference parity) or one giant key never plans a
+  * single-task sort: every window over fact-table rows is partitioned by
+  * (partitionCols, physical partition id), and cross-partition state moves
+  * through a tiny per-partition boundary table.
   */
 object Clean {
 
@@ -53,6 +56,107 @@ object Clean {
     when(c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity),
       lit(null).cast(DoubleType)).otherwise(c)
 
+  private val PidCol = "__graft_pid"
+  private val RnCol  = "__graft_rn"
+  private val OffCol = "__graft_off"
+
+  /** Shared distributed-order core of [[interpolate]] and [[ffill]]: returns
+    * `df` range-partitioned on (partitionCols, orderCol) — each task sorts
+    * only its own slice — with per-row local positions and per-partition
+    * boundary carries attached:
+    *   - `__graft_pid`: physical partition id (pinned by a registered
+    *     persist so every consumer sees ONE partitioning — same contract as
+    *     [[prefixSumCdf]]);
+    *   - `__graft_rn`: row number within (partitionCols, pid);
+    *   - `__graft_off`: global row offset of this pid within its group, so
+    *     `rn + off` is the group-global pandas position;
+    *   - `__cprev_c` (+ `__cnext_c` when `needNext`): struct(p, v) of the
+    *     nearest non-null value of column c BEFORE (resp. AFTER) this
+    *     physical partition, with its group-global position.
+    *
+    * Cross-partition state never touches fact-table rows: a per-(group, pid)
+    * aggregate (map-side combined; each (group, pid) lives wholly in pid, so
+    * partial aggregation already yields final rows) is filtered to the groups
+    * that actually STRADDLE a partition boundary — at most ~2 rows per
+    * physical partition regardless of group cardinality, because range
+    * partitioning keeps each group's pids contiguous — and the carries are
+    * windowed over that tiny table and broadcast-joined back (null-safely:
+    * a null grouping key is a legitimate group). Groups contained in one
+    * partition take offset 0 and null carries through the left join.
+    */
+  private def orderedWithCarry(df: DataFrame, valueCols: Seq[String],
+      orderCol: String, partitionCols: Seq[String],
+      needNext: Boolean): DataFrame = {
+    val grp = partitionCols.map(col)
+    val grpPid = (partitionCols :+ PidCol).map(col)
+    val wLoc = Window.partitionBy(grpPid: _*).orderBy(col(orderCol))
+    // persisted AFTER the row_number: pins both the pids and the tie-order
+    // of rn, so the bounds aggregate and the row-level fill read identical
+    // positions (two lazy recomputations could legally disagree on ties)
+    val withRn = graft.Caches.register(df
+      .repartitionByRange((partitionCols :+ orderCol).map(col): _*)
+      .withColumn(PidCol, spark_partition_id())
+      .withColumn(RnCol, row_number().over(wLoc).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val boundAggs = count(lit(1)).as("__cnt") +: valueCols.flatMap { c =>
+      val tag = when(col(c).isNotNull, struct(col(RnCol).as("p"), col(c).as("v")))
+      max(tag).as(s"__last_$c") ::
+        (if (needNext) min(tag).as(s"__first_$c") :: Nil else Nil)
+    }
+    val bounds = withRn.groupBy(grpPid: _*).agg(boundAggs.head, boundAggs.tail: _*)
+
+    // keep only groups spanning >1 physical partition; each group has at
+    // most #partitions bounds rows, so this window is never single-task
+    // over anything bigger than the aggregate itself
+    val straddling = bounds
+      .withColumn("__npid", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .where(col("__npid") > 1)
+
+    val wPrevPid = Window.partitionBy(grp: _*).orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextPid = Window.partitionBy(grp: _*).orderBy(col(PidCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var carries = straddling
+      .withColumn(OffCol, coalesce(sum(col("__cnt")).over(wPrevPid), lit(0L)))
+    for (c <- valueCols) {
+      val lastS = col(s"__last_$c")
+      carries = carries.withColumn(s"__lastg_$c",
+        when(lastS.isNotNull, struct((lastS.getField("p") + col(OffCol)).as("p"),
+          lastS.getField("v").as("v"))))
+      if (needNext) {
+        val firstS = col(s"__first_$c")
+        carries = carries.withColumn(s"__firstg_$c",
+          when(firstS.isNotNull, struct((firstS.getField("p") + col(OffCol)).as("p"),
+            firstS.getField("v").as("v"))))
+      }
+    }
+    for (c <- valueCols) {
+      carries = carries.withColumn(s"__cprev_$c",
+        last(col(s"__lastg_$c"), ignoreNulls = true).over(wPrevPid))
+      if (needNext)
+        carries = carries.withColumn(s"__cnext_$c",
+          last(col(s"__firstg_$c"), ignoreNulls = true).over(wNextPid))
+    }
+    val carryCols = valueCols.flatMap { c =>
+      col(s"__cprev_$c") :: (if (needNext) col(s"__cnext_$c") :: Nil else Nil)
+    }
+    val sel = partitionCols.map(k => col(k).as(s"__graft_k_$k")) ++
+      (col(PidCol).as("__graft_opid") :: col(OffCol) :: Nil) ++ carryCols
+    val cond = (partitionCols.map(k => col(k) <=> col(s"__graft_k_$k")) :+
+      (col(PidCol) === col("__graft_opid"))).reduce(_ && _)
+    withRn.join(broadcast(carries.select(sel: _*)), cond, "left")
+      .withColumn(OffCol, coalesce(col(OffCol), lit(0L)))
+      .drop(partitionCols.map("__graft_k_" + _) :+ "__graft_opid": _*)
+  }
+
+  private def dropCarryCols(df: DataFrame, valueCols: Seq[String],
+      needNext: Boolean): DataFrame =
+    df.drop(PidCol, RnCol, OffCol)
+      .drop(valueCols.flatMap { c =>
+        s"__cprev_$c" :: (if (needNext) s"__cnext_$c" :: Nil else Nil)
+      }: _*)
+
   /** C3 — linear interpolation over row positions, pandas
     * `interpolate(method='linear', limit_direction='both')`: interior null
     * runs are linearly interpolated between nearest non-null neighbours by
@@ -61,62 +165,72 @@ object Clean {
     * last. Verified reference behavior:
     * `[nan,nan,1,nan,5,nan,nan] -> [1,1,1,3,5,5,5]`.
     *
-    * Implementation: one `row_number` pass to pin positions, then per value
-    * column two frame-bounded `last/first(ignoreNulls)` windows sharing the
-    * same sort order (Catalyst reuses the exchange+sort across the window
-    * expressions, so the data is sorted once per partitioning).
+    * Implementation: [[orderedWithCarry]] pins group-global positions and
+    * cross-partition neighbours, then per value column two frame-bounded
+    * `last(ignoreNulls)` windows over (partitionCols, pid) share the sort
+    * (Catalyst reuses the exchange+sort across the window expressions).
+    * "Next non-null" is expressed as last-over-DESCENDING-order rather than
+    * first-over-(currentRow, unboundedFollowing): Spark's unbounded-
+    * FOLLOWING frame recomputes its aggregate from scratch for every row
+    * (O(n^2) per partition — pathological on long null runs), while the
+    * unbounded-PRECEDING frame is a single accumulating O(n) pass. The
+    * price is one extra sort per partitioning, which Catalyst schedules
+    * once for all reversed expressions together.
     */
   def interpolate(
       df: DataFrame,
       valueCols: Seq[String],
       orderCol: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
-    val posCol = "__graft_pos"
-    val base = Window.partitionBy(partitionCols.map(col): _*)
-    val wPos = base.orderBy(col(orderCol))
-    val wPrev = base.orderBy(col(posCol))
+    if (valueCols.isEmpty) return df
+    val joined = orderedWithCarry(df, valueCols, orderCol, partitionCols,
+      needNext = true)
+    val grpPid = (partitionCols :+ PidCol).map(col)
+    val wPrev = Window.partitionBy(grpPid: _*).orderBy(col(RnCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // "next non-null" is expressed as last-over-DESCENDING-order rather than
-    // first-over-(currentRow, unboundedFollowing): Spark's unbounded-
-    // FOLLOWING frame recomputes its aggregate from scratch for every row
-    // (O(n^2) per partition — pathological on long null runs), while the
-    // unbounded-PRECEDING frame is a single accumulating O(n) pass. The
-    // price is one extra sort per partitioning, which Catalyst schedules
-    // once for all reversed expressions together.
-    val wNextRev = base.orderBy(col(posCol).desc)
+    val wNextRev = Window.partitionBy(grpPid: _*).orderBy(col(RnCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val withPos = df.withColumn(posCol, row_number().over(wPos))
-    val out = valueCols.foldLeft(withPos) { (acc, c) =>
+    val pos = col(RnCol) + col(OffCol)
+    val out = valueCols.foldLeft(joined) { (acc, c) =>
       val v = col(c)
-      val pos = col(posCol)
-      val prevV = last(v, ignoreNulls = true).over(wPrev)
-      val prevP = last(when(v.isNotNull, pos), ignoreNulls = true).over(wPrev)
-      val nextV = last(v, ignoreNulls = true).over(wNextRev)
-      val nextP = last(when(v.isNotNull, pos), ignoreNulls = true).over(wNextRev)
+      val tag = when(v.isNotNull, struct(pos.as("p"), v.as("v")))
+      val prevS = coalesce(last(tag, ignoreNulls = true).over(wPrev),
+        col(s"__cprev_$c"))
+      val nextS = coalesce(last(tag, ignoreNulls = true).over(wNextRev),
+        col(s"__cnext_$c"))
+      val (pv, pp) = (prevS.getField("v"), prevS.getField("p"))
+      val (nv, np) = (nextS.getField("v"), nextS.getField("p"))
       val interp = when(v.isNotNull, v)
-        .when(prevV.isNull, nextV)
-        .when(nextV.isNull, prevV)
-        .otherwise(prevV + (nextV - prevV) * (pos - prevP) / (nextP - prevP))
+        .when(prevS.isNull, nv)
+        .when(nextS.isNull, pv)
+        .otherwise(pv + (nv - pv) * (pos - pp) / (np - pp))
       acc.withColumn(c, interp)
     }
-    out.drop(posCol)
+    dropCarryCols(out, valueCols, needNext = true)
   }
 
   /** C4 — forward fill (pandas `fillna(method='ffill')`): null takes the
     * previous non-null value in `orderCol` order within each partition.
+    * Same distributed shape as [[interpolate]]: per-(partitionCols, pid)
+    * windows plus the broadcast boundary carry — no global sort.
     */
   def ffill(
       df: DataFrame,
       valueCols: Seq[String],
       orderCol: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(orderCol))
+    if (valueCols.isEmpty) return df
+    val joined = orderedWithCarry(df, valueCols, orderCol, partitionCols,
+      needNext = false)
+    val wPrev = Window.partitionBy((partitionCols :+ PidCol).map(col): _*)
+      .orderBy(col(RnCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(df) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val out = valueCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, coalesce(
+        last(col(c), ignoreNulls = true).over(wPrev),
+        col(s"__cprev_$c").getField("v")))
     }
+    dropCarryCols(out, valueCols, needNext = false)
   }
 
   /** C5 — drop columns whose every value is null (pandas

@@ -32,6 +32,74 @@ class CleanSpec extends SparkSpec {
     assert(doubles(out, "v") == Seq(None, None))
   }
 
+  test("C3/C4 fills never plan a single-partition window over fact rows (empty partitionCols)") {
+    // 500 rows across the 4-partition test session: the range partitioner
+    // splits the frame, so any Window with an empty partition spec that sees
+    // raw (non-aggregated) rows would be the single-task global sort the
+    // distributed fills exist to avoid. Windows over the tiny per-partition
+    // bounds AGGREGATE may legally be single-partition.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // full traversal: AQE hides finished subtrees behind QueryStageExec
+    // leaves, persisted frames behind InMemoryTableScanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val df = (1 to 500).map(i => (i, if (i % 7 == 0) None else Some(i.toDouble)))
+      .toDF("idx", "v")
+    for (q <- Seq(Clean.interpolate(df, Seq("v"), "idx"),
+                  Clean.ffill(df, Seq("v"), "idx"))) {
+      q.collect() // materialize so AQE finalizes the plan
+      val nodes = allNodes(q.queryExecution.executedPlan)
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      val badGlobal = windows.filter(w => w.partitionSpec.isEmpty &&
+        !allNodes(w).drop(1).exists(_.isInstanceOf[BaseAggregateExec]))
+      assert(badGlobal.isEmpty,
+        s"single-partition window over raw rows:\n${badGlobal.mkString("\n")}")
+      graft.Caches.releaseAll()
+    }
+  }
+
+  test("C3/C4 cross-partition carries match the single-partition reference") {
+    // long null runs guaranteed to straddle range-partition boundaries:
+    // non-nulls only every 97 rows over 600 rows across 4 partitions
+    val rows = (1 to 600).map(i => (i, if (i % 97 == 0) Some(i.toDouble) else None))
+    val df = rows.toDF("idx", "v")
+    val interp = doubles(Clean.interpolate(df, Seq("v"), "idx").orderBy("idx"), "v")
+    val ff = doubles(Clean.ffill(df, Seq("v"), "idx").orderBy("idx"), "v")
+    graft.Caches.releaseAll()
+    // driver-side pandas-semantics reference over the positional index
+    val vals = rows.map(_._2)
+    val nn = vals.zipWithIndex.collect { case (Some(v), i) => (i, v) }
+    val expInterp = vals.indices.map { i =>
+      val prev = nn.filter(_._1 <= i).lastOption
+      val next = nn.find(_._1 >= i)
+      (prev, next) match {
+        case (Some((_, pv)), None) => Some(pv)
+        case (None, Some((_, nv))) => Some(nv)
+        case (Some((pi, pv)), Some((ni, nv))) =>
+          Some(if (pi == ni) pv else pv + (nv - pv) * (i - pi).toDouble / (ni - pi))
+        case _ => None
+      }
+    }
+    val expFf = vals.indices.map { i => nn.filter(_._1 <= i).lastOption.map(_._2) }
+    assert(interp.zip(expInterp).forall {
+      case (Some(a), Some(b)) => approx(a, b, 1e-9); case (a, b) => a == b })
+    assert(ff == expFf)
+  }
+
   test("C1 coercion matches pandas golden ['1','x','3'] -> [1.0, null, 3.0]") {
     val df = Seq((1, "1"), (2, "x"), (3, "3")).toDF("idx", "s")
     val out = Clean.coerceNumeric(df).orderBy("idx")
