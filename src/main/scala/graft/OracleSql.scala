@@ -613,6 +613,29 @@ object OracleSql {
         |  8 AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the Spark side runs a REAL ImageIO decode over expression-built
+    // solid-color BMP bytes; the oracle replays the features
+    // arithmetically. The luminance DAG is spelled identically on both
+    // sides (::DOUBLE factors, left-assoc sum) so bin-boundary values
+    // agree bit-for-bit.
+    "q_multimodal_pixels" ->
+      """WITH c AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 2))::INTEGER AS r,
+        |    ('0x' || substr(md5(text), 3, 2))::INTEGER AS g,
+        |    ('0x' || substr(md5(text), 5, 2))::INTEGER AS b
+        |  FROM documents),
+        |l AS (SELECT doc_id, r, g, b,
+        |    0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b AS lum,
+        |    least(CAST(trunc((0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b) / 64.0) AS INTEGER), 3) AS bin
+        |  FROM c)
+        |SELECT doc_id, r AS mean_r, g AS mean_g, b AS mean_b,
+        |  round(lum, 6) AS mean_lum,
+        |  CASE WHEN bin = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h0,
+        |  CASE WHEN bin = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h1,
+        |  CASE WHEN bin = 2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h2,
+        |  CASE WHEN bin = 3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h3
+        |FROM l ORDER BY doc_id""".stripMargin,
+
     "q_sessionize" -> sessionizeSql,
 
     // the custom-state (flatMapGroupsWithState) sessionizer computes the

@@ -495,6 +495,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- REAL pixel decode round-trip: synthesize an uncompressed BMP of
+    // an md5-derived solid color, decode it with the actual javax.imageio
+    // codec, and report channel means + Rec.601 luminance + histogram —
+    // the oracle recomputes every feature arithmetically (BMP is raw BGR,
+    // so means are exact); any decoder bug breaks the hash
+    "q_multimodal_pixels" -> ((s, dir) => {
+      val h = md5(col("text"))
+      val r = conv(substring(h, 1, 2), 16, 10).cast("int")
+      val g = conv(substring(h, 3, 2), 16, 10).cast("int")
+      val b = conv(substring(h, 5, 2), 16, 10).cast("int")
+      val feat = Multimodal.decodeImageFeatures(Multimodal.bmpImage(r, g, b))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          feat(0).cast("int").as("mean_r"), // solid color: exact integers
+          feat(1).cast("int").as("mean_g"),
+          feat(2).cast("int").as("mean_b"),
+          round(feat(3), 6).as("mean_lum"),
+          feat(4).as("h0"), feat(5).as("h1"), feat(6).as("h2"), feat(7).as("h3"))
+        .orderBy("doc_id")
+    }),
+
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
     "q_sessionize" -> ((s, dir) =>

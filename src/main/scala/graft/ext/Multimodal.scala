@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * struct (`kind`, `mime`, `n_bytes`, `width`, `height`, `sample_rate`).
   * Everything Spark-side — schema, partition sizing, batch iteration,
   * feature-column shapes — is real and tested. Header METADATA decode is
-  * real too: `decodeMeta` parses width/height/bit-depth straight from PNG
-  * IHDR / JPEG SOFn / GIF logical-screen bytes and the WAV fmt chunk's
-  * sample rate, JDK-only. Only pixel/sample decode is a clearly marked
-  * STUB (`fakeDecodeFeatures`) because no codec libraries exist in this
-  * container; swapping in a real codec means replacing ONE function body —
-  * every plan shape stays identical.
+  * real (`decodeMeta`: PNG IHDR / JPEG SOFn / GIF logical-screen bytes,
+  * WAV fmt sample rate), and PIXEL decode is real too
+  * ([[decodeImageFeatures]]): full `javax.imageio` decode of any
+  * JDK-supported format (PNG/JPEG/GIF/BMP/WBMP) to per-image channel
+  * means + luminance histogram. [[fakeDecodeFeatures]] remains only as
+  * the deterministic pseudo-featurizer for NON-media payloads, where a
+  * codec has nothing to decode but the plumbing still needs stable
+  * oracle-checkable values.
   */
 object Multimodal {
 
@@ -136,7 +138,12 @@ object Multimodal {
     */
   def decodeMeta(payload: Column): Column = {
     val kind = detectKind(payload)
-    val jpeg = jpegSofUdf(payload)
+    // the UDF sees null for every non-JPEG payload: Spark's common-
+    // subexpression elimination evaluates a repeated UDF once per row
+    // regardless of which when-branch wins, so gating the ARGUMENT (not
+    // just the branch) is what actually keeps the marker walk off the
+    // PNG/GIF/WAV/unknown rows
+    val jpeg = jpegSofUdf(when(kind === "image/jpeg", payload))
     // GIF logical-screen: LE16 at 7/9; color resolution bits 4-6 of the
     // packed byte at 11
     val gifDepth = (shiftright(beInt(payload, 11, 1), 4).bitwiseAND(lit(7)) +
@@ -171,12 +178,95 @@ object Multimodal {
       unhex(lpad(hex(bitDepth.cast(LongType)), 2, "0")),
       unhex(lit("060000000000000000"))) // color/compress/filter/interlace + CRC pad
 
-  /** STUB decoder ==================================================
-    * A real deployment replaces this with a codec call (e.g. JPEG decode →
-    * pixel tensor). Here: a deterministic 8-dim pseudo-feature vector from
-    * the payload's md5, so downstream feature plumbing (arrays, joins,
-    * aggregation) is exercised with stable values. (Header METADATA decode
-    * is real — see `decodeMeta`; only pixel/sample decode is stubbed.)
+  // ===== real pixel decode ===============================================
+
+  /** Per-image pixel features from a REAL codec pass: `javax.imageio`
+    * decodes the payload (PNG/JPEG/GIF/BMP/WBMP — whatever the JDK's
+    * registered readers handle), then one imperative sweep accumulates
+    * INTEGER channel sums (exact — no float accumulation-order drift) and
+    * a 4-bin luminance histogram. Output, 8-dim `array<double>`:
+    * `[mean_r, mean_g, mean_b, lum(mean_rgb), h0, h1, h2, h3]` where
+    * `lum(c) = 0.299·r + 0.587·g + 0.114·b` (Rec.601) — luminance is
+    * linear in the channels, so luminance-of-the-mean IS the mean
+    * luminance, computed as the one double expression an external oracle
+    * can replay bit-for-bit. Histogram bins are `min(⌊lum/64⌋, 3)` of the
+    * per-pixel Rec.601 value, normalized to fractions. Null for payloads
+    * no reader accepts (text, truncated, unknown formats).
+    *
+    * Genuine per-row imperative work — the justified-UDF case (SURVEY §7):
+    * there is no expression form of a codec. Scan-local, no shuffle; at
+    * 100 TB the cost is the codec itself, which is irreducible.
+    */
+  private val imageFeaturesUdf = udf((bytes: Array[Byte]) => {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xFF
+            val g = (p >> 8) & 0xFF
+            val b = p & 0xFF
+            sr += r; sg += g; sb += b
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            hist(math.min((lum / 64.0).toInt, 3)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val mr = sr.toDouble / n
+        val mg = sg.toDouble / n
+        val mb = sb.toDouble / n
+        Some(Array(mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb,
+          hist(0).toDouble / n, hist(1).toDouble / n,
+          hist(2).toDouble / n, hist(3).toDouble / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  })
+
+  def decodeImageFeatures(payload: Column): Column = imageFeaturesUdf(payload)
+
+  /** Expression-built 24-bit uncompressed BMP of a solid color — the
+    * fixture that puts [[decodeImageFeatures]] under the external oracle:
+    * BMP pixel bytes are raw BGR (no entropy coding), so the decoded
+    * channel means are exactly the constructed (r, g, b) and an oracle
+    * that never touches a codec can recompute every feature
+    * arithmetically, while the Spark side still runs the REAL ImageIO
+    * reader over real bytes. Header is a compile-time hex literal; pixel
+    * data is one codegen'd `repeat`+`unhex`. `3·width` must be 4-byte
+    * aligned so rows need no pad bytes.
+    */
+  def bmpImage(r: Column, g: Column, b: Column,
+      width: Int = 4, height: Int = 4): Column = {
+    require((3 * width) % 4 == 0, s"3*width must be 4-byte aligned, got width=$width")
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    def le16(v: Int): String = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    val imgSize = 3 * width * height
+    val header = "424D" + le32(54 + imgSize) + "00000000" + le32(54) + // BITMAPFILEHEADER
+      le32(40) + le32(width) + le32(height) + le16(1) + le16(24) +     // BITMAPINFOHEADER
+      le32(0) + le32(imgSize) + le32(2835) + le32(2835) + le32(0) + le32(0)
+    def hx(c: Column) = lpad(hex(c.cast(IntegerType)), 2, "0")
+    concat(unhex(lit(header)),
+      unhex(repeat(concat(hx(b), hx(g), hx(r)), width * height)))
+  }
+
+  /** Pseudo-featurizer for NON-media payloads =======================
+    * For payloads that are not decodable media (plain text bytes in the
+    * synthetic tables), there is nothing for a codec to decode — this
+    * produces a deterministic 8-dim pseudo-feature vector from the
+    * payload's md5 so downstream feature plumbing (arrays, joins,
+    * aggregation) is exercised with stable, oracle-checkable values.
+    * REAL pixel decode is [[decodeImageFeatures]] above.
     */
   def fakeDecodeFeatures(payload: Column, dims: Int = 8): Column = {
     val h = md5(payload)
@@ -241,10 +331,11 @@ object Multimodal {
     * genuine per-partition imperative logic (batch accumulation), the one
     * place SURVEY §7 allows it.
     */
-  def batchedFeatures(df: DataFrame, idCol: String, batchSize: Int): DataFrame = {
+  def batchedFeatures(df: DataFrame, idCol: String, batchSize: Int,
+      decode: Column => Column = fakeDecodeFeatures(_, 8)): DataFrame = {
     val spark = df.sparkSession
     val withFeat = df.select(col(idCol).cast(LongType).as("id"),
-      fakeDecodeFeatures(col("payload")).as("feature"))
+      decode(col("payload")).as("feature"))
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("batch_id", LongType),

@@ -203,6 +203,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(1L)._2 && got(2L)._2 && got(3L) == ("unknown", true))
   }
 
+  test("decodeImageFeatures: exact channel means on an ImageIO-written solid PNG") {
+    val img = new java.awt.image.BufferedImage(
+      10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(x => (0 until 7).foreach(y =>
+      img.setRGB(x, y, (12 << 16) | (200 << 8) | 56)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val f = df.select(Multimodal.decodeImageFeatures(col("payload")))
+      .head().getSeq[Double](0)
+    assert(f(0) == 12.0 && f(1) == 200.0 && f(2) == 56.0)
+    val lum = 0.299 * 12 + 0.587 * 200 + 0.114 * 56 // = 127.372 -> bin 1
+    assert(approx(f(3), lum))
+    assert(f.drop(4) == Seq(0.0, 1.0, 0.0, 0.0))
+  }
+
+  test("decodeImageFeatures: gradient PNG means match a driver-side pixel sweep") {
+    val img = new java.awt.image.BufferedImage(
+      16, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 9).foreach(y =>
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 28) << 8) | ((x * y) & 0xFF))))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](4)
+    (0 until 16).foreach { x => (0 until 9).foreach { y =>
+      val p = img.getRGB(x, y)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sr += r; sg += g; sb += b
+      hist(math.min(((0.299 * r + 0.587 * g + 0.114 * b) / 64.0).toInt, 3)) += 1L
+    }}
+    val n = 144.0
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val f = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select(Multimodal.decodeImageFeatures(col("payload"))).head().getSeq[Double](0)
+    assert(f(0) == sr / n && f(1) == sg / n && f(2) == sb / n)
+    assert((0 to 3).forall(i => f(4 + i) == hist(i) / n))
+  }
+
+  test("bmpImage expression bytes decode through the REAL ImageIO reader") {
+    val df = Seq((1L, 17, 250, 3), (2L, 255, 0, 128)).toDF("id", "r", "g", "b")
+    val got = df.select(col("id"), col("r"), col("g"), col("b"),
+        Multimodal.decodeImageFeatures(
+          Multimodal.bmpImage(col("r"), col("g"), col("b"))).as("f"))
+      .collect().map { w =>
+        w.getLong(0) -> (w.getSeq[Double](4), w.getInt(1), w.getInt(2), w.getInt(3))
+      }.toMap
+    got.values.foreach { case (f, r, g, b) =>
+      assert(f(0) == r.toDouble && f(1) == g.toDouble && f(2) == b.toDouble)
+      assert(f.drop(4).sum == 1.0) // all mass in one luminance bin
+    }
+  }
+
+  test("decodeImageFeatures is null for non-media payloads, not an error") {
+    val df = Seq((1L, "not an image at all".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(df.select(Multimodal.decodeImageFeatures(col("payload"))).head().isNullAt(0))
+  }
+
   test("pngHeader -> decodeMeta round-trips arbitrary geometry") {
     val df = Seq((1L, 640, 480), (2L, 33, 100000)).toDF("id", "w", "h")
     val m = df.select(col("id"), Multimodal.decodeMeta(
