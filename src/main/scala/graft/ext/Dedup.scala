@@ -269,8 +269,14 @@ object Dedup {
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
     val b1 = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
-    // 2. within-batch exact
-    val b2 = exactCanonical(b1, textCol, idCol)
+    // 2. within-batch exact. Eagerly checkpointed: b2's subtree (corpus
+    //    anti-join + canonicalization window) would otherwise be REPLAYED
+    //    inside every downstream consumer's plan — the shingle build, the
+    //    matched anti-join, and the whole applyNearDupDedup re-shingle —
+    //    multiplying Catalyst analysis + codegen cost (measured ~9 s of a
+    //    14 s cold run at sf0.1) for zero execution benefit. Batch-sized,
+    //    like the persisted shingle tables.
+    val b2 = exactCanonical(b1, textCol, idCol).localCheckpoint(true)
     // 3. near-dup vs corpus: both shingle tables feed band generation AND
     //    the verification fetch joins — persist so neither side re-shingles
     val shB = graft.Caches.register(shingleTable(b2, textCol, idCol, k)
@@ -293,6 +299,10 @@ object Dedup {
       .where(size(array_intersect(col("__sh_b"), col("__sh_c"))).cast("double")
         / size(array_union(col("__sh_b"), col("__sh_c"))) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
+      // id set, at most batch-sized: checkpoint eagerly so the anti-join
+      // below (and everything after it) plans against a materialized scan
+      // instead of re-deriving the banded batch×corpus join
+      .localCheckpoint(true)
     // matched scales with the incoming batch (worst case: every batch doc
     // near-dups the corpus) — no broadcast hint, AQE decides.
     val b3 = b2.join(matched, Seq(idCol), "left_anti")
