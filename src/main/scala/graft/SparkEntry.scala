@@ -1856,6 +1856,10 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("l_partkey").as("partkey"))
         .agg(sum(value).as("__dv"))
+        // materialized once: thr derives from v, so without this the whole
+        // lineitem-supplier join+agg runs twice (threshold branch + probe
+        // branch) — same fix as q_filter_topdecile's p90
+        .localCheckpoint(true)
       val thr = v.agg((sum(col("__dv")).cast("double") * 0.001).as("__thr"))
       v.crossJoin(broadcast(thr))
         .where(col("__dv").cast("double") > col("__thr"))
