@@ -8,20 +8,40 @@ import org.apache.spark.sql.DataFrame
   * once the query's result is materialized, so repeated invocations never
   * accumulate cached blocks and spill files for the life of the context.
   *
-  * CONTRACT: one query at a time. The registry is global JVM state —
-  * releaseAll() unpersists EVERY registered frame, so two queries running
-  * concurrently in one session would unpersist each other's in-flight
-  * intermediates (silent recomputation, not wrong results). That matches
-  * the sequential Verify/Bench harness this repo drives; a concurrent
-  * caller must instead keep the handle an operator returns (pass
-  * `cacheIntermediate = false` and persist/unpersist at the call site) so
-  * cache lifetime is scoped per query, not per JVM.
+  * CONTRACT: releaseAll() is one-query-at-a-time — it unpersists EVERY
+  * registered frame, so two queries running concurrently in one session
+  * would unpersist each other's in-flight intermediates (silent
+  * recomputation; for pid-pinned frames like prefixSumCdf's, silent
+  * wrong answers). scoped {} does NOT share that restriction: it tracks
+  * only the frames ITS OWN THREAD registers while the block runs, so
+  * concurrent queries on other threads are untouched — but two scopes
+  * interleaving on ONE thread (hand-rolled async on a shared thread)
+  * still see each other. A caller who wants fully manual lifetime passes
+  * `cacheIntermediate = false` where offered and persists at the call
+  * site.
   */
 object Caches {
   private val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ListBuffer[DataFrame]]] {
+      override def initialValue: List[scala.collection.mutable.ListBuffer[DataFrame]] = Nil
+    }
 
-  /** Track a persisted frame; returns it for inline use. */
-  def register(df: DataFrame): DataFrame = synchronized { handles += df; df }
+  /** Track a persisted frame; returns it for inline use. If the calling
+    * thread is inside a [[scoped]] block, the innermost scope also claims
+    * the frame for its own cleanup.
+    */
+  def register(df: DataFrame): DataFrame = synchronized {
+    handles += df
+    scopes.get() match {
+      case innermost :: _ => innermost += df
+      case Nil =>
+    }
+    df
+  }
+
+  /** Number of frames currently registered (test/diagnostic hook). */
+  def registeredCount: Int = synchronized(handles.length)
 
   /** Unpersist (non-blocking) every tracked frame and clear the registry. */
   def releaseAll(): Unit = synchronized {
@@ -29,26 +49,33 @@ object Caches {
     handles.clear()
   }
 
-  /** Scoped lifecycle for long-lived sessions: frames registered while
-    * `body` runs are unpersisted when it returns, without touching frames
-    * registered outside the block (nesting-safe). The body MUST
-    * materialize everything it needs (collect/write/count) — the returned
-    * value may not hold a lazy plan over the scope's intermediates, or
-    * re-evaluation recomputes them unpersisted (for prefixSumCdf that
-    * also re-samples range bounds, which its pid-stability contract
-    * forbids). Library callers who invoke exactQuantiles/valueCdf
-    * repeatedly wrap each compute-and-materialize step here instead of
-    * calling releaseAll() (which would clobber concurrent queries'
-    * intermediates).
+  /** Scoped lifecycle for long-lived sessions: frames this thread
+    * registers while `body` runs are unpersisted when it exits — normally
+    * OR by exception (try/finally) — without touching frames registered
+    * outside the block or by other threads (per-thread tracking, so a
+    * concurrent query's registrations never land in this scope's
+    * cleanup). Nesting-safe: an inner scope claims and cleans its own
+    * frames first. The body MUST materialize everything it needs
+    * (collect/write/count/localCheckpoint) — the returned value may not
+    * hold a lazy plan over the scope's intermediates, or re-evaluation
+    * recomputes them unpersisted (for prefixSumCdf that also re-samples
+    * range bounds, which its pid-stability contract forbids). Library
+    * callers who invoke exactQuantiles/valueCdf repeatedly wrap each
+    * compute-and-materialize step here instead of calling releaseAll()
+    * (which would clobber concurrent queries' intermediates).
     */
   def scoped[T](body: => T): T = {
-    val before = synchronized(handles.length)
-    val out = body
-    synchronized {
-      // only this scope's suffix; an inner scope already removed its own
-      handles.drop(before).foreach(_.unpersist(false))
-      handles.remove(before, handles.length - before)
+    val mine = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    scopes.set(mine :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      synchronized {
+        mine.foreach { df =>
+          df.unpersist(false)
+          handles -= df // reference identity: the exact registered handle
+        }
+      }
     }
-    out
   }
 }

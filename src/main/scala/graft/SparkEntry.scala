@@ -406,9 +406,14 @@ object SparkEntry {
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")),
+    // maxBucketSize engages the production skew guard (capBuckets size
+    // pass + anti-join) under the oracle gate: no bucket in this corpus
+    // exceeds 10k members, so the guard must provably change NOTHING on
+    // clean data — the hash row breaks if it ever does
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25,
+        maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "text", "doc_id").orderBy("id")),

@@ -111,17 +111,27 @@ object Dedup {
     * at crawl scale one boilerplate template can put 10⁷ docs in a single
     * band bucket, turning the self-join into one 10¹⁴-pair task. Dropped
     * buckets are counted (one 2-value aggregate, never an unbounded
-    * collect) and logged — no silent caps. The input is persisted so the
-    * size pass and the candidate join share one materialization; the
-    * exclusion itself is a distributed anti-join on the oversized keys.
-    * `cap <= 0` disables the guard and returns the input untouched (the
-    * plan is byte-identical to the uncapped one).
+    * collect) and logged — no silent caps. The size aggregate runs
+    * EAGERLY, at plan-build: the no-silent-caps guarantee is that the
+    * exclusion warning fires whenever a capped plan is handed out, not
+    * only if the caller happens to materialize it. The input is persisted
+    * so the size pass and the candidate join share one materialization —
+    * gated on `cacheIntermediate`, because the global [[graft.Caches]]
+    * registry is exactly what a `cacheIntermediate = false` caller opted
+    * out of (they pay one recompute of the banded projection instead).
+    * The exclusion itself is a distributed anti-join on the oversized
+    * keys. `cap <= 0` disables the guard and returns the input untouched
+    * (the plan is byte-identical to the uncapped one).
     */
-  private def capBuckets(banded: DataFrame, cap: Int, what: String): DataFrame = {
+  private def capBuckets(banded: DataFrame, cap: Int, what: String,
+      cacheIntermediate: Boolean = true): DataFrame = {
     if (cap <= 0) banded
     else {
-      val b = graft.Caches.register(
-        banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val b =
+        if (cacheIntermediate)
+          graft.Caches.register(
+            banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else banded
       val over = b.groupBy("band_idx", "band_key").count()
         .where(col("count") > cap)
       val stats = over.agg(count(lit(1)).as("n"), sum(col("count")).as("rows")).first()
@@ -195,7 +205,8 @@ object Dedup {
             .cast("array<string>"))).as("band_key"))))
         .as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
-    val banded = capBuckets(bandedRaw, maxBucketSize, "nearDupMinhash")
+    val banded = capBuckets(bandedRaw, maxBucketSize, "nearDupMinhash",
+      cacheIntermediate)
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))

@@ -417,9 +417,12 @@ object Clean {
     *
     * LIFECYCLE: the persisted frame is tracked in [[graft.Caches]] and
     * lives until released — the sequential Verify/Bench harness calls
-    * `Caches.releaseAll()` per query; a long-lived session invoking the
-    * quantile entry points repeatedly wraps each compute-and-materialize
-    * step in `Caches.scoped { ... }` so intermediates never accumulate.
+    * `Caches.releaseAll()` per query. The quantile entry points
+    * ([[exactQuantilesBy]]/[[weightedQuantilesBy]]) self-scope: they
+    * materialize their tiny result eagerly and release the CDF before
+    * returning, so repeated calls leak nothing. Direct [[valueCdf]]/
+    * [[weightedCdf]] callers return the (big) CDF itself lazily and so
+    * still rely on releaseAll() or a caller-side `Caches.scoped`.
     */
   private def prefixSumCdf(perValue: DataFrame, keyCols: Seq[String],
       measure: String, zero: Column): DataFrame = {
@@ -477,7 +480,7 @@ object Clean {
     * Output: keyCols + q0..q{k-1}.
     */
   def weightedQuantilesBy(df: DataFrame, valueCol: String, weightCol: String,
-      keyCols: Seq[String], probs: Seq[Double]): DataFrame = {
+      keyCols: Seq[String], probs: Seq[Double]): DataFrame = graft.Caches.scoped {
     val cdf = weightedCdf(df, valueCol, weightCol, keyCols)
     val totals = cdf.groupBy(keyCols.map(col): _*)
       .agg(max(col("__cum")).cast(DoubleType).as("__tw"))
@@ -486,7 +489,12 @@ object Clean {
       min(when(col("__cum").cast(DoubleType) >= lit(p) * col("__tw"),
         col("__val"))).as(s"q$i")
     }
+    // eager checkpoint: the output is key-cardinality-sized (tiny next to
+    // the corpus), and materializing it inside the scope lets the scope
+    // release the corpus-sized CDF persist immediately — repeated calls
+    // through this public entry point accumulate nothing
     withT.groupBy(keyCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+      .localCheckpoint(true)
   }
 
   /** Keyed core of [[exactQuantiles]]: exact `quantile_cont` of `valueCol`
@@ -497,7 +505,7 @@ object Clean {
     * distinct set, in one task.
     */
   def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
-      probs: Seq[Double]): DataFrame = {
+      probs: Seq[Double]): DataFrame = graft.Caches.scoped {
     val cdf = valueCdf(df, valueCol, keyCols)
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
     val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
@@ -511,10 +519,15 @@ object Clean {
         max(when(col("__lo") <= j1 && j1 < col("__cum"), col("__val"))).as(s"v1_$i"),
         max(h - floor(h)).as(s"fr_$i")) // constant within the group
     }
+    // eager checkpoint: output is key-cardinality-sized; materializing it
+    // inside the scope releases the corpus-sized CDF persist immediately,
+    // so repeated calls through this public entry point accumulate
+    // nothing (long-lived-session leak-freedom)
     withN.groupBy(keyCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
       .select(keyCols.map(col) ++ probs.indices.map { i =>
         (col(s"v0_$i") + col(s"fr_$i") * (col(s"v1_$i") - col(s"v0_$i"))).as(s"q$i")
       }: _*)
+      .localCheckpoint(true)
   }
 
   /** C7 — per-group mean imputation: fill nulls in `valueCol` with the

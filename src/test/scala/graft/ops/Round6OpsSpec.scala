@@ -55,18 +55,59 @@ class Round6OpsSpec extends SparkSpec {
     assert(!outer.storageLevel.useMemory)
   }
 
-  test("exactQuantilesBy inside Caches.scoped leaves no cached intermediates behind") {
+  test("exactQuantilesBy leaves no cached CDF intermediates behind (self-scoped)") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val rows = graft.Caches.scoped {
+    val before = spark.sparkContext.getPersistentRDDs
+    val registeredBefore = graft.Caches.registeredCount
+    // repeated calls through the PUBLIC API, no harness releaseAll between
+    val rows = (1 to 3).map { _ =>
       Clean.exactQuantilesBy(df, "v", Seq("k"), Seq(0.5)).collect()
     }
-    assert(rows.length == 3)
+    assert(rows.forall(_.length == 3))
+    assert(graft.Caches.registeredCount == registeredBefore,
+      "quantile call left frames in the global registry")
     // delta-based (not global-empty) so a concurrently-running suite's own
-    // persisted frames can't flake this assertion
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // persisted frames can't flake this assertion. The eager result
+    // localCheckpoint IS a persisted RDD until GC'd — only NON-checkpoint
+    // survivors (the CDF cache itself) count as leaks.
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before.keySet)
+      .flatMap(spark.sparkContext.getPersistentRDDs.get)
+      .filterNot(_.isCheckpointed)
     assert(leaked.isEmpty, s"prefixSumCdf intermediate leaked past the scope: $leaked")
+  }
+
+  test("Caches.scoped cleans up when the body throws") {
+    import spark.implicits._
+    val probe = Seq(1, 2).toDF("v").persist()
+    intercept[RuntimeException] {
+      graft.Caches.scoped {
+        graft.Caches.register(probe)
+        probe.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!probe.storageLevel.useMemory,
+      "scope left its frame cached after an exception")
+  }
+
+  test("Caches.scoped ignores frames registered by a concurrent thread") {
+    import spark.implicits._
+    val theirs = Seq(9).toDF("v").persist()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    graft.Caches.scoped {
+      val t = new Thread(() => {
+        graft.Caches.register(theirs) // lands mid-scope, different thread
+        done.countDown()
+      })
+      t.start(); gate.countDown(); done.await()
+      val mine = graft.Caches.register(Seq(1).toDF("w").persist())
+      mine.count()
+    }
+    assert(theirs.storageLevel.useMemory,
+      "scope unpersisted a concurrent thread's registration")
+    graft.Caches.releaseAll()
   }
 
   test("q_tpch_q2 returns the min-cost supplier rows (nonempty, cost = per-part min)") {
