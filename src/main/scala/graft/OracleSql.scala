@@ -1906,6 +1906,67 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_sample_pergroup" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 20
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    // the ewma7 double DAG (power-of-two weights, left-assoc sums) is
+    // spelled identically to the Spark side, so the values are
+    // bit-reproducible with no rounding
+    "q_window_ewma" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, rev,
+        |    lag(rev, 1) OVER w AS x1, lag(rev, 2) OVER w AS x2,
+        |    lag(rev, 3) OVER w AS x3, lag(rev, 4) OVER w AS x4,
+        |    lag(rev, 5) OVER w AS x5, lag(rev, 6) OVER w AS x6
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, rev,
+        |  ((CASE WHEN rev IS NOT NULL THEN rev * 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN x1 IS NOT NULL THEN x1 * 0.5 ELSE 0.0 END)
+        |   + (CASE WHEN x2 IS NOT NULL THEN x2 * 0.25 ELSE 0.0 END)
+        |   + (CASE WHEN x3 IS NOT NULL THEN x3 * 0.125 ELSE 0.0 END)
+        |   + (CASE WHEN x4 IS NOT NULL THEN x4 * 0.0625 ELSE 0.0 END)
+        |   + (CASE WHEN x5 IS NOT NULL THEN x5 * 0.03125 ELSE 0.0 END)
+        |   + (CASE WHEN x6 IS NOT NULL THEN x6 * 0.015625 ELSE 0.0 END))
+        |  /
+        |  ((CASE WHEN rev IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        |   + (CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+        |   + (CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+        |   + (CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)
+        |   + (CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END)
+        |   + (CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)) AS ewma7
+        |FROM l ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Joins.asof's union + running last_value(IGNORE NULLS)
+    // construction, tie-order included (ts, is_probe, channel)
+    "q_events_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, NULL::BIGINT AS event_id,
+        |         NULL::DOUBLE AS value, event_type AS ch, 0 AS isp
+        |  FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), event_id, value, NULL, 1
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT *, last_value(ch IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts NULLS FIRST, isp, ch NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        |  FROM u)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |    AS attributed_revenue
+        |FROM f WHERE isp = 1
+        |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
+
     "q_events_churn" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
         |f AS (SELECT user_id, wk,

@@ -2036,6 +2036,67 @@ object SparkEntry {
       TextAnalysis.readability(T(s, dir, "documents"), "text")
         .select("doc_id", "flesch").orderBy("doc_id")),
 
+    // -- deterministic k-per-group sample (md5 order; stable debug/eval
+    // slices — selection is a pure function of the data, oracle-provable)
+    "q_sample_pergroup" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(T(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderkey", 20)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")),
+
+    // -- truncated adjusted EWMA (7-lag, alpha=0.5) over the daily revenue
+    // series: pure lag arithmetic with power-of-two weights — the double
+    // DAG is spelled identically in the oracle, so values are
+    // bit-reproducible with NO rounding at all
+    "q_window_ewma" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(28,6)")).cast("double").as("rev"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val xs = (0 until 7).map { i =>
+        val x = if (i == 0) col("rev") else lag(col("rev"), i).over(w)
+        (x, lit(math.pow(0.5, i))) // 2^-i: exact in binary AND decimal
+      }
+      val num = xs.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = xs.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      daily.select(col("event_type"), col("day").cast("string").as("day"),
+          col("rev"), (num / den).as("ewma7"))
+        .orderBy("event_type", "day")
+    }),
+
+    // -- last-touch attribution: each purchase credits the most recent
+    // preceding non-purchase event (as-of composition); purchases with no
+    // prior touch form the null-channel bucket
+    "q_events_attribution" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val touches = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+      Joins.asof(purchases, touches, Seq("user_id"), "ts", Seq("channel"))
+        .groupBy(col("asof_channel").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(28,6)")).cast("double"), 6)
+            .as("attributed_revenue"))
+        .orderBy("channel")
+    }),
+
+    // -- compression-ratio quality screen (real deflate; no SQL oracle —
+    // rows-only check by contract, golden tests pin the values)
+    "q_text_compression" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.compressionStats(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("compress_ratio")), 6).as("avg_ratio"),
+          round(min(col("compress_ratio")), 6).as("min_ratio"),
+          round(max(col("compress_ratio")), 6).as("max_ratio"))
+        .orderBy("source")
+    }),
+
     // -- pivot with MULTIPLE aggregates per cell (sum + count) -------------
     // Spark suffixes pivot columns per aggregate; aliases keep the names
     // oracle-stable

@@ -336,6 +336,44 @@ object TextAnalysis {
     * small, so AQE broadcasts IT, never the (possibly corpus-vocabulary-
     * sized) unigram table. The two one-row totals cross-join in.
     */
+  /** Compression-ratio quality signal: deflate(utf8(text)) length over
+    * raw utf8 length. Highly repetitive boilerplate compresses to a small
+    * fraction; natural prose sits in a mid band; high-entropy junk stays
+    * near (or above) 1.0 — a standard web-corpus curation feature used to
+    * screen both extremes. Genuine per-row imperative work (no expression
+    * form of a codec — same justification as the image decode).
+    * Scan-local, no shuffle. Deflate output length is a
+    * deterministic function of the bytes for a fixed level, but it is NOT
+    * SQL-expressible, so queries over this column register without an
+    * oracle (rows-only check) and correctness is pinned by golden tests.
+    */
+  private val deflateLenUdf = udf((s: String) => {
+    if (s == null) None
+    else {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        Some(total)
+      } finally d.end()
+    }
+  })
+
+  /** Per-document compression stats: utf8 byte length, deflate length,
+    * and their ratio (null for empty docs). See [[deflateLenUdf]].
+    */
+  def compressionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nBytes = octet_length(encode(col(textCol), "UTF-8")).cast("long")
+    df.select(col(idCol), nBytes.as("n_bytes"),
+        deflateLenUdf(col(textCol)).as("n_deflate"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes")))
+  }
+
   def collocations(df: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
     val tk = df.select(tokens(col(textCol)).as("tk"))

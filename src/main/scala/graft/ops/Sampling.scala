@@ -82,4 +82,21 @@ object Sampling {
     val m = hashMill(col(idCol))
     (df.where(m < trainPerMille), df.where(m >= trainPerMille))
   }
+
+  /** Deterministic k-per-group head sample: the `k` rows of each
+    * `keyCols` group with the smallest md5(id) — the stable "give me k
+    * examples per stratum" primitive (debug slices, per-source eval
+    * sets, human-review queues). Selection is a pure function of the
+    * data, so the same rows come back on every engine, partitioning and
+    * re-run — unlike seeded-RNG sampling. One keyed window (a single
+    * shuffle+sort on the group key); each group sorts in parallel.
+    */
+  def sampleKPerGroup(df: DataFrame, keyCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

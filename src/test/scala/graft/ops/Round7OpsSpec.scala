@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: deterministic k-per-group sampling, truncated EWMA,
+  * last-touch attribution, compression-ratio quality signal.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleKPerGroup: exactly k rows per group, stable across repartition") {
+    val df = (1L to 200L).map(i => (s"g${i % 4}", i)).toDF("g", "id")
+    val a = Sampling.sampleKPerGroup(df, Seq("g"), "id", 5)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.sampleKPerGroup(df.repartition(7), Seq("g"), "id", 5)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "selection must be a pure function of the data")
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("sampleKPerGroup: groups smaller than k come back whole") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    assert(Sampling.sampleKPerGroup(df, Seq("g"), "id", 10).count() == 3L)
+  }
+
+  test("compressionStats: boilerplate compresses below prose, junk above it") {
+    val rep = "spam ham " * 200                      // highly repetitive
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a quiet meadow where nothing much happens afterwards " * 8
+    // deterministic high-entropy text: chained md5 hex blocks
+    val junk = Iterator.iterate("seed") { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.drop(1).take(50).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, junk)).toDF("doc_id", "text")
+    val m = TextAnalysis.compressionStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("compress_ratio")).toMap
+    assert(m(1L) < m(2L) && m(2L) < m(3L),
+      s"expected rep < prose < junk, got $m")
+    assert(m(1L) < 0.1, s"boilerplate should compress hard, got ${m(1L)}")
+  }
+
+  test("compressionStats: empty and null docs yield null ratio, not errors") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("compress_ratio"))).toMap
+    assert(rows(1L) && rows(2L))
+  }
+
+  test("q_window_ewma golden: hand-computed 3-point series") {
+    // one event_type, three days with revenues 1, 2, 4:
+    //   d1: 1
+    //   d2: (2 + 0.5*1) / 1.5            = 5/3
+    //   d3: (4 + 0.5*2 + 0.25*1) / 1.75  = 3.0
+    val ev = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 4.0))
+      .toDF("event_type", "ts", "value")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,6)")).cast("double").as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val xs = (0 until 7).map { i =>
+      val x = if (i == 0) col("rev") else lag(col("rev"), i).over(w)
+      (x, lit(math.pow(0.5, i)))
+    }
+    val num = xs.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = xs.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val got = daily.select(col("day"), (num / den).as("e"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    assert(approx(got(0), 1.0) && approx(got(1), 5.0 / 3.0) && approx(got(2), 3.0))
+  }
+
+  test("last-touch attribution golden: credits the nearest preceding touch") {
+    val ev = Seq(
+      // user 1: click -> view -> purchase(10) => credited to view
+      (1L, 100L, "2024-01-01 09:00:00", "click", 0.0),
+      (2L, 100L, "2024-01-01 10:00:00", "view", 0.0),
+      (3L, 100L, "2024-01-01 11:00:00", "purchase", 10.0),
+      // user 2: purchase with no prior touch => null channel
+      (4L, 200L, "2024-01-01 08:00:00", "purchase", 7.0),
+      (5L, 200L, "2024-01-01 09:00:00", "click", 0.0))
+      .map { case (e, u, t, k, v) => (e, u, java.sql.Timestamp.valueOf(t), k, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+    val got = Joins.asof(purchases, touches, Seq("user_id"), "ts", Seq("channel"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[String]("asof_channel"))).toMap
+    assert(got(3L).contains("view") && got(4L).isEmpty)
+  }
+}
