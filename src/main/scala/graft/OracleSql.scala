@@ -1967,6 +1967,20 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_events_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS d
+        |  FROM events WHERE ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE, -1
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT event_type, sum(d) OVER (
+        |    PARTITION BY event_type ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM pts)
+        |SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_events_churn" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
         |f AS (SELECT user_id, wk,

@@ -2083,6 +2083,24 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- max interval concurrency via sweep line: each event opens a
+    // 30-minute interval; +1/-1 boundary points, keyed running sum, max.
+    // Cost is 2 narrow rows per event through ONE keyed window — never an
+    // interval self-join. Tie convention: ends sort before starts at the
+    // same instant (adjacent intervals don't overlap), mirrored in the
+    // oracle's ORDER BY (t, d)
+    "q_events_concurrency" -> ((s, dir) => {
+      val ev = T(s, dir, "events").where(col("ts").isNotNull)
+      val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
+        .unionByName(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("c", sum(col("d")).over(w))
+        .groupBy("event_type").agg(max(col("c")).as("max_concurrent"))
+        .orderBy("event_type")
+    }),
+
     // -- compression-ratio quality screen (real deflate; no SQL oracle —
     // rows-only check by contract, golden tests pin the values)
     "q_text_compression" -> ((s, dir) => {

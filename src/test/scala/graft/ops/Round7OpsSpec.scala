@@ -76,6 +76,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(approx(got(0), 1.0) && approx(got(1), 5.0 / 3.0) && approx(got(2), 3.0))
   }
 
+  test("sweep-line concurrency golden: max overlapping 30-min intervals") {
+    // type a: events at 10:00, 10:10, 10:20 -> all three overlap at 10:20
+    // type b: events at 10:00 and 10:30 -> end(10:30) sorts before the new
+    //         start, so adjacent intervals never overlap: max 1
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("a", t("2024-01-01 10:00:00")), ("a", t("2024-01-01 10:10:00")),
+      ("a", t("2024-01-01 10:20:00")),
+      ("b", t("2024-01-01 10:00:00")), ("b", t("2024-01-01 10:30:00")))
+      .toDF("event_type", "ts")
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
+      .unionByName(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1).as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("t"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = pts.withColumn("c", sum(col("d")).over(w))
+      .groupBy("event_type").agg(max(col("c")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("last-touch attribution golden: credits the nearest preceding touch") {
     val ev = Seq(
       // user 1: click -> view -> purchase(10) => credited to view
