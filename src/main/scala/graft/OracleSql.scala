@@ -499,6 +499,21 @@ object OracleSql {
 
     "q_dedup_simhash" -> simhashSql,
 
+    // brute-force exact all-pairs shingle Jaccard: the prefix-filtered
+    // Spark join must reproduce it pair-for-pair (exactness, not
+    // approximate recall)
+    "q_dedup_jaccard_prefix" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM t2),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_sim_topk" ->
       (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

@@ -417,6 +417,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "text", "doc_id").orderBy("id")),
+    // EXACT shingle-set Jaccard pairs via prefix filtering (no recall
+    // loss; the oracle brute-forces all pairs at sf0.01 — the prefix
+    // filter must find every one of them)
+    "q_dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardJoinPrefix(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+        .orderBy("id_a", "id_b")),
 
     // -- similarity search -------------------------------------------------
     "q_sim_topk" -> ((s, dir) =>

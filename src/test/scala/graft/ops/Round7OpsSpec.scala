@@ -99,6 +99,48 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("jaccardJoinPrefix equals brute-force all-pairs shingle Jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // shares 3 of the shingles
+      (3L, "alpha beta gamma delta epsilon zeta"),  // exact dup of 1
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five nine ten"),     // prefix overlap with 4
+      (6L, "completely different words over here today"),
+      (7L, "alpha beta"))                           // too short for k=3
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .jaccardJoinPrefix(docs, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force reference on the driver (word 3-shingle sets)
+    def sh(s: String): Set[String] =
+      s.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val tk = docs.collect().map(r => r.getLong(0) -> sh(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    val exp = (for {
+      a <- tk.keys; b <- tk.keys if a < b
+      j = tk(a).intersect(tk(b)).size.toDouble / tk(a).union(tk(b)).size
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == exp.keySet, s"got ${got.keySet} expected ${exp.keySet}")
+    exp.foreach { case (k, j) => assert(approx(got(k), j)) }
+  }
+
+  test("jaccardJoinPrefix keeps pairs whose Jaccard EQUALS the threshold exactly") {
+    // A: 7 tokens -> 5 shingles; B: first 6 tokens -> 4 shingles, all
+    // shared. J = 4/5 = 0.8 — representable, and equal to the 0.8 double
+    // threshold. The unslacked prefix/length bounds would prune this pair
+    // (0.8*5 rounds to 4.0000000000000002 > 4).
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .jaccardJoinPrefix(docs, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.8)
+  }
+
   test("last-touch attribution golden: credits the nearest preceding touch") {
     val ev = Seq(
       // user 1: click -> view -> purchase(10) => credited to view
