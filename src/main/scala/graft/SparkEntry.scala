@@ -2059,17 +2059,9 @@ object SparkEntry {
       val daily = T(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast("decimal(28,6)")).cast("double").as("rev"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val xs = (0 until 7).map { i =>
-        val x = if (i == 0) col("rev") else lag(col("rev"), i).over(w)
-        (x, lit(math.pow(0.5, i))) // 2^-i: exact in binary AND decimal
-      }
-      val num = xs.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
-        .reduce(_ + _)
-      val den = xs.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
-        .reduce(_ + _)
-      daily.select(col("event_type"), col("day").cast("string").as("day"),
-          col("rev"), (num / den).as("ewma7"))
+      Resample.ewma(daily, "rev", "day", Seq("event_type"), alpha = 0.5, lags = 7)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("rev"), col("rev_ewma").as("ewma7"))
         .orderBy("event_type", "day")
     }),
 

@@ -40,4 +40,34 @@ object Resample {
         coalesce(col("n_events"), lit(0L)).as("n_events") :+
         col("avg_value")): _*)
   }
+
+  /** Truncated adjusted EWMA (pandas `ewm(alpha).mean()` with `adjust=
+    * True`, cut off after `lags` terms): per key, each point's smoothed
+    * value is Σ (1−α)^i·x_{t−i} / Σ (1−α)^i over the available lags —
+    * nulls are skipped (their weight is excluded from the denominator,
+    * pandas `ignore_na=True`). Truncation makes the operator a FIXED
+    * window of `lag()` columns sharing one keyed sort — exact, engine-
+    * portable (the weights are compile-time constants; with α = 0.5 they
+    * are exact powers of two), and never a running-state recursion Spark
+    * can't distribute. The truncation error is (1−α)^lags — pick lags so
+    * it's below the precision you report.
+    *
+    * Appends `<valueCol>_ewma`.
+    */
+  def ewma(df: DataFrame, valueCol: String, orderCol: String,
+      keyCols: Seq[String], alpha: Double = 0.5, lags: Int = 7): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require(lags >= 1, s"lags >= 1, got $lags")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val xs = (0 until lags).map { i =>
+      val x = if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)
+      (x, lit(math.pow(1.0 - alpha, i)))
+    }
+    val num = xs.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = xs.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    df.withColumn(s"${valueCol}_ewma", when(den > 0.0, num / den))
+  }
 }

@@ -61,19 +61,22 @@ class Round7OpsSpec extends SparkSpec {
       .toDF("event_type", "ts", "value")
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(28,6)")).cast("double").as("rev"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("day")
-    val xs = (0 until 7).map { i =>
-      val x = if (i == 0) col("rev") else lag(col("rev"), i).over(w)
-      (x, lit(math.pow(0.5, i)))
-    }
-    val num = xs.map { case (x, c) => when(x.isNotNull, x * c).otherwise(lit(0.0)) }
-      .reduce(_ + _)
-    val den = xs.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
-      .reduce(_ + _)
-    val got = daily.select(col("day"), (num / den).as("e"))
+    val got = Resample.ewma(daily, "rev", "day", Seq("event_type"))
+      .select(col("day"), col("rev_ewma"))
       .orderBy("day").collect().map(_.getDouble(1))
     assert(approx(got(0), 1.0) && approx(got(1), 5.0 / 3.0) && approx(got(2), 3.0))
+  }
+
+  test("Resample.ewma skips nulls (pandas ignore_na) and honors alpha") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, Some(4.0)))
+      .toDF("i", "v")
+    // at i=3 with alpha=0.75: (4 + 0.0625*10)/(1 + 0.0625) — the null at
+    // i=2 contributes NO weight, but lag distance still decays
+    val got = Resample.ewma(df, "v", "i", Nil, alpha = 0.75, lags = 3)
+      .orderBy("i").collect().map(r => Option(r.getAs[Double]("v_ewma")))
+    assert(approx(got(0).get, 10.0))
+    assert(approx(got(1).get, 10.0)) // only the lagged 10 contributes
+    assert(approx(got(2).get, (4.0 + 0.0625 * 10.0) / 1.0625))
   }
 
   test("sweep-line concurrency golden: max overlapping 30-min intervals") {
