@@ -1982,6 +1982,34 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_events_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts IS NOT NULL AND value IS NOT NULL),
+        |mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM p),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE), (SELECT mxd FROM mx)) AS DOUBLE) AS recency_days,
+        |    CAST(count(*) AS DOUBLE) AS freq_d,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS mon_d,
+        |    sum(CAST(value AS DECIMAL(28,6))) AS mon
+        |  FROM p GROUP BY user_id),
+        |e AS (SELECT
+        |    round(quantile_cont(recency_days, CAST(1.0 AS DOUBLE)/3), 6) AS r1,
+        |    round(quantile_cont(recency_days, CAST(2.0 AS DOUBLE)/3), 6) AS r2,
+        |    round(quantile_cont(freq_d, CAST(1.0 AS DOUBLE)/3), 6) AS f1,
+        |    round(quantile_cont(freq_d, CAST(2.0 AS DOUBLE)/3), 6) AS f2,
+        |    round(quantile_cont(mon_d, CAST(1.0 AS DOUBLE)/3), 6) AS m1,
+        |    round(quantile_cont(mon_d, CAST(2.0 AS DOUBLE)/3), 6) AS m2
+        |  FROM rfm),
+        |b AS (SELECT user_id, mon,
+        |    concat('R', CASE WHEN recency_days <= r1 THEN 0 WHEN recency_days <= r2 THEN 1 ELSE 2 END,
+        |           'F', CASE WHEN freq_d <= f1 THEN 0 WHEN freq_d <= f2 THEN 1 ELSE 2 END,
+        |           'M', CASE WHEN mon_d <= m1 THEN 0 WHEN mon_d <= m2 THEN 1 ELSE 2 END) AS segment
+        |  FROM rfm, e)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(mon) AS DOUBLE), 6) AS total_monetary
+        |FROM b GROUP BY segment ORDER BY segment""".stripMargin,
+
     "q_events_concurrency" ->
       """WITH pts AS (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS d

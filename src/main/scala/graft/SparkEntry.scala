@@ -2082,6 +2082,39 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- RFM user segmentation: per-user recency/frequency/monetary
+    // aggregates, tercile-bucketized on exact quantile edges (the CDF
+    // machinery over the USER-level aggregate — users, never events, flow
+    // through the bucketize), rolled up to segment counts. Null ts/value
+    // purchases are excluded on both sides so no null ever meets a CASE
+    // ladder (engine null-semantics differ there).
+    "q_events_rfm" -> ((s, dir) => {
+      val purch = T(s, dir, "events")
+        .where(col("event_type") === "purchase" &&
+          col("ts").isNotNull && col("value").isNotNull)
+      val maxTs = purch.agg(max(col("ts")).as("mx"))
+      val rfm = purch.groupBy("user_id").agg(
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(28,6)")).as("mon"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"), col("mon"),
+          datediff(to_date(col("mx")), to_date(col("last_ts")))
+            .cast("double").as("recency_days"),
+          col("freq").cast("double").as("freq_d"),
+          col("mon").cast("double").as("mon_d"))
+      val b = Preprocess.quantileBucketize(rfm,
+        Seq("recency_days", "freq_d", "mon_d"), Seq(1.0 / 3, 2.0 / 3))
+      b.select(concat(lit("R"), col("recency_days_bucket").cast("string"),
+            lit("F"), col("freq_d_bucket").cast("string"),
+            lit("M"), col("mon_d_bucket").cast("string")).as("segment"),
+          col("mon"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("mon")).cast("double"), 6).as("total_monetary"))
+        .orderBy("segment")
+    }),
+
     // -- max interval concurrency via sweep line: each event opens a
     // 30-minute interval; +1/-1 boundary points, keyed running sum, max.
     // Cost is 2 narrow rows per event through ONE keyed window — never an
