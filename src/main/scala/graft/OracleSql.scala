@@ -1982,6 +1982,22 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_rollup_share" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name,
+        |  round(CAST(rev AS DOUBLE), 6) AS revenue,
+        |  round(CAST(rev AS DOUBLE)
+        |    / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region,
+        |  round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    / CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share_of_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
     "q_events_rfm" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events WHERE event_type = 'purchase'

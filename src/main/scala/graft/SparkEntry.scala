@@ -2082,6 +2082,32 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- hierarchical share-of-parent: nation revenue as a share of its
+    // region, region as a share of the grand total. ONE fact-table
+    // aggregate at nation grain; both share windows run over the
+    // 25-row aggregate, never raw rows. DECIMAL-exact sums, double
+    // ratios with the identical DAG in the oracle.
+    "q_rollup_share" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val wr = Window.partitionBy("r_name")
+      val wall = Window.partitionBy()
+      val regionRev = sum(col("rev")).over(wr).cast("double")
+      val totalRev = sum(col("rev")).over(wall).cast("double")
+      rev.select(col("r_name"), col("n_name"),
+          round(col("rev").cast("double"), 6).as("revenue"),
+          round(col("rev").cast("double") / regionRev, 6).as("share_of_region"),
+          round(regionRev / totalRev, 6).as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // -- RFM user segmentation: per-user recency/frequency/monetary
     // aggregates, tercile-bucketized on exact quantile edges (the CDF
     // machinery over the USER-level aggregate — users, never events, flow

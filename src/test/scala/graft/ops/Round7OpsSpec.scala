@@ -144,6 +144,16 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getDouble(2) == 0.8)
   }
 
+  test("plan: new round-7 queries never plan a cartesian product") {
+    for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
+        "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
+      val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("last-touch attribution golden: credits the nearest preceding touch") {
     val ev = Seq(
       // user 1: click -> view -> purchase(10) => credited to view
