@@ -1982,6 +1982,26 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    // mid-CDF rank within source -> interpolated global inverse CDF on a
+    // 21-point exact-quantile grid; every formula is the same double DAG
+    // as the Spark side (edges rounded to 6 on both)
+    "q_harmonize_qnorm" ->
+      (s"""WITH g AS (SELECT list_transform(
+        |    quantile_cont(n_chars, [${(0 to 20).map(j => if (j == 0) "0.0" else if (j == 20) "1.0" else s"0.${"%02d".format(j * 5)}").mkString(", ")}]),
+        |    x -> round(x, 6)) AS e FROM documents),
+        |w AS (SELECT doc_id, source, n_chars,
+        |    CAST(count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY source, n_chars) AS DOUBLE) AS c,
+        |    CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT doc_id, source, n_chars, (cum - c / 2) / n AS pr FROM w),
+        |j AS (SELECT *, least(CAST(floor(pr * 20) AS INTEGER), 19) AS jj FROM p)
+        |SELECT doc_id, source, n_chars,
+        |  round(g.e[jj + 1] + (pr * 20 - jj) * (g.e[jj + 2] - g.e[jj + 1]), 6)
+        |    AS n_chars_qnorm
+        |FROM j, g ORDER BY doc_id""".stripMargin),
+
     "q_rollup_share" ->
       """WITH rev AS (SELECT r_name, n_name,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev

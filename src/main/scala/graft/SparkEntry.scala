@@ -2082,6 +2082,16 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- cross-source quantile normalization: per-source doc-length
+    // distributions mapped onto the global one (P8 — the harmonization
+    // step that makes per-source quality/length features comparable
+    // before mixing)
+    "q_harmonize_qnorm" -> ((s, dir) =>
+      Preprocess.quantileNormalizeBy(T(s, dir, "documents"), "n_chars",
+        Seq("source"), gridK = 20)
+        .select("doc_id", "source", "n_chars", "n_chars_qnorm")
+        .orderBy("doc_id")),
+
     // -- hierarchical share-of-parent: nation revenue as a share of its
     // region, region as a share of the grand total. ONE fact-table
     // aggregate at nation grain; both share windows run over the

@@ -335,4 +335,59 @@ object Preprocess {
           round(col("__cum").cast("double") / col("__n"), 6))
         .drop(vcol, "__cum", "__n")
     }
+
+  /** P8 — cross-group QUANTILE NORMALIZATION: map each `keyCols` group's
+    * value distribution onto the GLOBAL distribution, so rows at the same
+    * within-group quantile get the same normalized value regardless of
+    * group (the microarray-normalization / train-data-harmonization
+    * classic: per-source length or score distributions made comparable).
+    *
+    * Per row: mid-CDF rank p = (cum − c/2) / n within its group (cum =
+    * values ≤ v, c = multiplicity of v, n = group size — the midrank
+    * convention, p strictly inside (0,1)), then the normalized value is
+    * the global inverse CDF at p, linearly interpolated on a (gridK+1)-
+    * point exact-quantile grid.
+    *
+    * Scale shape: per-group ranks come from [[Clean.valueCdf]]'s
+    * distributed prefix sum joined back on (keys, value) — a plain
+    * shuffle join, no broadcast of the possibly corpus-sized distinct
+    * set, and the fact table is never sorted. The global grid is one
+    * [[Clean.exactQuantiles]] pass collected to the driver (gridK+1
+    * doubles, rounded to 6 like every quantile edge here) and inlined as
+    * an array literal — the per-row map is pure codegen'd arithmetic.
+    * Null values get a null output through the left join; null keys are
+    * joined null-safely (a null-key group is a legitimate group).
+    */
+  def quantileNormalizeBy(df: DataFrame, valueCol: String,
+      keyCols: Seq[String], gridK: Int = 20,
+      suffix: String = "_qnorm"): DataFrame = {
+    require(gridK >= 2, s"gridK >= 2, got $gridK")
+    val probs = (0 to gridK).map(_.toDouble / gridK)
+    val g = Clean.exactQuantiles(df, Seq(valueCol), probs).collect()
+    require(g.nonEmpty, s"$valueCol has no non-null values")
+    val edges = probs.indices.map(i => BigDecimal(g.head.getDouble(i + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val edgeArr = array(edges.map(lit): _*)
+    val cdf = Clean.valueCdf(df, valueCol, keyCols)
+    val totals = cdf.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__cum")).as("__n"))
+    val totalsR = totals.toDF(keyCols.map("__graft_k_" + _) :+ "__n": _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__graft_k_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val ranks = cdf.join(totalsR, cond)
+      .select(keyCols.map(col) ++ Seq(col("__val"),
+        ((col("__cum").cast("double") - col("__c").cast("double") / 2)
+          / col("__n").cast("double")).as("__p")): _*)
+    val ranksR = ranks.toDF(
+      keyCols.map("__graft_r_" + _) ++ Seq("__rval", "__p"): _*)
+    val rowCond = (keyCols.map(k => col(k) <=> col(s"__graft_r_$k")) :+
+      (col(valueCol).cast("double") === col("__rval"))).reduce(_ && _)
+    val jj = least(floor(col("__p") * gridK).cast("int"), lit(gridK - 1))
+    val lo = element_at(edgeArr, jj + 1)
+    val hi = element_at(edgeArr, jj + 2)
+    df.join(ranksR, rowCond, "left")
+      .withColumn(valueCol + suffix,
+        round(lo + (col("__p") * gridK - jj) * (hi - lo), 6))
+      .drop(keyCols.map("__graft_r_" + _) ++ Seq("__rval", "__p"): _*)
+  }
 }

@@ -144,6 +144,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getDouble(2) == 0.8)
   }
 
+  test("quantileNormalizeBy: equal within-group ranks map to equal global values") {
+    // two sources with the same shape but shifted locations: after
+    // normalization, the i-th smallest of A equals the i-th smallest of B
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i + 100.0))).toDF("src", "v")
+    val out = Preprocess.quantileNormalizeBy(df, "v", Seq("src"), gridK = 10)
+      .select("src", "v", "v_qnorm").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val byRank = out.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(byRank("a") == byRank("b"),
+      s"shifted distributions must normalize identically: $byRank")
+    // normalized values live inside the global value range
+    assert(out.forall(r => r._3 >= 1.0 && r._3 <= 110.0))
+  }
+
+  test("quantileNormalizeBy: null values pass through as null") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(5.0))).toDF("src", "v")
+    val out = Preprocess.quantileNormalizeBy(df, "v", Seq("src"))
+      .where(col("v").isNull).select("v_qnorm").collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+  }
+
   test("plan: new round-7 queries never plan a cartesian product") {
     for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
         "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
