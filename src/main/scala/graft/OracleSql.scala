@@ -1982,6 +1982,38 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    // brute-force x<y<z three-way join over the (small at sf0.01) edge
+    // set — orientation scheme doesn't change the count, so the
+    // degree-ordered Spark plan must agree exactly
+    "q_graph_triangles" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS x, b.pk AS y
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |nn AS (SELECT count(DISTINCT v) AS n FROM (
+        |  SELECT x AS v FROM e UNION ALL SELECT y FROM e)),
+        |ne AS (SELECT count(*) AS m FROM e)
+        |SELECT CAST(nn.n AS BIGINT) AS n_nodes, CAST(ne.m AS BIGINT) AS n_edges,
+        |  CAST(tri.t AS BIGINT) AS n_triangles
+        |FROM nn, ne, tri""".stripMargin,
+
+    "q_events_twap" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT event_type, value,
+        |    lead(sec) OVER (PARTITION BY event_type ORDER BY sec, value) - sec AS dt
+        |  FROM e)
+        |SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(dt AS DECIMAL(12,0))) AS DOUBLE)
+        |    / CAST(sum(dt) AS DOUBLE), 6) AS twap,
+        |  CAST(sum(dt) AS BIGINT) AS span_sec,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // mid-CDF rank within source -> interpolated global inverse CDF on a
     // 21-point exact-quantile grid; every formula is the same double DAG
     // as the Spark side (edges rounded to 6 on both)

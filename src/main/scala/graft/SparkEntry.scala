@@ -2082,6 +2082,51 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- triangle census of the co-purchase graph (edges = item pairs
+    // co-occurring in >= 2 orders): degree-ordered forward counting —
+    // wedge join bounded by out-degree <= ~sqrt(E), never hub-quadratic
+    "q_graph_triangles" -> ((s, dir) => {
+      val oi = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = oi.select(col("ok"), col("pk").as("src"))
+        .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+        .where(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 2)
+        .select("src", "dst")
+      graft.ext.Graph.triangleCount(edges)
+    }),
+
+    // -- time-weighted average (TWAP): each observation weighted by its
+    // holding interval (time to the NEXT event in the key's series; the
+    // last observation carries no weight — the standard open-ended
+    // convention). Weights and weighted sums in exact DECIMAL/long
+    // arithmetic; one keyed window + one aggregate.
+    "q_events_twap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+      // tie-break by value: with equal timestamps, WHICH row of the tie
+      // run receives the nonzero interval must not depend on sort
+      // nondeterminism — ordering by (sec, value) pins the weighted sum
+      // on both engines (equal (sec, value) rows are interchangeable)
+      val w = Window.partitionBy("event_type").orderBy("sec", "value")
+      val dt = (lead(col("sec"), 1).over(w) - col("sec")).as("dt")
+      // decimal(18,6) × decimal(12,0) = precision 31 — stays exact, never
+      // hits Spark's 38-digit truncation
+      ev.select(col("event_type"), col("value"), dt)
+        .where(col("dt").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          round(sum(col("value").cast("decimal(18,6)") *
+              col("dt").cast("decimal(12,0)")).cast("double") /
+            sum(col("dt")).cast("double"), 6).as("twap"),
+          sum(col("dt")).as("span_sec"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy("event_type")
+    }),
+
     // -- cross-source quantile normalization: per-source doc-length
     // distributions mapped onto the global one (P8 — the harmonization
     // step that makes per-source quality/length features comparable

@@ -58,4 +58,60 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact TRIANGLE COUNT over an undirected edge list — the graph-motif
+    * census primitive (clustering coefficients, community quality,
+    * near-dup-graph density diagnostics).
+    *
+    * Algorithm: the degree-ordered "forward" method (Schank & Wagner;
+    * the standard distributed formulation). Every edge is oriented from
+    * its lower to its higher endpoint under the total order
+    * (degree, id); each triangle then has exactly ONE apex whose two
+    * out-edges form the wedge, closed by one oriented edge — so
+    * count(closed wedges) = count(triangles), no multiple counting and
+    * no division.
+    *
+    * Why degree ordering matters at scale: wedges explode as Σ deg²
+    * around hubs; orienting edges toward higher-degree nodes caps every
+    * node's OUT-degree at ~√|E|, so the wedge join is Σ outdeg² =
+    * O(|E|^1.5) worst case instead of a hub-quadratic blow-up — the
+    * difference between a star graph being linear and being |V|².
+    *
+    * @param edges undirected (srcCol, dstCol) pairs; duplicates and
+    *              self-loops are cleaned here
+    * @return one row: (n_nodes, n_edges, n_triangles)
+    */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withK = und
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    val xk = struct(col("dx").as("d"), col("x").as("i"))
+    val yk = struct(col("dy").as("d"), col("y").as("i"))
+    val oriented = withK.select(
+        when(xk < yk, col("x")).otherwise(col("y")).as("src"),
+        when(xk < yk, col("y")).otherwise(col("x")).as("dst"),
+        when(xk < yk, yk).otherwise(xk).as("dstk"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("src"), col("dst").as("v"), col("dstk").as("vk"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"), col("dstk").as("wk"))
+    val wedges = w1.join(w2, "src").where(col("vk") < col("wk"))
+    val closed = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

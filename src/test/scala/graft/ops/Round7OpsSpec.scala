@@ -169,6 +169,17 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(0))
   }
 
+  test("triangleCount: K4 has 4, star has 0, direction/dups/self-loops ignored") {
+    // K4 on {1,2,3,4} with messy input: reversed duplicates + a self-loop
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (4L, 4L)).toDF("src", "dst")
+    val r = graft.ext.Graph.triangleCount(k4).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 6L, 4L))
+    // star: hub 0 to 9 leaves — many wedges, zero triangles
+    val star = (1L to 9L).map(i => (0L, i)).toDF("src", "dst")
+    assert(graft.ext.Graph.triangleCount(star).head().getLong(2) == 0L)
+  }
+
   test("plan: new round-7 queries never plan a cartesian product") {
     for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
         "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
