@@ -497,6 +497,20 @@ object OracleSql {
          |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_id, count(*) AS csize FROM labels GROUP BY cluster_id)
+         |SELECT CAST(csize AS BIGINT) AS csize,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+
     "q_dedup_simhash" -> simhashSql,
 
     // brute-force exact all-pairs shingle Jaccard: the prefix-filtered

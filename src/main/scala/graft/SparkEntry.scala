@@ -685,6 +685,20 @@ object SparkEntry {
       Dedup.clusterNearDups(pairs, docs, "doc_id").orderBy("id")
     }),
 
+    // -- dedup diagnostics: cluster-SIZE histogram (how much of the corpus
+    // sits in how-big near-dup families — the "is dedup worth it" report).
+    // Two tiny re-aggregations of the cluster labels; the label table is
+    // corpus-rows sized, everything after is cluster-count sized.
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
+      Dedup.clusterNearDups(pairs, docs, "doc_id")
+        .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize")
+    }),
+
     // -- custom-state sessionization (flatMapGroupsWithState) -------------
     "q_sessionize_stateful" -> ((s, dir) =>
       EventsStream.sessionStatsStateful(T(s, dir, "events"), 30).toDF()
