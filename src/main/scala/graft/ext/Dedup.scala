@@ -549,14 +549,6 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = docs.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__df"))
-    // rarest-first ordering per doc: sort (df, token) structs, project
-    // the tokens back out. n = distinct-token count (the set size).
-    val ordered = docs.select(col("id"), size(col("tk")).as("n"),
-        explode(col("tk")).as("t"))
-      .join(dfreq, "t")
-      .groupBy("id", "n")
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("t")))),
-        x => x.getField("t")).as("otk"))
     // Every pre-verification bound gets EPS slack: the double literal for
     // a threshold like 0.8 sits a hair ABOVE the exact rational, so
     // ceil(t*n) / t*max(n) computed without slack can mis-prune a pair
@@ -565,8 +557,19 @@ object Dedup {
     // admits a few extra candidates — the exact verification is the gate.
     val eps = 1e-9
     val pLen = (col("n") - ceil(lit(threshold) * col("n") - eps) + 1).cast("int")
-    val pre = ordered.select(col("id"), col("n"),
-      posexplode(slice(col("otk"), lit(1), pLen)).as(Seq("pos", "pt")))
+    // rarest-first PREFIX per doc, directly as rows: a keyed row_number
+    // window over (document frequency, shingle) keeps the p(S) smallest
+    // elements — no full sorted-array reassembly (the collect_list +
+    // array_sort + slice + re-explode spelling rebuilt every doc's whole
+    // ordering only to throw away the suffix)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("t"))
+    val pre = docs.select(col("id"), size(col("tk")).as("n"),
+        explode(col("tk")).as("t"))
+      .join(dfreq, "t")
+      .withColumn("pos", row_number().over(wDoc) - 1)
+      .where(col("pos") < pLen)
+      .select(col("id"), col("n"), col("pos"), col("t").as("pt"))
     // PPJoin positional filter: a shared prefix element at 0-based
     // positions (pa, pb) bounds the overlap by min(na-pa, nb-pb); the
     // required overlap for Jaccard >= t is ceil(t/(1+t)·(na+nb)). Pairs
