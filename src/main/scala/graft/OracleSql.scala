@@ -1996,6 +1996,32 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    // exact two-sample KS per source vs rest: both CDFs evaluated at
+    // every distinct corpus value (the sup of step functions is attained
+    // at a jump point); pure count-ratio arithmetic
+    "q_quality_ksdrift" ->
+      """WITH base AS (SELECT source AS k, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |perkv AS (SELECT k, v, count(*) AS c FROM base GROUP BY k, v),
+        |keys AS (SELECT k, count(*) AS nk FROM base GROUP BY k),
+        |vals AS (SELECT DISTINCT v FROM base),
+        |grid AS (SELECT keys.k, keys.nk, vals.v, coalesce(perkv.c, 0) AS c
+        |  FROM vals CROSS JOIN keys
+        |  LEFT JOIN perkv ON perkv.k = keys.k AND perkv.v = vals.v),
+        |cums AS (SELECT k, nk, v,
+        |    sum(c) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+        |  FROM grid),
+        |both_ AS (SELECT k, nk, v, cumk,
+        |    sum(cumk) OVER (PARTITION BY v) AS cumg,
+        |    (SELECT count(*) FROM base) AS ng
+        |  FROM cums)
+        |SELECT k AS source, CAST(max(nk) AS BIGINT) AS n,
+        |  round(max(abs(CAST(cumk AS DOUBLE) / CAST(nk AS DOUBLE)
+        |    - CAST(cumg - cumk AS DOUBLE) / CAST(ng - nk AS DOUBLE))), 6) AS ks
+        |FROM both_ WHERE ng > nk
+        |GROUP BY k ORDER BY source""".stripMargin,
+
     // brute-force x<y<z three-way join over the (small at sf0.01) edge
     // set — orientation scheme doesn't change the count, so the
     // degree-ordered Spark plan must agree exactly

@@ -2096,6 +2096,13 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- per-source distribution drift: exact two-sample KS statistic of
+    // doc length, each source vs the rest of the corpus — pure count
+    // ratios over the CDF grid, no libm
+    "q_quality_ksdrift" -> ((s, dir) =>
+      Quality.ksDrift(T(s, dir, "documents"), "n_chars", "source")
+        .orderBy("source")),
+
     // -- triangle census of the co-purchase graph (edges = item pairs
     // co-occurring in >= 2 orders): degree-ordered forward counting —
     // wedge join bounded by out-degree <= ~sqrt(E), never hub-quadratic

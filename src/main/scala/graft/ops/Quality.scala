@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the validation pass an integration pipeline runs
@@ -120,5 +121,55 @@ object Quality {
         (count(lit(1)) - count(col(c))).as("n_null"))
         .select(lit(c).as("column_name"), col("n_distinct"), col("n_null"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Per-group DISTRIBUTION DRIFT via the exact two-sample
+    * Kolmogorov-Smirnov statistic: for every `keyCol` group,
+    * D = sup_v |F_group(v) − F_rest(v)| of `valueCol` — the
+    * "has this source's length/quality distribution diverged from the
+    * rest of the corpus" screen. Entirely count-ratio arithmetic (no
+    * libm), so an external SQL oracle reproduces it bit-for-bit.
+    *
+    * Exactness: both empirical CDFs are step functions, so the supremum
+    * is attained at a jump point — evaluating at EVERY distinct value of
+    * the whole corpus (a superset of both samples' jump points) is
+    * exact, not a grid approximation. F_rest comes from the global and
+    * group cumulative counts (cum_g − cum_k over n_g − n_k): the rest
+    * sample never needs its own pass.
+    *
+    * Scale shape: one groupBy for per-(group, value) counts, the global
+    * distinct-value grid cross-joined with the (broadcast-small) group
+    * list, and ONE running-sum window per group over the grid — cost
+    * O(|groups| × |distinct values|) rows, windows keyed by group, no
+    * corpus sort. Output: keyCol, n (group size), ks.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"), v.as("v"))
+    val perKV = base.groupBy("k", "v").agg(count(lit(1)).as("c"))
+    val keys = base.groupBy("k").agg(count(lit(1)).as("nk"))
+    val grid = base.select("v").distinct()
+      .crossJoin(broadcast(keys))
+      .join(perKV, Seq("k", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = base.agg(count(lit(1)).as("ng"))
+    // the global cum needs no pass of its own: per-key cums at a value
+    // partition the corpus, so cumg(v) = Σ_k cumk(v) — one value-keyed
+    // window over the grid (distributed by value, never a global sort)
+    val wv = Window.partitionBy("v")
+    grid
+      .withColumn("cumk", sum(col("c")).over(w))
+      .withColumn("cumg", sum(col("cumk")).over(wv))
+      .crossJoin(broadcast(total))
+      .where(col("ng") > col("nk")) // degenerate single-source corpus
+      .withColumn("__d", abs(
+        col("cumk").cast("double") / col("nk").cast("double") -
+          (col("cumg") - col("cumk")).cast("double") /
+            (col("ng") - col("nk")).cast("double")))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("nk")).as("n"), round(max(col("__d")), 6).as("ks"))
   }
 }

@@ -180,6 +180,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(graft.ext.Graph.triangleCount(star).head().getLong(2) == 0L)
   }
 
+  test("ksDrift equals a driver-side exact two-sample KS on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val k = s"s${i % 3}"
+      // source s0 shifted: drift should be detected
+      val v = math.floor(rnd.nextDouble() * 20).toInt + (if (k == "s0") 10 else 0)
+      (k, v.toDouble)
+    }
+    val df = rows.toDF("src", "v")
+    val got = Quality.ksDrift(df, "v", "src").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // driver reference
+    val byK = rows.groupBy(_._1)
+    val allV = rows.map(_._2).distinct.sorted
+    val exp = byK.map { case (k, g) =>
+      val mine = g.map(_._2)
+      val rest = rows.filterNot(_._1 == k).map(_._2)
+      val d = allV.map { v =>
+        math.abs(mine.count(_ <= v).toDouble / mine.size -
+          rest.count(_ <= v).toDouble / rest.size)
+      }.max
+      k -> BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    exp.foreach { case (k, d) => assert(approx(got(k), d, 1e-9), s"$k: ${got(k)} vs $d") }
+    assert(got("s0") > got("s1") && got("s0") > got("s2"),
+      "the shifted source must show the largest drift")
+  }
+
   test("plan: new round-7 queries never plan a cartesian product") {
     for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
         "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
