@@ -432,12 +432,23 @@ object Clean {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col(measure)).as("__pt"))
+    // Only keys that STRADDLE a partition boundary need offsets: range
+    // partitioning keeps each key's pids contiguous, so with
+    // high-cardinality keys nearly every key lives inside one pid and is
+    // filtered out here — the broadcast stays at most ~2 rows per
+    // physical partition at ANY key cardinality (the same straddle bound
+    // as orderedWithCarry), instead of |keys| × |pids|. Keys absent from
+    // the offsets table take offset `zero` through the left join.
+    val straddling = pidTotals
+      .withColumn("__npid",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("__npid") > 1)
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     // offsets keys renamed + joined null-SAFELY: a null grouping key is a
     // legitimate group, and a plain equi-join here would silently drop its
     // entire CDF
-    val offsets = pidTotals
+    val offsets = straddling
       .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), zero))
       .select(keyCols.map(k => col(k).as(s"__graft_k_$k")) ++
         Seq(col("__pid").as("__opid"), col("__off")): _*)
@@ -448,8 +459,8 @@ object Clean {
       (col("__pid") === col("__opid"))).reduce(_ && _)
     ranged
       .withColumn("__lcum", sum(col(measure)).over(wLocal))
-      .join(broadcast(offsets), joinCond)
-      .withColumn("__cum", col("__lcum") + col("__off"))
+      .join(broadcast(offsets), joinCond, "left")
+      .withColumn("__cum", col("__lcum") + coalesce(col("__off"), zero))
       .drop(keyCols.map("__graft_k_" + _) ++
         Seq("__opid", "__pid", "__lcum", "__off"): _*)
   }
