@@ -1996,6 +1996,23 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_text_topterms_by_lang" ->
+      s"""WITH tf AS (SELECT lang, t.term, count(*) AS n
+        |  FROM documents, unnest($toks) AS t(term)
+        |  GROUP BY lang, t.term),
+        |r AS (SELECT lang, term, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, term) AS rn FROM tf)
+        |SELECT lang, CAST(rn AS INTEGER) AS rn, term, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_quality_null_matrix" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate_user_id,
+        |  round(CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate_value,
+        |  round(CAST(count(CASE WHEN props IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate_props,
+        |  round(CAST(count(CASE WHEN ts IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // exact two-sample KS per source vs rest: both CDFs evaluated at
     // every distinct corpus value (the sup of step functions is attained
     // at a jump point); pure count-ratio arithmetic

@@ -2096,6 +2096,33 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- top terms per language: the vocabulary window runs over the
+    // (lang, term) AGGREGATE — term counts, never token rows; ties break
+    // lexicographically
+    "q_text_topterms_by_lang" -> ((s, dir) => {
+      val tf = T(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+      tf.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("lang", "rn", "term", "n")
+        .orderBy("lang", "rn")
+    }),
+
+    // -- data-quality null matrix: per-event-type null rates of every
+    // nullable payload column — one conditional-count aggregate, ratios
+    // of exact integer counts
+    "q_quality_null_matrix" -> ((s, dir) => {
+      def rate(c: String) =
+        round(count(when(col(c).isNull, 1)).cast("double") / count(lit(1)),
+          6).as(s"null_rate_$c")
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), rate("user_id"), rate("value"),
+          rate("props"), rate("ts"))
+        .orderBy("event_type")
+    }),
+
     // -- per-source distribution drift: exact two-sample KS statistic of
     // doc length, each source vs the rest of the corpus — pure count
     // ratios over the CDF grid, no libm
