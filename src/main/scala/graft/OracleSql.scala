@@ -393,6 +393,15 @@ object OracleSql {
         |ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts <= r.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    "q_asof_fwd_tolerance" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, round(p.value, 6) AS purchase_value,
+        |  round(CASE WHEN r.ts <= p.ts + INTERVAL 30 MINUTE THEN r.value END, 6) AS next_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts <= r.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n_items

@@ -309,6 +309,21 @@ object SparkEntry {
           round(col("asof_value"), 6).as("next_click_value"))
         .orderBy("event_id")
     }),
+    // forward + tolerance completes the merge_asof direction × tolerance
+    // matrix: next click within 30 minutes AFTER each purchase
+    "q_asof_fwd_tolerance" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val ref = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+      Joins.asofForwardTolerance(probe, ref, Seq("user_id"), "ts",
+        Seq("value"), toleranceSeconds = 1800L)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("asof_value"), 6).as("next_click_value"))
+        .orderBy("event_id")
+    }),
 
     "q_rollup_revenue" -> ((s, dir) => {
       val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")

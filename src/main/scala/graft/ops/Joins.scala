@@ -146,6 +146,24 @@ object Joins {
     }.drop(s"asof_$tCol")
   }
 
+  /** FORWARD as-of join with a tolerance: like [[asofForward]], but the
+    * matched (earliest at-or-after) ref row is nulled when it is more
+    * than `toleranceSeconds` after the probe time — completing the
+    * pandas `merge_asof` direction × tolerance matrix. Same choose-then-
+    * filter semantics and one-shuffle construction as [[asofTolerance]].
+    */
+  def asofForwardTolerance(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      timeCol: String, refCols: Seq[String], toleranceSeconds: Long): DataFrame = {
+    val tCol = "__graft_asof_t"
+    val refT = ref.withColumn(tCol, col(timeCol))
+    val joined = asofForward(probe, refT, keys, timeCol, refCols :+ tCol)
+    val inTol = col(s"asof_$tCol") <=
+      col(timeCol) + expr(s"INTERVAL $toleranceSeconds SECONDS")
+    refCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"asof_$c", when(inTol, col(s"asof_$c")))
+    }.drop(s"asof_$tCol")
+  }
+
   /** Interval (range) join via binning — the operator Spark lacks natively
     * (a naive `a.ts BETWEEN b.lo AND b.hi` join plans as broadcast-nested-
     * loop or cartesian). Both sides are assigned equi-joinable time bins of

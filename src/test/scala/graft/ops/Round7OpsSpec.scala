@@ -208,6 +208,19 @@ class Round7OpsSpec extends SparkSpec {
       "the shifted source must show the largest drift")
   }
 
+  test("asofForwardTolerance nulls matches beyond the tolerance, keeps within") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq((1L, 10L, t("2024-01-01 10:00:00")),
+      (2L, 20L, t("2024-01-01 10:00:00"))).toDF("id", "u", "ts")
+    val ref = Seq((10L, t("2024-01-01 10:20:00"), 5.0),
+      (20L, t("2024-01-01 11:00:00"), 7.0)).toDF("u", "ts", "v")
+    val got = Joins.asofForwardTolerance(probe, ref, Seq("u"), "ts", Seq("v"),
+        toleranceSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    assert(got(1L).contains(5.0))  // 20 min ahead: within 30-min tolerance
+    assert(got(2L).isEmpty)        // 60 min ahead: nulled
+  }
+
   test("plan: new round-7 queries never plan a cartesian product") {
     for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
         "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
