@@ -2005,6 +2005,29 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_events_repurchase" ->
+      """WITH p AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |g AS (SELECT sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS gap FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 6) AS median_gap_sec,
+        |  round(quantile_cont(gap, 0.9), 6) AS p90_gap_sec
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
+
+    "q_text_diversity" ->
+      s"""WITH tok AS (SELECT source, t.t FROM documents, unnest($toks) AS t(t)),
+        |st AS (SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+        |  FROM tok GROUP BY source),
+        |h AS (SELECT source,
+        |    round(CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS lang_hhi
+        |  FROM (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+        |  GROUP BY source)
+        |SELECT st.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  lang_hhi
+        |FROM st JOIN h USING (source) ORDER BY source""".stripMargin,
+
     "q_text_topterms_by_lang" ->
       s"""WITH tf AS (SELECT lang, t.term, count(*) AS n
         |  FROM documents, unnest($toks) AS t(term)

@@ -2111,6 +2111,45 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- inter-purchase interval distribution: per-user lag deltas (the
+    // multiset is tie-order invariant), then exact global median/p90 via
+    // the distributed CDF
+    "q_events_repurchase" -> ((s, dir) => {
+      val p = T(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("ts").isNotNull)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy("sec")
+      val gaps = p.select((col("sec") - lag(col("sec"), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+      Clean.exactQuantiles(gaps, Seq("gap"), Seq(0.5, 0.9))
+        .select(round(col("q0"), 6).as("median_gap_sec"),
+          round(col("q1"), 6).as("p90_gap_sec"))
+        .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n_gaps"))))
+        .select("n_gaps", "median_gap_sec", "p90_gap_sec")
+    }),
+
+    // -- corpus diversity per source: lexical type-token ratio and the
+    // language-concentration HHI — both from EXACT integer sums (Σc² /
+    // (Σc)², never a float accumulation), so no libm and no
+    // aggregation-order drift
+    "q_text_diversity" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val st = d.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_types"))
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+      val hhi = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg((sum(col("c") * col("c")).cast("double") /
+          (sum(col("c")) * sum(col("c"))).cast("double")).as("h"))
+        .select(col("source"), round(col("h"), 6).as("lang_hhi"))
+      st.join(hhi, Seq("source"))
+        .select("source", "n_tokens", "n_types", "ttr", "lang_hhi")
+        .orderBy("source")
+    }),
+
     // -- top terms per language: the vocabulary window runs over the
     // (lang, term) AGGREGATE — term counts, never token rows; ties break
     // lexicographically
