@@ -2005,6 +2005,12 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    "q_events_window_dau" ->
+      """SELECT CAST(floor(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
+
     "q_events_repurchase" ->
       """WITH p AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),

@@ -545,6 +545,11 @@ object SparkEntry {
 
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
+    // exact distinct users per day via the streaming-safe dedup-then-count
+    // pattern (same definition batch and stream; batch ≡ stream tested)
+    "q_events_window_dau" -> ((s, dir) =>
+      EventsStream.windowedDistinctUsers(T(s, dir, "events"), "1 day")
+        .orderBy("window_start")),
     "q_sessionize" -> ((s, dir) =>
       EventsStream.sessionStats(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),

@@ -69,6 +69,25 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("day_start"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Exact distinct users per tumbling window — the streaming-safe
+    * COUNT(DISTINCT) surrogate: a distinct aggregation is not allowed in
+    * streaming, but `dropDuplicates` on (window-start, user) followed by
+    * a plain count is, and batch gets the identical two-stage plan (the
+    * dedup is a map-side-combinable aggregate — no user ever counted
+    * twice, no giant distinct-set buffers). The window-start column
+    * carries the event-time watermark tag through `window()`, so
+    * streaming dedup state expires with the watermark instead of growing
+    * forever. Null users are excluded (COUNT DISTINCT semantics).
+    */
+  def windowedDistinctUsers(events: DataFrame, windowLen: String): DataFrame =
+    events.where(col("user_id").isNotNull)
+      .select(window(col("ts"), windowLen).getField("start").as("wstart"),
+        col("user_id"))
+      .dropDuplicates("wstart", "user_id")
+      .groupBy("wstart")
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("wstart")).as("window_start"), col("n_users"))
+
   /** Gap-based sessionization per user via the built-in `session_window`
     * (events closer than `gap` merge into one session) — the canonical
     * stateful-streaming shape, expressed with the built-in so batch and

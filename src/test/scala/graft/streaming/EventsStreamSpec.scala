@@ -277,4 +277,31 @@ class EventsStreamSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(last.get == Seq((1L, "z")))
   }
+
+  test("windowedDistinctUsers: batch equals stream (dedup-then-count pattern)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // user 1 twice in window A (must count once), users 1+2 in window B
+    val rows = Seq((t(0), 1L), (t(3), 1L), (t(6), 2L),
+      (t(12), 1L), (t(14), 2L), (t(17), 2L))
+    val batchDf = rows.toDF("ts", "user_id")
+    val batch = EventsStream.windowedDistinctUsers(batchDf, "10 minutes")
+      .orderBy("window_start").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventsStream.windowedDistinctUsers(
+        mem.toDF.toDF("ts", "user_id").withWatermark("ts", "10 minutes"),
+        "10 minutes")
+      .writeStream.format("memory").queryName("wdu").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wdu").orderBy("window_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"batch $batch != stream $streamed")
+    assert(batch.map(_._2) == Seq(2L, 2L)) // 2 distinct users per window
+  }
 }
