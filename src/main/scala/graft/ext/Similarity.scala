@@ -119,6 +119,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance selection: greedily pick `k` documents
+    * maximizing λ·sim(doc, query) − (1−λ)·max_selected sim(doc, s) — the
+    * standard diversity-aware retrieval/curation selector (Carbonell &
+    * Goldstein '98): near-duplicates of an already-selected result are
+    * penalized out even when they score high against the query.
+    *
+    * Scale shape: the DISTRIBUTED relevance top-`candidatePool` (the
+    * TakeOrderedAndProject heap plan of [[bruteForceTopK]], plus the
+    * vectors fetched by a semi-join on the winning ids) bounds what ever
+    * reaches the driver; the O(k·pool) greedy then runs on ≤ ~1k small
+    * vectors — a bounded decision-point collect, never a corpus
+    * iteration. Returns (rank, id, relevance, mmr_score).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, lambda: Double = 0.7,
+      candidatePool: Int = 200): DataFrame = {
+    require(k >= 1 && candidatePool >= k, s"need candidatePool >= k >= 1, got k=$k pool=$candidatePool")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val top = bruteForceTopK(df, idCol, vecCol, query, candidatePool)
+    val cands = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(top.select("id", "cos"), Seq("id"))
+      .collect() // bounded: ≤ candidatePool rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.sortBy { case (id, _, rel) => (-rel, id) }.map(c => c._1 -> c): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, v, rel) =>
+        val maxSim = if (chosen.isEmpty) 0.0 else chosen.map(cosine(v, _)).max
+        (id, v, rel, lambda * rel - (1.0 - lambda) * maxSim)
+      }.reduceLeft { (a, b) =>
+        if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+      }
+      picked += ((rank, best._1, best._3, best._4))
+      chosen += best._2
+      remaining.remove(best._1)
+      rank += 1
+    }
+    spark.createDataFrame(picked.toSeq)
+      .toDF("rank", "id", "relevance", "mmr_score")
+  }
+
   /** Same top-k, but scoring through the codegen'd native `graft_dot`
     * Catalyst expression (GraftExtensions must be registered). Values are
     * bit-identical to [[bruteForceTopK]]; only the execution tier differs.

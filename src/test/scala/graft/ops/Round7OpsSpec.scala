@@ -221,6 +221,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(2L).isEmpty)        // 60 min ahead: nulled
   }
 
+  test("mmrSelect penalizes near-duplicates of already-selected results") {
+    // q = (1, 0); a and a2 are near-identical high-relevance vectors;
+    // b is slightly less relevant but diverse. Pure relevance ranks
+    // (a, a2); MMR must pick (a, b).
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),       // a:  cos(q) = 1.0
+      (2L, Seq(0.999, 0.0447)),  // a2: cos(q) ~ 0.999
+      (3L, Seq(0.7, 0.714)))     // b:  cos(q) ~ 0.7
+      .toDF("id", "emb")
+    val got = graft.ext.Similarity
+      .mmrSelect(vecs, "id", "emb", Seq(1.0, 0.0), k = 2, lambda = 0.5,
+        candidatePool = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L), s"expected diverse pick (1, 3), got $got")
+    // sanity: pure-relevance top-2 WOULD have been (1, 2)
+    val rel = graft.ext.Similarity
+      .bruteForceTopK(vecs, "id", "emb", Seq(1.0, 0.0), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(1L, 2L))
+  }
+
   test("plan: new round-7 queries never plan a cartesian product") {
     for (q <- Seq("q_dedup_jaccard_prefix", "q_events_attribution",
         "q_events_rfm", "q_events_concurrency", "q_sample_pergroup")) {
