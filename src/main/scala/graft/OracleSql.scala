@@ -2005,6 +2005,28 @@ object OracleSql {
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
 
+    // fixed hash-selected centroids; d2 spelled through list_dot_product
+    // exactly like the Spark side's graft_dot kernel; ties (d2, cid)
+    "q_sim_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |SELECT vec_id, cid AS cluster_id, round(d2, 6) + 0.0 AS dist2
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH d AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
     "q_events_window_dau" ->
       """SELECT CAST(floor(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

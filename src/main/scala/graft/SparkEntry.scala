@@ -2133,6 +2133,33 @@ object SparkEntry {
         .select("n_gaps", "median_gap_sec", "p90_gap_sec")
     }),
 
+    // -- deterministic IVF assignment under the oracle gate: centroids =
+    // the 8 md5-smallest vectors (pure function of the data, no k-means
+    // RNG), distances through the shared dot-product kernel; every row's
+    // (cluster, dist2) hash-checked
+    "q_sim_ivf_assign" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.assignToCentroids(emb, "vec_id", "e", cents.toIndexedSeq)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("dist2"))
+        .orderBy("vec_id")
+    }),
+
+    // -- multiset set ops: EXCEPT ALL keeps per-row multiplicity (a
+    // customer with 3 open and 1 urgent order survives twice) — the
+    // semantics DISTINCT-based set ops silently lose
+    "q_set_ops_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
     // -- corpus diversity per source: lexical type-token ratio and the
     // language-concentration HHI — both from EXACT integer sums (Σc² /
     // (Σc)², never a float accumulation), so no libm and no

@@ -171,6 +171,34 @@ object Similarity {
       .toDF("rank", "id", "relevance", "mmr_score")
   }
 
+  /** Deterministic IVF-style assignment to FIXED centroid vectors: each
+    * row goes to its nearest centroid by squared L2 distance, computed
+    * as dot(e,e) − 2·dot(e,c) + dot(c,c) so every accumulation runs
+    * through the same left-to-right dot-product kernel an external
+    * oracle replays (`list_dot_product`) — unlike k-means-derived
+    * centroids, hash-selected fixed centroids make the whole IVF
+    * partitioning step oracle-checkable. Ties break to the smaller
+    * centroid id via lexicographic struct-min. Scan-local (centroids
+    * are literals — no join, no shuffle); `+ 0.0` normalizes a possible
+    * IEEE −0.0 from the subtractive formula on near-identical vectors.
+    * Output: (id, cluster_id, dist2).
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val e = VectorOps.toDouble(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+        VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val best = array_min(array(entries: _*))
+    df.select(col(idCol).as("id"),
+      best.getField("cid").as("cluster_id"),
+      (round(best.getField("d2"), 6) + lit(0.0)).as("dist2"))
+  }
+
   /** Same top-k, but scoring through the codegen'd native `graft_dot`
     * Catalyst expression (GraftExtensions must be registered). Values are
     * bit-identical to [[bruteForceTopK]]; only the execution tier differs.
