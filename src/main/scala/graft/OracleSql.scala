@@ -2375,6 +2375,89 @@ object OracleSql {
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 30.0)
-        |ORDER BY s_name""".stripMargin
+        |ORDER BY s_name""".stripMargin,
+
+    // exclusive running token sum cut into 20k-token shards
+    "q_pack_token_shards" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  CAST(cum_before // 20000 AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // per-lang TTR-ranked selection under a 30k-token exclusive budget
+    "q_curate_budget" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+         |  FROM t WHERE len(tk) > 0),
+         |c AS (SELECT doc_id, lang, n_tokens, ttr,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY ttr DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s)
+         |SELECT lang, doc_id, n_tokens, round(ttr, 6) AS ttr, cum_before
+         |FROM c WHERE cum_before < 30000 ORDER BY lang, doc_id""".stripMargin),
+
+    // disjoint 8-token chunks; a chunk in >1 doc is boilerplate
+    "q_text_boilerplate" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 8),
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(0, CAST(len(tk) // 8 AS INTEGER) - 1),
+         |    i -> md5(array_to_string(tk[i*8+1 : i*8+8], ' ')))) AS ch FROM f),
+         |d AS (SELECT ch, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |  round(CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_frac
+         |FROM ch c JOIN d USING (ch) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+
+    // token Shannon entropy; plogp folds left-to-right over the
+    // term-sorted count list — same fold DAG as the Spark side
+    "q_text_entropy" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |c AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_terms,
+         |    list(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)) ORDER BY term) AS l
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_terms,
+         |  round(log2(CAST(n_tokens AS DOUBLE)) -
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (acc, x) -> acc + x)
+         |      / n_tokens, 6) AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin),
+
+    // feature hashing: md5 -> 64 buckets (same 60-bit hex-slice idiom as
+    // the winnow oracle), sparse TF rows
+    "q_text_hashtf" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+         |SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+
+    // product quantization: the IVF query's 8 md5-selected vectors sliced
+    // into 4 x 16-dim subspace codebooks; nearest codeword per slice
+    "q_sim_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, m.m, c.cid,
+        |    list_dot_product(e.v[m.m*16+1 : m.m*16+16], e.v[m.m*16+1 : m.m*16+16])
+        |      - 2.0 * list_dot_product(e.v[m.m*16+1 : m.m*16+16], c.cv[m.m*16+1 : m.m*16+16])
+        |      + list_dot_product(c.cv[m.m*16+1 : m.m*16+16], c.cv[m.m*16+1 : m.m*16+16]) AS d2
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) m CROSS JOIN c),
+        |r AS (SELECT vec_id, m, cid,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d)
+        |SELECT vec_id,
+        |  max(CASE WHEN m = 0 THEN cid END) AS code_0,
+        |  max(CASE WHEN m = 1 THEN cid END) AS code_1,
+        |  max(CASE WHEN m = 2 THEN cid END) AS code_2,
+        |  max(CASE WHEN m = 3 THEN cid END) AS code_3
+        |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -2476,6 +2476,63 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- token-budget shard packing: global doc order cut into 20k-token
+    // shards via the distributed exclusive prefix sum (range partition +
+    // straddling-only boundary carry — no single-task window even with
+    // no partition key) ---------------------------------------------------
+    "q_pack_token_shards" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ext.Pack.packByBudget(d, "n_tokens", Seq(col("doc_id")), 20000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("shard_id"))
+        .orderBy("doc_id")
+    }),
+
+    // -- budget-capped curation: per-lang, keep highest-TTR docs until a
+    // 30k-token budget fills (exclusive cumsum < budget keeps the top doc
+    // always) -------------------------------------------------------------
+    "q_curate_budget" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("__tk"))
+        .where(size(col("__tk")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("__tk"))).cast("double") /
+            size(col("__tk"))).as("__ttr"))
+      graft.ext.Pack.selectByBudget(scored, "n_tokens",
+          Seq(col("__ttr").desc, col("doc_id")), 30000L, Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          round(col("__ttr"), 6).as("ttr"), col("cum_before"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // -- cross-document boilerplate chunks / token entropy / hashing TF ---
+    "q_text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateChunks(T(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id")),
+    "q_text_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "q_text_hashtf" -> ((s, dir) =>
+      TextAnalysis.hashingTf(T(s, dir, "documents"), "text", "doc_id", 64)
+        .orderBy("doc_id", "bucket")),
+
+    // -- product-quantization codes: same md5-selected 8 vectors as the
+    // IVF query, reused as per-subspace codebooks (64 dims -> 4 x 16) ----
+    "q_sim_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.pqAssign(emb, "vec_id", "e", cents.toIndexedSeq, nSub = 4)
+        .select(col("id").as("vec_id"), col("code_0"), col("code_1"),
+          col("code_2"), col("code_3"))
+        .orderBy("vec_id")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

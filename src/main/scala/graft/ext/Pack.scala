@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget packing and budget-capped curation selection — the
+  * sharding step of a training-data pipeline: lay a totally-ordered
+  * corpus out into fixed-token-budget shards (sequence packing at the
+  * shard level), or keep the best-ranked documents per group until a
+  * token budget is exhausted.
+  *
+  * Both ride on a distributed EXCLUSIVE running sum (`prefixSum`) that
+  * never plans a single-task window over raw rows: rows are
+  * range-partitioned on (partitionCols, orderCols), each physical
+  * partition computes its local running sum, and only the per-partition
+  * totals of groups that STRADDLE a partition boundary (at most one row
+  * per boundary per side, regardless of group cardinality) flow through
+  * the tiny global offset window — the same boundary-carry shape as
+  * `Clean.orderedWithCarry` / `prefixSumCdf`, so the plan survives both
+  * the empty-partitionCols global ordering AND a skewed group at 100 TB.
+  *
+  * Reference behavior: the reference app has no sharding step (its
+  * pandas frames are single-machine); this is north-star extension
+  * surface sized for the 100-TB curation path.
+  */
+object Pack {
+
+  private val PidCol = "__graft_pk_pid"
+  private val LocCol = "__graft_pk_loc"
+  private val OffCol = "__graft_pk_off"
+
+  /** Adds `outCol` = exclusive running sum of `weightCol` (null-as-0)
+    * over rows ordered by `orderCols` within each `partitionCols` group
+    * (empty `partitionCols` = one global order). `weightCol` must be
+    * integral; the sum is carried as LongType.
+    *
+    * The input is materialized once (persist + [[graft.Caches]]
+    * registration, skippable via `cacheIntermediate = false`) because the
+    * local sums and the per-partition totals must observe the SAME
+    * physical partition ids — two lazy recomputations of a range
+    * partitioning could legally disagree on sampled boundaries.
+    *
+    * `orderCols` must be a total order (add a unique tie-break key);
+    * equal keys landing on different sides of a range boundary would
+    * otherwise make the result order-dependent.
+    */
+  def prefixSum(df: DataFrame, weightCol: String, orderCols: Seq[Column],
+      partitionCols: Seq[String], outCol: String = "cum_before",
+      cacheIntermediate: Boolean = true): DataFrame = {
+    val grp = partitionCols.map(col)
+    val grpPid = grp :+ col(PidCol)
+    val ranged0 = df
+      .repartitionByRange(grp ++ orderCols: _*)
+      .withColumn(PidCol, spark_partition_id())
+    val ranged =
+      if (cacheIntermediate)
+        graft.Caches.register(ranged0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else ranged0
+
+    val wLoc = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn(LocCol,
+      coalesce(sum(coalesce(col(weightCol), lit(0L)).cast("long")).over(wLoc),
+        lit(0L)))
+
+    // Per-(group, pid) totals; only groups spanning >1 physical partition
+    // need a carried offset, so this frame holds at most two rows per
+    // partition boundary — broadcast-safe at any group cardinality.
+    val totals = ranged.groupBy(grpPid: _*)
+      .agg(sum(coalesce(col(weightCol), lit(0L)).cast("long")).as("__psum"))
+    val straddling = totals
+      .withColumn("__npid", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .where(col("__npid") > 1)
+    val wOff = Window.partitionBy(grp: _*).orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = straddling
+      .withColumn(OffCol, coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(partitionCols.map(k => col(k).as(s"__graft_pk_$k")) ++
+        Seq(col(PidCol).as("__graft_opid"), col(OffCol)): _*)
+
+    val cond = (partitionCols.map(k => col(k) <=> col(s"__graft_pk_$k")) :+
+      (col(PidCol) === col("__graft_opid"))).reduce(_ && _)
+    local.join(broadcast(offs), cond, "left")
+      .withColumn(outCol, col(LocCol) + coalesce(col(OffCol), lit(0L)))
+      .drop(partitionCols.map("__graft_pk_" + _) ++
+        Seq("__graft_opid", PidCol, LocCol, OffCol): _*)
+  }
+
+  /** Shard assignment by token budget: documents laid out in `orderCols`
+    * order are cut into shards of ≤ `budget` summed weight (a document
+    * whose weight straddles a boundary belongs to the shard its FIRST
+    * token falls in: `shard_id = cum_before div budget`). Deterministic,
+    * shuffle count = the one range exchange of [[prefixSum]].
+    */
+  def packByBudget(df: DataFrame, weightCol: String, orderCols: Seq[Column],
+      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    prefixSum(df, weightCol, orderCols, partitionCols)
+      .withColumn("shard_id", expr(s"cum_before div ${budget}L"))
+  }
+
+  /** Budget-capped curation: rank rows by `orderCols` (best first) within
+    * each group and keep rows while the EXCLUSIVE running weight stays
+    * under `budget` — so the selection always includes the top-ranked row
+    * and stops at the first row whose predecessors already filled the
+    * budget. The classic "take the highest-quality documents up to N
+    * tokens per language" curation step.
+    */
+  def selectByBudget(df: DataFrame, weightCol: String, orderCols: Seq[Column],
+      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    prefixSum(df, weightCol, orderCols, partitionCols)
+      .where(col("cum_before") < budget)
+  }
+}

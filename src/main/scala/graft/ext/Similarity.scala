@@ -199,6 +199,38 @@ object Similarity {
       (round(best.getField("d2"), 6) + lit(0.0)).as("dist2"))
   }
 
+  /** Product-quantization code assignment against a FIXED codebook: the
+    * vector is cut into `nSub` contiguous subspaces and each slice is
+    * assigned to its nearest codeword (squared L2, same subtractive
+    * dot-product kernel as [[assignToCentroids]], ties to the smaller
+    * codeword id). The codebook holds FULL-dimension vectors; subspace m
+    * uses their m-th slice — so 8 codewords over 4 subspaces give 8^4
+    * addressable cells from one tiny table. PQ is the memory side of
+    * 100-TB ANN: 64 floats (256 B) compress to `nSub` small ints, and
+    * assignment stays scan-local (codeword slices are literals — no
+    * join, no shuffle). Output: (id, code_0 … code_{nSub-1}).
+    */
+  def pqAssign(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Seq[Double])], nSub: Int): DataFrame = {
+    require(codebook.nonEmpty, "need at least one codeword")
+    val dim = codebook.head._2.length
+    require(nSub > 0 && dim % nSub == 0,
+      s"dim $dim must divide into $nSub subspaces")
+    val sd = dim / nSub
+    val e = VectorOps.toDouble(col(vecCol))
+    val codes = (0 until nSub).map { m =>
+      val sub = slice(e, m * sd + 1, sd)
+      val entries = codebook.map { case (cid, cv) =>
+        val c = typedLit(cv.slice(m * sd, (m + 1) * sd))
+        val d2 = VectorOps.dotNative(sub, sub) -
+          lit(2.0) * VectorOps.dotNative(sub, c) + VectorOps.dotNative(c, c)
+        struct(d2.as("d2"), lit(cid).as("cid"))
+      }
+      array_min(array(entries: _*)).getField("cid").as(s"code_$m")
+    }
+    df.select(col(idCol).as("id") +: codes: _*)
+  }
+
   /** Same top-k, but scoring through the codegen'd native `graft_dot`
     * Catalyst expression (GraftExtensions must be registered). Values are
     * bit-identical to [[bruteForceTopK]]; only the execution tier differs.

@@ -400,4 +400,82 @@ object TextAnalysis {
           ((col("n_a").cast("double") / col("u_total")) *
             (col("n_b").cast("double") / col("u_total"))), 6).as("lift"))
   }
+
+  /** CROSS-document boilerplate detection (the CCNet/RefinedWeb line-dedup
+    * signal, at chunk granularity): each document's tokens are cut into
+    * disjoint `chunkTokens`-token chunks, chunks are hashed, and a chunk
+    * appearing in more than one document is "boilerplate". Output per doc:
+    * chunk count, boilerplate chunk count, and the duplicated fraction.
+    * Documents shorter than one chunk are excluded (no chunks to judge).
+    *
+    * Shape at scale: the chunk rows shuffle ONCE on the chunk hash
+    * (map-side-combinable count-distinct over doc ids would need exact
+    * distinct — chunk×doc pairs are already distinct by construction per
+    * doc position, so a two-level groupBy avoids the expensive
+    * countDistinct), then a narrow hash-join back. No corpus-sized
+    * broadcast; chunk-hash skew (a viral boilerplate chunk) lands on AQE's
+    * skew-join handling.
+    */
+  def boilerplateChunks(df: DataFrame, textCol: String, docIdCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= chunkTokens)
+    val chunks = tk.select(col("doc_id"),
+      explode(transform(sequence(lit(0), (size(col("__tk")) / chunkTokens).cast("int") - 1),
+        i => md5(concat_ws(" ",
+          slice(col("__tk"), i * chunkTokens + 1, lit(chunkTokens)))))).as("ch"))
+    // distinct (doc, chunk) first so the doc-frequency agg is a plain
+    // count — keeps the aggregate partial/map-side combinable
+    val docFreq = chunks.distinct()
+      .groupBy("ch").agg(count(lit(1)).as("__ndocs"))
+    chunks.join(docFreq, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Per-document token Shannon entropy — the cheap perplexity proxy of
+    * quality filtering (low entropy = repeated/templated text, high =
+    * diverse vocabulary). H = log2(n) − (Σ c·log2 c)/n over per-term
+    * counts c; the Σ folds left-to-right over the term-sorted count list
+    * so an external oracle replaying the same fold gets the bit-identical
+    * double. One map-side-combinable shuffle (doc,term) then a per-doc
+    * agg — same shape as [[repetitionStats]].
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, docIdCol: String): DataFrame = {
+    val counts = df
+      .select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("term"), col("cnt")))).as("__l"))
+      .select(col("doc_id"), col("n_tokens"), col("n_terms"),
+        round(log2(col("n_tokens")) -
+          aggregate(col("__l"), lit(0.0),
+            (acc, x) => acc + x.getField("cnt").cast("double") *
+              log2(x.getField("cnt"))) / col("n_tokens"), 6).as("entropy"))
+  }
+
+  /** Feature hashing (the "hashing trick"): every token is bucketed by
+    * md5 into a fixed `dim`-bucket space; output is the sparse term-
+    * frequency vector as (doc_id, bucket, cnt) rows. The fixed dimension
+    * makes downstream ML feature schemas data-independent — the classic
+    * way to featurize unbounded vocabularies at corpus scale without a
+    * dictionary build (no global vocab pass, no driver state). One
+    * map-side-combinable shuffle.
+    */
+  def hashingTf(df: DataFrame, textCol: String, docIdCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
 }

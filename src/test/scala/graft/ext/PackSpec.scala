@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pack (token-budget sharding / budget curation) + the round-7b text and
+  * PQ additions.
+  */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefixSum matches a single-task window cumsum (global order)") {
+    val df = (1 to 997).map(i => (i.toLong, (i % 13 + 1).toLong)).toDF("id", "w")
+    val got = Pack.prefixSum(df, "w", Seq(col("id")), Nil)
+      .select("id", "cum_before").as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    var acc = 0L
+    for (i <- 1 to 997) {
+      assert(got(i.toLong) == acc, s"id $i")
+      acc += (i % 13 + 1).toLong
+    }
+  }
+
+  test("prefixSum is per-group with partitionCols and null-safe on weights") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, None), ("a", 3L, Some(2L)),
+      ("b", 1L, Some(7L)), ("b", 2L, Some(1L)))
+      .toDF("g", "id", "w")
+    val got = Pack.prefixSum(df, "w", Seq(col("id")), Seq("g"))
+      .select("g", "id", "cum_before").as[(String, Long, Long)]
+      .collect().map { case (g, i, c) => (g, i) -> c }.toMap
+    graft.Caches.releaseAll()
+    assert(got(("a", 1L)) == 0L && got(("a", 2L)) == 5L && got(("a", 3L)) == 5L)
+    assert(got(("b", 1L)) == 0L && got(("b", 2L)) == 7L)
+  }
+
+  test("packByBudget: shard boundaries at budget multiples; straddler stays in its first-token shard") {
+    val df = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 10L)).toDF("id", "w")
+    // budget 100: id1 cum 0 -> shard 0, id2 cum 40 -> 0, id3 cum 80 -> 0
+    // (straddles into 100..119), id4 cum 120 -> shard 1
+    val got = Pack.packByBudget(df, "w", Seq(col("id")), 100L)
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("selectByBudget always keeps the top-ranked row, stops once budget is filled") {
+    val df = Seq((1L, 500L, 9.0), (2L, 30L, 5.0), (3L, 30L, 4.0), (4L, 30L, 3.0))
+      .toDF("id", "w", "score")
+    // budget 50 < top row's own weight: exclusive cumsum keeps id1 (cum 0),
+    // drops everything after (cum >= 500)
+    val keep1 = Pack.selectByBudget(df, "w", Seq(col("score").desc, col("id")), 50L)
+      .select("id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(keep1 == Set(1L))
+    // budget 550: id1 (0) + id2 (500) kept, id3 at 530 kept, id4 at 560 dropped
+    val keep2 = Pack.selectByBudget(df, "w", Seq(col("score").desc, col("id")), 550L)
+      .select("id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(keep2 == Set(1L, 2L, 3L))
+  }
+
+  test("plan: prefixSum with empty partitionCols never plans a single-partition window over raw rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val df = (1 to 2000).map(i => (i.toLong, 3L)).toDF("id", "w")
+    val q = Pack.prefixSum(df, "w", Seq(col("id")), Nil)
+    q.collect()
+    val nodes = allNodes(q.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // a window with an empty partition spec may only run over the tiny
+    // per-partition totals AGGREGATE, never the raw row stream
+    val badGlobal = windows.filter(w => w.partitionSpec.isEmpty &&
+      !allNodes(w).drop(1).exists(_.isInstanceOf[BaseAggregateExec]))
+    graft.Caches.releaseAll()
+    assert(badGlobal.isEmpty,
+      s"single-partition window over raw rows:\n${badGlobal.mkString("\n")}")
+  }
+
+  test("boilerplateChunks flags shared chunks, not unique ones") {
+    val common = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      (2L, common + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 16).map(i => s"c$i").mkString(" ")),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateChunks(docs, "text", "doc_id", 8)
+      .select("doc_id", "n_chunks", "dup_chunks").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)) && got(3L) == ((2L, 0L)))
+    assert(!got.contains(4L), "doc shorter than one chunk must be excluded")
+  }
+
+  test("tokenEntropy: repeated token = 0 bits, uniform tokens = log2(n)") {
+    val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(approx(got(1L), 0.0) && approx(got(2L), 2.0))
+  }
+
+  test("hashingTf: buckets within [0, dim), counts sum to token count") {
+    val docs = Seq((1L, "one two three two one one")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashingTf(docs, "text", "doc_id", 16)
+      .select("bucket", "cnt").as[(Long, Long)].collect()
+    assert(rows.forall { case (b, _) => b >= 0 && b < 16 })
+    assert(rows.map(_._2).sum == 6L)
+  }
+
+  test("pqAssign: a codebook vector assigns to its own codes in every subspace") {
+    val vecs = (0L to 9L).map(i =>
+      (i, (0 until 8).map(d => (i * 8 + d).toDouble))).toDF("vec_id", "e")
+    val codebook = (0L to 3L).map(i =>
+      (i, (0 until 8).map(d => (i * 8 + d).toDouble).toSeq))
+    val got = Similarity.pqAssign(vecs, "vec_id", "e", codebook, nSub = 4)
+      .select("id", "code_0", "code_1", "code_2", "code_3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    for (i <- 0L to 3L)
+      assert(got(i) == Seq(i, i, i, i), s"codeword $i must self-assign")
+    // far vector snaps to the closest codeword (the last one) everywhere
+    assert(got(9L) == Seq(3L, 3L, 3L, 3L))
+  }
+}
