@@ -2458,6 +2458,35 @@ object OracleSql {
         |  max(CASE WHEN m = 1 THEN cid END) AS code_1,
         |  max(CASE WHEN m = 2 THEN cid END) AS code_2,
         |  max(CASE WHEN m = 3 THEN cid END) AS code_3
-        |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // one Lloyd round: assign to the 8 md5-selected seeds, recompute
+    // per-dimension double means (same determinism contract as
+    // q_embed_centroids), keep empty clusters' old centroids, reassign
+    "q_sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d0 AS (SELECT e.vec_id, e.v, c0.cid,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.cv)
+        |      + list_dot_product(c0.cv, c0.cv) AS d2
+        |  FROM e CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, v, cid FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |s AS (SELECT cid, p.p, avg(v[p.p]) AS m
+        |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p) p
+        |  GROUP BY cid, p.p),
+        |c1 AS (SELECT cid, list(m ORDER BY p) AS cv FROM s GROUP BY cid),
+        |c1f AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN c1 USING (cid)),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c1f c),
+        |r AS (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |SELECT vec_id, cid AS cluster_id, round(d2, 6) + 0.0 AS dist2
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -2533,6 +2533,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- one deterministic Lloyd round from the IVF query's md5-selected
+    // seeds: assign -> per-dimension mean -> reassign, all oracle-replayed
+    "q_sim_kmeans" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.kmeansIterate(emb, "vec_id", "e", cents.toIndexedSeq, iters = 1)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("dist2"))
+        .orderBy("vec_id")
+    }),
+
     // -- ML (rows-only check: cross-library RNG cannot hash-match) --------
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench

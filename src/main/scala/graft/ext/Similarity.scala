@@ -231,6 +231,61 @@ object Similarity {
     df.select(col(idCol).as("id") +: codes: _*)
   }
 
+  /** Deterministic Lloyd k-means: starting from FIXED initial centroids,
+    * run `iters` assign/update rounds and return the final assignment
+    * (id, cluster_id, dist2). Every step is reproducible by an external
+    * SQL oracle:
+    *   - assignment is [[assignToCentroids]]'s subtractive-L2 argmin with
+    *     ties to the smaller centroid id;
+    *   - the centroid update is a per-dimension double mean — the same
+    *     determinism contract as [[centroids]]: cross-engine sum-order
+    *     noise is ~1e-13, absorbed by the round-6 output and by argmin
+    *     gaps that are many orders larger for real embeddings (a DECIMAL
+    *     cast would be WORSE here: floats below 2^-6 need >30 fractional
+    *     digits, so DECIMAL(38,30) rounds and can land on half-ties);
+    *   - a cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape: each round is one scan-local assignment (centroid
+    * literals — no join) + one map-side-combinable groupBy over k·dim
+    * cells; the k·dim driver collect per round is the same decision-point
+    * pattern as the reference's sklearn fit (SURVEY §2 M-row contract).
+    */
+  def kmeansIterate(df: DataFrame, idCol: String, vecCol: String,
+      init: Seq[(Long, Seq[Double])], iters: Int): DataFrame = {
+    require(init.nonEmpty && iters >= 0, "need centroids and iters >= 0")
+    val dim = init.head._2.length
+    val e = VectorOps.toDouble(col(vecCol))
+    def assignExpr(cents: Seq[(Long, Seq[Double])]): Column = {
+      val entries = cents.map { case (cid, cv) =>
+        val c = typedLit(cv)
+        struct((VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+          VectorOps.dotNative(c, c)).as("d2"), lit(cid).as("cid"))
+      }
+      array_min(array(entries: _*))
+    }
+    var cents = init
+    for (_ <- 0 until iters) {
+      val sums = df
+        .select(assignExpr(cents).getField("cid").as("cid"),
+          posexplode(e).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val vec = new Array[Double](dim)
+        var n = 0L
+        rows.foreach { r =>
+          vec(r.getInt(1)) = r.getDouble(2); n = r.getLong(3)
+        }
+        cid -> vec.map(_ / n).toSeq
+      }
+      cents = cents.map { case (cid, old) => (cid, byCluster.getOrElse(cid, old)) }
+    }
+    val best = assignExpr(cents)
+    df.select(col(idCol).as("id"), best.getField("cid").as("cluster_id"),
+      (round(best.getField("d2"), 6) + lit(0.0)).as("dist2"))
+  }
+
   /** Same top-k, but scoring through the codegen'd native `graft_dot`
     * Catalyst expression (GraftExtensions must be registered). Values are
     * bit-identical to [[bruteForceTopK]]; only the execution tier differs.

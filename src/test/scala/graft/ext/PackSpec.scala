@@ -120,6 +120,23 @@ class PackSpec extends SparkSpec {
     assert(rows.map(_._2).sum == 6L)
   }
 
+  test("kmeansIterate converges on separated blobs; empty cluster keeps its seed") {
+    // two tight blobs around (0,0) and (100,100); seeds: one per blob plus
+    // one far-away seed that captures nothing
+    val pts = ((1 to 20).map(i => (i.toLong, Seq(i * 0.01, i * 0.01))) ++
+      (21 to 40).map(i => (i.toLong, Seq(100.0 + i * 0.01, 100.0 + i * 0.01))))
+      .toDF("vec_id", "e")
+    val init = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(99.0, 99.0)), (2L, Seq(-500.0, -500.0)))
+    val got = Similarity.kmeansIterate(pts, "vec_id", "e", init, iters = 3)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert((1L to 20L).forall(got(_) == 0L))
+    assert((21L to 40L).forall(got(_) == 1L))
+    // iters = 0 is the plain assignment: far seed still assigns nothing
+    val zero = Similarity.kmeansIterate(pts, "vec_id", "e", init, iters = 0)
+      .select("cluster_id").as[Long].collect().toSet
+    assert(!zero.contains(2L))
+  }
+
   test("pqAssign: a codebook vector assigns to its own codes in every subspace") {
     val vecs = (0L to 9L).map(i =>
       (i, (0 until 8).map(d => (i * 8 + d).toDouble))).toDF("vec_id", "e")
