@@ -2460,6 +2460,33 @@ object OracleSql {
         |  max(CASE WHEN m = 3 THEN cid END) AS code_3
         |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // rolling corr: integer cents × epoch seconds, every power sum exact
+    // (BIGINT products, HUGEINT window sums), shared double formula DAG
+    "q_window_rollcorr" ->
+      """WITH b AS (SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT event_id, event_type,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(x*x) OVER w AS sxx,
+        |    sum(y*y) OVER w AS syy,
+        |    sum(x*y) OVER w AS sxy
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_id, event_type,
+        |    CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) AS cov,
+        |    CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) AS varx,
+        |    CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE) AS vary
+        |  FROM s)
+        |SELECT event_id, event_type,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0
+        |       THEN round(cov / sqrt(varx * vary), 6) END AS roll_corr
+        |FROM f ORDER BY event_id""".stripMargin,
+
     // one Lloyd round: assign to the 8 md5-selected seeds, recompute
     // per-dimension double means (same determinism contract as
     // q_embed_centroids), keep empty clusters' old centroids, reassign

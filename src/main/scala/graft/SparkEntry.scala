@@ -2533,6 +2533,37 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- rolling Pearson correlation of value vs time (trailing 20 rows
+    // per event type): is the metric trending? Values go to integer cents
+    // and epoch seconds, so every power sum in the frame is exact integer
+    // arithmetic on BOTH engines (Spark: DECIMAL; DuckDB: its HUGEINT sum
+    // — its optimizer narrows decimal casts by value statistics, which
+    // overflows a naive decimal formulation). The x-scale factor cancels
+    // in the correlation; the double formula DAG is shared verbatim —
+    // deterministic even at round-half boundaries, unlike a rolling
+    // corr() of doubles ---------------------------------------------------
+    "q_window_rollcorr" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      val d = T(s, dir, "events")
+        .withColumn("__x", round(col("value") * 100, 0).cast("long"))
+        .withColumn("__y", unix_timestamp(col("ts")))
+      val n = count(lit(1)).over(w).cast("decimal(10,0)")
+      val sx = sum(col("__x")).over(w).cast("decimal(11,0)")
+      val sy = sum(col("__y")).over(w).cast("decimal(12,0)")
+      val sxx = sum(col("__x") * col("__x")).over(w).cast("decimal(18,0)")
+      val syy = sum((col("__y") * col("__y")).cast("decimal(26,0)")).over(w)
+        .cast("decimal(27,0)")
+      val sxy = sum(col("__x") * col("__y")).over(w).cast("decimal(20,0)")
+      val cov = (n * sxy - sx * sy).cast("double")
+      val varx = (n * sxx - sx * sx).cast("double")
+      val vary = (n * syy - sy * sy).cast("double")
+      d.select(col("event_id"), col("event_type"),
+        when(varx > 0.0 && vary > 0.0,
+          round(cov / sqrt(varx * vary), 6)).as("roll_corr"))
+        .orderBy("event_id")
+    }),
+
     // -- one deterministic Lloyd round from the IVF query's md5-selected
     // seeds: assign -> per-dimension mean -> reassign, all oracle-replayed
     "q_sim_kmeans" -> ((s, dir) => {
