@@ -2460,6 +2460,53 @@ object OracleSql {
         |  max(CASE WHEN m = 3 THEN cid END) AS code_3
         |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // PageRank, 2 iterations: inflow folds in src order (matches the
+    // Spark ordered-fold tier); (1.0 - 0.85) spelled as the SAME double
+    // subtraction, never a 0.15 literal (they differ in the last ulp)
+    "q_graph_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |i1 AS (SELECT e.dst AS id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(1.0 / deg.deg ORDER BY e.src)), (a, x) -> a + x) AS inflow
+        |  FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i1.inflow, 0.0) + 0.0) AS rank
+        |  FROM nodes LEFT JOIN i1 USING (id)),
+        |i2 AS (SELECT e.dst AS id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r1.rank / deg.deg ORDER BY e.src)), (a, x) -> a + x) AS inflow
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i2.inflow, 0.0) + 0.0) AS rank
+        |  FROM nodes LEFT JOIN i2 USING (id))
+        |SELECT id AS part_id, round(rank, 6) AS rank FROM r2 ORDER BY part_id""".stripMargin,
+
+    // self-trained bigram LM score: add-one-smoothed corpus bigram probs,
+    // per-doc -mean log2 p folded in bigram-position order
+    "q_text_lm_score" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+         |b0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> struct_pack(pos := i, bg := tk[i] || ' ' || tk[i+1]))) AS u FROM f),
+         |b2 AS (SELECT doc_id, u.pos AS pos, u.bg AS bg FROM b0),
+         |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM b2 GROUP BY 1),
+         |cx AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |    CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tt) AS v
+         |  FROM (SELECT unnest($toks) AS tt FROM documents)),
+         |l AS (SELECT b2.doc_id, b2.pos,
+         |    log2(CAST(c.c12 + 1 AS DOUBLE) / CAST(cx.c1 + v.v AS DOUBLE)) AS lv
+         |  FROM b2 JOIN c USING (bg)
+         |  JOIN cx ON string_split(b2.bg, ' ')[1] = cx.w1, v),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    list(lv ORDER BY pos) AS ll FROM l GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll),
+         |    (acc, x) -> acc + x) / n_bigrams, 6) AS lm_score
+         |FROM a ORDER BY doc_id""".stripMargin),
+
     // rolling corr: integer cents × epoch seconds, every power sum exact
     // (BIGINT products, HUGEINT window sums), shared double formula DAG
     "q_window_rollcorr" ->

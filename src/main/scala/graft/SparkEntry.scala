@@ -2517,6 +2517,9 @@ object SparkEntry {
     "q_text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashingTf(T(s, dir, "documents"), "text", "doc_id", 64)
         .orderBy("doc_id", "bucket")),
+    "q_text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
 
     // -- product-quantization codes: same md5-selected 8 vectors as the
     // IVF query, reused as per-subspace codebooks (64 dims -> 4 x 16) ----
@@ -2562,6 +2565,21 @@ object SparkEntry {
         when(varx > 0.0 && vary > 0.0,
           round(cov / sqrt(varx * vary), 6)).as("roll_corr"))
         .orderBy("event_id")
+    }),
+
+    // -- PageRank (2 power iterations, ordered-fold inflow) on the part
+    // co-occurrence graph: parts sharing an order are linked both ways,
+    // so no dangling nodes and the oracle replays the exact fold -------
+    "q_graph_pagerank" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      val nodes = e.select(col("src").as("id")).distinct()
+      graft.ext.Graph.pageRank(e, nodes, "id", iters = 2, orderedSums = true)
+        .select(col("id").as("part_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("part_id")
     }),
 
     // -- one deterministic Lloyd round from the IVF query's md5-selected

@@ -28,10 +28,16 @@ object Graph {
     *
     * @param edges directed (src, dst) pairs
     * @param nodes one row per node id (isolated nodes keep base rank)
+    * @param orderedSums fold each node's inflow left-to-right in
+    *        source-id order (sorted collect) instead of an unordered
+    *        `sum` — bit-identical results across engines/partitionings,
+    *        at the cost of buffering each node's in-neighbor list; the
+    *        default unordered sum is the mega-hub-safe scale tier
     * @return (id, rank), sum of ranks = number of nodes
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
-      iters: Int = 10, d: Double = 0.85): DataFrame = {
+      iters: Int = 10, d: Double = 0.85,
+      orderedSums: Boolean = false): DataFrame = {
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -45,10 +51,17 @@ object Graph {
       // mass from dangling nodes (deg null) spreads uniformly
       val danglingMass = withDeg.where(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val inflowAgg =
+        if (orderedSums)
+          aggregate(
+            sort_array(collect_list(struct(col("src").as("s"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("inflow")
+        else sum(col("c")).as("inflow")
       val contribs = withDeg.where(col("deg").isNotNull)
         .join(e, "src")
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("inflow"))
+        .select(col("dst").as("id"), col("src"),
+          (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(inflowAgg)
       ranks = ids.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - d) + lit(d) *

@@ -461,6 +461,52 @@ object TextAnalysis {
               log2(x.getField("cnt"))) / col("n_tokens"), 6).as("entropy"))
   }
 
+  /** Bigram language-model score — the KenLM-style perplexity proxy of
+    * LLM data curation, self-trained on the corpus: per-doc mean negative
+    * log2-likelihood under add-one-smoothed corpus bigram statistics
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1·)+V). Low score = fluent/typical
+    * text, high = noise. Docs with < 2 tokens have no bigrams and are
+    * excluded.
+    *
+    * Determinism: counts and V are exact integers, each probability is
+    * one exact-integer division, and the per-doc Σ log2 p folds
+    * left-to-right in BIGRAM POSITION order (sorted collect) — the same
+    * ordered-fold contract as [[tokenEntropy]], so an external oracle
+    * replays the bit-identical double.
+    *
+    * Scale shape: two map-side-combinable bigram aggregations (corpus
+    * stats), one V scalar, then one shuffle joining doc-bigrams to stats
+    * — the tfidf shape. No driver loops; the stats tables scale with
+    * vocabulary², not corpus size, and the hot join key is the bigram
+    * (skew lands on AQE).
+    */
+  def lmScore(df: DataFrame, textCol: String, docIdCol: String): DataFrame = {
+    val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= 2)
+    val bg = tk.select(col("doc_id"),
+      posexplode(ngramsRaw(col("__tk"), 2)).as(Seq("pos", "bg")))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctxCounts = bgCounts
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bg
+      .join(bgCounts, Seq("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__l", log2((col("c12") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("__l")))).as("__ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(col("__ll"), lit(0.0),
+          (acc, x) => acc + x.getField("__l")) / col("n_bigrams"), 6)
+          .as("lm_score"))
+  }
+
   /** Feature hashing (the "hashing trick"): every token is bucketed by
     * md5 into a fixed `dim`-bucket space; output is the sparse term-
     * frequency vector as (doc_id, bucket, cnt) rows. The fixed dimension
