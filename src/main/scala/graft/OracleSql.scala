@@ -2460,6 +2460,40 @@ object OracleSql {
         |  max(CASE WHEN m = 3 THEN cid END) AS code_3
         |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // PSI: reference-decile bins via quantile_cont (same interpolation
+    // as the exact CDF), bin counts by strict-above differences, each
+    // term row-local with the 1e-4 clamp
+    "q_quality_psi" ->
+      """WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ref),
+        |edges AS (SELECT i.i AS i, qs[i.i] AS e
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i),
+        |above AS (SELECT CAST(0 AS BIGINT) AS i,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ref) AS arf,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cur) AS acu
+        |  UNION ALL
+        |  SELECT e.i,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ref r WHERE r.v > e.e),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cur c WHERE c.v > e.e)
+        |  FROM edges e
+        |  UNION ALL SELECT 10, 0, 0),
+        |b AS (SELECT i AS bin, arf - lead(arf) OVER (ORDER BY i) AS n_ref,
+        |    acu - lead(acu) OVER (ORDER BY i) AS n_cur FROM above),
+        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS tr,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cur) AS tc),
+        |f AS (SELECT bin, n_ref, n_cur,
+        |    CAST(n_ref AS DOUBLE) / tr AS p_ref,
+        |    CAST(n_cur AS DOUBLE) / tc AS p_cur
+        |  FROM b, t WHERE bin < 10)
+        |SELECT bin, n_ref, n_cur,
+        |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |  round((greatest(p_ref, 0.0001) - greatest(p_cur, 0.0001)) *
+        |    ln(greatest(p_ref, 0.0001) / greatest(p_cur, 0.0001)), 6) AS psi_term
+        |FROM f ORDER BY bin""".stripMargin,
+
     // PageRank, 2 iterations: inflow folds in src order (matches the
     // Spark ordered-fold tier); (1.0 - 0.85) spelled as the SAME double
     // subtraction, never a 0.15 literal (they differ in the last ulp)

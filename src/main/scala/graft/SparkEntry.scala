@@ -2567,6 +2567,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- PSI drift between deterministic halves of the events stream ----
+    "q_quality_psi" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Quality.psiDrift(ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), "value", bins = 10)
+        .orderBy("bin")
+    }),
+
     // -- PageRank (2 power iterations, ordered-fold inflow) on the part
     // co-occurrence graph: parts sharing an order are linked both ways,
     // so no dangling nodes and the oracle replays the exact fold -------

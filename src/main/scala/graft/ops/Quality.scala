@@ -172,4 +172,49 @@ object Quality {
       .groupBy(col("k").as(keyCol))
       .agg(max(col("nk")).as("n"), round(max(col("__d")), 6).as("ks"))
   }
+
+  /** Population stability index between a reference and a current sample
+    * — the standard production drift monitor next to [[ksDrift]]'s
+    * two-sample KS. `bins` equal-frequency bins are cut at the
+    * reference's exact quantiles (pandas-interpolation, via the
+    * distributed CDF); each sample is histogrammed into them and every
+    * bin contributes (p−q)·ln(p/q) with both proportions clamped at
+    * `eps` (the standard zero-bin guard). Output is one row per bin —
+    * the headline PSI is the sum of `psi_term`, but per-bin rows keep
+    * every term row-local (exact integer counts, one division, one ln —
+    * no order-dependent accumulation) and show WHERE the drift sits.
+    *
+    * Scale shape: one CDF pass over the reference (range-partitioned,
+    * no global sort), the ~`bins` edges broadcast as literals, then one
+    * map-side-combinable histogram aggregate per sample. A value equal
+    * to an edge falls in the lower bin.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val qrow = graft.ops.Clean.exactQuantiles(ref, Seq(valueCol), probs).head()
+    val edges = probs.indices.map(i => qrow.getDouble(qrow.fieldIndex(s"q$i")))
+    def binned(df: DataFrame, name: String) = {
+      val x = col(valueCol).cast("double")
+      val bin = edges.map(e => when(x > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+      df.where(x.isNotNull).select(bin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(name))
+    }
+    val allBins = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    val joined = allBins
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val tot = joined.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val pr = col("n_ref").cast("double") / col("tr")
+    val pc = col("n_cur").cast("double") / col("tc")
+    val prC = greatest(pr, lit(eps))
+    val pcC = greatest(pc, lit(eps))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+        round((prC - pcC) * log(prC / pcC), 6).as("psi_term"))
+  }
 }

@@ -272,4 +272,16 @@ class Round7OpsSpec extends SparkSpec {
         Option(r.getAs[String]("asof_channel"))).toMap
     assert(got(3L).contains("view") && got(4L).isEmpty)
   }
+
+  test("psiDrift: identical samples score ~0, a shifted sample scores high") {
+    val ref = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val same = Quality.psiDrift(ref, ref, "v", bins = 10)
+      .select("psi_term").as[Double].collect()
+    assert(same.length == 10 && same.forall(t => math.abs(t) < 1e-9))
+    // current sample pushed entirely into the top half of the range
+    val shifted = (1 to 1000).map(i => 500.0 + i / 2.0).toDF("v")
+    val terms = Quality.psiDrift(ref, shifted, "v", bins = 10)
+      .select("psi_term").as[Double].collect()
+    assert(terms.sum > 0.5, s"PSI ${terms.sum} should flag a strong shift")
+  }
 }
