@@ -2460,6 +2460,28 @@ object OracleSql {
         |  max(CASE WHEN m = 3 THEN cid END) AS code_3
         |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // incremental agg maintenance: the oracle is the DIRECT full-table
+    // aggregate — matching it proves base+delta state merge == recompute
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE), 6) AS sum_v,
+        |  round(min(l_extendedprice), 6) AS min_v,
+        |  round(max(l_extendedprice), 6) AS max_v,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    / count(l_extendedprice), 6) AS avg_v
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Morton interleave in pure integer arithmetic
+    "q_layout_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    (((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |    (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
+        |  )) AS BIGINT) AS zval
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, zval""".stripMargin,
+
     // PSI: reference-decile bins via quantile_cont (same interpolation
     // as the exact CDF), bin counts by strict-above differences, each
     // term row-local with the 1e-4 clamp

@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
-import graft.ops.{Clean, Eda, Harmonize, Joins, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
+import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
 import graft.sources.{Sources, Xlsx}
 import graft.streaming.EventsStream
@@ -2566,6 +2566,34 @@ object SparkEntry {
           round(cov / sqrt(varx * vary), 6)).as("roll_corr"))
         .orderBy("event_id")
     }),
+
+    // -- incremental aggregate maintenance: base+delta states merged ==
+    // direct recompute over the full table (the oracle IS the direct
+    // recompute — the hash match proves the state algebra) --------------
+    "q_agg_incremental" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = Merge.aggState(
+        li.where(pmod(col("l_orderkey"), lit(5)) =!= 0), keys, "l_extendedprice")
+      val delta = Merge.aggState(
+        li.where(pmod(col("l_orderkey"), lit(5)) === 0), keys, "l_extendedprice")
+      Merge.mergeAggStates(base, delta, keys)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum_v").cast("double"), 6).as("sum_v"),
+          round(col("min_v"), 6).as("min_v"),
+          round(col("max_v"), 6).as("max_v"),
+          round(col("sum_v").cast("double") / col("n"), 6).as("avg_v"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- Z-order layout keys: Morton interleave of (partkey, suppkey)
+    // low 16 bits — the multi-dimension file-pruning sort key -----------
+    "q_layout_zorder" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          Layout.zorderValue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval")),
 
     // -- PSI drift between deterministic halves of the events stream ----
     "q_quality_psi" -> ((s, dir) => {

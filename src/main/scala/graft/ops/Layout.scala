@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) keys. Sorting or
+  * range-partitioning a 100-TB table by the interleaved bits of two
+  * filter columns keeps rows close in BOTH dimensions inside each file,
+  * so per-file min/max statistics prune scans for predicates on either
+  * column — the technique behind `OPTIMIZE ZORDER BY` in lakehouse
+  * engines, here as a plain codegen'd column expression usable with
+  * `repartitionByRange(zorderValue(...))` + sortWithinPartitions.
+  */
+object Layout {
+
+  /** Morton-interleave the low `bits` bits of two non-negative integer
+    * keys: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * Pure integer arithmetic (exact, order-independent, replayable in
+    * any SQL dialect); keys wider than `bits` wrap via modulo — callers
+    * wanting rank-based interleave should pre-bucket to [0, 2^bits).
+    */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftright(xm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(ym, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+}

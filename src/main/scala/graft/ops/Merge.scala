@@ -76,4 +76,41 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental aggregate maintenance, step 1: collapse a batch to its
+    * per-key aggregate STATE — count, DECIMAL-exact sum, min, max of
+    * `valueCol`. States are associative: merging two states with
+    * [[mergeAggStates]] equals aggregating the concatenated inputs, so a
+    * 100-TB rollup is maintained by re-aggregating ONLY each new batch
+    * and merging key-cardinality-sized states — the corpus is never
+    * rescanned. (The same partial-aggregate algebra Spark uses map-side,
+    * lifted to pipeline level.)
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("decimal(28,2)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Incremental aggregate maintenance, step 2: merge two aggregate
+    * states on `keys` (null-safe, so null-key groups merge too). One
+    * state-sized full-outer join — the delta side is typically tiny and
+    * broadcast by AQE. Derived measures (avg = sum/n) belong AFTER the
+    * merge, never in the state: only the raw algebra is associative.
+    */
+  def mergeAggStates(base: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val d = keys.foldLeft(delta) { (df, k) => df.withColumnRenamed(k, s"__d_$k") }
+      .withColumnRenamed("n", "__d_n").withColumnRenamed("sum_v", "__d_sum_v")
+      .withColumnRenamed("min_v", "__d_min_v").withColumnRenamed("max_v", "__d_max_v")
+    val cond = keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    base.join(d, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__d_n"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("__d_sum_v"), lit(0).cast("decimal(28,2)"))).as("sum_v"),
+        least(col("min_v"), col("__d_min_v")).as("min_v"),
+        greatest(col("max_v"), col("__d_max_v")).as("max_v")): _*)
+  }
 }

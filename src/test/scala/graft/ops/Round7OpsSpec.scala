@@ -273,6 +273,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(3L).contains("view") && got(4L).isEmpty)
   }
 
+  test("mergeAggStates == direct aggregate, including null and disjoint keys") {
+    val base = Seq((Some("a"), 1.0), (Some("a"), 2.5), (None, 4.0))
+      .toDF("k", "v")
+    val delta = Seq((Some("a"), 10.0), (Some("b"), 7.0), (None, 1.0))
+      .toDF("k", "v")
+    val merged = Merge.mergeAggStates(
+      Merge.aggState(base, Seq("k"), "v"),
+      Merge.aggState(delta, Seq("k"), "v"), Seq("k"))
+    val direct = Merge.aggState(base.unionByName(delta), Seq("k"), "v")
+    val m = merged.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4)))).toMap
+    val d = direct.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m == d)
+    assert(m(Some("b")) == ((1L, 7.0, 7.0, 7.0)), "delta-only key must survive")
+    assert(m(None) == ((2L, 5.0, 1.0, 4.0)), "null-key groups must merge")
+  }
+
+  test("zorderValue: golden interleave and quadrant locality") {
+    val df = Seq((3L, 1L), (0L, 0L), (1L, 0L), (0L, 1L), (65536L + 3L, 1L))
+      .toDF("x", "y")
+    val z = df.select(Layout.zorderValue(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect()
+    // x=0b11,y=0b01: x0->bit0, y0->bit1, x1->bit2 => 0b0111 = 7
+    assert(z(0) == 7L && z(1) == 0L && z(2) == 1L && z(3) == 2L)
+    assert(z(4) == 7L, "keys wrap modulo 2^bits")
+    // locality: all points in the low-quadrant [0,256)^2 sort before any
+    // point with either coordinate >= 256 in the high quadrant
+    val lowMax = (1L << 32) - 1
+    val inLow = Seq((255L, 255L), (0L, 255L), (255L, 0L))
+      .toDF("x", "y").select(Layout.zorderValue(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect()
+    assert(inLow.forall(_ < (1L << 16)), s"low quadrant stays in low z range")
+    val high = Seq((256L, 256L)).toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 16).as("z")).as[Long].head()
+    assert(high >= (1L << 16) && high <= lowMax)
+  }
+
   test("psiDrift: identical samples score ~0, a shifted sample scores high") {
     val ref = (1 to 1000).map(i => i.toDouble).toDF("v")
     val same = Quality.psiDrift(ref, ref, "v", bins = 10)
