@@ -1745,6 +1745,25 @@ object OracleSql {
         |  ON p.user_id = r.user_id AND p.ts >= r.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // nearest as-of: backward + forward ASOF passes, closest wins, exact
+    // ties go BACKWARD (the convention pinned in Joins.asofNearest)
+    "q_asof_nearest" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, r.ts AS bt, r.value AS bv
+        |      FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.ts),
+        |f AS (SELECT p.event_id, r.ts AS ft, r.value AS fv
+        |      FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts <= r.ts)
+        |SELECT p.event_id, p.user_id, round(p.value, 6) AS purchase_value,
+        |  round(CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |               epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(bt AS TIMESTAMP))
+        |                 <= epoch_us(CAST(ft AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)))
+        |             THEN bv ELSE fv END, 6) AS nearest_click_value
+        |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY p.event_id""".stripMargin,
+
     // gap-fill CTEs from q_resample_gapfill, then trailing-24-bin rolling
     // mean/std and the sigma test over the SAME rounded per-bin averages
     "q_events_anomaly" ->

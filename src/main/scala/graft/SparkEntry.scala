@@ -1657,6 +1657,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- NEAREST as-of join completes the merge_asof direction matrix:
+    // closest click (before OR after) to each purchase; exact-distance
+    // ties go backward — the convention pinned in Joins.asofNearest and
+    // mirrored in the oracle. Ref deduped per (user, ts): within-side
+    // duplicate-timestamp tie-breaking is engine-unspecified.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val ref = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+      Joins.asofNearest(probe, ref, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("asof_value"), 6).as("nearest_click_value"))
+        .orderBy("event_id")
+    }),
+
     // -- time-series anomaly flags: resample -> trailing-24h rolling
     // mean/std -> sigma test (composition of Resample + window ops; every
     // window is keyed by event_type — no global sort)

@@ -164,6 +164,42 @@ object Joins {
     }.drop(s"asof_$tCol")
   }
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`): for
+    * every probe row, the ref row whose `timeCol` is closest in absolute
+    * distance within the same `keys` partition — completing the backward /
+    * forward / nearest direction matrix. Exact-distance ties go to the
+    * BACKWARD (at-or-before) match; that convention is pinned here and
+    * must be mirrored by any oracle. Callers should dedup `ref` to one
+    * row per (keys, time) — duplicate-timestamp tie-breaking within a
+    * side is otherwise engine-unspecified.
+    *
+    * Construction: the backward and forward passes each run the
+    * one-shuffle union-window of [[asof]]/[[asofForward]], fetching the
+    * matched ref timestamp alongside `refCols`; a codegen'd per-row
+    * distance compare then picks the closer side. Two keyed shuffles
+    * total — still never a row explosion or a time-gap-dependent cost.
+    */
+  def asofNearest(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      timeCol: String, refCols: Seq[String]): DataFrame = {
+    val tCol = "__graft_asof_t"
+    val refT = ref.withColumn(tCol, col(timeCol))
+    val back0 = asof(probe, refT, keys, timeCol, refCols :+ tCol)
+    val back = refCols.foldLeft(
+      back0.withColumnRenamed(s"asof_$tCol", "__graft_bt")) { (acc, c) =>
+      acc.withColumnRenamed(s"asof_$c", s"__graft_b_$c")
+    }
+    val both = asofForward(back, refT, keys, timeCol, refCols :+ tCol)
+    val db = unix_micros(col(timeCol)) - unix_micros(col("__graft_bt"))
+    val dfw = unix_micros(col(s"asof_$tCol")) - unix_micros(col(timeCol))
+    val useBack = col("__graft_bt").isNotNull &&
+      (col(s"asof_$tCol").isNull || db <= dfw)
+    refCols.foldLeft(both) { (acc, c) =>
+      acc.withColumn(s"asof_$c",
+        when(useBack, col(s"__graft_b_$c")).otherwise(col(s"asof_$c")))
+    }.drop(refCols.map(c => s"__graft_b_$c") ++
+      Seq("__graft_bt", s"asof_$tCol"): _*)
+  }
+
   /** Interval (range) join via binning — the operator Spark lacks natively
     * (a naive `a.ts BETWEEN b.lo AND b.hi` join plans as broadcast-nested-
     * loop or cartesian). Both sides are assigned equi-joinable time bins of

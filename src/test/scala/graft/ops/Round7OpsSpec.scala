@@ -221,6 +221,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(2L).isEmpty)        // 60 min ahead: nulled
   }
 
+  test("asofNearest picks the closer side; exact ties go backward") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")), // back 10:00-09:50=10m, fwd 10:05-10:00=5m -> fwd
+      (2L, 10L, t("2024-01-01 09:52:00")), // back 2m, fwd 13m -> back
+      (3L, 10L, t("2024-01-01 10:10:00")), // only back exists -> back
+      (4L, 20L, t("2024-01-01 10:00:00")), // exact tie 5m both sides -> BACKWARD
+      (5L, 30L, t("2024-01-01 10:00:00"))  // no ref rows at all -> null
+    ).toDF("id", "u", "ts")
+    val ref = Seq(
+      (10L, t("2024-01-01 09:50:00"), 1.0),
+      (10L, t("2024-01-01 10:05:00"), 2.0),
+      (20L, t("2024-01-01 09:55:00"), 3.0),
+      (20L, t("2024-01-01 10:05:00"), 4.0)
+    ).toDF("u", "ts", "v")
+    val got = Joins.asofNearest(probe, ref, Seq("u"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(got(1L).contains(2.0), "forward row is strictly closer")
+    assert(got(2L).contains(1.0), "backward row is strictly closer")
+    assert(got(3L).contains(2.0), "only a backward row exists -> backward")
+    assert(got(4L).contains(3.0), "exact-distance tie must go backward")
+    assert(got(5L).isEmpty, "no ref rows -> null match")
+  }
+
   test("mmrSelect penalizes near-duplicates of already-selected results") {
     // q = (1, 0); a and a2 are near-identical high-relevance vectors;
     // b is slightly less relevant but diverse. Pure relevance ranks
