@@ -2407,6 +2407,20 @@ object OracleSql {
          |  CAST(cum_before // 20000 AS BIGINT) AS shard_id
          |FROM c ORDER BY doc_id""".stripMargin),
 
+    // systematic PPS draw: keep rows whose [cum, cum+w) interval crosses
+    // a multiple of step = max(W div 50, 1) — pure function of the data
+    "q_sample_systematic" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t),
+         |s AS (SELECT greatest(CAST(sum(n_tokens) AS BIGINT) // 50, 1) AS step FROM t)
+         |SELECT doc_id, n_tokens, cum_before
+         |FROM c, s
+         |WHERE (cum_before + n_tokens) // step > cum_before // step
+         |ORDER BY doc_id""".stripMargin),
+
     // per-lang TTR-ranked selection under a 30k-token exclusive budget
     "q_curate_budget" ->
       (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),

@@ -2507,6 +2507,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- systematic PPS sampling: ~50 docs drawn proportional to token
+    // count (the sample represents TOKENS, not documents) with zero
+    // randomness — selection crosses multiples of step = ⌊W/50⌋ in the
+    // doc_id-ordered distributed prefix sum ----------------------------
+    "q_sample_systematic" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.systematicByWeight(d, "n_tokens", Seq(col("doc_id")), 50)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
     // -- budget-capped curation: per-lang, keep highest-TTR docs until a
     // 30k-token budget fills (exclusive cumsum < budget keeps the top doc
     // always) -------------------------------------------------------------

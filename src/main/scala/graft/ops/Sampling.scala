@@ -99,4 +99,45 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Systematic probability-proportional-to-size sampling: rows laid out
+    * in `orderCols` order (a total order — include a unique key) are kept
+    * when their weight interval [cum_before, cum_before + w) crosses a
+    * multiple of step = max(⌊W / n⌋, 1), W the group's total weight. The
+    * classic ≤n-row PPS draw (heavier rows proportionally likelier, rows
+    * with w ≥ step certain — absorbing every boundary they span into ONE
+    * selection — zero-weight rows never) with ZERO randomness:
+    * the selection is a pure function of the data, stable across
+    * partitioning/engines — the corpus-mixing cousin of [[hashSample]]
+    * for weight-aware draws (e.g. sample documents ∝ token count so the
+    * sample represents tokens, not documents).
+    *
+    * Scale shape: the running sum is `Pack.prefixSum`'s range-partitioned
+    * boundary-carry pass (no single-task window, even ungrouped); the
+    * per-group total joins back as a broadcast. `weightCol` must be
+    * integral and non-negative.
+    */
+  def systematicByWeight(df: DataFrame, weightCol: String,
+      orderCols: Seq[Column], n: Int,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val ps = graft.ext.Pack.prefixSum(df, weightCol, orderCols, partitionCols)
+    val wSum = sum(coalesce(col(weightCol), lit(0L)).cast("long")).as("__graft_tw")
+    val withT =
+      if (partitionCols.isEmpty) ps.crossJoin(broadcast(ps.agg(wSum)))
+      else {
+        // null-safe key join: a null grouping key is a legitimate group
+        val totals = ps.groupBy(partitionCols.map(col): _*).agg(wSum)
+          .toDF(partitionCols.map("__graft_k_" + _) :+ "__graft_tw": _*)
+        val cond = partitionCols.map(k => col(k) <=> col(s"__graft_k_$k"))
+          .reduce(_ && _)
+        ps.join(broadcast(totals), cond)
+          .drop(partitionCols.map("__graft_k_" + _): _*)
+      }
+    withT
+      .withColumn("__graft_step", greatest(expr(s"__graft_tw div ${n}L"), lit(1L)))
+      .withColumn("__graft_w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .where(expr("(cum_before + __graft_w) div __graft_step > cum_before div __graft_step"))
+      .drop("__graft_tw", "__graft_step", "__graft_w")
+  }
 }

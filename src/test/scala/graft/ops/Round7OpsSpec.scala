@@ -221,6 +221,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(2L).isEmpty)        // 60 min ahead: nulled
   }
 
+  test("systematicByWeight: ~n PPS rows, heavy rows certain, stable across repartition") {
+    // 100 rows of weight 1 plus one row of weight 100: W=200, n=10, step=20
+    val df = ((1L to 100L).map(i => (i, 1L)) :+ (101L, 100L)).toDF("id", "w")
+    val got = Sampling.systematicByWeight(df, "w", Seq(col("id")), 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(101L), "a row with w >= step must always be selected")
+    // unit-weight rows at each crossed multiple of 20; the weight-100 row
+    // absorbs the remaining five boundaries into ONE selection
+    assert(got == Set(20L, 40L, 60L, 80L, 100L, 101L), s"got $got")
+    val again = Sampling.systematicByWeight(df.repartition(7), "w", Seq(col("id")), 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == again, "selection must be a pure function of the data")
+    // zero-weight rows can never cross a step boundary
+    val withZero = (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq :+ (999L, 0L))
+      .toDF("id", "w")
+    val z = Sampling.systematicByWeight(withZero, "w", Seq(col("id")), 10)
+      .select("id").as[Long].collect().toSet
+    assert(!z.contains(999L))
+  }
+
   test("asofNearest picks the closer side; exact ties go backward") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val probe = Seq(
