@@ -2549,6 +2549,84 @@ object OracleSql {
         |    ln(greatest(p_ref, 0.0001) / greatest(p_cur, 0.0001)), 6) AS psi_term
         |FROM f ORDER BY bin""".stripMargin,
 
+    // group-mode fill: counts -> per-group argmax (ties to smallest
+    // value), replayed with the same row_number pick
+    "q_c7b_impute_mode" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS pr
+        |  FROM orders),
+        |c AS (SELECT o_orderstatus, pr, count(*) AS vf FROM base
+        |  WHERE pr IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus, pr AS mode_v,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY vf DESC, pr) AS rn FROM c)
+        |SELECT b.o_orderkey, coalesce(b.pr, mm.mode_v) AS pr
+        |FROM base b LEFT JOIN (SELECT o_orderstatus, mode_v FROM m WHERE rn = 1) mm
+        |  USING (o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CDC apply: union base (src 0) with the log (src 1), last op per
+    // key wins under (src, ts, orderkey-string) DESC, winners keep 'U'
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal, 'U' AS op,
+        |    0 AS src, CAST(NULL AS DATE) AS ts, CAST(NULL AS VARCHAR) AS tie
+        |  FROM customer),
+        |log AS (SELECT o_custkey AS c_custkey,
+        |    'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    1 AS src, o_orderdate AS ts, CAST(o_orderkey AS VARCHAR) AS tie
+        |  FROM orders),
+        |u AS (SELECT * FROM base UNION ALL BY NAME SELECT * FROM log),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY src DESC, ts DESC NULLS LAST, tie DESC NULLS LAST) AS rn
+        |  FROM u)
+        |SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey""".stripMargin,
+
+    // proportional-share curation: per-lang budget = exact integer
+    // floor(B * w_g / sum w) (HUGEINT multiply, // divide), then the
+    // same exclusive-cumsum keep rule as q_curate_budget
+    "q_curate_proportional" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+         |  FROM t WHERE len(tk) > 0),
+         |g AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS gw FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(sum(gw) AS BIGINT) AS sw FROM g),
+         |b AS (SELECT lang,
+         |    CAST((CAST(gw AS HUGEINT) * 50000) // CAST(sw AS HUGEINT) AS BIGINT) AS bud
+         |  FROM g, tot),
+         |c AS (SELECT doc_id, lang, n_tokens, ttr,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY ttr DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s)
+         |SELECT c.lang, c.doc_id, c.n_tokens, round(c.ttr, 6) AS ttr, c.cum_before
+         |FROM c JOIN b ON c.lang = b.lang WHERE c.cum_before < b.bud
+         |ORDER BY c.lang, c.doc_id""".stripMargin),
+
+    // expectation suite: one conditional-count pass, five stacked rows
+    "q_quality_expect" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count_if(l_quantity BETWEEN 1 AND 50) AS BIGINT) AS p0,
+        |  CAST(count_if(l_extendedprice > 0) AS BIGINT) AS p1,
+        |  CAST(count_if(l_discount BETWEEN 0.0 AND 0.10) AS BIGINT) AS p2,
+        |  CAST(count_if(l_tax BETWEEN 0.0 AND 0.08) AS BIGINT) AS p3,
+        |  CAST(count_if(l_linestatus IN ('O', 'F')) AS BIGINT) AS p4
+        |  FROM lineitem)
+        |SELECT CAST(0 AS BIGINT) AS rule_ord, 'qty_in_range' AS rule, n AS n_rows,
+        |  p0 AS n_pass, n - p0 AS n_fail, round(CAST(p0 AS DOUBLE) / n, 6) AS pass_rate FROM a
+        |UNION ALL SELECT 1, 'price_positive', n, p1, n - p1,
+        |  round(CAST(p1 AS DOUBLE) / n, 6) FROM a
+        |UNION ALL SELECT 2, 'discount_in_range', n, p2, n - p2,
+        |  round(CAST(p2 AS DOUBLE) / n, 6) FROM a
+        |UNION ALL SELECT 3, 'tax_in_range', n, p3, n - p3,
+        |  round(CAST(p3 AS DOUBLE) / n, 6) FROM a
+        |UNION ALL SELECT 4, 'status_valid', n, p4, n - p4,
+        |  round(CAST(p4 AS DOUBLE) / n, 6) FROM a
+        |ORDER BY rule_ord""".stripMargin,
+
     // PageRank, 2 iterations: inflow folds in src order (matches the
     // Spark ordered-fold tier); (1.0 - 0.85) spelled as the SAME double
     // subtraction, never a 0.15 literal (they differ in the last ulp)

@@ -2634,15 +2634,86 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // -- C7c group-mode imputation: nulls injected deterministically,
+    // filled with the order-status group's most frequent priority ------
+    "q_c7b_impute_mode" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("pr"))
+      Clean.imputeModeBy(o, "pr", Seq("o_orderstatus"))
+        .select(col("o_orderkey"), col("pr"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- CDC apply: orders as a dated U/D change log over the customer
+    // snapshot; last op per key wins, ties pinned by orderkey string ----
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val log = T(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd_"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        when(col("o_orderkey") % 17 === 0, "D").otherwise("U").as("op"),
+        col("o_orderdate").as("ts"),
+        col("o_orderkey"))
+      Merge.applyCdc(base, log, Seq("c_custkey"), "op", "ts",
+          Seq("o_orderkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- proportional-share curation: shrink the doc corpus to a 50k-token
+    // budget, each language keeping floor(B·w_g/Σw) tokens of its best
+    // (highest-TTR) docs — composition-preserving downsample ------------
+    "q_curate_proportional" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("__tk"))
+        .where(size(col("__tk")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("__tk"))).cast("double") /
+            size(col("__tk"))).as("__ttr"))
+      graft.ext.Pack.selectProportional(scored, "n_tokens",
+          Seq(col("__ttr").desc, col("doc_id")), 50000L, Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          round(col("__ttr"), 6).as("ttr"), col("cum_before"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // -- declarative expectation suite over lineitem: five rules, one
+    // aggregate pass, one row per rule ----------------------------------
+    "q_quality_expect" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Quality.expect(li, Seq(
+        Quality.Expectation("qty_in_range",
+          col("l_quantity").between(1, 50)),
+        Quality.Expectation("price_positive", col("l_extendedprice") > 0),
+        Quality.Expectation("discount_in_range",
+          col("l_discount").between(0.0, 0.10)),
+        Quality.Expectation("tax_in_range",
+          col("l_tax").between(0.0, 0.08)),
+        Quality.Expectation("status_valid",
+          col("l_linestatus").isin("O", "F"))))
+        .orderBy("rule_ord")
+    }),
+
     // -- PageRank (2 power iterations, ordered-fold inflow) on the part
     // co-occurrence graph: parts sharing an order are linked both ways,
     // so no dangling nodes and the oracle replays the exact fold -------
     "q_graph_pagerank" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // materialize the self-join ONCE: nodes and pageRank's own edge
+      // checkpoint both read it, and without this the distinct over ~2M
+      // pair rows is computed twice
       val e = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .localCheckpoint(true)
       val nodes = e.select(col("src").as("id")).distinct()
       graft.ext.Graph.pageRank(e, nodes, "id", iters = 2, orderedSums = true)
         .select(col("id").as("part_id"), round(col("rank"), 6).as("rank"))

@@ -21,10 +21,13 @@ object Graph {
     * Scale shape: per iteration, ONE shuffle — contributions flow along
     * edges via a join keyed on src, then a groupBy on dst (map-side
     * combinable). Out-degrees are computed once. Dangling nodes (no out
-    * edges) redistribute their mass uniformly — the standard correction,
-    * computed as a one-row aggregate broadcast into the update. Ranks
-    * localCheckpoint per iteration so the plan stays flat (the
-    * clusterNearDups lesson).
+    * edges) redistribute their mass uniformly — the standard correction.
+    * The dangling id SET is fixed across iterations, so it is derived
+    * once up front (anti-join of nodes vs edge sources); when it is
+    * empty — common for co-occurrence graphs, whose edges are symmetric —
+    * the per-iteration mass aggregate is skipped entirely, saving one
+    * driver-blocking job per iteration. Ranks localCheckpoint per
+    * iteration so the plan stays flat (the clusterNearDups lesson).
     *
     * @param edges directed (src, dst) pairs
     * @param nodes one row per node id (isolated nodes keep base rank)
@@ -44,20 +47,25 @@ object Graph {
       .localCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = ids.count()
+    // nodes with no out-edges; fixed across iterations
+    val danglingIds = ids
+      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = !danglingIds.isEmpty
     var ranks = ids.withColumn("rank", lit(1.0)).localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
-      // mass from dangling nodes (deg null) spreads uniformly
-      val danglingMass = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val danglingMass =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingIds, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val inflowAgg =
         if (orderedSums)
           aggregate(
             sort_array(collect_list(struct(col("src").as("s"), col("c")))),
             lit(0.0), (acc, x) => acc + x.getField("c")).as("inflow")
         else sum(col("c")).as("inflow")
-      val contribs = withDeg.where(col("deg").isNotNull)
+      val contribs = ranks.join(outDeg, ranks("id") === outDeg("src"))
         .join(e, "src")
         .select(col("dst").as("id"), col("src"),
           (col("rank") / col("deg")).as("c"))

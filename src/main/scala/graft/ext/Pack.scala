@@ -114,4 +114,46 @@ object Pack {
     prefixSum(df, weightCol, orderCols, partitionCols)
       .where(col("cum_before") < budget)
   }
+
+  /** Proportional-share curation: split `totalBudget` across the
+    * `partitionCols` groups IN PROPORTION to each group's total weight
+    * (`budget_g = floor(totalBudget · w_g / Σw)`, exact integer
+    * arithmetic — group weight × budget fits DECIMAL(38), divided last),
+    * then keep each group's best-ranked rows while the exclusive running
+    * weight stays under its allocation. The downsample-preserving-mix
+    * curation step: shrink a corpus to N tokens without changing its
+    * language/source composition.
+    *
+    * Scale shape: the group-total aggregate is map-side combined and
+    * group-cardinality-sized; its null-safe broadcast join back rides
+    * the same range exchange [[prefixSum]] already planned — two corpus
+    * passes total (one aggregate, one ranged cumsum), no new shuffle of
+    * fact rows.
+    */
+  def selectProportional(df: DataFrame, weightCol: String,
+      orderCols: Seq[Column], totalBudget: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(partitionCols.nonEmpty,
+      "selectProportional needs grouping columns; use selectByBudget for a global cap")
+    val w = coalesce(col(weightCol), lit(0L)).cast("long")
+    val totals = df.groupBy(partitionCols.map(col): _*)
+      .agg(sum(w).as("__gw"))
+    val grand = totals.agg(sum(col("__gw"))).head().getLong(0)
+    require(grand > 0, "total weight must be positive")
+    // exact integer floor-division: DECIMAL multiply then DIV (integral
+    // divide, no intermediate rounding) — a decimal `/` would round to a
+    // fixed scale BEFORE floor and can disagree with exact arithmetic by
+    // one unit on boundary quotients
+    val budgets = totals.select(
+      partitionCols.map(k => col(k).as(s"__graft_pb_$k")) :+
+        expr(s"CAST(CAST(__gw AS DECIMAL(38,0)) * ${totalBudget}L DIV " +
+          s"${grand}L AS BIGINT)").as("__graft_budget"): _*)
+    val cond = partitionCols.map(k => col(k) <=> col(s"__graft_pb_$k"))
+      .reduce(_ && _)
+    prefixSum(df, weightCol, orderCols, partitionCols)
+      .join(broadcast(budgets), cond, "left")
+      .where(col("cum_before") < col("__graft_budget"))
+      .drop(partitionCols.map("__graft_pb_" + _) :+ "__graft_budget": _*)
+  }
 }

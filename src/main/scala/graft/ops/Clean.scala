@@ -573,6 +573,35 @@ object Clean {
       .drop(keyCols.map("__graft_k_" + _) :+ "__graft_mu": _*)
   }
 
+  /** C7c — per-group MODE imputation for categorical columns: fill nulls
+    * in `valueCol` with the most frequent non-null value of its `keyCols`
+    * group (pandas `transform(lambda s: s.fillna(s.mode()[0]))`).
+    * Frequency ties break to the lexicographically smallest value — a
+    * pinned total order (pandas' own `mode()[0]` is sorted, so this
+    * matches). Groups whose values are ALL null keep their nulls.
+    *
+    * Scale shape: one map-side-combined groupBy counts (keys, value)
+    * pairs; the per-key argmax window runs over DISTINCT values per key
+    * (tiny next to the fact table — categorical by assumption); the fill
+    * joins one row per key back, null-safely (a null grouping key is a
+    * legitimate group).
+    */
+  def imputeModeBy(df: DataFrame, valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "imputeModeBy needs grouping keys")
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__vf"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__vf").desc, col(valueCol))
+    val modes = counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(keyCols.map(col) :+ col(valueCol).as("__graft_mode"): _*)
+    joinStatsNullSafe(df, modes, keyCols, joinType = "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__graft_mode")))
+      .drop("__graft_mode")
+  }
+
   /** C7b — whole-column median imputation (pandas
     * `fillna(df[col].median())`): exact medians from the distributed CDF
     * ([[exactQuantiles]] — never a buffer-everything percentile), rounded

@@ -77,6 +77,52 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** CDC log application: roll an ordered change log of upserts and
+    * deletes forward onto a base snapshot, producing the final state.
+    * Each log row carries `opCol` ∈ {"U" (upsert — insert or update),
+    * "D" (delete)}; the LAST op per key under (tsCol, tieBreakCols)
+    * order wins, log rows always beat the base row, and a winning "D"
+    * removes the key. Base rows pass through untouched for keys the log
+    * never mentions.
+    *
+    * Scale shape: ONE shuffle — the union is plan-level concat, the
+    * winner pick is a row_number window partitioned by `keys` (never
+    * global), and the op filter prunes before any downstream exchange.
+    * At 100 TB the log side is typically a small fraction of the base;
+    * both sides shuffle on the same keys the snapshot is usually
+    * already bucketed by.
+    *
+    * `log` must carry `keys`, every data column of `base`, `opCol`,
+    * and `tsCol` ("D" rows may hold nulls in the data columns — they
+    * are dropped, not read).
+    */
+  def applyCdc(base: DataFrame, log: DataFrame, keys: Seq[String],
+      opCol: String, tsCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val dataCols = base.columns.toIndexedSeq
+    val b = base.select(dataCols.map(col): _*)
+      .withColumn("__graft_op", lit("U"))
+      .withColumn("__graft_src", lit(0))
+      .withColumn("__graft_ts", lit(null).cast(log.schema(tsCol).dataType))
+      .withColumn("__graft_tie", lit(null).cast("string"))
+    val tie =
+      if (tieBreakCols.isEmpty) lit("").cast("string")
+      else concat_ws(" ", tieBreakCols.map(c => col(c).cast("string")): _*)
+    val l = log.select(dataCols.map(col) ++ Seq(
+        col(opCol).as("__graft_op"), lit(1).as("__graft_src"),
+        col(tsCol).as("__graft_ts"),
+        tie.as("__graft_tie")): _*)
+    // latest first: log beats base, then ts desc, then tie desc — one
+    // row_number over the union picks each key's winner
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__graft_src").desc, col("__graft_ts").desc,
+        col("__graft_tie").desc)
+    b.unionByName(l)
+      .withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1 && col("__graft_op") =!= "D")
+      .select(dataCols.map(col): _*)
+  }
+
   /** Incremental aggregate maintenance, step 1: collapse a batch to its
     * per-key aggregate STATE — count, DECIMAL-exact sum, min, max of
     * `valueCol`. States are associative: merging two states with

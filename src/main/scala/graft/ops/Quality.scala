@@ -217,4 +217,43 @@ object Quality {
         round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
         round((prC - pcC) * log(prC / pcC), 6).as("psi_term"))
   }
+
+  /** One declarative expectation: a named boolean predicate over rows.
+    * Null predicate results (e.g. a comparison touching a null) count as
+    * FAILURES — an expectation must affirmatively hold.
+    */
+  case class Expectation(name: String, predicate: org.apache.spark.sql.Column)
+
+  /** Declarative expectation suite (the Great-Expectations/dbt-test
+    * shape): evaluate every rule over the frame in ONE codegen'd
+    * aggregate pass — no per-rule scan, no driver loop — and emit one
+    * row per rule: rule name, total rows, passes, failures, pass rate
+    * (6-dp). Rule order is preserved in the output (`rule_ord`) so
+    * suites read top-to-bottom like their definition.
+    *
+    * Scale shape: a single full scan feeding conditional-count
+    * aggregates (map-side combined, one 1-row result), then a stack to
+    * long form — the scan cost is that of the WIDEST rule set, not of
+    * the rule count.
+    */
+  def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expect needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectation names must be unique")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (r, i) =>
+        sum(when(r.predicate, 1L).otherwise(0L)).as(s"__p_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${rules.size}, " + rules.zipWithIndex.map {
+      case (r, i) => s"${i}L, '${r.name.replace("'", "''")}', `__p_$i`"
+    }.mkString(", ") + ") as (rule_ord, rule, n_pass)"
+    row.select(col("__n"), expr(stackExpr))
+      .select(col("rule_ord"), col("rule"), col("__n").as("n_rows"),
+        col("n_pass"),
+        (col("__n") - col("n_pass")).as("n_fail"),
+        when(col("__n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_pass").cast("double") / col("__n"), 6))
+          .as("pass_rate"))
+  }
 }
