@@ -710,6 +710,50 @@ object OracleSql {
         |SELECT o_orderkey, o_orderstatus FROM r
         |WHERE rn <= floor(n * 0.1) ORDER BY o_orderkey""".stripMargin,
 
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(pow(n, 0.5)) AS tw FROM c),
+        |caps AS (SELECT lang, CAST(floor(round(300.0 * pow(n, 0.5) / tw, 6)) AS BIGINT) AS cap FROM c, t),
+        |r AS (SELECT d.lang, d.doc_id,
+        |        row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+        |        caps.cap
+        |      FROM documents d JOIN caps USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r WHERE rn <= cap GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_curate_nucleus" ->
+      (s"""WITH s AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS score FROM documents),
+         |w AS (SELECT source, doc_id, score,
+         |        sum(score) OVER (PARTITION BY source ORDER BY score DESC, doc_id) - score AS cb,
+         |        sum(score) OVER (PARTITION BY source) AS tot
+         |      FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+         |  CAST(sum(score) AS BIGINT) AS kept_tokens
+         |FROM w WHERE CAST(cb AS DOUBLE) < 0.6 * CAST(tot AS DOUBLE)
+         |GROUP BY source ORDER BY source""".stripMargin),
+
+    "q_source_overlap" ->
+      """WITH f AS (SELECT DISTINCT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_truncation" ->
+      (s"""WITH s AS (SELECT CAST(len($toks) AS BIGINT) AS tok FROM documents),
+         |a AS (SELECT CAST(sum(tok) AS BIGINT) AS tot,
+         |  CAST(sum(least(tok, 128)) AS BIGINT) AS k128, CAST(count(CASE WHEN tok > 128 THEN 1 END) AS BIGINT) AS d128,
+         |  CAST(sum(least(tok, 512)) AS BIGINT) AS k512, CAST(count(CASE WHEN tok > 512 THEN 1 END) AS BIGINT) AS d512,
+         |  CAST(sum(least(tok, 2048)) AS BIGINT) AS k2048, CAST(count(CASE WHEN tok > 2048 THEN 1 END) AS BIGINT) AS d2048
+         |  FROM s)
+         |SELECT CAST(128 AS BIGINT) AS ctx_len, tot AS total_tokens, k128 AS kept_tokens, d128 AS docs_truncated,
+         |  round(1.0 - CAST(k128 AS DOUBLE) / tot, 6) AS loss_frac FROM a
+         |UNION ALL SELECT CAST(512 AS BIGINT), tot, k512, d512, round(1.0 - CAST(k512 AS DOUBLE) / tot, 6) FROM a
+         |UNION ALL SELECT CAST(2048 AS BIGINT), tot, k2048, d2048, round(1.0 - CAST(k2048 AS DOUBLE) / tot, 6) FROM a
+         |ORDER BY ctx_len""".stripMargin),
+
     "q_bucketize" ->
       """WITH e AS (SELECT
         |  round(quantile_cont(l_quantity, 0.25), 6) AS q1q, round(quantile_cont(l_quantity, 0.5), 6) AS q2q,

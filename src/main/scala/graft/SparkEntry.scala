@@ -733,6 +733,66 @@ object SparkEntry {
         "o_orderkey", 0.1)
         .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")),
 
+    // -- language-temperature resampling (alpha = 0.5, target 300 docs):
+    // the multilingual mix-balancing draw; per-lang keep summary ---------
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureResample(T(s, dir, "documents"),
+          "lang", "doc_id", alpha = 0.5, targetTotal = 300L)
+        .groupBy("lang").agg(
+          count(lit(1)).as("kept"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")),
+
+    // -- nucleus (top-p) curation: per source, smallest top-token-count
+    // prefix holding 60% of the source's token mass -----------------------
+    "q_curate_nucleus" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("score"))
+      Sampling.nucleusPerGroup(scored, Seq("source"), "doc_id", "score", 0.6)
+        .groupBy("source").agg(
+          count(lit(1)).as("kept"),
+          sum("score").as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // -- cross-source contamination matrix: distinct normalized
+    // fingerprints shared between every source pair (fp-keyed equi-join;
+    // at crawl scale this is the "how much does CC overlap my curated
+    // set" audit) ---------------------------------------------------------
+    "q_source_overlap" -> ((s, dir) => {
+      val fps = T(s, dir, "documents")
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // -- context-length truncation loss: for each candidate training
+    // context length, the token mass lost to truncation — ONE corpus
+    // pass, conditional aggregates, the 3-row unpivot happens on the
+    // single aggregate row -------------------------------------------------
+    "q_text_truncation" -> ((s, dir) => {
+      val lens = Seq(128L, 512L, 2048L)
+      val d = T(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val aggs = sum(col("tok")).as("tot") +: lens.flatMap(L => Seq(
+        sum(least(col("tok"), lit(L))).as(s"k$L"),
+        sum(when(col("tok") > lit(L), 1L).otherwise(0L)).as(s"d$L")))
+      val one = d.agg(aggs.head, aggs.tail: _*)
+      one.select(col("tot"), explode(array(lens.map(L =>
+          struct(lit(L).as("ctx_len"), col(s"k$L").as("kept_tokens"),
+            col(s"d$L").as("docs_truncated"))): _*)).as("r"))
+        .select(col("r.ctx_len"), col("tot").as("total_tokens"),
+          col("r.kept_tokens"), col("r.docs_truncated"))
+        .withColumn("loss_frac", round(lit(1.0) -
+          col("kept_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("ctx_len")
+    }),
+
     // -- quantile bucketizer ----------------------------------------------
     "q_bucketize" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")

@@ -117,6 +117,69 @@ object Sampling {
     * per-group total joins back as a broadcast. `weightCol` must be
     * integral and non-negative.
     */
+  /** Language-temperature resampling (the mT5/mC4 "alpha sampling"
+    * corpus-balancing step): the per-stratum keep-count is proportional
+    * to n_k^alpha, so alpha = 1 preserves the natural mix and alpha → 0
+    * approaches uniform-per-stratum — low-resource strata are boosted,
+    * head strata down-sampled. Keep-counts are floor(round(target ·
+    * n_k^alpha / Σ n_j^alpha, 6)) (the 6-decimal round pins the
+    * double-precision pow across engines); rows within a stratum are
+    * chosen by stable md5 order, so the draw is a deterministic function
+    * of the data.
+    *
+    * Scale shape: one partial-aggregated count per stratum (tiny result,
+    * broadcast back), then the same one-shuffle keyed window as
+    * [[stratifiedExact]]. The corpus is scanned once; nothing collects.
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(targetTotal > 0, s"target size must be positive, got $targetTotal")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__graft_n"))
+    val total = counts.agg(
+      sum(pow(col("__graft_n").cast("double"), lit(alpha))).as("__graft_tw"))
+    val caps = counts.crossJoin(broadcast(total))
+      .withColumn("__graft_cap",
+        floor(round(lit(targetTotal.toDouble) *
+          pow(col("__graft_n").cast("double"), lit(alpha)) / col("__graft_tw"),
+          6)).cast("long"))
+      .select(col(keyCol), col("__graft_cap"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(caps), Seq(keyCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= col("__graft_cap"))
+      .drop("__graft_rn", "__graft_cap")
+  }
+
+  /** Nucleus (top-p) selection per group: rows ordered by score
+    * descending (id tiebreak) are kept while the score mass BEFORE the
+    * row is under `p` of the group total — the smallest high-score
+    * prefix reaching share p, the set-selection analogue of nucleus
+    * sampling. Always keeps at least the top row of a group with
+    * positive total mass (its preceding mass is 0); an all-zero group
+    * keeps nothing. `scoreCol` must be integral and
+    * non-negative so the running mass is exact (no float drift at
+    * 10⁹-row prefixes); the p·total comparison is the only double.
+    *
+    * Scale shape: one shuffle on the group key; the ordered cumulative
+    * sum and the group total share that single sort/exchange.
+    */
+  def nucleusPerGroup(df: DataFrame, keyCols: Seq[String], idCol: String,
+      scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("__graft_cb",
+        sum(col(scoreCol).cast("long")).over(w) - col(scoreCol).cast("long"))
+      .withColumn("__graft_tot", sum(col(scoreCol).cast("long")).over(wAll))
+      .where(col("__graft_cb").cast("double") <
+        lit(p) * col("__graft_tot").cast("double"))
+      .drop("__graft_cb", "__graft_tot")
+  }
+
   def systematicByWeight(df: DataFrame, weightCol: String,
       orderCols: Seq[Column], n: Int,
       partitionCols: Seq[String] = Nil): DataFrame = {
