@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature}
+import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cos"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cos"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // graft_minhash(baseHashes, numHashes): numHashes must be an int literal
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

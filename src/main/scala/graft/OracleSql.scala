@@ -2096,6 +2096,22 @@ object OracleSql {
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY window_start""".stripMargin,
 
+    // both inputs are FLOAT lists: DuckDB's list_dot_product would then
+    // accumulate in FLOAT, while graft_cos widens per-element to double —
+    // cast to DOUBLE[] so both engines run the same double accumulation
+    "q_decontaminate_semantic" ->
+      (s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE label = 9),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE label <> 9),
+         |m AS (SELECT c.vec_id, c.label, max(${cosine("c.embedding", "ev")}) AS mc
+         |      FROM c CROSS JOIN e GROUP BY 1, 2)
+         |SELECT vec_id, label, round(mc, 6) AS max_cos
+         |FROM m WHERE mc >= 0.35 ORDER BY vec_id""".stripMargin),
+
+    "q_text_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  length(nfc_normalize(text)) = length(text) AS same_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_events_repurchase" ->
       """WITH p AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),

@@ -2194,6 +2194,30 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // -- embedding-space decontamination: corpus vecs whose max cosine
+    // to any label-9 "benchmark" vec reaches 0.35 — the semantic
+    // near-match audit that n-gram decontamination misses. Eval side
+    // broadcasts; corpus streams once through the fused graft_cos -------
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.decontaminateSemantic(
+          emb.where(col("label") =!= 9), emb.where(col("label") === 9),
+          "vec_id", "embedding", tau = 0.35, keepCols = Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(col("max_cos"), 6).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // -- Unicode NFC canonicalization (native codegen'd graft_nfc): the
+    // composed/decomposed unification step before fingerprint dedup ------
+    "q_text_normalize" -> ((s, dir) => {
+      val nfc = call_function("graft_nfc", col("text"))
+      T(s, dir, "documents").select(col("doc_id"),
+          md5(nfc).as("nfc_md5"),
+          (length(nfc) === length(col("text"))).as("same_len"))
+        .orderBy("doc_id")
+    }),
+
     // -- inter-purchase interval distribution: per-user lag deltas (the
     // multiset is tie-order invariant), then exact global median/p90 via
     // the distributed CDF

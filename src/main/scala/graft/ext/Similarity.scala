@@ -401,4 +401,29 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  /** Embedding-space benchmark decontamination: for every corpus vector,
+    * the max cosine to ANY eval/benchmark vector; rows reaching `tau`
+    * are the semantic near-matches of benchmark items that exact and
+    * n-gram decontamination (see `TextAnalysis.contaminatedDocs`) miss —
+    * paraphrases, translations, light rewrites.
+    *
+    * Scale shape: the eval set is small by construction (benchmarks are
+    * thousands of rows, the corpus is billions) — it broadcasts; the
+    * corpus streams through the fused codegen'd `graft_cos` once per
+    * eval row with a PARTIAL max per corpus id, so the one exchange
+    * carries a single narrow (id, max) row per corpus row, never the
+    * vectors. The flag threshold applies post-aggregate (a max can only
+    * be known after all eval rows are seen).
+    */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val ev = broadcast(evalSet.select(col(vecCol).as("__graft_ev")))
+    corpus.crossJoin(ev)
+      .groupBy((idCol +: keepCols).map(col): _*)
+      .agg(max(VectorOps.cosineNative(col(vecCol), col("__graft_ev")))
+        .as("max_cos"))
+      .where(col("max_cos") >= tau)
+  }
 }

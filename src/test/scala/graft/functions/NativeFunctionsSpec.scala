@@ -64,4 +64,53 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
     assert(math.abs(out(3).getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("graft_nfc unifies composed and decomposed forms, identity on ASCII") {
+    import spark.implicits._
+    val composed = "café"                    // é as one code point
+    val decomposed = "café"                 // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), call_function("graft_nfc", col("t")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == composed, "already-NFC input unchanged")
+    assert(out(1).getString(1) == composed, "decomposed input composes to NFC")
+    assert(out(2).getString(1) == "plain ascii", "ASCII fast path is identity")
+  }
+
+  test("graft_nfc null propagates; non-string rejected at analysis") {
+    import spark.implicits._
+    val out = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("graft_nfc", col("t"))).head()
+    assert(out.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(42)").collect()
+    }
+  }
+
+  test("graft_nfc codegen and interpreted paths agree") {
+    import spark.implicits._
+    val rows = Seq("áb̈c", "Ångström", "x",
+      "ȩ́mixed")
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val viaCodegen = df.select(col("id"), call_function("graft_nfc", col("t")).as("n"))
+      .orderBy("id").collect().map(_.getString(1))
+    val expected = rows.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(viaCodegen.toSeq == expected)
+  }
+
+  test("decontaminateSemantic flags exactly the corpus rows within tau of an eval vec") {
+    import spark.implicits._
+    val eval = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)),    // cos ~0.994 -> flagged
+      (2L, Seq(0.0, 1.0, 0.0)),    // cos 0      -> clean
+      (3L, Seq(-1.0, 0.0, 0.0))    // cos -1     -> clean
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.decontaminateSemantic(
+        corpus, eval, "vec_id", "embedding", tau = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"expected only vec 1 flagged, got $out")
+  }
 }
