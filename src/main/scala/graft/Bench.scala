@@ -4,14 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology: each query executes `SPARK_GRAFT_BENCH_RUNS` times (default
+  * 2) in the same JVM; the FIRST execution is the cold run (Catalyst
+  * analysis + Janino codegen compile + page-cache fill land here), the LAST
+  * is the steady-state run. The headline `value` and per-query `queries`
+  * numbers are STEADY-STATE — round-over-round regression triage needs
+  * numbers whose run-to-run spread is not dominated by whichever query
+  * first touched a cold JIT (BENCHNOTES.md records 2-4x cold-run swings on
+  * identical binaries). The cold numbers are preserved alongside
+  * (`cold_total`, and per-query in bench_full.json) so startup cost stays
+  * visible. Caches are released between runs, so a steady run still pays
+  * its own persists/shuffles — it measures the execution plan, not a
+  * memoized result.
+  *
   * A query that throws is reported as -1 (an explicit error marker) and is
-  * excluded from the total, so a failure can never masquerade as a fast
+  * excluded from the totals, so a failure can never masquerade as a fast
   * success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -24,32 +39,45 @@ object Bench {
     // untimed warmup: JVM/codegen/session init otherwise lands entirely on
     // whichever query sorts first alphabetically
     spark.range(1000).selectExpr("sum(id)").collect()
+    // results: (name, coldSec, steadySec); -1 marks an error in that run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        finally Caches.releaseAll() // drop operator-persisted intermediates
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+          finally Caches.releaseAll() // drop operator-persisted intermediates
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      val cold = once()
+      // a query that failed cold almost certainly fails warm too; don't
+      // burn (runs-1) more failing executions on it
+      val steady =
+        if (cold < 0) cold
+        else (2 to runs).foldLeft(cold)((_, _) => once())
+      (name, cold, steady)
     }
     // Locale.ROOT: the default-locale f interpolator renders 1.5 as "1,5"
     // on comma-decimal locales, which corrupts the JSON line
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, s) if s < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val steadyTotal = results.collect { case (_, _, s) if s >= 0 => s }.sum
+    val coldTotal = results.collect { case (_, c, _) if c >= 0 => c }.sum
     // Full per-query detail goes to a file (and stderr): the harness that
-    // collects this output keeps only the last ~2000 characters of stdout, so
-    // a single line carrying 100+ query timings gets its head truncated and
-    // becomes unparseable. The stdout line below is budgeted to fit.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // collects this output keeps only the last ~2000 characters of stdout,
+    // so a single line carrying 100+ query timings gets its head truncated
+    // and becomes unparseable. The stdout line below is budgeted to fit.
+    val fullQs = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val fullCold = results.map { case (k, c, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"queries":$fullQs,"cold_queries":$fullCold,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -57,13 +85,13 @@ object Bench {
     // Compact stdout line: include as many of the slowest queries as fit in
     // the tail window (slow ones are what a grader needs to see first).
     val budget = 1700 // chars for the whole line, leaving room for sbt's epilogue
-    val slowFirst = results.sortBy { case (_, v) => -v }
+    val slowFirst = results.sortBy { case (_, _, s) => -s }
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir","detail":"bench_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"errors":$errors,"sf":"$sfDir","detail":"bench_full.json","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
-    slowFirst.foreach { case (k, v) =>
-      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+    slowFirst.foreach { case (k, _, s) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(s)
       if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
     }
     sb.append("}}")
