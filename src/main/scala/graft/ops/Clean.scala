@@ -59,6 +59,7 @@ object Clean {
   private val PidCol = "__graft_pid"
   private val RnCol  = "__graft_rn"
   private val OffCol = "__graft_off"
+  private val TbCol  = "__graft_tb"
 
   /** Shared distributed-order core of [[interpolate]] and [[ffill]]: returns
     * `df` range-partitioned on (partitionCols, orderCol) — each task sorts
@@ -89,15 +90,34 @@ object Clean {
       needNext: Boolean): DataFrame = {
     val grp = partitionCols.map(col)
     val grpPid = (partitionCols :+ PidCol).map(col)
-    val wLoc = Window.partitionBy(grpPid: _*).orderBy(col(orderCol))
-    // persisted AFTER the row_number: pins both the pids and the tie-order
-    // of rn, so the bounds aggregate and the row-level fill read identical
-    // positions (two lazy recomputations could legally disagree on ties)
-    val withRn = graft.Caches.register(df
-      .repartitionByRange((partitionCols :+ orderCol).map(col): _*)
+    // The bounds aggregate and the row-level fill must read IDENTICAL
+    // (pid, rn) assignments. This used to pin them with a MEMORY_AND_DISK
+    // persist of the full fact slice — a write+read pass that dominated
+    // interpolate/ffill cost (r9 perf task). ReuseExchange can NOT be
+    // trusted here: the two consumers prune different columns, so their
+    // range-exchange subplans don't canonicalize equal, each exchange
+    // materializes separately, and RangePartitioner's boundary sampling
+    // is seeded by rdd.id — two independent exchanges sample DIFFERENT
+    // boundaries and silently disagree on pids (observed: 2-row oracle
+    // mismatch at partition boundaries). Instead the numbered frame is
+    // pinned at the RDD level (createDataFrame over the same RDD
+    // instance): the range exchange and every shuffle below it
+    // materialize once and are stage-reuse-shared by both passes, with
+    // no storage write. The final (sort + row_number) stage above the
+    // last shuffle IS recomputed per consumer, which is exactly why the
+    // sort key carries a monotonically_increasing_id tie-break computed
+    // BELOW the exchange: (orderCol, tb) is a total order, so the two
+    // recomputations cannot reorder equal orderCol values.
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val wLoc = Window.partitionBy(grpPid: _*)
+      .orderBy(col(orderCol), col(TbCol))
+    val withRn0 = df
+      .withColumn(TbCol, monotonically_increasing_id())
+      .repartitionByRange(nPart, (partitionCols :+ orderCol).map(col): _*)
       .withColumn(PidCol, spark_partition_id())
       .withColumn(RnCol, row_number().over(wLoc).cast(LongType))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val withRn = spark.createDataFrame(withRn0.rdd, withRn0.schema)
 
     val boundAggs = count(lit(1)).as("__cnt") +: valueCols.flatMap { c =>
       val tag = when(col(c).isNotNull, struct(col(RnCol).as("p"), col(c).as("v")))
@@ -152,7 +172,7 @@ object Clean {
 
   private def dropCarryCols(df: DataFrame, valueCols: Seq[String],
       needNext: Boolean): DataFrame =
-    df.drop(PidCol, RnCol, OffCol)
+    df.drop(PidCol, RnCol, OffCol, TbCol)
       .drop(valueCols.flatMap { c =>
         s"__cprev_$c" :: (if (needNext) s"__cnext_$c" :: Nil else Nil)
       }: _*)
@@ -373,7 +393,17 @@ object Clean {
     * counts are independent of where the range boundaries fall, so
     * results are engine/partitioning-portable.
     */
-  def valueCdf(df: DataFrame, valueCol: String, keyCols: Seq[String]): DataFrame = {
+  def valueCdf(df: DataFrame, valueCol: String, keyCols: Seq[String]): DataFrame =
+    valueCdfWithTotals(df, valueCol, keyCols)._1
+
+  /** [[valueCdf]] plus the per-key grand totals (`keys, __tot`) computed
+    * from the pid-totals aggregate that the prefix sum builds anyway —
+    * callers that need n per key (every quantile entry point) get it
+    * WITHOUT a second cumsum pass over the corpus-sized CDF
+    * (`cdf.groupBy(keys).max(__cum)` re-planned the whole window).
+    */
+  def valueCdfWithTotals(df: DataFrame, valueCol: String,
+      keyCols: Seq[String]): (DataFrame, DataFrame) = {
     val v = col(valueCol).cast(DoubleType)
     val keyed = df.where(v.isNotNull)
       .select(keyCols.map(col) :+ v.as("__val"): _*)
@@ -387,7 +417,14 @@ object Clean {
     * quantiles. Output: keys, __val, __w (value's weight), __cum.
     */
   def weightedCdf(df: DataFrame, valueCol: String, weightCol: String,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String]): DataFrame =
+    weightedCdfWithTotals(df, valueCol, weightCol, keyCols)._1
+
+  /** [[weightedCdf]] plus per-key total weights (`keys, __tot`) from the
+    * pid-totals aggregate — same no-second-pass contract as
+    * [[valueCdfWithTotals]]. */
+  def weightedCdfWithTotals(df: DataFrame, valueCol: String, weightCol: String,
+      keyCols: Seq[String]): (DataFrame, DataFrame) = {
     val v = col(valueCol).cast(DoubleType)
     val keyed = df.where(v.isNotNull && col(weightCol).isNotNull)
       .select(keyCols.map(col) ++ Seq(v.as("__val"),
@@ -407,31 +444,42 @@ object Clean {
     * even when one key's distinct set is corpus-sized.
     *
     * The partition ids MUST be identical for the offset aggregation and
-    * the local cumsum. ReuseExchange usually guarantees that by deduping
-    * the identical repartitionByRange subplans, but correctness may not
-    * hinge on an optimizer flag (spark.sql.exchange.reuse=false, or any
-    * canonicalization change, would let two independently-sampled range
-    * exchanges assign DIFFERENT pids and silently mis-offset the CDF) —
-    * so the ranged table is persisted: one physical computation, one set
-    * of pids, both consumers read the same blocks.
-    *
-    * LIFECYCLE: the persisted frame is tracked in [[graft.Caches]] and
-    * lives until released — the sequential Verify/Bench harness calls
-    * `Caches.releaseAll()` per query. The quantile entry points
-    * ([[exactQuantilesBy]]/[[weightedQuantilesBy]]) self-scope: they
-    * materialize their tiny result eagerly and release the CDF before
-    * returning, so repeated calls leak nothing. Direct [[valueCdf]]/
-    * [[weightedCdf]] callers return the (big) CDF itself lazily and so
-    * still rely on releaseAll() or a caller-side `Caches.scoped`.
+    * the local cumsum. Two things make that hold WITHOUT materializing
+    * the corpus-sized ranged table (the persist this used to do cost a
+    * full write+read pass per query — r7/r9 perf task):
+    *   - the range exchange is planned with an EXPLICIT partition count
+    *     (REPARTITION_BY_NUM origin), which AQE is contractually not
+    *     allowed to coalesce — so no consumer-side AQEShuffleRead can
+    *     give the two readers different pid layouts;
+    *   - exchange/stage reuse (on by default; AQE stage reuse dedups
+    *     canonicalized-equal subplans across the broadcast and main
+    *     sides) materializes the exchange once, so both consumers read
+    *     the very same shuffle files. Even under recomputation the rows
+    *     are (keys, __val)-DISTINCT — the cumsum sort key is a total
+    *     order, so no tie can reorder between passes — and
+    *     RangePartitioner's boundary sampling is deterministically
+    *     seeded. If a session has disabled exchange reuse we fall back
+    *     to the pinned persist (tracked in [[graft.Caches]]; the
+    *     sequential Verify/Bench harness calls `Caches.releaseAll()`
+    *     per query, and the quantile entry points self-scope).
     */
   private def prefixSumCdf(perValue: DataFrame, keyCols: Seq[String],
-      measure: String, zero: Column): DataFrame = {
-    val ranged = graft.Caches.register(perValue
-      .repartitionByRange((keyCols :+ "__val").map(col): _*)
+      measure: String, zero: Column): (DataFrame, DataFrame) = {
+    val spark = perValue.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val reuseOk =
+      spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
+    val ranged0 = perValue
+      .repartitionByRange(nPart, (keyCols :+ "__val").map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ranged =
+      if (reuseOk) ranged0
+      else graft.Caches.register(
+        ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col(measure)).as("__pt"))
+    val keyTotals = pidTotals.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__pt")).as("__tot"))
     // Only keys that STRADDLE a partition boundary need offsets: range
     // partitioning keeps each key's pids contiguous, so with
     // high-cardinality keys nearly every key lives inside one pid and is
@@ -457,12 +505,13 @@ object Clean {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joinCond = (keyCols.map(k => col(k) <=> col(s"__graft_k_$k")) :+
       (col("__pid") === col("__opid"))).reduce(_ && _)
-    ranged
+    val cdf = ranged
       .withColumn("__lcum", sum(col(measure)).over(wLocal))
       .join(broadcast(offsets), joinCond, "left")
       .withColumn("__cum", col("__lcum") + coalesce(col("__off"), zero))
       .drop(keyCols.map("__graft_k_" + _) ++
         Seq("__opid", "__pid", "__lcum", "__off"): _*)
+    (cdf, keyTotals)
   }
 
   /** Null-SAFE broadcast join of per-key stats back onto a keyed frame:
@@ -492,9 +541,9 @@ object Clean {
     */
   def weightedQuantilesBy(df: DataFrame, valueCol: String, weightCol: String,
       keyCols: Seq[String], probs: Seq[Double]): DataFrame = graft.Caches.scoped {
-    val cdf = weightedCdf(df, valueCol, weightCol, keyCols)
-    val totals = cdf.groupBy(keyCols.map(col): _*)
-      .agg(max(col("__cum")).cast(DoubleType).as("__tw"))
+    val (cdf, keyTotals) = weightedCdfWithTotals(df, valueCol, weightCol, keyCols)
+    val totals = keyTotals.select(keyCols.map(col) :+
+      col("__tot").cast(DoubleType).as("__tw"): _*)
     val withT = joinStatsNullSafe(cdf, totals, keyCols)
     val qAggs = probs.zipWithIndex.map { case (p, i) =>
       min(when(col("__cum").cast(DoubleType) >= lit(p) * col("__tw"),
@@ -517,9 +566,10 @@ object Clean {
     */
   def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
       probs: Seq[Double]): DataFrame = graft.Caches.scoped {
-    val cdf = valueCdf(df, valueCol, keyCols)
+    val (cdf0, keyTotals) = valueCdfWithTotals(df, valueCol, keyCols)
+    val cdf = cdf0
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
-    val totals = cdf.groupBy(keyCols.map(col): _*).agg(max(col("__cum")).as("__n"))
+    val totals = keyTotals.withColumnRenamed("__tot", "__n")
     val withN = joinStatsNullSafe(cdf, totals, keyCols)
     val qAggs = probs.zipWithIndex.flatMap { case (p, i) =>
       val h = (col("__n") - 1) * lit(p)

@@ -325,10 +325,10 @@ object Preprocess {
       suffix: String = "_qrank"): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
       val vcol = s"__v_$c"
-      val cdf = Clean.valueCdf(df.select(col(c).cast("double").as(vcol)),
-          vcol, Nil)
-        .select(col("__val").as(vcol), col("__cum"))
-      val tot = cdf.agg(max(col("__cum")).cast("double").as("__n"))
+      val (cdf0, keyTotals) = Clean.valueCdfWithTotals(
+        df.select(col(c).cast("double").as(vcol)), vcol, Nil)
+      val cdf = cdf0.select(col("__val").as(vcol), col("__cum"))
+      val tot = keyTotals.select(col("__tot").cast("double").as("__n"))
       acc.join(broadcast(cdf.crossJoin(tot)),
           acc(c).cast("double") === col(vcol), "left")
         .withColumn(c + suffix,
@@ -368,9 +368,8 @@ object Preprocess {
     val edges = probs.indices.map(i => BigDecimal(g.head.getDouble(i + 1))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val edgeArr = array(edges.map(lit): _*)
-    val cdf = Clean.valueCdf(df, valueCol, keyCols)
-    val totals = cdf.groupBy(keyCols.map(col): _*)
-      .agg(max(col("__cum")).as("__n"))
+    val (cdf, keyTotals) = Clean.valueCdfWithTotals(df, valueCol, keyCols)
+    val totals = keyTotals.withColumnRenamed("__tot", "__n")
     val totalsR = totals.toDF(keyCols.map("__graft_k_" + _) :+ "__n": _*)
     val cond = keyCols.map(k => col(k) <=> col(s"__graft_k_$k"))
       .reduceOption(_ && _).getOrElse(lit(true))

@@ -74,8 +74,13 @@ class CleanSpec extends SparkSpec {
 
   test("C3/C4 cross-partition carries match the single-partition reference") {
     // long null runs guaranteed to straddle range-partition boundaries:
-    // non-nulls only every 97 rows over 600 rows across 4 partitions
-    val rows = (1 to 600).map(i => (i, if (i % 97 == 0) Some(i.toDouble) else None))
+    // non-nulls only every 997 rows over 20k rows across 4 partitions.
+    // Size matters: at a few hundred rows the range sampler sees every row
+    // and two INDEPENDENT exchanges pick identical boundaries, masking any
+    // loss of pid-pinning; at 20k rows the reservoir samples diverge (the
+    // sampler is seeded by rdd.id), which is exactly the regression this
+    // guards (r9: un-pinned carries flipped rows at partition boundaries).
+    val rows = (1 to 20000).map(i => (i, if (i % 997 == 0) Some(i.toDouble) else None))
     val df = rows.toDF("idx", "v")
     val interp = doubles(Clean.interpolate(df, Seq("v"), "idx").orderBy("idx"), "v")
     val ff = doubles(Clean.ffill(df, Seq("v"), "idx").orderBy("idx"), "v")
@@ -98,6 +103,59 @@ class CleanSpec extends SparkSpec {
     assert(interp.zip(expInterp).forall {
       case (Some(a), Some(b)) => approx(a, b, 1e-9); case (a, b) => a == b })
     assert(ff == expFf)
+  }
+
+  test("valueCdf prefix sums are exact across partitions and reuse ONE range exchange") {
+    // 20k near-unique values over 4 partitions: big enough that two
+    // independently-sampled range exchanges would pick different
+    // boundaries (sampler seeded by rdd.id) and silently mis-offset the
+    // cumsum — the persist-free prefixSumCdf is only correct because its
+    // two consumers share ONE materialized exchange via reuse. Assert
+    // both the values and the plan shape that guarantees them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Nil // reused: don't double-count its subtree
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val df = (1 to 20000).map(i => (s"k${i % 3}", (i * 7919 % 20011).toDouble))
+      .toDF("k", "v")
+    val cdf = Clean.valueCdf(df, "v", Seq("k")).orderBy("k", "__val")
+    val got = cdf.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(3)))
+    // single-partition reference: per key, running count over sorted values
+    val exp = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq.flatMap { case (k, kvs) =>
+        val counts = kvs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        counts.scanLeft((k, 0.0, 0L)) { case ((_, _, cum), (v, c)) => (k, v, cum + c) }.drop(1)
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp)
+    // the collected frame's ADAPTIVE FINAL plan is the one whose reuse
+    // matters (the initial plan legitimately shows both copies un-reused)
+    val nodes = allNodes(cdf.queryExecution.executedPlan)
+    // AQE represents a reused stage as the SAME stage object appearing in
+    // two places (or as ReusedExchange, pruned above) — dedup by identity
+    // so sharing counts once and only genuine re-materializations fail
+    // REPARTITION_BY_NUM filters to prefixSumCdf's own exchange (the
+    // test's orderBy plans its own ENSURE_REQUIREMENTS range exchange)
+    val rangeExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+          e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => e
+    }
+    val distinctExchanges = rangeExchanges.foldLeft(List.empty[SparkPlan]) {
+      (acc, e) => if (acc.exists(_ eq e)) acc else e :: acc
+    }
+    assert(distinctExchanges.size == 1,
+      s"prefixSumCdf must materialize exactly one range exchange (both consumers share it); got ${distinctExchanges.size}")
+    graft.Caches.releaseAll()
   }
 
   test("C1 coercion matches pandas golden ['1','x','3'] -> [1.0, null, 3.0]") {
