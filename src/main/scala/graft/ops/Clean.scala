@@ -567,9 +567,54 @@ object Clean {
   def exactQuantilesBy(df: DataFrame, valueCol: String, keyCols: Seq[String],
       probs: Seq[Double]): DataFrame = graft.Caches.scoped {
     val (cdf0, keyTotals) = valueCdfWithTotals(df, valueCol, keyCols)
+    quantilesFromCdf(cdf0, keyTotals.withColumnRenamed("__tot", "__n"),
+      keyCols, probs)
+  }
+
+  /** [[exactQuantilesBy]] over a PRE-COUNTED (keys, value, count) table —
+    * semantically identical to exploding each row `count` times and
+    * running the row-level entry point, at distinct-value cost. This is
+    * how derived distributions (e.g. |x - median| for MAD) get exact
+    * quantiles from an already-materialized CDF without a second pass
+    * over the fact table.
+    */
+  def exactQuantilesFromCounts(counted: DataFrame, valueCol: String,
+      countCol: String, keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = graft.Caches.scoped {
+    val v = col(valueCol).cast(DoubleType)
+    val vc = counted.where(v.isNotNull)
+      .select(keyCols.map(col) ++ Seq(v.as("__val"),
+        col(countCol).cast(LongType).as("__cin")): _*)
+      .groupBy(keyCols.map(col) :+ col("__val"): _*)
+      .agg(sum(col("__cin")).as("__c"))
+    val (cdf0, keyTotals) = prefixSumCdf(vc, keyCols, "__c", lit(0L))
+    quantilesFromCdf(cdf0, keyTotals.withColumnRenamed("__tot", "__n"),
+      keyCols, probs)
+  }
+
+  /** Exact quantiles straight off an ALREADY prefix-summed CDF (the
+    * output shape of [[valueCdf]], typically checkpointed by the caller):
+    * per-key totals come from a cheap max(__cum) aggregate over the CDF
+    * rows and the ranks are located in place — no new prefix-sum
+    * pipeline, no fact-table pass.
+    */
+  def quantilesFromExistingCdf(cdf: DataFrame, keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val totals = cdf.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__cum")).cast(LongType).as("__n"))
+    quantilesFromCdf(cdf, totals, keyCols, probs)
+  }
+
+  /** Shared rank-location tail of the exact-quantile entry points: given
+    * a prefix-summed CDF and per-key totals `__n`, locate each target
+    * rank j = (n-1)p in the one CDF run [__lo, __cum) that contains it
+    * via a conditional aggregate — nothing buffers a column, or even its
+    * distinct set, in one task.
+    */
+  private def quantilesFromCdf(cdf0: DataFrame, totals: DataFrame,
+      keyCols: Seq[String], probs: Seq[Double]): DataFrame = {
     val cdf = cdf0
       .withColumn("__lo", col("__cum") - col("__c")) // run covers ranks [__lo, __cum)
-    val totals = keyTotals.withColumnRenamed("__tot", "__n")
     val withN = joinStatsNullSafe(cdf, totals, keyCols)
     val qAggs = probs.zipWithIndex.flatMap { case (p, i) =>
       val h = (col("__n") - 1) * lit(p)
@@ -581,9 +626,9 @@ object Clean {
         max(h - floor(h)).as(s"fr_$i")) // constant within the group
     }
     // eager checkpoint: output is key-cardinality-sized; materializing it
-    // inside the scope releases the corpus-sized CDF persist immediately,
-    // so repeated calls through this public entry point accumulate
-    // nothing (long-lived-session leak-freedom)
+    // inside the caller's scope releases any CDF persist immediately, so
+    // repeated calls through the public entry points accumulate nothing
+    // (long-lived-session leak-freedom)
     withN.groupBy(keyCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
       .select(keyCols.map(col) ++ probs.indices.map { i =>
         (col(s"v0_$i") + col(s"fr_$i") * (col(s"v1_$i") - col(s"v0_$i"))).as(s"q$i")

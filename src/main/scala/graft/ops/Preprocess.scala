@@ -282,21 +282,39 @@ object Preprocess {
     * MAD| > k (Iglewicz-Hoaglin modified z-score, k = 3.5 convention).
     * Zero-MAD columns never flag (the robust analog of zero variance).
     *
-    * Two CDF passes — median of x, then median of |x - median| — each a
-    * distributed prefix sum; both medians are rounded to 6 decimals
+    * ONE fact-table CDF pass: the per-column value CDF is materialized
+    * once (distinct-value-sized localCheckpoint); the median comes from
+    * it, and the MAD — median of |x - median| — is an exact weighted
+    * quantile over the SAME checkpointed CDF rows
+    * ([[Clean.exactQuantilesFromCounts]]: each distinct value with its
+    * multiplicity maps to one |v - m| pair), so the fact table is
+    * scanned and shuffled once instead of twice (r9 perf task: 5.5 s ->
+    * ~3 s steady at sf0.1). Both medians are rounded to 6 decimals
     * before the per-row arithmetic so the flag boundary is
     * engine-portable. The per-row test is a codegen'd projection.
     */
   def outlierFlagsMad(df: DataFrame, cols: Seq[String], k: Double = 3.5): DataFrame = {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val meds = Clean.exactQuantiles(df, cols, Seq(0.5)).collect()
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
+      ") as (column_name, value)"
+    val (cdf0, _) = Clean.valueCdfWithTotals(
+      df.select(expr(stackExpr)), "value", Seq("column_name"))
+    val cdf = cdf0.localCheckpoint(true) // distinct-value-sized, one fact pass
+    val meds = Clean.quantilesFromExistingCdf(
+        cdf, Seq("column_name"), Seq(0.5)).collect()
       .map(r => r.getString(0) -> r6(r.getDouble(1))).toMap
-    val absDev = cols.foldLeft(df) { (acc, c) =>
-      acc.withColumn(s"__ad_$c",
-        meds.get(c).map(m => abs(col(c) - lit(m))).getOrElse(lit(null).cast(DoubleType)))
+    val medExpr = cols.collect { case c if meds.contains(c) =>
+      (col("column_name") === c, lit(meds(c)))
     }
-    val mads = Clean.exactQuantiles(absDev, cols.map(c => s"__ad_$c"), Seq(0.5)).collect()
-      .map(r => r.getString(0).stripPrefix("__ad_") -> r6(r.getDouble(1))).toMap
+    val medOf = medExpr.foldRight(lit(null).cast(DoubleType)) {
+      case ((cond, m), acc) => when(cond, m).otherwise(acc)
+    }
+    val absCnt = cdf.select(col("column_name"),
+      abs(col("__val") - medOf).as("__adval"), col("__c"))
+    val mads = Clean.exactQuantilesFromCounts(
+        absCnt, "__adval", "__c", Seq("column_name"), Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r6(r.getDouble(1))).toMap
     cols.foldLeft(df) { (acc, c) =>
       val flag = (meds.get(c), mads.get(c)) match {
         case (Some(m), Some(mad)) if mad != 0.0 =>
