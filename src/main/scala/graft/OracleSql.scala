@@ -2107,6 +2107,17 @@ object OracleSql {
          |SELECT vec_id, label, round(mc, 6) AS max_cos
          |FROM m WHERE mc >= 0.35 ORDER BY vec_id""".stripMargin),
 
+    "q_decontaminate_semantic_lsh" ->
+      (s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE label = 9),
+         |eb AS (SELECT ev, (${bucketSql("ev", 6, 64)}) AS b0 FROM e),
+         |ep AS (SELECT ev, unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8), xor(b0, 16), xor(b0, 32)]) AS bkt FROM eb),
+         |c0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE label <> 9),
+         |c AS (SELECT vec_id, label, embedding, (${bucketSql("embedding", 6, 64)}) AS bkt FROM c0),
+         |m AS (SELECT c.vec_id, c.label, max(${cosine("c.embedding", "ep.ev")}) AS mc
+         |      FROM c JOIN ep ON c.bkt = ep.bkt GROUP BY 1, 2)
+         |SELECT vec_id, label, round(mc, 6) AS max_cos
+         |FROM m WHERE mc >= 0.35 ORDER BY vec_id""".stripMargin),
+
     "q_text_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
         |  length(nfc_normalize(text)) = length(text) AS same_len

@@ -2208,6 +2208,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- LSH-probe semantic decontamination (the 100-TB path: bucket
+    // equi-join instead of corpus × evalN cosine scan) -------------------
+    "q_decontaminate_semantic_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.decontaminateSemanticLsh(
+          emb.where(col("label") =!= 9), emb.where(col("label") === 9),
+          "vec_id", "embedding", tau = 0.35, planes = 6, dims = 64,
+          keepCols = Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(col("max_cos"), 6).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     // -- Unicode NFC canonicalization (native codegen'd graft_nfc): the
     // composed/decomposed unification step before fingerprint dedup ------
     "q_text_normalize" -> ((s, dir) => {

@@ -426,4 +426,46 @@ object Similarity {
         .as("max_cos"))
       .where(col("max_cos") >= tau)
   }
+
+  /** LSH-bucketed semantic decontamination — the scale path of
+    * [[decontaminateSemantic]], whose exact scan is linear in the eval
+    * set (corpus × evalN cosines). Corpus rows are scored only against
+    * eval vectors sharing a hyperplane-LSH bucket, with multi-probe on
+    * the eval side: every eval vector also lands in its `planes`
+    * 1-bit-flip buckets (the standard recall lever — a near neighbor
+    * just across one hyperplane is still found). The candidate set per
+    * corpus row shrinks from evalN to ~ evalN·(planes+1)/2^planes; a
+    * corpus row whose nearest eval vector differs in ≥2 hyperplane bits
+    * is missed — the ANN recall trade. Flagged rows are always a SUBSET
+    * of the exact path's (candidates are a subset, so max_cos can only
+    * be ≤ the exact max), which keeps the conservative direction:
+    * nothing is dropped from the corpus that the exact path would keep.
+    *
+    * Scale shape: bucket ids are narrow codegen'd projections at both
+    * scans (no shuffle); the (planes+1)-exploded eval side stays
+    * eval-sized and broadcasts; the bucket equi-join replaces the cross
+    * join; the max aggregate is partial before its one exchange, so the
+    * exchange carries one narrow (id, max) row per matched corpus row,
+    * never the vectors.
+    */
+  def decontaminateSemanticLsh(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double, planes: Int, dims: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val evBucketed = evalSet
+      .select(col(vecCol).as("__graft_ev"))
+      .withColumn("__b0", bucketExpr(col("__graft_ev"), planes, dims))
+    // probe buckets per eval vector: its own bucket + every 1-bit flip
+    // (all distinct by construction — xor with distinct single bits)
+    val probeCols = col("__b0") +:
+      (0 until planes).map(j => col("__b0").bitwiseXOR(lit(1L << j)))
+    val evProbes = evBucketed.select(col("__graft_ev"),
+      explode(array(probeCols: _*)).as("__graft_bucket"))
+    val corpusB = corpus
+      .withColumn("__graft_bucket", bucketExpr(col(vecCol), planes, dims))
+    corpusB.join(broadcast(evProbes), "__graft_bucket")
+      .groupBy((idCol +: keepCols).map(col): _*)
+      .agg(max(VectorOps.cosineNative(col(vecCol), col("__graft_ev")))
+        .as("max_cos"))
+      .where(col("max_cos") >= tau)
+  }
 }

@@ -73,6 +73,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getLong(0) == 7L && approx(top(0).getDouble(1), 1.0, 1e-6))
   }
 
+  test("LSH semantic decontamination: exact copies recalled, flags a subset of the exact path") {
+    val dims = 8
+    // eval set: 4 benchmark vectors; corpus: exact copies of each (must be
+    // flagged — identical vectors share every bucket), plus far vectors
+    val evals = (0 until 4).map { i =>
+      (100L + i, Array.tabulate(dims)(d => math.sin(i * 131 + d * 17).toFloat))
+    }
+    val copies = evals.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val far = (10 until 40).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => math.cos(i * 997 + d * 61).toFloat))
+    }
+    val corpus = (copies ++ far).toDF("vec_id", "embedding")
+    val evalDf = evals.toDF("vec_id", "embedding")
+    val exact = Similarity.decontaminateSemantic(
+      corpus, evalDf, "vec_id", "embedding", tau = 0.99).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.decontaminateSemanticLsh(
+      corpus, evalDf, "vec_id", "embedding", tau = 0.99,
+      planes = 4, dims = dims).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every exact copy is recalled (identical vector -> identical bucket)
+    assert(copies.map(_._1).forall(lsh.contains), s"missed copies: $lsh")
+    // flagged set is a subset of the exact path's, with max_cos <= exact's
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    assert(lsh.forall { case (id, c) => c <= exact(id) + 1e-9 })
+  }
+
   test("nearDupPairs finds duplicate embeddings within LSH buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f, 0.1f, 0.9f)), (2L, Array(0.5f, 0.5f, 0.1f, 0.9f)),
