@@ -702,6 +702,14 @@ object OracleSql {
         |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_split_exact" ->
+      """WITH r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS cb,
+        |  count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN cb < n * 800 // 1000 THEN 'train' ELSE 'test' END AS side
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_sample_stratified" ->
       """WITH r AS (SELECT o_orderkey, o_orderstatus,
         |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,

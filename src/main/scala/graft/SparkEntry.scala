@@ -733,6 +733,16 @@ object SparkEntry {
         "o_orderkey", 0.1)
         .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")),
 
+    // -- M2 exact 80/20 split: exactly floor(0.8n) train rows, stable
+    // (md5(id), id) order, distributed prefix-sum membership ------------
+    "q_split_exact" -> ((s, dir) => {
+      val (train, test) = Sampling.splitExact(
+        T(s, dir, "documents").select("doc_id"), "doc_id", 800)
+      train.withColumn("side", lit("train"))
+        .unionByName(test.withColumn("side", lit("test")))
+        .orderBy("doc_id")
+    }),
+
     // -- language-temperature resampling (alpha = 0.5, target 300 docs):
     // the multilingual mix-balancing draw; per-lang keep summary ---------
     "q_sample_temperature" -> ((s, dir) =>

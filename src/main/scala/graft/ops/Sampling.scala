@@ -83,6 +83,37 @@ object Sampling {
     (df.where(m < trainPerMille), df.where(m >= trainPerMille))
   }
 
+  /** EXACT deterministic train/test split: train gets exactly
+    * floor(n · perMille / 1000) rows, test the remainder — the row-count
+    * contract of sklearn's `train_test_split(test_size=0.2)` that
+    * neither Bernoulli `randomSplit` nor the per-mille hash filter
+    * ([[splitByHash]]) gives. Rows are laid out in the stable
+    * pseudo-random order (md5(id), id) — a pure function of the data, so
+    * membership survives re-reads, repartitions and engine changes — and
+    * prefix-counted with the distributed exclusive prefix sum
+    * ([[graft.ext.Pack.prefixSum]]: range-partitioned local sums plus
+    * boundary offsets, no single-task window); a row is train iff its
+    * exclusive running count is below the cutoff. The total-count cutoff
+    * rides in as a one-row broadcast (exact integer DIV, no doubles), so
+    * nothing collects to the driver.
+    */
+  def splitExact(df: DataFrame, idCol: String,
+      trainPerMille: Int = 800): (DataFrame, DataFrame) = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      s"trainPerMille in [0, 1000], got $trainPerMille")
+    val numbered = graft.ext.Pack.prefixSum(
+      df.withColumn("__graft_w", lit(1L)), "__graft_w",
+      Seq(md5(col(idCol).cast("string")), col(idCol)), Nil,
+      outCol = "__graft_cb")
+    val total = df.agg(count(lit(1)).as("__graft_n"))
+    val withCut = numbered.crossJoin(broadcast(total))
+      .withColumn("__graft_cut",
+        expr(s"__graft_n * ${trainPerMille}L DIV 1000L"))
+    val housekeeping = Seq("__graft_w", "__graft_cb", "__graft_n", "__graft_cut")
+    (withCut.where(col("__graft_cb") < col("__graft_cut")).drop(housekeeping: _*),
+      withCut.where(col("__graft_cb") >= col("__graft_cut")).drop(housekeeping: _*))
+  }
+
   /** Deterministic k-per-group head sample: the `k` rows of each
     * `keyCols` group with the smallest md5(id) — the stable "give me k
     * examples per stratum" primitive (debug slices, per-source eval

@@ -151,6 +151,22 @@ class Round5bOpsSpec extends SparkSpec {
     assert(train2.select("id").except(train.select("id")).count() == 0)
   }
 
+  test("splitExact gives exactly floor(0.8n) train rows, disjoint, repartition-stable") {
+    // 1237 rows: floor(1237*0.8) = 989 — a non-round count catches any
+    // Bernoulli or per-mille-hash approximation sneaking back in
+    val df = (1L to 1237L).toDF("id")
+    val (train, test) = Sampling.splitExact(df, "id", trainPerMille = 800)
+    assert(train.count() == 989L)
+    assert(test.count() == 248L)
+    assert(train.join(test, Seq("id"), "inner").count() == 0)
+    graft.Caches.releaseAll()
+    // membership is a pure function of the data: repartitioning changes nothing
+    val (train2, test2) = Sampling.splitExact(df.repartition(7), "id", 800)
+    assert(train2.select("id").except(train.select("id")).count() == 0)
+    assert(test2.count() == 248L)
+    graft.Caches.releaseAll()
+  }
+
   test("C7 imputeMeanBy keeps and fills null-KEY rows (null-safe join)") {
     val df = Seq((Some("a"), Some(1.0)), (Some("a"), None),
       (Option.empty[String], Some(10.0)), (Option.empty[String], None)).toDF("k", "v")
