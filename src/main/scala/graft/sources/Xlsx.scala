@@ -47,11 +47,34 @@ object Xlsx {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
 
+  /** Reject non-zip payloads BEFORE ZipFile turns them into an opaque
+    * "zip END header not found": the common failure is a legacy binary
+    * .xls renamed to .xlsx — its OLE2/CFB magic (D0 CF 11 E0) is
+    * unambiguous, so say exactly that; anything else non-PK gets a clear
+    * not-a-workbook message.
+    */
+  private def sniffMagic(path: String): Unit = {
+    val in = new java.io.FileInputStream(path)
+    val head = try in.readNBytes(4) finally in.close()
+    val isOle2 = head.length == 4 &&
+      (head(0) & 0xFF) == 0xD0 && (head(1) & 0xFF) == 0xCF &&
+      (head(2) & 0xFF) == 0x11 && (head(3) & 0xFF) == 0xE0
+    if (isOle2)
+      throw new UnsupportedOperationException(
+        s"$path is a legacy binary Excel workbook (OLE2 .xls): not supported; " +
+          "re-save as .xlsx or export to CSV")
+    val isZip = head.length >= 2 && head(0) == 'P'.toByte && head(1) == 'K'.toByte
+    if (!isZip)
+      throw new IllegalArgumentException(
+        s"$path is not an .xlsx workbook (no zip/PK magic)")
+  }
+
   /** Read sheet1 of an .xlsx into a DataFrame: header row -> column names;
     * a column whose every non-empty cell is numeric becomes DoubleType
     * (pandas inference), everything else StringType.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    sniffMagic(path)
     val zf = new ZipFile(path)
     try {
       val shared: IndexedSeq[String] =

@@ -42,6 +42,19 @@ class SkewSourcesSpec extends SparkSpec {
     assert(Sources.readAny(spark, s"$tmp/t.csv").count() == 2)
     intercept[UnsupportedOperationException] { Sources.readAny(spark, "/x/y.xls") }
     intercept[IllegalArgumentException] { Sources.readAny(spark, "/x/y.avro") }
+    // an OLE2 .xls RENAMED to .xlsx must fail with the explicit legacy-xls
+    // message (magic D0 CF 11 E0), not an opaque zip-parse error
+    val ole = java.nio.file.Paths.get(tmp, "legacy.xlsx")
+    java.nio.file.Files.write(ole,
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    val e = intercept[UnsupportedOperationException] {
+      Sources.readAny(spark, ole.toString)
+    }
+    assert(e.getMessage.contains("OLE2"))
+    // random non-zip bytes named .xlsx: clear not-a-workbook error
+    val junk = java.nio.file.Paths.get(tmp, "junk.xlsx")
+    java.nio.file.Files.write(junk, "not a zip".getBytes)
+    intercept[IllegalArgumentException] { Sources.readAny(spark, junk.toString) }
   }
 
   test("S2 xlsx round-trip: write then read preserves values, types, and nulls") {
