@@ -35,29 +35,39 @@ object Pack {
     * (empty `partitionCols` = one global order). `weightCol` must be
     * integral; the sum is carried as LongType.
     *
-    * The input is materialized once (persist + [[graft.Caches]]
-    * registration, skippable via `cacheIntermediate = false`) because the
-    * local sums and the per-partition totals must observe the SAME
-    * physical partition ids — two lazy recomputations of a range
-    * partitioning could legally disagree on sampled boundaries.
+    * The local sums and the per-partition totals must observe the SAME
+    * physical partition ids. The ranged frame is pinned at the RDD level
+    * (createDataFrame over one RDD instance — same contract as
+    * `Clean.orderedWithCarry`): the range exchange materializes once and
+    * both consumers share its shuffle stages, with no storage write.
+    * ReuseExchange alone cannot be trusted here — the two consumers
+    * prune different columns, so their exchange subplans don't
+    * canonicalize equal, and RangePartitioner's boundary sampling is
+    * seeded by rdd.id, so two independent exchanges would pick DIFFERENT
+    * boundaries and silently disagree on pids. The pin is unconditional
+    * — it is not a cache, just a shared-lineage anchor — so
+    * `cacheIntermediate` (which used to gate a MEMORY_AND_DISK persist)
+    * is retained for source compatibility but no longer changes the
+    * plan.
     *
-    * `orderCols` must be a total order (add a unique tie-break key);
-    * equal keys landing on different sides of a range boundary would
-    * otherwise make the result order-dependent.
+    * `orderCols` must be a total order (add a unique tie-break key):
+    * the final sort+window stage above the pinned shuffle is recomputed
+    * per consumer, and equal keys could otherwise reorder between the
+    * two computations (as well as land on either side of a range
+    * boundary, making the result order-dependent).
     */
   def prefixSum(df: DataFrame, weightCol: String, orderCols: Seq[Column],
       partitionCols: Seq[String], outCol: String = "cum_before",
       cacheIntermediate: Boolean = true): DataFrame = {
     val grp = partitionCols.map(col)
     val grpPid = grp :+ col(PidCol)
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val _ = cacheIntermediate // see Scaladoc: pin is unconditional now
     val ranged0 = df
-      .repartitionByRange(grp ++ orderCols: _*)
+      .repartitionByRange(nPart, grp ++ orderCols: _*)
       .withColumn(PidCol, spark_partition_id())
-    val ranged =
-      if (cacheIntermediate)
-        graft.Caches.register(ranged0
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else ranged0
+    val ranged = spark.createDataFrame(ranged0.rdd, ranged0.schema)
 
     val wLoc = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
