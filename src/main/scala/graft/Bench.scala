@@ -5,18 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
-  * Methodology: each query executes `SPARK_GRAFT_BENCH_RUNS` times (default
-  * 2) in the same JVM; the FIRST execution is the cold run (Catalyst
-  * analysis + Janino codegen compile + page-cache fill land here), the LAST
-  * is the steady-state run. The headline `value` and per-query `queries`
-  * numbers are STEADY-STATE — round-over-round regression triage needs
-  * numbers whose run-to-run spread is not dominated by whichever query
-  * first touched a cold JIT (BENCHNOTES.md records 2-4x cold-run swings on
-  * identical binaries). The cold numbers are preserved alongside
-  * (`cold_total`, and per-query in bench_full.json) so startup cost stays
-  * visible. Caches are released between runs, so a steady run still pays
-  * its own persists/shuffles — it measures the execution plan, not a
-  * memoized result.
+  * Methodology: each query executes up to `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 3) in the same JVM; the FIRST execution is the cold run
+  * (Catalyst analysis + Janino codegen compile + page-cache fill land
+  * here), and the steady-state number is the MINIMUM of the non-cold runs.
+  * Min, not last: BENCHNOTES.md documents 36-45 s VM stalls landing on
+  * random queries, and r9's last-run steady numbers had four queries
+  * measuring steady SLOWER than cold by >2x — physically backwards, a
+  * stall on run 2 had become the headline number. The minimum of repeated
+  * identical executions is the standard stall-robust estimator here: every
+  * run does full work (caches are released between runs), so the min is
+  * still a complete execution, just the least-interfered one. To keep
+  * total bench time near the 2-run cost, the extra repetition only runs
+  * when run 2 disagrees with the cold run (steady > 1.5x cold + 0.5 s —
+  * i.e. evidence of a stall); an agreeing run 2 is accepted as-is.
+  * Cold numbers are preserved alongside (`cold_total`, per-query in
+  * bench_full.json) so startup cost stays visible.
   *
   * A query that throws is reported as -1 (an explicit error marker) and is
   * excluded from the totals, so a failure can never masquerade as a fast
@@ -26,7 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -54,10 +58,21 @@ object Bench {
       }
       val cold = once()
       // a query that failed cold almost certainly fails warm too; don't
-      // burn (runs-1) more failing executions on it
+      // burn (runs-1) more failing executions on it. Steady = min of the
+      // non-cold runs; reps beyond the second only run while the best
+      // steady still looks stalled relative to cold (see Scaladoc).
       val steady =
-        if (cold < 0) cold
-        else (2 to runs).foldLeft(cold)((_, _) => once())
+        if (cold < 0 || runs < 2) cold
+        else {
+          var best = once()
+          var rep = 2
+          while (rep < runs && best >= 0 && best > cold * 1.5 + 0.5) {
+            val r = once()
+            if (r >= 0 && r < best) best = r
+            rep += 1
+          }
+          best
+        }
       (name, cold, steady)
     }
     // Locale.ROOT: the default-locale f interpolator renders 1.5 as "1,5"

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Observed-metric plumbing for the no-silent-caps rule: operators whose
+  * cost depends on a data-shaped intermediate (LSH candidate pairs, prefix
+  * join survivors) attach a `Dataset.observe` count to that intermediate so
+  * the number lands in the execution log of EVERY run — bench, verify, and
+  * production — without a separate counting action. A corpus shift that
+  * blows up a candidate set then shows up as a logged count next to the
+  * slow query, instead of needing a post-hoc diagnostic rerun.
+  *
+  * `CollectMetrics` names must be unique within one query plan (an operator
+  * can be instantiated twice in one query — e.g. the batch and corpus sides
+  * of incrementalDedup), so [[name]] suffixes a process-wide counter.
+  * The listener is registered once per session and logs any observed metric
+  * whose name starts with `graft_`.
+  */
+object Metrics {
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val sessions =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  /** Unique observe-node name: `graft_<what>_<n>`. */
+  def name(what: String): String = s"graft_${what}_${ctr.incrementAndGet()}"
+
+  /** Idempotently attach the graft_* metric logger to `spark`. */
+  def ensureListener(spark: SparkSession): Unit =
+    if (sessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.Metrics")
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val graft = qe.observedMetrics.filter(_._1.startsWith("graft_"))
+          if (graft.nonEmpty) graft.foreach { case (n, row) =>
+            log.info(s"observed $n: ${row.mkString(", ")}")
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
+}

@@ -100,14 +100,14 @@ object OracleSql {
     * incremental dedup oracle). Ends in `<pre>banded(doc_id, s, bidx,
     * band_key)`.
     */
-  private def minhashBandCtes(pre: String, src: String): String = {
+  private def minhashBandCtes(pre: String, src: String, k: Int = 3): String = {
     val p = graft.ext.Dedup.MinhashP
     val params = graft.ext.Dedup.hashParams(16)
     val aList = params.map(_._1).mkString("[", ", ", "]")
     val bList = params.map(_._2).mkString("[", ", ", "]")
     s"""${pre}toksrc AS (SELECT doc_id, $toks AS tk FROM $src),
-       |${pre}tk2 AS (SELECT * FROM ${pre}toksrc WHERE len(tk) >= 3),
-       |${pre}sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+       |${pre}tk2 AS (SELECT * FROM ${pre}toksrc WHERE len(tk) >= $k),
+       |${pre}sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - ${k - 1}), i -> array_to_string(tk[i:i+${k - 1}], ' '))) AS s
        |       FROM ${pre}tk2),
        |${pre}hs AS (SELECT doc_id, s, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $p) AS hv FROM ${pre}sh),
        |${pre}sig AS (SELECT doc_id, s,
@@ -117,10 +117,23 @@ object OracleSql {
        |           FROM ${pre}sig, (SELECT unnest(generate_series(0, 3)) AS bidx) ${pre}bt)""".stripMargin
   }
 
-  private def minhashCtes(src: String = "documents"): String =
-    s"""${minhashBandCtes("", src)},
+  private def minhashCtes(src: String = "documents", k: Int = 3): String =
+    s"""${minhashBandCtes("", src, k)},
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
        |         FROM banded x JOIN banded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
+
+  /** [[minhashCtes]] with the capBuckets skew guard mirrored in SQL: band
+    * buckets with more than `cap` members are excluded from candidate
+    * generation, exactly as Dedup.capBuckets does — the oracle PROVES which
+    * pairs the guard drops rather than trusting the Spark side's warning.
+    */
+  private def minhashCappedCtes(src: String, k: Int, cap: Int): String =
+    s"""${minhashBandCtes("", src, k)},
+       |bsz AS (SELECT bidx, band_key, count(*) AS c FROM banded GROUP BY bidx, band_key),
+       |kept AS (SELECT b.* FROM banded b JOIN bsz USING (bidx, band_key) WHERE bsz.c <= $cap),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
+       |         FROM kept x JOIN kept y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
 
   /** Gaps-and-islands sessionization — shared by the session_window query
@@ -489,7 +502,11 @@ object OracleSql {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH ${minhashCtes()}
+      s"""WITH ${minhashCtes(k = 5)}
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash_capped" ->
+      s"""WITH ${minhashCappedCtes("documents", k = 3, cap = 2)}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_cluster" ->
@@ -527,8 +544,8 @@ object OracleSql {
     // approximate recall)
     "q_dedup_jaccard_prefix" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-        |t2 AS (SELECT * FROM t WHERE len(tk) >= 3),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |t2 AS (SELECT * FROM t WHERE len(tk) >= 5),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 4), i -> array_to_string(tk[i:i+4], ' '))) AS s
         |  FROM t2),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

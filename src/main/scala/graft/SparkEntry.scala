@@ -425,19 +425,43 @@ object SparkEntry {
     // pass + anti-join) under the oracle gate: no bucket in this corpus
     // exceeds 10k members, so the guard must provably change NOTHING on
     // clean data — the hash row breaks if it ever does
+    // Production parametrization for low-entropy (boilerplate-heavy)
+    // corpora: k=5 word shingles — on the ~30-word-vocabulary documents
+    // table, 3-shingles have median document frequency 9 (max 25), while
+    // 5-shingles are near-unique (median df 1, max 4), so band buckets stay
+    // tiny even when the text is templated. maxBucketSize=500 keeps the
+    // skew guard ARMED at a level a crawl-scale bucket would actually trip
+    // (the r8 registration's 10000 exceeded the corpus size — inert by
+    // construction). The k=3 + engaged-cap proof lives in
+    // q_dedup_minhash_capped below.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.25,
+        maxBucketSize = 500)
+        .orderBy("id_a", "id_b")),
+    // capBuckets ENGAGED and FIRING: k=3 on this corpus produces band
+    // buckets up to size 3 at sf0.01 / 4 at sf0.1; cap=2 excludes the
+    // oversized buckets from candidate generation. The oracle mirrors the
+    // exclusion (bucket counts in SQL, same cap), so the correctness gate
+    // proves exactly which pairs the guard drops — the guard's contract is
+    // deterministic exclusion, never silent wrongness.
+    "q_dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
         k = 3, numHashes = 16, bands = 4, threshold = 0.25,
-        maxBucketSize = 10000)
+        maxBucketSize = 2)
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "text", "doc_id").orderBy("id")),
     // EXACT shingle-set Jaccard pairs via prefix filtering (no recall
     // loss; the oracle brute-forces all pairs at sf0.01 — the prefix
-    // filter must find every one of them)
+    // filter must find every one of them). k=5 shingles: prefix filtering
+    // is only selective when some shingles are rare, and on this
+    // low-entropy corpus 3-shingles are never rare (median df 9 → 12 784
+    // candidates for 256 true pairs); 5-shingles are near-unique (median
+    // df 1 → 255 candidates). The candidate count is observe-logged.
     "q_dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardJoinPrefix(T(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8)
+        threshold = 0.8, k = 5)
         .orderBy("id_a", "id_b")),
 
     // -- similarity search -------------------------------------------------

@@ -207,12 +207,19 @@ object Dedup {
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
     val banded = capBuckets(bandedRaw, maxBucketSize, "nearDupMinhash",
       cacheIntermediate)
+    // observed candidate count (no extra pass — CollectMetrics rides the
+    // verification action): a corpus shift that inflates the LSH buckets
+    // shows up as this logged number next to the slow run, per the
+    // no-silent-caps rule.
+    graft.Metrics.ensureListener(df.sparkSession)
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .observe(graft.Metrics.name("minhash_candidates"),
+        count(lit(1)).as("candidate_pairs"))
     // exact Jaccard verification: fetch each side's shingle set by id —
     // candidates are few, so these joins move only the surviving arrays.
     cand
@@ -533,6 +540,7 @@ object Dedup {
   def jaccardJoinPrefix(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    graft.Metrics.ensureListener(df.sparkSession)
     // tokens staged as their OWN projection first: shinglesFromTokens
     // references its token input several times, and inlining the tokenize
     // expression would re-run the regex split per reference (measured 10 s
@@ -586,6 +594,13 @@ object Dedup {
         least(col("na") - col("pa"), col("nb") - col("pb")).cast("double") >=
           ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")) - eps))
       .select("id_a", "id_b").distinct()
+      // observed survivor count (no extra pass): prefix filtering is only
+      // selective when some shingles are rare — on a low-entropy corpus the
+      // candidate set approaches all-pairs (measured 12 784 candidates for
+      // 256 true pairs at k=3 on the 30-word-vocabulary corpus, vs 255 at
+      // k=5). Logging it makes the degeneration visible in the bench log.
+      .observe(graft.Metrics.name("jaccard_prefix_candidates"),
+        count(lit(1)).as("candidate_pairs"))
     cand
       .join(docs.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")

@@ -189,4 +189,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(loose == uncapped)
   }
+
+  test("jaccardJoinPrefix at k=5 equals brute-force all-pairs (low-entropy text)") {
+    // templated docs from a tiny vocabulary — the corpus shape where k=3
+    // shingles are never rare and the prefix filter degenerates; k=5 must
+    // still be EXACT (identical pair set to the all-pairs scan)
+    val vocab = Array("data", "spark", "pipeline", "query", "join", "shuffle")
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until 12).map(j => vocab(((i * 7 + j * 3 + j * j) % 6).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinPrefix(docs, "text", "doc_id",
+        threshold = 0.5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exp = Dedup.jaccardAllPairs(docs, "text", "doc_id", k = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == exp.keySet,
+      s"prefix join must be exact: got ${got.keySet} expected ${exp.keySet}")
+    exp.foreach { case (p, j) => assert(approx(got(p), j)) }
+  }
 }
