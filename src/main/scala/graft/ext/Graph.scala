@@ -43,8 +43,19 @@ object Graph {
       orderedSums: Boolean = false): DataFrame = {
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+    // The edge table is the big, loop-invariant side: every iteration joins
+    // it on src. Persist it REPARTITIONED BY src (sorted within partitions)
+    // rather than localCheckpoint'ing raw — the cached InMemoryRelation
+    // keeps the hash partitioning and sort order, so the per-iteration
+    // contribution join reuses them instead of re-shuffling + re-sorting
+    // |E| rows every iteration (2.4M-edge co-purchase graph: ~2 exchanges
+    // of the fact side per iteration saved; only the dst-keyed inflow
+    // aggregate still shuffles, which is inherent). outDeg below rides the
+    // same partitioning for free.
+    val e = graft.Caches.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = ids.count()
     // nodes with no out-edges; fixed across iterations
