@@ -45,10 +45,9 @@ object Pack {
     * canonicalize equal, and RangePartitioner's boundary sampling is
     * seeded by rdd.id, so two independent exchanges would pick DIFFERENT
     * boundaries and silently disagree on pids. The pin is unconditional
-    * — it is not a cache, just a shared-lineage anchor — so
-    * `cacheIntermediate` (which used to gate a MEMORY_AND_DISK persist)
-    * is retained for source compatibility but no longer changes the
-    * plan.
+    * — it is not a cache, just a shared-lineage anchor (the former
+    * `cacheIntermediate` parameter, which gated a MEMORY_AND_DISK
+    * persist, is gone: it had become a silent no-op).
     *
     * `orderCols` must be a total order (add a unique tie-break key):
     * the final sort+window stage above the pinned shuffle is recomputed
@@ -57,13 +56,11 @@ object Pack {
     * boundary, making the result order-dependent).
     */
   def prefixSum(df: DataFrame, weightCol: String, orderCols: Seq[Column],
-      partitionCols: Seq[String], outCol: String = "cum_before",
-      cacheIntermediate: Boolean = true): DataFrame = {
+      partitionCols: Seq[String], outCol: String = "cum_before"): DataFrame = {
     val grp = partitionCols.map(col)
     val grpPid = grp :+ col(PidCol)
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val _ = cacheIntermediate // see Scaladoc: pin is unconditional now
     val ranged0 = df
       .repartitionByRange(nPart, grp ++ orderCols: _*)
       .withColumn(PidCol, spark_partition_id())

@@ -108,6 +108,13 @@ object Clean {
     // sort key carries a monotonically_increasing_id tie-break computed
     // BELOW the exchange: (orderCol, tb) is a total order, so the two
     // recomputations cannot reorder equal orderCol values.
+    // CLUSTER RETRY CAVEAT: mono-id is stable per computed partition, but
+    // if the input itself contains an upstream shuffle, an executor-loss
+    // recomputation of that MAP stage can reassign ids — two consumers
+    // could then disagree on ties between equal orderCol values. The
+    // exposure window (map-stage retry between the two consumer passes)
+    // is the same one the old persist had under block loss; callers with
+    // a natural unique key should order by it instead of relying on ties.
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val wLoc = Window.partitionBy(grpPid: _*)
@@ -444,38 +451,31 @@ object Clean {
     * even when one key's distinct set is corpus-sized.
     *
     * The partition ids MUST be identical for the offset aggregation and
-    * the local cumsum. Two things make that hold WITHOUT materializing
-    * the corpus-sized ranged table (the persist this used to do cost a
-    * full write+read pass per query — r7/r9 perf task):
-    *   - the range exchange is planned with an EXPLICIT partition count
-    *     (REPARTITION_BY_NUM origin), which AQE is contractually not
-    *     allowed to coalesce — so no consumer-side AQEShuffleRead can
-    *     give the two readers different pid layouts;
-    *   - exchange/stage reuse (on by default; AQE stage reuse dedups
-    *     canonicalized-equal subplans across the broadcast and main
-    *     sides) materializes the exchange once, so both consumers read
-    *     the very same shuffle files. Even under recomputation the rows
-    *     are (keys, __val)-DISTINCT — the cumsum sort key is a total
-    *     order, so no tie can reorder between passes — and
-    *     RangePartitioner's boundary sampling is deterministically
-    *     seeded. If a session has disabled exchange reuse we fall back
-    *     to the pinned persist (tracked in [[graft.Caches]]; the
-    *     sequential Verify/Bench harness calls `Caches.releaseAll()`
-    *     per query, and the quantile entry points self-scope).
+    * the local cumsum. The ranged frame is pinned AT THE RDD LEVEL
+    * (createDataFrame over one RDD instance — the same contract as
+    * [[orderedWithCarry]] and Pack.prefixSum): the range exchange and
+    * everything below it materialize once as shared shuffle stages, with
+    * no storage write (this replaced the r7-era MEMORY_AND_DISK persist,
+    * a full write+read pass per query). Exchange-reuse canonicalization
+    * is deliberately NOT relied on: it only fires when both consumers
+    * need the identical below-exchange column set, an invariant that held
+    * by accident here and would break silently if a future passthrough
+    * column were consumed by only one side (each consumer would then plan
+    * its own exchange, RangePartitioner's rdd.id-seeded sampler would
+    * pick different boundaries, and __cum would mis-offset). The pin
+    * makes pid agreement structural instead of optimizer-dependent, for
+    * the weighted (decimal) path as well as the counted one. Rows are
+    * (keys, __val)-DISTINCT, so the per-consumer sort above the pinned
+    * shuffle is a total order and cannot reorder between passes.
     */
   private def prefixSumCdf(perValue: DataFrame, keyCols: Seq[String],
       measure: String, zero: Column): (DataFrame, DataFrame) = {
     val spark = perValue.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val reuseOk =
-      spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
     val ranged0 = perValue
       .repartitionByRange(nPart, (keyCols :+ "__val").map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    val ranged =
-      if (reuseOk) ranged0
-      else graft.Caches.register(
-        ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ranged = spark.createDataFrame(ranged0.rdd, ranged0.schema)
     val pidTotals = ranged.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col(measure)).as("__pt"))
     val keyTotals = pidTotals.groupBy(keyCols.map(col): _*)
@@ -597,9 +597,22 @@ object Clean {
     * per-key totals come from a cheap max(__cum) aggregate over the CDF
     * rows and the ranks are located in place — no new prefix-sum
     * pipeline, no fact-table pass.
+    *
+    * COUNTED CDFs only: the rank arithmetic needs integral `__cum` (and
+    * the `__c` run widths). A WEIGHTED CDF ([[weightedCdf]], decimal
+    * `__cum`) fed here would silently truncate fractional total weight
+    * and shift every rank — rejected up front instead; use
+    * [[weightedQuantilesBy]] for weighted data.
     */
   def quantilesFromExistingCdf(cdf: DataFrame, keyCols: Seq[String],
       probs: Seq[Double]): DataFrame = {
+    cdf.schema("__cum").dataType match {
+      case LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        "quantilesFromExistingCdf requires a COUNTED CdF (integral __cum from " +
+          s"valueCdf); got __cum: $other — a weighted CDF would truncate " +
+          "fractional weight into wrong ranks. Use weightedQuantilesBy.")
+    }
     val totals = cdf.groupBy(keyCols.map(col): _*)
       .agg(max(col("__cum")).cast(LongType).as("__n"))
     quantilesFromCdf(cdf, totals, keyCols, probs)

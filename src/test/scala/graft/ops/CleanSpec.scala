@@ -105,13 +105,14 @@ class CleanSpec extends SparkSpec {
     assert(ff == expFf)
   }
 
-  test("valueCdf prefix sums are exact across partitions and reuse ONE range exchange") {
+  test("valueCdf prefix sums are exact across partitions behind the RDD pin") {
     // 20k near-unique values over 4 partitions: big enough that two
     // independently-sampled range exchanges would pick different
     // boundaries (sampler seeded by rdd.id) and silently mis-offset the
-    // cumsum — the persist-free prefixSumCdf is only correct because its
-    // two consumers share ONE materialized exchange via reuse. Assert
-    // both the values and the plan shape that guarantees them.
+    // cumsum. prefixSumCdf pins the ranged frame at the RDD level, so
+    // the consumer plan must show the pin (Scan ExistingRDD) and NO
+    // REPARTITION_BY_NUM exchange of its own — pid agreement is then
+    // structural, not dependent on exchange-reuse canonicalization.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
@@ -137,24 +138,52 @@ class CleanSpec extends SparkSpec {
         counts.scanLeft((k, 0.0, 0L)) { case ((_, _, cum), (v, c)) => (k, v, cum + c) }.drop(1)
       }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == exp)
-    // the collected frame's ADAPTIVE FINAL plan is the one whose reuse
-    // matters (the initial plan legitimately shows both copies un-reused)
+    // plan shape: the pin hides prefixSumCdf's range exchange below a
+    // Scan ExistingRDD, so the consumer plan may contain NO
+    // REPARTITION_BY_NUM range exchange (one appearing again would mean
+    // the pin was dropped and correctness regressed to optimizer luck)
     val nodes = allNodes(cdf.queryExecution.executedPlan)
-    // AQE represents a reused stage as the SAME stage object appearing in
-    // two places (or as ReusedExchange, pruned above) — dedup by identity
-    // so sharing counts once and only genuine re-materializations fail
-    // REPARTITION_BY_NUM filters to prefixSumCdf's own exchange (the
-    // test's orderBy plans its own ENSURE_REQUIREMENTS range exchange)
     val rangeExchanges = nodes.collect {
       case e: ShuffleExchangeExec
         if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
           e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => e
     }
-    val distinctExchanges = rangeExchanges.foldLeft(List.empty[SparkPlan]) {
-      (acc, e) => if (acc.exists(_ eq e)) acc else e :: acc
+    assert(rangeExchanges.isEmpty,
+      s"prefixSumCdf's range exchange must live below the RDD pin; found ${rangeExchanges.size} in the consumer plan")
+    assert(nodes.exists(_.toString.contains("ExistingRDD")),
+      "expected the RDD pin (Scan ExistingRDD) in the CDF consumer plan")
+    graft.Caches.releaseAll()
+  }
+
+  test("weightedCdf prefix sums are exact across partitions (decimal measure)") {
+    // same boundary-straddle shape as the counted test, through the
+    // WEIGHTED (decimal) path: per-key running sum of weights in value
+    // order must match a single-partition driver reference exactly —
+    // this is the path a canonicalization regression would corrupt first
+    // (its consumers aggregate different columns), so it gets its own
+    // value gate on top of the pin's plan gate.
+    val df = (1 to 20000).map { i =>
+      (s"k${i % 3}", (i * 7919 % 20011).toDouble, ((i % 7) + 1).toLong)
+    }.toDF("k", "v", "w")
+    val cdf = Clean.weightedCdf(df, "v", "w", Seq("k")).orderBy("k", "__val")
+    val got = cdf.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDecimal(3).longValueExact()))
+    val exp = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val perVal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+        perVal.scanLeft((k, 0.0, 0L)) { case ((_, _, cum), (v, w)) => (k, v, cum + w) }.drop(1)
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp)
+    graft.Caches.releaseAll()
+  }
+
+  test("quantilesFromExistingCdf rejects a weighted (decimal) CDF loudly") {
+    val df = Seq(("a", 1.0, 2L), ("a", 2.0, 3L)).toDF("k", "v", "w")
+    val weighted = Clean.weightedCdf(df, "v", "w", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Clean.quantilesFromExistingCdf(weighted, Seq("k"), Seq(0.5))
     }
-    assert(distinctExchanges.size == 1,
-      s"prefixSumCdf must materialize exactly one range exchange (both consumers share it); got ${distinctExchanges.size}")
+    assert(e.getMessage.contains("COUNTED"))
     graft.Caches.releaseAll()
   }
 
