@@ -43,6 +43,14 @@ object Sources {
   def readExcel(spark: SparkSession, path: String): DataFrame =
     Xlsx.read(spark, path)
 
+  /** `pd.read_excel(path, sheet_name=<index>)`. */
+  def readExcel(spark: SparkSession, path: String, sheet: Int): DataFrame =
+    Xlsx.read(spark, path, Left(sheet))
+
+  /** `pd.read_excel(path, sheet_name=<name>)`. */
+  def readExcel(spark: SparkSession, path: String, sheet: String): DataFrame =
+    Xlsx.read(spark, path, Right(sheet))
+
   /** Multi-format dispatch by file extension — the reference's upload loop
     * (`DIH.py:172-179`: csv/xlsx/json/parquet).
     */

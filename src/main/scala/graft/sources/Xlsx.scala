@@ -17,8 +17,10 @@ import scala.collection.mutable.ArrayBuffer
   * contract. This is an upload-ingestion path for small files, not a
   * distributed scan: convert to parquet immediately (as `Pipeline.ingest`
   * does for every format) before any heavy processing. Supported subset:
-  * single sheet, first row = header, shared/inline strings, numeric cells;
-  * pandas-style inference promotes all-numeric columns to double.
+  * multiple sheets (select by 0-based index or name, workbook.xml-ordered
+  * like pandas `sheet_name=`), first row = header, shared/inline strings,
+  * numeric cells; pandas-style inference promotes all-numeric columns to
+  * double.
   */
 object Xlsx {
 
@@ -69,11 +71,63 @@ object Xlsx {
         s"$path is not an .xlsx workbook (no zip/PK magic)")
   }
 
-  /** Read sheet1 of an .xlsx into a DataFrame: header row -> column names;
-    * a column whose every non-empty cell is numeric becomes DoubleType
-    * (pandas inference), everything else StringType.
+  /** Workbook sheet inventory in WORKBOOK ORDER (= pandas' sheet index
+    * order): (name, zip entry of the sheet XML). Resolution is the real
+    * OPC route — workbook.xml's `<sheet r:id=...>` joined to
+    * xl/_rels/workbook.xml.rels targets — because writers do NOT have to
+    * name parts sheetN.xml in display order. Workbooks without a
+    * workbook.xml (minimal writers) fall back to the single conventional
+    * sheet1.xml.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  private def sheetEntries(zf: ZipFile, path: String): IndexedSeq[(String, String)] = {
+    val inventory = for {
+      wb <- zipEntryBytes(zf, "xl/workbook.xml")
+      rels <- zipEntryBytes(zf, "xl/_rels/workbook.xml.rels")
+    } yield {
+      val targets = elements(parseXml(rels), "Relationship").map { r =>
+        val t = r.getAttribute("Target")
+        r.getAttribute("Id") -> (if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+      }.toMap
+      elements(parseXml(wb), "sheet").flatMap { s =>
+        // the relationship id attribute is namespace-prefixed (r:id by
+        // convention); the parser is not namespace-aware, so match the
+        // conventional name first and fall back to any *:id prefix
+        val rid = {
+          val direct = s.getAttribute("r:id")
+          if (direct.nonEmpty) direct
+          else {
+            val attrs = s.getAttributes
+            (0 until attrs.getLength).map(attrs.item)
+              .collectFirst {
+                case a: org.w3c.dom.Attr if a.getName.endsWith(":id") => a.getValue
+              }.getOrElse("")
+          }
+        }
+        targets.get(rid).map(s.getAttribute("name") -> _)
+      }.toIndexedSeq
+    }
+    inventory.filter(_.nonEmpty)
+      .getOrElse(IndexedSeq("Sheet1" -> "xl/worksheets/sheet1.xml"))
+  }
+
+  /** Sheet names in workbook order (the `pd.ExcelFile(...).sheet_names`
+    * surface). */
+  def sheetNames(path: String): Seq[String] = {
+    sniffMagic(path)
+    val zf = new ZipFile(path)
+    try sheetEntries(zf, path).map(_._1)
+    finally zf.close()
+  }
+
+  /** Read one sheet of an .xlsx into a DataFrame: header row -> column
+    * names; a column whose every non-empty cell is numeric becomes
+    * DoubleType (pandas inference), everything else StringType.
+    * `sheet` selects by 0-based workbook-order index (`Left`, pandas
+    * `sheet_name=0` default) or by display name (`Right`) — the
+    * `pd.read_excel(..., sheet_name=...)` surface (DIH.py:172-173).
+    */
+  def read(spark: SparkSession, path: String,
+      sheet: Either[Int, String] = Left(0)): DataFrame = {
     sniffMagic(path)
     val zf = new ZipFile(path)
     try {
@@ -82,8 +136,18 @@ object Xlsx {
           elements(parseXml(b), "si").map(si => childElements(si, "t")
             .map(_.getTextContent).mkString).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
-      val sheetBytes = zipEntryBytes(zf, "xl/worksheets/sheet1.xml")
-        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
+      val sheets = sheetEntries(zf, path)
+      val entry = sheet match {
+        case Left(i) =>
+          if (i < 0 || i >= sheets.size) throw new IllegalArgumentException(
+            s"$path: sheet index $i out of range (${sheets.size} sheet(s))")
+          sheets(i)._2
+        case Right(n) => sheets.find(_._1 == n).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path: no sheet named '$n' (have: ${sheets.map(_._1).mkString(", ")})"))
+      }
+      val sheetBytes = zipEntryBytes(zf, entry)
+        .getOrElse(throw new IllegalArgumentException(s"$path: missing part $entry"))
       val rows = ArrayBuffer.empty[Map[Int, String]]
       elements(parseXml(sheetBytes), "row").foreach { rowEl =>
         // ECMA-376 makes the cell reference attribute 'r' optional: a cell
@@ -145,11 +209,12 @@ object Xlsx {
   }
 
   /** Write a (small, driver-collected) DataFrame as a minimal single-sheet
-    * .xlsx: numerics as number cells, everything else as inline strings.
-    * Same contract as [[read]]: an interchange/export path for bounded
-    * results (reports, samples), not a distributed sink.
+    * .xlsx. See [[writeSheets]] for the contract.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String): Unit =
+    writeSheets(Seq("Sheet1" -> df), path)
+
+  private def sheetXml(df: DataFrame): String = {
     val names = df.columns.toIndexedSeq
     val numericCol = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
     val rows = df.collect()
@@ -174,28 +239,51 @@ object Xlsx {
       sb.append("</row>")
     }
     sb.append("</sheetData></worksheet>")
+    sb.toString()
+  }
 
+  /** Write (small, driver-collected) DataFrames as a minimal MULTI-sheet
+    * .xlsx — one worksheet per (name, frame) pair, in the given order, so
+    * [[read]] by index or by name round-trips: numerics as number cells,
+    * everything else as inline strings. Same contract as [[read]]: an
+    * interchange/export path for bounded results (reports, samples), not
+    * a distributed sink.
+    */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeSheets needs at least one sheet")
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(", ")}")
+    val n = sheets.size
+    val overrides = (1 to n).map { i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+    }.mkString
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        overrides +
         """</Types>"""
     val rootRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
         """</Relationships>"""
+    val sheetDecls = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
     val workbook =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+        s"""<sheets>$sheetDecls</sheets></workbook>"""
+    val wbRelDecls = (1 to n).map { i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
+    }.mkString
     val wbRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        wbRelDecls +
         """</Relationships>"""
 
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
@@ -209,7 +297,9 @@ object Xlsx {
       put("_rels/.rels", rootRels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", wbRels)
-      put("xl/worksheets/sheet1.xml", sb.toString())
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
     } finally zos.close()
   }
 }

@@ -78,6 +78,29 @@ class SkewSourcesSpec extends SparkSpec {
     assert(rows(2).getDouble(1) == -0.75)
   }
 
+  test("S2 xlsx multi-sheet round-trip: select by index and by name, in workbook order") {
+    import graft.sources.Xlsx
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_multi").toString
+    val metrics = Seq((1L, 0.5), (2L, 1.25)).toDF("id", "score")
+    val labels = Seq(("a", "alpha"), ("b", "beta & <gamma>")).toDF("code", "label")
+    Xlsx.writeSheets(Seq("Metrics" -> metrics, "Labels" -> labels), s"$tmp/wb.xlsx")
+    assert(Xlsx.sheetNames(s"$tmp/wb.xlsx") == Seq("Metrics", "Labels"))
+    // default read = first sheet (pandas sheet_name=0)
+    assert(Sources.readExcel(spark, s"$tmp/wb.xlsx").columns.toSeq == Seq("id", "score"))
+    val byIdx = Sources.readExcel(spark, s"$tmp/wb.xlsx", 1).orderBy("code").collect()
+    assert(byIdx.map(_.getString(1)).toSeq == Seq("alpha", "beta & <gamma>"))
+    val byName = Sources.readExcel(spark, s"$tmp/wb.xlsx", "Metrics").orderBy("id").collect()
+    assert(byName.map(_.getDouble(1)).toSeq == Seq(0.5, 1.25))
+    // unknown selectors fail with the inventory in the message
+    val e = intercept[IllegalArgumentException] {
+      Sources.readExcel(spark, s"$tmp/wb.xlsx", "Nope")
+    }
+    assert(e.getMessage.contains("Metrics"))
+    intercept[IllegalArgumentException] {
+      Sources.readExcel(spark, s"$tmp/wb.xlsx", 2)
+    }
+  }
+
   test("S2 xlsx reads a real table identically to its source (rows-only query fidelity)") {
     import graft.sources.Xlsx
     val region = graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
