@@ -421,10 +421,6 @@ object SparkEntry {
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")),
-    // maxBucketSize engages the production skew guard (capBuckets size
-    // pass + anti-join) under the oracle gate: no bucket in this corpus
-    // exceeds 10k members, so the guard must provably change NOTHING on
-    // clean data — the hash row breaks if it ever does
     // Production parametrization for low-entropy (boilerplate-heavy)
     // corpora: k=5 word shingles — on the ~30-word-vocabulary documents
     // table, 3-shingles have median document frequency 9 (max 25), while
