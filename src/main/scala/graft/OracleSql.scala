@@ -1784,14 +1784,14 @@ object OracleSql {
          |       FROM batch b WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) NOT IN (SELECT fp FROM cfp)),
          |bwin AS (SELECT fp, min(doc_id) AS keep_id FROM b1 GROUP BY fp),
          |b2 AS (SELECT b1.* FROM b1 JOIN bwin ON b1.fp = bwin.fp AND b1.doc_id = bwin.keep_id),
-         |${minhashBandCtes("b", "b2")},
-         |${minhashBandCtes("c", "corpus")},
+         |${minhashBandCtes("b", "b2", 5)},
+         |${minhashBandCtes("c", "corpus", 5)},
          |xcand AS (SELECT DISTINCT x.doc_id AS bid, x.s AS sa, y.s AS sb
          |          FROM bbanded x JOIN cbanded y ON x.bidx = y.bidx AND x.band_key = y.band_key),
          |xmatch AS (SELECT DISTINCT bid FROM xcand
          |           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.25),
          |b3 AS (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT bid FROM xmatch)),
-         |${minhashBandCtes("w", "b3")},
+         |${minhashBandCtes("w", "b3", 5)},
          |wcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
          |          FROM wbanded x JOIN wbanded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |wpairs AS (SELECT id_a, id_b FROM wcand

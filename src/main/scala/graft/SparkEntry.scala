@@ -1728,7 +1728,12 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val batch = docs.where(col("doc_id") % 5 === 0)
       val corpus = docs.where(col("doc_id") % 5 =!= 0)
-      Dedup.incrementalDedup(batch, corpus, "text", "doc_id", threshold = 0.25)
+      // same production parametrization as q_dedup_minhash: k=5 shingles
+      // (near-unique on low-entropy text) with the skew guard armed; the
+      // cap cannot trip at the sf0.01 gate (batch is 100 docs), so the
+      // unmirrored guard is provably result-invisible there
+      Dedup.incrementalDedup(batch, corpus, "text", "doc_id", k = 5,
+        threshold = 0.25, maxBucketSize = 500)
         .select("doc_id").orderBy("doc_id")
     }),
 
