@@ -30,7 +30,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // 4 = one guaranteed steady rep + up to two stall retries; the retry
+    // gate below means non-stalled queries never run more than twice, so
+    // the default costs ~nothing beyond the 2-run baseline (measured: one
+    // r10 stall window covered BOTH non-cold reps of a query at runs=3)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -40,6 +44,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Metrics.enableLogging() // observed candidate counts stay visible
     // untimed warmup: JVM/codegen/session init otherwise lands entirely on
     // whichever query sorts first alphabetically
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -24,6 +24,14 @@ object Metrics {
   /** Unique observe-node name: `graft_<what>_<n>`. */
   def name(what: String): String = s"graft_${what}_${ctr.incrementAndGet()}"
 
+  /** Keep graft.Metrics at INFO even when the session mains drop Spark to
+    * WARN (Bench/ProbeSlow do) — the whole point of the observed counts is
+    * that they appear in the bench log next to a slow run.
+    */
+  def enableLogging(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.Metrics", org.apache.logging.log4j.Level.INFO)
+
   /** Idempotently attach the graft_* metric logger to `spark`. */
   def ensureListener(spark: SparkSession): Unit =
     if (sessions.add(spark)) {

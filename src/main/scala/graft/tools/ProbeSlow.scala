@@ -12,6 +12,7 @@ object ProbeSlow {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Metrics.enableLogging()
     spark.range(1000).selectExpr("sum(id)").collect()
     val dir = "/root/testdata/sf0.1"
     for (name <- args) {
