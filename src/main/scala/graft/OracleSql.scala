@@ -2545,6 +2545,26 @@ object OracleSql {
          |    / count(*), 6) AS dup_frac
          |FROM ch c JOIN d USING (ch) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
 
+    // the APPLY step: same chunking, viral chunks (df > 1) removed, doc
+    // reassembled from surviving chunks in order plus the unhashed tail
+    "q_text_boilerplate_clean" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |b AS (SELECT doc_id, tk, CAST(len(tk) // 8 AS INTEGER) AS nc,
+         |        coalesce(array_to_string(tk[CAST(len(tk) // 8 AS INTEGER)*8+1 :], ' '), '') AS tl FROM t),
+         |ch0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, nc - 1),
+         |          i -> struct_pack(idx := i, ct := array_to_string(tk[i*8+1 : i*8+8], ' ')))) AS u
+         |        FROM b WHERE nc > 0),
+         |ch AS (SELECT doc_id, u.idx AS idx, u.ct AS chtext FROM ch0),
+         |d AS (SELECT md5(chtext) AS h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+         |kept AS (SELECT c.doc_id, c.idx, c.chtext FROM ch c JOIN d ON md5(c.chtext) = d.h
+         |         WHERE d.ndocs <= 1),
+         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nkept,
+         |         string_agg(chtext, ' ' ORDER BY idx) AS body FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.nc AS BIGINT) AS n_chunks,
+         |  CAST(b.nc - coalesce(ka.nkept, 0) AS BIGINT) AS removed_chunks,
+         |  coalesce(array_to_string(list_filter([coalesce(ka.body, ''), b.tl], x -> x <> ''), ' '), '') AS text_clean
+         |FROM b LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     // token Shannon entropy; plogp folds left-to-right over the
     // term-sorted count list — same fold DAG as the Spark side
     "q_text_entropy" ->

@@ -2674,6 +2674,12 @@ object SparkEntry {
     "q_text_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateChunks(T(s, dir, "documents"), "text", "doc_id", 8)
         .orderBy("doc_id")),
+    // the APPLY step: drop chunks shared across docs (df > 1, the C4
+    // convention), reassemble surviving tokens in order
+    "q_text_boilerplate_clean" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplateChunks(T(s, dir, "documents"), "text",
+          "doc_id", chunkTokens = 8, maxDocFreq = 1)
+        .orderBy("doc_id")),
     "q_text_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),

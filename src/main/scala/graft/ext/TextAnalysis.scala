@@ -438,6 +438,63 @@ object TextAnalysis {
           .as("dup_frac"))
   }
 
+  /** C4-style boilerplate REMOVAL — the apply step to
+    * [[boilerplateChunks]]'s detection: drop every disjoint
+    * `chunkTokens`-token chunk whose corpus document-frequency exceeds
+    * `maxDocFreq` (the public C4 paper removed any 3-sentence span that
+    * appeared more than once; this is the token-chunk analogue, sharing
+    * [[boilerplateChunks]]'s exact chunking so detect and apply agree),
+    * then reassemble each document from its surviving chunks in original
+    * order plus the unhashed sub-chunk tail. Output: (doc_id, n_chunks,
+    * removed_chunks, text_clean) with text_clean = space-joined surviving
+    * tokens.
+    *
+    * Scale shape: chunk rows shuffle once on the chunk hash for the
+    * doc-frequency count; the viral-chunk set (df > maxDocFreq) is the
+    * genuinely small side of a left-anti join (AQE broadcasts it when it
+    * fits); reassembly is one doc-keyed aggregate whose per-group buffer
+    * is bounded by document size. Token arrays never ride the frequency
+    * shuffle — only (doc_id, hash) pairs do.
+    */
+  def removeBoilerplateChunks(df: DataFrame, textCol: String, docIdCol: String,
+      chunkTokens: Int = 8, maxDocFreq: Long = 1): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val base = df
+      .select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .withColumn("__nc", (size(col("__tk")) / chunkTokens).cast("int"))
+      .withColumn("__tail", concat_ws(" ",
+        slice(col("__tk"), col("__nc") * chunkTokens + 1, lit(chunkTokens))))
+    val chRows = base
+      .where(col("__nc") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => concat_ws(" ", slice(col("__tk"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .toDF("doc_id", "idx", "chtext")
+      .withColumn("__h", md5(col("chtext")))
+    // distinct (doc, hash) first so doc-frequency is a plain map-side
+    // combinable count — same shape as boilerplateChunks
+    val viral = chRows.select("doc_id", "__h").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__ndocs"))
+      .where(col("__ndocs") > maxDocFreq)
+      .select("__h")
+    val kept = chRows.join(viral, Seq("__h"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("__nkept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("idx"), col("chtext")))),
+          x => x.getField("chtext"))).as("__body"))
+    base.select("doc_id", "__nc", "__tail")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("__nc").cast("long").as("n_chunks"),
+        (col("__nc") - coalesce(col("__nkept"), lit(0L))).cast("long")
+          .as("removed_chunks"),
+        concat_ws(" ",
+          filter(array(coalesce(col("__body"), lit("")), col("__tail")),
+            s => s =!= "")).as("text_clean"))
+  }
+
   /** Per-document token Shannon entropy — the cheap perplexity proxy of
     * quality filtering (low entropy = repeated/templated text, high =
     * diverse vocabulary). H = log2(n) − (Σ c·log2 c)/n over per-term

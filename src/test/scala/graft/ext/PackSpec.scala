@@ -105,6 +105,31 @@ class PackSpec extends SparkSpec {
     assert(!got.contains(4L), "doc shorter than one chunk must be excluded")
   }
 
+  test("removeBoilerplateChunks drops shared chunks, keeps order and the tail") {
+    val common = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    val aTokens = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " " + aTokens + " trailing bits"), // shared + unique + tail
+      (2L, common + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 16).map(i => s"c$i").mkString(" ")),  // nothing shared
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .removeBoilerplateChunks(docs, "text", "doc_id", chunkTokens = 8)
+      .select("doc_id", "n_chunks", "removed_chunks", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: the shared template chunk goes, unique chunk + tail survive in order
+    assert(got(1L) == ((2L, 1L, aTokens + " trailing bits")))
+    assert(got(2L)._2 == 1L && got(2L)._3 == (1 to 8).map(i => s"b$i").mkString(" "))
+    // doc 3 untouched; doc 4 below one chunk = pure tail, never removable
+    assert(got(3L) == ((2L, 0L, (1 to 16).map(i => s"c$i").mkString(" "))))
+    assert(got(4L) == ((0L, 0L, "too short")))
+    // detect/apply consistency: removed_chunks == boilerplateChunks' dup_chunks
+    val dup = TextAnalysis.boilerplateChunks(docs, "text", "doc_id", 8)
+      .select("doc_id", "dup_chunks").as[(Long, Long)].collect().toMap
+    dup.foreach { case (id, d) => assert(got(id)._2 == d, s"doc $id") }
+  }
+
   test("tokenEntropy: repeated token = 0 bits, uniform tokens = log2(n)") {
     val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
     val got = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
