@@ -136,6 +136,27 @@ object OracleSql {
        |         FROM kept x JOIN kept y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
 
+  /** Arithmetic replay of the image dHash chain (mirrors
+    * Multimodal.dhash64 over Multimodal.bmpStripes fixtures): stripe
+    * values from md5(text) hex pairs, Rec.601 gray per single-pixel
+    * block (identical double DAG: 0.299*x + 0.587*x + 0.114*x), bit
+    * r*8+c set iff the right neighbor is strictly brighter. Bit 63 is
+    * the literal -2^63 (DuckDB refuses 1<<63); bits are disjoint so SUM
+    * composes them exactly like OR. Ends in `h(doc_id, dh)`.
+    */
+  private val dhashCtes: String =
+    """v AS (SELECT doc_id, list_transform(generate_series(0, 8),
+      |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INTEGER)) AS vals FROM documents),
+      |g AS (SELECT doc_id, list_transform(vals, x -> 0.299*x + 0.587*x + 0.114*x) AS gr FROM v),
+      |dbits AS (SELECT doc_id, rr.r AS r, cc.c AS c,
+      |    CASE WHEN gr[cc.c + 2] > gr[cc.c + 1] THEN 1 ELSE 0 END AS bit
+      |  FROM g, (SELECT unnest(generate_series(0, 7)) AS r) rr,
+      |       (SELECT unnest(generate_series(0, 7)) AS c) cc),
+      |h AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 1 THEN
+      |    CASE WHEN r*8 + c = 63 THEN (-9223372036854775808)::BIGINT
+      |         ELSE 1::BIGINT << (r*8 + c) END
+      |  ELSE 0 END) AS BIGINT) AS dh FROM dbits GROUP BY doc_id)""".stripMargin
+
   /** Gaps-and-islands sessionization — shared by the session_window query
     * and the flatMapGroupsWithState variant (identical semantics). */
   private val sessionizeSql: String =
@@ -690,6 +711,18 @@ object OracleSql {
         |  CASE WHEN bin = 2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h2,
         |  CASE WHEN bin = 3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h3
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    "q_image_dhash" ->
+      s"""WITH $dhashCtes
+         |SELECT doc_id, dh AS dhash FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_image_neardup" ->
+      s"""WITH $dhashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS dist
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sessionize" -> sessionizeSql,
 

@@ -563,6 +563,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- perceptual image dHash over expression-built striped BMPs: the
+    // Spark side decodes REAL 9x8 BMP bytes (row padding and all) through
+    // ImageIO and block-means them; the oracle recomputes the same 64-bit
+    // hash purely arithmetically from the stripe values — hash-green
+    // proves codec + downsample + bit logic end to end -------------------
+    "q_image_dhash" -> ((s, dir) => {
+      val vals = transform(sequence(lit(0), lit(8)),
+        i => conv(md5(col("text")).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.dhash64(Multimodal.bmpStripes(vals)).as("dhash"))
+        .orderBy("doc_id")
+    }),
+    // exact/near-exact duplicate IMAGES via banded Hamming join on the
+    // dHashes (pigeonhole recall guarantee; oracle = brute-force all
+    // pairs). md5-derived stripes make distinct payloads land far apart,
+    // so surviving pairs are genuine duplicates.
+    "q_image_neardup" -> ((s, dir) => {
+      val vals = transform(sequence(lit(0), lit(8)),
+        i => conv(md5(col("text")).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.dhash64(Multimodal.bmpStripes(vals)).as("dhash"))
+      Multimodal.nearDupByHamming(sig, "doc_id", "dhash", bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
     // exact distinct users per day via the streaming-safe dedup-then-count

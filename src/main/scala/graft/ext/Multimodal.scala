@@ -260,6 +260,133 @@ object Multimodal {
       unhex(repeat(concat(hx(b), hx(g), hx(r)), width * height)))
   }
 
+  // ===== perceptual image hashing (dHash) ================================
+
+  /** 64-bit difference hash (dHash) from a REAL codec pass — the classic
+    * perceptual near-dup fingerprint for images (public references:
+    * Krawetz's "Kind of Like That" dHash write-up; widely reimplemented).
+    * ImageIO decodes the payload, the pixel grid is reduced to 9x8
+    * block-mean grayscales (exact INTEGER channel sums per block, then one
+    * Rec.601 double per block — no float accumulation-order drift), and
+    * bit r*8+c is set iff the block to the right is strictly brighter:
+    * grid(r)(c+1) > grid(r)(c). Hamming distance between hashes tracks
+    * perceptual difference and survives rescaling/recompression. Returns
+    * null for undecodable payloads or images smaller than the 9x8 grid.
+    * Justified UDF: no expression form of a codec (same tier as
+    * [[decodeImageFeatures]]). Scan-local, no shuffle.
+    */
+  private val dhash64Udf = udf((bytes: Array[Byte]) => {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+            val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            grid(r)(c) = 0.299 * (sr.toDouble / n) + 0.587 * (sg.toDouble / n) +
+              0.114 * (sb.toDouble / n)
+            c += 1
+          }
+          r += 1
+        }
+        var hash = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  })
+
+  def dhash64(payload: Column): Column = dhash64Udf(payload)
+
+  /** Expression-built 9x8 24-bit BMP of vertical gray stripes — the dHash
+    * fixture: column c carries `vals[c]` (0-255) in all three channels, so
+    * the 9x8 block grid IS the stripe list and an oracle recomputes the
+    * whole hash arithmetically from the same values, while the Spark side
+    * decodes REAL BMP bytes (including the 1-byte row padding 27 -> 28).
+    * `vals` must be an array<int> of exactly 9 values in [0, 255].
+    */
+  def bmpStripes(vals: Column): Column = {
+    val width = 9; val height = 8
+    val rowSize = 28 // 27 pixel bytes + 1 pad byte to the 4-byte boundary
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    def le16(v: Int): String = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    val imgSize = rowSize * height
+    val header = "424D" + le32(54 + imgSize) + "00000000" + le32(54) +
+      le32(40) + le32(width) + le32(height) + le16(1) + le16(24) +
+      le32(0) + le32(imgSize) + le32(2835) + le32(2835) + le32(0) + le32(0)
+    val rowHex = concat(
+      concat_ws("", transform(vals,
+        v => repeat(lpad(hex(v.cast(IntegerType)), 2, "0"), 3))),
+      lit("00"))
+    concat(unhex(lit(header)), unhex(repeat(rowHex, height)))
+  }
+
+  /** Banded Hamming near-dup pairs over 64-bit signatures (e.g.
+    * [[dhash64]]): the same pigeonhole guarantee as Dedup.nearDupSimhash —
+    * with `bands > maxDist`, two signatures within Hamming `maxDist`
+    * differ in at most `maxDist` bands and therefore share at least one
+    * band exactly, so the result EQUALS the all-pairs scan while the join
+    * shuffles only (band_idx, band_val, id, sig) rows keyed by tiny band
+    * values. The top band uses an unsigned shift so the sign bit of the
+    * 64-bit signature never smears the band value.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
+    */
+  def nearDupByHamming(sig: DataFrame, idCol: String, sigCol: String,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist < bands,
+      s"guaranteed recall needs bands > maxDist (got bands=$bands, maxDist=$maxDist)")
+    require(64 % bands == 0, "bands must divide the 64-bit signature")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val s = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("band_val"))
+    }
+    val banded = s.select(col("id"), col("sig"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+    banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** Pseudo-featurizer for NON-media payloads =======================
     * For payloads that are not decodable media (plain text bytes in the
     * synthetic tables), there is nothing for a codec to decode — this

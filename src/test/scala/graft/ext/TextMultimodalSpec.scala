@@ -269,4 +269,58 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m(1L) == (640, 480, 16))
     assert(m(2L) == (33, 100000, 16))
   }
+
+  test("dhash64 goldens on striped BMPs: ascending = all ones, descending = 0") {
+    // strictly ascending stripes: every right neighbor brighter -> all 64
+    // bits set (-1L); strictly descending -> no bit set (0L)
+    val asc = (0 until 9).map(i => i * 20)
+    val desc = asc.reverse
+    val df = Seq((1L, asc), (2L, desc)).toDF("id", "vals")
+    val got = df.select(col("id"),
+        Multimodal.dhash64(Multimodal.bmpStripes(col("vals"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == -1L, f"ascending must set all bits, got ${got(1L)}%016x")
+    assert(got(2L) == 0L)
+  }
+
+  test("dhash64 block-mean downsample on a real multi-pixel-block PNG") {
+    // 18x16 image = 2x2 pixel blocks per grid cell; stripe value depends
+    // only on the grid column, so block means reproduce the stripe list
+    // and the hash must equal the 9x8 fixture hash for the same stripes
+    val stripes = Array(10, 250, 30, 200, 70, 160, 110, 40, 220)
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 18).foreach { x =>
+      val v = stripes(x / 2)
+      (0 until 16).foreach(y => img.setRGB(x, y, (v << 16) | (v << 8) | v))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val big = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select(Multimodal.dhash64(col("payload"))).head().getLong(0)
+    val small = Seq((1L, stripes.toSeq)).toDF("id", "vals")
+      .select(Multimodal.dhash64(Multimodal.bmpStripes(col("vals")))).head().getLong(0)
+    assert(big == small, f"downsampled hash $big%016x != fixture hash $small%016x")
+    // and undecodable / too-small payloads yield null, not errors
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(junk.select(Multimodal.dhash64(col("payload"))).head().isNullAt(0))
+  }
+
+  test("nearDupByHamming equals the brute-force all-pairs Hamming scan") {
+    // crafted signatures incl. the sign bit: pairs within dist 3 must all
+    // surface (pigeonhole guarantee), none invented
+    val sigs = Seq(
+      (1L, 0L), (2L, 1L), (3L, 7L),                    // 1-2 d1, 1-3 d3, 2-3 d2
+      (4L, -1L), (5L, -2L),                            // 4-5 d1 (sign bit set)
+      (6L, 0x0F0F0F0F0F0F0F0FL))                       // far from everything
+    val df = sigs.toDF("id", "sig")
+    val got = Multimodal.nearDupByHamming(df, "id", "sig", bands = 4, maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val exp = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
