@@ -712,6 +712,18 @@ object OracleSql {
         |  CASE WHEN bin = 3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h3
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
+    // repeated-md5 sample bytes the Spark fixture builds into a real WAV
+    "q_audio_frame_energy" ->
+      """WITH s AS (SELECT doc_id, repeat(md5(text), 16) AS hx FROM documents),
+        |e AS (SELECT doc_id, jj.j AS j,
+        |    CAST(('0x' || substr(hx, jj.j*4+3, 2) || substr(hx, jj.j*4+1, 2)) AS BIGINT) AS v0
+        |  FROM s, (SELECT unnest(generate_series(0, 127)) AS j) jj),
+        |v AS (SELECT doc_id, CAST(j // 32 AS BIGINT) AS frame,
+        |    CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS sv FROM e)
+        |SELECT doc_id, frame, round(sqrt(CAST(sum(sv*sv) AS DOUBLE) / 32), 6) AS rms
+        |FROM v GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
+
     "q_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT doc_id, dh AS dhash FROM h ORDER BY doc_id""".stripMargin,

@@ -590,6 +590,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- audio frame energy over expression-built REAL PCM WAVs: sample
+    // bytes come from md5(text) repeated, so the oracle replays the
+    // signed-16-bit decode + RMS purely arithmetically while Spark parses
+    // actual RIFF/WAVE payloads (magic + fmt checked) --------------------
+    "q_audio_frame_energy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.wavPcm16(repeat(md5(col("text")), 16), numSamples = 128).as("wav"))
+      Multimodal.audioFrameEnergy(d, "wav", "doc_id", frameSamples = 32)
+        .select(col("id").as("doc_id"), col("frame"), col("rms"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
     // exact distinct users per day via the streaming-safe dedup-then-count

@@ -387,6 +387,73 @@ object Multimodal {
       .where(col("dist") <= maxDist)
   }
 
+  // ===== audio feature extraction (PCM frame energy) =====================
+
+  /** Expression-built canonical 44-byte-header WAV (PCM, mono, 16-bit):
+    * `samplesHex` is the hex string of the little-endian 16-bit samples
+    * (2 hex chars per byte, 4 per sample). PCM is uncompressed, so a
+    * fixture built this way is a REAL playable WAV whose sample values an
+    * oracle can recompute from the same hex — the audio analogue of
+    * [[bmpStripes]].
+    */
+  def wavPcm16(samplesHex: Column, numSamples: Int, sampleRate: Int = 8000): Column = {
+    require(numSamples > 0, s"numSamples must be positive: $numSamples")
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    def le16(v: Int): String = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    val dataSize = numSamples * 2
+    val header = "52494646" + le32(36 + dataSize) + "57415645" + // RIFF <sz> WAVE
+      "666D7420" + le32(16) + le16(1) + le16(1) +                // fmt : PCM, mono
+      le32(sampleRate) + le32(sampleRate * 2) + le16(2) + le16(16) +
+      "64617461" + le32(dataSize)                                // data <sz>
+    concat(unhex(lit(header)), unhex(samplesHex))
+  }
+
+  /** Per-frame RMS energy over 16-bit PCM mono WAV payloads — the audio
+    * feature-extraction stage of a multimodal pipeline (silence trimming,
+    * energy-based segmentation, loudness filters all start here).
+    * EXPRESSION-ONLY, no UDF: PCM is uncompressed, so "decoding" a sample
+    * is hex arithmetic — unlike images there is no codec to justify one.
+    * Non-WAV / non-PCM16-mono payloads contribute no rows (magic- and
+    * fmt-checked), truncated tails (incomplete frames) are dropped.
+    *
+    * Scale shape: one projection hexes the payload, samples explode to
+    * (id, frame, value) rows — the hex string never enters the shuffle —
+    * and the per-frame sum-of-squares is a map-side-combinable aggregate
+    * on exact integers; one sqrt per frame at the end.
+    *
+    * Output: (idCol, frame, rms), rms = sqrt(mean(sample^2)) rounded to
+    * 6 places.
+    */
+  def audioFrameEnergy(df: DataFrame, payloadCol: String, idCol: String,
+      frameSamples: Int): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
+    val p = col(payloadCol)
+    val wav = df
+      .where(p.isNotNull && length(p) > 44 &&
+        substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(p, 9, 4) === lit("WAVE".getBytes("US-ASCII")) &&
+        substring(p, 21, 2) === unhex(lit("0100")) && // audioFormat = 1 (PCM)
+        substring(p, 23, 2) === unhex(lit("0100")) && // channels = 1
+        substring(p, 35, 2) === unhex(lit("1000")))   // bitsPerSample = 16
+      .select(col(idCol).as("id"), hex(p).as("__hx"),
+        (((length(p) - 44) / 2).cast("int") / frameSamples).cast("int").as("__nf"))
+    val v0 = conv(concat(
+      col("__hx").substr(lit(91) + col("__j") * 4, lit(2)),  // high byte (LE)
+      col("__hx").substr(lit(89) + col("__j") * 4, lit(2))), // low byte
+      16, 10).cast("long")
+    wav.where(col("__nf") > 0)
+      .select(col("id"),
+        explode(sequence(lit(0L), col("__nf").cast("long") * frameSamples - 1)).as("__j"),
+        col("__hx"))
+      .select(col("id"), (col("__j") / frameSamples).cast("long").as("frame"),
+        when(v0 >= 32768L, v0 - 65536L).otherwise(v0).as("__v"))
+      .groupBy("id", "frame")
+      .agg(sum(col("__v") * col("__v")).as("__ss"))
+      .select(col("id"), col("frame"),
+        round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
+  }
+
   /** Pseudo-featurizer for NON-media payloads =======================
     * For payloads that are not decodable media (plain text bytes in the
     * synthetic tables), there is nothing for a codec to decode — this

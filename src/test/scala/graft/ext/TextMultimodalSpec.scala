@@ -306,6 +306,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(junk.select(Multimodal.dhash64(col("payload"))).head().isNullAt(0))
   }
 
+  test("audioFrameEnergy: constant and signed samples give exact RMS; junk gives no rows") {
+    // 1000 = 0x03E8 -> LE hex "E803"; -1000 = 0xFC18 -> LE "18FC"
+    val pos = "E803" * 64  // 64 samples of +1000
+    val neg = "18FC" * 64  // 64 samples of -1000
+    val df = Seq((1L, pos), (2L, neg)).toDF("id", "hx")
+      .select(col("id"), Multimodal.wavPcm16(col("hx"), numSamples = 64).as("wav"))
+    val got = Multimodal.audioFrameEnergy(df, "wav", "id", frameSamples = 32)
+      .select("id", "frame", "rms").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 0L, 1000.0), (1L, 1L, 1000.0),
+      (2L, 0L, 1000.0), (2L, 1L, 1000.0)), s"got $got")
+    val junk = Seq((9L, "not audio".getBytes("UTF-8"))).toDF("id", "wav")
+    assert(Multimodal.audioFrameEnergy(junk, "wav", "id", 32).count() == 0)
+  }
+
+  test("wavPcm16 builds a REAL WAV javax.sound can open (format + frame count)") {
+    val bytes = Seq((1L, "E803" * 64)).toDF("id", "hx")
+      .select(Multimodal.wavPcm16(col("hx"), numSamples = 64, sampleRate = 8000))
+      .head().getAs[Array[Byte]](0)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+      fmt.getSampleRate == 8000f && in.getFrameLength == 64)
+  }
+
   test("nearDupByHamming equals the brute-force all-pairs Hamming scan") {
     // crafted signatures incl. the sign bit: pairs within dist 3 must all
     // surface (pigeonhole guarantee), none invented
