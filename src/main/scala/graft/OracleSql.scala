@@ -712,6 +712,14 @@ object OracleSql {
         |  CASE WHEN bin = 3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h3
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    // frame slicing replayed on the hex plane: frame f of the 8-md5
+    // payload is md5(text || '#f'), sampled indices 1, 4, 7
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(ff.f AS BIGINT) AS frame_idx,
+        |  md5(text || '#' || ff.f) AS frame_hex
+        |FROM documents, (SELECT unnest([1, 4, 7]) AS f) ff
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
     // repeated-md5 sample bytes the Spark fixture builds into a real WAV
     "q_audio_frame_energy" ->

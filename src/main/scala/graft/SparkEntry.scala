@@ -590,6 +590,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- deterministic frame sampling over a framed binary payload (video
+    // plumbing stub: slicing/stride/schema real, codec out of scope):
+    // 8 distinct 16-byte frames per doc, keep every 3rd from offset 1 ----
+    "q_frame_sample" -> ((s, dir) => {
+      val payload = unhex(concat((0 until 8).map(i =>
+        md5(concat(col("text"), lit(s"#$i")))): _*))
+      val d = T(s, dir, "documents").select(col("doc_id"), payload.as("media"))
+      Multimodal.frameSample(d, "media", "doc_id",
+          frameBytes = 16, stride = 3, offset = 1)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // -- audio frame energy over expression-built REAL PCM WAVs: sample
     // bytes come from md5(text) repeated, so the oracle replays the
     // signed-16-bit decode + RMS purely arithmetically while Spark parses

@@ -454,6 +454,36 @@ object Multimodal {
         round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
   }
 
+  // ===== video-shaped frame sampling =====================================
+
+  /** Deterministic frame sampling over an opaque fixed-frame-size media
+    * payload: treat the payload as consecutive `frameBytes`-sized frames
+    * (raw video planes, audio blocks, any framed container) and keep every
+    * `stride`-th complete frame starting at `offset`. This is the
+    * Spark-side PLUMBING of video frame sampling — schema, partitioning,
+    * slicing, batch shape; the codec that would decode sampled frames into
+    * pixels is not available in this container (the declared stub
+    * boundary; for images the real decode exists in [[decodeImageFeatures]]
+    * / [[dhash64]]). Expression-only and scan-local: one binary substring
+    * per sampled frame, incomplete tails dropped, no UDF, no shuffle.
+    *
+    * Output: (idCol, frame_idx, frame: binary).
+    */
+  def frameSample(df: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int, stride: Int, offset: Int = 0): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(stride > 0, s"stride must be positive: $stride")
+    require(offset >= 0, s"offset must be non-negative: $offset")
+    val p = col(payloadCol)
+    val nFrames = (length(p) / frameBytes).cast("int")
+    df.where(p.isNotNull && nFrames > offset)
+      .select(col(idCol).as("id"), p.as("__p"),
+        explode(sequence(lit(offset), nFrames - 1, lit(stride))).as("frame_idx"))
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("__p").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
   /** Pseudo-featurizer for NON-media payloads =======================
     * For payloads that are not decodable media (plain text bytes in the
     * synthetic tables), there is nothing for a codec to decode — this

@@ -331,6 +331,20 @@ class TextMultimodalSpec extends SparkSpec {
       fmt.getSampleRate == 8000f && in.getFrameLength == 64)
   }
 
+  test("frameSample slices stride/offset frames exactly and drops incomplete tails") {
+    val bytes = (0 until 35).map(_.toByte).toArray // 8 complete 4-byte frames + 3 tail
+    val df = Seq((1L, bytes)).toDF("id", "media")
+    val got = Multimodal.frameSample(df, "media", "id", frameBytes = 4, stride = 3, offset = 1)
+      .select("frame_idx", "frame").as[(Long, Array[Byte])].collect()
+      .map { case (i, b) => i -> b.toSeq }.toMap
+    assert(got.keySet == Set(1L, 4L, 7L))
+    assert(got(1L) == (4 until 8).map(_.toByte).toSeq)
+    assert(got(7L) == (28 until 32).map(_.toByte).toSeq) // tail bytes 32-34 never emitted
+    // payload shorter than (offset+1) frames contributes nothing
+    val shortDf = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    assert(Multimodal.frameSample(shortDf, "media", "id", 4, 3, 1).count() == 0)
+  }
+
   test("nearDupByHamming equals the brute-force all-pairs Hamming scan") {
     // crafted signatures incl. the sign bit: pairs within dist 3 must all
     // surface (pigeonhole guarantee), none invented
