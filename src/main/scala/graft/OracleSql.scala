@@ -712,6 +712,27 @@ object OracleSql {
         |  CASE WHEN bin = 3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS h3
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    // expected resized-BMP bytes constructed arithmetically: 3x2 output
+    // of the 9x8 striped fixture; out pixel x = floor(mean of 3 stripes),
+    // rows identical so bottom-up storage is order-invisible
+    "q_image_resize" -> {
+      def le32(v: Int) = f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x${(v >> 16) & 0xFF}%02x${(v >> 24) & 0xFF}%02x"
+      def le16(v: Int) = f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x"
+      val header = "424d" + le32(54 + 24) + le32(0) + le32(54) +
+        le32(40) + le32(3) + le32(2) + le16(1) + le16(24) +
+        le32(0) + le32(24) + le32(2835) + le32(2835) + le32(0) + le32(0)
+      s"""WITH v AS (SELECT doc_id, list_transform(generate_series(0, 8),
+         |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INTEGER)) AS vals FROM documents),
+         |px AS (SELECT doc_id,
+         |    (vals[1]+vals[2]+vals[3]) // 3 AS p0,
+         |    (vals[4]+vals[5]+vals[6]) // 3 AS p1,
+         |    (vals[7]+vals[8]+vals[9]) // 3 AS p2 FROM v),
+         |r0 AS (SELECT doc_id,
+         |    printf('%02x%02x%02x', p0, p0, p0) || printf('%02x%02x%02x', p1, p1, p1) ||
+         |    printf('%02x%02x%02x', p2, p2, p2) || '000000' AS r FROM px)
+         |SELECT doc_id, '$header' || r || r AS bmp_hex FROM r0 ORDER BY doc_id""".stripMargin
+    },
+
     // frame slicing replayed on the hex plane: frame f of the 8-md5
     // payload is md5(text || '#f'), sampled indices 1, 4, 7
     "q_frame_sample" ->

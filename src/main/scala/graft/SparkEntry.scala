@@ -590,6 +590,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- real-codec image resize: striped BMP -> 3x2 block-mean thumbnail,
+    // re-encoded as BMP; the oracle constructs the EXPECTED OUTPUT BYTES
+    // arithmetically (header literal + floor-mean pixel hex), so decode +
+    // resize + encode are proven byte-exact end to end -------------------
+    "q_image_resize" -> ((s, dir) => {
+      val vals = transform(sequence(lit(0), lit(8)),
+        i => conv(md5(col("text")).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(hex(Multimodal.resizeBmp(Multimodal.bmpStripes(vals), 3, 2)))
+            .as("bmp_hex"))
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic frame sampling over a framed binary payload (video
     // plumbing stub: slicing/stride/schema real, codec out of scope):
     // 8 distinct 16-byte frames per doc, keep every 3rd from offset 1 ----

@@ -454,6 +454,71 @@ object Multimodal {
         round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
   }
 
+  // ===== image resize ====================================================
+
+  /** Block-mean image resize to `outW` x `outH`, re-encoded as a 24-bit
+    * BMP — the downsample stage of a multimodal pipeline (thumbnailing
+    * before feature extraction / perceptual hashing). REAL codec pass in,
+    * REAL encode out: ImageIO decodes any registered format; each output
+    * pixel is the FLOOR of the exact integer channel sums over its source
+    * block (the same deterministic block grid as [[dhash64]] — no float
+    * accumulation, no resampling-kernel ambiguity, so an external oracle
+    * can reproduce output bytes exactly); the result is a valid padded
+    * bottom-up BMP any reader opens. Null for undecodable payloads or
+    * sources smaller than the target. Justified UDF (codec tier).
+    */
+  private val resizeBmpUdf = udf((bytes: Array[Byte], outW: Int, outH: Int) => {
+    if (bytes == null || outW <= 0 || outH <= 0) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < outW || img.getHeight < outH) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rowSize = ((3 * outW + 3) / 4) * 4
+        val imgSize = rowSize * outH
+        val out = new java.io.ByteArrayOutputStream(54 + imgSize)
+        def le32(v: Int): Unit = {
+          out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+        }
+        def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write('B'); out.write('M'); le32(54 + imgSize); le32(0); le32(54)
+        le32(40); le32(outW); le32(outH); le16(1); le16(24)
+        le32(0); le32(imgSize); le32(2835); le32(2835); le32(0); le32(0)
+        var oy = outH - 1 // BMP rows are stored bottom-up
+        while (oy >= 0) {
+          var ox = 0
+          while (ox < outW) {
+            val x0 = ox * w / outW; val x1 = (ox + 1) * w / outW
+            val y0 = oy * h / outH; val y1 = (oy + 1) * h / outH
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            out.write((sb / n).toInt); out.write((sg / n).toInt); out.write((sr / n).toInt)
+            ox += 1
+          }
+          var pad = rowSize - 3 * outW
+          while (pad > 0) { out.write(0); pad -= 1 }
+          oy -= 1
+        }
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  })
+
+  def resizeBmp(payload: Column, outW: Int, outH: Int): Column =
+    resizeBmpUdf(payload, lit(outW), lit(outH))
+
   // ===== video-shaped frame sampling =====================================
 
   /** Deterministic frame sampling over an opaque fixed-frame-size media

@@ -331,6 +331,32 @@ class TextMultimodalSpec extends SparkSpec {
       fmt.getSampleRate == 8000f && in.getFrameLength == 64)
   }
 
+  test("resizeBmp: block means land in the right cells (bottom-up rows) and reopen") {
+    // 6x4 source with a DIFFERENT value per 2x2 block: catches any
+    // row-order (bottom-up) mistake in the BMP writer
+    val cell = Array(Array(10, 80, 150), Array(40, 120, 240)) // [row][col]
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach { x => (0 until 4).foreach { y =>
+      val v = cell(y / 2)(x / 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }}
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val out = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select(Multimodal.resizeBmp(col("payload"), 3, 2)).head().getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    (0 until 3).foreach { x => (0 until 2).foreach { y =>
+      val p = back.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) == cell(y)(x) && (p & 0xFF) == cell(y)(x),
+        s"cell ($x,$y): got ${p.toHexString}, want ${cell(y)(x)}")
+    }}
+    // undecodable or smaller-than-target sources yield null
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(junk.select(Multimodal.resizeBmp(col("payload"), 3, 2)).head().isNullAt(0))
+  }
+
   test("frameSample slices stride/offset frames exactly and drops incomplete tails") {
     val bytes = (0 until 35).map(_.toByte).toArray // 8 complete 4-byte frames + 3 tail
     val df = Seq((1L, bytes)).toDF("id", "media")
