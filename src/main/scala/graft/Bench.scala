@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
   * Methodology: each query executes up to `SPARK_GRAFT_BENCH_RUNS` times
-  * (default 3) in the same JVM; the FIRST execution is the cold run
+  * (default 4) in the same JVM; the FIRST execution is the cold run
   * (Catalyst analysis + Janino codegen compile + page-cache fill land
   * here), and the steady-state number is the MINIMUM of the non-cold runs.
   * Min, not last: BENCHNOTES.md documents 36-45 s VM stalls landing on

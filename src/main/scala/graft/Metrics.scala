@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Metrics {
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val sessions =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+  // weak set: a stopped SparkSession must be collectable — a strong static
+  // registry would leak every session a long-lived JVM ever created
+  private val sessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Unique observe-node name: `graft_<what>_<n>`. */
   def name(what: String): String = s"graft_${what}_${ctr.incrementAndGet()}"

@@ -647,34 +647,51 @@ object Dedup {
   /** SimHash near-dup pairs via banded blocking: split the 32-bit
     * signature into `bands` equal bit-slices; candidate pairs share at
     * least one identical slice; verification is exact Hamming distance.
+    * Delegates to [[bandedHammingPairs]] — see there for the pigeonhole
+    * recall guarantee.
+    */
+  def nearDupSimhash(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(
+      simhash(df, textCol, idCol).select(col("id"), col("simhash").as("sig")),
+      bits = 32, bands = bands, maxDist = maxDist)
+
+  /** Shared banded-Hamming candidate join over `bits`-bit long signatures
+    * (32-bit [[simhash]], 64-bit image dHash): split each signature into
+    * `bands` equal bit-slices; candidate pairs share at least one
+    * identical slice; verification is exact Hamming distance.
     *
     * Recall is GUARANTEED (not probabilistic) when `maxDist < bands`: by
     * pigeonhole, two signatures within Hamming distance d differ in at
     * most d of the bands, so with bands > d at least one band matches
-    * exactly. The result is therefore identical to the all-pairs
-    * O(n²) scan — which is exactly how the oracle checks it — while the
-    * join shuffles only (band_idx, band_value, id, sig) rows keyed by
-    * tiny band values, the same narrow-candidate-join shape as
-    * [[nearDupMinhash]].
+    * exactly. The result is therefore identical to the all-pairs O(n²)
+    * scan — which is exactly how the oracles check it — while the join
+    * shuffles only (band_idx, band_val, id, sig) rows keyed by tiny band
+    * values, the same narrow-candidate-join shape as [[nearDupMinhash]].
+    * Band extraction uses an UNSIGNED shift + mask so a set sign bit
+    * (possible for 64-bit signatures) never smears the top band.
+    *
+    * @param sig (id, sig: long) — one signature per id
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
     */
-  def nearDupSimhash(df: DataFrame, textCol: String, idCol: String,
-      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+  private[ext] def bandedHammingPairs(sig: DataFrame, bits: Int, bands: Int,
+      maxDist: Int): DataFrame = {
     require(maxDist < bands,
       s"guaranteed recall needs bands > maxDist (got bands=$bands, maxDist=$maxDist)")
-    require(32 % bands == 0, "bands must divide the 32-bit signature")
-    val width = 32 / bands
-    val sig = simhash(df, textCol, idCol)
+    require(bits % bands == 0, s"bands must divide the $bits-bit signature")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
-        pmod(shiftright(col("simhash"), b * width), lit(1L << width)).as("band_val"))
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("band_val"))
     }
-    val banded = sig.select(col("id"), col("simhash"),
+    val banded = sig.select(col("id"), col("sig"),
       explode(array(bandCols: _*)).as("band"))
-      .select(col("id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_val"))
     banded.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("simhash").as("sig_a"))
+        col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("simhash").as("sig_b")),
+        col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

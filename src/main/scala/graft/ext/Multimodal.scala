@@ -361,31 +361,10 @@ object Multimodal {
     * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
     */
   def nearDupByHamming(sig: DataFrame, idCol: String, sigCol: String,
-      bands: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(maxDist < bands,
-      s"guaranteed recall needs bands > maxDist (got bands=$bands, maxDist=$maxDist)")
-    require(64 % bands == 0, "bands must divide the 64-bit signature")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val s = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("band_val"))
-    }
-    val banded = s.select(col("id"), col("sig"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_val"))
-    banded.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(banded.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("sig").as("sig_b")),
-        Seq("band_idx", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("dist"))
-      .distinct()
-      .where(col("dist") <= maxDist)
-  }
+      bands: Int = 4, maxDist: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(
+      sig.select(col(idCol).as("id"), col(sigCol).as("sig")),
+      bits = 64, bands = bands, maxDist = maxDist)
 
   // ===== audio feature extraction (PCM frame energy) =====================
 
@@ -406,21 +385,37 @@ object Multimodal {
       "666D7420" + le32(16) + le16(1) + le16(1) +                // fmt : PCM, mono
       le32(sampleRate) + le32(sampleRate * 2) + le16(2) + le16(16) +
       "64617461" + le32(dataSize)                                // data <sz>
-    concat(unhex(lit(header)), unhex(samplesHex))
+    // null, not a corrupt file, when the hex length disagrees with the
+    // declared sample count — a header whose size fields lie about the
+    // payload breaks every downstream reader differently
+    when(length(samplesHex) === numSamples * 4,
+      concat(unhex(lit(header)), unhex(samplesHex)))
   }
 
-  /** Per-frame RMS energy over 16-bit PCM mono WAV payloads — the audio
-    * feature-extraction stage of a multimodal pipeline (silence trimming,
-    * energy-based segmentation, loudness filters all start here).
-    * EXPRESSION-ONLY, no UDF: PCM is uncompressed, so "decoding" a sample
-    * is hex arithmetic — unlike images there is no codec to justify one.
-    * Non-WAV / non-PCM16-mono payloads contribute no rows (magic- and
-    * fmt-checked), truncated tails (incomplete frames) are dropped.
+  /** Per-frame RMS energy over CANONICAL-layout 16-bit PCM mono WAV
+    * payloads — the audio feature-extraction stage of a multimodal
+    * pipeline (silence trimming, energy-based segmentation, loudness
+    * filters all start here). EXPRESSION-ONLY, no UDF: PCM is
+    * uncompressed, so "decoding" a sample is hex arithmetic — unlike
+    * images there is no codec to justify one.
     *
-    * Scale shape: one projection hexes the payload, samples explode to
-    * (id, frame, value) rows — the hex string never enters the shuffle —
-    * and the per-frame sum-of-squares is a map-side-combinable aggregate
-    * on exact integers; one sqrt per frame at the end.
+    * Canonical layout means the 44-byte header: 16-byte fmt chunk
+    * followed immediately by the `data` chunk (what [[wavPcm16]] and most
+    * minimal writers emit). Every fixed-offset field is CHECKED — RIFF,
+    * WAVE, PCM, mono, 16-bit, AND the `data` chunk id — and the sample
+    * count comes from min(declared data size, actual payload bytes), so a
+    * WAV with trailing metadata chunks after `data` yields exactly its
+    * declared samples, never garbage frames over chunk headers. Variant
+    * layouts (18-byte fmt with cbSize, LIST before data) fail the `data`
+    * magic check and contribute NO rows — explicitly unsupported rather
+    * than silently mis-decoded. Truncated tails (incomplete frames) are
+    * dropped.
+    *
+    * Scale shape: frames explode first and samples within a frame second,
+    * so no row ever materializes a whole-clip index array (a 1-hour clip
+    * is ~29M samples — one flat sequence() would be a ~230 MB array in a
+    * single Generate input row); the per-frame sum-of-squares is a
+    * map-side-combinable aggregate on exact integers, one sqrt per frame.
     *
     * Output: (idCol, frame, rms), rms = sqrt(mean(sample^2)) rounded to
     * 6 places.
@@ -429,24 +424,33 @@ object Multimodal {
       frameSamples: Int): DataFrame = {
     require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
     val p = col(payloadCol)
+    val hx = col("__hx")
+    // declared data-chunk byte count: LE32 at bytes 41-44 = hex chars 81-88
+    val dataSize = conv(concat(hx.substr(87, 2), hx.substr(85, 2),
+      hx.substr(83, 2), hx.substr(81, 2)), 16, 10).cast("long")
+    val avail = (length(hx) / 2 - 44) / 2 // complete samples actually present
     val wav = df
       .where(p.isNotNull && length(p) > 44 &&
         substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         substring(p, 9, 4) === lit("WAVE".getBytes("US-ASCII")) &&
         substring(p, 21, 2) === unhex(lit("0100")) && // audioFormat = 1 (PCM)
         substring(p, 23, 2) === unhex(lit("0100")) && // channels = 1
-        substring(p, 35, 2) === unhex(lit("1000")))   // bitsPerSample = 16
-      .select(col(idCol).as("id"), hex(p).as("__hx"),
-        (((length(p) - 44) / 2).cast("int") / frameSamples).cast("int").as("__nf"))
+        substring(p, 35, 2) === unhex(lit("1000")) && // bitsPerSample = 16
+        substring(p, 37, 4) === lit("data".getBytes("US-ASCII")))
+      .select(col(idCol).as("id"), hex(p).as("__hx"))
+      .select(col("id"), col("__hx"),
+        (least(dataSize / 2, avail) / frameSamples).cast("int").as("__nf"))
+    val j = col("frame") * frameSamples + col("__k") // global sample index
     val v0 = conv(concat(
-      col("__hx").substr(lit(91) + col("__j") * 4, lit(2)),  // high byte (LE)
-      col("__hx").substr(lit(89) + col("__j") * 4, lit(2))), // low byte
+      hx.substr(lit(91) + j * 4, lit(2)),  // high byte (LE)
+      hx.substr(lit(89) + j * 4, lit(2))), // low byte
       16, 10).cast("long")
     wav.where(col("__nf") > 0)
-      .select(col("id"),
-        explode(sequence(lit(0L), col("__nf").cast("long") * frameSamples - 1)).as("__j"),
-        col("__hx"))
-      .select(col("id"), (col("__j") / frameSamples).cast("long").as("frame"),
+      .select(col("id"), col("__hx"),
+        explode(sequence(lit(0L), col("__nf").cast("long") - 1)).as("frame"))
+      .select(col("id"), col("frame"), col("__hx"),
+        explode(sequence(lit(0), lit(frameSamples - 1))).as("__k"))
+      .select(col("id"), col("frame"),
         when(v0 >= 32768L, v0 - 65536L).otherwise(v0).as("__v"))
       .groupBy("id", "frame")
       .agg(sum(col("__v") * col("__v")).as("__ss"))

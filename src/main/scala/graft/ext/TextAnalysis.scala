@@ -460,11 +460,17 @@ object TextAnalysis {
       chunkTokens: Int = 8, maxDocFreq: Long = 1): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
-    val base = df
+    // persisted: `base` feeds the final reassembly select AND the chunk
+    // rows (whose two consumers aggregate different column sets, so
+    // exchange-reuse canonicalization cannot be relied on to share the
+    // tokenize) — without the pin the regex tokenizer would run up to 3x
+    // per query. Registered in graft.Caches per the operator convention.
+    val base = graft.Caches.register(df
       .select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
       .withColumn("__nc", (size(col("__tk")) / chunkTokens).cast("int"))
       .withColumn("__tail", concat_ws(" ",
         slice(col("__tk"), col("__nc") * chunkTokens + 1, lit(chunkTokens))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chRows = base
       .where(col("__nc") > 0)
       .select(col("doc_id"),

@@ -103,7 +103,13 @@ object Xlsx {
               }.getOrElse("")
           }
         }
-        targets.get(rid).map(s.getAttribute("name") -> _)
+        // FAIL, never skip: dropping a sheet with a dangling relationship
+        // would silently shift every later 0-based index onto the wrong
+        // sheet — wrong data ingested with no error
+        val name = s.getAttribute("name")
+        Some(name -> targets.getOrElse(rid,
+          throw new IllegalArgumentException(
+            s"$path: sheet '$name' references missing relationship '$rid'")))
       }.toIndexedSeq
     }
     inventory.filter(_.nonEmpty)

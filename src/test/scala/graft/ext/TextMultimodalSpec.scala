@@ -320,6 +320,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFrameEnergy(junk, "wav", "id", 32).count() == 0)
   }
 
+  test("audioFrameEnergy honors the declared data size and rejects variant layouts") {
+    // canonical WAV + 40 trailing junk bytes: frames must come from the
+    // DECLARED 64 samples only, never from the junk
+    val wav = Seq((1L, "E803" * 64)).toDF("id", "hx")
+      .select(Multimodal.wavPcm16(col("hx"), numSamples = 64)).head().getAs[Array[Byte]](0)
+    val padded = wav ++ Array.fill[Byte](40)(0x41)
+    val got = Multimodal.audioFrameEnergy(
+        Seq((1L, padded)).toDF("id", "wav"), "wav", "id", frameSamples = 32)
+      .select("frame", "rms").as[(Long, Double)].collect().toSet
+    assert(got == Set((0L, 1000.0), (1L, 1000.0)), s"got $got")
+    // 18-byte fmt variant (cbSize=0): 'data' is not at the canonical
+    // offset -> explicitly unsupported, zero rows (never garbage)
+    val variant = wav.take(36) ++ Array[Byte](0, 0) ++ wav.drop(36)
+    assert(Multimodal.audioFrameEnergy(
+      Seq((1L, variant)).toDF("id", "wav"), "wav", "id", 32).count() == 0)
+    // wavPcm16 with a sample-count/hex-length mismatch yields null bytes
+    val bad = Seq((1L, "E803" * 10)).toDF("id", "hx")
+      .select(Multimodal.wavPcm16(col("hx"), numSamples = 64))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("wavPcm16 builds a REAL WAV javax.sound can open (format + frame count)") {
     val bytes = Seq((1L, "E803" * 64)).toDF("id", "hx")
       .select(Multimodal.wavPcm16(col("hx"), numSamples = 64, sampleRate = 8000))
