@@ -17,10 +17,25 @@ import org.apache.spark.sql.SparkSession
   * run does full work (caches are released between runs), so the min is
   * still a complete execution, just the least-interfered one. To keep
   * total bench time near the 2-run cost, the extra repetition only runs
-  * when run 2 disagrees with the cold run (steady > 1.5x cold + 0.5 s —
-  * i.e. evidence of a stall); an agreeing run 2 is accepted as-is.
+  * when run 2 disagrees with the cold run (steady > 1.25x cold + 0.25 s —
+  * i.e. evidence of a stall); an agreeing run 2 is accepted as-is. A warm
+  * rep that THROWS while the cold run succeeded is treated as "still looks
+  * stalled" (retry while reps remain) rather than terminal — a one-off
+  * transient on run 2 must not mark a working query failed — and if every
+  * warm rep failed, the successful cold time is reported as steady.
   * Cold numbers are preserved alongside (`cold_total`, per-query in
   * bench_full.json) so startup cost stays visible.
+  *
+  * What is TIMED is full materialization of every output row
+  * (`queryExecution.toRdd.foreach`), not `count()`: under count() the
+  * final projection is column-pruned and a top-level sort is eliminated
+  * by Catalyst, so projection-shaped queries (casts, decode-heavy
+  * selects, window-value projections) were timing a pruned scan+count
+  * instead of the work the query claims to measure. toRdd executes the
+  * exact physical plan of the registered query — every expression in the
+  * final project evaluates into UnsafeRows, distributed, nothing
+  * collected to the driver. This matches what Verify measures (a full
+  * parquet write) minus the encoding cost.
   *
   * A query that throws is reported as -1 (an explicit error marker) and is
   * excluded from the totals, so a failure can never masquerade as a fast
@@ -53,7 +68,9 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // full materialization: evaluate every output row of the exact
+          // registered plan (no count()-induced prune/sort-elimination)
+          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
@@ -65,18 +82,25 @@ object Bench {
       // a query that failed cold almost certainly fails warm too; don't
       // burn (runs-1) more failing executions on it. Steady = min of the
       // non-cold runs; reps beyond the second only run while the best
-      // steady still looks stalled relative to cold (see Scaladoc).
+      // steady still looks stalled relative to cold (see Scaladoc). A
+      // failed warm rep (best < 0) counts as "looks stalled" so it gets
+      // retried while reps remain instead of terminating the loop; if no
+      // warm rep ever succeeded, fall back to the successful cold time.
       val steady =
         if (cold < 0 || runs < 2) cold
         else {
           var best = once()
           var rep = 2
-          while (rep < runs && best >= 0 && best > cold * 1.5 + 0.5) {
+          while (rep < runs && (best < 0 || best > cold * 1.25 + 0.25)) {
             val r = once()
-            if (r >= 0 && r < best) best = r
+            if (r >= 0 && (best < 0 || r < best)) best = r
             rep += 1
           }
-          best
+          if (best < 0) {
+            System.err.println(
+              s"[bench] $name: all warm reps failed but cold succeeded; reporting cold as steady")
+            cold
+          } else best
         }
       (name, cold, steady)
     }

@@ -757,13 +757,31 @@ object OracleSql {
       s"""WITH $dhashCtes
          |SELECT doc_id, dh AS dhash FROM h ORDER BY doc_id""".stripMargin,
 
+    // per-ROW md5 slices (all 64 dHash bits independent) + planted
+    // exact-dup pairs (ids ≡ 0,1 mod 50 share a seed); brute-force
+    // all-pairs Hamming — mirrors SparkEntry's bmpRows fixture
     "q_image_neardup" ->
-      s"""WITH $dhashCtes
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS dist
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+      """WITH sd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 < 2
+        |         THEN 'seed#' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+        |         ELSE text END AS seed FROM documents),
+        |g AS (SELECT doc_id, rr.r AS r, list_transform(generate_series(0, 8),
+        |    i -> 0.299*CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER)
+        |       + 0.587*CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER)
+        |       + 0.114*CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER)) AS gr
+        |  FROM sd, (SELECT unnest(generate_series(0, 7)) AS r) rr),
+        |dbits AS (SELECT doc_id, r, cc.c AS c,
+        |    CASE WHEN gr[cc.c + 2] > gr[cc.c + 1] THEN 1 ELSE 0 END AS bit
+        |  FROM g, (SELECT unnest(generate_series(0, 7)) AS c) cc),
+        |h AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 1 THEN
+        |    CASE WHEN r*8 + c = 63 THEN (-9223372036854775808)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c) END
+        |  ELSE 0 END) AS BIGINT) AS dh FROM dbits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sessionize" -> sessionizeSql,
 
@@ -2182,6 +2200,28 @@ object OracleSql {
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) + 0.0 AS dist2
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // the IVF query: per-row argmin assignment (same kernel/ties as
+    // q_sim_ivf_assign), probe the 4 centroids nearest the query
+    // (rank by d2 with cid tiebreak), cosine top-k inside probed clusters
+    "q_sim_ivf_topk" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |q AS (SELECT v AS qe FROM e WHERE vec_id = 1),
+         |d AS (SELECT e.vec_id, e.v, c.cid,
+         |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         |pd AS (SELECT c.cid,
+         |    list_dot_product(q.qe, q.qe) - 2.0 * list_dot_product(q.qe, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2 FROM c, q),
+         |p AS (SELECT cid FROM pd ORDER BY d2, cid LIMIT 4)
+         |SELECT a.vec_id AS id, round(${cosine("a.v", "q.qe")}, 6) AS cos
+         |FROM a, q WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM p)
+         |ORDER BY cos DESC, id LIMIT 10""".stripMargin),
+
     "q_set_ops_all" ->
       """WITH d AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |  EXCEPT ALL
@@ -2817,9 +2857,11 @@ object OracleSql {
         |  round(CAST(p4 AS DOUBLE) / n, 6) FROM a
         |ORDER BY rule_ord""".stripMargin,
 
-    // PageRank, 2 iterations: inflow folds in src order (matches the
-    // Spark ordered-fold tier); (1.0 - 0.85) spelled as the SAME double
-    // subtraction, never a 0.15 literal (they differ in the last ulp)
+    // PageRank, 2 iterations: inflow sums FIXED-POINT LONGS
+    // (floor(contrib * 1e12)) exactly like the Spark deterministic tier —
+    // integer addition is order-invariant, so no ordered fold is needed;
+    // (1.0 - 0.85) spelled as the SAME double subtraction, never a 0.15
+    // literal (they differ in the last ulp)
     "q_graph_pagerank" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
@@ -2827,14 +2869,12 @@ object OracleSql {
         |nodes AS (SELECT DISTINCT src AS id FROM e),
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
         |i1 AS (SELECT e.dst AS id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(1.0 / deg.deg ORDER BY e.src)), (a, x) -> a + x) AS inflow
+        |    CAST(CAST(sum(CAST(floor(1.0 / deg.deg * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS inflow
         |  FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
         |r1 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i1.inflow, 0.0) + 0.0) AS rank
         |  FROM nodes LEFT JOIN i1 USING (id)),
         |i2 AS (SELECT e.dst AS id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(r1.rank / deg.deg ORDER BY e.src)), (a, x) -> a + x) AS inflow
+        |    CAST(CAST(sum(CAST(floor(r1.rank / deg.deg * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS inflow
         |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.id GROUP BY e.dst),
         |r2 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i2.inflow, 0.0) + 0.0) AS rank
         |  FROM nodes LEFT JOIN i2 USING (id))

@@ -578,15 +578,26 @@ object SparkEntry {
     }),
     // exact/near-exact duplicate IMAGES via banded Hamming join on the
     // dHashes (pigeonhole recall guarantee; oracle = brute-force all
-    // pairs). md5-derived stripes make distinct payloads land far apart,
-    // so surviving pairs are genuine duplicates.
+    // pairs). Per-ROW md5 slices (bmpRows) give all 64 dHash bits
+    // independently — the r10 stripe fixture had an 8-bit effective
+    // space and 101k degenerate pairs, so the bench measured pair
+    // materialization, not the banded join. True pairs are PLANTED:
+    // doc ids ≡ 0,1 (mod 50) share a seed (one exact-dup pair per 50
+    // docs); everything else is md5-far. Pair count observe-logged.
     "q_image_neardup" -> ((s, dir) => {
-      val vals = transform(sequence(lit(0), lit(8)),
-        i => conv(md5(col("text")).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+      val seed = when(col("doc_id") % 50 < 2,
+          concat(lit("seed#"), (col("doc_id") - col("doc_id") % 2).cast("string")))
+        .otherwise(col("text"))
+      val rows = array((0 until 8).map(r =>
+        transform(sequence(lit(0), lit(8)),
+          i => conv(md5(concat(seed, lit(s"#$r"))).substr(i * 2 + 1, lit(2)),
+            16, 10).cast("int"))): _*)
       val sig = T(s, dir, "documents")
         .select(col("doc_id"),
-          Multimodal.dhash64(Multimodal.bmpStripes(vals)).as("dhash"))
+          Multimodal.dhash64(Multimodal.bmpRows(rows)).as("dhash"))
+      graft.Metrics.ensureListener(s)
       Multimodal.nearDupByHamming(sig, "doc_id", "dhash", bands = 4, maxDist = 3)
+        .observe(graft.Metrics.name("image_neardup_pairs"), count(lit(1)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2367,6 +2378,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- the IVF ANN QUERY itself, oracle-gated end-to-end: same fixed
+    // md5-selected centroids as q_sim_ivf_assign, probe the 4 of 8
+    // clusters nearest the query (REAL pruning, not a vacuous filter),
+    // exact cosine top-k within them; the oracle replays assignment,
+    // probe ranking, and top-k in SQL
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val query = emb.where(col("vec_id") === 1).head().getSeq[Double](1)
+      Similarity.ivfTopKFixed(emb, "vec_id", "e", cents.toIndexedSeq,
+        query, k = 10, nProbe = 4)
+    }),
+
     // -- multiset set ops: EXCEPT ALL keeps per-row multiplicity (a
     // customer with 3 open and 1 urgent order survives twice) — the
     // semantics DISTINCT-based set ops silently lose
@@ -2907,9 +2935,10 @@ object SparkEntry {
         .orderBy("rule_ord")
     }),
 
-    // -- PageRank (2 power iterations, ordered-fold inflow) on the part
-    // co-occurrence graph: parts sharing an order are linked both ways,
-    // so no dangling nodes and the oracle replays the exact fold -------
+    // -- PageRank (2 power iterations, fixed-point deterministic inflow)
+    // on the part co-occurrence graph: parts sharing an order are linked
+    // both ways, so no dangling nodes; the oracle sums the same scaled
+    // longs (order-invariant — no fold replay needed) ------------------
     "q_graph_pagerank" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -2921,7 +2950,7 @@ object SparkEntry {
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
         .localCheckpoint(true)
       val nodes = e.select(col("src").as("id")).distinct()
-      graft.ext.Graph.pageRank(e, nodes, "id", iters = 2, orderedSums = true)
+      graft.ext.Graph.pageRank(e, nodes, "id", iters = 2, deterministic = true)
         .select(col("id").as("part_id"), round(col("rank"), 6).as("rank"))
         .orderBy("part_id")
     }),

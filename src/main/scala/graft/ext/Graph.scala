@@ -31,16 +31,22 @@ object Graph {
     *
     * @param edges directed (src, dst) pairs
     * @param nodes one row per node id (isolated nodes keep base rank)
-    * @param orderedSums fold each node's inflow left-to-right in
-    *        source-id order (sorted collect) instead of an unordered
-    *        `sum` — bit-identical results across engines/partitionings,
-    *        at the cost of buffering each node's in-neighbor list; the
-    *        default unordered sum is the mega-hub-safe scale tier
+    * @param deterministic make every cross-engine/cross-partitioning
+    *        nondeterminism-free: per-edge contributions are scaled to
+    *        fixed-point longs (`floor(c * 1e12)`) and SUMMED AS LONGS —
+    *        integer addition is associative+commutative, so the result is
+    *        bit-identical regardless of partitioning or merge order,
+    *        with no per-node buffering (unlike the r10 sorted
+    *        `collect_list` fold, which built each node's full in-neighbor
+    *        list and died on mega-hubs). The 1e-12 quantization is far
+    *        below the 1e-6 output rounding. The default keeps plain
+    *        double sums (fastest; last-ulp rank wobble possible across
+    *        partitionings)
     * @return (id, rank), sum of ranks = number of nodes
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
       iters: Int = 10, d: Double = 0.85,
-      orderedSums: Boolean = false): DataFrame = {
+      deterministic: Boolean = false): DataFrame = {
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     // The edge table is the big, loop-invariant side: every iteration joins
@@ -68,13 +74,21 @@ object Graph {
     while (i < iters) {
       val danglingMass =
         if (!hasDangling) 0.0
+        else if (deterministic)
+          // same fixed-point trick as inflow: long sum is order-invariant
+          ranks.join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum(floor(col("rank") * lit(1e12))), lit(0L)))
+            .head().getLong(0) / 1e12
         else ranks.join(danglingIds, Seq("id"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // deterministic tier: quantize each contribution to a long
+      // (floor(c*1e12); floor on DoubleType yields LongType) and sum the
+      // longs — exact integer math, codegen'd, no collect_list buffering,
+      // hub-safe. Plain double sum otherwise.
       val inflowAgg =
-        if (orderedSums)
-          aggregate(
-            sort_array(collect_list(struct(col("src").as("s"), col("c")))),
-            lit(0.0), (acc, x) => acc + x.getField("c")).as("inflow")
+        if (deterministic)
+          (sum(floor(col("c") * lit(1e12))).cast("double") / lit(1e12))
+            .as("inflow")
         else sum(col("c")).as("inflow")
       val contribs = ranks.join(outDeg, ranks("id") === outDeg("src"))
         .join(e, "src")
@@ -88,6 +102,11 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
+    // the loop's last localCheckpoint(true) materialized `ranks`, so the
+    // loop-invariant edge cache is no longer needed; release it here so
+    // library callers outside the harness (which calls Caches.releaseAll
+    // between queries) don't accumulate an |E|-row cache per invocation
+    e.unpersist(false)
     ranks
   }
 

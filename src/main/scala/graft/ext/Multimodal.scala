@@ -349,6 +349,36 @@ object Multimodal {
     concat(unhex(lit(header)), unhex(repeat(rowHex, height)))
   }
 
+  /** Expression-built 9x8 24-bit BMP with PER-ROW stripe values — the
+    * near-dup fixture tier above [[bmpStripes]]: stripes repeat every
+    * pixel ROW there, so all 8 dHash grid rows emit the same byte and the
+    * effective pattern space collapses to 8 bits (at 5k docs that is
+    * ~100k degenerate "identical" pairs — the r10 bench was measuring
+    * pair materialization, not the banded join). Here row r carries its
+    * OWN 9 values, so all 64 dHash bits are independent. `rows` must be
+    * array<array<int>> of exactly 8 rows (top-down, dHash grid order) x
+    * 9 values in [0, 255]. BMP stores pixel rows bottom-up, so file row
+    * k carries image row 7-k — the builder writes rows reversed and the
+    * decode path is proven by the arithmetic oracle over the same values.
+    */
+  def bmpRows(rows: Column): Column = {
+    val width = 9; val height = 8
+    val rowSize = 28 // 27 pixel bytes + 1 pad byte to the 4-byte boundary
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    def le16(v: Int): String = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    val imgSize = rowSize * height
+    val header = "424D" + le32(54 + imgSize) + "00000000" + le32(54) +
+      le32(40) + le32(width) + le32(height) + le16(1) + le16(24) +
+      le32(0) + le32(imgSize) + le32(2835) + le32(2835) + le32(0) + le32(0)
+    def rowHex(r: Int) = concat(
+      concat_ws("", transform(element_at(rows, r + 1),
+        v => repeat(lpad(hex(v.cast(IntegerType)), 2, "0"), 3))),
+      lit("00"))
+    concat(unhex(lit(header)),
+      unhex(concat((height - 1 to 0 by -1).map(rowHex): _*)))
+  }
+
   /** Banded Hamming near-dup pairs over 64-bit signatures (e.g.
     * [[dhash64]]): the same pigeonhole guarantee as Dedup.nearDupSimhash —
     * with `bands > maxDist`, two signatures within Hamming `maxDist`

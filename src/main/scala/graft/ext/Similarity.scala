@@ -402,6 +402,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** The full IVF ANN QUERY against FIXED centroids, end-to-end
+    * oracle-checkable (unlike [[ivfTopK]], whose k-means index is
+    * RNG-seeded): every row is assigned to its nearest centroid with
+    * [[assignToCentroids]]'s subtractive-L2 argmin (ties to the smaller
+    * centroid id), the `nProbe` centroids nearest the query are ranked
+    * driver-side (centroid lists are tiny by construction), and only rows
+    * in probed clusters are cosine-scored for the top-k.
+    *
+    * Scale shape: identical to [[ivfTopK]] — assignment is scan-local
+    * (centroid literals, no join); at ingest the cluster id becomes the
+    * table's partition column so a probe prunes ~(1 − nProbe/k) of the
+    * FILES, not just rows. Here assignment is computed inline, which is
+    * the one-shot query cost; the ranking is a TakeOrderedAndProject
+    * (no global sort).
+    *
+    * Determinism contract (same as [[kmeansIterate]]): probe RANKING only
+    * needs ordering, and centroid-to-query distance gaps for real
+    * embeddings are many orders above cross-engine sum noise; per-row
+    * argmin equality is the proven `q_sim_ivf_assign` contract.
+    */
+  def ivfTopKFixed(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], query: Seq[Double],
+      k: Int, nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty && nProbe > 0, "need centroids and nProbe > 0")
+    val e = VectorOps.toDouble(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+        VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val cluster = array_min(array(entries: _*)).getField("cid")
+    val probes = centroids.map { case (cid, cv) =>
+      val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, cid)
+    }.sorted.take(nProbe).map(_._2)
+    df.where(cluster.isin(probes: _*))
+      .select(col(idCol).as("id"),
+        round(VectorOps.cosineNative(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-space benchmark decontamination: for every corpus vector,
     * the max cosine to ANY eval/benchmark vector; rows reaching `tau`
     * are the semantic near-matches of benchmark items that exact and

@@ -196,6 +196,16 @@ class Round4OpsSpec extends SparkSpec {
     assert(byId(1L) > byId(3L) && byId(2L) > byId(3L), s"unexpected order: ${r.toSeq}")
     assert(byId(3L) == byId(4L)) // symmetric leaves
     assert(r.toSeq == run().toSeq) // fixed iterations -> fully deterministic
+    // deterministic tier (fixed-point long sums): same ranks up to the
+    // 1e-12 quantization, and bit-identical across repeated runs
+    def runDet() = Graph.pageRank(edges, nodes, "id", iters = 10,
+        deterministic = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rd = runDet()
+    r.zip(rd).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 == i2 && math.abs(v1 - v2) < 1e-9, s"tier drift: $i1 $v1 $v2")
+    }
+    assert(rd.toSeq == runDet().toSeq)
   }
 
   test("upsert is idempotent and snapshotDiff(x, x) is all-unchanged") {
