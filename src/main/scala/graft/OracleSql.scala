@@ -764,7 +764,7 @@ object OracleSql {
       """WITH sd AS (SELECT doc_id,
         |    CASE WHEN doc_id % 50 < 2
         |         THEN 'seed#' || CAST(doc_id - doc_id % 2 AS VARCHAR)
-        |         ELSE text END AS seed FROM documents),
+        |         ELSE md5(text) END AS seed FROM documents),
         |g AS (SELECT doc_id, rr.r AS r, list_transform(generate_series(0, 8),
         |    i -> 0.299*CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER)
         |       + 0.587*CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER)

@@ -585,16 +585,23 @@ object SparkEntry {
     // doc ids ≡ 0,1 (mod 50) share a seed (one exact-dup pair per 50
     // docs); everything else is md5-far. Pair count observe-logged.
     "q_image_neardup" -> ((s, dir) => {
+      // full text hashed ONCE; the 8 per-row digests are md5s of the
+      // 32-char seed (cheap), and their hex pairs feed bmpRows directly
       val seed = when(col("doc_id") % 50 < 2,
           concat(lit("seed#"), (col("doc_id") - col("doc_id") % 2).cast("string")))
-        .otherwise(col("text"))
-      val rows = array((0 until 8).map(r =>
-        transform(sequence(lit(0), lit(8)),
-          i => conv(md5(concat(seed, lit(s"#$r"))).substr(i * 2 + 1, lit(2)),
-            16, 10).cast("int"))): _*)
-      val sig = T(s, dir, "documents")
+        .otherwise(md5(col("text")))
+      val ms = T(s, dir, "documents")
+        .select(col("doc_id"), seed.as("__seed"))
+        .select(col("doc_id") +:
+          (0 until 8).map(r => md5(concat(col("__seed"), lit(s"#$r"))).as(s"__m$r")): _*)
+      // the sig table is (id, long) — persist it so the banded join's two
+      // sides share ONE codec/dhash pass instead of re-evaluating the
+      // fixture subtree per side
+      val sig = graft.Caches.register(ms
         .select(col("doc_id"),
-          Multimodal.dhash64(Multimodal.bmpRows(rows)).as("dhash"))
+          Multimodal.dhash64(Multimodal.bmpRows(
+            (0 until 8).map(r => col(s"__m$r")))).as("dhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.Metrics.ensureListener(s)
       Multimodal.nearDupByHamming(sig, "doc_id", "dhash", bands = 4, maxDist = 3)
         .observe(graft.Metrics.name("image_neardup_pairs"), count(lit(1)))

@@ -342,9 +342,19 @@ object Dedup {
     * doubling step makes rounds-to-converge O(log diameter) instead of
     * O(diameter), so even pathological chains finish far inside `maxIter`
     * (a 1000-hop path converges in ~10 rounds). Each round materializes
-    * via localCheckpoint so the plan does not grow with iterations, and
-    * convergence is a driver-side single-row count — the standard
-    * large-graph CC shape (label propagation, not a driver-side
+    * via localCheckpoint so the plan does not grow with iterations.
+    *
+    * Job-count shape (the latency floor when the touched subgraph is
+    * small): TWO driver-blocking jobs per round — the propagation
+    * materialization and the jump materialization — with NO separate
+    * convergence job. The previous label rides through the propagation
+    * aggregate as a carried column and a LongAccumulator counts changed
+    * labels DURING the materialization action itself; when propagation
+    * already reached a fixed point the jump join is skipped entirely, so
+    * the terminal confirmation round costs one job, not three. (Task
+    * retries can only over-count the accumulator — an over-count forces
+    * one extra harmless round, never a premature exit.) This is the
+    * standard large-graph CC shape (label propagation, not a driver-side
     * union-find, which would pull the whole edge list into one process).
     * If `maxIter` is still hit before convergence the method emits an
     * explicit warning: labels are then approximate (split clusters), never
@@ -366,40 +376,58 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val labelType = labels.schema("cluster_id").dataType
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor labels flow along edges; min over (own, incoming)
+      // neighbor labels flow along edges; min over (own, incoming). The
+      // node's PREVIOUS label rides along as __own (each id has exactly
+      // one labels row, so max-ignoring-nulls recovers it without a join)
       val incoming = labels.join(edges, labels("id") === edges("src"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      // checkpointed before the self-join below: breaks the Union lineage
-      // (whose constraint propagation chokes on an aliased self-join) and
-      // keeps the jump join reading a materialized tiny label table
-      val prop = labels.select(col("id"), col("cluster_id"))
+        .select(col("dst").as("id"), col("cluster_id"),
+          lit(null).cast(labelType).as("__own"))
+      val propDf = labels
+        .select(col("id"), col("cluster_id"), col("cluster_id").as("__own"))
         .union(incoming)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      // pointer jump: l[id] = l[l[id]]. Every label IS a touched-node id
-      // (labels start as identity and min only ever picks existing ids),
-      // so the self-join always matches; the invariant l[id] <= id makes
-      // the jumped label <= the propagated one. This halves the remaining
-      // chain depth each round -> O(log diameter) total rounds.
-      val jumped = prop.as("p")
-        .join(prop.select(col("id").as("jid"), col("cluster_id").as("jcid")),
-          col("p.cluster_id") === col("jid"), "left")
-        .select(col("p.id").as("id"),
-          coalesce(col("jcid"), col("p.cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      // rebuild from the checkpointed RDD: localCheckpoint keeps the origin
-      // plan's constraints, and the alias constraint from the jump join
-      // references join-side attributes — next round's self-union chokes on
-      // rewriting it (AttributeMap key-not-found). The label table is the
-      // tiny touched subgraph, so the Row round-trip is negligible.
-      val next = prop.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
-      converged = changed == 0
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"),
+          max(col("__own")).as("__own"))
+      // materialize through a Row map that counts changed labels into an
+      // accumulator DURING the same job (no separate convergence count),
+      // dropping __own on the way. createDataFrame severs the Union
+      // lineage (whose constraint propagation chokes on the aliased
+      // self-join below); the label table is the tiny touched subgraph,
+      // so the Row round-trip is negligible.
+      val acc = spark.sparkContext.longAccumulator
+      val outSchema = org.apache.spark.sql.types.StructType(propDf.schema.take(2))
+      val prop = spark.createDataFrame(
+        propDf.rdd.mapPartitions(_.map { r =>
+          if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }), outSchema).localCheckpoint(true)
+      if (acc.value == 0L) {
+        // propagation is a fixed point -> the jump is the identity
+        // (labels are constant per component and l[c] = c); skip it
+        labels = prop
+        converged = true
+      } else {
+        // pointer jump: l[id] = l[l[id]]. Every label IS a touched-node id
+        // (labels start as identity and min only ever picks existing ids),
+        // so the self-join always matches; the invariant l[id] <= id makes
+        // the jumped label <= the propagated one. This halves the remaining
+        // chain depth each round -> O(log diameter) total rounds.
+        val jumped = prop.as("p")
+          .join(prop.select(col("id").as("jid"), col("cluster_id").as("jcid")),
+            col("p.cluster_id") === col("jid"), "left")
+          .select(col("p.id").as("id"),
+            coalesce(col("jcid"), col("p.cluster_id")).as("cluster_id"))
+          .localCheckpoint(true)
+        // rebuild from the checkpointed RDD: localCheckpoint keeps the
+        // origin plan's constraints, and the alias constraint from the jump
+        // join references join-side attributes — next round's self-union
+        // chokes on rewriting it (AttributeMap key-not-found).
+        labels = spark.createDataFrame(jumped.rdd, jumped.schema)
+      }
       iter += 1
     }
     if (!converged)

@@ -355,13 +355,20 @@ object Multimodal {
     * effective pattern space collapses to 8 bits (at 5k docs that is
     * ~100k degenerate "identical" pairs — the r10 bench was measuring
     * pair materialization, not the banded join). Here row r carries its
-    * OWN 9 values, so all 64 dHash bits are independent. `rows` must be
-    * array<array<int>> of exactly 8 rows (top-down, dHash grid order) x
-    * 9 values in [0, 255]. BMP stores pixel rows bottom-up, so file row
-    * k carries image row 7-k — the builder writes rows reversed and the
-    * decode path is proven by the arithmetic oracle over the same values.
+    * OWN 9 gray values, so all 64 dHash bits are independent.
+    *
+    * `rowHexes` must be 8 per-row hex strings (top-down, dHash grid
+    * order) whose first 18 chars are the row's 9 gray bytes — e.g. an
+    * md5 hex digest per row. The hex pair IS the pixel byte for all
+    * three channels (no int round-trip), so the builder is pure
+    * codegen'd string ops — no higher-order-function lambdas, which are
+    * interpreted and were the dominant cost of the first cut of this
+    * fixture. BMP stores pixel rows bottom-up, so file row k carries
+    * image row 7-k — the builder writes rows reversed and the decode
+    * path is proven by the arithmetic oracle over the same values.
     */
-  def bmpRows(rows: Column): Column = {
+  def bmpRows(rowHexes: Seq[Column]): Column = {
+    require(rowHexes.length == 8, s"need exactly 8 rows, got ${rowHexes.length}")
     val width = 9; val height = 8
     val rowSize = 28 // 27 pixel bytes + 1 pad byte to the 4-byte boundary
     def le32(v: Int): String =
@@ -371,12 +378,10 @@ object Multimodal {
     val header = "424D" + le32(54 + imgSize) + "00000000" + le32(54) +
       le32(40) + le32(width) + le32(height) + le16(1) + le16(24) +
       le32(0) + le32(imgSize) + le32(2835) + le32(2835) + le32(0) + le32(0)
-    def rowHex(r: Int) = concat(
-      concat_ws("", transform(element_at(rows, r + 1),
-        v => repeat(lpad(hex(v.cast(IntegerType)), 2, "0"), 3))),
-      lit("00"))
+    def rowPix(rh: Column) = concat(
+      (0 until 9).map(i => repeat(substring(rh, i * 2 + 1, 2), 3)) :+ lit("00"): _*)
     concat(unhex(lit(header)),
-      unhex(concat((height - 1 to 0 by -1).map(rowHex): _*)))
+      unhex(concat((height - 1 to 0 by -1).map(r => rowPix(rowHexes(r))): _*)))
   }
 
   /** Banded Hamming near-dup pairs over 64-bit signatures (e.g.

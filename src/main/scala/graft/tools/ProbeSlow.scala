@@ -17,7 +17,10 @@ object ProbeSlow {
     val dir = "/root/testdata/sf0.1"
     for (name <- args) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      // same timing contract as Bench: full materialization, no
+      // count()-induced projection prune / sort elimination
+      val rdd = graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd
+      val n = rdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
       graft.Caches.releaseAll()
       println(f"$name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
