@@ -193,6 +193,22 @@ object Dedup {
         graft.Caches.register(
           shPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else shPlain
+    nearDupFromShingles(sh, numHashes, bands, threshold, cacheIntermediate,
+      maxBucketSize)
+  }
+
+  /** [[nearDupMinhash]] from a prebuilt (id, sh) shingle table — the entry
+    * point for callers that already hold one (incrementalDedup's batch
+    * side re-deduplicates a REMNANT of a table it shingled and persisted
+    * two steps earlier; re-tokenizing it would add a full projection pass
+    * plus a second persist materialization for identical arrays). The
+    * caller owns the table's persistence.
+    */
+  private[ext] def nearDupFromShingles(sh: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, cacheIntermediate: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
     val hs = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
     val sig = hs.select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
     // banded rows carry ONLY (band_idx, band_key, id): the candidate
@@ -211,7 +227,7 @@ object Dedup {
     // verification action): a corpus shift that inflates the LSH buckets
     // shows up as this logged number next to the slow run, per the
     // no-silent-caps rule.
-    graft.Metrics.ensureListener(df.sparkSession)
+    graft.Metrics.ensureListener(sh.sparkSession)
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -287,14 +303,16 @@ object Dedup {
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
     val b1 = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
-    // 2. within-batch exact. Eagerly checkpointed: b2's subtree (corpus
-    //    anti-join + canonicalization window) would otherwise be REPLAYED
-    //    inside every downstream consumer's plan — the shingle build, the
-    //    matched anti-join, and the whole applyNearDupDedup re-shingle —
-    //    multiplying Catalyst analysis + codegen cost (measured ~9 s of a
-    //    14 s cold run at sf0.1) for zero execution benefit. Batch-sized,
-    //    like the persisted shingle tables.
-    val b2 = exactCanonical(b1, textCol, idCol).localCheckpoint(true)
+    // 2. within-batch exact. Persisted (batch-sized, like the shingle
+    //    tables): b2's subtree (corpus anti-join + canonicalization
+    //    window) feeds the shingle build, the matched anti-join, and the
+    //    final output — the cache keeps it to ONE execution and, unlike
+    //    the r9/r10 eager localCheckpoint, defers materialization into
+    //    the first consumer's job instead of a driver-blocking sync.
+    //    (The r9 9-of-14-s analysis-replay problem is gone since the
+    //    within-batch pass reuses shB below instead of re-shingling.)
+    val b2 = graft.Caches.register(exactCanonical(b1, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 3. near-dup vs corpus: both shingle tables feed band generation AND
     //    the verification fetch joins — persist so neither side re-shingles
     val shB = graft.Caches.register(shingleTable(b2, textCol, idCol, k)
@@ -324,9 +342,18 @@ object Dedup {
     // matched scales with the incoming batch (worst case: every batch doc
     // near-dups the corpus) — no broadcast hint, AQE decides.
     val b3 = b2.join(matched, Seq(idCol), "left_anti")
-    // 4. within-batch near-dup
-    applyNearDupDedup(b3, textCol, idCol, k, numHashes, bands, threshold,
-      maxBucketSize)
+    // 4. within-batch near-dup — on the REMNANT's shingles, filtered out
+    //    of the already-persisted batch shingle table (a semi-join on the
+    //    small matched id set) instead of re-tokenizing b3 from text:
+    //    saves a full projection pass + a second persist of identical
+    //    arrays. Semantically identical to applyNearDupDedup(b3, ...).
+    val shB3 = shB.join(matched.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val pairs = nearDupFromShingles(shB3, numHashes, bands, threshold,
+      maxBucketSize = maxBucketSize)
+    val labels = clusterNearDups(pairs, b3, idCol)
+    val dropped = labels.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    b3.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Near-dup CLUSTER assignment: connected components over a verified
