@@ -346,6 +346,15 @@ object OracleSql {
         |FROM read_csv_auto('/tmp/graft_fixtures/sf0.01/region_csv/*.csv', header=true)
         |ORDER BY r_regionkey""".stripMargin,
 
+    // excel round trips START from the parquet region table, so the
+    // oracle reads it directly: hash-green proves the xlsx / BIFF8 .xls
+    // writer+reader pairs reproduce the source values exactly
+    "q_s2_excel_read" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_s2_xls_read" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
     "q_s3_json_read" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(n_name AS VARCHAR) AS n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -740,6 +749,27 @@ object OracleSql {
         |  md5(text || '#' || ff.f) AS frame_hex
         |FROM documents, (SELECT unnest([1, 4, 7]) AS f) ff
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // per-sampled-frame dHash replayed arithmetically: frame f row r of
+    // the concatenated-BMP payload carries gray bytes md5(text||'#f#r');
+    // sampled frames are 0 and 2 (offset 0, stride 2, 3 frames). Gray is
+    // identical across channels, so comparing the raw byte values is
+    // order-equivalent to the Rec.601 double the codec path computes.
+    "q_frame_decode" ->
+      """WITH g AS (SELECT doc_id, ff.f AS f, rr.r AS r,
+        |    list_transform(generate_series(0, 8),
+        |      i -> CAST(('0x' || substr(md5(text || '#' || ff.f || '#' || rr.r), i*2+1, 2)) AS INTEGER)) AS gr
+        |  FROM documents, (SELECT unnest([0, 2]) AS f) ff,
+        |       (SELECT unnest(generate_series(0, 7)) AS r) rr),
+        |dbits AS (SELECT doc_id, f, r, cc.c AS c,
+        |    CASE WHEN gr[cc.c + 2] > gr[cc.c + 1] THEN 1 ELSE 0 END AS bit
+        |  FROM g, (SELECT unnest(generate_series(0, 7)) AS c) cc),
+        |h AS (SELECT doc_id, f, CAST(sum(CASE WHEN bit = 1 THEN
+        |    CASE WHEN r*8 + c = 63 THEN (-9223372036854775808)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c) END
+        |  ELSE 0 END) AS BIGINT) AS dh FROM dbits GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, dh AS dhash
+        |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
 
     // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
     // repeated-md5 sample bytes the Spark fixture builds into a real WAV

@@ -4,7 +4,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
-import graft.sources.{Sources, Xlsx}
+import graft.sources.{Sources, Xlsx, XlsWriter}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -185,13 +185,25 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
-    // -- S2 Excel read (JDK-only xlsx round-trip; no DuckDB xlsx reader,
-    // so this is the contract's rows-only check — fidelity is pinned by
-    // the ScalaTest round-trip against the source table instead) ----------
+    // -- S2 Excel read (JDK-only xlsx round-trip). DuckDB can't read
+    // xlsx, but it doesn't need to: the round trip starts from the
+    // parquet `region` table, so the oracle reads that table DIRECTLY —
+    // hash-green proves write+read fidelity end to end --------------------
     "q_s2_excel_read" -> ((s, dir) => {
       val p = s"${fixDir(dir)}/region_xlsx/region.xlsx"
       new java.io.File(p).getParentFile.mkdirs()
       Xlsx.write(T(s, dir, "region").orderBy("r_regionkey"), p)
+      Sources.readExcel(s, p)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+    // -- S2b legacy binary .xls: same end-to-end contract through the
+    // BIFF8/CFB writer+reader pair (XlsWriter/Xls), dispatched by file
+    // magic in Sources.readExcel ------------------------------------------
+    "q_s2_xls_read" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/region_xls/region.xls"
+      new java.io.File(p).getParentFile.mkdirs()
+      XlsWriter.write(T(s, dir, "region").orderBy("r_regionkey"), p)
       Sources.readExcel(s, p)
         .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey")
@@ -633,6 +645,25 @@ object SparkEntry {
           frameBytes = 16, stride = 3, offset = 1)
         .select(col("id").as("doc_id"), col("frame_idx"),
           lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    // -- frame sampling + REAL per-frame decode (closes the r10 stub
+    // boundary): the payload is an MJPEG-style concatenation of 3
+    // self-contained 278-byte BMP frames (bmpRows, per-frame md5-derived
+    // gray rows); frameSample keeps frames 0 and 2, each decoded through
+    // the actual ImageIO codec into a 64-bit dHash. The oracle recomputes
+    // every hash arithmetically from the same md5 hex — hash-green proves
+    // slice + codec + downsample + bit logic end to end ------------------
+    "q_frame_decode" -> ((s, dir) => {
+      val frames = (0 until 3).map { f =>
+        Multimodal.bmpRows((0 until 8).map(r =>
+          md5(concat(col("text"), lit(s"#$f#$r")))))
+      }
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), concat(frames: _*).as("media"))
+      Multimodal.frameDecodeDhash(d, "media", "doc_id",
+          frameBytes = 278, stride = 2, offset = 0)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("dhash"))
         .orderBy("doc_id", "frame_idx")
     }),
 

@@ -452,6 +452,17 @@ object Multimodal {
     * single Generate input row); the per-frame sum-of-squares is a
     * map-side-combinable aggregate on exact integers, one sqrt per frame.
     *
+    * Payload ceiling: the implementation hex-encodes each payload into
+    * ONE string per row (2 chars per byte) and addresses samples through
+    * Int `substr` positions, so a single clip is bounded by the Int
+    * position space at ~1 GB of payload (~500 MB of hex-addressable
+    * samples) and by Spark's 2 GB single-value limit well before that.
+    * A 1-hour mono 8 kHz clip (~58 MB, ~116 MB hexed) sits comfortably
+    * inside; multi-hour or multi-channel-48kHz clips must be pre-split
+    * into bounded chunks (e.g. [[frameSample]] on the data section)
+    * before this stage — per-row giant payloads are an anti-pattern at
+    * scale regardless of this ceiling.
+    *
     * Output: (idCol, frame, rms), rms = sqrt(mean(sample^2)) rounded to
     * 6 places.
     */
@@ -564,12 +575,14 @@ object Multimodal {
     * payload: treat the payload as consecutive `frameBytes`-sized frames
     * (raw video planes, audio blocks, any framed container) and keep every
     * `stride`-th complete frame starting at `offset`. This is the
-    * Spark-side PLUMBING of video frame sampling — schema, partitioning,
-    * slicing, batch shape; the codec that would decode sampled frames into
-    * pixels is not available in this container (the declared stub
-    * boundary; for images the real decode exists in [[decodeImageFeatures]]
-    * / [[dhash64]]). Expression-only and scan-local: one binary substring
-    * per sampled frame, incomplete tails dropped, no UDF, no shuffle.
+    * Spark-side slicing stage of video frame sampling — schema,
+    * partitioning, batch shape; when the frames are themselves a
+    * decodable image format the sampled frames feed straight into the
+    * REAL codec pass ([[frameDecodeDhash]] / [[decodeImageFeatures]] /
+    * [[dhash64]]); inter-frame-compressed codecs (H.264 etc.) have no
+    * decoder in this container and stay out of scope. Expression-only and
+    * scan-local: one binary substring per sampled frame, incomplete tails
+    * dropped, no UDF, no shuffle.
     *
     * Output: (idCol, frame_idx, frame: binary).
     */
@@ -587,6 +600,25 @@ object Multimodal {
         col("__p").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
           .as("frame"))
   }
+
+  /** Frame sampling + REAL per-frame decode: [[frameSample]] slices the
+    * framed payload and every sampled frame runs through the actual image
+    * codec pass ([[dhash64]]: ImageIO decode, 9x8 block-mean grayscale,
+    * 64-bit difference hash) — the full video-near-dup fingerprint stage
+    * (sample frames, perceptually hash each, then band-join hashes via
+    * [[nearDupByHamming]] to find duplicate clips). Works for any payload
+    * whose frames are a self-contained ImageIO-decodable format (MJPEG-
+    * style concatenated JPEGs, framed BMPs); undecodable frames yield a
+    * null hash rather than an error. Scale shape inherits from
+    * [[frameSample]]: scan-local slicing, codec work distributed per
+    * sampled frame, no shuffle.
+    *
+    * Output: (id, frame_idx, dhash: long nullable).
+    */
+  def frameDecodeDhash(df: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int, stride: Int, offset: Int = 0): DataFrame =
+    frameSample(df, payloadCol, idCol, frameBytes, stride, offset)
+      .select(col("id"), col("frame_idx"), dhash64(col("frame")).as("dhash"))
 
   /** Pseudo-featurizer for NON-media payloads =======================
     * For payloads that are not decodable media (plain text bytes in the

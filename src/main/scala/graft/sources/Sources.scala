@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Multi-format ingestion (SURVEY §2.1, S1–S6).
   *
   * Reference: `Data_integration and harmonization.py:165-187` — CSV / JSON /
-  * Parquet upload with pandas type inference, empty-input rejection, and a
-  * 5-row preview. XLSX (S2) has no offline Spark reader and is documented
-  * unsupported (SURVEY §2.1); users export to CSV.
+  * Parquet / Excel upload with pandas type inference, empty-input
+  * rejection, and a 5-row preview. Excel (S2) is served by the JDK-only
+  * [[Xlsx]] (zip+XML) and [[Xls]] (OLE2+BIFF8) readers, dispatched on the
+  * file magic.
   *
   * Scale notes: `inferSchema` for CSV costs an extra pass — at 100 TB pass
   * an explicit schema (the `schema` overloads) so the scan is single-pass
@@ -34,22 +35,38 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** S2 — minimal JDK-only XLSX reader (see [[Xlsx]]): single sheet,
-    * header row, pandas-style numeric inference. Driver-side parse — the
-    * upload-ingestion contract for small workbooks, mirroring
-    * `pd.read_excel`'s eager single-file read; convert to parquet before
-    * heavy processing. Legacy binary .xls is NOT supported.
+  /** S2 — minimal JDK-only Excel readers (see [[Xlsx]] and [[Xls]]):
+    * dispatches on the FILE MAGIC, not the extension — OLE2/CFB (legacy
+    * binary .xls, BIFF8) routes to [[Xls.read]], zip/PK (.xlsx) to
+    * [[Xlsx.read]] — so a misnamed workbook still reads correctly, the
+    * way `pd.read_excel` picks its engine. Header row, pandas-style
+    * numeric inference. Driver-side parse — the upload-ingestion contract
+    * for small workbooks, mirroring `pd.read_excel`'s eager single-file
+    * read; convert to parquet before heavy processing.
     */
   def readExcel(spark: SparkSession, path: String): DataFrame =
-    Xlsx.read(spark, path)
+    if (isOle2(path)) Xls.read(spark, path) else Xlsx.read(spark, path)
 
   /** `pd.read_excel(path, sheet_name=<index>)`. */
   def readExcel(spark: SparkSession, path: String, sheet: Int): DataFrame =
-    Xlsx.read(spark, path, Left(sheet))
+    if (isOle2(path)) Xls.read(spark, path, Left(sheet))
+    else Xlsx.read(spark, path, Left(sheet))
 
   /** `pd.read_excel(path, sheet_name=<name>)`. */
   def readExcel(spark: SparkSession, path: String, sheet: String): DataFrame =
-    Xlsx.read(spark, path, Right(sheet))
+    if (isOle2(path)) Xls.read(spark, path, Right(sheet))
+    else Xlsx.read(spark, path, Right(sheet))
+
+  /** `pd.ExcelFile(path).sheet_names`, either workbook format. */
+  def excelSheetNames(path: String): Seq[String] =
+    if (isOle2(path)) Xls.sheetNames(path) else Xlsx.sheetNames(path)
+
+  private def isOle2(path: String): Boolean = {
+    val in = new java.io.FileInputStream(path)
+    val head = try in.readNBytes(4) finally in.close()
+    head.length == 4 && (head(0) & 0xFF) == 0xD0 && (head(1) & 0xFF) == 0xCF &&
+      (head(2) & 0xFF) == 0x11 && (head(3) & 0xFF) == 0xE0
+  }
 
   /** Multi-format dispatch by file extension — the reference's upload loop
     * (`DIH.py:172-179`: csv/xlsx/json/parquet).
@@ -59,10 +76,7 @@ object Sources {
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".json")) readJson(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
-    else if (lower.endsWith(".xlsx")) readExcel(spark, path)
-    else if (lower.endsWith(".xls"))
-      throw new UnsupportedOperationException(
-        "Legacy binary .xls is not supported; use .xlsx or export to CSV")
+    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls")) readExcel(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file format: $path")
   }
 

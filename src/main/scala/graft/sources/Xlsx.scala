@@ -63,8 +63,8 @@ object Xlsx {
       (head(2) & 0xFF) == 0x11 && (head(3) & 0xFF) == 0xE0
     if (isOle2)
       throw new UnsupportedOperationException(
-        s"$path is a legacy binary Excel workbook (OLE2 .xls): not supported; " +
-          "re-save as .xlsx or export to CSV")
+        s"$path is a legacy binary Excel workbook (OLE2 .xls): use " +
+          "Xls.read / Sources.readExcel (which dispatches on the file magic)")
     val isZip = head.length >= 2 && head(0) == 'P'.toByte && head(1) == 'K'.toByte
     if (!isZip)
       throw new IllegalArgumentException(
@@ -75,15 +75,20 @@ object Xlsx {
     * order): (name, zip entry of the sheet XML). Resolution is the real
     * OPC route — workbook.xml's `<sheet r:id=...>` joined to
     * xl/_rels/workbook.xml.rels targets — because writers do NOT have to
-    * name parts sheetN.xml in display order. Workbooks without a
-    * workbook.xml (minimal writers) fall back to the single conventional
-    * sheet1.xml.
+    * name parts sheetN.xml in display order. Only a workbook with NO
+    * workbook.xml at all (minimal writers) falls back to the single
+    * conventional sheet1.xml; a workbook.xml whose rels part is missing
+    * FAILS instead of silently guessing — resolving sheet index 0 to a
+    * conventionally-named part that is not the first workbook-order sheet
+    * is the same silent-index-shift hazard the dangling-relationship
+    * check below refuses.
     */
   private def sheetEntries(zf: ZipFile, path: String): IndexedSeq[(String, String)] = {
-    val inventory = for {
-      wb <- zipEntryBytes(zf, "xl/workbook.xml")
-      rels <- zipEntryBytes(zf, "xl/_rels/workbook.xml.rels")
-    } yield {
+    val inventory = zipEntryBytes(zf, "xl/workbook.xml").map { wb =>
+      val rels = zipEntryBytes(zf, "xl/_rels/workbook.xml.rels").getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: xl/workbook.xml is present but xl/_rels/workbook.xml.rels is " +
+            "missing — sheet order cannot be resolved; refusing to guess part names"))
       val targets = elements(parseXml(rels), "Relationship").map { r =>
         val t = r.getAttribute("Target")
         r.getAttribute("Id") -> (if (t.startsWith("/")) t.drop(1) else s"xl/$t")
@@ -112,8 +117,13 @@ object Xlsx {
             s"$path: sheet '$name' references missing relationship '$rid'")))
       }.toIndexedSeq
     }
-    inventory.filter(_.nonEmpty)
-      .getOrElse(IndexedSeq("Sheet1" -> "xl/worksheets/sheet1.xml"))
+    inventory match {
+      case Some(sheets) =>
+        if (sheets.isEmpty) throw new IllegalArgumentException(
+          s"$path: xl/workbook.xml declares no sheets")
+        sheets
+      case None => IndexedSeq("Sheet1" -> "xl/worksheets/sheet1.xml")
+    }
   }
 
   /** Sheet names in workbook order (the `pd.ExcelFile(...).sheet_names`

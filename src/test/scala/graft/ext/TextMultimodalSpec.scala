@@ -392,6 +392,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(shortDf, "media", "id", 4, 3, 1).count() == 0)
   }
 
+  test("frameDecodeDhash: sampled frames run the REAL codec; junk frames hash null") {
+    // payload = [ascending-stripe BMP | 278 junk bytes | descending BMP]:
+    // the known dhash goldens (-1L / 0L) must come back per frame, and the
+    // undecodable middle frame must yield a null hash, not an error
+    def bmp(vals: Seq[Int]): Array[Byte] =
+      Seq(Tuple1(vals)).toDF("vals")
+        .select(Multimodal.bmpStripes(col("vals"))).head().getAs[Array[Byte]](0)
+    val asc = bmp((0 until 9).map(_ * 20))
+    val desc = bmp((0 until 9).map(i => (8 - i) * 20))
+    assert(asc.length == 278 && desc.length == 278)
+    val payload = asc ++ Array.fill[Byte](278)(0x55) ++ desc
+    val got = Multimodal.frameDecodeDhash(
+        Seq((1L, payload)).toDF("id", "media"), "media", "id",
+        frameBytes = 278, stride = 1)
+      .select("frame_idx", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(0L -> Some(-1L), 1L -> None, 2L -> Some(0L)), s"got $got")
+  }
+
   test("nearDupByHamming equals the brute-force all-pairs Hamming scan") {
     // crafted signatures incl. the sign bit: pairs within dist 3 must all
     // surface (pigeonhole guarantee), none invented

@@ -40,14 +40,15 @@ class SkewSourcesSpec extends SparkSpec {
     assert(Sources.readAny(spark, s"$tmp/t.parquet").count() == 2)
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/t.csv")
     assert(Sources.readAny(spark, s"$tmp/t.csv").count() == 2)
-    intercept[UnsupportedOperationException] { Sources.readAny(spark, "/x/y.xls") }
+    intercept[java.io.FileNotFoundException] { Sources.readAny(spark, "/x/y.xls") }
     intercept[IllegalArgumentException] { Sources.readAny(spark, "/x/y.avro") }
-    // an OLE2 .xls RENAMED to .xlsx must fail with the explicit legacy-xls
-    // message (magic D0 CF 11 E0), not an opaque zip-parse error
+    // an OLE2-magic file RENAMED to .xlsx routes to the BIFF8 reader via
+    // the magic dispatch; a truncated one fails with a clear OLE2 message,
+    // not an opaque zip-parse error (full .xls reads live in XlsSpec)
     val ole = java.nio.file.Paths.get(tmp, "legacy.xlsx")
     java.nio.file.Files.write(ole,
       Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
-    val e = intercept[UnsupportedOperationException] {
+    val e = intercept[IllegalArgumentException] {
       Sources.readAny(spark, ole.toString)
     }
     assert(e.getMessage.contains("OLE2"))
