@@ -751,14 +751,15 @@ object OracleSql {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // per-sampled-frame dHash replayed arithmetically: frame f row r of
-    // the concatenated-BMP payload carries gray bytes md5(text||'#f#r');
-    // sampled frames are 0 and 2 (offset 0, stride 2, 3 frames). Gray is
-    // identical across channels, so comparing the raw byte values is
-    // order-equivalent to the Rec.601 double the codec path computes.
+    // the concatenated-BMP payload carries gray bytes md5(seed||'#f#r')
+    // with seed = md5(text) (full text hashed once, Spark side persists
+    // the payload); sampled frames are 0 and 2 (offset 0, stride 2, 3
+    // frames). Gray is identical across channels, so comparing the raw
+    // byte values is order-equivalent to the codec path's Rec.601 double.
     "q_frame_decode" ->
       """WITH g AS (SELECT doc_id, ff.f AS f, rr.r AS r,
         |    list_transform(generate_series(0, 8),
-        |      i -> CAST(('0x' || substr(md5(text || '#' || ff.f || '#' || rr.r), i*2+1, 2)) AS INTEGER)) AS gr
+        |      i -> CAST(('0x' || substr(md5(md5(text) || '#' || ff.f || '#' || rr.r), i*2+1, 2)) AS INTEGER)) AS gr
         |  FROM documents, (SELECT unnest([0, 2]) AS f) ff,
         |       (SELECT unnest(generate_series(0, 7)) AS r) rr),
         |dbits AS (SELECT doc_id, f, r, cc.c AS c,

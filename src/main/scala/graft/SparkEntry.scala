@@ -655,12 +655,20 @@ object SparkEntry {
     // every hash arithmetically from the same md5 hex — hash-green proves
     // slice + codec + downsample + bit logic end to end ------------------
     "q_frame_decode" -> ((s, dir) => {
+      // full text hashed ONCE into a 32-char seed; the 24 per-frame-row
+      // digests hash that seed, not the document. The media table is
+      // persisted so frameSample's null/length filter and the per-frame
+      // slicing share ONE evaluation of the payload-construction
+      // expression (same pattern as q_image_neardup's sig table).
+      val seeded = T(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("__seed"))
       val frames = (0 until 3).map { f =>
         Multimodal.bmpRows((0 until 8).map(r =>
-          md5(concat(col("text"), lit(s"#$f#$r")))))
+          md5(concat(col("__seed"), lit(s"#$f#$r")))))
       }
-      val d = T(s, dir, "documents")
+      val d = graft.Caches.register(seeded
         .select(col("doc_id"), concat(frames: _*).as("media"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Multimodal.frameDecodeDhash(d, "media", "doc_id",
           frameBytes = 278, stride = 2, offset = 0)
         .select(col("id").as("doc_id"), col("frame_idx"), col("dhash"))
