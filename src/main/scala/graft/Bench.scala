@@ -69,8 +69,16 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           // full materialization: evaluate every output row of the exact
-          // registered plan (no count()-induced prune/sort-elimination)
-          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+          // registered plan (no count()-induced prune/sort-elimination).
+          // toRdd is a raw RDD action, which bypasses the
+          // QueryExecutionListener — log observed graft_* counts directly
+          // so candidate-set sizes stay visible next to the timings.
+          try {
+            val qe = fn(spark, sfDir).queryExecution
+            qe.toRdd.foreach(_ => ())
+            Metrics.logObserved(qe)
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }

@@ -36,18 +36,27 @@ object Metrics {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "graft.Metrics", org.apache.logging.log4j.Level.INFO)
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.Metrics")
+
+  /** Log the graft_* observed metrics of an ALREADY-EXECUTED plan. The
+    * QueryExecutionListener below only fires on Dataset actions; a raw RDD
+    * action (`queryExecution.toRdd.foreach` — Bench/ProbeSlow's full-
+    * materialization timing) bypasses it, but the CollectMetrics
+    * accumulators still populate during execution, so the harness calls
+    * this directly after the action.
+    */
+  def logObserved(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+    qe.observedMetrics.filter(_._1.startsWith("graft_")).foreach { case (n, row) =>
+      log.info(s"observed $n: ${row.mkString(", ")}")
+    }
+
   /** Idempotently attach the graft_* metric logger to `spark`. */
   def ensureListener(spark: SparkSession): Unit =
     if (sessions.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        private val log = org.slf4j.LoggerFactory.getLogger("graft.Metrics")
         override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-          val graft = qe.observedMetrics.filter(_._1.startsWith("graft_"))
-          if (graft.nonEmpty) graft.foreach { case (n, row) =>
-            log.info(s"observed $n: ${row.mkString(", ")}")
-          }
-        }
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          logObserved(qe)
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       })

@@ -2889,7 +2889,7 @@ object OracleSql {
         |ORDER BY rule_ord""".stripMargin,
 
     // PageRank, 2 iterations: inflow sums FIXED-POINT LONGS
-    // (floor(contrib * 1e12)) exactly like the Spark deterministic tier —
+    // (floor(contrib * 1e9)) exactly like the Spark deterministic tier —
     // integer addition is order-invariant, so no ordered fold is needed;
     // (1.0 - 0.85) spelled as the SAME double subtraction, never a 0.15
     // literal (they differ in the last ulp)
@@ -2900,16 +2900,16 @@ object OracleSql {
         |nodes AS (SELECT DISTINCT src AS id FROM e),
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
         |i1 AS (SELECT e.dst AS id,
-        |    CAST(CAST(sum(CAST(floor(1.0 / deg.deg * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS inflow
+        |    CAST(CAST(sum(CAST(floor(1.0 / deg.deg * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS inflow
         |  FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
         |r1 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i1.inflow, 0.0) + 0.0) AS rank
         |  FROM nodes LEFT JOIN i1 USING (id)),
         |i2 AS (SELECT e.dst AS id,
-        |    CAST(CAST(sum(CAST(floor(r1.rank / deg.deg * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS inflow
+        |    CAST(CAST(sum(CAST(floor(r1.rank / deg.deg * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS inflow
         |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.id GROUP BY e.dst),
         |r2 AS (SELECT nodes.id, (1.0 - 0.85) + 0.85 * (coalesce(i2.inflow, 0.0) + 0.0) AS rank
         |  FROM nodes LEFT JOIN i2 USING (id))
-        |SELECT id AS part_id, round(rank, 6) AS rank FROM r2 ORDER BY part_id""".stripMargin,
+        |SELECT id AS part_id, floor(rank * 1e6) / 1e6 AS rank FROM r2 ORDER BY part_id""".stripMargin,
 
     // self-trained bigram LM score: add-one-smoothed corpus bigram probs,
     // per-doc -mean log2 p folded in bigram-position order

@@ -2996,8 +2996,15 @@ object SparkEntry {
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
         .localCheckpoint(true)
       val nodes = e.select(col("src").as("id")).distinct()
+      // output rank is FLOOR-truncated to 6 places, not round()ed: the
+      // deterministic tier guarantees bit-identical rank doubles on both
+      // engines, so floor(rank*1e6) is identical too — while round() at a
+      // half-boundary (…x5) splits between Spark's HALF_UP-on-decimal and
+      // DuckDB's binary rounding (the 1e9 fixed-point grid actually hit
+      // one such boundary at sf0.01)
       graft.ext.Graph.pageRank(e, nodes, "id", iters = 2, deterministic = true)
-        .select(col("id").as("part_id"), round(col("rank"), 6).as("rank"))
+        .select(col("id").as("part_id"),
+          (floor(col("rank") * lit(1e6)) / lit(1e6)).as("rank"))
         .orderBy("part_id")
     }),
 

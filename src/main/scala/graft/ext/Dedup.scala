@@ -343,11 +343,16 @@ object Dedup {
     // near-dups the corpus) — no broadcast hint, AQE decides.
     val b3 = b2.join(matched, Seq(idCol), "left_anti")
     // 4. within-batch near-dup — on the REMNANT's shingles, filtered out
-    //    of the already-persisted batch shingle table (a semi-join on the
+    //    of the already-persisted batch shingle table (an anti-join on the
     //    small matched id set) instead of re-tokenizing b3 from text:
-    //    saves a full projection pass + a second persist of identical
-    //    arrays. Semantically identical to applyNearDupDedup(b3, ...).
-    val shB3 = shB.join(matched.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    //    saves a full projection pass. Persisted because
+    //    nearDupFromShingles consumes its shingle table THREE times (band
+    //    generation + both verification fetch sides) — its contract says
+    //    the caller owns persistence — so the cache-scan + anti-join runs
+    //    once, not per consumer.
+    val shB3 = graft.Caches.register(
+      shB.join(matched.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = nearDupFromShingles(shB3, numHashes, bands, threshold,
       maxBucketSize = maxBucketSize)
     val labels = clusterNearDups(pairs, b3, idCol)

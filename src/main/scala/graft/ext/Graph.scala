@@ -33,14 +33,19 @@ object Graph {
     * @param nodes one row per node id (isolated nodes keep base rank)
     * @param deterministic make every cross-engine/cross-partitioning
     *        nondeterminism-free: per-edge contributions are scaled to
-    *        fixed-point longs (`floor(c * 1e12)`) and SUMMED AS LONGS —
+    *        fixed-point longs (`floor(c * 1e9)`) and SUMMED AS LONGS —
     *        integer addition is associative+commutative, so the result is
     *        bit-identical regardless of partitioning or merge order,
     *        with no per-node buffering (unlike the r10 sorted
     *        `collect_list` fold, which built each node's full in-neighbor
-    *        list and died on mega-hubs). The 1e-12 quantization is far
-    *        below the 1e-6 output rounding. The default keeps plain
-    *        double sums (fastest; last-ulp rank wobble possible across
+    *        list and died on mega-hubs). The 1e-9 quantization is far
+    *        below the 1e-6 output rounding, and the long sum stays
+    *        overflow-safe until a single node's inflow mass reaches
+    *        ~9.2e9 (total rank mass equals the node count, so graphs
+    *        under ~9 billion nodes cannot overflow even if every unit of
+    *        mass lands on one hub; a 1e12 scale would have wrapped
+    *        silently at ~9.2e6 mass). The default keeps plain double
+    *        sums (fastest; last-ulp rank wobble possible across
     *        partitionings)
     * @return (id, rank), sum of ranks = number of nodes
     */
@@ -77,17 +82,17 @@ object Graph {
         else if (deterministic)
           // same fixed-point trick as inflow: long sum is order-invariant
           ranks.join(danglingIds, Seq("id"), "left_semi")
-            .agg(coalesce(sum(floor(col("rank") * lit(1e12))), lit(0L)))
-            .head().getLong(0) / 1e12
+            .agg(coalesce(sum(floor(col("rank") * lit(1e9))), lit(0L)))
+            .head().getLong(0) / 1e9
         else ranks.join(danglingIds, Seq("id"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       // deterministic tier: quantize each contribution to a long
-      // (floor(c*1e12); floor on DoubleType yields LongType) and sum the
+      // (floor(c*1e9); floor on DoubleType yields LongType) and sum the
       // longs — exact integer math, codegen'd, no collect_list buffering,
       // hub-safe. Plain double sum otherwise.
       val inflowAgg =
         if (deterministic)
-          (sum(floor(col("c") * lit(1e12))).cast("double") / lit(1e12))
+          (sum(floor(col("c") * lit(1e9))).cast("double") / lit(1e9))
             .as("inflow")
         else sum(col("c")).as("inflow")
       val contribs = ranks.join(outDeg, ranks("id") === outDeg("src"))

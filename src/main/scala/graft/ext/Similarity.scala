@@ -434,9 +434,15 @@ object Similarity {
       struct(d2.as("d2"), lit(cid).as("cid"))
     }
     val cluster = array_min(array(entries: _*)).getField("cid")
+    // probe ranking uses the SAME expanded-dot arithmetic (q·q − 2q·c +
+    // c·c, sequential left-to-right sums) as the per-row assignment and
+    // the oracle's list_dot_product — the direct Σ(a−b)² form differs in
+    // the last ulp and could order near-tied centroids differently at
+    // the nProbe boundary; ties break by centroid id like the oracle
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).foldLeft(0.0)(_ + _)
     val probes = centroids.map { case (cid, cv) =>
-      val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d, cid)
+      (dot(query, query) - 2.0 * dot(query, cv) + dot(cv, cv), cid)
     }.sorted.take(nProbe).map(_._2)
     df.where(cluster.isin(probes: _*))
       .select(col(idCol).as("id"),

@@ -62,7 +62,12 @@ object Sources {
     if (isOle2(path)) Xls.sheetNames(path) else Xlsx.sheetNames(path)
 
   private def isOle2(path: String): Boolean = {
-    val in = new java.io.FileInputStream(path)
+    val f = new java.io.File(path)
+    // sniffing runs before either reader: give missing-path errors the
+    // excel-read context instead of a bare stream-open failure
+    if (!f.isFile) throw new java.io.FileNotFoundException(
+      s"cannot read Excel workbook $path: no such file")
+    val in = new java.io.FileInputStream(f)
     val head = try in.readNBytes(4) finally in.close()
     head.length == 4 && (head(0) & 0xFF) == 0xD0 && (head(1) & 0xFF) == 0xCF &&
       (head(2) & 0xFF) == 0x11 && (head(3) & 0xFF) == 0xE0

@@ -141,7 +141,9 @@ object Xls {
       (0 until d.length / 128).map { i =>
         val p = i * 128
         val nameLen = u16(d, p + 64) // bytes incl. the UTF-16 terminator
-        val name = if (nameLen >= 2)
+        // the name field is 64 bytes; a longer declared length is corrupt —
+        // treat the entry as unnamed rather than reading past the field
+        val name = if (nameLen >= 2 && nameLen <= 64)
           new String(d, p, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
         else ""
         // v3 stream sizes fit in the low u32; the high half is unused there
@@ -379,6 +381,11 @@ object Xls {
     var done = false
     while (!done && p + 4 <= s.length) {
       val id = u16(s, p); val len = u16(s, p + 2); val d = p + 4
+      // fail fast on a record whose declared length runs past the stream
+      // (truncated workbook), instead of AIOOBE mid-cell-parse
+      require(d + len <= s.length,
+        s"$path: record 0x${id.toHexString} at offset $p overruns the stream " +
+          s"(declared $len bytes, ${s.length - d} remain)")
       id match {
         case RecEof => done = true
         case RecNumber =>

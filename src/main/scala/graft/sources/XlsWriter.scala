@@ -48,20 +48,23 @@ object XlsWriter {
       .orElse(floatForm(v * 100, 1))
   }
 
+  /** XLUnicodeString (16-bit length + flags byte): compressed 8-bit page
+    * when every char fits, UTF-16LE otherwise. Shared by the SST and the
+    * STRING (formula cached result) records. */
+  private def xlUniStr16(s0: String): Array[Byte] = {
+    val high = s0.exists(_ > 0xFF)
+    u16(s0.length) ++ Array((if (high) 1 else 0).toByte) ++
+      (if (high) s0.toArray.flatMap(c => u16(c.toInt)) else s0.map(_.toByte).toArray)
+  }
+
   /** SST record (+CONTINUEs): splits at string boundaries when the data
     * would exceed `maxRecData` (8224 = the real BIFF record limit). */
   private def sstRecords(strings: Seq[String], maxRecData: Int): Array[Byte] = {
-    def strBytes(s0: String): Array[Byte] = {
-      val high = s0.exists(_ > 0xFF)
-      u16(s0.length) ++ Array((if (high) 1 else 0).toByte) ++
-        (if (high) s0.toArray.flatMap(c => u16(c.toInt))
-         else s0.map(_.toByte).toArray)
-    }
     val chunks = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer[Byte]())
     chunks.head ++= u32(strings.size) ++ u32(strings.size)
     strings.foreach { s0 =>
-      val b = strBytes(s0)
+      val b = xlUniStr16(s0)
       require(b.length <= maxRecData,
         s"single string of ${s0.length} chars exceeds the BIFF record cap")
       if (chunks.last.size + b.length > maxRecData)
@@ -78,15 +81,21 @@ object XlsWriter {
     * accepted. */
   def biffStream(sheets: Seq[(String, Seq[Seq[Any]])], maxRecData: Int = 8224,
       biffVersion: Int = 0x0600): Array[Byte] = {
+    // BIFF8 hard limits: row is a u16 (65536 rows), column a byte-bounded
+    // u16 (256 columns). Writing past them would WRAP the index and
+    // silently overwrite earlier cells — fail loudly instead.
+    sheets.foreach { case (name, rows) =>
+      require(rows.size <= 65536,
+        s"sheet '$name': ${rows.size} rows exceed the BIFF8 limit of 65536 — " +
+          "data this size belongs in parquet, not .xls")
+      val maxCols = if (rows.isEmpty) 0 else rows.iterator.map(_.size).max
+      require(maxCols <= 256,
+        s"sheet '$name': $maxCols columns exceed the BIFF8 limit of 256")
+    }
     val strings = sheets.flatMap(_._2.flatten).collect { case s: String => s }.distinct
     val sstIdx = strings.zipWithIndex.toMap
     def bof(dt: Int) = rec(0x0809, u16(biffVersion) ++ u16(dt) ++ Array.fill[Byte](12)(0))
     val eof = rec(0x000A, Array.empty)
-    def xlUniStr16(s0: String): Array[Byte] = {
-      val high = s0.exists(_ > 0xFF)
-      u16(s0.length) ++ Array((if (high) 1 else 0).toByte) ++
-        (if (high) s0.toArray.flatMap(c => u16(c.toInt)) else s0.map(_.toByte).toArray)
-    }
     def cellRecs(r: Int, row: Seq[Any]): Array[Byte] = {
       var c = 0
       val out = new java.io.ByteArrayOutputStream()

@@ -17,7 +17,9 @@ object JobCount {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val times = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
     spark.sparkContext.addSparkListener(new SparkListener {
-      var start = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      // java.lang.Long, not scala Long: remove() must return null (not
+      // unbox) for jobs with no recorded start
+      var start = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
       val descs = java.util.Collections.synchronizedList(new java.util.ArrayList[(Long, String)]())
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); start.put(j.jobId, System.nanoTime())
@@ -26,9 +28,15 @@ object JobCount {
       }
       var start2 = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        // null-safe: a job in flight when the listener registered has no
+        // recorded start; skip it instead of NPE-unboxing the null Long
         val s = start.remove(j.jobId)
         val d = start2.remove(j.jobId)
-        if (s != 0) { times.add(System.nanoTime() - s); JobCount.log.add((System.nanoTime() - s, if (d == null) "?" else d)) }
+        if (s != null) {
+          val dur = System.nanoTime() - s.longValue
+          times.add(dur)
+          JobCount.log.add((dur, if (d == null) "?" else d))
+        }
       }
     })
     for (name <- args) {
@@ -38,7 +46,6 @@ object JobCount {
       graft.Caches.releaseAll()
       val tot = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
-      val ts = times.asScala.map(_ / 1e9).toSeq.sortBy(-_)
       println(f"[jobcount] $name%-22s $tot%7.2f s  jobs=${jobs.get()}")
       log.asScala.sortBy(-_._1).take(15).foreach { case (t, d) =>
         println(f"[jobcount]   ${t / 1e9}%6.2f s  $d") }

@@ -19,8 +19,9 @@ object ProbeSlow {
       val t0 = System.nanoTime()
       // same timing contract as Bench: full materialization, no
       // count()-induced projection prune / sort elimination
-      val rdd = graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd
-      val n = rdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      val n = qe.toRdd.mapPartitions(it => Iterator.single(it.size.toLong)).sum().toLong
+      graft.Metrics.logObserved(qe) // raw RDD action bypasses the listener
       graft.Caches.releaseAll()
       println(f"$name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }

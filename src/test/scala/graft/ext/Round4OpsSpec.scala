@@ -197,13 +197,14 @@ class Round4OpsSpec extends SparkSpec {
     assert(byId(3L) == byId(4L)) // symmetric leaves
     assert(r.toSeq == run().toSeq) // fixed iterations -> fully deterministic
     // deterministic tier (fixed-point long sums): same ranks up to the
-    // 1e-12 quantization, and bit-identical across repeated runs
+    // 1e-9 quantization compounded over 10 iterations (a few 1e-9 steps;
+    // far below the 1e-6 output grid), and bit-identical across runs
     def runDet() = Graph.pageRank(edges, nodes, "id", iters = 10,
         deterministic = true)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
     val rd = runDet()
     r.zip(rd).foreach { case ((i1, v1), (i2, v2)) =>
-      assert(i1 == i2 && math.abs(v1 - v2) < 1e-9, s"tier drift: $i1 $v1 $v2")
+      assert(i1 == i2 && math.abs(v1 - v2) < 1e-7, s"tier drift: $i1 $v1 $v2")
     }
     assert(rd.toSeq == runDet().toSeq)
   }
