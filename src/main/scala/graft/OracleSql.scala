@@ -2637,6 +2637,23 @@ object OracleSql {
         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 30.0)
         |ORDER BY s_name""".stripMargin,
 
+    // fixed-length sequence packing: global doc_id-ordered token stream
+    // cut at 512-token boundaries, each doc exploded over the sequences
+    // it touches with the doc-local slice arithmetic mirrored exactly
+    "q_pack_sequences" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w FROM documents),
+         |c AS (SELECT doc_id, w,
+         |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM t WHERE w > 0),
+         |e AS (SELECT doc_id, w, o, o + w AS e2 FROM c),
+         |x AS (SELECT doc_id, w, o, e2,
+         |    unnest(generate_series(o // 512, (e2 - 1) // 512)) AS sq FROM e)
+         |SELECT CAST(sq AS BIGINT) AS seq_idx, doc_id,
+         |  CAST(greatest(sq * 512 - o, 0) AS BIGINT) AS tok_start,
+         |  CAST(least(e2, (sq + 1) * 512) - greatest(o, sq * 512) AS BIGINT) AS tok_len
+         |FROM x ORDER BY seq_idx, doc_id""".stripMargin),
+
     // exclusive running token sum cut into 20k-token shards
     "q_pack_token_shards" ->
       (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

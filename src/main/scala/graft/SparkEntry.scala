@@ -2781,6 +2781,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- GPT-style sequence packing: the doc_id-ordered token stream cut
+    // into fixed 512-token training sequences, docs spanning boundaries;
+    // one (seq_idx, doc) row per contribution with the doc-local slice.
+    // Same distributed prefix-sum plan as shard packing; the explode is
+    // scan-local ---------------------------------------------------------
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ext.Pack.packSequences(d, "n_tokens", Seq(col("doc_id")), 512L)
+        .select(col("seq_idx"), col("doc_id"), col("tok_start"), col("tok_len"))
+        .orderBy("seq_idx", "doc_id")
+    }),
+
     // -- systematic PPS sampling: ~50 docs drawn proportional to token
     // count (the sample represents TOKENS, not documents) with zero
     // randomness — selection crosses multiples of step = ⌊W/50⌋ in the

@@ -108,6 +108,46 @@ object Pack {
       .withColumn("shard_id", expr(s"cum_before div ${budget}L"))
   }
 
+  /** GPT-style sequence packing ("concat and chunk"): lay the corpus's
+    * token stream out end-to-end in `orderCols` order and cut it into
+    * fixed-length training sequences of exactly `seqLen` tokens, with
+    * documents SPANNING sequence boundaries — the standard LLM
+    * pretraining layout (no padding waste; cf. the GPT-2/3 data preps).
+    * Zero-weight rows contribute nothing and are dropped.
+    *
+    * Output: one row per (sequence, document) contribution — all input
+    * columns plus `cum_before` (the doc's global token offset), `seq_idx`
+    * (0-based sequence id), `tok_start` (0-based slice offset WITHIN the
+    * document) and `tok_len` — exactly what a shard writer needs to
+    * gather each sequence's token slices (`groupBy(seq_idx)`, slices
+    * concatenated in `cum_before` order; the final sequence may be short).
+    *
+    * Scale shape: one range exchange (the [[prefixSum]] carry plan), then
+    * a scan-local explode of width ceil(w/seqLen)+1 per document — no
+    * further shuffle; a downstream writer's groupBy(seq_idx) shuffles
+    * slice METADATA (or slice tokens), never whole documents more than
+    * once.
+    */
+  def packSequences(df: DataFrame, weightCol: String, orderCols: Seq[Column],
+      seqLen: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    prefixSum(df, weightCol, orderCols, partitionCols)
+      .where(w > 0)
+      .withColumn("__end", col("cum_before") + w) // exclusive global end
+      // sequences the doc touches: floor(off/L) .. floor((end-1)/L) —
+      // integer `div`, never double division (precision at 1e15+ tokens)
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"cum_before div ${seqLen}L"),
+        expr(s"(__end - 1) div ${seqLen}L"))))
+      .withColumn("tok_start",
+        greatest(col("seq_idx") * seqLen - col("cum_before"), lit(0L)))
+      .withColumn("tok_len",
+        least(col("__end"), (col("seq_idx") + 1) * seqLen) -
+          greatest(col("cum_before"), col("seq_idx") * seqLen))
+      .drop("__end")
+  }
+
   /** Budget-capped curation: rank rows by `orderCols` (best first) within
     * each group and keep rows while the EXCLUSIVE running weight stays
     * under `budget` — so the selection always includes the top-ranked row

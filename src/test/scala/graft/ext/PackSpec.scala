@@ -33,6 +33,34 @@ class PackSpec extends SparkSpec {
     assert(got(("b", 1L)) == 0L && got(("b", 2L)) == 7L)
   }
 
+  test("packSequences: sequences tile the token stream exactly; docs span boundaries") {
+    // weights 7, 10, 3, 12 over seqLen 8: stream of 32 tokens = 4 full seqs
+    val df = Seq((1L, 7L), (2L, 10L), (3L, 3L), (4L, 12L), (5L, 0L)).toDF("id", "w")
+    val got = Pack.packSequences(df, "w", Seq(col("id")), 8L)
+      .select("seq_idx", "id", "tok_start", "tok_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    graft.Caches.releaseAll()
+    // doc offsets: 1->0, 2->7, 3->17, 4->20; zero-weight doc 5 contributes nothing
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 7L), (0L, 2L, 0L, 1L),            // seq 0: doc1[0,7) + doc2[0,1)
+      (1L, 2L, 1L, 8L),                              // seq 1: doc2[1,9)
+      (2L, 2L, 9L, 1L), (2L, 3L, 0L, 3L), (2L, 4L, 0L, 4L), // seq 2: tails + doc4 head
+      (3L, 4L, 4L, 8L)), s"got ${got.toSeq}")        // seq 3: doc4[4,12)
+    // invariants: each sequence sums to exactly seqLen (stream length is a
+    // multiple of 8 here), per-doc slices tile [0, w)
+    val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(bySeq.values.forall(_ == 8L), s"$bySeq")
+    val byDoc = got.groupBy(_._2)
+    Seq(1L -> 7L, 2L -> 10L, 3L -> 3L, 4L -> 12L).foreach { case (id, w) =>
+      val slices = byDoc(id).sortBy(_._3)
+      assert(slices.head._3 == 0L && slices.map(_._4).sum == w)
+      slices.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"doc $id gap")
+        case _ =>
+      }
+    }
+  }
+
   test("packByBudget: shard boundaries at budget multiples; straddler stays in its first-token shard") {
     val df = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 10L)).toDF("id", "w")
     // budget 100: id1 cum 0 -> shard 0, id2 cum 40 -> 0, id3 cum 80 -> 0
