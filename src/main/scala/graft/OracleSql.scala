@@ -2654,6 +2654,31 @@ object OracleSql {
          |  CAST(least(e2, (sq + 1) * 512) - greatest(o, sq * 512) AS BIGINT) AS tok_len
          |FROM x ORDER BY seq_idx, doc_id""".stripMargin),
 
+    // sequence assembly fingerprint: pieces concatenated in stream order
+    // per sequence; md5 of the space-joined tokens proves the exact
+    // token-level assembly, not just the slice arithmetic
+    "q_pack_gather" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |ww AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS w FROM t),
+         |c AS (SELECT doc_id, tk, w,
+         |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM ww WHERE w > 0),
+         |e AS (SELECT doc_id, tk, w, o, o + w AS e2 FROM c),
+         |x AS (SELECT doc_id, tk, o, e2,
+         |    unnest(generate_series(o // 512, (e2 - 1) // 512)) AS sq FROM e),
+         |sl AS (SELECT sq, o,
+         |    CAST(greatest(sq * 512 - o, 0) AS BIGINT) AS ts,
+         |    CAST(least(e2, (sq + 1) * 512) - greatest(o, sq * 512) AS BIGINT) AS tl,
+         |    tk FROM x),
+         |p AS (SELECT sq, o, tl,
+         |    array_to_string(tk[CAST(ts + 1 AS INT):CAST(ts + tl AS INT)], ' ') AS piece
+         |  FROM sl)
+         |SELECT CAST(sq AS BIGINT) AS seq_idx,
+         |  CAST(sum(tl) AS BIGINT) AS n_toks,
+         |  md5(string_agg(piece, ' ' ORDER BY o)) AS tok_md5
+         |FROM p GROUP BY sq ORDER BY seq_idx""".stripMargin),
+
     // exclusive running token sum cut into 20k-token shards
     "q_pack_token_shards" ->
       (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

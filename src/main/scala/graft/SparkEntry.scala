@@ -2795,6 +2795,22 @@ object SparkEntry {
         .orderBy("seq_idx", "doc_id")
     }),
 
+    // -- sequence GATHER: the packed slices joined back to token arrays
+    // and assembled into per-sequence token streams; output fingerprints
+    // each sequence (count + md5 of the space-joined tokens) so the
+    // oracle replays assembly order exactly ------------------------------
+    "q_pack_gather" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+      val slices = graft.ext.Pack.packSequences(
+        d.select("doc_id", "n_tokens"), "n_tokens", Seq(col("doc_id")), 512L)
+      graft.ext.Pack.gatherSequences(slices, d, "doc_id", "tk")
+        .select(col("seq_idx"), size(col("tokens")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("tokens"))).as("tok_md5"))
+        .orderBy("seq_idx")
+    }),
+
     // -- systematic PPS sampling: ~50 docs drawn proportional to token
     // count (the sample represents TOKENS, not documents) with zero
     // randomness — selection crosses multiples of step = ⌊W/50⌋ in the

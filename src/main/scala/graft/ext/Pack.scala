@@ -148,6 +148,32 @@ object Pack {
       .drop("__end")
   }
 
+  /** Materialize the sequences [[packSequences]] laid out: join the slice
+    * rows back to each document's token array and assemble one token
+    * array per sequence, pieces concatenated in stream (`cum_before`)
+    * order. `slices` must be a [[packSequences]] output carrying
+    * (`seq_idx`, idCol, `tok_start`, `tok_len`, `cum_before`); `docs`
+    * provides (idCol, tokensCol).
+    *
+    * Scale shape: the join ships each document's tokens to its slice
+    * rows once, and the groupBy(seq_idx) shuffle carries PIECES — at most
+    * `seqLen` tokens per sequence by construction, so the per-group
+    * collect_list is bounded by the training sequence length, never by
+    * document or corpus size. No other shuffle.
+    */
+  def gatherSequences(slices: DataFrame, docs: DataFrame, idCol: String,
+      tokensCol: String): DataFrame = {
+    val piece = slice(col("__tk"),
+      (col("tok_start") + 1).cast("int"), col("tok_len").cast("int"))
+    slices
+      .join(docs.select(col(idCol), col(tokensCol).as("__tk")), Seq(idCol))
+      .select(col("seq_idx"),
+        struct(col("cum_before"), piece.as("piece")).as("__p"))
+      .groupBy("seq_idx")
+      .agg(flatten(transform(array_sort(collect_list(col("__p"))),
+        p => p.getField("piece"))).as("tokens"))
+  }
+
   /** Budget-capped curation: rank rows by `orderCols` (best first) within
     * each group and keep rows while the EXCLUSIVE running weight stays
     * under `budget` — so the selection always includes the top-ranked row

@@ -61,6 +61,24 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("gatherSequences assembles per-sequence tokens in stream order across doc spans") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),       // off 0
+      (2L, Seq("d", "e", "f", "g")),  // off 3, spans seqs 0/1 at seqLen 4
+      (3L, Seq("h", "i"))             // off 7, spans seqs 1/2
+      ).toDF("id", "tk")
+      .withColumn("w", size(col("tk")).cast("long"))
+    val slices = Pack.packSequences(docs.select("id", "w"), "w", Seq(col("id")), 4L)
+    val got = Pack.gatherSequences(slices, docs, "id", "tk")
+      .select("seq_idx", "tokens").as[(Long, Seq[String])]
+      .collect().toMap
+    graft.Caches.releaseAll()
+    assert(got == Map(
+      0L -> Seq("a", "b", "c", "d"),
+      1L -> Seq("e", "f", "g", "h"),
+      2L -> Seq("i")), s"got $got")
+  }
+
   test("packByBudget: shard boundaries at budget multiples; straddler stays in its first-token shard") {
     val df = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 10L)).toDF("id", "w")
     // budget 100: id1 cum 0 -> shard 0, id2 cum 40 -> 0, id3 cum 80 -> 0

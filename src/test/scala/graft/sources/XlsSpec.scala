@@ -101,6 +101,24 @@ class XlsSpec extends SparkSpec {
     assert(got(999.0) == uni)
   }
 
+  test("SST rich-text and ext fields are skipped, across a CONTINUE boundary") {
+    // hand-crafted: string 1 has fRichSt (2 runs = 8 bytes of formatting)
+    // and fExtSt (5 ext bytes) whose skip spans into the CONTINUE record;
+    // string 2 follows in the CONTINUE — both must parse cleanly
+    def u16b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32b(v: Int) = u16b(v & 0xFFFF) ++ u16b((v >> 16) & 0xFFFF)
+    val rec1 = u32b(2) ++ u32b(2) ++
+      u16b(2) ++ Array(0x0C.toByte) ++ // cch=2, flags: fExtSt|fRichSt
+      u16b(2) ++ u32b(5) ++            // cRun=2, cbExtRst=5
+      "hi".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](6)(0x7F.toByte) // first 6 of the 13 skip bytes
+    val rec2 = Array.fill[Byte](7)(0x7E.toByte) ++ // remaining skip bytes
+      u16b(2) ++ Array(0.toByte) ++ "ok".getBytes("ISO-8859-1")
+    val s = rec1 ++ rec2
+    val recs = IndexedSeq((0x00FC, 0, rec1.length), (0x003C, rec1.length, rec2.length))
+    assert(Xls.parseSst(s, recs) == IndexedSeq("hi", "ok"))
+  }
+
   test("SST mid-string character split with a width switch at the boundary") {
     // hand-crafted: "AB" compressed in the SST record, then a CONTINUE
     // whose fresh flags byte switches to UTF-16 for the remaining chars
