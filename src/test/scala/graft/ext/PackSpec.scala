@@ -61,6 +61,44 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("plan: packSequences rides the pinned prefix-sum — no single-task window, no extra exchange") {
+    val df = (1 to 5000).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "w")
+    val out = Pack.packSequences(df, "w", Seq(col("id")), 64L)
+    out.collect()
+    graft.Caches.releaseAll()
+    // the range exchange lives inside the pinned RDD lineage (Scan
+    // ExistingRDD in the consumer plan — the prefixSum contract); the
+    // raw-row cumsum window partitions by physical pid, and the only
+    // legitimate SinglePartition exchange is the TINY boundary-carry
+    // offset window, which must sit above the per-(group, pid) totals
+    // AGGREGATE — never above raw rows
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Nil
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(nodes.exists(_.toString.startsWith("Scan ExistingRDD")) ||
+      out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "prefix-sum pin missing")
+    val singles = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    singles.foreach { e =>
+      assert(allNodes(e).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"SinglePartition exchange over NON-aggregated rows:\n$e")
+    }
+  }
+
   test("gatherSequences assembles per-sequence tokens in stream order across doc spans") {
     val docs = Seq(
       (1L, Seq("a", "b", "c")),       // off 0
