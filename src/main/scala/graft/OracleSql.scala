@@ -2752,6 +2752,89 @@ object OracleSql {
          |  coalesce(array_to_string(list_filter([coalesce(ka.body, ''), b.tl], x -> x <> ''), ' '), '') AS text_clean
          |FROM b LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // exact substring dedup (Lee-et-al-style): a span is duplicated iff
+    // every sliding 10-token gram inside it occurs in >= 2 docs; maximal
+    // spans = islands of consecutive duplicated gram start positions.
+    // DuckDB groups by the gram STRING where Spark groups by xxhash64 of
+    // it — same duplicated-position set, hash-free on this side
+    "q_substr_spans" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 10),
+         |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 10),
+         |        i -> struct_pack(pos := i, gr := array_to_string(tk[i+1 : i+10], ' ')))) AS u FROM f),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gr AS gram FROM g0),
+         |v AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN v USING (gram)),
+         |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |  CAST(max(pos) + 9 AS BIGINT) AS end_tok,
+         |  CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin),
+
+    // the APPLY step: every token covered by a duplicated span dropped,
+    // doc reassembled from surviving tokens in order (island coverage
+    // windows may overlap -> DISTINCT before the anti-join)
+    "q_substr_clean" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 10),
+         |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 10),
+         |        i -> struct_pack(pos := i, gr := array_to_string(tk[i+1 : i+10], ' ')))) AS u FROM f),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gr AS gram FROM g0),
+         |v AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN v USING (gram)),
+         |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e FROM i GROUP BY doc_id, grp),
+         |cov AS (SELECT DISTINCT * FROM (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp)),
+         |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |          j -> struct_pack(pos := j, tok := tk[j+1]))) AS u FROM t),
+         |tokr AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok0),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tokr k
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nkept,
+         |        string_agg(tok, ' ' ORDER BY pos) AS body FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - coalesce(ka.nkept, 0) AS BIGINT) AS removed_tokens,
+         |  coalesce(ka.body, '') AS text_clean
+         |FROM t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // inverted-index postings: doc-frequency + occurrences over ALL rows,
+    // posting list capped to the first 20 doc ids via the rank filter
+    "q_text_inverted_index" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |c AS (SELECT term, doc_id, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |r AS (SELECT term, doc_id, cnt, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM c)
+         |SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+         |  CAST(sum(cnt) AS BIGINT) AS occurrences,
+         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20) AS postings
+         |FROM r GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin),
+
+    // BM25 top-k (Lucene idf variant; k1=1.2, b=0.75). Constants are
+    // spelled as the SAME double expressions the Spark side folds
+    // ((1.2 + 1.0), (1.0 - 0.75)) — literal 2.2 is a DIFFERENT double
+    // than 1.2 + 1.0. Per-doc score folds over the term-sorted list
+    "q_text_bm25" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d0),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM l),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(list_filter(tk, x -> x IN ('spark', 'window', 'merge'))) AS term FROM d0)
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |          * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (corp.sum_dl / corp.n_docs))) AS sc
+         |      FROM tf JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN corp),
+         |a AS (SELECT doc_id, list(sc ORDER BY term) AS ll, CAST(count(*) AS BIGINT) AS matched_terms FROM s GROUP BY 1)
+         |SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll), (acc, x) -> acc + x), 6) AS score,
+         |  matched_terms
+         |FROM a ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+
+    // ORC round trip: the Spark side writes nation to ORC and reads it
+    // back; the oracle is the table itself
+    "q_s4_orc_read" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // token Shannon entropy; plogp folds left-to-right over the
     // term-sorted count list — same fold DAG as the Spark side
     "q_text_entropy" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, SubstringDedup, TextAnalysis}
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
@@ -2852,6 +2852,33 @@ object SparkEntry {
       TextAnalysis.removeBoilerplateChunks(T(s, dir, "documents"), "text",
           "doc_id", chunkTokens = 8, maxDocFreq = 1)
         .orderBy("doc_id")),
+    // -- exact substring dedup (Lee et al. 2022 style): maximal duplicated
+    // 10-token spans across documents, then the removal apply step --------
+    "q_substr_spans" -> ((s, dir) =>
+      SubstringDedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id",
+          gramTokens = 10, minDocFreq = 2)
+        .orderBy("doc_id", "start_tok")),
+    "q_substr_clean" -> ((s, dir) =>
+      SubstringDedup.removeDuplicateSpans(T(s, dir, "documents"), "text",
+          "doc_id", gramTokens = 10, minDocFreq = 2)
+        .orderBy("doc_id")),
+
+    // -- sparse retrieval: inverted-index postings + BM25 keyword top-k ---
+    "q_text_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(T(s, dir, "documents"), "text", "doc_id",
+          maxPostings = 20, minDocFreq = 2)
+        .orderBy("term")),
+    "q_text_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "window", "merge"), k = 15)),
+
+    // -- S4b ORC round trip (Spark's second built-in columnar format) -----
+    "q_s4_orc_read" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_orc"
+      graft.sources.Sources.writeOrc(T(s, dir, "nation"), p)
+      graft.sources.Sources.readOrc(s, p).orderBy("n_nationkey")
+    }),
+
     "q_text_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval over a document corpus: inverted-index
+  * postings and BM25 ranking. North-star extension (no reference
+  * counterpart) — the keyword-search complement to the dense
+  * embedding stack in [[Similarity]]; formulas are the public
+  * Robertson/Sparck-Jones BM25 as used by Lucene.
+  *
+  * Shares [[TextAnalysis.tokens]] so term identity agrees with the rest of
+  * the text stack (and with the DuckDB oracle).
+  */
+object Retrieval {
+
+  import TextAnalysis.tokens
+
+  /** Inverted-index posting lists: one row per term with document
+    * frequency, total occurrences, and the first `maxPostings` doc ids
+    * (ascending). `minDocFreq` prunes hapax terms before the sort.
+    *
+    * Scale shape: one (term, doc_id) shuffle with map-side partial
+    * counts; the postings window and the final term aggregate share that
+    * hash distribution, so no second exchange. The collect_list buffer is
+    * bounded by `maxPostings` — rows past the cap contribute to the
+    * counts but are nulled before collection, so a hub term ("the", df in
+    * the billions at 100 TB) costs a bounded buffer, not an OOM.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, docIdCol: String,
+      maxPostings: Int = 20, minDocFreq: Long = 2): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    val td = df
+      .select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    td.withColumn("__rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"),
+        sum("__cnt").as("occurrences"),
+        sort_array(collect_list(
+          when(col("__rn") <= maxPostings, col("doc_id")))).as("postings"))
+      .where(col("doc_freq") >= minDocFreq)
+  }
+
+  /** BM25 top-k: score every document against a bag of query terms and
+    * keep the best `k`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    * variant).
+    *
+    * Scale shape: tokens are filtered to the query bag BEFORE the
+    * (doc, term) aggregate, so the shuffle carries only matching terms —
+    * a handful of rows per document, not the corpus vocabulary. Corpus
+    * stats (N, avgdl) are a 1-row aggregate cross-joined in (broadcast);
+    * per-term document frequencies are a |query|-row table (broadcast).
+    * The final top-k is a TakeOrderedAndProject, never a full sort.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, docIdCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    // docs feeds lengths AND term matches — cheap narrow projections of
+    // one scan; the length frame is tiny (doc_id, dl)
+    val docs = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+    val lens = docs.select(col("doc_id"), size(col("__tk")).cast("long").as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("sum_dl"))
+    val tf = docs.select(col("doc_id"),
+        explode(filter(col("__tk"), t => t.isInCollection(q))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__norm",
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs"))))
+      .withColumn("__s",
+        col("__idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + col("__norm")))
+      // the per-doc score folds left-to-right over the term-sorted list —
+      // order-defined double addition, so an external oracle replaying the
+      // same fold gets the bit-identical sum (the tokenEntropy idiom); the
+      // buffer is bounded by |queryTerms|
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("__s")))).as("__l"),
+        count(lit(1)).as("matched_terms"))
+      .withColumn("__score",
+        aggregate(col("__l"), lit(0.0), (a, x) => a + x.getField("__s")))
+    scored
+      .select(col("doc_id"), round(col("__score"), 6).as("score"),
+        col("matched_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

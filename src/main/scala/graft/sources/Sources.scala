@@ -35,6 +35,17 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC read — Spark's second built-in columnar format (same pushdown /
+    * column-pruning story as parquet; ORC's bloom filters and stripe
+    * statistics serve predicate skipping at scale). Round-trips through
+    * [[writeOrc]].
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S2 — minimal JDK-only Excel readers (see [[Xlsx]] and [[Xls]]):
     * dispatches on the FILE MAGIC, not the extension — OLE2/CFB (legacy
     * binary .xls, BIFF8) routes to [[Xls.read]], zip/PK (.xlsx) to
@@ -81,6 +92,7 @@ object Sources {
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".json")) readJson(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
+    else if (lower.endsWith(".orc")) readOrc(spark, path)
     else if (lower.endsWith(".xlsx") || lower.endsWith(".xls")) readExcel(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file format: $path")
   }
