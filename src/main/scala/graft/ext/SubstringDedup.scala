@@ -47,7 +47,13 @@ object SubstringDedup {
     * documents. distinct (doc, h) first so the document-frequency
     * aggregate stays a plain map-side-combinable count.
     */
-  private def dupPositions(grams: DataFrame, minDocFreq: Long): DataFrame = {
+  private def dupPositions(grams0: DataFrame, minDocFreq: Long): DataFrame = {
+    // the gram table feeds the document-frequency branch AND the join
+    // back; the gram-hash lambda is an interpreted HOF, so pin the table
+    // rather than evaluate it twice (operator convention; released via
+    // graft.Caches)
+    val grams = graft.Caches.register(
+      grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val viral = grams.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("__ndocs"))
       .where(col("__ndocs") >= minDocFreq)
