@@ -2835,6 +2835,63 @@ object OracleSql {
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // greedy longest-match subword segmentation, replayed with a
+    // recursive CTE over DISTINCT words (pos advances >= 1 char per step,
+    // so it terminates in max-word-length iterations); per-doc piece
+    // stream fingerprinted in order
+    "q_text_subwords" ->
+      (s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |         j -> struct_pack(pos := j, word := tk[j+1]))) AS u FROM t),
+         |tokr AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM tok0),
+         |w AS (SELECT DISTINCT word FROM tokr),
+         |seg(word, pos, pieces) AS (
+         |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+         |  UNION ALL
+         |  SELECT word, pos + len(piece), list_append(pieces, piece) FROM (
+         |    SELECT word, pos, pieces,
+         |      coalesce((SELECT p FROM (SELECT unnest(${sqlList(graft.ext.Tokenize.DemoVocab)}) AS p)
+         |                WHERE substr(word, CAST(pos AS INTEGER), len(p)) = p
+         |                ORDER BY len(p) DESC, p LIMIT 1),
+         |               substr(word, CAST(pos AS INTEGER), 1)) AS piece
+         |    FROM seg WHERE pos <= len(word)) q
+         |),
+         |segf AS (SELECT word, pieces FROM seg WHERE pos > len(word)),
+         |d AS (SELECT doc_id, pos, pieces FROM tokr JOIN segf USING (word)),
+         |a AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS pl FROM d GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(len(a.pl), 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(len(list_filter(a.pl, p -> NOT list_contains(${sqlList(graft.ext.Tokenize.DemoVocab)}, p))), 0) AS BIGINT) AS n_fallback,
+         |  md5(coalesce(array_to_string(a.pl, ' '), '')) AS fp
+         |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // corpus piece frequencies under the same segmentation, weighted by
+    // word occurrences
+    "q_text_subword_pieces" ->
+      (s"""WITH RECURSIVE
+         |wc AS (SELECT word, count(*) AS wcnt FROM
+         |         (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+         |w AS (SELECT word FROM wc),
+         |seg(word, pos, pieces) AS (
+         |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+         |  UNION ALL
+         |  SELECT word, pos + len(piece), list_append(pieces, piece) FROM (
+         |    SELECT word, pos, pieces,
+         |      coalesce((SELECT p FROM (SELECT unnest(${sqlList(graft.ext.Tokenize.DemoVocab)}) AS p)
+         |                WHERE substr(word, CAST(pos AS INTEGER), len(p)) = p
+         |                ORDER BY len(p) DESC, p LIMIT 1),
+         |               substr(word, CAST(pos AS INTEGER), 1)) AS piece
+         |    FROM seg WHERE pos <= len(word)) q
+         |),
+         |segf AS (SELECT word, pieces FROM seg WHERE pos > len(word)),
+         |p AS (SELECT wc.word, wc.wcnt, unnest(segf.pieces) AS piece
+         |      FROM wc JOIN segf USING (word))
+         |SELECT piece, CAST(sum(wcnt) AS BIGINT) AS occurrences,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |  list_contains(${sqlList(graft.ext.Tokenize.DemoVocab)}, piece) AS in_vocab
+         |FROM p GROUP BY piece ORDER BY piece""".stripMargin),
+
     // token Shannon entropy; plogp folds left-to-right over the
     // term-sorted count list — same fold DAG as the Spark side
     "q_text_entropy" ->

@@ -2872,6 +2872,17 @@ object SparkEntry {
       Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "window", "merge"), k = 15)),
 
+    // -- real subword tokenization: greedy longest-match against a fixed
+    // vocabulary, segmentation computed once per DISTINCT word ------------
+    "q_text_subwords" -> ((s, dir) =>
+      graft.ext.Tokenize.subwordStats(T(s, dir, "documents"), "text",
+          "doc_id", graft.ext.Tokenize.DemoVocab)
+        .orderBy("doc_id")),
+    "q_text_subword_pieces" -> ((s, dir) =>
+      graft.ext.Tokenize.pieceStats(T(s, dir, "documents"), "text",
+          "doc_id", graft.ext.Tokenize.DemoVocab)
+        .orderBy("piece")),
+
     // -- S4b ORC round trip (Spark's second built-in columnar format) -----
     "q_s4_orc_read" -> ((s, dir) => {
       val p = s"${fixDir(dir)}/nation_orc"
