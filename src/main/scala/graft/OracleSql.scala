@@ -196,6 +196,98 @@ object OracleSql {
     s"""WITH $langGuessCtes
        |SELECT doc_id, lang_guess FROM lg ORDER BY doc_id""".stripMargin
 
+  /** JL random projection oracle: regenerates the identical ±1 literals
+    * from [[graft.ext.DimReduce.jlSign]]; the per-dim sum is the same
+    * left-associated chain the Spark expression builds.
+    */
+  private def jlOracle(inDim: Int, outDim: Int): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val cols = (0 until outDim).map { k =>
+      val chain = (0 until inDim).map { i =>
+        s"v[${i + 1}] * ${graft.ext.DimReduce.jlSign(k, i)}"
+      }.mkString(" + ")
+      // + 0.0 normalizes DuckDB round's -0.0 (Spark's BigDecimal round
+      // never emits a signed zero)
+      s"round(($chain) * $scale, 6) + 0.0 AS p_$k"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT vec_id AS id,
+       |  $cols
+       |FROM e ORDER BY id""".stripMargin
+  }
+
+  /** Shared prefix of both PCA oracles: the fixed-point moment sums
+    * (per-row trunc to long, exact integer sums) and the covariance
+    * entries as the same double formula DAG
+    * [[graft.ext.DimReduce.covarianceFromSums]] evaluates.
+    */
+  private val FpScale = "1000000000000.0" // DimReduce.FixedScale, exactly representable
+
+  private def pcaBase(d: Int): String = {
+    val sums = (
+      (0 until d).map(i =>
+        s"CAST(sum(CAST(trunc(v[${i + 1}] * $FpScale) AS BIGINT)) AS DOUBLE) AS s_$i") ++
+      (for { i <- 0 until d; j <- i until d } yield
+        s"CAST(sum(CAST(trunc(v[${i + 1}] * v[${j + 1}] * $FpScale) AS BIGINT)) AS DOUBLE) AS q_${i}_$j")
+    ).mkString(",\n    ")
+    s"""e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |base AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    $sums
+       |  FROM e)""".stripMargin
+  }
+
+  private def covExpr(i: Int, j: Int): String = {
+    val (a, b) = (math.min(i, j), math.max(i, j))
+    s"q_${a}_$b / $FpScale / n - s_$i / $FpScale / n * (s_$j / $FpScale / n)"
+  }
+
+  private def pcaCovOracle(d: Int): String = {
+    val entries = (for { i <- 0 until d; j <- i until d } yield
+      s"struct_pack(i := $i, j := $j, c := ${covExpr(i, j)})").mkString(",\n    ")
+    s"""WITH ${pcaBase(d)}
+       |SELECT CAST(u.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j, round(u.c, 6) + 0.0 AS cov
+       |FROM (SELECT unnest([
+       |    $entries]) AS u FROM base)
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** Power-iteration oracle: `iters` unrolled steps over the covariance
+    * list-of-lists, every fold in ascending index order — the exact DAG
+    * of [[graft.ext.DimReduce.powerIteration]]. Non-recursive (aggregates
+    * are barred from recursive CTE terms), so the iteration count is
+    * baked into the generated text.
+    */
+  private def pcaPowerOracle(d: Int, iters: Int): String = {
+    val m = (0 until d).map(i =>
+      (0 until d).map(j => covExpr(i, j)).mkString("[", ", ", "]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "it0" else s"it${t - 1}"
+      s"""w$t AS (SELECT m, list_transform(generate_series(1, $d), i ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, $d), j -> m[i][j] * v[j])), (a, x) -> a + x)) AS w FROM $prev),
+         |n$t AS (SELECT m, w, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), w), (a, x) -> a + x * x) AS n2 FROM w$t),
+         |it$t AS (SELECT m, CASE WHEN n2 = 0 THEN w ELSE list_transform(w, x -> x / sqrt(n2)) END AS v FROM n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pcaBase(d)},
+       |cov AS (SELECT n, $m AS m FROM base),
+       |it0 AS (SELECT m, list_transform(generate_series(1, $d),
+       |    i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v FROM cov),
+       |$steps,
+       |fw AS (SELECT m, v, list_transform(generate_series(1, $d), i ->
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $d), j -> m[i][j] * v[j])), (a, x) -> a + x)) AS w FROM it$iters),
+       |ev AS (SELECT v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(1, $d), i -> v[i] * w[i])), (a, x) -> a + x) AS lambda FROM fw),
+       |sg AS (SELECT v, lambda, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> abs(x))), (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS mx FROM ev),
+       |sg2 AS (SELECT v, lambda,
+       |    CASE WHEN list_filter(v, x -> abs(x) = mx)[1] < 0
+       |      THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s FROM sg)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, round(v[i] * s, 6) + 0.0 AS loading, round(lambda, 6) + 0.0 AS eigenvalue
+       |FROM sg2, (SELECT unnest(generate_series(1, $d)) AS i) idx ORDER BY dim""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_pipeline" ->
       """WITH u AS (
@@ -2834,6 +2926,13 @@ object OracleSql {
     // back; the oracle is the table itself
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // dimensionality reduction: generated oracles (see jlOracle /
+    // pcaCovOracle / pcaPowerOracle above) replaying the identical sign
+    // literals / fixed-point sums / unrolled power-iteration DAG
+    "q_sim_rproject" -> jlOracle(64, 16),
+    "q_pca_cov" -> pcaCovOracle(16),
+    "q_pca_power" -> pcaPowerOracle(16, 30),
 
     // greedy longest-match subword segmentation, replayed with a
     // recursive CTE over DISTINCT words (pos advances >= 1 char per step,

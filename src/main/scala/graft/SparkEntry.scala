@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, SubstringDedup, TextAnalysis}
+import graft.ext.{Dedup, DimReduce, Multimodal, Retrieval, Similarity, SubstringDedup, TextAnalysis}
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
@@ -2871,6 +2871,21 @@ object SparkEntry {
     "q_text_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "window", "merge"), k = 15)),
+
+    // -- dimensionality reduction: JL random projection (64 -> 16, plan-
+    // time md5-parity signs) and PCA (fixed-point moment pass -> bounded
+    // driver eigensolve via 30 deterministic power iterations) -----------
+    "q_sim_rproject" -> ((s, dir) =>
+      DimReduce.randomProject(T(s, dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 16)
+        .orderBy("id")),
+    "q_pca_cov" -> ((s, dir) =>
+      DimReduce.covariance(T(s, dir, "embeddings"), "embedding", d = 16)
+        .orderBy("i", "j")),
+    "q_pca_power" -> ((s, dir) =>
+      DimReduce.topComponent(T(s, dir, "embeddings"), "embedding", d = 16,
+          iters = 30)
+        .orderBy("dim")),
 
     // -- real subword tokenization: greedy longest-match against a fixed
     // vocabulary, segmentation computed once per DISTINCT word ------------
