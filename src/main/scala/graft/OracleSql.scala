@@ -257,7 +257,29 @@ object OracleSql {
     * are barred from recursive CTE terms), so the iteration count is
     * baked into the generated text.
     */
-  private def pcaPowerOracle(d: Int, iters: Int): String = {
+  private def pcaPowerOracle(d: Int, iters: Int): String =
+    s"""WITH ${pcaChain(d, iters)}
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, round(v[i] * s, 6) + 0.0 AS loading, round(lambda, 6) + 0.0 AS eigenvalue
+       |FROM sg2, (SELECT unnest(generate_series(1, $d)) AS i) idx ORDER BY dim""".stripMargin
+
+  /** End-to-end projection oracle: recompute the top component via the
+    * same unrolled chain, then dot every embedding row against the
+    * sign-fixed loadings (same left-associated term order as
+    * [[graft.ext.DimReduce.pcaProject]]'s literal chain).
+    */
+  private def pcaProjectOracle(d: Int, iters: Int): String = {
+    val chain = (0 until d).map(i =>
+      s"CAST(emb.embedding[${i + 1}] AS DOUBLE) * (sg2.v[${i + 1}] * sg2.s)")
+      .mkString(" + ")
+    s"""WITH ${pcaChain(d, iters)}
+       |SELECT emb.vec_id AS id, round($chain, 6) + 0.0 AS pc_0
+       |FROM sg2 CROSS JOIN embeddings emb ORDER BY id""".stripMargin
+  }
+
+  /** CTE chain shared by the power / projection oracles: moment sums →
+    * covariance list-of-lists → `iters` power steps → eigenvalue + sign.
+    */
+  private def pcaChain(d: Int, iters: Int): String = {
     val m = (0 until d).map(i =>
       (0 until d).map(j => covExpr(i, j)).mkString("[", ", ", "]"))
       .mkString("[\n    ", ",\n    ", "]")
@@ -269,7 +291,7 @@ object OracleSql {
          |n$t AS (SELECT m, w, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), w), (a, x) -> a + x * x) AS n2 FROM w$t),
          |it$t AS (SELECT m, CASE WHEN n2 = 0 THEN w ELSE list_transform(w, x -> x / sqrt(n2)) END AS v FROM n$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${pcaBase(d)},
+    s"""${pcaBase(d)},
        |cov AS (SELECT n, $m AS m FROM base),
        |it0 AS (SELECT m, list_transform(generate_series(1, $d),
        |    i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v FROM cov),
@@ -283,9 +305,7 @@ object OracleSql {
        |    list_transform(v, x -> abs(x))), (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS mx FROM ev),
        |sg2 AS (SELECT v, lambda,
        |    CASE WHEN list_filter(v, x -> abs(x) = mx)[1] < 0
-       |      THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s FROM sg)
-       |SELECT CAST(i - 1 AS BIGINT) AS dim, round(v[i] * s, 6) + 0.0 AS loading, round(lambda, 6) + 0.0 AS eigenvalue
-       |FROM sg2, (SELECT unnest(generate_series(1, $d)) AS i) idx ORDER BY dim""".stripMargin
+       |      THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s FROM sg)""".stripMargin
   }
 
   val all: Map[String, String] = Map(
@@ -2933,6 +2953,7 @@ object OracleSql {
     "q_sim_rproject" -> jlOracle(64, 16),
     "q_pca_cov" -> pcaCovOracle(16),
     "q_pca_power" -> pcaPowerOracle(16, 30),
+    "q_pca_project" -> pcaProjectOracle(16, 30),
 
     // greedy longest-match subword segmentation, replayed with a
     // recursive CTE over DISTINCT words (pos advances >= 1 char per step,

@@ -2886,6 +2886,10 @@ object SparkEntry {
       DimReduce.topComponent(T(s, dir, "embeddings"), "embedding", d = 16,
           iters = 30)
         .orderBy("dim")),
+    "q_pca_project" -> ((s, dir) =>
+      DimReduce.pcaProjectTop(T(s, dir, "embeddings"), "vec_id", "embedding",
+          d = 16, iters = 30)
+        .orderBy("id")),
 
     // -- real subword tokenization: greedy longest-match against a fixed
     // vocabulary, segmentation computed once per DISTINCT word ------------

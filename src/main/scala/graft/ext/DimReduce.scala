@@ -185,6 +185,18 @@ object DimReduce {
     }.toDF("dim", "loading", "eigenvalue")
   }
 
+  /** End-to-end PCA: moment pass → driver power iteration → project every
+    * row onto the learned top component (dims [0, d)). The learned
+    * loadings become plan-time literals, so the projection is the same
+    * codegen'd narrow map as [[pcaProject]].
+    */
+  def pcaProjectTop(df: DataFrame, idCol: String, vecCol: String,
+      d: Int, iters: Int): DataFrame = {
+    val row = momentSums(df, vecCol, d).head()
+    val (v, _) = powerIteration(covarianceFromSums(row, d), iters)
+    pcaProject(df, idCol, vecCol, Seq(v))
+  }
+
   /** Project each row onto precomputed components — flat codegen'd dot
     * products (loadings are plan-time literals), the same narrow-map
     * shape as [[randomProject]].
