@@ -308,6 +308,71 @@ object OracleSql {
        |      THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s FROM sg)""".stripMargin
   }
 
+  /** BPE-trainer oracle: `numMerges` unrolled rounds of weighted pair
+    * counting + most-frequent merge over the marker-encoded distinct-word
+    * table — the DAG of [[graft.ext.Tokenize.learnBpeMerges]], with the
+    * same `cnt DESC, p1||'|'||p2 ASC` tie-break.
+    */
+  private def bpeRounds(numMerges: Int): String =
+    (1 to numMerges).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""pc$r AS (SELECT p, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+         |    SELECT wcnt, unnest(list_transform(generate_series(1, len(pp) - 1),
+         |      i -> pp[i] || '|' || pp[i + 1])) AS p
+         |    FROM (SELECT wcnt, string_split(substr(s, 2, len(s) - 2), '><') AS pp FROM $prev))
+         |  GROUP BY p),
+         |b$r AS (SELECT p, cnt, string_split(p, '|')[1] AS p1, string_split(p, '|')[2] AS p2
+         |  FROM pc$r ORDER BY cnt DESC, p LIMIT 1),
+         |w$r AS (SELECT word, wcnt, replace(s, '<' || b.p1 || '><' || b.p2 || '>', '<' || b.p1 || b.p2 || '>') AS s
+         |  FROM $prev, b$r b)""".stripMargin
+    }.mkString(",\n")
+
+  private def bpeOracle(numMerges: Int): String = {
+    val rounds = bpeRounds(numMerges)
+    val out = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, p1, p2, cnt AS pair_count FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChain(rounds)}
+       |SELECT * FROM (
+       |  $out) ORDER BY merge_rank""".stripMargin
+  }
+
+  private def bpeChain(rounds: String): String =
+    s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt,
+       |    '<' || array_to_string(list_transform(generate_series(1, len(word)),
+       |      i -> substr(word, CAST(i AS INTEGER), 1)), '><') || '>' AS s
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word),
+       |$rounds""".stripMargin
+
+  /** Train→apply oracle: the same unrolled trainer chain, then the final
+    * word segmentations joined back onto per-document token streams —
+    * mirrors [[graft.ext.Tokenize.bpeSegment]].
+    */
+  private def bpeSegmentOracle(numMerges: Int): String = {
+    val rounds = bpeRounds(numMerges)
+    s"""WITH ${bpeChain(rounds)},
+       |tokd AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+       |          j -> struct_pack(pos := j, word := tk[j+1]))) AS u
+       |         FROM (SELECT doc_id, $toks AS tk FROM documents)),
+       |tokr AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM tokd),
+       |wp AS (SELECT word, string_split(substr(s, 2, len(s) - 2), '><') AS pieces FROM w$numMerges),
+       |d AS (SELECT doc_id, pos, pieces FROM tokr JOIN wp USING (word)),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |        flatten(list(pieces ORDER BY pos)) AS pl FROM d GROUP BY doc_id)
+       |SELECT t0.doc_id, coalesce(a.n_words, 0) AS n_words,
+       |  CAST(coalesce(len(a.pl), 0) AS BIGINT) AS n_pieces,
+       |  md5(coalesce(array_to_string(a.pl, ' '), '')) AS fp
+       |FROM (SELECT doc_id FROM documents) t0 LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  private def cmsBucket(rExpr: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($rExpr AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 64"
+
+  private def cmsCellsSql: String =
+    s"""cells AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT r, ${cmsBucket("r")} AS bucket
+       |    FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)) GROUP BY 1, 2)""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_pipeline" ->
       """WITH u AS (
@@ -2954,6 +3019,26 @@ object OracleSql {
     "q_pca_cov" -> pcaCovOracle(16),
     "q_pca_power" -> pcaPowerOracle(16, 30),
     "q_pca_project" -> pcaProjectOracle(16, 30),
+
+    // BPE merge learning: 8 unrolled trainer rounds (see bpeOracle)
+    "q_text_bpe_learn" -> bpeOracle(8),
+    "q_text_bpe_segment" -> bpeSegmentOracle(8),
+
+    // count-min sketch: deterministic md5-row cells + point estimates
+    "q_text_cms_cells" ->
+      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+         |$cmsCellsSql
+         |SELECT r, bucket, cnt FROM cells ORDER BY r, bucket""".stripMargin),
+    "q_text_cms_est" ->
+      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+         |$cmsCellsSql,
+         |e AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY 1),
+         |p AS (SELECT term, exact_count, r, ${cmsBucket("r")} AS bucket
+         |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |j AS (SELECT term, min(exact_count) AS exact_count, min(cnt) AS estimate
+         |      FROM p JOIN cells USING (r, bucket) GROUP BY term)
+         |SELECT term, exact_count, estimate, estimate - exact_count AS overcount
+         |FROM j ORDER BY term""".stripMargin),
 
     // greedy longest-match subword segmentation, replayed with a
     // recursive CTE over DISTINCT words (pos advances >= 1 char per step,

@@ -2901,6 +2901,27 @@ object SparkEntry {
       graft.ext.Tokenize.pieceStats(T(s, dir, "documents"), "text",
           "doc_id", graft.ext.Tokenize.DemoVocab)
         .orderBy("piece")),
+    // BPE merge learning: 8 rounds of weighted pair counting over the
+    // distinct-word table, deterministic argmax per round
+    "q_text_bpe_learn" -> ((s, dir) =>
+      graft.ext.Tokenize.learnBpeMerges(T(s, dir, "documents"), "text",
+          "doc_id", numMerges = 8)
+        .orderBy("merge_rank")),
+    // train -> apply: segment the whole corpus with the learned merges
+    "q_text_bpe_segment" -> ((s, dir) =>
+      graft.ext.Tokenize.bpeSegment(T(s, dir, "documents"), "text",
+          "doc_id", numMerges = 8)
+        .orderBy("doc_id")),
+
+    // -- count-min sketch: bounded-state term-frequency estimation --------
+    "q_text_cms_cells" -> ((s, dir) =>
+      graft.ext.Sketches.countMinCells(T(s, dir, "documents"), "text",
+          "doc_id", depth = 4, width = 64)
+        .orderBy("r", "bucket")),
+    "q_text_cms_est" -> ((s, dir) =>
+      graft.ext.Sketches.countMinEstimates(T(s, dir, "documents"), "text",
+          "doc_id", depth = 4, width = 64)
+        .orderBy("term")),
 
     // -- S4b ORC round trip (Spark's second built-in columnar format) -----
     "q_s4_orc_read" -> ((s, dir) => {

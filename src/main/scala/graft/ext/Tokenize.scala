@@ -85,6 +85,100 @@ object Tokenize {
         md5(coalesce(concat_ws(" ", col("pl")), lit(""))).as("fp"))
   }
 
+  /** BPE merge LEARNING (the training side of byte-pair encoding, public
+    * algorithm: Sennrich et al. 2016): `numMerges` rounds of "count all
+    * adjacent piece pairs, merge the most frequent everywhere".
+    *
+    * Scale formulation: pair counting runs over the DISTINCT-word table
+    * weighted by word frequency — the classic scalable BPE trainer (the
+    * corpus is touched once for the wordcount; every round after that
+    * aggregates the Zipf-bounded word table). Each round's winner is a
+    * bounded driver decision point (the kmeans-centroid pattern); the
+    * merge itself is a codegen'd literal string replace.
+    *
+    * Piece state is the marker encoding `<p1><p2>...` so pair patterns
+    * are unambiguous at piece boundaries and replace() cannot consume a
+    * neighbor's separator. Ties in pair counts break on the joined
+    * `p1|p2` string ascending (documented convention, mirrored by the
+    * oracle). Output: (merge_rank, p1, p2, pair_count).
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, docIdCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    learnInternal(df, textCol, numMerges)._1
+      .toDF("merge_rank", "p1", "p2", "pair_count")
+  }
+
+  /** Trainer core shared with [[bpeSegment]]: returns the learned merges
+    * and the word table AFTER all merges were applied (word, wcnt, final
+    * marker string).
+    */
+  private def learnInternal(df: DataFrame, textCol: String, numMerges: Int):
+      (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    // distinct words with frequencies, each word as marker-wrapped chars
+    val base = graft.Caches.register(df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .withColumn("s", concat(lit("<"), concat_ws("><",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))), lit(">")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var words: DataFrame = base
+    for (r <- 1 to numMerges) {
+      val pieces = split(expr("substr(s, 2, length(s) - 2)"), "><")
+      val prs = words.select(col("wcnt"),
+          explode(when(size(pieces) >= 2,
+            transform(sequence(lit(1), size(pieces) - 1),
+              i => concat(element_at(pieces, i), lit("|"), element_at(pieces, i + 1))))
+            .otherwise(array())).as("p"))
+        .groupBy("p").agg(sum("wcnt").as("cnt"))
+      val top = prs.orderBy(col("cnt").desc, col("p")).head()
+      val Array(p1, p2) = top.getString(0).split('|')
+      merges += ((r.toLong, p1, p2, top.getLong(1)))
+      words = words.withColumn("s",
+        replace(col("s"), lit(s"<$p1><$p2>"), lit(s"<$p1$p2>")))
+    }
+    (merges.result(), words)
+  }
+
+  /** Learn `numMerges` BPE merges, then segment the whole corpus with
+    * them — the train→apply loop in one operator. Output per document:
+    * (doc_id, n_words, n_pieces, fp) with fp = md5 of the space-joined
+    * piece stream in document order. The apply side is the same
+    * distinct-word join-back as [[subwordStats]]; the merge applications
+    * are codegen'd literal replaces, no UDF anywhere.
+    */
+  def bpeSegment(df: DataFrame, textCol: String, docIdCol: String,
+      numMerges: Int): DataFrame = {
+    // each word's segmentation rides the join as ONE pre-joined string
+    // plus a piece count — the doc aggregate then concatenates strings in
+    // position order instead of flattening arrays (same fingerprint,
+    // lighter shuffle rows, no per-doc array surgery)
+    val words = learnInternal(df, textCol, numMerges)._2
+      .withColumn("pieces", split(expr("substr(s, 2, length(s) - 2)"), "><"))
+      .select(col("word"), array_join(col("pieces"), " ").as("ps"),
+        size(col("pieces")).cast("long").as("np"))
+    val tok = df.select(col(docIdCol).as("doc_id"),
+        posexplode(tokens(col(textCol))))
+      .toDF("doc_id", "pos", "word")
+    val perDoc = tok.join(words, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np").as("n_pieces"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("ps")))),
+          x => x.getField("ps"))).as("body"))
+    df.select(col(docIdCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        md5(coalesce(col("body"), lit(""))).as("fp"))
+  }
+
   /** Corpus piece frequencies under the same segmentation: one row per
     * piece with total occurrences (weighted by word frequency) and the
     * number of distinct words it appears in — the "which merges earn

@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, "spark spark spark join filter"),
+    (2L, "join filter window window window window"),
+    (3L, "spark merge")).toDF("doc_id", "text")
+
+  test("cms cells: total mass per row equals the token count") {
+    val cells = Sketches.countMinCells(df, "text", "doc_id", depth = 4, width = 16)
+      .collect()
+    val perRow = cells.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.toMap == Map(0L -> 13L, 1L -> 13L, 2L -> 13L, 3L -> 13L))
+  }
+
+  test("cms estimates: one-sided error — never below the exact count") {
+    // width 4 forces collisions so the overcount column is exercised
+    val est = Sketches.countMinEstimates(df, "text", "doc_id", depth = 4, width = 4)
+      .collect()
+    assert(est.length == 5) // spark join filter window merge
+    for (r <- est) {
+      assert(r.getLong(2) >= r.getLong(1), s"estimate below exact: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // with a wide sketch the estimates are exact for this tiny corpus
+    val wide = Sketches.countMinEstimates(df, "text", "doc_id", depth = 4, width = 1024)
+      .collect()
+    assert(wide.forall(r => r.getLong(3) == 0L))
+  }
+}

@@ -37,6 +37,29 @@ class TokenizeSpec extends SparkSpec {
       out(2).getString(3) == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("learnBpeMerges replays the classic trainer rounds deterministically") {
+    val df = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val m = Tokenize.learnBpeMerges(df, "text", "doc_id", numMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: a|b appears twice per "abab", word count 2 -> weight 4
+    // round 2: the merged ab|ab pair; round 3: only c|d remains
+    assert(m.toSeq == Seq((1L, "a", "b", 4L), (2L, "ab", "ab", 2L), (3L, "c", "d", 1L)))
+  }
+
+  test("bpeSegment applies the learned merges to the corpus in order") {
+    val df = Seq((1L, "abab cd"), (2L, "cd abab")).toDF("doc_id", "text")
+    // merges learned on this corpus: a+b (w=2 each word -> cnt 4),
+    // then ab+ab (cnt 2) -> "abab" segments to [abab], "cd" to [c, d]
+    val out = Tokenize.bpeSegment(df, "text", "doc_id", numMerges = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L) // n_words
+    assert(out(0).getLong(2) == 3L) // abab + c + d
+    // same pieces, reversed doc order -> different fingerprints
+    assert(out(0).getString(3) != out(1).getString(3))
+    assert(out(1).getLong(2) == 3L)
+  }
+
   test("pieceStats weights by word frequency and marks fallback pieces") {
     val df = Seq((1L, "scanner scanner window")).toDF("doc_id", "text")
     val out = Tokenize.pieceStats(df, "text", "doc_id", vocab)
