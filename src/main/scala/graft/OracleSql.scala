@@ -373,6 +373,38 @@ object OracleSql {
        |    SELECT r, ${cmsBucket("r")} AS bucket
        |    FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)) GROUP BY 1, 2)""".stripMargin
 
+  /** pHash oracle: the per-row md5 BMP fixture grid, the IDENTICAL
+    * twiddle doubles from [[graft.ext.Multimodal.DctT]] re-emitted as
+    * literals, and every fold in the UDF's index order — the whole
+    * frequency transform replayed without a codec.
+    */
+  private def phashOracle: String = {
+    val tl = graft.ext.Multimodal.DctT.map(row =>
+      row.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    val px = "CAST(CAST(('0x' || substr(md5(seed || '#' || rr.r), i*2+1, 2)) AS INTEGER) AS DOUBLE)"
+    s"""WITH sd AS (SELECT doc_id, md5(text) AS seed FROM documents),
+       |g AS (SELECT doc_id, rr.r AS r, list_transform(generate_series(0, 8),
+       |    i -> CAST(0.299 AS DOUBLE)*$px + CAST(0.587 AS DOUBLE)*$px + CAST(0.114 AS DOUBLE)*$px) AS gr
+       |  FROM sd, (SELECT unnest(generate_series(0, 7)) AS r) rr),
+       |gg AS (SELECT doc_id, list(gr ORDER BY r) AS rws FROM g GROUP BY doc_id),
+       |tw AS (SELECT $tl AS tl),
+       |co AS (SELECT doc_id, list_transform(generate_series(0, 63), k ->
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(0, 63), i ->
+       |        rws[i // 8 + 1][i % 8 + 1] * tl[k // 8 + 1][i // 8 + 1] * tl[k % 8 + 1][i % 8 + 1])),
+       |      (a, x) -> a + x)) AS coef
+       |  FROM gg CROSS JOIN tw),
+       |mn AS (SELECT doc_id, coef,
+       |    (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), coef), (a, x) -> a + x) - coef[1]) / 63.0 AS m
+       |  FROM co),
+       |hb AS (SELECT doc_id, CAST(sum(CASE WHEN coef[kk.k + 1] > m THEN
+       |    CASE WHEN kk.k = 63 THEN (-9223372036854775808)::BIGINT ELSE 1::BIGINT << kk.k END
+       |  ELSE 0 END) AS BIGINT) AS ph
+       |  FROM mn, (SELECT unnest(generate_series(0, 63)) AS k) kk GROUP BY doc_id)
+       |SELECT doc_id, ph AS phash FROM hb ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_pipeline" ->
       """WITH u AS (
@@ -960,6 +992,9 @@ object OracleSql {
         |    CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS sv FROM e)
         |SELECT doc_id, frame, round(sqrt(CAST(sum(sv*sv) AS DOUBLE) / 32), 6) AS rms
         |FROM v GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
+
+    // frequency-domain perceptual hash (DCT pHash) — see phashOracle
+    "q_image_phash" -> phashOracle,
 
     "q_image_dhash" ->
       s"""WITH $dhashCtes
@@ -3255,6 +3290,20 @@ object OracleSql {
          |ORDER BY c.lang, c.doc_id""".stripMargin),
 
     // expectation suite: one conditional-count pass, five stacked rows
+    // k-anonymity: equivalence classes under the quasi-identifier pair
+    // with size < k, plus the one-row audit summary
+    "q_quality_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+        |  round(CAST(1.0 AS DOUBLE) / count(*), 6) AS reid_risk
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_quality_kanon_summary" ->
+      """WITH g AS (SELECT count(*) AS sz FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(min(sz) AS BIGINT) AS achieved_k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM g""".stripMargin,
+
     "q_quality_expect" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count_if(l_quantity BETWEEN 1 AND 50) AS BIGINT) AS p0,

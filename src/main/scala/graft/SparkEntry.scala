@@ -620,6 +620,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // frequency-domain perceptual hash over the SAME per-row md5 fixture
+    // (real BMP decode -> 8x8 DCT-II with literal twiddles shared with
+    // the oracle -> mean-comparison bits)
+    "q_image_phash" -> ((s, dir) => {
+      val ms = T(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("__seed"))
+        .select(col("doc_id") +:
+          (0 until 8).map(r => md5(concat(col("__seed"), lit(s"#$r"))).as(s"__m$r")): _*)
+      ms.select(col("doc_id"),
+          Multimodal.phash64(Multimodal.bmpRows(
+            (0 until 8).map(r => col(s"__m$r")))).as("phash"))
+        .orderBy("doc_id")
+    }),
+
     // -- real-codec image resize: striped BMP -> 3x2 block-mean thumbnail,
     // re-encoded as BMP; the oracle constructs the EXPECTED OUTPUT BYTES
     // arithmetically (header literal + floor-mean pixel hex), so decode +
@@ -3074,6 +3088,15 @@ object SparkEntry {
 
     // -- declarative expectation suite over lineitem: five rules, one
     // aggregate pass, one row per rule ----------------------------------
+    // -- k-anonymity audit over (nation, segment) quasi-identifiers ------
+    "q_quality_kanon" -> ((s, dir) =>
+      Quality.kAnonymityViolations(T(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+    "q_quality_kanon_summary" -> ((s, dir) =>
+      Quality.kAnonymitySummary(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
     "q_quality_expect" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       Quality.expect(li, Seq(

@@ -275,7 +275,12 @@ object Multimodal {
     * Justified UDF: no expression form of a codec (same tier as
     * [[decodeImageFeatures]]). Scan-local, no shuffle.
     */
-  private val dhash64Udf = udf((bytes: Array[Byte]) => {
+  /** Shared decode step of the perceptual hashes: REAL ImageIO decode →
+    * 8×9 block-mean Rec.601 grayscale grid (exact integer channel sums
+    * per block, one double per block — no float accumulation-order
+    * drift). None for undecodable payloads or images under 9×8.
+    */
+  private def grayGrid(bytes: Array[Byte]): Option[Array[Array[Double]]] = {
     if (bytes == null) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -308,22 +313,80 @@ object Multimodal {
           }
           r += 1
         }
-        var hash = 0L
-        r = 0
+        Some(grid)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val dhash64Udf = udf((bytes: Array[Byte]) => {
+    grayGrid(bytes).map { grid =>
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  })
+
+  def dhash64(payload: Column): Column = dhash64Udf(payload)
+
+  /** 8-point DCT-II twiddles `cos(π(2r+1)u/16)` — computed once and
+    * PUBLIC because the oracle generator re-emits exactly these doubles
+    * as SQL literals (Double.toString round-trips), so engine and oracle
+    * share the transform bit-for-bit.
+    */
+  val DctT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, r) => math.cos(math.Pi * (2 * r + 1) * u / 16.0))
+
+  /** 64-bit frequency-domain perceptual hash (pHash family — public
+    * method: DCT the downsampled grayscale, compare coefficients to
+    * their mean; Krawetz's "Looks Like It"). Uses the left 8×8 of the
+    * same REAL-codec block-mean grid as [[dhash64]] (no 9→8 resample
+    * ambiguity), an unnormalized 2-D DCT-II (the uniform α factors
+    * cancel in mean comparisons), and bit k=u·8+v set iff C(u,v) exceeds
+    * the mean of the 63 AC coefficients. All folds run in fixed index
+    * order so the oracle can replay the transform exactly. dHash tracks
+    * gradients; pHash tracks global structure — together the standard
+    * perceptual near-dup pair. Same justified-UDF tier and scan-local
+    * shape as [[dhash64]].
+    */
+  private val phash64Udf = udf((bytes: Array[Byte]) => {
+    grayGrid(bytes).map { grid =>
+      val coef = new Array[Double](64)
+      var k = 0
+      while (k < 64) {
+        val u = k / 8; val v = k % 8
+        var acc = 0.0
+        var r = 0
         while (r < 8) {
           var c = 0
           while (c < 8) {
-            if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << (r * 8 + c)
+            acc = acc + grid(r)(c) * DctT(u)(r) * DctT(v)(c)
             c += 1
           }
           r += 1
         }
-        Some(hash)
+        coef(k) = acc
+        k += 1
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      var s = 0.0
+      k = 0
+      while (k < 64) { s = s + coef(k); k += 1 }
+      val m = (s - coef(0)) / 63.0
+      var hash = 0L
+      k = 0
+      while (k < 64) { if (coef(k) > m) hash |= 1L << k; k += 1 }
+      hash
+    }
   })
 
-  def dhash64(payload: Column): Column = dhash64Udf(payload)
+  def phash64(payload: Column): Column = phash64Udf(payload)
 
   /** Expression-built 9x8 24-bit BMP of vertical gray stripes — the dHash
     * fixture: column c carries `vals[c]` (0-255) in all three channels, so

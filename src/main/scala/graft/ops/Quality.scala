@@ -236,6 +236,36 @@ object Quality {
     * long form — the scan cost is that of the WIDEST rule set, not of
     * the rule count.
     */
+  /** k-anonymity audit over quasi-identifier columns (public privacy
+    * model: Sweeney 2002): every row must share its quasi-identifier
+    * combination with >= k-1 others. One row per VIOLATING equivalence
+    * class (size < k) with the class values and size, plus the re-id
+    * risk 1/size. One map-side-combinable groupBy on the quasi columns —
+    * the wordcount shape, no row data beyond the quasi values moves.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+      .withColumn("reid_risk", round(lit(1.0) / col("class_size"), 6))
+  }
+
+  /** The one-row summary companion to [[kAnonymityViolations]]: achieved
+    * k (smallest class size), violating class/row counts, total classes.
+    */
+  def kAnonymitySummary(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .agg(min("__sz").as("achieved_k"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("violating_classes"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"))
+  }
+
   def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "expect needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,

@@ -18,6 +18,29 @@ class SketchesSpec extends SparkSpec {
     assert(perRow.toMap == Map(0L -> 13L, 1L -> 13L, 2L -> 13L, 3L -> 13L))
   }
 
+  test("cms cells stream with bounded state and equal the batch sketch") {
+    // the sketch is a plain (r, bucket) aggregation, so it runs as a
+    // streaming query with state bounded by depth x width regardless of
+    // vocabulary — the streaming heavy-hitter substrate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val cells = Sketches.countMinCells(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", depth = 4, width = 16)
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    mem.addData((1L, "spark spark spark join filter"),
+      (2L, "join filter window window window window"))
+    q.processAllAvailable()
+    mem.addData((3L, "spark merge"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.countMinCells(df, "text", "doc_id", depth = 4, width = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("cms estimates: one-sided error — never below the exact count") {
     // width 4 forces collisions so the overcount column is exercised
     val est = Sketches.countMinEstimates(df, "text", "doc_id", depth = 4, width = 4)

@@ -283,6 +283,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L) == 0L)
   }
 
+  test("phash64: DC dominance, scale invariance of bits, null on junk") {
+    // a solid image has one dominant DC coefficient -> exactly the DC bit
+    // can exceed the AC mean; brightness-scaled stripes keep the SAME
+    // bits (DCT is linear, mean comparison is scale-invariant for
+    // positive scale) while different stripe orders differ
+    // even values only: halving is then EXACT in pixel space, and
+    // round-to-nearest commutes with power-of-2 scaling, so the whole
+    // DCT/mean comparison halves bit-consistently
+    val a = (0 until 9).map(i => (i * 50) % 250)
+    val b = a.map(v => v / 2) // half brightness, same structure
+    val c = a.reverse
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "vals")
+    val got = df.select(col("id"),
+        Multimodal.phash64(Multimodal.bmpStripes(col("vals"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L),
+      f"brightness scaling changed the hash: ${got(1L)}%016x vs ${got(2L)}%016x")
+    assert(got(1L) != got(3L), "reversed stripes must hash differently")
+    assert((got(1L) & 1L) == 1L, "DC coefficient must exceed the AC mean")
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(junk.select(Multimodal.phash64(col("payload"))).head().isNullAt(0))
+  }
+
+  test("phash64 equals itself across a real re-encode (PNG vs BMP bytes)") {
+    val stripes = Array(10, 250, 30, 200, 70, 160, 110, 40, 220)
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 9).foreach { x =>
+      val v = stripes(x)
+      (0 until 8).foreach(y => img.setRGB(x, y, (v << 16) | (v << 8) | v))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select(Multimodal.phash64(col("payload"))).head().getLong(0)
+    val bmp = Seq((1L, stripes.toSeq)).toDF("id", "vals")
+      .select(Multimodal.phash64(Multimodal.bmpStripes(col("vals")))).head().getLong(0)
+    assert(png == bmp, f"re-encode changed phash: $png%016x != $bmp%016x")
+  }
+
   test("dhash64 block-mean downsample on a real multi-pixel-block PNG") {
     // 18x16 image = 2x2 pixel blocks per grid cell; stripe value depends
     // only on the grid column, so block means reproduce the stripe list
