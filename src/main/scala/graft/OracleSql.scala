@@ -405,6 +405,39 @@ object OracleSql {
        |SELECT doc_id, ph AS phash FROM hb ORDER BY doc_id""".stripMargin
   }
 
+  /** Audio band-power oracle: the frame-energy fixture's sample
+    * extraction plus fixed-point twiddle sums whose cos/sin literals are
+    * re-emitted from [[graft.ext.Multimodal.dftTwiddles]].
+    */
+  private def audioBandOracle(frameSamples: Int, bins: Seq[Int]): String = {
+    def lst(xs: Seq[Double]) =
+      xs.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val aggs = bins.flatMap { b =>
+      val (c, s) = graft.ext.Multimodal.dftTwiddles(frameSamples, b)
+      Seq(
+        s"sum(CAST(trunc(sv * ${lst(c)}[k + 1] * 1000000.0) AS BIGINT)) AS re_$b",
+        s"sum(CAST(trunc(sv * ${lst(s)}[k + 1] * 1000000.0) AS BIGINT)) AS im_$b")
+    }.mkString(",\n    ")
+    val fs = 32768.0 * frameSamples // full-scale norm, matches the Spark side
+    val arms = bins.map { b =>
+      val re = s"(CAST(re_$b AS DOUBLE) / 1000000.0 / $fs)"
+      val im = s"(CAST(im_$b AS DOUBLE) / 1000000.0 / $fs)"
+      s"SELECT doc_id, frame, CAST($b AS BIGINT) AS bin, round($re * $re + $im * $im, 6) AS power FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (SELECT doc_id, repeat(md5(text), 16) AS hx FROM documents),
+       |e AS (SELECT doc_id, jj.j AS j,
+       |    CAST(('0x' || substr(hx, jj.j*4+3, 2) || substr(hx, jj.j*4+1, 2)) AS BIGINT) AS v0
+       |  FROM s, (SELECT unnest(generate_series(0, 127)) AS j) jj),
+       |v AS (SELECT doc_id, CAST(j // $frameSamples AS BIGINT) AS frame,
+       |    CAST(j % $frameSamples AS BIGINT) AS k,
+       |    CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS sv FROM e),
+       |a AS (SELECT doc_id, frame,
+       |    $aggs
+       |  FROM v GROUP BY doc_id, frame)
+       |SELECT * FROM (
+       |  $arms) ORDER BY doc_id, frame, bin""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_pipeline" ->
       """WITH u AS (
@@ -983,6 +1016,10 @@ object OracleSql {
 
     // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
     // repeated-md5 sample bytes the Spark fixture builds into a real WAV
+    // spectral band power: DFT bins 1/4/8 per 32-sample frame (generated
+    // — see audioBandOracle)
+    "q_audio_band_power" -> audioBandOracle(32, Seq(1, 4, 8)),
+
     "q_audio_frame_energy" ->
       """WITH s AS (SELECT doc_id, repeat(md5(text), 16) AS hx FROM documents),
         |e AS (SELECT doc_id, jj.j AS j,

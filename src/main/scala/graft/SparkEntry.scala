@@ -702,6 +702,18 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // spectral band power over the same PCM fixture: unnormalized DFT at
+    // bins 1/4/8 per 32-sample frame, fixed-point twiddle sums
+    "q_audio_band_power" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.wavPcm16(repeat(md5(col("text")), 16), numSamples = 128).as("wav"))
+      Multimodal.audioBandPower(d, "wav", "doc_id", frameSamples = 32,
+          bins = Seq(1, 4, 8))
+        .select(col("id").as("doc_id"), col("frame"), col("bin"), col("power"))
+        .orderBy("doc_id", "frame", "bin")
+    }),
+
     // -- streaming-shaped event-time window aggregation -------------------
     "q_events_window" -> ((s, dir) => EventsStream.batch(s, dir, "1 day")),
     // exact distinct users per day via the streaming-safe dedup-then-count

@@ -530,6 +530,65 @@ object Multimodal {
     * 6 places.
     */
   def audioFrameEnergy(df: DataFrame, payloadCol: String, idCol: String,
+      frameSamples: Int): DataFrame =
+    pcmSampleRows(df, payloadCol, idCol, frameSamples)
+      .groupBy("id", "frame")
+      .agg(sum(col("__v") * col("__v")).as("__ss"))
+      .select(col("id"), col("frame"),
+        round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
+
+  /** Per-frame spectral band power: an unnormalized DFT at the requested
+    * integer `bins` over each `frameSamples`-sample frame — P_b = Re_b² +
+    * Im_b² with Re_b = Σ_k s_k·cos(2πbk/N), Im_b = Σ_k s_k·sin(2πbk/N).
+    * The twiddles are plan-time literal arrays indexed by the in-frame
+    * sample position (same literal-trig determinism contract as
+    * [[DctT]]); the sums ride as FIXED-POINT longs (per-term trunc at
+    * 1e-6 — order-invariant at any parallelism, exact in BIGINT up to
+    * ~2^17 samples per frame), and only the final power is a shared
+    * double formula DAG. Same expression-only PCM extraction and frame
+    * explode shape as [[audioFrameEnergy]] — frames before samples, no
+    * whole-clip row, no UDF.
+    */
+  def audioBandPower(df: DataFrame, payloadCol: String, idCol: String,
+      frameSamples: Int, bins: Seq[Int]): DataFrame = {
+    require(bins.nonEmpty, "bins must be non-empty")
+    require(bins.forall(b => b >= 0 && b <= frameSamples / 2),
+      s"bins must lie in [0, $frameSamples/2]: $bins")
+    val rows = pcmSampleRows(df, payloadCol, idCol, frameSamples)
+    def twSum(tw: Seq[Double], name: String) =
+      sum((col("__v") * element_at(typedLit(tw), col("__k") + 1) * lit(1e6))
+        .cast("long")).as(name)
+    val aggs = bins.flatMap { b =>
+      val (c, s) = dftTwiddles(frameSamples, b)
+      Seq(twSum(c, s"__re_$b"), twSum(s, s"__im_$b"))
+    }
+    val g = rows.groupBy("id", "frame").agg(aggs.head, aggs.tail: _*)
+    val stacked = s"stack(${bins.size}, " +
+      bins.map(b => s"${b}L, `__re_$b`, `__im_$b`").mkString(", ") +
+      ") as (bin, re, im)"
+    // full-scale normalization (÷ 32768·N, a power of two for pow-2
+    // frames → exact division) keeps power in [0, ~2] where round(…, 6)
+    // is robust in BOTH engines — DuckDB's round computes x·1e6 past 2^53
+    // for raw e10-magnitude powers and drops ulps
+    val fs = 32768.0 * frameSamples
+    val re = col("re").cast("double") / lit(1e6) / lit(fs)
+    val im = col("im").cast("double") / lit(1e6) / lit(fs)
+    g.select(col("id"), col("frame"), expr(stacked))
+      .select(col("id"), col("frame"), col("bin"),
+        round(re * re + im * im, 6).as("power"))
+  }
+
+  /** DFT twiddles for [[audioBandPower]] — public so the oracle generator
+    * re-emits exactly these doubles as literals.
+    */
+  def dftTwiddles(frameSamples: Int, bin: Int): (Seq[Double], Seq[Double]) = (
+    Seq.tabulate(frameSamples)(k => math.cos(2.0 * math.Pi * bin * k / frameSamples)),
+    Seq.tabulate(frameSamples)(k => math.sin(2.0 * math.Pi * bin * k / frameSamples)))
+
+  /** (id, frame, __k, __v): signed 16-bit PCM samples by frame — the
+    * shared extraction of [[audioFrameEnergy]] / [[audioBandPower]].
+    */
+  private def pcmSampleRows(df: DataFrame, payloadCol: String, idCol: String,
       frameSamples: Int): DataFrame = {
     require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
     val p = col(payloadCol)
@@ -559,12 +618,8 @@ object Multimodal {
         explode(sequence(lit(0L), col("__nf").cast("long") - 1)).as("frame"))
       .select(col("id"), col("frame"), col("__hx"),
         explode(sequence(lit(0), lit(frameSamples - 1))).as("__k"))
-      .select(col("id"), col("frame"),
+      .select(col("id"), col("frame"), col("__k"),
         when(v0 >= 32768L, v0 - 65536L).otherwise(v0).as("__v"))
-      .groupBy("id", "frame")
-      .agg(sum(col("__v") * col("__v")).as("__ss"))
-      .select(col("id"), col("frame"),
-        round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
   }
 
   // ===== image resize ====================================================

@@ -323,6 +323,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(png == bmp, f"re-encode changed phash: $png%016x != $bmp%016x")
   }
 
+  test("audioBandPower: a pure bin-4 tone concentrates its power in bin 4") {
+    // s_k = round(16384·cos(2π·4k/32)) over 64 samples (2 frames of 32):
+    // normalized bin-4 power = (A·N/2 / (32768·N))² = (16384/65536)² ≈ 1/16
+    val samples = (0 until 64).map(k =>
+      math.round(16384.0 * math.cos(2.0 * math.Pi * 4 * k / 32)).toInt)
+    val hexStr = samples.map { v =>
+      val u = if (v < 0) v + 65536 else v
+      f"${u & 0xFF}%02X${(u >> 8) & 0xFF}%02X" // LE16
+    }.mkString
+    val df = Seq((1L, hexStr)).toDF("id", "hx")
+      .select(col("id"), Multimodal.wavPcm16(col("hx"), numSamples = 64).as("wav"))
+    val out = Multimodal.audioBandPower(df, "wav", "id", frameSamples = 32,
+        bins = Seq(1, 4, 8)).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(out.size == 6) // 2 frames x 3 bins
+    for (f <- 0L to 1L) {
+      assert(math.abs(out((f, 4L)) - 0.0625) < 1e-3, s"bin4 frame $f: ${out((f, 4L))}")
+      assert(out((f, 1L)) < 1e-3 && out((f, 8L)) < 1e-3,
+        s"off-bin leakage: ${out((f, 1L))}, ${out((f, 8L))}")
+    }
+  }
+
   test("dhash64 block-mean downsample on a real multi-pixel-block PNG") {
     // 18x16 image = 2x2 pixel blocks per grid cell; stripe value depends
     // only on the grid column, so block means reproduce the stripe list
