@@ -3096,6 +3096,56 @@ object OracleSql {
     "q_text_bpe_learn" -> bpeOracle(8),
     "q_text_bpe_segment" -> bpeSegmentOracle(8),
 
+    // S-stemmer over the suffix-augmented corpus: the same ordered CASE
+    // with length-guarded suffix slices (neither engine evaluates substr
+    // at pos <= 0)
+    "q_text_stemmed_stats" -> {
+      def tl(k: Int) =
+        s"CASE WHEN length(w) >= $k THEN substr(w, length(w) - ${k - 1}, $k) ELSE '' END"
+      s"""WITH t0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |t1 AS (SELECT doc_id, unnest(list_transform(tk,
+         |    (x, i) -> x || (['', 's', 'es', 'ies'])[(i - 1) % 4 + 1])) AS w FROM t0),
+         |st AS (SELECT doc_id, CASE
+         |    WHEN ${tl(3)} = 'ies' THEN
+         |      CASE WHEN ${tl(4)} <> 'aies' AND ${tl(4)} <> 'eies'
+         |        THEN substr(w, 1, length(w) - 3) || 'y' ELSE w END
+         |    WHEN ${tl(2)} = 'es' THEN
+         |      CASE WHEN ${tl(3)} <> 'aes' AND ${tl(3)} <> 'ees' AND ${tl(3)} <> 'oes'
+         |        THEN substr(w, 1, length(w) - 1) ELSE w END
+         |    WHEN ${tl(1)} = 's' THEN
+         |      CASE WHEN ${tl(2)} <> 'us' AND ${tl(2)} <> 'ss'
+         |        THEN substr(w, 1, length(w) - 1) ELSE w END
+         |    ELSE w END AS term FROM t1)
+         |SELECT term, CAST(count(*) AS BIGINT) AS occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM st GROUP BY term ORDER BY term""".stripMargin
+    },
+
+    // GDPR cascade blast radius: chained IN-subquery semi-joins
+    "q_privacy_cascade" ->
+      """WITH k0 AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),
+        |a0 AS (SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT key FROM k0)),
+        |k1 AS (SELECT DISTINCT c_custkey AS key FROM a0),
+        |a1 AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT key FROM k1)),
+        |k2 AS (SELECT DISTINCT o_orderkey AS key FROM a1),
+        |a2 AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT key FROM k2))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS level, 'customer' AS table_name,
+        |    CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_total,
+        |    CAST((SELECT count(*) FROM a0) AS BIGINT) AS rows_affected,
+        |    round(CAST((SELECT count(*) FROM a0) AS DOUBLE) / (SELECT count(*) FROM customer), 6) AS pct
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'orders',
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |    CAST((SELECT count(*) FROM a1) AS BIGINT),
+        |    round(CAST((SELECT count(*) FROM a1) AS DOUBLE) / (SELECT count(*) FROM orders), 6)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'lineitem',
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |    CAST((SELECT count(*) FROM a2) AS BIGINT),
+        |    round(CAST((SELECT count(*) FROM a2) AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
+        |) ORDER BY level""".stripMargin,
+
     // count-min sketch: deterministic md5-row cells + point estimates
     "q_text_cms_cells" ->
       (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),

@@ -2939,6 +2939,31 @@ object SparkEntry {
           "doc_id", numMerges = 8)
         .orderBy("doc_id")),
 
+    // -- light stemming (Harman S-stemmer) over a suffix-augmented corpus
+    // (the synthetic vocabulary has no plurals, so token i gets suffix
+    // ''/s/es/ies by position — exercising every rule + guard) ------------
+    "q_text_stemmed_stats" -> ((s, dir) => {
+      val suf = array(lit(""), lit("s"), lit("es"), lit("ies"))
+      val d = T(s, dir, "documents").select(col("doc_id"), concat_ws(" ",
+        transform(TextAnalysis.tokens(col("text")),
+          (t, i) => concat(t, element_at(suf, pmod(i, lit(4)) + 1)))).as("text"))
+      TextAnalysis.stemmedTermStats(d, "text", "doc_id").orderBy("term")
+    }),
+
+    // -- GDPR deletion-cascade blast radius: customers -> orders -> items -
+    "q_privacy_cascade" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      Quality.deletionCascade(
+        cust.where(col("c_custkey") % 97 === 0).select("c_custkey"),
+        Seq(
+          Quality.CascadeLevel("customer", cust, "c_custkey", Some("c_custkey")),
+          Quality.CascadeLevel("orders", T(s, dir, "orders"), "o_custkey",
+            Some("o_orderkey")),
+          Quality.CascadeLevel("lineitem", T(s, dir, "lineitem"), "l_orderkey",
+            None)))
+        .orderBy("level")
+    }),
+
     // -- count-min sketch: bounded-state term-frequency estimation --------
     "q_text_cms_cells" -> ((s, dir) =>
       graft.ext.Sketches.countMinCells(T(s, dir, "documents"), "text",

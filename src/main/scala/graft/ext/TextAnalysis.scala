@@ -35,6 +35,48 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
+  /** Light English stemming — Harman's S-stemmer (1991), the public
+    * minimal-risk IR stemmer: three ordered suffix rules, FIRST match
+    * wins:
+    *   ies -> y   unless preceded by a or e  ("ties"→"ty", "aies"/"eies" kept)
+    *   es  -> e   unless preceded by a, e or o
+    *   s   -> ''  unless the word ends in us or ss
+    * Pure codegen'd CASE over suffix slices — no UDF, no regex; mirrors
+    * 1:1 into the oracle's CASE.
+    */
+  def sStem(term: Column): Column = {
+    val n = length(term)
+    // guarded suffix slice: Spark and DuckDB disagree on substr semantics
+    // at pos <= 0, so never evaluate one — short words yield "" (no match)
+    def tail(k: Int) =
+      when(n >= k, term.substr(n - (k - 1), lit(k))).otherwise(lit(""))
+    def drop(k: Int) = term.substr(lit(1), n - k) // only used when n >= k
+    // dispatch on the LONGEST matching suffix; its guard decides fire or
+    // keep — a guarded word ("goes", "aies") must NOT fall through to a
+    // shorter rule, or every guard would be defeated by the next rule
+    when(tail(3) === "ies",
+        when(tail(4) =!= "aies" && tail(4) =!= "eies",
+          concat(drop(3), lit("y"))).otherwise(term))
+      .when(tail(2) === "es",
+        when(tail(3) =!= "aes" && tail(3) =!= "ees" && tail(3) =!= "oes",
+          drop(1)).otherwise(term))
+      .when(tail(1) === "s",
+        when(tail(2) =!= "us" && tail(2) =!= "ss", drop(1)).otherwise(term))
+      .otherwise(term)
+  }
+
+  /** Stemmed term statistics: [[termStats]] over [[sStem]]-normalized
+    * tokens — the classic index-time conflation step (same shuffle shape;
+    * the stem runs scan-side before the aggregate).
+    */
+  def stemmedTermStats(df: DataFrame, textCol: String, docIdCol: String,
+      minCount: Long = 1L): DataFrame =
+    df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("__w"))
+      .select(col("doc_id"), sStem(col("__w")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .where(col("occurrences") >= minCount)
+
   /** Corpus term statistics: one row per term with total occurrences and
     * document frequency. Single explode → groupBy(term) — one shuffle,
     * partial-aggregated map-side. `minCount` prunes the long tail before

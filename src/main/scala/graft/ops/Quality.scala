@@ -266,6 +266,47 @@ object Quality {
         sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"))
   }
 
+  /** One level of a deletion cascade: `fkCol` references the PREVIOUS
+    * level's key set; `nextKeyCol` is this table's key that the next
+    * level references (None for the leaf).
+    */
+  case class CascadeLevel(table: String, df: DataFrame, fkCol: String,
+      nextKeyCol: Option[String])
+
+  /** GDPR right-to-be-forgotten blast-radius audit: given the root key
+    * set to erase, chain semi-joins down the FK hierarchy and report per
+    * table how many rows the cascade reaches. One row per level:
+    * (level, table_name, rows_total, rows_affected, pct).
+    *
+    * Scale shape: each level is a LEFT SEMI join on the previous level's
+    * (distinct) key set — keys only, never row bodies, and the whole
+    * report is one lazy plan (no per-level driver actions). The root set
+    * broadcast-s when small; deeper key sets shuffle on the FK, the join
+    * key the child tables would already be bucketed by in a 100-TB
+    * layout.
+    */
+  def deletionCascade(rootKeys: DataFrame, levels: Seq[CascadeLevel]): DataFrame = {
+    require(levels.nonEmpty, "levels must be non-empty")
+    require(rootKeys.columns.length == 1, "rootKeys must have exactly one column")
+    var keys = rootKeys.toDF("__key").distinct()
+    val parts = levels.zipWithIndex.map { case (lv, i) =>
+      val affected = lv.df.join(keys, lv.df(lv.fkCol) === col("__key"), "left_semi")
+      if (i < levels.length - 1) {
+        val nk = lv.nextKeyCol.getOrElse(throw new IllegalArgumentException(
+          s"level $i (${lv.table}) needs nextKeyCol — it is not the leaf"))
+        keys = affected.select(col(nk).as("__key")).distinct()
+      }
+      val total = lv.df.agg(count(lit(1)).as("rows_total"))
+      affected.agg(count(lit(1)).as("rows_affected"))
+        .crossJoin(total)
+        .select(lit(i.toLong).as("level"), lit(lv.table).as("table_name"),
+          col("rows_total"), col("rows_affected"),
+          round(col("rows_affected").cast("double") / col("rows_total"), 6)
+            .as("pct"))
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
   def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "expect needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,

@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sStem: every rule and guard of the Harman S-stemmer") {
+    val words = Seq("ties", "aies", "eies", "tables", "goes", "trees",
+      "windows", "bus", "less", "scan", "s", "es", "ies")
+    val out = words.toDF("w").select(TextAnalysis.sStem(col("w")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "ty",      // ies -> y
+      "aies",    // guard: a before ies — kept, no fall-through to es rule
+      "eies",    // guard: e before ies — kept
+      "table",   // es -> e
+      "goes",    // guard: oes kept, no fall-through to the s rule
+      "trees",   // guard: ees kept
+      "window",  // s dropped
+      "bus",     // guard: us kept
+      "less",    // guard: ss kept
+      "scan",    // no suffix
+      "",        // bare "s": rule 3 fires (the 2-char guard slices to ''),
+                 // dropping its only char — consistent engine/oracle
+      "e",       // "es" stems by rule 2 (no length minimum in Harman)
+      "y"))      // "ies" stems by rule 1
+  }
+
   test("tokens: lowercase, split on non-alnum, drop empties") {
     val df = Seq("Hello, World!!  42-foo").toDF("text")
     val out = df.select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)

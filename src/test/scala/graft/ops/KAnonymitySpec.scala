@@ -26,6 +26,22 @@ class KAnonymitySpec extends SparkSpec {
     assert(s.getLong(3) == 3L) // rows at risk
   }
 
+  test("deletionCascade chains semi-joins and reports the blast radius") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ck", "name")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("ok", "ck")
+    val li = Seq((10L, 1), (10L, 2), (12L, 1), (99L, 1)).toDF("ok", "ln")
+    val out = Quality.deletionCascade(
+      cust.where($"ck" === 1L).select("ck"),
+      Seq(
+        Quality.CascadeLevel("cust", cust, "ck", Some("ck")),
+        Quality.CascadeLevel("ord", ord, "ck", Some("ok")),
+        Quality.CascadeLevel("li", li, "ok", None)))
+      .orderBy("level").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // customer 1 -> orders 10, 11 -> lineitems of order 10 (2 rows)
+    assert(out.toSeq == Seq(("cust", 3L, 1L), ("ord", 3L, 2L), ("li", 4L, 2L)))
+  }
+
   test("a k-anonymous table yields no violations") {
     val ok = df.where($"country" === "us" && $"tier" === "gold")
     assert(Quality.kAnonymityViolations(ok, Seq("country", "tier"), 3).count() == 0)
