@@ -3121,6 +3121,30 @@ object OracleSql {
          |FROM st GROUP BY term ORDER BY term""".stripMargin
     },
 
+    // Fellegi-Sunter linkage: same perturbation/blocking, same plan-time
+    // ln(m/u) literal weights (computed below by the SAME math.log calls)
+    "q_link_fs_score" -> {
+      def w(m: Double, u: Double) = (math.log(m / u), math.log((1 - m) / (1 - u)))
+      val (na, nd) = w(0.95, 0.001)
+      val (ta, td) = w(0.9, 0.04)
+      val (sa, sd) = w(0.9, 0.2)
+      s"""WITH l AS (SELECT c_custkey AS lid, c_name AS lname, c_nationkey AS lnat, c_mktsegment AS lseg FROM customer),
+         |r AS (SELECT c_custkey AS rid,
+         |    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'x' ELSE c_name END AS rname,
+         |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS rnat,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED' ELSE c_mktsegment END AS rseg FROM customer),
+         |p AS (SELECT * FROM l JOIN r ON lid % 100 = rid % 100),
+         |sc AS (SELECT lid, rid,
+         |    concat(CASE WHEN lname = rname THEN '1' ELSE '0' END,
+         |           CASE WHEN lnat = rnat THEN '1' ELSE '0' END,
+         |           CASE WHEN lseg = rseg THEN '1' ELSE '0' END) AS pattern,
+         |    round((CASE WHEN lname = rname THEN CAST($na AS DOUBLE) ELSE CAST($nd AS DOUBLE) END
+         |         + CASE WHEN lnat = rnat THEN CAST($ta AS DOUBLE) ELSE CAST($td AS DOUBLE) END)
+         |         + CASE WHEN lseg = rseg THEN CAST($sa AS DOUBLE) ELSE CAST($sd AS DOUBLE) END, 6) AS score
+         |  FROM p)
+         |SELECT lid, rid, pattern, score FROM sc WHERE score >= 5.0 ORDER BY lid, rid""".stripMargin
+    },
+
     // GDPR cascade blast radius: chained IN-subquery semi-joins
     "q_privacy_cascade" ->
       """WITH k0 AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),

@@ -2950,6 +2950,29 @@ object SparkEntry {
       TextAnalysis.stemmedTermStats(d, "text", "doc_id").orderBy("term")
     }),
 
+    // -- Fellegi-Sunter record linkage: customer vs a deterministically
+    // perturbed copy, %100 blocking, literal ln(m/u) weights -------------
+    "q_link_fs_score" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val l = c.select(col("c_custkey").as("lid"), col("c_name").as("lname"),
+        col("c_nationkey").as("lnat"), col("c_mktsegment").as("lseg"))
+      val r = c.select(col("c_custkey").as("rid"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("x")))
+          .otherwise(col("c_name")).as("rname"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("rnat"),
+        when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
+          .otherwise(col("c_mktsegment")).as("rseg"))
+      val pairs = l.join(r, col("lid") % 100 === col("rid") % 100)
+      Harmonize.linkageScore(pairs, Seq(
+          Harmonize.FsField("name", col("lname") === col("rname"), 0.95, 0.001),
+          Harmonize.FsField("nation", col("lnat") === col("rnat"), 0.9, 0.04),
+          Harmonize.FsField("segment", col("lseg") === col("rseg"), 0.9, 0.2)))
+        .where(col("score") >= 5.0)
+        .select("lid", "rid", "pattern", "score")
+        .orderBy("lid", "rid")
+    }),
+
     // -- GDPR deletion-cascade blast radius: customers -> orders -> items -
     "q_privacy_cascade" -> ((s, dir) => {
       val cust = T(s, dir, "customer")

@@ -87,6 +87,37 @@ object Harmonize {
       .select(col("l_val"), col("r_val"), col("dist").cast("int").as("dist"))
   }
 
+  /** One comparison field of a Fellegi–Sunter linkage model: `agree` is
+    * the per-pair agreement predicate, `m`/`u` the match/unmatch
+    * agreement probabilities. Weights are computed HERE, at plan time —
+    * ln never executes inside the query, so engine and oracle share the
+    * identical literal doubles.
+    */
+  case class FsField(name: String, agree: Column, m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1, s"m/u must be in (0,1): $m, $u")
+    def agreeWeight: Double = math.log(m / u)
+    def disagreeWeight: Double = math.log((1 - m) / (1 - u))
+  }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (public model:
+    * Fellegi & Sunter 1969, the foundation of Splink/RecordLinkage):
+    * score = Σ_f ln(m/u) if field f agrees else ln((1−m)/(1−u)), plus
+    * the '1'/'0' agreement pattern. Runs over PRE-BLOCKED candidate
+    * pairs (compose with [[fuzzyMatchBlocked]]-style blocking — never a
+    * cross join); the scorer itself is a pure codegen'd projection of
+    * CASE-selected literal weights, so it adds zero shuffles to the
+    * blocking plan.
+    */
+  def linkageScore(pairs: DataFrame, fields: Seq[FsField]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val pattern = concat(fields.map(f =>
+      when(f.agree, lit("1")).otherwise(lit("0"))): _*)
+    val score = fields.map(f =>
+        when(f.agree, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight)))
+      .reduceLeft(_ + _)
+    pairs.withColumn("pattern", pattern).withColumn("score", round(score, 6))
+  }
+
   /** Dictionary recode of a categorical column (pandas `Series.map` /
     * `replace` analog) — the value-level harmonization step after names
     * and types align (e.g. mapping per-source category spellings onto one

@@ -42,6 +42,28 @@ class KAnonymitySpec extends SparkSpec {
     assert(out.toSeq == Seq(("cust", 3L, 1L), ("ord", 3L, 2L), ("li", 4L, 2L)))
   }
 
+  test("linkageScore: FS weights select by agreement, pattern tracks fields") {
+    val pairs = Seq(
+      (1L, 1L, "a", "a", 5, 5), // both agree
+      (1L, 2L, "a", "b", 5, 5), // name disagrees
+      (1L, 3L, "a", "b", 5, 6)  // both disagree
+    ).toDF("lid", "rid", "ln", "rn", "lv", "rv")
+    val scored = Harmonize.linkageScore(pairs, Seq(
+        Harmonize.FsField("n", $"ln" === $"rn", 0.9, 0.1),
+        Harmonize.FsField("v", $"lv" === $"rv", 0.8, 0.2)))
+      .orderBy("rid").collect()
+    val wN = math.log(0.9 / 0.1); val wNd = math.log(0.1 / 0.9)
+    val wV = math.log(0.8 / 0.2); val wVd = math.log(0.2 / 0.8)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(scored.map(_.getString(4)).toSeq == Seq("11", "01", "00"))
+    assert(approx(scored(0).getDouble(5), r6(wN + wV), 1e-6))
+    assert(approx(scored(1).getDouble(5), r6(wNd + wV), 1e-6))
+    assert(approx(scored(2).getDouble(5), r6(wNd + wVd), 1e-6))
+    // higher agreement always outranks lower
+    assert(scored(0).getDouble(5) > scored(1).getDouble(5))
+    assert(scored(1).getDouble(5) > scored(2).getDouble(5))
+  }
+
   test("a k-anonymous table yields no violations") {
     val ok = df.where($"country" === "us" && $"tier" === "gold")
     assert(Quality.kAnonymityViolations(ok, Seq("country", "tier"), 3).count() == 0)
