@@ -55,13 +55,13 @@ class KAnonymitySpec extends SparkSpec {
     val wN = math.log(0.9 / 0.1); val wNd = math.log(0.1 / 0.9)
     val wV = math.log(0.8 / 0.2); val wVd = math.log(0.2 / 0.8)
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    assert(scored.map(_.getString(4)).toSeq == Seq("11", "01", "00"))
-    assert(approx(scored(0).getDouble(5), r6(wN + wV), 1e-6))
-    assert(approx(scored(1).getDouble(5), r6(wNd + wV), 1e-6))
-    assert(approx(scored(2).getDouble(5), r6(wNd + wVd), 1e-6))
+    assert(scored.map(_.getString(6)).toSeq == Seq("11", "01", "00"))
+    assert(approx(scored(0).getDouble(7), r6(wN + wV), 1e-6))
+    assert(approx(scored(1).getDouble(7), r6(wNd + wV), 1e-6))
+    assert(approx(scored(2).getDouble(7), r6(wNd + wVd), 1e-6))
     // higher agreement always outranks lower
-    assert(scored(0).getDouble(5) > scored(1).getDouble(5))
-    assert(scored(1).getDouble(5) > scored(2).getDouble(5))
+    assert(scored(0).getDouble(7) > scored(1).getDouble(7))
+    assert(scored(1).getDouble(7) > scored(2).getDouble(7))
   }
 
   test("a k-anonymous table yields no violations") {
