@@ -410,6 +410,11 @@ object OracleSql {
     * re-emitted from [[graft.ext.Multimodal.dftTwiddles]].
     */
   private def audioBandOracle(frameSamples: Int, bins: Seq[Int]): String = {
+    // the generated SQL is bound to the 128-sample wav fixture and keeps
+    // every j // frameSamples group; Spark's pcmSampleRows DROPS a
+    // trailing partial frame, so only exact divisors stay in lockstep
+    require(128 % frameSamples == 0,
+      s"frameSamples must divide the 128-sample fixture: $frameSamples")
     def lst(xs: Seq[Double]) =
       xs.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
     val aggs = bins.flatMap { b =>
@@ -1014,12 +1019,12 @@ object OracleSql {
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, dh AS dhash
         |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
-    // repeated-md5 sample bytes the Spark fixture builds into a real WAV
     // spectral band power: DFT bins 1/4/8 per 32-sample frame (generated
     // — see audioBandOracle)
     "q_audio_band_power" -> audioBandOracle(32, Seq(1, 4, 8)),
 
+    // signed-16-bit-LE PCM decode + per-frame RMS, replayed from the same
+    // repeated-md5 sample bytes the Spark fixture builds into a real WAV
     "q_audio_frame_energy" ->
       """WITH s AS (SELECT doc_id, repeat(md5(text), 16) AS hx FROM documents),
         |e AS (SELECT doc_id, jj.j AS j,

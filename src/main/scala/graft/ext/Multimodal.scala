@@ -552,6 +552,8 @@ object Multimodal {
   def audioBandPower(df: DataFrame, payloadCol: String, idCol: String,
       frameSamples: Int, bins: Seq[Int]): DataFrame = {
     require(bins.nonEmpty, "bins must be non-empty")
+    require(bins.distinct.size == bins.size,
+      s"bins must be distinct (they name the agg columns): $bins")
     require(bins.forall(b => b >= 0 && b <= frameSamples / 2),
       s"bins must lie in [0, $frameSamples/2]: $bins")
     val rows = pcmSampleRows(df, payloadCol, idCol, frameSamples)

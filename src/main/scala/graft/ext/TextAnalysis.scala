@@ -71,11 +71,10 @@ object TextAnalysis {
     */
   def stemmedTermStats(df: DataFrame, textCol: String, docIdCol: String,
       minCount: Long = 1L): DataFrame =
-    df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("__w"))
-      .select(col("doc_id"), sStem(col("__w")).as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
-      .where(col("occurrences") >= minCount)
+    termStatsOf(
+      df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("__w"))
+        .select(col("doc_id"), sStem(col("__w")).as("term")),
+      minCount)
 
   /** Corpus term statistics: one row per term with total occurrences and
     * document frequency. Single explode → groupBy(term) — one shuffle,
@@ -84,7 +83,16 @@ object TextAnalysis {
     */
   def termStats(df: DataFrame, textCol: String, docIdCol: String,
       minCount: Long = 1L): DataFrame =
-    df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    termStatsOf(
+      df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term")),
+      minCount)
+
+  /** Shared aggregate of [[termStats]] / [[stemmedTermStats]]: input is
+    * (doc_id, term) rows, output the per-term occurrence/doc-frequency
+    * stats — one definition so the aggregate contract cannot drift.
+    */
+  private def termStatsOf(termRows: DataFrame, minCount: Long): DataFrame =
+    termRows
       .groupBy("term")
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
       .where(col("occurrences") >= minCount)

@@ -301,10 +301,11 @@ object Quality {
         .crossJoin(total)
         .select(lit(i.toLong).as("level"), lit(lv.table).as("table_name"),
           col("rows_total"), col("rows_affected"),
-          round(col("rows_affected").cast("double") / col("rows_total"), 6)
+          when(col("rows_total") === 0, lit(null).cast("double"))
+            .otherwise(round(col("rows_affected").cast("double") / col("rows_total"), 6))
             .as("pct"))
     }
-    parts.reduce(_.unionAll(_))
+    parts.reduce(_.unionByName(_))
   }
 
   def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
