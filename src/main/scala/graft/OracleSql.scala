@@ -216,6 +216,26 @@ object OracleSql {
        |FROM e ORDER BY id""".stripMargin
   }
 
+  /** Projected-space retrieval oracle: the [[jlOracle]] projection as a
+    * list column, then the standard cosine top-k over it (query = row
+    * vec_id 0's projection, the q_sim_topk pattern).
+    */
+  private def jlTopkOracle(inDim: Int, outDim: Int, k: Int): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val elems = (0 until outDim).map { kk =>
+      val chain = (0 until inDim).map { i =>
+        s"v[${i + 1}] * ${graft.ext.DimReduce.jlSign(kk, i)}"
+      }.mkString(" + ")
+      s"round(($chain) * $scale, 6) + 0.0"
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT vec_id, $elems AS pe FROM e),
+       |q AS (SELECT pe AS qe FROM p WHERE vec_id = 0),
+       |s AS (SELECT vec_id AS id, pe AS e FROM p)
+       |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
+       |FROM s, q ORDER BY cos DESC, id LIMIT $k""".stripMargin
+  }
+
   /** Shared prefix of both PCA oracles: the fixed-point moment sums
     * (per-row trunc to long, exact integer sums) and the covariance
     * entries as the same double formula DAG
@@ -3093,6 +3113,7 @@ object OracleSql {
     // pcaCovOracle / pcaPowerOracle above) replaying the identical sign
     // literals / fixed-point sums / unrolled power-iteration DAG
     "q_sim_rproject" -> jlOracle(64, 16),
+    "q_sim_rproject_topk" -> jlTopkOracle(64, 16, 10),
     "q_pca_cov" -> pcaCovOracle(16),
     "q_pca_power" -> pcaPowerOracle(16, 30),
     "q_pca_project" -> pcaProjectOracle(16, 30),

@@ -2905,6 +2905,19 @@ object SparkEntry {
       DimReduce.randomProject(T(s, dir, "embeddings"), "vec_id", "embedding",
           inDim = 64, outDim = 16)
         .orderBy("id")),
+    // retrieval IN the projected space — the JL use case end-to-end:
+    // 16-d cosine top-k whose candidate order the 64-d exact top-k would
+    // approximately preserve (4x cheaper per comparison at 100 TB)
+    "q_sim_rproject_topk" -> ((s, dir) => {
+      val proj = DimReduce.randomProject(T(s, dir, "embeddings"), "vec_id",
+          "embedding", inDim = 64, outDim = 16)
+        .select(col("id").as("vec_id"),
+          array((0 until 16).map(k => col(s"p_$k")): _*).as("pe"))
+      val q = proj.where(col("vec_id") === 0).select("pe")
+        .head().getSeq[Double](0).toIndexedSeq
+      Similarity.bruteForceTopK(proj, "vec_id", "pe", q, 10)
+    }),
+
     "q_pca_cov" -> ((s, dir) =>
       DimReduce.covariance(T(s, dir, "embeddings"), "embedding", d = 16)
         .orderBy("i", "j")),

@@ -22,6 +22,23 @@ class DimReduceSpec extends SparkSpec {
     assert(DimReduce.jlSign(3, 17) == DimReduce.jlSign(3, 17))
   }
 
+  test("randomProject preserves cosine-structure invariants") {
+    // projection is linear, so exact duplicates and positive scalings
+    // keep cosine 1 in the projected space — sign-choice independent
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    val proj = DimReduce.randomProject(df, "vec_id", "embedding", 8, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(proj(1L) == proj(2L))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // rounding to 6dp perturbs slightly — near-1, not bit-exact
+    assert(cos(proj(1L), proj(3L)) > 0.999999)
+  }
+
   test("momentSums -> covarianceFromSums matches a direct computation") {
     val vecs = Seq(
       Array(1.0f, 2.0f, 0.5f), Array(2.0f, 0.0f, 1.5f),
