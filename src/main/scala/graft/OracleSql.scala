@@ -1039,6 +1039,28 @@ object OracleSql {
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, dh AS dhash
         |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // scene cuts: the frame-decode dHash replay over 6 frames whose row
+    // digests key on f // 3 (two scenes), then a per-clip lag window —
+    // dist 0 within scenes, one >10-bit cut at the boundary
+    "q_video_scenecut" ->
+      """WITH g AS (SELECT doc_id, ff.f AS f, rr.r AS r,
+        |    list_transform(generate_series(0, 8),
+        |      i -> CAST(('0x' || substr(md5(md5(text) || '#' || (ff.f // 3) || '#' || rr.r), i*2+1, 2)) AS INTEGER)) AS gr
+        |  FROM documents, (SELECT unnest(generate_series(0, 5)) AS f) ff,
+        |       (SELECT unnest(generate_series(0, 7)) AS r) rr),
+        |dbits AS (SELECT doc_id, f, r, cc.c AS c,
+        |    CASE WHEN gr[cc.c + 2] > gr[cc.c + 1] THEN 1 ELSE 0 END AS bit
+        |  FROM g, (SELECT unnest(generate_series(0, 7)) AS c) cc),
+        |h AS (SELECT doc_id, f, CAST(sum(CASE WHEN bit = 1 THEN
+        |    CASE WHEN r*8 + c = 63 THEN (-9223372036854775808)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c) END
+        |  ELSE 0 END) AS BIGINT) AS dh FROM dbits GROUP BY doc_id, f),
+        |lagd AS (SELECT doc_id, f, dh, lag(dh) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN prev IS NULL THEN NULL ELSE bit_count(xor(dh, prev)) END AS INTEGER) AS dist,
+        |  CASE WHEN prev IS NULL THEN NULL ELSE bit_count(xor(dh, prev)) > 10 END AS is_cut
+        |FROM lagd ORDER BY doc_id, frame_idx""".stripMargin,
+
     // spectral band power: DFT bins 1/4/8 per 32-sample frame (generated
     // — see audioBandOracle)
     "q_audio_band_power" -> audioBandOracle(32, Seq(1, 4, 8)),
@@ -3169,6 +3191,32 @@ object OracleSql {
          |         + CASE WHEN lseg = rseg THEN CAST($sa AS DOUBLE) ELSE CAST($sd AS DOUBLE) END, 6) AS score
          |  FROM p)
          |SELECT lid, rid, pattern, score FROM sc WHERE score >= 5.0 ORDER BY lid, rid""".stripMargin
+    },
+
+    // FS linkage -> connected-component entity clusters (recursive-CTE
+    // transitive closure, the q_dedup_cluster idiom; same plan-time
+    // literal weights as the Spark side)
+    "q_link_fs_cluster" -> {
+      def w(m: Double, u: Double) = (math.log(m / u), math.log((1 - m) / (1 - u)))
+      val (ga, gd) = w(0.95, 0.01)
+      val (ta, td) = w(0.9, 0.04)
+      val (sa, sd) = w(0.9, 0.2)
+      s"""WITH RECURSIVE
+         |l AS (SELECT c_custkey AS lid, c_custkey // 3 AS lg, c_nationkey AS lnat, c_mktsegment AS lseg FROM customer),
+         |r AS (SELECT c_custkey AS rid, c_custkey // 3 AS rg, c_nationkey AS rnat, c_mktsegment AS rseg FROM customer),
+         |p AS (SELECT * FROM l JOIN r ON lid // 100 = rid // 100 AND lid < rid),
+         |sc AS (SELECT lid, rid,
+         |    round((CASE WHEN lg = rg THEN CAST($ga AS DOUBLE) ELSE CAST($gd AS DOUBLE) END
+         |         + CASE WHEN lnat = rnat THEN CAST($ta AS DOUBLE) ELSE CAST($td AS DOUBLE) END)
+         |         + CASE WHEN lseg = rseg THEN CAST($sa AS DOUBLE) ELSE CAST($sd AS DOUBLE) END, 6) AS score
+         |  FROM p),
+         |pairs AS (SELECT lid AS id_a, rid AS id_b FROM sc WHERE score >= 2.0),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT c_custkey, c_custkey FROM customer),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY a""".stripMargin
     },
 
     // GDPR cascade blast radius: chained IN-subquery semi-joins

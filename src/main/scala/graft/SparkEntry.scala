@@ -689,6 +689,24 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // scene-change detection: 6 frames in two 3-frame scenes (row digests
+    // keyed by f div 3), so dist is 0 within scenes and ~32 bits at the
+    // boundary — exactly one cut, at frame 3
+    "q_video_scenecut" -> ((s, dir) => {
+      val seeded = T(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("__seed"))
+      val frames = (0 until 6).map { f =>
+        Multimodal.bmpRows((0 until 8).map(r =>
+          md5(concat(col("__seed"), lit(s"#${f / 3}#$r")))))
+      }
+      val d = graft.Caches.register(seeded
+        .select(col("doc_id"), concat(frames: _*).as("media"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Multimodal.sceneCuts(d, "media", "doc_id", frameBytes = 278, maxDist = 10)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("dist"), col("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // -- audio frame energy over expression-built REAL PCM WAVs: sample
     // bytes come from md5(text) repeated, so the oracle replays the
     // signed-16-bit decode + RMS purely arithmetically while Spark parses
@@ -2984,6 +3002,31 @@ object SparkEntry {
         .where(col("score") >= 5.0)
         .select("lid", "rid", "pattern", "score")
         .orderBy("lid", "rid")
+    }),
+
+    // FS linkage -> entity clusters: records agree on a synthetic group
+    // key (custkey div 3) plus nation/segment; pairs above threshold 2.0
+    // are exactly the within-triple edges (worst true-edge combos above,
+    // best false combo 1.62 below), then connected components label the
+    // entities — the linkage stack composed with the dedup-cluster stack
+    "q_link_fs_cluster" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val l = c.select(col("c_custkey").as("lid"),
+        expr("c_custkey div 3").as("lg"), col("c_nationkey").as("lnat"),
+        col("c_mktsegment").as("lseg"))
+      val r = c.select(col("c_custkey").as("rid"),
+        expr("c_custkey div 3").as("rg"), col("c_nationkey").as("rnat"),
+        col("c_mktsegment").as("rseg"))
+      val blocked = l.join(r,
+        expr("lid div 100") === expr("rid div 100") && col("lid") < col("rid"))
+      val pairs = Harmonize.linkageScore(blocked, Seq(
+          Harmonize.FsField("group", col("lg") === col("rg"), 0.95, 0.01),
+          Harmonize.FsField("nation", col("lnat") === col("rnat"), 0.9, 0.04),
+          Harmonize.FsField("segment", col("lseg") === col("rseg"), 0.9, 0.2)))
+        .where(col("score") >= 2.0)
+        .select(col("lid").as("id_a"), col("rid").as("id_b"))
+      Dedup.clusterNearDups(pairs, c.select(col("c_custkey").as("id")), "id")
+        .orderBy("id")
     }),
 
     // -- GDPR deletion-cascade blast radius: customers -> orders -> items -

@@ -740,6 +740,29 @@ object Multimodal {
     frameSample(df, payloadCol, idCol, frameBytes, stride, offset)
       .select(col("id"), col("frame_idx"), dhash64(col("frame")).as("dhash"))
 
+  /** Scene-change detection: consecutive-frame perceptual distance (dHash
+    * Hamming) over EVERY frame of a framed payload, cuts flagged above
+    * `maxDist` bits — the shot-boundary step of a video-curation
+    * pipeline. Frame 0 carries null dist/is_cut (no predecessor).
+    *
+    * Scale shape: frames explode scan-side and decode in place; the only
+    * shuffle is the per-clip lag window, whose partition is one clip's
+    * frames — bounded by clip length, never corpus-sized.
+    */
+  def sceneCuts(df: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int, maxDist: Int = 10): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    val dist = when(col("__prev").isNotNull,
+      bit_count(col("dhash").bitwiseXOR(col("__prev"))))
+    frameDecodeDhash(df, payloadCol, idCol, frameBytes, stride = 1)
+      .withColumn("__prev", lag("dhash", 1).over(w))
+      .select(col("id"), col("frame_idx"),
+        dist.cast("int").as("dist"),
+        (dist > maxDist).as("is_cut"))
+  }
+
   /** Pseudo-featurizer for NON-media payloads =======================
     * For payloads that are not decodable media (plain text bytes in the
     * synthetic tables), there is nothing for a codec to decode — this

@@ -345,6 +345,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(png == bmp, f"re-encode changed phash: $png%016x != $bmp%016x")
   }
 
+  test("sceneCuts flags exactly the scene boundary, null at frame 0") {
+    // 4 frames in 2 scenes: frames 0-1 identical, 2-3 identical, 1->2 far
+    val sceneA = (0 until 9).map(i => i * 20)
+    val sceneB = sceneA.reverse
+    val frame: Seq[Int] => org.apache.spark.sql.Column =
+      v => Multimodal.bmpStripes(typedLit(v))
+    val df = Seq(1L).toDF("id")
+      .select(col("id"), concat(
+        frame(sceneA), frame(sceneA), frame(sceneB), frame(sceneB)).as("media"))
+    val out = Multimodal.sceneCuts(df, "media", "id", frameBytes = 278, maxDist = 10)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4)
+    assert(out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(1).getInt(2) == 0 && !out(1).getBoolean(3))
+    // ascending -> descending stripes: all 64 dHash bits flip
+    assert(out(2).getInt(2) == 64 && out(2).getBoolean(3))
+    assert(out(3).getInt(2) == 0 && !out(3).getBoolean(3))
+  }
+
   test("audioBandPower: a pure bin-4 tone concentrates its power in bin 4") {
     // s_k = round(16384·cos(2π·4k/32)) over 64 samples (2 frames of 32):
     // normalized bin-4 power = (A·N/2 / (32768·N))² = (16384/65536)² ≈ 1/16
