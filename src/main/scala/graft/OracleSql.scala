@@ -3131,6 +3131,29 @@ object OracleSql {
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // parquet schema evolution: rows < 13 predate the n_name_len column
+    // and surface it as null under the merged schema
+    "q_s4_merge_schema" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey >= 13 THEN CAST(length(n_name) AS INTEGER) END AS n_name_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // OHLC candles per (event_type, day): open/close by (ts, event_id)
+    // rank, high/low plain extremes
+    "q_resample_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, value, ts, event_id FROM events),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd FROM e)
+        |SELECT event_type, day,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
     // dimensionality reduction: generated oracles (see jlOracle /
     // pcaCovOracle / pcaPowerOracle above) replaying the identical sign
     // literals / fixed-point sums / unrolled power-iteration DAG

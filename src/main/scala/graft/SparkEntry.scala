@@ -1706,6 +1706,13 @@ object SparkEntry {
           col("l_extendedprice_mad_outlier").as("price_mad_out"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // -- OHLC candle resampling per (event_type, day) ---------------------
+    "q_resample_ohlc" -> ((s, dir) =>
+      Resample.ohlc(T(s, dir, "events"), "event_type", "ts", "value", "event_id")
+        .select(col("key").as("event_type"), col("day"), col("open"),
+          col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy("event_type", "day")),
+
     // -- rolling median + mean over a bounded 7-row trailing frame --------
     // (pandas rolling(7).median()/mean() analog; the frame buffer is
     // bounded so the per-row cost is O(frame), partitioned by event_type —
@@ -3052,6 +3059,23 @@ object SparkEntry {
       graft.ext.Sketches.countMinEstimates(T(s, dir, "documents"), "text",
           "doc_id", depth = 4, width = 64)
         .orderBy("term")),
+
+    // -- S4c parquet schema evolution: an old batch without n_comment_len
+    // and a new batch with it, merged into one union-schema read ----------
+    "q_s4_merge_schema" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_evolve"
+      val n = T(s, dir, "nation")
+      n.where(col("n_nationkey") < 13)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$p/batch=0")
+      n.where(col("n_nationkey") >= 13)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          length(col("n_name")).cast("int").as("n_name_len"))
+        .write.mode("overwrite").parquet(s"$p/batch=1")
+      graft.sources.Sources.readParquetMerged(s, p)
+        .select("n_nationkey", "n_name", "n_regionkey", "n_name_len")
+        .orderBy("n_nationkey")
+    }),
 
     // -- S4b ORC round trip (Spark's second built-in columnar format) -----
     "q_s4_orc_read" -> ((s, dir) => {

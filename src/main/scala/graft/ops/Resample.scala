@@ -70,4 +70,35 @@ object Resample {
       .reduce(_ + _)
     df.withColumn(s"${valueCol}_ewma", when(den > 0.0, num / den))
   }
+  /** OHLC candle resampling: per key and day, the open/high/low/close of
+    * `valueCol` (open/close by (ts, tieCol) order — deterministic under
+    * equal timestamps) plus the event count. The financial-bar shape of
+    * downsampling, equally useful for any metric stream.
+    *
+    * Scale shape: one (key, day)-partitioned window sort serves BOTH
+    * row_numbers (ascending + descending rank over the same exchange),
+    * then a map-side-combinable aggregate on the same keys — one shuffle
+    * total, partitions bounded by a key-day's events.
+    */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val base = df.select(col(keyCol).as("key"), day.as("day"),
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+      col(valueCol).as("__v"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("key", "day").orderBy(col("__ts"), col("__tie"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("key", "day").orderBy(col("__ts").desc, col("__tie").desc)
+    base
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy("key", "day")
+      .agg(round(max(when(col("__ra") === 1, col("__v"))), 6).as("open"),
+        round(max("__v"), 6).as("high"),
+        round(min("__v"), 6).as("low"),
+        round(max(when(col("__rd") === 1, col("__v"))), 6).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
 }

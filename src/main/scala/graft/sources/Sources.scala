@@ -46,6 +46,17 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Schema-evolution read: merge the footers of every parquet file under
+    * `path` into one union schema (columns missing in older files come
+    * back null) — the "new batches added a column" lifecycle without
+    * rewriting history. Off by default in Spark because footer-merging
+    * costs a pass over file metadata at planning time; turn it on per
+    * read like this, or set a table-level schema once the layout
+    * stabilizes.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S2 — minimal JDK-only Excel readers (see [[Xlsx]] and [[Xls]]):
     * dispatches on the FILE MAGIC, not the extension — OLE2/CFB (legacy
     * binary .xls, BIFF8) routes to [[Xls.read]], zip/PK (.xlsx) to

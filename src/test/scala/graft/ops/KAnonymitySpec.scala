@@ -64,6 +64,30 @@ class KAnonymitySpec extends SparkSpec {
     assert(scored(1).getDouble(7) > scored(2).getDouble(7))
   }
 
+  test("ohlc: open/close follow (ts, tie) order, high/low are extremes") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-05 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val df = Seq(
+      ("a", ts(1), 5.0, 1L), ("a", ts(2), 9.0, 2L), ("a", ts(3), 2.0, 3L),
+      // equal timestamps: the tie column decides open (id 4) and close (id 5)
+      ("b", ts(1), 7.0, 4L), ("b", ts(1), 3.0, 5L)).toDF("k", "ts", "v", "id")
+    val out = Resample.ohlc(df, "k", "ts", "v", "id")
+      .orderBy("key").collect()
+    val a = out(0); val b = out(1)
+    assert((a.getDouble(2), a.getDouble(3), a.getDouble(4), a.getDouble(5), a.getLong(6)) ==
+      ((5.0, 9.0, 2.0, 2.0, 3L)))
+    assert((b.getDouble(2), b.getDouble(5)) == ((7.0, 3.0)))
+  }
+
+  test("readParquetMerged surfaces columns missing from older batches as null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/b=0")
+    Seq((2L, "y", 9L)).toDF("id", "a", "extra").write.parquet(s"$dir/b=1")
+    val out = graft.sources.Sources.readParquetMerged(spark, dir)
+      .select("id", "a", "extra").orderBy("id").collect()
+    assert(out(0).isNullAt(2) && out(1).getLong(2) == 9L)
+  }
+
   test("a k-anonymous table yields no violations") {
     val ok = df.where($"country" === "us" && $"tier" === "gold")
     assert(Quality.kAnonymityViolations(ok, Seq("country", "tier"), 3).count() == 0)
