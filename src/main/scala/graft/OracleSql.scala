@@ -2672,6 +2672,38 @@ object OracleSql {
         |  CAST(tri.t AS BIGINT) AS n_triangles
         |FROM nn, ne, tri""".stripMargin,
 
+    // degree histogram + Newman assortativity over the same co-purchase
+    // edge set; power sums are exact integers, Pearson is the shared DAG
+    "q_graph_degrees" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id)
+        |SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY d ORDER BY degree""".stripMargin,
+    "q_graph_assortativity" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id),
+        |sym AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+        |xy AS (SELECT dg1.d AS x, dg2.d AS y
+        |  FROM sym JOIN deg dg1 ON sym.a = dg1.id JOIN deg dg2 ON sym.b = dg2.id),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy FROM xy)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) = 0 THEN NULL
+        |       ELSE round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 END AS assortativity
+        |FROM g""".stripMargin,
+
     "q_events_twap" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec

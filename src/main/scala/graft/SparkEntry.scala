@@ -59,6 +59,20 @@ object SparkEntry {
   private def fixDir(dir: String): String =
     s"/tmp/graft_fixtures/${new java.io.File(dir).getName}"
 
+  /** Co-purchase part graph (parts sharing >= 2 orders) — the edge fixture
+    * shared by the triangle / degree / assortativity queries.
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val oi = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    oi.select(col("ok"), col("pk").as("src"))
+      .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= 2)
+      .select("src", "dst")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- flagship composed pipeline (H1+H2+C1..C5+P1+P2) -----------------
@@ -2562,17 +2576,15 @@ object SparkEntry {
     // -- triangle census of the co-purchase graph (edges = item pairs
     // co-occurring in >= 2 orders): degree-ordered forward counting —
     // wedge join bounded by out-degree <= ~sqrt(E), never hub-quadratic
-    "q_graph_triangles" -> ((s, dir) => {
-      val oi = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val edges = oi.select(col("ok"), col("pk").as("src"))
-        .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-        .where(col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
-        .where(col("pair_cnt") >= 2)
-        .select("src", "dst")
-      graft.ext.Graph.triangleCount(edges)
-    }),
+    "q_graph_triangles" -> ((s, dir) =>
+      graft.ext.Graph.triangleCount(coEdges(s, dir))),
+
+    // degree histogram + Newman assortativity over the same co-purchase
+    // graph (exact integer power sums in DECIMAL; shared double Pearson)
+    "q_graph_degrees" -> ((s, dir) =>
+      graft.ext.Graph.degreeHistogram(coEdges(s, dir)).orderBy("degree")),
+    "q_graph_assortativity" -> ((s, dir) =>
+      graft.ext.Graph.assortativity(coEdges(s, dir))),
 
     // -- time-weighted average (TWAP): each observation weighted by its
     // holding interval (time to the NEXT event in the key's series; the

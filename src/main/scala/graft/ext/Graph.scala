@@ -170,4 +170,50 @@ object Graph {
     nodes.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+  /** Degree histogram of an undirected edge list (src < dst, unique):
+    * one row per degree value with the node count — the first diagnostic
+    * of any graph (Zipf tail? hubs?). Two map-side-combinable aggregates,
+    * output bounded by max degree.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+      .groupBy(col("__d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive when
+    * hubs link to hubs. All power sums are exact integers riding
+    * DECIMAL(38,0) (order-invariant at any parallelism, no overflow to
+    * ~1e38); only the final correlation is a shared double formula DAG.
+    * One row: (n_nodes, n_edges, assortativity).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    val xy = sym
+      .join(deg.select(col("id").as("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("y")), Seq("b"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val agg = xy.agg(count(lit(1)).cast("double").as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    val counts = edges.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(broadcast(counts)).crossJoin(broadcast(agg))
+      .select(col("n_nodes"), col("n_edges"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("assortativity"))
+  }
+
 }
