@@ -3163,6 +3163,16 @@ object OracleSql {
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // robust CSV: the two injected malformed lines quarantine with
+    // Spark's partial-parse semantics (parseable fields kept, corrupt_raw
+    // carries the raw line)
+    "q_s1_csv_corrupt" ->
+      """SELECT * FROM (
+        |  SELECT r_regionkey, r_name, FALSE AS is_corrupt, CAST(NULL AS VARCHAR) AS corrupt_raw FROM region
+        |  UNION ALL SELECT 7, 'EXTRA', TRUE, '7,EXTRA,COLUMNS,HERE'
+        |  UNION ALL SELECT NULL, 'MALFORMED', TRUE, 'notanumber,MALFORMED')
+        |ORDER BY coalesce(r_regionkey, 9999), corrupt_raw NULLS FIRST""".stripMargin,
+
     // parquet schema evolution: rows < 13 predate the n_name_len column
     // and surface it as null under the merged schema
     "q_s4_merge_schema" ->
@@ -3198,6 +3208,35 @@ object OracleSql {
     // BPE merge learning: 8 unrolled trainer rounds (see bpeOracle)
     "q_text_bpe_learn" -> bpeOracle(8),
     "q_text_bpe_segment" -> bpeSegmentOracle(8),
+
+    // RAKE keywords: stopword-run segmentation via cumulative window,
+    // degree/freq word scores, per-instance ordered score fold
+    "q_text_rake" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |         j -> struct_pack(pos := j, word := tk[j+1]))) AS u FROM t),
+         |tokr AS (SELECT doc_id, u.pos AS pos, u.word AS word,
+         |         u.word IN (${TextAnalysis.stopwordsEn.map(s => s"'$s'").mkString(", ")}) AS st FROM tok0),
+         |g AS (SELECT *, sum(CASE WHEN st THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM tokr),
+         |ph AS (SELECT doc_id, grp, list(word ORDER BY pos) AS terms
+         |       FROM g WHERE NOT st GROUP BY doc_id, grp),
+         |ws AS (SELECT word, CAST(sum(L) AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS freq
+         |       FROM (SELECT unnest(terms) AS word, len(terms) AS L FROM ph) GROUP BY word),
+         |ex AS (SELECT doc_id, grp, array_to_string(terms, ' ') AS phrase,
+         |         CAST(len(terms) AS BIGINT) AS n_words, u.p AS p, u.w AS w
+         |       FROM (SELECT doc_id, grp, terms,
+         |               unnest(list_transform(generate_series(1, len(terms)),
+         |                 i -> struct_pack(p := i, w := terms[i]))) AS u FROM ph) q),
+         |sc AS (SELECT e.doc_id, e.grp, e.phrase, e.n_words,
+         |         list(CAST(ws.degree AS DOUBLE) / ws.freq ORDER BY e.p) AS ss
+         |       FROM ex e JOIN ws ON e.w = ws.word GROUP BY 1, 2, 3, 4),
+         |fi AS (SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         |         CAST(count(*) AS BIGINT) AS occurrences,
+         |         round(max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss), (a, x) -> a + x)), 6) AS score
+         |       FROM sc GROUP BY phrase)
+         |SELECT phrase, n_words, occurrences, score FROM fi
+         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin),
 
     // S-stemmer over the suffix-augmented corpus: the same ordered CASE
     // with length-guarded suffix slices (neither engine evaluates substr

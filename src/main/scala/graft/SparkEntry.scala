@@ -189,6 +189,28 @@ object SparkEntry {
           col("r_name").cast("string").as("r_name"))
         .orderBy("r_regionkey")
     }),
+    // S1b robust CSV: region rows plus two injected malformed lines read
+    // PERMISSIVE — bad lines quarantine into corrupt_raw, never dropped
+    "q_s1_csv_corrupt" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/region_corrupt"
+      new java.io.File(p).mkdirs()
+      val rows = T(s, dir, "region").orderBy("r_regionkey").collect()
+        .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      val body = ("r_regionkey,r_name" +: rows).mkString("\n") +
+        "\nnotanumber,MALFORMED\n7,EXTRA,COLUMNS,HERE\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/part.csv"), body)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_regionkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("r_name",
+          org.apache.spark.sql.types.StringType)))
+      Sources.readCsvPermissive(s, p, schema)
+        .select(col("r_regionkey"), col("r_name"),
+          col("corrupt_raw").isNotNull.as("is_corrupt"), col("corrupt_raw"))
+        .orderBy(coalesce(col("r_regionkey"), lit(9999)), col("corrupt_raw"))
+    }),
+
     "q_s3_json_read" -> ((s, dir) => {
       val p = s"${fixDir(dir)}/nation_json"
       T(s, dir, "nation").coalesce(1).write.mode("overwrite").json(p)
@@ -2988,6 +3010,11 @@ object SparkEntry {
       graft.ext.Tokenize.bpeSegment(T(s, dir, "documents"), "text",
           "doc_id", numMerges = 8)
         .orderBy("doc_id")),
+
+    // -- RAKE keyword extraction (phrases between en-stopwords) -----------
+    "q_text_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(T(s, dir, "documents"), "text", "doc_id",
+        TextAnalysis.stopwordsEn, k = 15)),
 
     // -- light stemming (Harman S-stemmer) over a suffix-augmented corpus
     // (the synthetic vocabulary has no plurals, so token i gets suffix

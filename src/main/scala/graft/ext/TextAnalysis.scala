@@ -97,6 +97,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
       .where(col("occurrences") >= minCount)
 
+  /** RAKE keyword extraction (public method: Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs; each word scores
+    * degree/frequency where degree sums the lengths of the phrases it
+    * appears in (co-occurrence incl. self); a phrase scores the sum of
+    * its member word scores. Returns the top `k` distinct phrases:
+    * (phrase, n_words, occurrences, score).
+    *
+    * Scale shape: phrase segmentation is one doc-keyed window (cumulative
+    * stopword count — the gaps-and-islands idiom); word scores are one
+    * map-side-combinable aggregate; phrase scoring explodes members and
+    * re-folds per instance in position order (deterministic doubles);
+    * the final top-k is a TakeOrdered. No driver loops, no UDF.
+    */
+  def rakeKeywords(df: DataFrame, textCol: String, docIdCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tok = df.select(col(docIdCol).as("doc_id"),
+        posexplode(tokens(col(textCol))))
+      .toDF("doc_id", "pos", "word")
+      .withColumn("__st", col("word").isInCollection(stopwords))
+      .withColumn("__grp", sum(when(col("__st"), 1).otherwise(0)).over(w))
+    val ph = tok.where(!col("__st"))
+      .groupBy("doc_id", "__grp")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")).as("terms"))
+    val ws = ph.select(explode(col("terms")).as("word"),
+        size(col("terms")).as("__L"))
+      .groupBy("word")
+      .agg(sum("__L").as("__degree"), count(lit(1)).as("__freq"))
+      .withColumn("__score", col("__degree").cast("double") / col("__freq"))
+    val inst = ph.select(col("doc_id"), col("__grp"),
+      array_join(col("terms"), " ").as("phrase"),
+      size(col("terms")).cast("long").as("n_words"),
+      posexplode(col("terms")))
+      .toDF("doc_id", "__grp", "phrase", "n_words", "__p", "word")
+    inst.join(ws.select("word", "__score"), Seq("word"))
+      .groupBy("doc_id", "__grp", "phrase", "n_words")
+      .agg(sort_array(collect_list(struct(col("__p"), col("__score")))).as("__l"))
+      .withColumn("__isc",
+        aggregate(col("__l"), lit(0.0), (a, x) => a + x.getField("__score")))
+      .groupBy("phrase")
+      .agg(max("n_words").as("n_words"), count(lit(1)).as("occurrences"),
+        round(max(col("__isc")), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Approx tier of corpus term statistics: HyperLogLog document
     * frequencies (fixed-size sketch per term instead of a countDistinct
     * shuffle of (term, doc_id) pairs). rsd 0.01 ≈ 1% relative error —

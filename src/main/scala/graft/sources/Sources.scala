@@ -46,6 +46,23 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Robust CSV ingestion: PERMISSIVE mode with the corrupt-record
+    * column, so malformed lines (wrong arity, unparseable fields) land
+    * as (nulls..., raw_line) rows instead of failing the job or being
+    * silently dropped — the quarantine pattern for dirty feeds. The
+    * caller's schema must NOT include the corrupt column; it is appended
+    * here.
+    */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "corrupt_raw"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** Schema-evolution read: merge the footers of every parquet file under
     * `path` into one union schema (columns missing in older files come
     * back null) — the "new batches added a column" lifecycle without

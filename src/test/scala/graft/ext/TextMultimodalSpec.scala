@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rakeKeywords: degree/freq scoring over stopword-free phrase runs") {
+    // phrases: [deep learning], [deep learning systems], [fun]
+    // degree: deep 2+3=5, learning 2+3=5, systems 3, fun 1; freq 2,2,1,1
+    // scores: deep 2.5, learning 2.5, systems 3, fun 1
+    val df = Seq((1L, "deep learning is deep learning systems"),
+      (2L, "it is fun")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(df, "text", "doc_id",
+        Seq("is", "it"), k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("deep learning systems") == ((3L, 1L, 8.0))) // 2.5+2.5+3
+    assert(out("deep learning") == ((2L, 1L, 5.0)))
+    assert(out("fun") == ((1L, 1L, 1.0)))
+    // top phrase is the longest compound
+    val top = TextAnalysis.rakeKeywords(df, "text", "doc_id", Seq("is", "it"), 1)
+      .head().getString(0)
+    assert(top == "deep learning systems")
+  }
+
   test("sStem: every rule and guard of the Harman S-stemmer") {
     val words = Seq("ties", "aies", "eies", "tables", "goes", "trees",
       "windows", "bus", "less", "scan", "s", "es", "ies")
