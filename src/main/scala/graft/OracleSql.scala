@@ -2704,6 +2704,21 @@ object OracleSql {
         |       ELSE round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 END AS assortativity
         |FROM g""".stripMargin,
 
+    // single-source BFS: depth-bounded recursive CTE (UNION dedup keeps
+    // (id, d) rows finite), min hop distance per reached node
+    "q_graph_bfs" ->
+      """WITH RECURSIVE oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |sv AS (SELECT min(v) AS s FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |walk(id, d) AS (
+        |  SELECT s, CAST(0 AS BIGINT) FROM sv
+        |  UNION
+        |  SELECT sym.dst, w.d + 1 FROM walk w JOIN sym ON w.id = sym.src WHERE w.d < 3)
+        |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
     "q_events_twap" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec

@@ -2607,6 +2607,10 @@ object SparkEntry {
       graft.ext.Graph.degreeHistogram(coEdges(s, dir)).orderBy("degree")),
     "q_graph_assortativity" -> ((s, dir) =>
       graft.ext.Graph.assortativity(coEdges(s, dir))),
+    // single-source BFS (min node id, <= 3 hops) over the same graph
+    "q_graph_bfs" -> ((s, dir) =>
+      graft.ext.Graph.shortestHops(coEdges(s, dir), maxHops = 3)
+        .orderBy("id")),
 
     // -- time-weighted average (TWAP): each observation weighted by its
     // holding interval (time to the NEXT event in the key's series; the

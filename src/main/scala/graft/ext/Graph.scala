@@ -175,12 +175,17 @@ object Graph {
     * of any graph (Zipf tail? hubs?). Two map-side-combinable aggregates,
     * output bounded by max degree.
     */
-  def degreeHistogram(edges: DataFrame): DataFrame =
+  def degreeHistogram(edges0: DataFrame): DataFrame = {
+    // the edge list feeds both union branches — pin it so an expensive
+    // upstream (e.g. the co-purchase self-join) evaluates once
+    val edges = graft.Caches.register(
+      edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("__d"))
       .groupBy(col("__d").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
+  }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — positive when
@@ -189,7 +194,11 @@ object Graph {
     * ~1e38); only the final correlation is a shared double formula DAG.
     * One row: (n_nodes, n_edges, assortativity).
     */
-  def assortativity(edges: DataFrame): DataFrame = {
+  def assortativity(edges0: DataFrame): DataFrame = {
+    // edges feed deg (2 scans), sym (2 scans) and the edge count — pin
+    // once (released via graft.Caches, the operator convention)
+    val edges = graft.Caches.register(
+      edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -214,6 +223,38 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"),
         when(den === 0.0, lit(null).cast("double"))
           .otherwise(round(num / den, 6)).as("assortativity"))
+  }
+
+  /** Single-source shortest hop distances (BFS) from the graph's minimum
+    * node id, bounded at `maxHops`: (id, hops) for every node reached.
+    * Classic iterative frontier expansion — each round joins ONLY the
+    * just-reached frontier against the (pinned) symmetric edge list,
+    * re-minimizes, and checkpoints; rounds are bounded by `maxHops`, the
+    * distance table by the reachable set. The oracle replays it as a
+    * depth-bounded recursive CTE.
+    */
+  def shortestHops(edges0: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val edges = graft.Caches.register(
+      edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // bounded decision point: the deterministic source node
+    val source = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .agg(min("v")).head().getLong(0)
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("id", "hops")
+    for (h <- 1 to maxHops) {
+      val next = dist.where(col("hops") === (h - 1).toLong)
+        .join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.union(next)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
   }
 
 }

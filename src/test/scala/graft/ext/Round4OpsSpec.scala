@@ -260,4 +260,28 @@ class Round4OpsSpec extends SparkSpec {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(11L, 14L))
   }
+  test("degreeHistogram / assortativity / shortestHops on a crafted graph") {
+    // path 1-2-3-4 plus disconnected edge 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val hist = Graph.degreeHistogram(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll()
+    assert(hist == Map(1L -> 4L, 2L -> 2L)) // ends 1,4,5,6 deg1; middle 2,3 deg2
+    // the path+island mix cancels to exactly 0; a star is the clean
+    // disassortative case (hub links only to leaves)
+    val a = Graph.assortativity(edges).head()
+    graft.Caches.releaseAll()
+    assert(a.getLong(0) == 6L && a.getLong(1) == 4L)
+    assert(a.getDouble(2) == 0.0)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val as = Graph.assortativity(star).head().getDouble(2)
+    graft.Caches.releaseAll()
+    assert(as == -1.0, s"star assortativity must be -1, got $as")
+    // BFS from node 1 (the min id), 2 hops: reaches 2 and 3, not 4/5/6
+    val hops = Graph.shortestHops(edges, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll()
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
 }
