@@ -2712,7 +2712,9 @@ object OracleSql {
         |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-        |sv AS (SELECT min(v) AS s FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |sv AS (SELECT v AS s FROM (SELECT v, count(*) AS dg FROM
+        |    (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)
+        |  ORDER BY dg DESC, v LIMIT 1),
         |walk(id, d) AS (
         |  SELECT s, CAST(0 AS BIGINT) FROM sv
         |  UNION

@@ -225,8 +225,10 @@ object Graph {
           .otherwise(round(num / den, 6)).as("assortativity"))
   }
 
-  /** Single-source shortest hop distances (BFS) from the graph's minimum
-    * node id, bounded at `maxHops`: (id, hops) for every node reached.
+  /** Single-source shortest hop distances (BFS) from the graph's
+    * MAX-DEGREE node (min id on ties — deterministic, and it sits in the
+    * giant component rather than some 2-node island), bounded at
+    * `maxHops`: (id, hops) for every node reached.
     * Classic iterative frontier expansion — each round joins ONLY the
     * just-reached frontier against the (pinned) symmetric edge list,
     * re-minimizes, and checkpoints; rounds are bounded by `maxHops`, the
@@ -242,7 +244,9 @@ object Graph {
     // bounded decision point: the deterministic source node
     val source = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v")))
-      .agg(min("v")).head().getLong(0)
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("v"))
+      .head().getLong(0)
     val spark = edges0.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0L)).toDF("id", "hops")

@@ -277,11 +277,12 @@ class Round4OpsSpec extends SparkSpec {
     val as = Graph.assortativity(star).head().getDouble(2)
     graft.Caches.releaseAll()
     assert(as == -1.0, s"star assortativity must be -1, got $as")
-    // BFS from node 1 (the min id), 2 hops: reaches 2 and 3, not 4/5/6
+    // BFS from node 2 (max degree, min id on the tie with 3), 2 hops:
+    // the whole path is reached; the 5-6 island is not
     val hops = Graph.shortestHops(edges, maxHops = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.Caches.releaseAll()
-    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(hops == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
 }
