@@ -463,6 +463,40 @@ object OracleSql {
        |  $arms) ORDER BY doc_id, frame, bin""".stripMargin
   }
 
+  /** Markov stationary-distribution oracle: dense k×k transition matrix
+    * from the lag pairs (uniform fallback for dangling rows), then
+    * `iters` unrolled left-multiplications with ascending-index folds —
+    * the DAG of [[graft.streaming.EventsStream.stationaryDistribution]].
+    */
+  private def markovOracle(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "it0" else s"it${t - 1}"
+      s"""it$t AS (SELECT m, list_transform(generate_series(1, len(m)), j ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(m)), i -> v[i] * m[i][j])), (a, x) -> a + x)) AS v FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+       |tc AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |ti AS (SELECT t, row_number() OVER (ORDER BY t) AS i
+       |       FROM (SELECT DISTINCT event_type AS t FROM events)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ti),
+       |cells AS (SELECT a.i AS i, b.i AS j, coalesce(tc.c, 0) AS c
+       |  FROM ti a CROSS JOIN ti b LEFT JOIN tc ON tc.cur = a.t AND tc.nxt = b.t),
+       |rs AS (SELECT i, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY i),
+       |m0 AS (SELECT cells.i, cells.j,
+       |    CASE WHEN rs.s > 0 THEN CAST(cells.c AS DOUBLE) / rs.s
+       |         ELSE CAST(1.0 AS DOUBLE) / kk.k END AS p
+       |  FROM cells JOIN rs USING (i) CROSS JOIN kk),
+       |mm AS (SELECT list(pl ORDER BY i) AS m
+       |       FROM (SELECT i, list(p ORDER BY j) AS pl FROM m0 GROUP BY i)),
+       |it0 AS (SELECT m, list_transform(generate_series(1, len(m)),
+       |    x -> CAST(1.0 AS DOUBLE) / len(m)) AS v FROM mm),
+       |$steps
+       |SELECT ti.t AS event_type, round(v[ti.i], 6) + 0.0 AS stationary
+       |FROM it$iters CROSS JOIN ti ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_pipeline" ->
       """WITH u AS (
@@ -2703,6 +2737,9 @@ object OracleSql {
         |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) = 0 THEN NULL
         |       ELSE round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 END AS assortativity
         |FROM g""".stripMargin,
+
+    // Markov steady state over the transition chain (see markovOracle)
+    "q_events_stationary" -> markovOracle(30),
 
     // single-source BFS: depth-bounded recursive CTE (UNION dedup keeps
     // (id, d) rows finite), min hop distance per reached node

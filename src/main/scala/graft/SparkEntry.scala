@@ -799,6 +799,12 @@ object SparkEntry {
       EventsStream.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
         "event_type", tieBreakCols = Seq("event_id"))
         .orderBy("prev_type", "next_type")),
+    // steady state of the same chain: bounded k x k matrix -> 30 driver
+    // power iterations, oracle-unrolled
+    "q_events_stationary" -> ((s, dir) =>
+      EventsStream.stationaryDistribution(T(s, dir, "events"), "user_id",
+          "ts", "event_type", tieBreakCols = Seq("event_id"), iters = 30)
+        .orderBy("event_type")),
 
     // -- funnel analysis over the event stream ----------------------------
     "q_events_funnel" -> ((s, dir) =>

@@ -258,6 +258,56 @@ object EventsStream {
           .as("share"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where a
+    * user's session settles in the long run (the steady-state companion
+    * to [[transitionMatrix]]). Distributed transition counts → the
+    * BOUNDED k×k probability matrix collects to the driver (k = distinct
+    * event types; a dangling row with no outgoing mass falls back to
+    * uniform, the standard correction) → `iters` fixed power iterations
+    * with every fold in ascending type-index order, so an external
+    * oracle replaying the same DAG gets bit-identical probabilities.
+    * Returns (event_type, stationary), rounded to 6.
+    */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieBreakCols: Seq[String],
+      iters: Int = 30): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol)
+      .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
+    val trans = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val types = events.select(col(typeCol).as("t")).distinct()
+      .orderBy("t").collect().map(_.getString(0))
+    val idx = types.zipWithIndex.toMap
+    val k = types.length
+    val counts = Array.ofDim[Long](k, k)
+    trans.collect().foreach { r => // bounded: k*k rows
+      counts(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2)
+    }
+    val m = Array.tabulate(k, k) { (i, j) =>
+      val s = counts(i).sum
+      if (s > 0) counts(i)(j).toDouble / s else 1.0 / k
+    }
+    var v = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      v = Array.tabulate(k) { j =>
+        var acc = 0.0; var i = 0
+        while (i < k) { acc = acc + v(i) * m(i)(j); i += 1 }
+        acc
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    types.toIndexedSeq.zip(v.toIndexedSeq).map { case (t, p) =>
+      (t, BigDecimal(java.lang.Double.toString(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("event_type", "stationary")
+  }
+
   /** Stream-static enrichment join: attach a small, slowly-changing
     * dimension to the event stream (the reference-data pattern). The
     * static side is re-planned per micro-batch and broadcast, so the

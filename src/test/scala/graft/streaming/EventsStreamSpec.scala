@@ -304,4 +304,21 @@ class EventsStreamSpec extends SparkSpec {
       s"batch $batch != stream $streamed")
     assert(batch.map(_._2) == Seq(2L, 2L)) // 2 distinct users per window
   }
+  test("stationaryDistribution recovers the analytic steady state of a 2-state chain") {
+    // a->b always; b->a 1/3, b->b 2/3  =>  stationary (1/4, 3/4)
+    val seq = Seq("a", "b", "b", "b", "a", "b", "b", "b", "a")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-05 10:00:00")
+    import spark.implicits._
+    val rows = seq.zipWithIndex.map { case (t, i) =>
+      (1L, new java.sql.Timestamp(t0.getTime + i * 60000L), t, i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventsStream.stationaryDistribution(df, "user_id", "ts",
+        "event_type", Seq("event_id"), iters = 60)
+      .orderBy("event_type").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(approx(out(0).getDouble(1), 0.25, 1e-4), s"pi_a = ${out(0).getDouble(1)}")
+    assert(approx(out(1).getDouble(1), 0.75, 1e-4))
+  }
+
 }
