@@ -3439,6 +3439,50 @@ object OracleSql {
          |  md5(coalesce(array_to_string(a.pl, ' '), '')) AS fp
          |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // vocabulary coverage per language: the subwords seg chain rolled up
+    "q_text_subword_coverage" ->
+      (s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |         j -> struct_pack(pos := j, word := tk[j+1]))) AS u FROM t),
+         |tokr AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM tok0),
+         |w AS (SELECT DISTINCT word FROM tokr),
+         |seg(word, pos, pieces) AS (
+         |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+         |  UNION ALL
+         |  SELECT word, pos + len(piece), list_append(pieces, piece) FROM (
+         |    SELECT word, pos, pieces,
+         |      coalesce((SELECT p FROM (SELECT unnest(${sqlList(graft.ext.Tokenize.DemoVocab)}) AS p)
+         |                WHERE substr(word, CAST(pos AS INTEGER), len(p)) = p
+         |                ORDER BY len(p) DESC, p LIMIT 1),
+         |               substr(word, CAST(pos AS INTEGER), 1)) AS piece
+         |    FROM seg WHERE pos <= len(word)) q
+         |),
+         |segf AS (SELECT word, pieces FROM seg WHERE pos > len(word)),
+         |d AS (SELECT doc_id, pos, pieces FROM tokr JOIN segf USING (word)),
+         |a AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS pl FROM d GROUP BY doc_id),
+         |j AS (SELECT dd.lang, CAST(coalesce(len(a.pl), 0) AS BIGINT) AS np,
+         |        CAST(coalesce(len(list_filter(a.pl, p -> NOT list_contains(${sqlList(graft.ext.Tokenize.DemoVocab)}, p))), 0) AS BIGINT) AS nf
+         |      FROM documents dd LEFT JOIN a ON dd.doc_id = a.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces, CAST(sum(nf) AS BIGINT) AS n_fallback,
+         |  CASE WHEN sum(np) = 0 THEN NULL
+         |       ELSE round(CAST(sum(nf) AS DOUBLE) / sum(np), 6) END AS fallback_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // n-gram novelty: first-occurrence owner via min(doc_id) per gram
+    "q_text_novelty" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 8),
+         |g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(0, len(tk) - 8),
+         |        i -> array_to_string(tk[i+1 : i+8], ' ')))) AS gram FROM f),
+         |fst AS (SELECT gram, min(doc_id) AS first_doc FROM g0 GROUP BY gram)
+         |SELECT g0.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fst.first_doc = g0.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+         |  round(CAST(sum(CASE WHEN fst.first_doc = g0.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM g0 JOIN fst USING (gram) GROUP BY g0.doc_id ORDER BY g0.doc_id""".stripMargin),
+
     // corpus piece frequencies under the same segmentation, weighted by
     // word occurrences
     "q_text_subword_pieces" ->

@@ -3009,6 +3009,18 @@ object SparkEntry {
       graft.ext.Tokenize.pieceStats(T(s, dir, "documents"), "text",
           "doc_id", graft.ext.Tokenize.DemoVocab)
         .orderBy("piece")),
+    // vocabulary coverage by language (fallback rate per lang slice)
+    "q_text_subword_coverage" -> ((s, dir) =>
+      graft.ext.Tokenize.subwordCoverage(T(s, dir, "documents"), "text",
+          "doc_id", "lang", graft.ext.Tokenize.DemoVocab)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")),
+
+    // n-gram novelty: share of a doc's distinct 8-grams first seen there
+    "q_text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(T(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id")),
+
     // BPE merge learning: 8 rounds of weighted pair counting over the
     // distinct-word table, deterministic argmax per round
     "q_text_bpe_learn" -> ((s, dir) =>

@@ -97,6 +97,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
       .where(col("occurrences") >= minCount)
 
+  /** N-gram novelty: the share of a document's DISTINCT k-grams whose
+    * corpus-wide first occurrence (minimum doc id) is this document —
+    * the "marginal contribution" curation signal (a doc whose grams all
+    * appeared earlier adds nothing; keep high-novelty docs first).
+    *
+    * Scale shape: one (doc, gram-hash) distinct table; first occurrence
+    * is a map-side-combinable min aggregate on the hash; the join back
+    * compares owner ids — grams ride as xxhash64, text never shuffles.
+    */
+  def noveltyScores(df: DataFrame, textCol: String, docIdCol: String,
+      gramTokens: Int = 8): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive: $gramTokens")
+    val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= gramTokens)
+    val grams = tk.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("__tk")) - gramTokens),
+          i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(gramTokens)))))))
+          .as("h"))
+    val g = graft.Caches.register(
+      grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val first = g.groupBy("h").agg(min("doc_id").as("__first"))
+    g.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        round(col("novel_grams").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   /** RAKE keyword extraction (public method: Rose et al. 2010): candidate
     * phrases are maximal stopword-free token runs; each word scores
     * degree/frequency where degree sums the lengths of the phrases it

@@ -179,6 +179,25 @@ object Tokenize {
         md5(coalesce(col("body"), lit(""))).as("fp"))
   }
 
+  /** Vocabulary-coverage report: [[subwordStats]] rolled up by a grouping
+    * column (language, source) — fallback rate per group is THE signal
+    * for "is this vocabulary adequate for that slice of the corpus"
+    * (high fallback = the tokenizer shatters that language to chars).
+    */
+  def subwordCoverage(df: DataFrame, textCol: String, docIdCol: String,
+      groupCol: String, vocab: Seq[String]): DataFrame =
+    subwordStats(df, textCol, docIdCol, vocab)
+      .join(df.select(col(docIdCol).as("doc_id"), col(groupCol).as("grp")),
+        Seq("doc_id"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pieces").as("n_pieces"),
+        sum("n_fallback").as("n_fallback"))
+      .select(col("grp"), col("n_docs"), col("n_pieces"), col("n_fallback"),
+        when(col("n_pieces") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_fallback").cast("double") / col("n_pieces"), 6))
+          .as("fallback_rate"))
+
   /** Corpus piece frequencies under the same segmentation: one row per
     * piece with total occurrences (weighted by word frequency) and the
     * number of distinct words it appears in — the "which merges earn

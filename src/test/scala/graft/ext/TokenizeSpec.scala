@@ -71,4 +71,16 @@ class TokenizeSpec extends SparkSpec {
     assert(out("n") == ((2L, 1L, false)))
     assert(out("win") == ((1L, 1L, true)))
   }
+  test("subwordCoverage: fallback rate rolls up by group") {
+    // vocab covers "scan"/"window" fully; "zzz" is pure fallback
+    val df = Seq((1L, "scan window", "en"), (2L, "zzz", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = Tokenize.subwordCoverage(df, "text", "doc_id", "lang", vocab)
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("en") == ((3L, 0L, 0.0)))  // scan + win + dow
+    assert(out("xx") == ((3L, 3L, 1.0)))  // z z z all fallback
+  }
+
 }
