@@ -200,16 +200,24 @@ object OracleSql {
     * from [[graft.ext.DimReduce.jlSign]]; the per-dim sum is the same
     * left-associated chain the Spark expression builds.
     */
-  private def jlOracle(inDim: Int, outDim: Int): String = {
+  /** Per-dimension rounded JL projection expressions — ONE builder shared
+    * by [[jlOracle]] and [[jlTopkOracle]] so the two queries cannot
+    * desynchronize. `+ 0.0` normalizes DuckDB round's -0.0 (Spark's
+    * BigDecimal round never emits a signed zero).
+    */
+  private def jlExprs(inDim: Int, outDim: Int): Seq[String] = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val cols = (0 until outDim).map { k =>
+    (0 until outDim).map { k =>
       val chain = (0 until inDim).map { i =>
         s"v[${i + 1}] * ${graft.ext.DimReduce.jlSign(k, i)}"
       }.mkString(" + ")
-      // + 0.0 normalizes DuckDB round's -0.0 (Spark's BigDecimal round
-      // never emits a signed zero)
-      s"round(($chain) * $scale, 6) + 0.0 AS p_$k"
-    }.mkString(",\n  ")
+      s"round(($chain) * $scale, 6) + 0.0"
+    }
+  }
+
+  private def jlOracle(inDim: Int, outDim: Int): String = {
+    val cols = jlExprs(inDim, outDim).zipWithIndex
+      .map { case (e, k) => s"$e AS p_$k" }.mkString(",\n  ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
        |SELECT vec_id AS id,
        |  $cols
@@ -221,13 +229,7 @@ object OracleSql {
     * vec_id 0's projection, the q_sim_topk pattern).
     */
   private def jlTopkOracle(inDim: Int, outDim: Int, k: Int): String = {
-    val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val elems = (0 until outDim).map { kk =>
-      val chain = (0 until inDim).map { i =>
-        s"v[${i + 1}] * ${graft.ext.DimReduce.jlSign(kk, i)}"
-      }.mkString(" + ")
-      s"round(($chain) * $scale, 6) + 0.0"
-    }.mkString("[\n    ", ",\n    ", "]")
+    val elems = jlExprs(inDim, outDim).mkString("[\n    ", ",\n    ", "]")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |p AS (SELECT vec_id, $elems AS pe FROM e),
        |q AS (SELECT pe AS qe FROM p WHERE vec_id = 0),
@@ -2729,9 +2731,9 @@ object OracleSql {
         |  FROM sym JOIN deg dg1 ON sym.a = dg1.id JOIN deg dg2 ON sym.b = dg2.id),
         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(y * y) AS DOUBLE) AS syy FROM xy)
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy FROM xy)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
         |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) = 0 THEN NULL

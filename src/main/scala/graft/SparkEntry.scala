@@ -2978,10 +2978,14 @@ object SparkEntry {
     // 16-d cosine top-k whose candidate order the 64-d exact top-k would
     // approximately preserve (4x cheaper per comparison at 100 TB)
     "q_sim_rproject_topk" -> ((s, dir) => {
-      val proj = DimReduce.randomProject(T(s, dir, "embeddings"), "vec_id",
-          "embedding", inDim = 64, outDim = 16)
-        .select(col("id").as("vec_id"),
-          array((0 until 16).map(k => col(s"p_$k")): _*).as("pe"))
+      // pinned: the projection feeds the query-vector fetch AND the
+      // scored scan — one evaluation of the 64x16 expression DAG
+      val proj = graft.Caches.register(
+        DimReduce.randomProject(T(s, dir, "embeddings"), "vec_id",
+            "embedding", inDim = 64, outDim = 16)
+          .select(col("id").as("vec_id"),
+            array((0 until 16).map(k => col(s"p_$k")): _*).as("pe"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val q = proj.where(col("vec_id") === 0).select("pe")
         .head().getSeq[Double](0).toIndexedSeq
       Similarity.bruteForceTopK(proj, "vec_id", "pe", q, 10)

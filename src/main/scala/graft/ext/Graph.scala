@@ -207,13 +207,17 @@ object Graph {
     val xy = sym
       .join(deg.select(col("id").as("a"), col("d").as("x")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("d").as("y")), Seq("b"))
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,0)")).cast("double")
+    // cast BEFORE multiplying: decimal(19,0)² is exact decimal(38,0)
+    // (degree² < 8.5e37 always fits), whereas a BIGINT product would
+    // wrap silently past 2^63 on a ~3e9-degree hub
+    val xd = col("x").cast("decimal(19,0)")
+    val yd = col("y").cast("decimal(19,0)")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
     val agg = xy.agg(count(lit(1)).cast("double").as("n"),
-      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-      dsum(col("x") * col("y")).as("sxy"),
-      dsum(col("x") * col("x")).as("sxx"),
-      dsum(col("y") * col("y")).as("syy"))
+      dsum(xd).as("sx"), dsum(yd).as("sy"),
+      dsum(xd * yd).as("sxy"),
+      dsum(xd * xd).as("sxx"),
+      dsum(yd * yd).as("syy"))
     val num = col("n") * col("sxy") - col("sx") * col("sy")
     val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
       sqrt(col("n") * col("syy") - col("sy") * col("sy"))
@@ -241,14 +245,17 @@ object Graph {
       edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // bounded decision point: the deterministic source node
-    val source = edges.select(col("src").as("v"))
+    // bounded decision point: the deterministic source node; an empty
+    // edge list yields an empty result, not a head() crash
+    val top = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("v"))
-      .head().getLong(0)
+      .limit(1).collect()
     val spark = edges0.sparkSession
     import spark.implicits._
+    if (top.isEmpty) return Seq.empty[(Long, Long)].toDF("id", "hops")
+    val source = top(0).getLong(0)
     var dist = Seq((source, 0L)).toDF("id", "hops")
     for (h <- 1 to maxHops) {
       val next = dist.where(col("hops") === (h - 1).toLong)

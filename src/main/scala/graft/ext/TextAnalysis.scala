@@ -154,10 +154,14 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "word")
       .withColumn("__st", col("word").isInCollection(stopwords))
       .withColumn("__grp", sum(when(col("__st"), 1).otherwise(0)).over(w))
-    val ph = tok.where(!col("__st"))
+    // ph feeds BOTH the word-score aggregate and the instance explode —
+    // pin it so tokenize + window + phrase assembly run once (the
+    // dual-consumer convention; released via graft.Caches)
+    val ph = graft.Caches.register(tok.where(!col("__st"))
       .groupBy("doc_id", "__grp")
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("word")))),
         x => x.getField("word")).as("terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ws = ph.select(explode(col("terms")).as("word"),
         size(col("terms")).as("__L"))
       .groupBy("word")
