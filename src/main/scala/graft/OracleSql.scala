@@ -838,6 +838,21 @@ object OracleSql {
       s"""WITH ${minhashCtes(k = 5)}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
+    // split leakage: the q_dedup_minhash pair set vs the md5-mill 80/20
+    // split (same hash as Sampling.hashMill)
+    "q_split_leakage" ->
+      (s"""WITH ${minhashCtes(k = 5)},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |m AS (SELECT
+         |    CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 800 AS sa,
+         |    CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 800 AS sb
+         |  FROM pairs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS leaking_pairs,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE round(CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) END AS leak_rate
+         |FROM m""".stripMargin),
+
     "q_dedup_minhash_capped" ->
       s"""WITH ${minhashCappedCtes("documents", k = 3, cap = 2)}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,

@@ -483,6 +483,15 @@ object SparkEntry {
         k = 5, numHashes = 16, bands = 4, threshold = 0.25,
         maxBucketSize = 500)
         .orderBy("id_a", "id_b")),
+    // split-leakage audit: minhash near-dup pairs crossing the 80/20
+    // hash split — the pre-eval contamination check
+    "q_split_leakage" -> ((s, dir) =>
+      Sampling.splitLeakage(
+        Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
+          k = 5, numHashes = 16, bands = 4, threshold = 0.25,
+          maxBucketSize = 500),
+        "id_a", "id_b", trainPerMille = 800)),
+
     // capBuckets ENGAGED and FIRING: k=3 on this corpus produces band
     // buckets up to size 3 at sf0.01 / 4 at sf0.1; cap=2 excludes the
     // oversized buckets from candidate generation. The oracle mirrors the

@@ -83,6 +83,28 @@ object Sampling {
     (df.where(m < trainPerMille), df.where(m >= trainPerMille))
   }
 
+  /** Train/test split-LEAKAGE audit: near-duplicate pairs whose endpoints
+    * land on OPPOSITE sides of the [[splitByHash]] assignment — the
+    * contamination check before any eval run (a test doc near-duplicating
+    * a train doc inflates every metric). Takes pre-computed near-dup
+    * pairs (e.g. `Dedup.nearDupMinhash`) so it composes with any
+    * similarity tier; the split membership re-derives from the same pure
+    * hash, so no split materialization is needed. One row:
+    * (n_pairs, leaking_pairs, leak_rate).
+    */
+  def splitLeakage(pairs: DataFrame, idACol: String, idBCol: String,
+      trainPerMille: Int = 800): DataFrame = {
+    val cross = hashMill(col(idACol)) < trainPerMille =!=
+      (hashMill(col(idBCol)) < trainPerMille)
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(cross, 1L).otherwise(0L)).as("leaking_pairs"))
+      .select(col("n_pairs"), col("leaking_pairs"),
+        when(col("n_pairs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("leaking_pairs").cast("double") / col("n_pairs"), 6))
+          .as("leak_rate"))
+  }
+
   /** EXACT deterministic train/test split: train gets exactly
     * floor(n · perMille / 1000) rows, test the remainder — the row-count
     * contract of sklearn's `train_test_split(test_size=0.2)` that

@@ -94,4 +94,24 @@ class KAnonymitySpec extends SparkSpec {
     val s = Quality.kAnonymitySummary(ok, Seq("country", "tier"), 3).head()
     assert(s.getLong(0) == 3L && s.getLong(2) == 0L)
   }
+  test("splitLeakage flags exactly the pairs whose hash sides differ") {
+    val ids = (1L to 40L).toDF("id")
+    val (tr, te) = Sampling.splitByHash(ids, "id", trainPerMille = 800)
+    val train = tr.collect().map(_.getLong(0)).toSet
+    val test = te.collect().map(_.getLong(0)).toSet
+    assert(train.size >= 2 && test.size >= 2, s"need both sides: $test")
+    val t = train.toSeq.sorted; val v = test.toSeq.sorted
+    val pairs = Seq(
+      (t(0), t(1)), // within train
+      (t(0), v(0)), // leaking
+      (v(0), v(1))  // within test
+    ).toDF("id_a", "id_b")
+    val r = Sampling.splitLeakage(pairs, "id_a", "id_b", 800).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(approx(r.getDouble(2), 1.0 / 3.0, 1e-6))
+    // empty pair set: zero counts, null rate — no division blow-up
+    val empty = Sampling.splitLeakage(pairs.limit(0), "id_a", "id_b", 800).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2))
+  }
+
 }
