@@ -216,4 +216,66 @@ class PropertiesSpec extends SparkSpec {
         got.toSeq.filter { case (k, v) => expected(k) != v }.take(5)}")
     }
   }
+  // ---- round-11 operator invariants ------------------------------------
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(12))
+
+  test("segmentWord: pieces always reassemble the word, never empty pieces") {
+    val vocab = Set("sc", "an", "scan", "win", "dow", "ab", "q")
+    cases(Gen.listOfN(8, wordGen), n = 6).foreach { ws =>
+      ws.foreach { w =>
+        val pieces = graft.ext.Tokenize.segmentWord(w, vocab, 4)
+        assert(pieces.mkString == w, s"$w -> $pieces")
+        assert(pieces.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("sStem never lengthens a word and is idempotent on this generator") {
+    val stemmed = (w: String) => Seq(w).toDF("w")
+      .select(graft.ext.TextAnalysis.sStem(col("w"))).head().getString(0)
+    cases(Gen.listOfN(10, wordGen), n = 4).foreach { ws =>
+      val df = ws.toDF("w")
+      val out = df.select(col("w"),
+          graft.ext.TextAnalysis.sStem(col("w")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      out.foreach { case (w, st) =>
+        assert(st.length <= w.length, s"$w -> $st")
+      }
+    }
+    // idempotence on the suffix-rich fixed set (the property the guard
+    // structure implies: every rule output ends in y/e/<non-s> or is
+    // guard-protected)
+    for (w <- Seq("stories", "classes", "windows", "goes", "bus", "ties"))
+      assert(stemmed(stemmed(w)) == stemmed(w), s"not idempotent on $w")
+  }
+
+  test("CMS estimates dominate exact counts on generated corpora") {
+    val docGen = Gen.listOfN(6, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+    cases(docGen, n = 3).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val est = graft.ext.Sketches.countMinEstimates(df, "text", "doc_id",
+        depth = 4, width = 8).collect()
+      est.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"CMS under: $r"))
+    }
+  }
+
+  test("splitByHash: partition is exact and leakage of self-pairs is zero") {
+    cases(Gen.listOfN(30, Gen.chooseNum(1L, 100000L)), n = 4).foreach { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.toDF("id")
+      val (tr, te) = graft.ops.Sampling.splitByHash(df, "id", 800)
+      val trs = tr.collect().map(_.getLong(0)).toSet
+      val tes = te.collect().map(_.getLong(0)).toSet
+      assert((trs & tes).isEmpty && (trs | tes) == ids.toSet)
+      // a pair of identical ids can never cross the split
+      val self = ids.map(i => (i, i)).toDF("id_a", "id_b")
+      val r = graft.ops.Sampling.splitLeakage(self, "id_a", "id_b", 800).head()
+      assert(r.getLong(1) == 0L)
+    }
+  }
+
 }
