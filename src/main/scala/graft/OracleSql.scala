@@ -3198,14 +3198,16 @@ object OracleSql {
          |FROM t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // inverted-index postings: doc-frequency + occurrences over ALL rows,
-    // posting list capped to the first 20 doc ids via the rank filter
+    // posting list capped to the first 20 doc ids via the rank filter;
+    // the list is serialized to a comma-joined string (driver comparison
+    // handles only atomic cells)
     "q_text_inverted_index" ->
       (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |c AS (SELECT term, doc_id, count(*) AS cnt FROM t GROUP BY 1, 2),
          |r AS (SELECT term, doc_id, cnt, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM c)
          |SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
          |  CAST(sum(cnt) AS BIGINT) AS occurrences,
-         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20) AS postings
+         |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id) FILTER (WHERE rn <= 20), ',') AS postings
          |FROM r GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin),
 
     // BM25 top-k (Lucene idf variant; k1=1.2, b=0.75). Constants are

@@ -2968,9 +2968,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // -- sparse retrieval: inverted-index postings + BM25 keyword top-k ---
+    // postings serialized to a comma-joined string: the driver's pandas
+    // comparison cannot hash array cells (r11 verdict item 1), and the
+    // registry contract is atomic output columns only (RegistrySchemaSpec)
     "q_text_inverted_index" -> ((s, dir) =>
       Retrieval.invertedIndex(T(s, dir, "documents"), "text", "doc_id",
           maxPostings = 20, minDocFreq = 2)
+        .withColumn("postings", concat_ws(",", col("postings")))
         .orderBy("term")),
     "q_text_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
