@@ -298,9 +298,11 @@ object Dedup {
       idCol: String, k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // 1. exact vs corpus
+    // 1. exact vs corpus — no .distinct() on the fingerprint set: the
+    //    anti-join's hash build dedupes for free, and dropping it removes
+    //    a whole aggregate exchange (fps are near-unique anyway)
     val corpusFps = corpus
-      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val b1 = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
     // 2. within-batch exact. Persisted (batch-sized, like the shingle
@@ -313,48 +315,73 @@ object Dedup {
     //    within-batch pass reuses shB below instead of re-shingling.)
     val b2 = graft.Caches.register(exactCanonical(b1, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // 3. near-dup vs corpus: both shingle tables feed band generation AND
-    //    the verification fetch joins — persist so neither side re-shingles
+    // 3+4 fused (r12): the batch is banded ONCE and probes a side-tagged
+    //    (batch ∪ corpus) band table in a SINGLE equi-join, and one shared
+    //    Jaccard verification pass serves BOTH the corpus-match drop and
+    //    the within-batch pair graph. Correctness is unchanged: a doc's
+    //    minhash signature (hence its band rows) is intrinsic — the
+    //    remnant's band rows inside the full-batch band table are
+    //    identical to re-banding the remnant — so restricting the
+    //    batch×batch pairs to remnant endpoints afterwards yields exactly
+    //    the pairs the old second banding+verification pass produced,
+    //    for half the stages. Both shingle tables still feed band
+    //    generation AND the verification fetch joins — persist so neither
+    //    side re-shingles.
     val shB = graft.Caches.register(shingleTable(b2, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val shC = graft.Caches.register(shingleTable(corpus, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // skew guard both probe sides: a boilerplate bucket on EITHER side of
     // the batch×corpus join multiplies the pair count
-    val cand = capBuckets(bandTable(shB, numHashes, bands), maxBucketSize,
-        "incrementalDedup(batch)")
-      .select(col("band_idx"), col("band_key"), col("id").as("__bid"))
-      .join(capBuckets(bandTable(shC, numHashes, bands), maxBucketSize,
-          "incrementalDedup(corpus)")
-        .select(col("band_idx"), col("band_key"), col("id").as("__cid")),
+    val bandB = capBuckets(bandTable(shB, numHashes, bands), maxBucketSize,
+      "incrementalDedup(batch)")
+    val bandC = capBuckets(bandTable(shC, numHashes, bands), maxBucketSize,
+      "incrementalDedup(corpus)")
+    // __corpus tags the build side; batch-batch candidates are ordered
+    // (id_a < id_b) to dedupe the self-join. Candidate counts are logged
+    // (no-silent-caps) via the same observe channel as nearDupMinhash.
+    graft.Metrics.ensureListener(batch.sparkSession)
+    val cand = bandB
+      .select(col("band_idx"), col("band_key"), col("id").as("__a"))
+      .join(bandB.select(col("band_idx"), col("band_key"),
+          col("id").as("__b"), lit(false).as("__corpus"))
+        .union(bandC.select(col("band_idx"), col("band_key"),
+          col("id").as("__b"), lit(true).as("__corpus"))),
         Seq("band_idx", "band_key"))
-      .select("__bid", "__cid").distinct()
-    val matched = cand
-      .join(shB.select(col("id").as("__bid"), col("sh").as("__sh_b")), Seq("__bid"))
-      .join(shC.select(col("id").as("__cid"), col("sh").as("__sh_c")), Seq("__cid"))
-      .where(size(array_intersect(col("__sh_b"), col("__sh_c"))).cast("double")
-        / size(array_union(col("__sh_b"), col("__sh_c"))) >= threshold)
-      .select(col("__bid").as(idCol)).distinct()
-      // id set, at most batch-sized: checkpoint eagerly so the anti-join
-      // below (and everything after it) plans against a materialized scan
-      // instead of re-deriving the banded batch×corpus join
+      .where(col("__corpus") || col("__a") < col("__b"))
+      .select("__a", "__b", "__corpus").distinct()
+      .observe(graft.Metrics.name("incremental_candidates"),
+        count(lit(1)).as("candidate_pairs"))
+    // one verification pass: fetch the probe side from the batch shingles
+    // and the build side from the tag-keyed union (joining on the tag too
+    // keeps a batch id and an equal corpus id from cross-matching).
+    // Verified output is a pair-id table, at most candidate-sized:
+    // checkpoint eagerly so the three consumers below (matched ids, pair
+    // graph, cluster labels) plan against a materialized scan instead of
+    // re-deriving the banded join.
+    val verified = cand
+      .join(shB.select(col("id").as("__a"), col("sh").as("__sh_a")), Seq("__a"))
+      .join(shB.select(col("id").as("__b"), lit(false).as("__corpus"),
+          col("sh").as("__sh_b"))
+        .union(shC.select(col("id").as("__b"), lit(true).as("__corpus"),
+          col("sh").as("__sh_b"))),
+        Seq("__b", "__corpus"))
+      .where(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+        / size(array_union(col("__sh_a"), col("__sh_b"))) >= threshold)
+      .select("__a", "__b", "__corpus")
       .localCheckpoint(true)
     // matched scales with the incoming batch (worst case: every batch doc
     // near-dups the corpus) — no broadcast hint, AQE decides.
+    val matched = verified.where(col("__corpus"))
+      .select(col("__a").as(idCol)).distinct()
     val b3 = b2.join(matched, Seq(idCol), "left_anti")
-    // 4. within-batch near-dup — on the REMNANT's shingles, filtered out
-    //    of the already-persisted batch shingle table (an anti-join on the
-    //    small matched id set) instead of re-tokenizing b3 from text:
-    //    saves a full projection pass. Persisted because
-    //    nearDupFromShingles consumes its shingle table THREE times (band
-    //    generation + both verification fetch sides) — its contract says
-    //    the caller owns persistence — so the cache-scan + anti-join runs
-    //    once, not per consumer.
-    val shB3 = graft.Caches.register(
-      shB.join(matched.select(col(idCol).as("id")), Seq("id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pairs = nearDupFromShingles(shB3, numHashes, bands, threshold,
-      maxBucketSize = maxBucketSize)
+    // within-batch pair graph = batch-batch verified pairs with BOTH
+    // endpoints surviving the corpus drop (see fusion note above)
+    val mA = matched.select(col(idCol).as("__m"))
+    val pairs = verified.where(!col("__corpus"))
+      .join(mA, col("__a") === col("__m"), "left_anti")
+      .join(mA, col("__b") === col("__m"), "left_anti")
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
     val labels = clusterNearDups(pairs, b3, idCol)
     val dropped = labels.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
@@ -392,16 +419,34 @@ object Dedup {
     * explicit warning: labels are then approximate (split clusters), never
     * silently wrong.
     *
+    * Small-graph fast path: the edge list here is the VERIFIED near-dup
+    * pair graph — orders of magnitude smaller than the corpus (only docs
+    * with a confirmed near-duplicate appear). When it fits comfortably on
+    * the driver (`driverEdgeLimit`, default 1M pairs ≈ tens of MB of ids)
+    * the label-prop loop's 2-jobs-per-round latency floor is replaced by
+    * ONE bounded collect + an in-memory union-find that attaches the
+    * larger root under the smaller, so every root is its component's
+    * minimum — identical labels to the distributed fixed point. The
+    * decision count is free: the edge frame is already eagerly
+    * checkpointed. Above the limit (plausible at 100 TB before
+    * deduplication) the distributed label-prop + pointer-jump loop below
+    * runs unchanged. This is the same bounded-decision-point discipline
+    * as the quantile grids: collect only what is PROVEN small first.
+    *
     * @param pairs  (id_a, id_b) verified near-dup pairs (e.g.
     *               [[nearDupMinhash]] output)
     * @param allIds one row per document id — singletons keep their own id
+    * @param driverEdgeLimit max pair-edge count for the driver union-find
+    *                        fast path; 0 disables it (always distributed)
     * @return (id, cluster_id)
     */
   def clusterNearDups(pairs: DataFrame, allIds: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    if (driverEdgeLimit > 0 && edges.count() <= 2L * driverEdgeLimit)
+      return driverUnionFind(edges, allIds, idCol)
     // Iterate over the TOUCHED node set only (nodes with ≥1 near-dup edge)
     // — at corpus scale that's the tiny near-dup subgraph, not the corpus.
     // Untouched docs are singletons and join their own id back at the end.
@@ -466,6 +511,49 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusterNearDups hit maxIter=$maxIter before converging: " +
           "cluster labels are approximate (long chains may be split)")
+    allIds.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a PROVEN-small edge list (guarded by
+    * `driverEdgeLimit` in [[clusterNearDups]]). Union always re-roots the
+    * larger root under the smaller, so by induction every root is the
+    * minimum id of its component — bit-identical labels to the distributed
+    * min-label fixed point. Ids are handled generically (Long / Int /
+    * String all order consistently with SQL `min` via their natural
+    * `Comparable`). The touched-label table is then joined back exactly as
+    * the distributed path does; singletons keep their own id.
+    */
+  private def driverUnionFind(edges: DataFrame, allIds: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression: point every node on the walk at the root
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val idType = edges.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(k => rows += org.apache.spark.sql.Row(k, find(k)))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq,
+        math.max(1, rows.size / 500000)), outSchema)
     allIds.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

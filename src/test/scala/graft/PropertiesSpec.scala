@@ -210,10 +210,16 @@ class PropertiesSpec extends SparkSpec {
       }
       val expected = nodes.map(i => i -> find(i)).toMap
       val pairsDf = (if (edges.isEmpty) Seq((0L, 0L)) else edges).toDF("id_a", "id_b")
-      val got = graft.ext.Dedup.clusterNearDups(pairsDf, nodes.toDF("doc_id"), "doc_id")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"edges=$edges\nmismatch: ${
-        got.toSeq.filter { case (k, v) => expected(k) != v }.take(5)}")
+      // BOTH code paths must agree with the reference: the distributed
+      // label-prop loop (driverEdgeLimit = 0) and the small-graph driver
+      // union-find fast path (default limit)
+      Seq(0L, 1000000L).foreach { lim =>
+        val got = graft.ext.Dedup.clusterNearDups(pairsDf, nodes.toDF("doc_id"),
+            "doc_id", driverEdgeLimit = lim)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"driverEdgeLimit=$lim edges=$edges\nmismatch: ${
+          got.toSeq.filter { case (k, v) => expected(k) != v }.take(5)}")
+      }
     }
   }
   // ---- round-11 operator invariants ------------------------------------
