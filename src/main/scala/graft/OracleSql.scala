@@ -1964,6 +1964,75 @@ object OracleSql {
          |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
          |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin),
 
+    // full LLM curation flagship: quality -> exact canonical -> duplicated-
+    // span removal -> near-dup cluster dedup -> benchmark decontamination
+    // -> 512-token sequence packing, each stage the same SQL as its
+    // standalone oracle, CTE-chained. The packed slice table is the output.
+    "q_llm_pipeline" ->
+      (s"""WITH RECURSIVE
+         |qm AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |q AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) END AS mean_token_len,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) END AS non_alnum_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) END AS distinct_token_ratio
+         |  FROM qm)
+         |  WHERE n_tokens >= 5 AND non_alnum_ratio <= 0.4
+         |    AND distinct_token_ratio >= 0.3 AND mean_token_len >= 2.0),
+         |fpt AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM q),
+         |keepfp AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY f),
+         |curated AS (SELECT fpt.doc_id, fpt.text FROM fpt JOIN keepfp USING (doc_id)),
+         |st AS (SELECT doc_id, $toks AS tk FROM curated),
+         |sf AS (SELECT doc_id, tk FROM st WHERE len(tk) >= 10),
+         |sg0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 10),
+         |        i -> struct_pack(pos := i, gr := array_to_string(tk[i+1 : i+10], ' ')))) AS u FROM sf),
+         |sgm AS (SELECT doc_id, u.pos AS pos, u.gr AS gram FROM sg0),
+         |sv AS (SELECT gram FROM sgm GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |sd AS (SELECT sgm.doc_id, sgm.pos FROM sgm JOIN sv USING (gram)),
+         |si AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sd),
+         |ssp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e FROM si GROUP BY doc_id, grp),
+         |scov AS (SELECT DISTINCT * FROM (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM ssp)),
+         |stok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |          j -> struct_pack(pos := j, tok := tk[j+1]))) AS u FROM st),
+         |stokr AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM stok0),
+         |skept AS (SELECT k.doc_id, k.pos, k.tok FROM stokr k
+         |         WHERE NOT EXISTS (SELECT 1 FROM scov c WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+         |ska AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS body FROM skept GROUP BY doc_id),
+         |cleaned AS (SELECT st.doc_id, coalesce(ska.body, '') AS text FROM st LEFT JOIN ska USING (doc_id)),
+         |${minhashCtes("cleaned")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM cleaned),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |survivors AS (SELECT c.doc_id, c.text FROM cleaned c
+         |              JOIN lab ON c.doc_id = lab.id AND lab.id = lab.cluster_id),
+         |btok AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 4), i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g
+         |  FROM btok WHERE len(tk) >= 5),
+         |svtok AS (SELECT doc_id, $toks AS tk FROM survivors),
+         |svgr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 4), i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g
+         |  FROM svtok WHERE len(tk) >= 5),
+         |contam AS (SELECT DISTINCT doc_id FROM svgr JOIN bg USING (g)),
+         |fin AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w FROM survivors
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |pc AS (SELECT doc_id, w,
+         |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM fin WHERE w > 0),
+         |pe AS (SELECT doc_id, w, o, o + w AS e2 FROM pc),
+         |px AS (SELECT doc_id, w, o, e2,
+         |    unnest(generate_series(o // 512, (e2 - 1) // 512)) AS sq FROM pe)
+         |SELECT CAST(sq AS BIGINT) AS seq_idx, doc_id,
+         |  CAST(greatest(sq * 512 - o, 0) AS BIGINT) AS tok_start,
+         |  CAST(least(e2, (sq + 1) * 512) - greatest(o, sq * 512) AS BIGINT) AS tok_len
+         |FROM px ORDER BY seq_idx, doc_id""".stripMargin),
+
     "q_c6_describe_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(l_extendedprice) AS cnt,

@@ -1665,6 +1665,40 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- FULL LLM curation flagship (r12): quality filter -> exact dedup
+    // -> duplicated-span removal -> near-dup cluster dedup -> benchmark
+    // decontamination -> sequence packing. Each stage is the standalone
+    // oracle-gated operator; the composite catches cross-stage interface
+    // drift and is the engine's headline demo. The cleaned table is
+    // persisted because the near-dup apply consumes it three times
+    // (shingles, cluster allIds, final anti-join) — without the pin the
+    // whole substring-removal subtree would replay per consumer. Every
+    // stage only shrinks (or token-trims) the data, so the composite
+    // costs less than the sum of its standalone queries.
+    "q_llm_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val q = TextAnalysis.qualityFilter(docs, "text",
+        minTokens = 5, maxNonAlnumRatio = 0.4,
+        minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
+      val exact = Dedup.exactCanonical(q, "text", "doc_id")
+      val cleaned = graft.Caches.register(
+        SubstringDedup.removeDuplicateSpans(exact, "text", "doc_id",
+            gramTokens = 10, minDocFreq = 2)
+          .select(col("doc_id"), col("text_clean").as("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val deduped = Dedup.applyNearDupDedup(cleaned, "text", "doc_id",
+        threshold = 0.25)
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val contaminated = TextAnalysis.contaminatedDocs(deduped, "text",
+        "doc_id", bench, "text", n = 5)
+      val kept = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ext.Pack.packSequences(kept, "n_tokens", Seq(col("doc_id")), 512L)
+        .select(col("seq_idx"), col("doc_id"), col("tok_start"), col("tok_len"))
+        .orderBy("seq_idx", "doc_id")
+    }),
+
     // -- C6g grouped describe (pandas groupby().describe()) ---------------
     "q_c6_describe_group" -> ((s, dir) =>
       Clean.summaryStatsBy(T(s, dir, "lineitem"), "l_extendedprice",

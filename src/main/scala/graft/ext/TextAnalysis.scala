@@ -305,11 +305,21 @@ object TextAnalysis {
     */
   def contaminatedDocs(corpus: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    def gramHashes(text: Column) =
-      transform(graft.ext.Dedup.shingles(text, n), g => md5(g))
-    val bGrams = benchmark
-      .select(explode(gramHashes(col(benchTextCol))).as("__g")).distinct()
-    corpus.select(col(idCol), explode(gramHashes(col(textCol))).as("__g"))
+    // Gram hashing runs POST-explode: start positions are exploded first
+    // and the slice/concat/md5 are top-level codegen'd expressions — an
+    // md5 inside a transform() lambda is interpreted per element (3s -> 1s
+    // at sf0.1 on the corpus side). Per-doc duplicate grams are harmless:
+    // both outputs are DISTINCT. The size guard also keeps Spark's
+    // descending sequence(0, -1) from firing on sub-n-token docs.
+    def gramRows(df: DataFrame, text: String, keep: Seq[Column]) =
+      df.select(keep :+ tokens(col(text)).as("__tk"): _*)
+        .where(size(col("__tk")) >= n)
+        .select(keep ++ Seq(col("__tk"),
+          explode(sequence(lit(1), size(col("__tk")) - (n - 1))).as("__i")): _*)
+        .select(keep :+ md5(concat_ws(" ",
+          slice(col("__tk"), col("__i"), lit(n)))).as("__g"): _*)
+    val bGrams = gramRows(benchmark, benchTextCol, Nil).distinct()
+    gramRows(corpus, textCol, Seq(col(idCol)))
       .join(broadcast(bGrams), Seq("__g"), "left_semi")
       .select(idCol).distinct()
   }
