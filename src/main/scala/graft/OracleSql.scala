@@ -136,6 +136,50 @@ object OracleSql {
        |         FROM kept x JOIN kept y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) AS jac FROM cand)""".stripMargin
 
+  /** Full SQL replay of ml.QualityModel's deterministic trainer: labels
+    * from the heuristic quality rule, hashingTf/len features + bias, then
+    * 8 unrolled batch-GD steps with the algebraic sigmoid
+    * 0.5·(1 + z/(1+|z|)) and the same fixed-point long sums (floor·1e12
+    * dot products, floor·1e9 gradients) the Spark side uses — every
+    * arithmetic op is IEEE +,*,/,abs or an exact integer floor, so the
+    * two engines agree bit-for-bit through all iterations.
+    */
+  private val qualityClassifierSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map { i =>
+      s"""z$i AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
+         |  FROM qcfeat f JOIN w${i - 1} w USING (j) GROUP BY f.doc_id),
+         |e$i AS (SELECT z.doc_id, 0.5*(1.0 + z.z/(1.0 + abs(z.z))) - l.y AS e
+         |  FROM z$i z JOIN qclab l USING (doc_id)),
+         |g$i AS (SELECT f.j, CAST(sum(CAST(floor(e.e * f.x * 1e9) AS BIGINT)) AS DOUBLE)/1e9 AS s
+         |  FROM qcfeat f JOIN e$i e USING (doc_id) GROUP BY f.j),
+         |w$i AS (SELECT w.j, w.w - coalesce(g.s / (SELECT nd FROM qcnd), 0.0) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qct AS (SELECT doc_id, text, $toks AS tk FROM documents),
+       |qcn AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n FROM qct WHERE len(tk) > 0),
+       |qclab AS (SELECT doc_id,
+       |    CASE WHEN len(tk) >= 5
+       |      AND round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) <= 0.4
+       |      AND round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) >= 0.3
+       |      AND round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) >= 2.0
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM qcn),
+       |qctf AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS j, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM qcn) GROUP BY 1, 2),
+       |qcfeat AS (SELECT f.doc_id, f.j, CAST(f.cnt AS DOUBLE)/CAST(n.n AS DOUBLE) AS x FROM qctf f JOIN qcn n USING (doc_id)
+       |  UNION ALL SELECT doc_id, 64, CAST(1.0 AS DOUBLE) FROM qcn),
+       |qcnd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM qclab),
+       |w0 AS (SELECT CAST(unnest(generate_series(0, 64)) AS INTEGER) AS j, CAST(0.0 AS DOUBLE) AS w),
+       |$steps,
+       |zf AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
+       |  FROM qcfeat f JOIN w$iters w USING (j) GROUP BY f.doc_id),
+       |sc AS (SELECT doc_id, 0.5*(1.0 + z/(1.0 + abs(z))) AS s FROM zf)
+       |SELECT sc.doc_id, CAST(l.y AS INTEGER) AS label, round(sc.s, 6) AS score,
+       |  CASE WHEN sc.s >= 0.5 THEN 1 ELSE 0 END AS pred
+       |FROM sc JOIN qclab l USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Arithmetic replay of the image dHash chain (mirrors
     * Multimodal.dhash64 over Multimodal.bmpStripes fixtures): stripe
     * values from md5(text) hex pairs, Rec.601 gray per single-pixel
@@ -1963,6 +2007,11 @@ object OracleSql {
          |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
          |SELECT id AS doc_id FROM lab WHERE id = cluster_id ORDER BY doc_id""".stripMargin),
+
+    // learned quality classifier: the training loop (8 fixed GD steps,
+    // algebraic sigmoid, fixed-point sums — ml.QualityModel) is replayed
+    // UNROLLED in SQL; weights never leave the query on either engine
+    "q_quality_classifier" -> qualityClassifierSql,
 
     // full LLM curation flagship: quality -> exact canonical -> duplicated-
     // span removal -> near-dup cluster dedup -> benchmark decontamination

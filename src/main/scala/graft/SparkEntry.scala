@@ -1665,6 +1665,16 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- learned quality classifier (r12): fastText-pattern distillation
+    // of the heuristic quality rule into a logistic-style linear model
+    // over hashingTf buckets. Training is deterministic by construction
+    // (fixed GD steps, algebraic sigmoid, fixed-point sums — see
+    // ml.QualityModel), so the oracle replays the ENTIRE training loop
+    // unrolled in SQL and hash-matches the final scores.
+    "q_quality_classifier" -> ((s, dir) =>
+      graft.ml.QualityModel.scoreQuality(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // -- FULL LLM curation flagship (r12): quality filter -> exact dedup
     // -> duplicated-span removal -> near-dup cluster dedup -> benchmark
     // decontamination -> sequence packing. Each stage is the standalone
