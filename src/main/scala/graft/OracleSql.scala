@@ -2194,17 +2194,19 @@ object OracleSql {
 
     // MAD modified z-score flags: both medians rounded to 6 before the
     // per-row test (Preprocess.outlierFlagsMad's driver-side rounding)
+    // flagged rows only + scanned count on each, over events.value (r12
+    // contract — see the registration comment)
     "q_outlier_mad" ->
-      """WITH m AS (SELECT round(quantile_cont(l_quantity, 0.5), 6) AS mq,
-        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS me FROM lineitem),
-        |a AS (SELECT round(quantile_cont(abs(l_quantity - mq), 0.5), 6) AS madq,
-        |    round(quantile_cont(abs(l_extendedprice - me), 0.5), 6) AS made
-        |  FROM lineitem, m)
-        |SELECT l_orderkey, l_linenumber,
-        |  (abs(0.6745 * (l_quantity - mq) / madq) > 3.5) AS qty_mad_out,
-        |  (abs(0.6745 * (l_extendedprice - me) / made) > 3.5) AS price_mad_out
-        |FROM lineitem, m, a
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS mv FROM events),
+        |a AS (SELECT round(quantile_cont(abs(value - mv), 0.5), 6) AS madv
+        |  FROM events, m),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_scanned FROM events),
+        |f AS (SELECT event_id,
+        |    (abs(0.6745 * (value - mv) / madv) > 3.5) AS value_mad_out
+        |  FROM events, m, a)
+        |SELECT f.event_id, f.value_mad_out, n.n_scanned
+        |FROM f, n WHERE f.value_mad_out
+        |ORDER BY event_id""".stripMargin,
 
     // rolling 7-row median/mean; median = quantile_cont's lo + 0.5*(hi-lo)
     "q_window_rollmed" ->

@@ -1792,14 +1792,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // -- MAD (modified z-score) outlier flags, robust outlierFlags twin ---
-    "q_outlier_mad" -> ((s, dir) =>
-      Preprocess.outlierFlagsMad(T(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice"), k = 3.5)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity_mad_outlier").as("qty_mad_out"),
-          col("l_extendedprice_mad_outlier").as("price_mad_out"))
-        .orderBy("l_orderkey", "l_linenumber")),
+    // -- MAD (modified z-score) outlier flags, robust outlierFlags twin.
+    // Contract r12: runs on events.value (the one fixture column with a
+    // real tail — lineitem's uniform columns never exceed |z|≈1.35, so
+    // k=3.5 flagged nothing) and emits only the FLAGGED rows plus the
+    // scanned-row count on each (broadcast 1-row aggregate):
+    // materializing + totally ordering all 600k lineitem rows was ~2x
+    // the query's real cost, and flags-only is what a pipeline consumes
+    "q_outlier_mad" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val n = ev.agg(count(lit(1)).as("n_scanned"))
+      Preprocess.outlierFlagsMad(ev, Seq("value"), k = 3.5)
+        .select(col("event_id"), col("value_mad_outlier").as("value_mad_out"))
+        .where(col("value_mad_out"))
+        .crossJoin(broadcast(n))
+        .orderBy("event_id")
+    }),
 
     // -- OHLC candle resampling per (event_type, day) ---------------------
     "q_resample_ohlc" -> ((s, dir) =>
