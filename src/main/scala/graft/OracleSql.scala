@@ -3376,7 +3376,7 @@ object OracleSql {
     // OHLC candles per (event_type, day): open/close by (ts, event_id)
     // rank, high/low plain extremes
     "q_resample_ohlc" ->
-      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, value, ts, event_id FROM events),
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, value, ts, event_id FROM events WHERE value IS NOT NULL),
         |w AS (SELECT *,
         |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ra,
         |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd FROM e)

@@ -2674,7 +2674,8 @@ object SparkEntry {
       graft.ext.Graph.degreeHistogram(coEdges(s, dir)).orderBy("degree")),
     "q_graph_assortativity" -> ((s, dir) =>
       graft.ext.Graph.assortativity(coEdges(s, dir))),
-    // single-source BFS (min node id, <= 3 hops) over the same graph
+    // single-source BFS (source = max-degree node, min id on ties;
+    // <= 3 hops) over the same graph
     "q_graph_bfs" -> ((s, dir) =>
       graft.ext.Graph.shortestHops(coEdges(s, dir), maxHops = 3)
         .orderBy("id")),
@@ -3183,11 +3184,11 @@ object SparkEntry {
     // -- count-min sketch: bounded-state term-frequency estimation --------
     "q_text_cms_cells" -> ((s, dir) =>
       graft.ext.Sketches.countMinCells(T(s, dir, "documents"), "text",
-          "doc_id", depth = 4, width = 64)
+          depth = 4, width = 64)
         .orderBy("r", "bucket")),
     "q_text_cms_est" -> ((s, dir) =>
       graft.ext.Sketches.countMinEstimates(T(s, dir, "documents"), "text",
-          "doc_id", depth = 4, width = 64)
+          depth = 4, width = 64)
         .orderBy("term")),
 
     // -- S4c parquet schema evolution: an old batch without n_comment_len

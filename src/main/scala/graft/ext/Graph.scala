@@ -243,12 +243,17 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val edges = graft.Caches.register(
       edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges
+        .select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
     // bounded decision point: the deterministic source node; an empty
-    // edge list yields an empty result, not a head() crash
-    val top = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst").as("v")))
+    // edge list yields an empty result, not a head() crash. Ids are read
+    // through a cast-to-long projection so an Int-keyed edge frame works
+    // too (getLong on an IntegerType row would ClassCastException, and
+    // the Seq[(Long, Long)] seed below must union with a long id column)
+    val top = edges.select(col("src").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("v"))
       .limit(1).collect()

@@ -98,4 +98,45 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Windowed inverted-index term statistics, batch/streaming-agnostic:
+    * per (event-time window, term) document frequency and total
+    * occurrences. On a streaming input a watermark is applied, so this
+    * runs as ONE stateful aggregation in update (or append/complete)
+    * mode with state evicted as event time advances — the streaming
+    * flavor of [[invertedIndex]]'s stats half (posting lists stay a
+    * batch product; an unbounded per-term id list has no place in
+    * streaming state).
+    *
+    * The trick that keeps it to a single stateful operator: doc_freq
+    * normally needs count(DISTINCT doc_id) — a second aggregation level,
+    * which Structured Streaming disallows. But each document arrives as
+    * ONE row, so per-doc term counts are computed statelessly INSIDE the
+    * row (array expressions over the token array) and the only stateful
+    * step is the final (window, term) aggregate: doc_freq = count of
+    * contributing rows, occurrences = sum of in-row counts.
+    *
+    * Scale shape: the in-row distinct+count is O(len²) interpreted
+    * per document (Spark has no codegen'd array histogram) — pure
+    * scan-local CPU that parallelizes perfectly and adds no shuffle; the
+    * stateful agg's state is |active windows| × |vocabulary| (Zipf-
+    * bounded), the exact-stats complement to [[Sketches]]' fixed-size CMS.
+    */
+  def termStatsWindowed(df: DataFrame, textCol: String, docIdCol: String,
+      tsCol: String, windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    wm.select(col(tsCol).as("__ts"), col(docIdCol).as("doc_id"),
+        tokens(col(textCol)).as("__tk"))
+      .select(col("__ts"),
+        explode(transform(array_distinct(col("__tk")),
+          t => struct(t.as("term"),
+            size(filter(col("__tk"), x => x === t)).cast("long").as("cnt"))))
+          .as("__tc"))
+      .select(col("__ts"), col("__tc.term").as("term"), col("__tc.cnt").as("cnt"))
+      .groupBy(window(col("__ts"), windowDuration).as("__w"), col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum("cnt").as("occurrences"))
+      .select(col("__w").getField("start").as("window_start"), col("term"),
+        col("doc_freq"), col("occurrences"))
+  }
 }

@@ -27,7 +27,7 @@ object Sketches {
     * width buckets. One token scan, one (r, bucket) shuffle of at most
     * depth×width groups.
     */
-  def countMinCells(df: DataFrame, textCol: String, docIdCol: String,
+  def countMinCells(df: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive: $depth, $width")
     df.select(explode(tokens(col(textCol))).as("term"))
@@ -42,9 +42,9 @@ object Sketches {
     * CMS one-sided error guarantee, asserted in the spec and visible in
     * the output as `overcount`).
     */
-  def countMinEstimates(df: DataFrame, textCol: String, docIdCol: String,
+  def countMinEstimates(df: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
-    val cells = countMinCells(df, textCol, docIdCol, depth, width)
+    val cells = countMinCells(df, textCol, depth, width)
     val exact = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("exact_count"))
     exact

@@ -135,7 +135,14 @@ object Tokenize {
               i => concat(element_at(pieces, i), lit("|"), element_at(pieces, i + 1))))
             .otherwise(array())).as("p"))
         .groupBy("p").agg(sum("wcnt").as("cnt"))
-      val top = prs.orderBy(col("cnt").desc, col("p")).head()
+      // headOption, not head(): a corpus whose distinct adjacent pairs run
+      // out before numMerges (or an empty corpus) stops the merge loop
+      // cleanly at the exhausted round instead of throwing a bare
+      // NoSuchElementException mid-training
+      val topOpt = prs.orderBy(col("cnt").desc, col("p")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) return (merges.result(), words)
+      val top = topOpt.get
       val Array(p1, p2) = top.getString(0).split('|')
       merges += ((r.toLong, p1, p2, top.getLong(1)))
       words = words.withColumn("s",

@@ -83,9 +83,14 @@ object Resample {
   def ohlc(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       tieCol: String): DataFrame = {
     val day = date_trunc("day", col(tsCol))
-    val base = df.select(col(keyCol).as("key"), day.as("day"),
-      col(tsCol).as("__ts"), col(tieCol).as("__tie"),
-      col(valueCol).as("__v"))
+    // null values are dropped BEFORE ranking: otherwise open/close would
+    // take the rank-1 row's value even when null while high/low skip
+    // nulls — an inconsistent candle. All four stats (and n_events) are
+    // therefore over value-bearing events only.
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), day.as("day"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+        col(valueCol).as("__v"))
     val wAsc = org.apache.spark.sql.expressions.Window
       .partitionBy("key", "day").orderBy(col("__ts"), col("__tie"))
     val wDesc = org.apache.spark.sql.expressions.Window

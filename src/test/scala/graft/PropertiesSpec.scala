@@ -263,7 +263,7 @@ class PropertiesSpec extends SparkSpec {
     cases(docGen, n = 3).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val est = graft.ext.Sketches.countMinEstimates(df, "text", "doc_id",
+      val est = graft.ext.Sketches.countMinEstimates(df, "text",
         depth = 4, width = 8).collect()
       est.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"CMS under: $r"))
     }

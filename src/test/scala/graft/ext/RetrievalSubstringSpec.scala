@@ -123,4 +123,64 @@ class RetrievalSubstringSpec extends SparkSpec {
     // extension dispatch reaches the ORC reader
     assert(Sources.readAny(spark, p).count() == 3)
   }
+
+  // ---- streaming term stats (r12) --------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("termStatsWindowed: stream (complete mode) equals the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:01:00"), 1L, "spark join spark filter"),
+      (ts("2024-01-01 10:07:00"), 2L, "join window join"),
+      (ts("2024-01-01 11:02:00"), 3L, "spark window"))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Retrieval.termStatsWindowed(
+        mem.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("ts_stream")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2)); q.processAllAvailable()
+    mem.addData(rows.drop(2)); q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("ts_stream").collect().map(key).toSet
+    val batch = Retrieval.termStatsWindowed(
+        rows.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        windowDuration = "10 minutes")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // spot-check semantics: doc_freq counts docs, occurrences counts
+    // tokens — "join" appears in doc 1 (x1) and doc 2 (x2), same window
+    val w1000 = batch.filter(t => t._1 == ts("2024-01-01 10:00:00") && t._2 == "join")
+    assert(w1000 == Set((ts("2024-01-01 10:00:00"), "join", 2L, 3L)))
+  }
+
+  test("termStatsWindowed: update mode drops documents behind the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Retrieval.termStatsWindowed(
+        mem.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("ts_late")
+      .outputMode("update").start()
+    mem.addData((ts("2024-01-01 10:01:00"), 1L, "spark join"),
+      (ts("2024-01-01 10:02:00"), 2L, "spark"))
+    q.processAllAvailable()
+    // advances the watermark to 11:55 — the 10:00 window is closed
+    mem.addData((ts("2024-01-01 12:00:00"), 3L, "spark"))
+    q.processAllAvailable()
+    // late doc inside the closed window: must be DROPPED, not aggregated
+    mem.addData((ts("2024-01-01 10:03:00"), 4L, "spark spark"))
+    q.processAllAvailable(); q.stop()
+    val w10 = spark.table("ts_late").collect()
+      .filter(r => r.getTimestamp(0) == ts("2024-01-01 10:00:00")
+        && r.getString(1) == "spark")
+    // update mode re-emits a key on change; the late doc would have shown
+    // up as a (doc_freq=3, occurrences=4) re-emission
+    assert(w10.nonEmpty)
+    assert(w10.map(r => (r.getLong(2), r.getLong(3))).max == ((2L, 2L)))
+  }
 }

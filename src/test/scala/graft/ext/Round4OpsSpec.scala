@@ -285,4 +285,13 @@ class Round4OpsSpec extends SparkSpec {
     assert(hops == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("shortestHops tolerates Int-typed node ids (r12 advice)") {
+    // an Int-keyed edge frame used to ClassCastException on getLong and
+    // break the Long-typed seed union; ids are now cast to long up front
+    val edges = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val hops = Graph.shortestHops(edges, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll()
+    assert(hops == Map(2L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
 }

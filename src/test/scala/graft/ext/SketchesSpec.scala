@@ -12,7 +12,7 @@ class SketchesSpec extends SparkSpec {
     (3L, "spark merge")).toDF("doc_id", "text")
 
   test("cms cells: total mass per row equals the token count") {
-    val cells = Sketches.countMinCells(df, "text", "doc_id", depth = 4, width = 16)
+    val cells = Sketches.countMinCells(df, "text", depth = 4, width = 16)
       .collect()
     val perRow = cells.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
     assert(perRow.toMap == Map(0L -> 13L, 1L -> 13L, 2L -> 13L, 3L -> 13L))
@@ -26,7 +26,7 @@ class SketchesSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val cells = Sketches.countMinCells(
-      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", depth = 4, width = 16)
+      mem.toDF.toDF("doc_id", "text"), "text", depth = 4, width = 16)
     val q = cells.writeStream.format("memory").queryName("cms_stream")
       .outputMode("complete").start()
     mem.addData((1L, "spark spark spark join filter"),
@@ -36,14 +36,14 @@ class SketchesSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("cms_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = Sketches.countMinCells(df, "text", "doc_id", depth = 4, width = 16)
+    val batch = Sketches.countMinCells(df, "text", depth = 4, width = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
 
   test("cms estimates: one-sided error — never below the exact count") {
     // width 4 forces collisions so the overcount column is exercised
-    val est = Sketches.countMinEstimates(df, "text", "doc_id", depth = 4, width = 4)
+    val est = Sketches.countMinEstimates(df, "text", depth = 4, width = 4)
       .collect()
     assert(est.length == 5) // spark join filter window merge
     for (r <- est) {
@@ -51,7 +51,7 @@ class SketchesSpec extends SparkSpec {
       assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
     }
     // with a wide sketch the estimates are exact for this tiny corpus
-    val wide = Sketches.countMinEstimates(df, "text", "doc_id", depth = 4, width = 1024)
+    val wide = Sketches.countMinEstimates(df, "text", depth = 4, width = 1024)
       .collect()
     assert(wide.forall(r => r.getLong(3) == 0L))
   }

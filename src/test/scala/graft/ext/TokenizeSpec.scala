@@ -83,4 +83,17 @@ class TokenizeSpec extends SparkSpec {
     assert(out("xx") == ((3L, 3L, 1.0)))  // z z z all fallback
   }
 
+  test("learnBpeMerges stops cleanly when the pair supply runs out (r12 advice)") {
+    import spark.implicits._
+    // "ab" has exactly one adjacent pair; after merging it into <ab>
+    // there are no pairs left — numMerges=5 must stop at 1, not throw
+    val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Tokenize.learnBpeMerges(df, "text", "doc_id", numMerges = 5)
+      .collect()
+    assert(merges.length == 1)
+    assert((merges(0).getString(1), merges(0).getString(2)) == (("a", "b")))
+    // an empty corpus learns zero merges, same clean stop
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Tokenize.learnBpeMerges(empty, "text", "doc_id", 3).count() == 0L)
+  }
 }
