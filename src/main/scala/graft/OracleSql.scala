@@ -31,6 +31,16 @@ object OracleSql {
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** HLL estimate numerator α_64·64²·2^56 — computed with the SAME Scala
+    * expression as Sketches.hllEstimate and emitted as a shortest-repr
+    * double literal, so both engines divide by the identical double.
+    */
+  private val hllC: String = {
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    (alpha * m * m * math.pow(2.0, 56)).toString
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3546,6 +3556,35 @@ object OracleSql {
          |      FROM p JOIN cells USING (r, bucket) GROUP BY term)
          |SELECT term, exact_count, estimate, estimate - exact_count AS overcount
          |FROM j ORDER BY term""".stripMargin),
+
+    // HyperLogLog registers: bucket = h mod 64, rho = leading zeros of
+    // the 54-bit suffix + 1 via LENGTH(BIN(q)) — integer-exact, engine-
+    // portable (mirrors Sketches.hllRegisters)
+    "q_text_hll_registers" ->
+      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+         |h AS (SELECT CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM t),
+         |r AS (SELECT h % 64 AS bucket, h // 64 AS q FROM h),
+         |x AS (SELECT bucket, CASE WHEN q = 0 THEN 55 ELSE 55 - length(bin(q)) END AS rho FROM r)
+         |SELECT bucket, CAST(max(rho) AS BIGINT) AS register
+         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // HLL raw estimate: the harmonic sum is EXACT (sum of 2^(56-M_j)
+    // longs, empty buckets contributing 2^56), then ONE IEEE division by
+    // the plan-time constant alpha*m^2*2^56 — bit-identical to Spark
+    "q_text_hll" ->
+      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+         |h AS (SELECT CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM t),
+         |r AS (SELECT h % 64 AS bucket, h // 64 AS q FROM h),
+         |x AS (SELECT bucket, CASE WHEN q = 0 THEN 55 ELSE 55 - length(bin(q)) END AS rho FROM r),
+         |reg AS (SELECT bucket, max(rho) AS register FROM x GROUP BY bucket),
+         |s1 AS (SELECT CAST(sum(72057594037927936 // (1::BIGINT << CAST(register AS INTEGER))) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS nb FROM reg),
+         |s2 AS (SELECT s + (64 - nb) * 72057594037927936 AS s FROM s1),
+         |ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM t)
+         |SELECT 64 AS m, ex.n_exact,
+         |  round($hllC / s2.s, 6) AS hll_estimate,
+         |  round(abs($hllC / s2.s - ex.n_exact) / ex.n_exact, 6) AS rel_error
+         |FROM s2, ex""".stripMargin),
 
     // greedy longest-match subword segmentation, replayed with a
     // recursive CTE over DISTINCT words (pos advances >= 1 char per step,

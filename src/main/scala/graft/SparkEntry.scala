@@ -3191,6 +3191,14 @@ object SparkEntry {
           depth = 4, width = 64)
         .orderBy("term")),
 
+    // -- HyperLogLog distinct-count sketch (r12): 64 max-mergeable
+    // registers; integer-exact rho and harmonic sum (see Sketches) -------
+    "q_text_hll_registers" -> ((s, dir) =>
+      graft.ext.Sketches.hllRegisters(T(s, dir, "documents"), "text")
+        .orderBy("bucket")),
+    "q_text_hll" -> ((s, dir) =>
+      graft.ext.Sketches.hllEstimate(T(s, dir, "documents"), "text")),
+
     // -- S4c parquet schema evolution: an old batch without n_comment_len
     // and a new batch with it, merged into one union-schema read ----------
     "q_s4_merge_schema" -> ((s, dir) => {

@@ -59,4 +59,66 @@ object Sketches {
       .select(col("term"), col("exact_count"), col("estimate"),
         (col("estimate") - col("exact_count")).as("overcount"))
   }
+
+  // ---- HyperLogLog (Flajolet et al. 2007) ------------------------------
+
+  /** Registers per bucket for a deterministic HyperLogLog over corpus
+    * terms — THE distinct-count sketch at 100 TB: fixed `m`-register
+    * state regardless of cardinality, registers merge by max (shards,
+    * batches, streams — same story as the CMS cells; max is also a valid
+    * single stateful streaming aggregation).
+    *
+    * Derivation is integer-exact and engine-portable, no RNG, no libm:
+    * the md5 60-bit hex-slice hash splits as bucket = h mod m and
+    * q = h div m (m a power of two, so q is the exact 60−log2(m)-bit
+    * suffix); rho = (bit width of q) − bitlen(q) + 1 counts q's leading
+    * zeros via LENGTH(BIN(q)) — a string-length bit-length, identical in
+    * Spark and DuckDB — with the q = 0 row taking the max rank.
+    * Duplicate terms need no pre-distinct: max(rho) is idempotent.
+    */
+  def hllRegisters(df: DataFrame, textCol: String, m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val qBits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .select(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("__h"))
+      .select(pmod(col("__h"), lit(m.toLong)).as("bucket"),
+        expr(s"__h div ${m}L").as("__q"))
+      .select(col("bucket"),
+        when(col("__q") === 0L, lit(qBits + 1))
+          .otherwise(lit(qBits + 1) - length(bin(col("__q"))))
+          .cast("long").as("__rho"))
+      .groupBy("bucket").agg(max("__rho").as("register"))
+  }
+
+  /** The HLL raw estimate next to the exact distinct count:
+    * E = α_m · m² / Σ_j 2^(−M_j), empty buckets contributing 2^0.
+    * The harmonic sum is EXACT: Σ 2^(56−M_j) in longs (M_j ≤ 56, so each
+    * term is an exact power of two and the 64-term sum is far below
+    * overflow), then one IEEE division by the plan-time constant
+    * C = α_m · m² · 2^56 — bit-identical in both engines. Raw regime
+    * only (no small-range linear counting — that needs ln): the corpus
+    * vocabulary is far above the 2.5·m bias cutoff, and `n_exact` sits
+    * beside the estimate so the error is measured, not trusted.
+    */
+  def hllEstimate(df: DataFrame, textCol: String, m: Int = 64): DataFrame = {
+    val regs = hllRegisters(df, textCol, m)
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // published α_m for m >= 64
+    val c = alpha * m * m * math.pow(2.0, 56) // plan-time literal (exact 2^56)
+    // integer `div`, never double division: partial sums of mixed 2^k
+    // terms exceed 2^53 and would round order-dependently as doubles
+    val harm = regs
+      .select(expr("72057594037927936L div shiftleft(1L, cast(register as int))")
+        .as("__t"))
+      .agg(sum("__t").as("__s"), count(lit(1)).as("__nb"))
+      // empty buckets (no term hashed there) contribute 2^56 each
+      .select((col("__s") + (lit(m.toLong) - col("__nb")) * lit(72057594037927936L))
+        .as("__s"))
+    val exact = df.select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct("term").as("n_exact"))
+    harm.crossJoin(exact)
+      .select(lit(m).as("m"), col("n_exact"),
+        round(lit(c) / col("__s"), 6).as("hll_estimate"),
+        round(abs(lit(c) / col("__s") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_error"))
+  }
 }
