@@ -3557,6 +3557,28 @@ object OracleSql {
          |SELECT term, exact_count, estimate, estimate - exact_count AS overcount
          |FROM j ORDER BY term""".stripMargin),
 
+    // PII redaction: patterns and replacement order come from the SAME
+    // Scala constants as the Spark side (TextAnalysis.PiiPatterns);
+    // counts on the original text, replacements chained with 'g'
+    "q_text_pii" -> {
+      val ps = graft.ext.TextAnalysis.PiiPatterns
+      val countCols = ps.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n         |  ")
+      val redacted = ps.foldLeft("text") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""WITH e AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' contact user' || doc_id || '@example.com call 555-123-4567 from 10.0.0.' || (doc_id % 256)
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $countCols,
+         |  $redacted AS text_redacted
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
     // HyperLogLog registers: bucket = h mod 64, rho = leading zeros of
     // the 54-bit suffix + 1 via LENGTH(BIN(q)) — integer-exact, engine-
     // portable (mirrors Sketches.hllRegisters)

@@ -3191,6 +3191,21 @@ object SparkEntry {
           depth = 4, width = 64)
         .orderBy("term")),
 
+    // -- PII redaction (r12): the word-soup fixture carries no real PII,
+    // so every third doc is deterministically enriched with an email, a
+    // phone and an IP IN THE QUERY (mirrored in the oracle) — real
+    // positives for the patterns, real negatives on the untouched docs --
+    "q_text_pii" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val enriched = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com call 555-123-4567 from 10.0.0."),
+            pmod(col("doc_id"), lit(256))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(enriched, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // -- HyperLogLog distinct-count sketch (r12): 64 max-mergeable
     // registers; integer-exact rho and harmonic sum (see Sketches) -------
     "q_text_hll_registers" -> ((s, dir) =>

@@ -744,4 +744,32 @@ object TextAnalysis {
           lit(dim.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
   }
+
+  /** The [[EmailRe]]/[[PhoneRe]]/[[Ipv4Re]] patterns as one ordered
+    * (name, pattern, placeholder) list — the single source both
+    * [[redactPii]] flavors and the oracle SQL build from.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "<EMAIL>"),
+    ("phone", PhoneRe, "<PHONE>"),
+    ("ipv4", Ipv4Re, "<IP>"))
+
+  /** PII audit + scrub in one projection — [[redactPii(text*]]'s
+    * DataFrame flavor with per-document match COUNTS (taken on the
+    * ORIGINAL text) next to the rewritten text: the redaction report a
+    * curation pipeline logs, not just the rewrite. Placeholders contain
+    * no digits or '@', so one redaction can never create a later
+    * pattern's match.
+    *
+    * Scale shape: pure scan-local regex projection — codegen'd, no
+    * shuffle, no state; the counts and the rewrite ride the same scan.
+    */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (n, p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+        .cast("long").as(s"n_$n")
+    }
+    df.select(col(idCol) +: counts :+
+      redactPii(col(textCol)).as("text_redacted"): _*)
+  }
 }

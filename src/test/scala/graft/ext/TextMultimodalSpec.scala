@@ -562,4 +562,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) > 0.0 && out(3L) < 1.0) // shares the prefix grams only
   }
 
+  test("redactPii counts and replaces emails, phones and IPs; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@test.org or x@y.io call 555-123-4567 server 10.0.0.7 ok"),
+      (2L, "no pii here just words and the number 12345"),
+      (3L, "ip only 192.168.1.1")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 1L && out(0).getLong(3) == 1L)
+    assert(out(0).getString(4) ==
+      "mail <EMAIL> or <EMAIL> call <PHONE> server <IP> ok")
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
+    assert(out(1).getString(4) == "no pii here just words and the number 12345")
+    assert(out(2).getLong(3) == 1L && out(2).getString(4) == "ip only <IP>")
+  }
 }
