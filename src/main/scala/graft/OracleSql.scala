@@ -956,6 +956,23 @@ object OracleSql {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // LSH recall audit: banded-chain pair count over exact brute-force
+    // pair count at the same threshold, half corpus (mirrors the Spark
+    // sample and bounds the all-pairs side)
+    "q_dedup_lsh_recall" ->
+      (s"""WITH dd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |${minhashCtes("dd", 5)},
+         |lshp AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs FROM j WHERE jac >= 0.8),
+         |bf AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM bf WHERE jac >= 0.8)
+         |SELECT ex.n_exact_pairs, lshp.n_lsh_pairs,
+         |  CASE WHEN ex.n_exact_pairs = 0 THEN NULL
+         |    ELSE round(CAST(lshp.n_lsh_pairs AS DOUBLE) / ex.n_exact_pairs, 6) END AS recall
+         |FROM ex, lshp""".stripMargin),
+
     "q_sim_topk" ->
       (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

@@ -516,6 +516,28 @@ object SparkEntry {
       Dedup.jaccardJoinPrefix(T(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8, k = 5)
         .orderBy("id_a", "id_b")),
+    // LSH recall audit (r12): the banded MinHash tier measured against
+    // the exact PPJoin ground truth at the SAME threshold — the number
+    // that justifies (or indicts) running the approximate tier at 100 TB.
+    // LSH pairs are exact-Jaccard-verified, so they are a SUBSET of the
+    // ground truth and recall is just the count ratio. Half-corpus
+    // sample keeps the doubled pair-join cost bounded; with 16 hashes in
+    // 4 bands the theoretical detect rate at J=0.8 is 1-(1-0.8^4)^4≈0.88,
+    // so the measured number has room on both sides.
+    "q_dedup_lsh_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") % 2 === 0)
+      val exact = Dedup.jaccardJoinPrefix(docs, "text", "doc_id",
+          threshold = 0.8, k = 5)
+        .agg(count(lit(1)).as("n_exact_pairs"))
+      val lsh = Dedup.nearDupMinhash(docs, "text", "doc_id",
+          k = 5, numHashes = 16, bands = 4, threshold = 0.8)
+        .agg(count(lit(1)).as("n_lsh_pairs"))
+      exact.crossJoin(lsh)
+        .select(col("n_exact_pairs"), col("n_lsh_pairs"),
+          when(col("n_exact_pairs") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_lsh_pairs").cast("double")
+              / col("n_exact_pairs"), 6)).as("recall"))
+    }),
 
     // -- similarity search -------------------------------------------------
     "q_sim_topk" -> ((s, dir) =>
