@@ -63,7 +63,11 @@ object Bench {
     // untimed warmup: JVM/codegen/session init otherwise lands entirely on
     // whichever query sorts first alphabetically
     spark.range(1000).selectExpr("sum(id)").collect()
-    // results: (name, coldSec, steadySec); -1 marks an error in that run
+    // results: (name, coldSec, steadySec); -1 marks an error in that run.
+    // gatedReps: queries where the stall-residue gate granted extra reps
+    // (name -> how many) — emitted with the results so a gated number is
+    // never indistinguishable from a standard-rep number.
+    val gatedReps = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -118,6 +122,16 @@ object Bench {
             if (r >= 0 && r < best) best = r
             extra += 1
           }
+          // the one-sided retry can only LOWER the reported steady time —
+          // make every firing auditable instead of invisible: record the
+          // extra-rep count so gated results are distinguishable from
+          // standard-rep results in bench_full.json and on stderr.
+          if (extra > 0) {
+            gatedReps.put(name, extra)
+            System.err.println(
+              s"[bench] $name: stall gate fired ($extra extra reps; cold=" +
+                f"$cold%.2f, final steady=$best%.2f)")
+          }
           if (best < 0) {
             System.err.println(
               s"[bench] $name: all warm reps failed but cold succeeded; reporting cold as steady")
@@ -142,8 +156,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullCold = results.map { case (k, c, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
+    val gatedJson = gatedReps
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"queries":$fullQs,"cold_queries":$fullCold,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"queries":$fullQs,"cold_queries":$fullCold,"gated_extra_reps":$gatedJson,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -318,15 +318,24 @@ object Dedup {
     // 3+4 fused (r12): the batch is banded ONCE and probes a side-tagged
     //    (batch ∪ corpus) band table in a SINGLE equi-join, and one shared
     //    Jaccard verification pass serves BOTH the corpus-match drop and
-    //    the within-batch pair graph. Correctness is unchanged: a doc's
+    //    the within-batch pair graph. Equivalence argument: a doc's
     //    minhash signature (hence its band rows) is intrinsic — the
     //    remnant's band rows inside the full-batch band table are
     //    identical to re-banding the remnant — so restricting the
     //    batch×batch pairs to remnant endpoints afterwards yields exactly
     //    the pairs the old second banding+verification pass produced,
-    //    for half the stages. Both shingle tables still feed band
-    //    generation AND the verification fetch joins — persist so neither
-    //    side re-shingles.
+    //    for half the stages. CAVEAT (exact only while the skew cap does
+    //    not trip): `capBuckets` below prunes buckets by their FULL-BATCH
+    //    size, whereas the unfused two-pass recounted bucket sizes on the
+    //    post-corpus-drop remnant — a bucket that shrinks below
+    //    `maxBucketSize` only because its hot members matched the corpus
+    //    keeps its pairs under two-pass but loses them here. The fused cap
+    //    is therefore (conservatively) a superset of the two-pass
+    //    exclusions; every cap event is observe-logged (no silent caps),
+    //    and a caller needing exact remnant-cap semantics can re-run
+    //    [[nearDupMinhash]] on the survivor set. Both shingle tables still
+    //    feed band generation AND the verification fetch joins — persist
+    //    so neither side re-shingles.
     val shB = graft.Caches.register(shingleTable(b2, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val shC = graft.Caches.register(shingleTable(corpus, textCol, idCol, k)

@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Guard for the long-cast id projections below: a string (or other
+    * non-integral) id column would survive `cast("long")` as NULL — the
+    * whole graph silently collapsing to null ids — where the pre-r12
+    * `getLong` access at least failed loudly. Fail fast with the column
+    * name instead; callers with string ids should dense-encode first
+    * (e.g. via a dictionary join), which is also the right 100-TB shape:
+    * long ids shuffle and sort far cheaper than strings.
+    */
+  private def requireIntegralIds(df: DataFrame, cols: String*): Unit = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graph id column '$c' must be an integral type, got " +
+            s"${dt.simpleString}; cast('long') would null out non-numeric " +
+            "ids silently — dense-encode string ids before calling")
+      }
+    }
+  }
+
   /** PageRank with `iters` power iterations and damping `d`.
     *
     * Scale shape: per iteration, ONE shuffle — contributions flow along
@@ -52,6 +73,8 @@ object Graph {
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
       iters: Int = 10, d: Double = 0.85,
       deterministic: Boolean = false): DataFrame = {
+    requireIntegralIds(edges, "src", "dst")
+    requireIntegralIds(nodes, idCol)
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     // The edge table is the big, loop-invariant side: every iteration joins
@@ -139,6 +162,7 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol)
     val und = edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
@@ -241,6 +265,7 @@ object Graph {
     */
   def shortestHops(edges0: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    requireIntegralIds(edges0, "src", "dst")
     val edges = graft.Caches.register(
       edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sym = edges

@@ -104,6 +104,13 @@ object QualityModel {
     // training steps only (restored after — the returned scoring plan
     // runs under the session's normal config), labels broadcast into the
     // error join so with the co-partitioned cache each step is one job.
+    // CONCURRENCY CAVEAT: spark.sql.adaptive.enabled is SESSION-wide
+    // runtime conf — any query planned concurrently on this same
+    // SparkSession during the (short) training loop would also plan
+    // without AQE. The registry/bench/verify harnesses run queries
+    // sequentially on one session, which is the assumed mode; a caller
+    // embedding this trainer in a multi-threaded session should wrap it
+    // in `df.sparkSession.newSession()`-scoped frames instead.
     val sess = df.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")

@@ -294,4 +294,18 @@ class Round4OpsSpec extends SparkSpec {
     graft.Caches.releaseAll()
     assert(hops == Map(2L -> 0L, 1L -> 1L, 3L -> 1L))
   }
+
+  test("graph ops reject string node ids loudly (r13 advice)") {
+    // cast('long') on a string id column yields NULLs, silently collapsing
+    // the graph; the guard must fail fast with the offending column name
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c").toDF("id")
+    val e1 = intercept[IllegalArgumentException](Graph.shortestHops(edges, 2))
+    assert(e1.getMessage.contains("src"))
+    val e2 = intercept[IllegalArgumentException](Graph.triangleCount(edges))
+    assert(e2.getMessage.contains("integral"))
+    val e3 = intercept[IllegalArgumentException](
+      Graph.pageRank(edges, nodes, "id"))
+    assert(e3.getMessage.contains("integral"))
+  }
 }
