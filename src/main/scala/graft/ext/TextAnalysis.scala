@@ -336,27 +336,44 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    // short-input guards spelled as explicit CASEs: Spark's sequence(1, 0)
-    // DESCENDS ([1, 0]) instead of returning empty like generate_series.
-    // Window minima are w SHIFTED SLICES folded with zip_with(least):
-    // per-position slice+array_min inside a transform lambda (all HOF
-    // lambdas run interpreted) allocated an O(w) array per gram position;
-    // the w-slice fold allocates O(w) arrays per DOCUMENT (measured ~2.5x
-    // faster on the minima stage; the k-gram md5s dominate the rest and
-    // are definitional — the oracle replays them hash-for-hash).
-    val grams = col("__grams")
-    val winMins = (1 to w)
-      .map(i => slice(grams, lit(i), size(grams) - (w - 1)))
-      .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    df.select(col(idCol), lower(col(textCol)).as("__t"))
-      .withColumn("__grams", expr(
-        s"CASE WHEN length(__t) < $k THEN CAST(array() AS ARRAY<BIGINT>) " +
-          s"ELSE transform(sequence(1, length(__t) - ${k - 1}), " +
-          s"i -> CAST(conv(substring(md5(substring(__t, i, $k)), 1, 15), 16, 10) AS BIGINT)) END"))
-      .withColumn("fingerprints",
-        when(size(grams) < w, expr("CAST(array() AS ARRAY<BIGINT>)"))
-          .otherwise(array_distinct(winMins)))
-      .drop("__t", "__grams")
+    // r13 rewrite: the previous array-based form computed every k-gram
+    // hash inside a transform() lambda and folded the window minima with
+    // zip_with — ALL higher-order-function lambdas run interpreted, so
+    // the per-gram md5+conv paid interpreter dispatch per character
+    // position (~5.8 s at sf0.1 for ~1.5M grams; dominated the query).
+    // Instead explode the gram start positions and hash at TOP LEVEL
+    // (whole-stage codegen, the contaminatedDocs lesson), take the
+    // sliding w-window minimum with a ROWS window frame (bounded O(w)
+    // per row, compiled expression evaluation), and re-aggregate the
+    // distinct minima per doc. Scale shape: ONE shuffle — the window's
+    // doc-keyed exchange — which the groupBy reuses (same key); the
+    // left join restoring short/empty docs is id-keyed and
+    // column-pruned. Hash values and the resulting fingerprint SET are
+    // identical to the old form (same 60-bit md5-prefix hash, same
+    // window minima); the array is now sorted rather than
+    // first-occurrence ordered — no consumer depends on order (it is a
+    // set by construction), and sorting makes the output deterministic
+    // across partitionings.
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol), lower(col(textCol)).as("__t"))
+    // only docs long enough for at least one full w-window of grams
+    // produce fingerprints (len >= k + w - 1 <=> nGrams >= w)
+    val pos = t.where(length(col("__t")) >= k + w - 1)
+      .select(col(idCol), col("__t"),
+        (length(col("__t")) - (k - 1)).as("__n"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__i"))
+      .select(col(idCol), col("__n"), col("__i"),
+        expr(s"CAST(conv(substring(md5(substring(__t, __i, $k)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"))
+    val win = Window.partitionBy(idCol).orderBy("__i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val mins = pos.withColumn("__m", min(col("__h")).over(win))
+      // trailing positions whose frame is shorter than w are not windows
+      .where(col("__i") <= col("__n") - (w - 1))
+      .groupBy(idCol).agg(sort_array(collect_set(col("__m"))).as("fingerprints"))
+    t.select(col(idCol)).join(mins, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("fingerprints"),
+        expr("CAST(array() AS ARRAY<BIGINT>)")).as("fingerprints"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text —

@@ -85,25 +85,30 @@ object QualityModel {
   def scoreQuality(df: DataFrame, textCol: String, idCol: String,
       dim: Int = 64, iters: Int = 8): DataFrame = {
     require(dim > 0 && iters >= 0, s"bad dim=$dim / iters=$iters")
-    // co-partition features AND labels by doc_id BEFORE persisting: the
-    // cached exchange then satisfies every per-iteration requirement (the
-    // per-doc dot-product agg, the error join, the gradient fetch join),
-    // so each GD step's only shuffle is the 65-key gradient aggregate —
-    // the iteration loop never re-exchanges the corpus-sized tables
-    val feat = graft.Caches.register(featureTable(df, textCol, idCol, dim)
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val labels = graft.Caches.register(labelTable(df, textCol, idCol)
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nDocs = labels.count().toDouble
+    // r13: fold the label ONTO the feature rows once, co-partitioned by
+    // doc_id, BEFORE persisting — one cached table satisfies every
+    // per-iteration requirement (the per-doc dot-product agg reads x AND
+    // y from the same rows; the gradient fetch join is co-partitioned),
+    // so each GD step is ONE driver-blocking job whose only exchange is
+    // the 65-key gradient aggregate. The previous shape broadcast a
+    // separate persisted labels table into the error join, which
+    // rebuilt a broadcast exchange (an extra job) EVERY step — ~2x the
+    // loop's job count for zero data reasons.
+    val feat = graft.Caches.register(
+      featureTable(df, textCol, idCol, dim)
+        .join(labelTable(df, textCol, idCol), Seq("doc_id"))
+        .repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // every labeled doc has exactly one bias row (j = dim) — counting
+    // them counts docs, off the same cache that the loop reads
+    val nDocs = feat.where(col("j") === dim).count().toDouble
     val w = Array.fill(dim + 1)(0.0)
     // The loop's plans are tiny and fixed-shape; AQE's stage-by-stage
     // materialization turns each step into ~5 driver-blocking jobs of
     // pure scheduling latency. Pin the strategy instead: AQE off for the
     // training steps only (restored after — the returned scoring plan
-    // runs under the session's normal config), labels broadcast into the
-    // error join so with the co-partitioned cache each step is one job.
+    // runs under the session's normal config); with y folded into the
+    // co-partitioned cache each step is exactly one job.
     // CONCURRENCY CAVEAT: spark.sql.adaptive.enabled is SESSION-wide
     // runtime conf — any query planned concurrently on this same
     // SparkSession during the (short) training loop would also plan
@@ -123,11 +128,13 @@ object QualityModel {
       for (_ <- 0 until iters) {
         val wDf = w.toIndexedSeq.zipWithIndex
           .map { case (v, j) => (j, v) }.toDF("j", "w")
-        // per-doc dot product as an order-invariant fixed-point long sum
+        // per-doc dot product as an order-invariant fixed-point long sum;
+        // y rides the same aggregate (constant per doc — max is exact)
         val z = feat.join(broadcast(wDf), Seq("j"))
           .groupBy("doc_id").agg(
-            (sum(floor(col("w") * col("x") * lit(1e12))) / lit(1e12)).as("z"))
-        val err = z.join(broadcast(labels), Seq("doc_id"))
+            (sum(floor(col("w") * col("x") * lit(1e12))) / lit(1e12)).as("z"),
+            max(col("y")).as("y"))
+        val err = z
           .select(col("doc_id"), (sigmoid(col("z")) - col("y")).as("e"))
         // per-bucket gradient cells — ≤ dim+1 rows reach the driver
         val grads = feat.join(err, Seq("doc_id"))
@@ -142,9 +149,9 @@ object QualityModel {
     val wl = typedLit(w.toIndexedSeq)
     val zf = feat.groupBy("doc_id").agg(
       (sum(floor(element_at(wl, col("j") + 1) * col("x") * lit(1e12)))
-        / lit(1e12)).as("z"))
-    zf.join(labels, Seq("doc_id"))
-      .select(col("doc_id"), col("y").cast("int").as("label"),
+        / lit(1e12)).as("z"),
+      max(col("y")).as("y"))
+    zf.select(col("doc_id"), col("y").cast("int").as("label"),
         round(sigmoid(col("z")), 6).as("score"),
         when(sigmoid(col("z")) >= 0.5, 1).otherwise(0).as("pred"))
   }
