@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature, NfcNormalize}
+import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature, NfcNormalize, PlanBarrier}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // graft_barrier(e): identity, but nondeterministic to the optimizer —
+    // the filter-pushdown barrier behind graft.ops.Plans.noPushdown
+    ext.injectFunction((
+      new FunctionIdentifier("graft_barrier"),
+      new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
+      (children: Seq[Expression]) => PlanBarrier(children.head)))
     // graft_minhash(baseHashes, numHashes): numHashes must be an int literal
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

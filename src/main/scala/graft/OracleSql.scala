@@ -61,7 +61,8 @@ object OracleSql {
   private val describeNumeric: String = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     cols.map { c =>
-      s"""SELECT '$c' AS column_name, count($c) AS cnt, round(avg($c), 6) AS mean,
+      s"""SELECT '$c' AS column_name, count($c) AS cnt,
+         |  round(CAST(sum(CAST($c AS DECIMAL(28,12))) AS DOUBLE) / count($c), 6) AS mean,
          |  round(stddev_samp($c), 6) AS std, round(CAST(min($c) AS DOUBLE), 6) AS min_v,
          |  round(quantile_cont($c, 0.25), 6) AS p25, round(quantile_cont($c, 0.5), 6) AS p50,
          |  round(quantile_cont($c, 0.75), 6) AS p75, round(CAST(max($c) AS DOUBLE), 6) AS max_v
@@ -2112,7 +2113,8 @@ object OracleSql {
     "q_c6_describe_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(l_extendedprice) AS cnt,
-        |  round(avg(l_extendedprice), 6) AS mean,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(l_extendedprice), 6) AS mean,
         |  round(stddev_samp(l_extendedprice), 6) AS std,
         |  round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_v,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
@@ -2709,6 +2711,93 @@ object OracleSql {
         |    AS attributed_revenue
         |FROM f WHERE isp = 1
         |GROUP BY channel ORDER BY channel NULLS FIRST""".stripMargin,
+
+    // DSIR: hashed unigram+bigram log-likelihood ratio, λ per bucket
+    // rounded to 6 and scaled to exact integer micro-units (the cast
+    // rounds to nearest, absorbing the float-multiply ulp — the Spark
+    // side scales in BigDecimal), then pure integer scoring.
+    "q_dsir_weights" ->
+      (s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(tk) AS g FROM t),
+         |bi AS (SELECT doc_id, source, unnest(list_transform(
+         |    generate_series(1, len(tk) - 1), i -> concat(tk[i], ' ', tk[i+1]))) AS g
+         |  FROM t WHERE len(tk) >= 2),
+         |gb AS (SELECT doc_id, source,
+         |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |rawc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket),
+         |tgtc AS (SELECT bucket, count(*) AS c FROM gb
+         |  WHERE source IN ('src1','src2','src3','src4','src5') GROUP BY bucket),
+         |tot AS (SELECT (SELECT sum(c) FROM rawc) AS nr,
+         |               (SELECT COALESCE(sum(c), 0) FROM tgtc) AS nt),
+         |lam AS (SELECT r.bucket,
+         |    CAST(round((ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)) - ln(CAST(tot.nt + 256 AS DOUBLE)))
+         |             - (ln(CAST(r.c + 1 AS DOUBLE)) - ln(CAST(tot.nr + 256 AS DOUBLE))), 6)
+         |         * 1000000 AS BIGINT) AS lam6
+         |  FROM rawc r CROSS JOIN tot LEFT JOIN tgtc tc ON r.bucket = tc.bucket),
+         |db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2),
+         |sc AS (SELECT db.doc_id, sum(db.n) AS n_grams, sum(db.n * l.lam6) AS s6
+         |  FROM db JOIN lam l ON db.bucket = l.bucket GROUP BY db.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |  COALESCE(round(CAST(sc.s6 AS DOUBLE) / 1000000.0, 6), 0.0) + 0.0 AS log_w
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    "q_dsir_select" ->
+      (s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(tk) AS g FROM t),
+         |bi AS (SELECT doc_id, source, unnest(list_transform(
+         |    generate_series(1, len(tk) - 1), i -> concat(tk[i], ' ', tk[i+1]))) AS g
+         |  FROM t WHERE len(tk) >= 2),
+         |gb AS (SELECT doc_id, source,
+         |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |rawc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket),
+         |tgtc AS (SELECT bucket, count(*) AS c FROM gb
+         |  WHERE source IN ('src1','src2','src3','src4','src5') GROUP BY bucket),
+         |tot AS (SELECT (SELECT sum(c) FROM rawc) AS nr,
+         |               (SELECT COALESCE(sum(c), 0) FROM tgtc) AS nt),
+         |lam AS (SELECT r.bucket,
+         |    CAST(round((ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)) - ln(CAST(tot.nt + 256 AS DOUBLE)))
+         |             - (ln(CAST(r.c + 1 AS DOUBLE)) - ln(CAST(tot.nr + 256 AS DOUBLE))), 6)
+         |         * 1000000 AS BIGINT) AS lam6
+         |  FROM rawc r CROSS JOIN tot LEFT JOIN tgtc tc ON r.bucket = tc.bucket),
+         |db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2),
+         |sc AS (SELECT db.doc_id, sum(db.n * l.lam6) AS s6
+         |  FROM db JOIN lam l ON db.bucket = l.bucket GROUP BY db.doc_id),
+         |w AS (SELECT d.doc_id,
+         |    COALESCE(round(CAST(sc.s6 AS DOUBLE) / 1000000.0, 6), 0.0) + 0.0 AS log_w
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |sel AS (SELECT doc_id, log_w FROM w ORDER BY log_w DESC, doc_id LIMIT 50)
+         |SELECT doc_id, log_w FROM sel ORDER BY doc_id""".stripMargin),
+
+    // SemDeDup: same fixed-centroid assignment as q_sim_ivf_assign, then
+    // within-cluster cosine pairs and min-label transitive closure (the
+    // q_dedup_cluster recursive-CTE device). Cosine is the same
+    // dot/(sqrt*sqrt) DAG the fused graft_cos kernel computes.
+    "q_sim_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid, e.v,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, v,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+        |w AS (SELECT vec_id, cid, v FROM r WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION SELECT id_b, id_a FROM p
+        |          UNION SELECT vec_id, vec_id FROM embeddings),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION SELECT rr.a, ee.b FROM reach rr JOIN edges ee ON rr.b = ee.a)
+        |SELECT a AS vec_id, min(b) AS group_id,
+        |  CASE WHEN a = min(b) THEN 1 ELSE 0 END AS keep
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     // fixed hash-selected centroids; d2 spelled through list_dot_product
     // exactly like the Spark side's graft_dot kernel; ties (d2, cid)

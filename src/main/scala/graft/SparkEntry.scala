@@ -2600,6 +2600,47 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- DSIR importance weights (r13): hashed unigram+bigram
+    // log-likelihood ratio of a target domain (sources src1-src5) vs the
+    // raw corpus; λ per bucket is a bounded driver decision re-emitted as
+    // fixed-point literals, so scoring is exact integer arithmetic
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val target = docs.where(col("source")
+        .isin("src1", "src2", "src3", "src4", "src5"))
+      graft.ext.Importance.dsirWeights(docs, "text", "doc_id",
+          target, "text", dim = 256)
+        .orderBy("doc_id")
+    }),
+
+    // -- DSIR selection: deterministic top-50 by log importance ratio
+    // (temperature->0 resampling; ties break to the smaller doc_id)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val target = docs.where(col("source")
+        .isin("src1", "src2", "src3", "src4", "src5"))
+      graft.ext.Importance.dsirSelect(docs, "text", "doc_id",
+          target, "text", k = 50, dim = 256)
+        .orderBy("doc_id")
+    }),
+
+    // -- SemDeDup (r13): semantic-duplicate groups — fixed md5-selected
+    // k-means centroids (the q_sim_ivf_assign device), within-cluster
+    // cosine pairs at tau=0.4, transitive grouping, keep = min id per
+    // group; the oracle replays assignment, pair generation, and the
+    // closure as a recursive CTE
+    "q_sim_semdedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.semDedup(emb, "vec_id", "e", cents.toIndexedSeq, tau = 0.4)
+        .select(col("id").as("vec_id"), col("group_id"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // -- the IVF ANN QUERY itself, oracle-gated end-to-end: same fixed
     // md5-selected centroids as q_sim_ivf_assign, probe the 4 of 8
     // clusters nearest the query (REAL pruning, not a vacuous filter),
@@ -3009,7 +3050,7 @@ object SparkEntry {
     "q_curate_budget" -> ((s, dir) => {
       val scored = T(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("__tk"))
-        .where(size(col("__tk")) > 0)
+        .where(graft.ops.Plans.noPushdown(size(col("__tk")) > 0))
         .select(col("doc_id"), col("lang"),
           size(col("__tk")).cast("long").as("n_tokens"),
           (size(array_distinct(col("__tk"))).cast("double") /
@@ -3390,7 +3431,7 @@ object SparkEntry {
       val scored = T(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokens(col("text")).as("__tk"))
-        .where(size(col("__tk")) > 0)
+        .where(graft.ops.Plans.noPushdown(size(col("__tk")) > 0))
         .select(col("doc_id"), col("lang"),
           size(col("__tk")).cast("long").as("n_tokens"),
           (size(array_distinct(col("__tk"))).cast("double") /

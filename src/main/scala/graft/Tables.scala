@@ -10,6 +10,57 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Natural unique key per table, used by the fan-out exchange below so
+    * downstream keyed operations (groupBy/join on the same key) can reuse
+    * the partitioning instead of exchanging a second time.
+    */
+  private val fanKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Fan a low-parallelism scan out to the session's full parallelism.
+    *
+    * The driver-generated fixtures are ONE parquet file with ONE row
+    * group per table, so Spark's split computation yields a single input
+    * partition no matter what maxPartitionBytes says — every scan-side
+    * computation (tokenize/shingle/hash projections, filters, partial
+    * aggregates) then runs in ONE task while 31 cores idle, and every
+    * consumer of a cached single-partition table serializes on that one
+    * cache build (measured: six concurrent 5.5 s single-task stages under
+    * q_dedup_jaccard_prefix, all waiting on the same partition).
+    *
+    * The exchange is GUARDED: it fires only when the scan's actual split
+    * count is below half the cluster parallelism AND the file is big
+    * enough to matter (tiny dimension tables stay single-partition —
+    * 32 near-empty tasks cost more than they save, and those tables are
+    * broadcast anyway). On a production cluster reading many files /
+    * row groups the guard is false and load() adds nothing — which is
+    * the correct 100-TB shape: input splits already provide parallelism
+    * there, and an unconditional corpus-wide reshuffle would be a
+    * scale-killer, not an optimization. Hash-partitioning by the
+    * table's natural key (not round-robin) keeps the row→partition map
+    * deterministic across reruns and task retries with no
+    * sort-before-repartition pass, and lets doc_id/orderkey-keyed
+    * downstream stages reuse the exchange.
+    */
+  private def fanOut(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val sizeOk =
+      try new java.io.File(s"$dir/$name.parquet").length() >= 64 * 1024
+      catch { case _: Throwable => false }
+    fanKeys.get(name) match {
+      case Some(key) if sizeOk && df.schema.fieldNames.contains(key) &&
+          df.rdd.getNumPartitions * 2 <= target =>
+        import org.apache.spark.sql.functions.col
+        df.repartition(target, col(key))
+      case _ => df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts must come out as TimestampType (UTC sessions) — the
@@ -23,7 +74,7 @@ object Tables {
     //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
     //    TIMESTAMP_NTZ; the cast interprets the wall-clock in the UTC
     //    session timezone — the same instant the generator wrote.
-    if (name == "events" && df.schema.fieldNames.contains("ts")) {
+    val converted = if (name == "events" && df.schema.fieldNames.contains("ts")) {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -34,5 +85,6 @@ object Tables {
         case _ => df
       }
     } else df
+    fanOut(spark, dir, name, converted)
   }
 }

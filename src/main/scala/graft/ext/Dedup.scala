@@ -179,7 +179,7 @@ object Dedup {
     // Empty-shingle docs are dropped via the cheap token-count predicate
     // (equivalent to size(sh)==0, without re-deriving the shingle array).
     val tk = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= k)
+      .where(graft.ops.Plans.noPushdown(size(col("tk")) >= k))
     val shPlain = tk.select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
     // (id, shingles) feeds THREE branches (band generation + both
     // verification fetch joins); without a materialization boundary each
@@ -255,7 +255,7 @@ object Dedup {
   private def shingleTable(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= k)
+      .where(graft.ops.Plans.noPushdown(size(col("tk")) >= k))
       .select(col("id"), shinglesFromTokens(col("tk"), k).as("sh"))
 
   /** (id, band_idx, band_key) LSH band table from a shingle table — the
@@ -707,10 +707,10 @@ object Dedup {
     // shingle stage.
     val tk0 = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("__tk0"))
-      .where(size(col("__tk0")) >= k)
+      .where(graft.ops.Plans.noPushdown(size(col("__tk0")) >= k))
     val docs = graft.Caches.register(tk0
       .select(col("id"), shinglesFromTokens(col("__tk0"), k).as("tk"))
-      .where(size(col("tk")) > 0)
+      .where(graft.ops.Plans.noPushdown(size(col("tk")) > 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = docs.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__df"))

@@ -37,7 +37,7 @@ object SubstringDedup {
 
   /** (doc_id, pos, h): xxhash64 of each k-token gram, pos 0-based. */
   private def gramTable(tk: DataFrame, k: Int): DataFrame =
-    tk.where(size(col("__tk")) >= k)
+    tk.where(graft.ops.Plans.noPushdown(size(col("__tk")) >= k))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
           i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))))))

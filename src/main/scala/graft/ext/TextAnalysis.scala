@@ -110,7 +110,7 @@ object TextAnalysis {
       gramTokens: Int = 8): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive: $gramTokens")
     val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
-      .where(size(col("__tk")) >= gramTokens)
+      .where(graft.ops.Plans.noPushdown(size(col("__tk")) >= gramTokens))
     val grams = tk.select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(0), size(col("__tk")) - gramTokens),
@@ -313,7 +313,7 @@ object TextAnalysis {
     // descending sequence(0, -1) from firing on sub-n-token docs.
     def gramRows(df: DataFrame, text: String, keep: Seq[Column]) =
       df.select(keep :+ tokens(col(text)).as("__tk"): _*)
-        .where(size(col("__tk")) >= n)
+        .where(graft.ops.Plans.noPushdown(size(col("__tk")) >= n))
         .select(keep ++ Seq(col("__tk"),
           explode(sequence(lit(1), size(col("__tk")) - (n - 1))).as("__i")): _*)
         .select(keep :+ md5(concat_ws(" ",
@@ -594,7 +594,7 @@ object TextAnalysis {
       chunkTokens: Int = 8): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
-      .where(size(col("__tk")) >= chunkTokens)
+      .where(graft.ops.Plans.noPushdown(size(col("__tk")) >= chunkTokens))
     val chunks = tk.select(col("doc_id"),
       explode(transform(sequence(lit(0), (size(col("__tk")) / chunkTokens).cast("int") - 1),
         i => md5(concat_ws(" ",
@@ -719,7 +719,7 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, textCol: String, docIdCol: String): DataFrame = {
     val tk = df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
-      .where(size(col("__tk")) >= 2)
+      .where(graft.ops.Plans.noPushdown(size(col("__tk")) >= 2))
     val bg = tk.select(col("doc_id"),
       posexplode(ngramsRaw(col("__tk"), 2)).as(Seq("pos", "bg")))
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))

@@ -51,7 +51,7 @@ object QualityModel {
     val t = col(textCol)
     val tk = tokens(t)
     df.select(col(idCol).as("doc_id"), t.as("__t"), tk.as("__tk"))
-      .where(size(col("__tk")) > 0)
+      .where(graft.ops.Plans.noPushdown(size(col("__tk")) > 0))
       .select(col("doc_id"),
         when(size(col("__tk")) >= 5 &&
           round((length(col("__t")) - length(regexp_replace(lower(col("__t")), "[^a-z0-9]", "")))

@@ -312,12 +312,23 @@ object Clean {
     *     map-side combine and matches pandas/DuckDB `quantile_cont`
     *     bit-for-bit.
     */
+  /** Order-invariant mean: exact DECIMAL(28,12) sum (the per-row
+    * double→decimal cast has no representable ties, so both engines round
+    * identically), cast to double once, divided by the count. A plain
+    * avg() sums doubles in partial-aggregate tree order — the r13 table
+    * fan-out changed that order and flipped l_discount's mean across a
+    * round-6 boundary at sf0.01 (0.049918 vs 0.049919). Oracle spelling:
+    * `round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) / count(c), 6)`.
+    */
+  private def exactMean(v: Column): Column =
+    sum(v.cast(DecimalType(28, 12))).cast(DoubleType) / count(v)
+
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
         count(v).as(s"${c}__cnt"),
-        round(avg(v), 6).as(s"${c}__mean"),
+        round(exactMean(v), 6).as(s"${c}__mean"),
         round(stddev_samp(v), 6).as(s"${c}__std"),
         round(min(v).cast(DoubleType), 6).as(s"${c}__min"),
         round(max(v).cast(DoubleType), 6).as(s"${c}__max"))
@@ -354,7 +365,7 @@ object Clean {
     val v = col(valueCol)
     val moments = df.groupBy(keys.map(col): _*).agg(
       count(v).as("cnt"),
-      round(avg(v), 6).as("mean"),
+      round(exactMean(v), 6).as("mean"),
       round(stddev_samp(v), 6).as("std"),
       round(min(v).cast(DoubleType), 6).as("min_v"),
       round(max(v).cast(DoubleType), 6).as("max_v"))

@@ -156,10 +156,16 @@ class ReshapeJoinsPreprocessSpec extends SparkSpec {
   }
 
   test("plan: hashSample is a pure filter — no Exchange, no Sort") {
+    // Tables.load may itself carry the single-row-group fan-out exchange;
+    // the property under test is that hashSample ADDS none on top of its
+    // input, so count exchanges relative to the raw input plan.
     val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    def n(p: String, tok: String) = tok.r.findAllIn(p).length
+    val base = df.queryExecution.executedPlan.toString
     val plan = Sampling.hashSample(df, "o_orderkey", 100)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+    assert(n(plan, "Exchange") == n(base, "Exchange") &&
+      n(plan, "Sort") == n(base, "Sort"),
       s"hashSample must stay shuffle-free:\n$plan")
   }
 
