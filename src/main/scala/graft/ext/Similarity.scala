@@ -363,6 +363,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540):
+    * semantic-duplicate GROUPS over an embedding column. The published
+    * recipe: k-means-cluster the embeddings, compare pairs only WITHIN a
+    * cluster (semantic duplicates land in the same cluster by
+    * construction), connect pairs whose cosine exceeds `tau`, keep one
+    * representative per connected group.
+    *
+    * Scale shape — this is the entire point of the method: the pair join
+    * is an equi-join on `cluster_id`, so the quadratic term is bounded by
+    * the largest CLUSTER, never the corpus (raise k as the corpus grows —
+    * the paper runs k=110k over 5B embeddings); cosine is the fused
+    * native `graft_cos` kernel inside the join projection; grouping
+    * reuses [[Dedup.clusterNearDups]] (label propagation / bounded
+    * union-find — transitivity matters: A~B and B~C must not keep both B
+    * and C when A is kept).
+    *
+    * Determinism: `centroids` are caller-fixed (the md5-order device of
+    * the IVF queries), assignment ties break to the smaller centroid id
+    * via [[assignToCentroids]], group label = min member id. The oracle
+    * replays assignment, pair generation, and the transitive closure in
+    * SQL.
+    *
+    * @return (id, group_id, keep) — one row per input vector; `keep` = 1
+    *         on the group's min id (singletons trivially keep)
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau in (0,1], got $tau")
+    val vecs = df.select(col(idCol).as("id"),
+      VectorOps.toDouble(col(vecCol)).as("__v"))
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+      .select(col("id"), col("cluster_id"))
+    val w = graft.Caches.register(vecs.join(assigned, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = w.select(col("cluster_id"), col("id").as("id_a"), col("__v").as("__va"))
+      .join(w.select(col("cluster_id"), col("id").as("id_b"), col("__v").as("__vb")),
+        Seq("cluster_id"))
+      .where(col("id_a") < col("id_b") &&
+        VectorOps.cosineNative(col("__va"), col("__vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    graft.ext.Dedup.clusterNearDups(pairs, df.select(col(idCol).as("id")), "id")
+      .select(col("id"), col("cluster_id").as("group_id"),
+        when(col("id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+  }
+
   /** IVF (inverted-file) ANN: cluster the corpus once with k-means, store
     * the centroid id per row (at ingest time this becomes the table's
     * partition column), then probe only the `nProbe` clusters whose

@@ -208,4 +208,24 @@ class DedupSimilaritySpec extends SparkSpec {
       s"prefix join must be exact: got ${got.keySet} expected ${exp.keySet}")
     exp.foreach { case (p, j) => assert(approx(got(p), j)) }
   }
+
+  test("semDedup groups transitively within clusters and keeps min id") {
+    // cluster 1 (x-direction): 1 ~ 2 (cos≈1), 2 ~ 3 (cos≈1) — 1-2-3 is ONE
+    // group even if 1~3 were below tau (transitivity); 4 is x-ish but
+    // nearly orthogonal (below tau). cluster 2 (y-direction): 5 alone.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.04, 0.0)),
+      (3L, Seq(0.995, 0.09, 0.0)),
+      (4L, Seq(0.5, 0.0, 0.86)),
+      (5L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "e")
+    val cents = Seq((1L, Seq(1.0, 0.0, 0.0)), (5L, Seq(0.0, 1.0, 0.0)))
+    val out = Similarity.semDedup(vecs, "vec_id", "e", cents, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    graft.Caches.releaseAll()
+    assert(out(1L) == (1L, 1) && out(2L) == (1L, 0) && out(3L) == (1L, 0),
+      s"1-2-3 must be one group keeping 1: $out")
+    assert(out(4L) == (4L, 1) && out(5L) == (5L, 1), s"singletons keep: $out")
+  }
 }
