@@ -32,9 +32,9 @@ object Tables {
     * cache build (measured: six concurrent 5.5 s single-task stages under
     * q_dedup_jaccard_prefix, all waiting on the same partition).
     *
-    * The exchange is GUARDED: it fires only when the scan's actual split
-    * count is below half the cluster parallelism AND the file is big
-    * enough to matter (tiny dimension tables stay single-partition —
+    * The exchange is GUARDED: it fires only when the scan's estimated
+    * split count is below half the cluster parallelism AND the file is
+    * big enough to matter (tiny dimension tables stay single-partition —
     * 32 near-empty tasks cost more than they save, and those tables are
     * broadcast anyway). On a production cluster reading many files /
     * row groups the guard is false and load() adds nothing — which is
@@ -46,15 +46,32 @@ object Tables {
     * sort-before-repartition pass, and lets doc_id/orderkey-keyed
     * downstream stages reuse the exchange.
     */
+  private def bytesConf(spark: SparkSession, key: String, default: Long): Long =
+    try org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(key, default.toString))
+    catch { case _: Throwable => default }
+
   private def fanOut(spark: SparkSession, dir: String, name: String,
       df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    val sizeOk =
-      try new java.io.File(s"$dir/$name.parquet").length() >= 64 * 1024
-      catch { case _: Throwable => false }
+    val size =
+      try new java.io.File(s"$dir/$name.parquet").length()
+      catch { case _: Throwable => 0L }
+    // Estimate the scan's split count from file size alone — NO df.rdd
+    // probe: materializing the RDD graph forces whole-stage-codegen
+    // compilation of the scan stage (~0.3-0.5 s of Janino per load),
+    // which a first implementation paid on EVERY query and which showed
+    // up as a uniform +0.5 s tail across the bench. Spark's split math:
+    // maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    // totalBytes/minPartitionNum)).
+    val maxPart = bytesConf(spark, "spark.sql.files.maxPartitionBytes", 128L << 20)
+    val openCost = bytesConf(spark, "spark.sql.files.openCostInBytes", 4L << 20)
+    val maxSplit = math.min(maxPart,
+      math.max(openCost, size / math.max(1, target)))
+    val estSplits = math.max(1L, (size + maxSplit - 1) / maxSplit)
     fanKeys.get(name) match {
-      case Some(key) if sizeOk && df.schema.fieldNames.contains(key) &&
-          df.rdd.getNumPartitions * 2 <= target =>
+      case Some(key) if size >= 64 * 1024 && estSplits * 2 <= target &&
+          df.schema.fieldNames.contains(key) =>
         import org.apache.spark.sql.functions.col
         df.repartition(target, col(key))
       case _ => df

@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed image input streams: every decode
+  // writes a temp cache file, which serializes 32 concurrent decoder
+  // tasks on filesystem contention (measured 2x wall inflation on the
+  // dhash fixture once the r13 table fan-out parallelized the decode
+  // stage). All payloads here are small in-memory byte arrays — cache
+  // memory-backed instead. Object-init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("kind", StringType),          // image | audio | video | text
     StructField("mime", StringType),
