@@ -63,16 +63,16 @@ class BarrierPlanSpec extends SparkSpec {
     assert(got == Set(1, 3))
   }
 
-  test("Tables.load fans a single-row-group table out to session parallelism") {
-    // sf0.01 lineitem is a 1-row-group ~1MB file — must fan out; sf0.001
-    // orders (36KB) and nation sit under the size guard — must NOT (a
-    // fleet of near-empty tasks costs more than it saves)
-    val df = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+  test("Tables.load fans CPU-heavy payload tables out to session parallelism") {
+    // sf0.1 documents is a 1-row-group file over the size guard — must
+    // fan out; numeric fact tables (lineitem) and tiny dims (nation) are
+    // excluded by design (see Tables.fanKeys)
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
     assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
       s"fan-out missing: ${df.rdd.getNumPartitions} partitions")
-    val small = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
-    assert(small.rdd.getNumPartitions == 1,
-      s"sub-64KB table must not fan out: ${small.rdd.getNumPartitions}")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    assert(li.rdd.getNumPartitions == 1,
+      s"numeric fact table must not fan out by default: ${li.rdd.getNumPartitions}")
     val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
     assert(nation.rdd.getNumPartitions == 1,
       s"tiny dim must not fan out: ${nation.rdd.getNumPartitions}")
