@@ -3514,9 +3514,15 @@ object SparkEntry {
     // bench path trains DT + RF; the GBT/OneVsRest flavor is exercised by
     // the ScalaTest suite (10-class OneVsRest-GBT is too slow for a bench
     // loop and adds no oracle value)
+    // coalesce(4): the r13 embeddings fan-out gives 32 partitions of ~60
+    // rows — MLlib's per-iteration tree aggregates then pay 32 tiny tasks
+    // per depth level for nothing (2.5 s -> 4.1 s measured); narrowing
+    // back (no shuffle) restores the fast shape without losing the
+    // fan-out for the similarity queries that need it
     "q_ml_train_clf" -> ((s, dir) =>
       Models.trainModels(s,
-        Models.assembleFromArray(T(s, dir, "embeddings"), "embedding", "label"),
+        Models.assembleFromArray(T(s, dir, "embeddings"), "embedding", "label")
+          .coalesce(4),
         isClassification = true, rfTrees = 10,
         include = Set("decision_tree", "random_forest"))),
     "q_ml_train_reg" -> ((s, dir) =>
