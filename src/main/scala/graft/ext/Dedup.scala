@@ -252,7 +252,7 @@ object Dedup {
     * shared by the batch and corpus sides of [[incrementalDedup]].
     * Sub-`k`-token docs are dropped (no shingles → can never match).
     */
-  private def shingleTable(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def shingleTable(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .where(graft.ops.Plans.noPushdown(size(col("tk")) >= k))
@@ -262,7 +262,7 @@ object Dedup {
     * narrow probe rows for banded candidate joins (shingle arrays never
     * enter the shuffle).
     */
-  private def bandTable(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandTable(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sig = sh.select(col("id"), shingleHashes(col("sh")).as("hs"))
       .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
