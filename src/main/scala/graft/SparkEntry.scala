@@ -1708,7 +1708,13 @@ object SparkEntry {
     // stage only shrinks (or token-trims) the data, so the composite
     // costs less than the sum of its standalone queries.
     "q_llm_pipeline" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      // the composite runs ~10 driver-blocking jobs, most of which read
+      // the corpus: pin the (fanned) base table once so each job hits
+      // the 32-partition cache instead of re-running the single-task
+      // scan + fan-out exchange (two ~0.45 s serial scan stages per
+      // execution measured without the pin)
+      val docs = graft.Caches.register(T(s, dir, "documents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val q = TextAnalysis.qualityFilter(docs, "text",
         minTokens = 5, maxNonAlnumRatio = 0.4,
         minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
