@@ -893,6 +893,23 @@ object OracleSql {
       s"""WITH ${minhashCtes(k = 5)}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
+    // leakage-free split: near-dup cluster labels (recursive closure over
+    // the q_dedup_minhash pair graph at k=5) hashed with the same md5
+    // mill — membership is per-CLUSTER, so pairs cannot straddle
+    "q_split_bycluster" ->
+      (s"""WITH RECURSIVE ${minhashCtes(k = 5)},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs
+         |          UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  CAST(CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    % 1000 < 800 AS INTEGER) AS in_train
+         |FROM labels ORDER BY doc_id""".stripMargin),
+
     // split leakage: the q_dedup_minhash pair set vs the md5-mill 80/20
     // split (same hash as Sampling.hashMill)
     "q_split_leakage" ->
@@ -2560,6 +2577,16 @@ object OracleSql {
         |GROUP BY 1 ORDER BY lineitem.l_returnflag""".stripMargin,
 
     // winnowing: 8-char-gram 60-bit md5 hashes, min per 4-hash window
+    // indexed substring search: the oracle is the SEMANTIC result (plain
+    // strpos containment scan) — hash-matching it proves the Spark-side
+    // gram-index pre-filter is lossless
+    "q_text_substr_search" ->
+      """WITH q AS (SELECT substr(lower(text), 11, 24) AS s FROM documents WHERE doc_id = 0)
+        |SELECT d.doc_id, CAST(strpos(lower(d.text), q.s) AS INTEGER) AS pos
+        |FROM documents d CROSS JOIN q
+        |WHERE strpos(lower(d.text), q.s) > 0
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_text_winnow" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
          |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(t) - 7, 0)),

@@ -492,6 +492,23 @@ object SparkEntry {
           maxBucketSize = 500),
         "id_a", "id_b", trainPerMille = 800)),
 
+    // leakage-FREE split (r13): membership hashes the near-dup CLUSTER
+    // label, so no near-dup pair can straddle the boundary — the
+    // constructive fix for what q_split_leakage audits (same minhash
+    // parametrization; oracle replays clusters via the recursive closure
+    // and the same ‰-hash)
+    "q_split_bycluster" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.25,
+        maxBucketSize = 500)
+      Sampling.splitByCluster(
+          Dedup.clusterNearDups(pairs, docs, "doc_id"), "id", "cluster_id",
+          trainPerMille = 800)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("in_train"))
+        .orderBy("doc_id")
+    }),
+
     // capBuckets ENGAGED and FIRING: k=3 on this corpus produces band
     // buckets up to size 3 at sf0.01 / 4 at sf0.1; cap=2 excludes the
     // oversized buckets from candidate generation. The oracle mirrors the
@@ -2945,6 +2962,19 @@ object SparkEntry {
         .withColumn("bounce_rate",
           round(col("bounces").cast("double") / col("n_sessions").cast("double"), 6))
         .orderBy("day")
+    }),
+
+    // -- indexed substring search (r13): char-8-gram hash pre-filter from
+    // plan-time query-gram literals + exact instr verify; the query is a
+    // deterministic slice of doc 0's text (bounded one-row decision) and
+    // the oracle re-derives it as a scalar subquery + plain strpos scan —
+    // the gate proves the gram index loses NO matching document
+    "q_text_substr_search" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val q = docs.where(col("doc_id") === 0)
+        .select(substring(lower(col("text")), 11, 24)).head().getString(0)
+      Retrieval.substringSearch(docs, "text", "doc_id", q, k = 8)
+        .orderBy("doc_id")
     }),
 
     // -- winnowing (rolling-hash) fingerprints ------------------------------

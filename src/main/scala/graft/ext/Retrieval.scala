@@ -17,6 +17,60 @@ object Retrieval {
 
   import TextAnalysis.tokens
 
+  /** Indexed case-insensitive SUBSTRING search: every document whose
+    * text contains `query`, with the 1-based first match position — the
+    * arbitrary-substring complement to token-based retrieval (a query
+    * like "tion proc" crosses token boundaries and no inverted index
+    * can serve it).
+    *
+    * Plan: a character-k-gram hash PRE-FILTER (the winnowing gram — the
+    * same 60-bit md5-prefix hash, computed post-explode so it codegens)
+    * keeps only documents containing EVERY distinct k-gram of the query
+    * — a necessary condition for containment — and the survivors are
+    * verified with an exact `instr`. The query's gram hashes are
+    * plan-time literals (computed driver-side with the identical md5
+    * construction), so the pre-filter is one codegen'd `isin` over the
+    * exploded gram stream + one doc-keyed aggregate; the corpus is
+    * never string-searched outside the (tiny) candidate set. At 100 TB
+    * the gram→doc index is the thing you precompute and bucket by hash;
+    * the shape here — explode, filter against literals, aggregate,
+    * semi-join — is exactly the probe that index serves. Queries
+    * shorter than `k` fall back to the direct scan (documented: the
+    * pre-filter needs at least one full gram).
+    */
+  def substringSearch(df: DataFrame, textCol: String, idCol: String,
+      query: String, k: Int = 8): DataFrame = {
+    require(query.nonEmpty, "query must be non-empty")
+    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val verified = df
+      .select(col(idCol), instr(lower(col(textCol)), q).as("pos"))
+      .where(col("pos") > 0)
+    if (q.length < k) return verified
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gramHash(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val qHashes = (0 to q.length - k).map(i => gramHash(q.substring(i, i + k)))
+      .distinct
+    val cand = df
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .where(length(col("__t")) >= k)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__i"))
+      .select(col(idCol),
+        expr(s"CAST(conv(substring(md5(substring(__t, __i, $k)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"))
+      .where(col("__h").isin(qHashes: _*))
+      .groupBy(idCol).agg(countDistinct(col("__h")).as("__n"))
+      .where(col("__n") === qHashes.length)
+      .select(col(idCol))
+    df.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), instr(lower(col(textCol)), q).as("pos"))
+      .where(col("pos") > 0)
+  }
+
   /** Inverted-index posting lists: one row per term with document
     * frequency, total occurrences, and the first `maxPostings` doc ids
     * (ascending). `minDocFreq` prunes hapax terms before the sort.

@@ -105,6 +105,27 @@ object Sampling {
           .as("leak_rate"))
   }
 
+  /** Leakage-FREE train/eval split — the constructive fix for what
+    * [[splitLeakage]] audits: membership is a pure hash of the near-dup
+    * CLUSTER label (e.g. [[graft.ext.Dedup.clusterNearDups]] output), so
+    * a near-dup pair — both endpoints sharing a label by construction —
+    * can NEVER straddle the boundary. This is the published train/eval
+    * hygiene practice (assign duplicate groups, not documents, to
+    * splits); singletons hash by their own id, which IS their label.
+    * Same ‰-hash device as [[splitByHash]]: zero shuffle beyond what the
+    * labels already cost, membership survives re-reads and engines.
+    *
+    * @param labels (idCol, clusterCol) one row per document
+    * @return (idCol, clusterCol, in_train 0/1)
+    */
+  def splitByCluster(labels: DataFrame, idCol: String, clusterCol: String,
+      trainPerMille: Int = 800): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      s"trainPerMille in [0, 1000], got $trainPerMille")
+    labels.select(col(idCol), col(clusterCol),
+      (hashMill(col(clusterCol)) < trainPerMille).cast("int").as("in_train"))
+  }
+
   /** EXACT deterministic train/test split: train gets exactly
     * floor(n · perMille / 1000) rows, test the remainder — the row-count
     * contract of sklearn's `train_test_split(test_size=0.2)` that

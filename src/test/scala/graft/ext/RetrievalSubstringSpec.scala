@@ -183,4 +183,27 @@ class RetrievalSubstringSpec extends SparkSpec {
     assert(w10.nonEmpty)
     assert(w10.map(r => (r.getLong(2), r.getLong(3))).max == ((2L, 2L)))
   }
+
+  test("substringSearch: gram pre-filter is lossless, crosses token boundaries, short queries fall back") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "The Catalyst optimizer rewrites logical plans aggressively"),
+      (2L, "catalyst OPTIMIZER rewrites nothing here"),     // case-insensitive hit
+      (3L, "an entirely different body of text"),
+      (4L, "optimizer rewr")                                 // partial only
+    ).toDF("doc_id", "text")
+    // query crosses a token boundary ("r r") — no token index can serve it
+    val q = "optimizer rewrites"
+    val got = Retrieval.substringSearch(docs, "text", "doc_id", q)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = docs
+      .select(col("doc_id"), instr(lower(col("text")), q).as("pos"))
+      .where(col("pos") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == direct && got.keySet == Set(1L, 2L), s"got $got direct $direct")
+    // below-k query: direct-scan fallback, same contract
+    val short = Retrieval.substringSearch(docs, "text", "doc_id", "rewr")
+      .collect().map(_.getLong(0)).toSet
+    assert(short == Set(1L, 2L, 4L))
+  }
 }

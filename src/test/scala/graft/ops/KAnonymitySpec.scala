@@ -114,4 +114,26 @@ class KAnonymitySpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(2))
   }
 
+  test("splitByCluster: near-dup pairs can never straddle the split (leak rate 0 by construction)") {
+    import org.apache.spark.sql.functions.col
+    // pair graph 1-2, 2-3 (one cluster), 10-11 (another); 20 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val labels = graft.ext.Dedup.clusterNearDups(pairs, all, "doc_id")
+    val split = Sampling.splitByCluster(labels, "id", "cluster_id", 800)
+    val m = split.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // every cluster member shares its cluster's membership bit
+    assert(m(1L)._2 == m(2L)._2 && m(2L)._2 == m(3L)._2)
+    assert(m(10L)._2 == m(11L)._2)
+    // and the audit over the pair set reads zero leakage
+    val audited = Sampling.splitLeakage(
+      pairs.join(split.select(col("id").as("id_a"), col("cluster_id").as("__ca")), Seq("id_a"))
+        .select(col("__ca").as("id_a"),
+          col("id_b")) // leakage on CLUSTER keys: both endpoints hash their label
+        .join(split.select(col("id").as("id_b"), col("cluster_id").as("__cb")), Seq("id_b"))
+        .select(col("id_a"), col("__cb").as("id_b")),
+      "id_a", "id_b", 800).head()
+    assert(audited.getLong(1) == 0L, s"cluster split must not leak: $audited")
+  }
+
 }
