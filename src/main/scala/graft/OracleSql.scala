@@ -3649,6 +3649,41 @@ object OracleSql {
          |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY a""".stripMargin
     },
 
+    // golden-record survivorship over the 3-version perturbed customer:
+    // mode name / longest address / latest acctbal / min segment
+    "q_link_golden" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS cluster_id, c_custkey*3 + v AS rec_id, v AS version,
+        |    CASE WHEN v = 2 AND c_custkey % 4 = 0 THEN c_name || '_alt' ELSE c_name END AS name,
+        |    CASE WHEN v = 0 AND c_custkey % 5 = 0 THEN NULL
+        |         WHEN v = 1 THEN c_name || ' BLVD STE ' || CAST(c_custkey % 90 AS VARCHAR)
+        |         ELSE c_name || ' BLVD' END AS address,
+        |    c_acctbal + v*10 AS acctbal,
+        |    c_mktsegment AS segment
+        |  FROM customer, unnest(generate_series(0, 2)) AS t(v)),
+        |base AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_versions,
+        |                min(segment) AS segment
+        |         FROM recs GROUP BY 1),
+        |modec AS (SELECT cluster_id, name, count(*) AS cnt
+        |          FROM recs WHERE name IS NOT NULL GROUP BY 1, 2),
+        |moder AS (SELECT cluster_id, name FROM (
+        |    SELECT cluster_id, name, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY cnt DESC, name) AS rn FROM modec) WHERE rn = 1),
+        |lng AS (SELECT cluster_id, address FROM (
+        |    SELECT cluster_id, address, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY length(address) DESC, address DESC) AS rn
+        |    FROM recs WHERE address IS NOT NULL) WHERE rn = 1),
+        |lat AS (SELECT cluster_id, acctbal FROM (
+        |    SELECT cluster_id, acctbal, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY version DESC, rec_id DESC) AS rn
+        |    FROM recs WHERE acctbal IS NOT NULL) WHERE rn = 1)
+        |SELECT b.cluster_id, b.n_versions, m.name, l.address, a.acctbal, b.segment
+        |FROM base b
+        |LEFT JOIN moder m USING (cluster_id)
+        |LEFT JOIN lng l USING (cluster_id)
+        |LEFT JOIN lat a USING (cluster_id)
+        |ORDER BY b.cluster_id""".stripMargin,
+
     // GDPR cascade blast radius: chained IN-subquery semi-joins
     "q_privacy_cascade" ->
       """WITH k0 AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),

@@ -3266,6 +3266,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -- golden-record survivorship: three deterministic versions per
+    // customer (v2 sometimes perturbs the name, v0 sometimes nulls the
+    // address, v1 appends a suite line, balances drift by version);
+    // survivorship picks name=most-frequent, address=longest,
+    // acctbal=latest, segment=min ------------------------------------
+    "q_link_golden" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val recs = c.select(col("c_custkey").as("cluster_id"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("version"),
+          col("c_name"), concat(col("c_name"), lit(" BLVD")).as("c_address"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .select(col("cluster_id"),
+          (col("cluster_id") * 3 + col("version")).as("rec_id"),
+          col("version"),
+          when(col("version") === 2 && col("cluster_id") % 4 === 0,
+            concat(col("c_name"), lit("_alt"))).otherwise(col("c_name")).as("name"),
+          when(col("version") === 0 && col("cluster_id") % 5 === 0,
+            lit(null).cast("string"))
+            .when(col("version") === 1,
+              concat(col("c_address"), lit(" STE "), col("cluster_id") % 90))
+            .otherwise(col("c_address")).as("address"),
+          (col("c_acctbal") + col("version") * 10).as("acctbal"),
+          col("c_mktsegment").as("segment"))
+      import Harmonize.SurvivorRule._
+      Harmonize.goldenRecord(recs, "cluster_id", "rec_id", Seq(
+          MostFrequent("name"), Longest("address"),
+          Latest("acctbal", "version"), MinValue("segment")))
+        .orderBy("cluster_id")
+    }),
+
     // -- GDPR deletion-cascade blast radius: customers -> orders -> items -
     "q_privacy_cascade" -> ((s, dir) => {
       val cust = T(s, dir, "customer")

@@ -186,6 +186,79 @@ object Harmonize {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** One field-survivorship rule for [[goldenRecord]]: how to pick the
+    * surviving value of `field` within a duplicate cluster. Every rule is
+    * deterministic — ties break on an explicit total order, never on
+    * partitioning — so the golden record is stable across cluster layouts.
+    */
+  sealed trait SurvivorRule { def field: String }
+  object SurvivorRule {
+    /** Value from the most recent non-null version: max (orderCol, idCol). */
+    case class Latest(field: String, orderCol: String) extends SurvivorRule
+    /** Longest non-null value (ties → lexicographically greatest). */
+    case class Longest(field: String) extends SurvivorRule
+    /** Most frequent non-null value (ties → lexicographically smallest). */
+    case class MostFrequent(field: String) extends SurvivorRule
+    /** Plain max over non-null values. */
+    case class MaxValue(field: String) extends SurvivorRule
+    /** Plain min over non-null values. */
+    case class MinValue(field: String) extends SurvivorRule
+  }
+
+  /** Golden-record survivorship — the merge step AFTER entity resolution
+    * (compose with [[linkageScore]] → `Dedup.clusterNearDups`): collapse
+    * each duplicate cluster to ONE canonical record, picking each field's
+    * surviving value by an explicit rule (the survivorship stage of an
+    * MDM pipeline; same semantics family as Talend/Informatica merge
+    * rules, all public). Output: `clusterCol`, `n_versions`, then one
+    * column per rule in rule order.
+    *
+    * Scale: `Latest`/`Longest`/`Max`/`Min` fuse into ONE hash aggregate
+    * on the cluster key (each is a null-guarded `max(struct(...))` with
+    * a total-order tie-break, so partial aggregation map-side combines
+    * and the merge is order-invariant). Each `MostFrequent` field needs
+    * its own (cluster, value) pre-count — that pre-agg also map-side
+    * combines, and its result (≤ one row per distinct value per cluster)
+    * joins back on the SAME cluster key the base aggregate hashed on, so
+    * AQE broadcasts it when small and co-partitions otherwise. No rule
+    * ever widens a row beyond the cluster's own versions — no skew
+    * beyond the cluster-size distribution itself.
+    */
+  def goldenRecord(records: DataFrame, clusterCol: String, idCol: String,
+      rules: Seq[SurvivorRule]): DataFrame = {
+    import SurvivorRule._
+    require(rules.nonEmpty, "goldenRecord needs at least one rule")
+    val reserved = Set(clusterCol, "n_versions")
+    require(rules.forall(r => !reserved.contains(r.field)),
+      s"rule fields may not collide with $reserved")
+    // one-pass rules: null-guarded max(struct(ordering..., field))
+    val onePass: Seq[Column] = rules.collect {
+      case Latest(f, o) =>
+        max(when(col(f).isNotNull, struct(col(o).as("o"), col(idCol).as("i"),
+          col(f).as("v")))).getField("v").as(f)
+      case Longest(f) =>
+        max(when(col(f).isNotNull, struct(length(col(f)).as("len"),
+          col(f).as("v")))).getField("v").as(f)
+      case MaxValue(f) => max(col(f)).as(f)
+      case MinValue(f) => min(col(f)).as(f)
+    }
+    val base = records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_versions"), onePass: _*)
+    // each MostFrequent field: (cluster, value) counts -> deterministic argmax
+    val joined = rules.collect { case MostFrequent(f) => f }
+      .foldLeft(base) { (acc, f) =>
+        val counts = records.where(col(f).isNotNull)
+          .groupBy(col(clusterCol), col(f)).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(clusterCol)).orderBy(col("cnt").desc, col(f).asc)
+        val top = counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col(clusterCol), col(f))
+        acc.join(top, Seq(clusterCol), "left")
+      }
+    joined.select((col(clusterCol) +: col("n_versions") +:
+      rules.map(r => col(r.field))): _*)
+  }
+
   /** Column-mapping suggestion for heterogeneous uploads: for every left
     * column, the closest right column by Levenshtein distance over
     * canonicalized names (the upload-harmonization assist the reference's
