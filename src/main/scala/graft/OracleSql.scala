@@ -1816,6 +1816,51 @@ object OracleSql {
         |FROM lc FULL OUTER JOIN rc ON lc.name = rc.name
         |ORDER BY col_name""".stripMargin,
 
+    // instance-based schema matching: bottom-128 md5 sketch Jaccard over
+    // every customer×supplier column pair (same hash DAG as the engine)
+    "q_schema_match" ->
+      """WITH lvals AS (
+        |  SELECT 'c_custkey' AS left_col, CAST(c_custkey AS VARCHAR) AS v FROM customer
+        |  UNION ALL SELECT 'c_name', c_name FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer),
+        |rvals AS (
+        |  SELECT 's_suppkey' AS right_col, CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+        |  UNION ALL SELECT 's_name', s_name FROM supplier
+        |  UNION ALL SELECT 's_nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 's_acctbal', CAST(s_acctbal AS VARCHAR) FROM supplier),
+        |lsk AS (SELECT left_col, h FROM (
+        |    SELECT left_col, h, row_number() OVER (PARTITION BY left_col ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT left_col,
+        |            CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h
+        |          FROM lvals WHERE v IS NOT NULL)) WHERE rn <= 128),
+        |rsk AS (SELECT right_col, h FROM (
+        |    SELECT right_col, h, row_number() OVER (PARTITION BY right_col ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT right_col,
+        |            CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h
+        |          FROM rvals WHERE v IS NOT NULL)) WHERE rn <= 128),
+        |pu AS (SELECT DISTINCT l.left_col, r.right_col
+        |       FROM (SELECT DISTINCT left_col FROM lsk) l,
+        |            (SELECT DISTINCT right_col FROM rsk) r),
+        |merged AS (
+        |  SELECT left_col, right_col, h, max(in_l) AS in_l, max(in_r) AS in_r
+        |  FROM (
+        |    SELECT pu.left_col, pu.right_col, lsk.h, 1 AS in_l, 0 AS in_r
+        |    FROM pu JOIN lsk ON pu.left_col = lsk.left_col
+        |    UNION ALL
+        |    SELECT pu.left_col, pu.right_col, rsk.h, 0, 1
+        |    FROM pu JOIN rsk ON pu.right_col = rsk.right_col)
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY left_col, right_col
+        |                                        ORDER BY h) AS rn FROM merged)
+        |SELECT left_col, right_col,
+        |  CAST(sum(in_l * in_r) AS BIGINT) AS n_common,
+        |  CAST(count(*) AS BIGINT) AS n_union_k,
+        |  round(CAST(CAST(sum(in_l * in_r) AS BIGINT) AS DOUBLE) / count(*), 6) AS est_jaccard
+        |FROM ranked WHERE rn <= 128
+        |GROUP BY 1, 2 ORDER BY left_col, right_col""".stripMargin,
+
     // the salted two-level aggregation must equal the plain GROUP BY
     "q_skew_salted_agg" ->
       """SELECT l_returnflag,

@@ -1522,6 +1522,14 @@ object SparkEntry {
       Harmonize.schemaDiff(T(s, dir, "customer"), T(s, dir, "supplier"),
         _.replaceFirst("^[cs]_", ""))),
 
+    // -- instance-based schema matching: bottom-128 md5 value sketches
+    // score customer×supplier column pairs by domain overlap — nationkeys
+    // match exactly (J=1), custkey⊃suppkey partially, names never --------
+    "q_schema_match" -> ((s, dir) =>
+      Harmonize.contentSchemaMatch(
+          T(s, dir, "customer"), T(s, dir, "supplier"), k = 128)
+        .orderBy("left_col", "right_col")),
+
     // -- skew-safe two-level aggregation ----------------------------------
     // 3 hot keys (l_returnflag) spread over 16 salts; result is identical
     // to the plain GROUP BY (that is the oracle), but no reduce task ever

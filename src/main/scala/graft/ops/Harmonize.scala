@@ -259,6 +259,73 @@ object Harmonize {
       rules.map(r => col(r.field))): _*)
   }
 
+  /** Instance-based schema matching: score every (left column, right
+    * column) pair by the overlap of their VALUE domains — the
+    * content-level complement of [[suggestColumnMapping]]'s name
+    * matching, and the standard instance-based matcher of the schema-
+    * matching literature (Rahm & Bernstein 2001 survey taxonomy).
+    *
+    * Each column is summarized by a bottom-k sketch of md5 hashes of its
+    * distinct (stringified) values; pair similarity is the classic
+    * bottom-k Jaccard estimator — among the k smallest hashes of the
+    * UNION, the fraction present in both sketches (denominator
+    * min(k, |union|) when the domains are small). md5 is the engine-
+    * portable hash used across graft's samplers.
+    *
+    * Scale: the value stream is ONE scan per side (a per-row explode of
+    * (column, value) structs — width × rows, all scan-local), reduced by
+    * a map-side-combining distinct on (column, hash); the bottom-k cut
+    * is a per-column window over at most the distinct counts, and
+    * everything downstream operates on ≤ columns × k rows — constant-
+    * size regardless of corpus. For 100 TB domains set
+    * `domainMod > 1`: both sides keep only values with hash % mod == 0,
+    * a deterministic 1/mod domain subsample applied BEFORE the shuffle
+    * (the estimator stays unbiased because both sides restrict to the
+    * same hash stratum).
+    *
+    * @return (left_col, right_col, n_common, n_union_k, est_jaccard)
+    */
+  def contentSchemaMatch(left: DataFrame, right: DataFrame, k: Int = 128,
+      domainMod: Int = 1): DataFrame = {
+    require(k > 0 && domainMod > 0, "k and domainMod must be positive")
+    def sketch(df: DataFrame, out: String): DataFrame = {
+      val entries = df.columns.toIndexedSeq.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v")))
+      val hashed = df.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.c").as(out),
+          conv(substring(md5(col("p.v")), 1, 15), 16, 10).cast("long").as("h"))
+        .where(col("h").isNotNull && col("h") % domainMod === 0)
+        .groupBy(col(out), col("h")).agg(count(lit(1)).as("dupes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(out)).orderBy(col("h"))
+      hashed.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select(col(out), col("h"))
+    }
+    val l = sketch(left, "left_col")
+    val r = sketch(right, "right_col")
+    // pair universe is columns × columns (metadata-sized); fan each side's
+    // sketch out to its pairs, merge, and rank the union per pair
+    val pairsU = l.select("left_col").distinct()
+      .crossJoin(r.select("right_col").distinct())
+    val lh = pairsU.join(l, Seq("left_col"))
+      .select(col("left_col"), col("right_col"), col("h"),
+        lit(1).as("in_l"), lit(0).as("in_r"))
+    val rh = pairsU.join(r, Seq("right_col"))
+      .select(col("left_col"), col("right_col"), col("h"),
+        lit(0).as("in_l"), lit(1).as("in_r"))
+    val merged = lh.unionByName(rh)
+      .groupBy("left_col", "right_col", "h")
+      .agg(max(col("in_l")).as("in_l"), max(col("in_r")).as("in_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("left_col"), col("right_col")).orderBy(col("h"))
+    merged.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .groupBy("left_col", "right_col")
+      .agg(sum(col("in_l") * col("in_r")).as("n_common"),
+        count(lit(1)).as("n_union_k"))
+      .withColumn("est_jaccard",
+        round(col("n_common").cast("double") / col("n_union_k"), 6))
+  }
+
   /** Column-mapping suggestion for heterogeneous uploads: for every left
     * column, the closest right column by Levenshtein distance over
     * canonicalized names (the upload-harmonization assist the reference's
