@@ -3351,6 +3351,15 @@ object SparkEntry {
     "q_text_hll" -> ((s, dir) =>
       graft.ext.Sketches.hllEstimate(T(s, dir, "documents"), "text")),
 
+    // -- bottom-k quantile sketch: deterministic hash-order sample of
+    // orders, rank-interpolated quantile estimates; mergeable across
+    // shards (bottom-k closed under union) ------------------------------
+    "q_sketch_quantiles" -> ((s, dir) =>
+      graft.ext.Sketches.bottomKQuantiles(T(s, dir, "orders"),
+          "o_totalprice", "o_orderkey", k = 500,
+          qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")),
+
     // -- S4c parquet schema evolution: an old batch without n_comment_len
     // and a new batch with it, merged into one union-schema read ----------
     "q_s4_merge_schema" -> ((s, dir) => {
