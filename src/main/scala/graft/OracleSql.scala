@@ -2843,6 +2843,34 @@ object OracleSql {
          |sel AS (SELECT doc_id, log_w FROM w ORDER BY log_w DESC, doc_id LIMIT 50)
          |SELECT doc_id, log_w FROM sel ORDER BY doc_id""".stripMargin),
 
+    // DoReMi-lite mixture: identical surprisal/cross-entropy/exp DAG —
+    // micro6 fixed-point at every bounded decision cell, integer softmax
+    "q_mix_doremi" ->
+      (s"""WITH t AS (SELECT lang AS domain, unnest($toks) AS term FROM documents),
+         |b AS (SELECT domain,
+         |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket FROM t),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM g),
+         |s6 AS (SELECT bucket,
+         |    CAST(round(-ln(CAST(c AS DOUBLE) / nn.n), 6) * 1000000 AS BIGINT) AS s6
+         |  FROM g, nn),
+         |db AS (SELECT domain, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |h AS (SELECT domain, CAST(sum(c * s6) AS BIGINT) AS h6,
+         |             CAST(sum(c) AS BIGINT) AS n_tok
+         |      FROM db JOIN s6 USING (bucket) GROUP BY 1),
+         |hd AS (SELECT domain, CAST(h6 AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1e6) AS hval FROM h),
+         |mn AS (SELECT min(hval) AS hmin FROM hd),
+         |ex AS (SELECT domain, hval - hmin AS excess FROM hd, mn),
+         |st AS (SELECT CAST(v AS BIGINT) AS step FROM unnest(generate_series(0, 8)) AS u(v)),
+         |w AS (SELECT step, domain, excess,
+         |    CAST(round(exp(CAST(step AS DOUBLE) * CAST(0.5 AS DOUBLE) * excess), 6)
+         |         * 1000000 AS BIGINT) AS w6
+         |  FROM st, ex),
+         |z AS (SELECT step, CAST(sum(w6) AS BIGINT) AS z6 FROM w GROUP BY 1)
+         |SELECT w.step, w.domain, round(w.excess, 6) AS excess_loss,
+         |  round(CAST(w.w6 AS DOUBLE) / CAST(z.z6 AS DOUBLE), 6) AS alpha
+         |FROM w JOIN z USING (step) ORDER BY w.step, w.domain""".stripMargin),
+
     // SemDeDup: same fixed-centroid assignment as q_sim_ivf_assign, then
     // within-cluster cosine pairs and min-label transitive closure (the
     // q_dedup_cluster recursive-CTE device). Cosine is the same

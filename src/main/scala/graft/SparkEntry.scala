@@ -2655,6 +2655,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- DoReMi-lite domain mixture (r13): Group-DRO multiplicative
+    // weights over per-lang unigram cross-entropy excess loss; the
+    // static-loss closed form α_t ∝ exp(t·η·ℓ) with micro6'd exp cells
+    // and an integer softmax denominator --------------------------------
+    "q_mix_doremi" -> ((s, dir) =>
+      graft.ext.Importance.doremiMixture(T(s, dir, "documents"),
+        "text", "lang", steps = 8, eta = 0.5, dim = 64)),
+
     // -- SemDeDup (r13): semantic-duplicate groups — fixed md5-selected
     // k-means centroids (the q_sim_ivf_assign device), within-cluster
     // cosine pairs at tau=0.4, transitive grouping, keep = min id per

@@ -121,4 +121,81 @@ object Importance {
       .limit(k)
       .select(col("doc_id"), col("log_w"))
   }
+
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv 2305.10429), taken at its static-loss limit: the Group-DRO
+    * multiplicative-weights update  α_{t+1,d} ∝ α_{t,d}·exp(η·ℓ_d)  run
+    * for `steps` rounds over a FIXED per-domain excess loss (the paper
+    * re-measures ℓ per proxy-model step; with a frozen proxy the
+    * trajectory is the closed form  α_{t,d} ∝ exp(t·η·ℓ_d), which both
+    * engines evaluate through the identical DAG — no iteration drift).
+    *
+    * ℓ_d here is the domain's unigram cross-entropy under the CORPUS
+    * unigram model (hashed into `dim` buckets), minus the minimum across
+    * domains: domains whose vocabulary the corpus model predicts badly
+    * are exactly the "high excess loss" domains DoReMi upweights.
+    *
+    * DETERMINISM TIER (same as [[dsirWeights]]'s λ): per-bucket surprisal
+    * is micro6 fixed-point, domain sums are order-invariant long sums,
+    * and every per-(step, domain) exp cell — a BOUNDED steps×domains
+    * decision set — is micro6'd before the softmax, whose denominator is
+    * then an exact integer sum (no float-order dependence).
+    *
+    * Scale shape: one token scan, one (domain, bucket) map-side-combined
+    * aggregate (≤ domains×dim cells), one `dim`-cell and one
+    * domains-sized collect; the trajectory itself is metadata-sized.
+    *
+    * @return (step, domain, excess_loss, alpha) for step 0..steps
+    */
+  def doremiMixture(corpus: DataFrame, textCol: String, domainCol: String,
+      steps: Int, eta: Double, dim: Int = 64): DataFrame = {
+    require(steps >= 1 && eta > 0 && dim > 0,
+      s"steps/eta/dim must be positive: $steps, $eta, $dim")
+    val grams = corpus.select(col(domainCol).as("domain"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__g"))
+      .select(col("domain"), bucket(col("__g"), dim).as("bucket"))
+    val global = grams.groupBy("bucket").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = global.values.sum.toDouble
+    val s6: Seq[(Long, Long)] = global.toSeq.map { case (b, c) =>
+      (b, micro6(-math.log(c / n)))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val s6Df = s6.toDF("bucket", "s6")
+    val perDomain = grams.groupBy("domain", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(s6Df), Seq("bucket"))
+      .groupBy("domain")
+      .agg(sum(col("c") * col("s6")).as("h6"), sum(col("c")).as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(perDomain.nonEmpty, "corpus has no tokens")
+    // shared double DAG: H_d = h6 / (n_tok · 1e6); excess vs the min
+    val h = perDomain.map { case (d, h6, nt) =>
+      (d, h6.toDouble / (nt.toDouble * 1e6))
+    }
+    val hMin = h.map(_._2).min
+    val excess = h.map { case (d, hv) => (d, hv - hMin) }.sortBy(_._1)
+    // bounded (steps+1)×domains cells: micro6 each exp, integer softmax
+    val rows = (0 to steps).flatMap { t =>
+      val w6 = excess.map { case (d, e) =>
+        (d, e, micro6(math.exp(t * eta * e)))
+      }
+      val z6 = w6.map(_._3).sum
+      w6.map { case (d, e, w) =>
+        (t.toLong, d, round6(e), round6(w.toDouble / z6.toDouble))
+      }
+    }
+    rows.toDF("step", "domain", "excess_loss", "alpha")
+      .orderBy("step", "domain")
+  }
+
+  /** round(x, 6) under the repo rounding contract (BigDecimal HALF_UP on
+    * the shortest decimal representation — mirrors Spark/DuckDB round).
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
