@@ -3439,6 +3439,20 @@ object OracleSql {
          |WHERE (cum_before + n_tokens) // step > cum_before // step
          |ORDER BY doc_id""".stripMargin),
 
+    // sequential Poisson PPS: identical 40-bit hash + integer quotient
+    "q_sample_seqpoisson" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT) AS w6,
+        |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS u
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |p AS (SELECT o_orderkey, o_totalprice, (u * 1000000) // w6 AS pri
+        |      FROM w WHERE w6 > 0),
+        |sel AS (SELECT o_orderkey, o_totalprice FROM p
+        |        ORDER BY pri, o_orderkey LIMIT 300)
+        |SELECT o_orderkey, o_totalprice FROM sel ORDER BY o_orderkey""".stripMargin,
+
     // per-lang TTR-ranked selection under a 30k-token exclusive budget
     "q_curate_budget" ->
       (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),

@@ -3096,6 +3096,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- sequential Poisson PPS: 300 orders by smallest u/w priority —
+    // the no-global-sort weighted sampler (heap-per-partition merge);
+    // integer-exact 64-bit priorities --------------------------------
+    "q_sample_seqpoisson" -> ((s, dir) =>
+      Sampling.sequentialPoisson(T(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice"),
+          "o_orderkey", "o_totalprice", k = 300)
+        .orderBy("o_orderkey")),
+
     // -- budget-capped curation: per-lang, keep highest-TTR docs until a
     // 30k-token budget fills (exclusive cumsum < budget keeps the top doc
     // always) -------------------------------------------------------------

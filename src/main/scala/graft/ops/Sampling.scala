@@ -277,4 +277,42 @@ object Sampling {
       .where(expr("(cum_before + __graft_w) div __graft_step > cum_before div __graft_step"))
       .drop("__graft_tw", "__graft_step", "__graft_w")
   }
+
+  /** Sequential Poisson PPS sample (Ohlsson 1998, the published order-
+    * sampling scheme behind many survey estimators): keep the k rows with
+    * the smallest priority  u/w , where u is the md5-hash uniform of the
+    * row id and w the row's weight — inclusion probability approaches
+    * proportional-to-size without ANY global prefix sum.
+    *
+    * This is the 100 TB counterpart to [[systematicByWeight]]: systematic
+    * PPS is exact but needs the global cumulative-weight sort; sequential
+    * Poisson plans as TakeOrderedAndProject — a k-item heap per partition
+    * and one k-sized merge — and the sample is a pure function of the
+    * data (no RNG), so it is mergeable across shards exactly like a
+    * bottom-k sketch.
+    *
+    * INTEGER-EXACT priorities: u is a 40-bit md5 hash slice, w is scaled
+    * to micro-units in DECIMAL arithmetic (`round(w, 6)·1e6`), and the
+    * rank is the exact 64-bit quotient  u·1e6 div w6  — no float (or
+    * cross-engine decimal-scale) division whose last-ulp could reorder
+    * two rows differently across engines. u·1e6 ≤ 2^40·10^6 ≈ 1.1e18
+    * stays inside long. Ties break on the id. Null / non-positive /
+    * sub-microunit weights are excluded (zero inclusion probability).
+    */
+  def sequentialPoisson(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w6 = (round(col(weightCol).cast("decimal(28,10)"), 6) * lit(1000000L))
+      .cast("long")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_w6", w6)
+      .where(col("__graft_w6") > 0)
+      .withColumn("__graft_u", u)
+      .withColumn("__graft_pri", expr("(__graft_u * 1000000L) div __graft_w6"))
+      .orderBy(col("__graft_pri"), col(idCol))
+      .limit(k)
+      .drop("__graft_w6", "__graft_u", "__graft_pri")
+  }
 }
