@@ -2936,6 +2936,44 @@ object OracleSql {
          |FROM a, q WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM p)
          |ORDER BY cos DESC, id LIMIT 10""".stripMargin),
 
+    // IVF recall audit: same assignment/probe/cosine DAGs as ivf_topk,
+    // per-query exact baseline, recall = |IVF ∩ exact| / 10
+    "q_sim_ivf_recall" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |d AS (SELECT e.vec_id, e.v, c.cid,
+         |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+         |  WHERE rn = 1),
+         |pd AS (SELECT q.qid, c.cid,
+         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM q CROSS JOIN c),
+         |p AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd)
+         |  WHERE rn <= 4),
+         |cand AS (SELECT q.qid, a.vec_id AS id, round(${cosine("a.v", "q.qv")}, 6) AS cos
+         |  FROM a JOIN p ON a.cid = p.cid JOIN q ON q.qid = p.qid),
+         |ivf AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM cand)
+         |  WHERE rn <= 10),
+         |ex AS (SELECT q.qid, e.vec_id AS id, round(${cosine("e.v", "q.qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q),
+         |ext AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM ex)
+         |  WHERE rn <= 10)
+         |SELECT ext.qid AS query_id,
+         |  CAST(sum(CASE WHEN ivf.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ivf.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(10 AS DOUBLE), 6) AS recall
+         |FROM ext LEFT JOIN ivf ON ext.qid = ivf.qid AND ext.id = ivf.id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin),
+
     "q_set_ops_all" ->
       """WITH d AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |  EXCEPT ALL

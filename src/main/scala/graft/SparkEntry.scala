@@ -2697,6 +2697,20 @@ object SparkEntry {
         query, k = 10, nProbe = 4)
     }),
 
+    // -- IVF recall audit: recall@10 of the 4-probe IVF path vs exact
+    // brute force for the 10 lowest-id query vectors ---------------------
+    "q_sim_ivf_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.ivfRecallAudit(emb, "vec_id", "e", cents.toIndexedSeq,
+          col("vec_id") < 10, k = 10, nProbe = 4)
+        .orderBy("query_id")
+    }),
+
     // -- multiset set ops: EXCEPT ALL keeps per-row multiplicity (a
     // customer with 3 open and 1 urgent order survives twice) — the
     // semantics DISTINCT-based set ops silently lose

@@ -497,6 +497,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN recall audit: recall@k of the IVF probe path against the
+    * exact brute-force top-k, per query — the quality gate you run on a
+    * QUERY SAMPLE before trusting an approximate index at corpus scale
+    * (the embedding-side twin of `q_dedup_lsh_recall`). Both ranked
+    * lists come from the same round-6 cosine and (cos desc, id)
+    * tie-break, so a miss is a genuine probe miss, never a tie artifact.
+    *
+    * Scale shape: the query sample broadcasts; the exact baseline is the
+    * audit's deliberate cost (|queries|·|corpus| fused `graft_cos` with
+    * a per-query heap — you size the sample, not the corpus); the IVF
+    * side touches only rows whose cluster is among the query's `nProbe`
+    * probes (at ingest the cluster id is the partition column, so this
+    * prunes files). Probe ranking per query is the same expanded-dot
+    * struct-sort DAG as [[ivfTopKFixed]].
+    *
+    * @return (query_id, n_hits, recall) — recall = |IVF∩exact| / k
+    */
+  def ivfRecallAudit(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], queryPred: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty && k > 0 && nProbe > 0,
+      "need centroids, k > 0, nProbe > 0")
+    import org.apache.spark.sql.expressions.Window
+    val ev = VectorOps.toDouble(col(vecCol))
+    val assignEntries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(col("v"), col("v")) -
+        lit(2.0) * VectorOps.dotNative(col("v"), c) + VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val corpus = df.select(col(idCol).as("id"), ev.as("v"))
+      .withColumn("cluster",
+        array_min(array(assignEntries: _*)).getField("cid"))
+    val probeEntries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(col("qv"), col("qv")) -
+        lit(2.0) * VectorOps.dotNative(col("qv"), c) + VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val queries = df.where(queryPred).select(col(idCol).as("qid"), ev.as("qv"))
+      .withColumn("probes", transform(
+        slice(array_sort(array(probeEntries: _*)), 1, nProbe),
+        s => s.getField("cid")))
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    val ivfTop = corpus
+      .join(broadcast(queries), array_contains(col("probes"), col("cluster")))
+      .select(col("qid"), col("id"),
+        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= k)
+      .select(col("qid"), col("id"), lit(1).as("__hit"))
+    val exactTop = corpus.crossJoin(broadcast(queries.select("qid", "qv")))
+      .select(col("qid"), col("id"),
+        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= k)
+      .select("qid", "id")
+    exactTop.join(ivfTop, Seq("qid", "id"), "left")
+      .groupBy(col("qid").as("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** Embedding-space benchmark decontamination: for every corpus vector,
     * the max cosine to ANY eval/benchmark vector; rows reaching `tau`
     * are the semantic near-matches of benchmark items that exact and
