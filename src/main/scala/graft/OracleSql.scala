@@ -2936,6 +2936,41 @@ object OracleSql {
          |FROM a, q WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM p)
          |ORDER BY cos DESC, id LIMIT 10""".stripMargin),
 
+    // MMR diversity selection: the bounded greedy replayed as a recursive
+    // CTE — ids/scores accumulate as lists, each step's argmax is a
+    // correlated LIMIT-1 pick over the not-yet-selected pool, pool-pool
+    // similarities precomputed unrounded (the engine's exact loop)
+    "q_sim_mmr" ->
+      (s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pool AS (SELECT vec_id AS id, v, round(${cosine("v", "qv")}, 6) AS rel
+         |         FROM e, q ORDER BY rel DESC, id LIMIT 20),
+         |sims AS (SELECT a.id AS ca, b.id AS cb, ${cosine("a.v", "b.v")} AS s
+         |         FROM pool a, pool b),
+         |sel(n, ids, scores) AS (
+         |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[])
+         |  UNION ALL
+         |  SELECT n + 1, list_append(ids, pick.pid), list_append(scores, pick.psc)
+         |  FROM (
+         |    SELECT n, ids, scores,
+         |      (SELECT struct_pack(pid := cid2, psc := score) FROM (
+         |         SELECT pp.id AS cid2,
+         |           CAST(0.5 AS DOUBLE) * pp.rel - CAST(0.5 AS DOUBLE) *
+         |             COALESCE((SELECT max(s) FROM sims
+         |                       WHERE sims.ca = pp.id
+         |                         AND list_contains(sel.ids, sims.cb)),
+         |                      CAST(0.0 AS DOUBLE)) AS score
+         |         FROM pool pp WHERE NOT list_contains(sel.ids, pp.id))
+         |       ORDER BY score DESC, cid2 LIMIT 1) AS pick
+         |    FROM sel WHERE n < 5)),
+         |last AS (SELECT ids, scores FROM sel WHERE n = 5),
+         |ex AS (SELECT unnest(generate_series(1, 5)) AS rank,
+         |              unnest(ids) AS id, unnest(scores) AS sc FROM last)
+         |SELECT CAST(ex.rank AS INTEGER) AS rank, ex.id, p.rel AS relevance,
+         |  round(ex.sc, 6) + 0.0 AS mmr_score
+         |FROM ex JOIN pool p ON p.id = ex.id ORDER BY rank""".stripMargin),
+
     // IVF recall audit: same assignment/probe/cosine DAGs as ivf_topk,
     // per-query exact baseline, recall = |IVF ∩ exact| / 10
     "q_sim_ivf_recall" ->

@@ -567,6 +567,15 @@ object SparkEntry {
       Similarity.annTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 5, planes = 6)),
 
+    // -- MMR diversity selection: greedy λ·rel − (1−λ)·max-sim over a
+    // bounded top-20 relevance pool; λ=0.5 keeps (1−λ) float-exact ------
+    "q_sim_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(T(s, dir, "embeddings"), "vec_id", "embedding",
+          queryVec(s, dir), k = 5, lambda = 0.5, candidatePool = 20)
+        .select(col("rank"), col("id"), col("relevance"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("rank")),
+
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id"), col("lo"), col("hi"),
