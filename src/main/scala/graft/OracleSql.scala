@@ -3936,6 +3936,22 @@ object OracleSql {
          |  round(abs($hllC / s2.s - ex.n_exact) / ex.n_exact, 6) AS rel_error
          |FROM s2, ex""".stripMargin),
 
+    // per-lang HLL: the same register/harmonic DAG grouped by lang
+    "q_text_hll_by_lang" ->
+      (s"""WITH t AS (SELECT lang, unnest($toks) AS term FROM documents),
+         |h AS (SELECT lang, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM t),
+         |r AS (SELECT lang, h % 64 AS bucket, h // 64 AS q FROM h),
+         |x AS (SELECT lang, bucket, CASE WHEN q = 0 THEN 55 ELSE 55 - length(bin(q)) END AS rho FROM r),
+         |reg AS (SELECT lang, bucket, max(rho) AS register FROM x GROUP BY 1, 2),
+         |s1 AS (SELECT lang, CAST(sum(72057594037927936 // (1::BIGINT << CAST(register AS INTEGER))) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS nb FROM reg GROUP BY 1),
+         |s2 AS (SELECT lang, s + (64 - nb) * 72057594037927936 AS s FROM s1),
+         |ex AS (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM t GROUP BY 1)
+         |SELECT s2.lang, ex.n_exact,
+         |  round($hllC / s2.s, 6) AS hll_estimate,
+         |  round(abs($hllC / s2.s - ex.n_exact) / ex.n_exact, 6) AS rel_error
+         |FROM s2 JOIN ex ON s2.lang = ex.lang ORDER BY s2.lang""".stripMargin),
+
     // bottom-k quantile sketch: identical hash-order sample + rank pick
     "q_sketch_quantiles" ->
       """WITH s AS (
@@ -4118,6 +4134,14 @@ object OracleSql {
         |  )) AS BIGINT) AS zval
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, zval""".stripMargin,
+
+    // bucketed co-located join: the bucket layout changes the PLAN, not
+    // the answer — the oracle is the plain join + aggregate
+    "q_layout_bucketed" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // PSI: reference-decile bins via quantile_cont (same interpolation
     // as the exact CDF), bin counts by strict-above differences, each

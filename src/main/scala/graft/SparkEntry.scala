@@ -3391,6 +3391,13 @@ object SparkEntry {
     "q_text_hll" -> ((s, dir) =>
       graft.ext.Sketches.hllEstimate(T(s, dir, "documents"), "text")),
 
+    // -- per-lang HLL sketches (r13): grouped registers are max-merge-
+    // able into the global sketch — HllMergeSpec pins that closure ------
+    "q_text_hll_by_lang" -> ((s, dir) =>
+      graft.ext.Sketches.hllEstimateBy(T(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")),
+
     // -- bottom-k quantile sketch: deterministic hash-order sample of
     // orders, rank-interpolated quantile estimates; mergeable across
     // shards (bottom-k closed under union) ------------------------------
@@ -3507,6 +3514,26 @@ object SparkEntry {
           col("l_suppkey"),
           Layout.zorderValue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval")),
+
+    // -- bucketed co-located join: both sides written bucketed on the
+    // join key (the shuffle paid once at ingest), then an exchange-free
+    // sort-merge join — BucketedJoinPlanSpec pins the no-shuffle plan --
+    "q_layout_bucketed" -> ((s, dir) => {
+      val p = fixDir(dir)
+      Layout.writeBucketed(T(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+        "graft_cust_b", s"$p/cust_bucketed", "c_custkey", 8)
+      Layout.writeBucketed(T(s, dir, "orders")
+          .select("o_custkey", "o_totalprice"),
+        "graft_orders_b", s"$p/orders_bucketed", "o_custkey", 8)
+      Layout.bucketedJoin(s, "graft_cust_b", "graft_orders_b",
+          "c_custkey", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2).as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
 
     // -- PSI drift between deterministic halves of the events stream ----
     "q_quality_psi" -> ((s, dir) => {

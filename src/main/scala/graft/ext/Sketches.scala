@@ -122,6 +122,56 @@ object Sketches {
           .as("rel_error"))
   }
 
+  /** Per-group HLL registers — one m-register sketch per `groupCol`
+    * value. Registers are max-aggregates, so group sketches MERGE into
+    * coarser groupings (or the global sketch) by a plain per-bucket max:
+    * the incremental-state story for "distinct terms per shard/day,
+    * roll up on demand" with m longs per group instead of a vocabulary-
+    * sized distinct. Map-side combinable: the one exchange carries at
+    * most groups×m rows.
+    */
+  def hllRegistersBy(df: DataFrame, groupCol: String, textCol: String,
+      m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val qBits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .select(col("grp"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("__h"))
+      .select(col("grp"), pmod(col("__h"), lit(m.toLong)).as("bucket"),
+        expr(s"__h div ${m}L").as("__q"))
+      .select(col("grp"), col("bucket"),
+        when(col("__q") === 0L, lit(qBits + 1))
+          .otherwise(lit(qBits + 1) - length(bin(col("__q"))))
+          .cast("long").as("__rho"))
+      .groupBy("grp", "bucket").agg(max("__rho").as("register"))
+  }
+
+  /** Per-group HLL estimates + exact per-group distinct for the error
+    * column (same raw-regime estimator and exact integer harmonic sum
+    * as [[hllEstimate]]).
+    */
+  def hllEstimateBy(df: DataFrame, groupCol: String, textCol: String,
+      m: Int = 64): DataFrame = {
+    val regs = hllRegistersBy(df, groupCol, textCol, m)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val c = alpha * m * m * math.pow(2.0, 56)
+    val harm = regs
+      .select(col("grp"),
+        expr("72057594037927936L div shiftleft(1L, cast(register as int))")
+          .as("__t"))
+      .groupBy("grp").agg(sum("__t").as("__s"), count(lit(1)).as("__nb"))
+      .select(col("grp"), (col("__s") +
+        (lit(m.toLong) - col("__nb")) * lit(72057594037927936L)).as("__s"))
+    val exact = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("grp").agg(countDistinct("term").as("n_exact"))
+    harm.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"),
+        round(lit(c) / col("__s"), 6).as("hll_estimate"),
+        round(abs(lit(c) / col("__s") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_error"))
+  }
+
   /** Bottom-k quantile sketch: a deterministic uniform sample — the k
     * rows with the SMALLEST md5 hash of their stable id — from which any
     * quantile is estimated by rank (lower interpolation, floor(q·(n−1))).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) keys. Sorting or
@@ -28,4 +28,33 @@ object Layout {
         shiftright(ym, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
+
+  /** Write `df` as a BUCKETED (and bucket-sorted) table: rows are hash-
+    * partitioned into `numBuckets` files per write-partition on
+    * `bucketCol`, the layout Spark's planner recognizes as a pre-built
+    * hash distribution. The 100 TB payoff is [[bucketedJoin]]: two
+    * tables bucketed the same way join with ZERO exchange — the shuffle
+    * is paid ONCE at ingest and amortized over every subsequent join,
+    * the standard warehouse co-location pattern. External table (data at
+    * `path`), so the files outlive the session catalog.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).saveAsTable(tableName)
+  }
+
+  /** Exchange-free equi-join of two tables written by [[writeBucketed]]
+    * with the SAME bucket count on the join keys: the merge hint pins a
+    * sort-merge join, and because both sides already carry the bucketed
+    * hash distribution Catalyst plans NO ShuffleExchange under it (the
+    * bucket files are also pre-sorted, so the SMJ sorts are per-bucket
+    * streams, not global). BucketedJoinPlanSpec pins the plan shape.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
 }
