@@ -4249,6 +4249,24 @@ object OracleSql {
         |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
         |FROM g""".stripMargin,
 
+    // l-diversity: classes with < 3 distinct sensitive values
+    "q_quality_ldiv" ->
+      """SELECT c_nationkey, c_custkey // 200 AS key_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        |FROM customer GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
+        |ORDER BY c_nationkey, key_bucket""".stripMargin,
+
+    // salted skew join: the salt changes the PLAN, not the answer —
+    // the oracle is the plain hot-key join + aggregate
+    "q_skew_salted_join" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+        |                       ELSE l_orderkey END AS fk, l_quantity FROM lineitem)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM l JOIN orders ON fk = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "q_quality_expect" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count_if(l_quantity BETWEEN 1 AND 50) AS BIGINT) AS p0,

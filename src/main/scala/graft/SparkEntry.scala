@@ -3604,6 +3604,34 @@ object SparkEntry {
       Quality.kAnonymitySummary(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // -- l-diversity: small (nationkey, custkey-bucket) classes whose
+    // mktsegment is near-constant leak it even when k-anonymous --------
+    "q_quality_ldiv" -> ((s, dir) =>
+      Quality.lDiversityViolations(T(s, dir, "customer")
+          .select(col("c_nationkey"),
+            expr("c_custkey div 200").as("key_bucket"), col("c_mktsegment")),
+          Seq("c_nationkey", "key_bucket"), "c_mktsegment", l = 3L)
+        .orderBy("c_nationkey", "key_bucket")),
+
+    // -- salted skew join: every third lineitem remapped to one hot
+    // order key, spread over 8 salts so no reducer sees the whole hot
+    // key; merge hint keeps the demo on the exchange path ---------------
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("fk"),
+        col("l_quantity"), col("l_orderkey"))
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("fk"), col("o_orderpriority"))
+        .hint("merge")
+      Skew.saltedJoin(li, o, Seq("fk"), col("l_orderkey"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_quality_expect" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       Quality.expect(li, Seq(

@@ -243,6 +243,24 @@ object Quality {
     * risk 1/size. One map-side-combinable groupBy on the quasi columns —
     * the wordcount shape, no row data beyond the quasi values moves.
     */
+  /** l-diversity violations (Machanavajjhala et al. 2007 — the
+    * refinement k-anonymity misses: a k-large class whose SENSITIVE
+    * attribute is (near-)constant still leaks it). One row per
+    * equivalence class with fewer than `l` distinct non-null sensitive
+    * values. Same wordcount-shaped scale story as
+    * [[kAnonymityViolations]], with a count-distinct on the sensitive
+    * column riding the same (quasi…) exchange.
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 2, s"k must be >= 2: $k")
