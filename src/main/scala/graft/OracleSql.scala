@@ -759,6 +759,19 @@ object OracleSql {
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q_tpch_q14" ->
+      """SELECT round(CAST(100 AS DOUBLE) *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         AS DECIMAL(30,4))
+        |    ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         AS DECIMAL(30,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+
     "q_date_parts" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
         |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,

@@ -2265,6 +2265,25 @@ object SparkEntry {
     }),
 
     // -- TPC-H Q12 (adapted: ship-latency buckets x priority class) -------
+    // -- TPC-H Q14: promo revenue share for one ship month; part is the
+    // broadcast dim, revenue sums in exact DECIMAL, one double division
+    "q_tpch_q14" -> ((s, dir) => {
+      val disc = lit(1.0).cast("decimal(4,2)") -
+        col("l_discount").cast("decimal(4,2)")
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") * disc)
+        .cast("decimal(30,4)")
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(T(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(30,4)"))).as("__p"),
+          sum(rev).as("__t"))
+        .select(round(lit(100.0) * col("__p").cast("double")
+          / col("__t").cast("double"), 6).as("promo_revenue"))
+    }),
+
     "q_tpch_q12" -> ((s, dir) => {
       val lat = datediff(col("l_shipdate"), col("o_orderdate"))
       val bucket = when(lat < 30, "lt30").when(lat <= 90, "30to90").otherwise("gt90")
