@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinhashSignature, NfcNormalize, PlanBarrier}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, MinhashSignature, NfcNormalize, PlanBarrier}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_barrier"),
       new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
       (children: Seq[Expression]) => PlanBarrier(children.head)))
+    // graft_jw(a, b): Jaro-Winkler string similarity (DuckDB-pinned)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jw"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
     // graft_minhash(baseHashes, numHashes): numHashes must be an int literal
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

@@ -1626,6 +1626,22 @@ object OracleSql {
         |FROM l, r WHERE levenshtein(l_val, r_val) <= 2
         |ORDER BY l_val, r_val""".stripMargin,
 
+    // Jaro-Winkler: DuckDB's own implementation is the independent
+    // oracle for the native graft_jw kernel (fuzz-pinned bit-exact)
+    "q_fuzzy_jw" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |p AS (SELECT c_custkey, c_name,
+        |    substr(c_name, 1, length(c_name) - 2)
+        |      || substr(c_name, length(c_name), 1)
+        |      || substr(c_name, length(c_name) - 1, 1) AS pert
+        |  FROM c),
+        |n AS (SELECT p.c_custkey, p.c_name, p.pert, c2.c_name AS next_name
+        |      FROM p LEFT JOIN c c2 ON c2.c_custkey = p.c_custkey + 1)
+        |SELECT c_custkey,
+        |  round(jaro_winkler_similarity(c_name, pert), 6) AS jw_pert,
+        |  round(jaro_winkler_similarity(c_name, next_name), 6) AS jw_next
+        |FROM n ORDER BY c_custkey""".stripMargin,
+
     "q_regex_extract" ->
       """SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INTEGER) AS prio_num,
         |  count(*) AS n, round(avg(o_totalprice), 6) AS avg_price

@@ -1293,6 +1293,25 @@ object SparkEntry {
         .orderBy("l_val", "r_val")
     }),
 
+    // -- Jaro-Winkler scoring (native graft_jw, codegen'd; DuckDB's own
+    // jaro_winkler_similarity is the INDEPENDENT oracle implementation):
+    // each customer name vs a tail-swapped twin and vs its neighbor ----
+    "q_fuzzy_jw" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val nm = col("c_name")
+      val pert = concat(
+        nm.substr(lit(1), length(nm) - 2),
+        nm.substr(length(nm), lit(1)),
+        nm.substr(length(nm) - 1, lit(1)))
+      c.join(c.select((col("c_custkey") - 1).as("c_custkey"),
+          col("c_name").as("next_name")), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          round(call_function("graft_jw", nm, pert), 6).as("jw_pert"),
+          round(call_function("graft_jw", nm, col("next_name")), 6)
+            .as("jw_next"))
+        .orderBy("c_custkey")
+    }),
+
     // -- regex extraction (scalar regexp surface) -------------------------
     "q_regex_extract" -> ((s, dir) =>
       T(s, dir, "orders")
