@@ -3649,6 +3649,30 @@ object OracleSql {
          |  coalesce(ka.body, '') AS text_clean
          |FROM t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // content-defined chunking: identical gram-hash boundary rule,
+    // running boundary count, ordered chunk fingerprints
+    "q_text_cdc_chunks" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
+         |    j -> struct_pack(pos := j, tok := tk[j+1],
+         |      gram := array_to_string(tk[greatest(j - 3, 0) + 1 : j + 1], ' ')))) AS u
+         |  FROM t WHERE len(tk) >= 1),
+         |g AS (SELECT doc_id, u.pos AS pos, u.tok AS tok, u.gram AS gram FROM g0),
+         |b AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN pos >= 3
+         |      AND CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8 = 0
+         |    THEN 1 ELSE 0 END AS bnd FROM g),
+         |c AS (SELECT doc_id, pos, tok,
+         |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |  FROM b)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(min(pos) AS BIGINT) AS start_pos,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+         |FROM c GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // inverted-index postings: doc-frequency + occurrences over ALL rows,
     // posting list capped to the first 20 doc ids via the rank filter;
     // the list is serialized to a comma-joined string (driver comparison

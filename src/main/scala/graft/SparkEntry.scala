@@ -3205,6 +3205,14 @@ object SparkEntry {
           "doc_id", gramTokens = 10, minDocFreq = 2)
         .orderBy("doc_id")),
 
+    // -- content-defined chunking: boundaries where the 4-gram hash ≡ 0
+    // mod 8 — edits shift at most one chunk, repeated passages fingerprint
+    // identically at any offset (the rsync/LBFS dedup-chunking device) --
+    "q_text_cdc_chunks" -> ((s, dir) =>
+      SubstringDedup.contentDefinedChunks(T(s, dir, "documents"), "text",
+          "doc_id", window = 4, divisor = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // -- sparse retrieval: inverted-index postings + BM25 keyword top-k ---
     // postings serialized to a comma-joined string: the driver's pandas
     // comparison cannot hash array cells (r11 verdict item 1), and the

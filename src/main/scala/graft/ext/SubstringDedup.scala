@@ -35,6 +35,48 @@ object SubstringDedup {
   private def tokenized(df: DataFrame, textCol: String, docIdCol: String) =
     df.select(col(docIdCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
 
+  /** Content-defined chunking (the rsync/LBFS device — Muthitacharoen et
+    * al. 2001 — applied to token streams): a chunk boundary falls AFTER
+    * token position p whenever the hash of the `window`-token gram ending
+    * at p is ≡ 0 mod `divisor`. Because boundaries depend only on LOCAL
+    * content, an insertion early in a document shifts at most one chunk —
+    * every later chunk re-aligns and fingerprints identically, which is
+    * what makes chunk-level dedup robust to edits (fixed-width chunking
+    * would shift every subsequent chunk). Expected chunk length ≈
+    * `divisor` tokens.
+    *
+    * Hashing is the md5 60-bit hex-slice idiom so the boundary decision
+    * replays in the oracle. Scale shape: one token explode, one windowed
+    * gram concat + running boundary count (both inside the single
+    * doc-keyed sort), one (doc, chunk) aggregate — all map-side friendly,
+    * nothing global.
+    *
+    * @return (doc_id, chunk_idx, start_pos, n_tokens, chunk_fp)
+    */
+  def contentDefinedChunks(df: DataFrame, textCol: String, docIdCol: String,
+      window: Int = 4, divisor: Int = 8): DataFrame = {
+    require(window >= 1 && divisor >= 1, "window and divisor must be >= 1")
+    val tk = tokenized(df, textCol, docIdCol)
+      .where(size(col("__tk")) >= 1)
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = concat_ws(" ",
+      collect_list(col("tok")).over(wOrd.rowsBetween(-(window - 1), 0)))
+    val bnd = when(col("pos") >= window - 1 &&
+        pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"),
+          lit(divisor.toLong)) === 0, 1L).otherwise(0L)
+    tk.withColumn("__b", bnd)
+      .withColumn("chunk_idx", coalesce(
+        sum(col("__b")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_fp"))
+  }
+
   /** (doc_id, pos, h): xxhash64 of each k-token gram, pos 0-based. */
   private def gramTable(tk: DataFrame, k: Int): DataFrame =
     tk.where(graft.ops.Plans.noPushdown(size(col("__tk")) >= k))
