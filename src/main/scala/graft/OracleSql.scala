@@ -4178,6 +4178,49 @@ object OracleSql {
         |    / count(l_extendedprice), 6) AS avg_v
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // checksum reconciliation replay: same md5-prefix bucket/row hash and
+    // XOR fold, full-outer on bucket (DuckDB bit_xor ≡ Spark bit_xor)
+    "q_merge_checksum" ->
+      """WITH l AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+        |r AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 29 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 <> 13),
+        |ls AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 64 AS bucket,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'graft_null'),
+        |      coalesce(o_orderstatus, chr(0) || 'graft_null'),
+        |      coalesce(o_orderpriority, chr(0) || 'graft_null'))), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM l),
+        |rs AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 64 AS bucket,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'graft_null'),
+        |      coalesce(o_orderstatus, chr(0) || 'graft_null'),
+        |      coalesce(o_orderpriority, chr(0) || 'graft_null'))), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM r),
+        |la AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_left,
+        |         bit_xor(h) AS sum_left FROM ls GROUP BY 1),
+        |ra AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_right,
+        |         bit_xor(h) AS sum_right FROM rs GROUP BY 1)
+        |SELECT coalesce(la.bucket, ra.bucket) AS bucket,
+        |  coalesce(n_left, 0) AS n_left,
+        |  coalesce(n_right, 0) AS n_right,
+        |  coalesce(sum_left, 0) AS sum_left,
+        |  coalesce(sum_right, 0) AS sum_right,
+        |  (coalesce(n_left, 0) = coalesce(n_right, 0)
+        |    AND coalesce(sum_left, 0) = coalesce(sum_right, 0)) AS is_match
+        |FROM la FULL OUTER JOIN ra ON la.bucket = ra.bucket
+        |ORDER BY bucket""".stripMargin,
+
     // Morton interleave in pure integer arithmetic
     "q_layout_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

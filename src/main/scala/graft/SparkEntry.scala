@@ -3552,6 +3552,21 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // -- checksum reconciliation: bucketed count + XOR-fold row-checksum
+    // audit of a drifted replica — output is `buckets` rows whatever the
+    // table size; right side drops keys %997==13 and corrupts %997==29 --
+    "q_merge_checksum" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val drifted = o.where(pmod(col("o_orderkey"), lit(997)) =!= 13)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(997)) === 29, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Merge.checksumReconcile(o, drifted, "o_orderkey",
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority"), 64)
+        .orderBy("bucket")
+    }),
+
     // -- Z-order layout keys: Morton interleave of (partkey, suppkey)
     // low 16 bits — the multi-dimension file-pruning sort key -----------
     "q_layout_zorder" -> ((s, dir) =>

@@ -123,6 +123,43 @@ object Merge {
       .select(dataCols.map(col): _*)
   }
 
+  /** Checksum reconciliation — the migration/replication audit: bucket
+    * both tables by a hash of the key, and per bucket compare row count
+    * and an XOR-fold of per-row md5 checksums (XOR is order-invariant
+    * and closed in int64, so the fold needs no sort and no widening;
+    * any single differing/missing/extra row flips its bucket). The
+    * output is `buckets` rows regardless of table size — the audit's
+    * exchange carries (bucket, count, fold) partials only, the wordcount
+    * shape. Row checksum covers `cols` in the given order with a NUL
+    * null sentinel (no real cast("string") produces it).
+    *
+    * @return (bucket, n_left, n_right, sum_left, sum_right, is_match)
+    */
+  def checksumReconcile(left: DataFrame, right: DataFrame, keyCol: String,
+      cols: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(cols.nonEmpty, "cols must be non-empty")
+    def side(df: DataFrame, n: String, s: String): DataFrame = {
+      val payload = concat_ws("|",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000graft_null"))): _*)
+      df.select(
+          pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(buckets.toLong)).as("bucket"),
+          conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("__h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(n), expr("bit_xor(__h)").as(s))
+    }
+    side(left, "n_left", "sum_left")
+      .join(side(right, "n_right", "sum_right"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        coalesce(col("sum_left"), lit(0L)).as("sum_left"),
+        coalesce(col("sum_right"), lit(0L)).as("sum_right"))
+      .withColumn("is_match",
+        col("n_left") === col("n_right") && col("sum_left") === col("sum_right"))
+  }
+
   /** Incremental aggregate maintenance, step 1: collapse a batch to its
     * per-key aggregate STATE — count, DECIMAL-exact sum, min, max of
     * `valueCol`. States are associative: merging two states with
