@@ -4221,6 +4221,32 @@ object OracleSql {
         |FROM la FULL OUTER JOIN ra ON la.bucket = ra.bucket
         |ORDER BY bucket""".stripMargin,
 
+    // delta-join oracle takes the INDEPENDENT path: full new-snapshot
+    // join minus full old-snapshot join (the engine computes the same
+    // numbers from the three delta terms without joining the bases)
+    "q_join_incremental" ->
+      """WITH spine AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |o_old AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 211 <> 11),
+        |o_new AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 211 <> 3),
+        |l_old AS (SELECT l_orderkey, l_returnflag, l_quantity
+        |          FROM lineitem WHERE l_orderkey % 199 <> 7),
+        |l_new AS (SELECT l_orderkey, l_returnflag, l_quantity
+        |          FROM lineitem WHERE l_orderkey % 199 <> 5),
+        |a_old AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |            sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |          FROM o_old JOIN l_old ON o_orderkey = l_orderkey GROUP BY 1),
+        |a_new AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |            sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |          FROM o_new JOIN l_new ON o_orderkey = l_orderkey GROUP BY 1)
+        |SELECT s.l_returnflag,
+        |  coalesce(a_new.n, 0) - coalesce(a_old.n, 0) AS delta_rows,
+        |  CAST(coalesce(a_new.q, 0) - coalesce(a_old.q, 0) AS DOUBLE)
+        |    AS delta_qty
+        |FROM spine s
+        |LEFT JOIN a_new ON s.l_returnflag = a_new.l_returnflag
+        |LEFT JOIN a_old ON s.l_returnflag = a_old.l_returnflag
+        |ORDER BY s.l_returnflag""".stripMargin,
+
     // Morton interleave in pure integer arithmetic
     "q_layout_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

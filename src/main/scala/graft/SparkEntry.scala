@@ -3567,6 +3567,40 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // -- incremental join maintenance: signed delta of orders⋈lineitem
+    // from CDC batches only (ΔL⋈R + L⋈ΔR + ΔL⋈ΔR, weight = wL·wR) —
+    // the bases are never joined to each other. Oracle takes the
+    // INDEPENDENT path: full new-snapshot join minus full old-snapshot
+    // join, per returnflag. Flag spine = distinct flags of the full
+    // lineitem so both sides enumerate identical groups (zero deltas
+    // included). --------------------------------------------------------
+    "q_join_incremental" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val om = pmod(col("o_orderkey"), lit(211))
+      val lm = pmod(col("l_orderkey"), lit(199))
+      val oBase = o.where(om =!= 11)
+      val dO = o.where(om === 11).withColumn("__w", lit(1L))
+        .unionByName(oBase.where(om === 3).withColumn("__w", lit(-1L)))
+      val liBase = li.where(lm =!= 7)
+      val dLi = li.where(lm === 7).withColumn("__w", lit(1L))
+        .unionByName(liBase.where(lm === 5).withColumn("__w", lit(-1L)))
+      val delta = Merge.deltaJoin(oBase, dO, liBase, dLi,
+        "o_orderkey", "l_orderkey")
+      val agg = delta.groupBy("l_returnflag").agg(
+        sum(col("__w")).as("d_rows"),
+        sum(col("__w").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("d_qty"))
+      li.select("l_returnflag").distinct()
+        .join(agg, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"),
+          coalesce(col("d_rows"), lit(0L)).cast("long").as("delta_rows"),
+          coalesce(col("d_qty"), lit(0).cast("decimal(28,2)"))
+            .cast("double").as("delta_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- Z-order layout keys: Morton interleave of (partkey, suppkey)
     // low 16 bits — the multi-dimension file-pruning sort key -----------
     "q_layout_zorder" -> ((s, dir) =>

@@ -160,6 +160,37 @@ object Merge {
         col("n_left") === col("n_right") && col("sum_left") === col("sum_right"))
   }
 
+  /** Incremental JOIN maintenance (delta join): given base snapshots L, R
+    * and small signed delta batches ΔL, ΔR (weight column `wCol`: +1
+    * insert, -1 delete; deletes must re-state rows present in the base),
+    * produce the signed delta of the join,
+    *   (L+ΔL)⋈(R+ΔR) − L⋈R  =  ΔL⋈R + L⋈ΔR + ΔL⋈ΔR,
+    * with output weight = wL·wR (base rows weigh 1) — the bilinearity
+    * identity behind differential/incremental view maintenance (Z-sets;
+    * Green et al. provenance semirings, DBSP). Downstream aggregates
+    * consume it as sum(w·x).
+    *
+    * Scale shape: the base tables are never joined to each other — each is
+    * scanned once against a BROADCAST delta batch (the CDC shape: deltas
+    * are MBs while bases are TBs), plus one tiny delta×delta join. At
+    * 100 TB this replaces a full base⋈base recompute with two broadcast
+    * probes. Base columns must be disjoint; the two key columns may differ
+    * in name (kept distinct in the output, as in a plain inner join).
+    */
+  def deltaJoin(left: DataFrame, deltaLeft: DataFrame, right: DataFrame,
+      deltaRight: DataFrame, leftKey: String, rightKey: String,
+      wCol: String = "__w"): DataFrame = {
+    val dl = deltaLeft.withColumnRenamed(wCol, "__wl")
+    val dr = deltaRight.withColumnRenamed(wCol, "__wr")
+    val cond = col(leftKey) === col(rightKey)
+    val t1 = broadcast(dl).join(right, cond).withColumn("__wr", lit(1L))
+    val t2 = left.withColumn("__wl", lit(1L)).join(broadcast(dr), cond)
+    val t3 = broadcast(dl).join(dr, cond)
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn(wCol, col("__wl").cast("long") * col("__wr").cast("long"))
+      .drop("__wl", "__wr")
+  }
+
   /** Incremental aggregate maintenance, step 1: collapse a batch to its
     * per-key aggregate STATE — count, DECIMAL-exact sum, min, max of
     * `valueCol`. States are associative: merging two states with
