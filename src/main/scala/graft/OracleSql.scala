@@ -3938,6 +3938,34 @@ object OracleSql {
          |SELECT term, exact_count, estimate, estimate - exact_count AS overcount
          |FROM j ORDER BY term""".stripMargin),
 
+    // TPUT bounded top-k replay: same md5 doc-shards, per-shard top-8,
+    // silent-shard bound t_b (0 when the shard reports fewer than k)
+    "q_text_heavyhitters" ->
+      (s"""WITH w AS (SELECT
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 16 AS bucket,
+         |    unnest($toks) AS word
+         |  FROM documents),
+         |cnt AS (SELECT bucket, word, CAST(count(*) AS BIGINT) AS c
+         |        FROM w GROUP BY 1, 2),
+         |rep AS (SELECT bucket, word, c FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY c DESC, word ASC) AS rn FROM cnt)
+         |  WHERE rn <= 8),
+         |tb AS (SELECT bucket,
+         |         CASE WHEN count(*) = 8 THEN min(c) ELSE 0 END AS t
+         |       FROM rep GROUP BY 1),
+         |grid AS (SELECT cand.word, tb.bucket, tb.t
+         |         FROM (SELECT DISTINCT word FROM rep) cand CROSS JOIN tb),
+         |agg AS (SELECT g.word,
+         |          CAST(sum(coalesce(rep.c, 0)) AS BIGINT) AS lb,
+         |          CAST(sum(coalesce(rep.c, g.t)) AS BIGINT) AS ub
+         |        FROM grid g LEFT JOIN rep
+         |          ON rep.bucket = g.bucket AND rep.word = g.word
+         |        GROUP BY 1)
+         |SELECT word, lb, ub, lb = ub AS is_exact FROM agg
+         |ORDER BY lb DESC, word ASC LIMIT 20""".stripMargin),
+
     // PII redaction: patterns and replacement order come from the SAME
     // Scala constants as the Spark side (TextAnalysis.PiiPatterns);
     // counts on the original text, replacements chained with 'g'

@@ -3414,6 +3414,12 @@ object SparkEntry {
           depth = 4, width = 64)
         .orderBy("term")),
 
+    // -- TPUT bounded top-k: per-shard top-k partial counts + silent-shard
+    // bounds; the exchange never carries a shard's full vocabulary --------
+    "q_text_heavyhitters" -> ((s, dir) =>
+      graft.ext.Sketches.boundedTopK(T(s, dir, "documents"), "text", "doc_id",
+        buckets = 16, k = 8, topN = 20)),
+
     // -- PII redaction (r12): the word-soup fixture carries no real PII,
     // so every third doc is deterministically enriched with an email, a
     // phone and an IP IN THE QUERY (mirrored in the oracle) — real

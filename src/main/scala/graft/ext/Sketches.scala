@@ -215,4 +215,51 @@ object Sketches {
     targets.join(ranked, col("target") === col("rnk"))
       .select(col("q"), col("v").as("estimate"), col("sample_n"))
   }
+
+  /** Bounded distributed top-k term frequencies — the TPUT shape (Cao &
+    * Wang 2004): when counts for one word are SPLIT across shards (data
+    * is partitioned by document, not by word), ship only each shard's
+    * top-k partial counts and derive per-word bounds instead of the full
+    * per-shard vocabulary:
+    *   lb(w) = Σ reported partials;  ub(w) = lb + Σ_{shards silent on w} t_b,
+    * where t_b is shard b's k-th partial count (a silent shard can hide at
+    * most t_b occurrences; a shard reporting fewer than k words hides
+    * nothing, t_b = 0). Any word whose true count exceeds Σ t_b is
+    * guaranteed to surface as a candidate (pigeonhole over shards).
+    *
+    * Scale shape: the only corpus-scale job is the (bucket, word) count
+    * (map-side combinable); everything after runs on ≤ buckets·k candidate
+    * rows — the exchange carries top-k summaries, never shard
+    * vocabularies. Shards are md5-hash buckets of the doc id so the
+    * oracle replays them bit-identically.
+    *
+    * @return topN rows (word, lb, ub, is_exact) by (lb desc, word asc)
+    */
+  def boundedTopK(df: DataFrame, textCol: String, docIdCol: String,
+      buckets: Int = 16, k: Int = 8, topN: Int = 20): DataFrame = {
+    require(buckets > 0 && k > 0 && topN > 0,
+      s"buckets/k/topN must be positive: $buckets, $k, $topN")
+    val w = df.select(
+      pmod(conv(substring(md5(col(docIdCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("bucket"),
+      explode(tokens(col(textCol))).as("word"))
+    val cnt = w.groupBy("bucket", "word").agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("c").desc, col("word").asc)
+    val rep = cnt.withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k).drop("rn")
+    val tb = rep.groupBy("bucket").agg(
+      when(count(lit(1)) === k, min(col("c"))).otherwise(lit(0L)).as("t"))
+    val grid = broadcast(rep.select("word").distinct()).crossJoin(broadcast(tb))
+    val parts = grid.join(
+      rep.select(col("bucket").as("rb"), col("word").as("rw"), col("c")),
+      col("bucket") === col("rb") && col("word") === col("rw"), "left")
+    parts.groupBy("word")
+      .agg(sum(coalesce(col("c"), lit(0L))).as("lb"),
+        sum(coalesce(col("c"), col("t"))).as("ub"))
+      .select(col("word"), col("lb").cast("long").as("lb"),
+        col("ub").cast("long").as("ub"))
+      .withColumn("is_exact", col("lb") === col("ub"))
+      .orderBy(col("lb").desc, col("word").asc).limit(topN)
+  }
 }
