@@ -4033,6 +4033,42 @@ object OracleSql {
          |  round(abs($hllC / s2.s - ex.n_exact) / ex.n_exact, 6) AS rel_error
          |FROM s2 JOIN ex ON s2.lang = ex.lang ORDER BY s2.lang""".stripMargin),
 
+    // HLL set algebra: en/de register sets, union by per-bucket max,
+    // intersection via the SAME double DAG C/sa + C/sb - C/su
+    "q_text_hll_ops" ->
+      (s"""WITH t AS (SELECT lang, unnest($toks) AS term FROM documents
+         |  WHERE lang IN ('en', 'de')),
+         |h AS (SELECT lang, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM t),
+         |r AS (SELECT lang, h % 64 AS bucket, h // 64 AS q FROM h),
+         |x AS (SELECT lang, bucket, CASE WHEN q = 0 THEN 55 ELSE 55 - length(bin(q)) END AS rho FROM r),
+         |reg AS (SELECT lang, bucket, max(rho) AS register FROM x GROUP BY 1, 2),
+         |sa1 AS (SELECT CAST(sum(72057594037927936 // (1::BIGINT << CAST(register AS INTEGER))) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS nb FROM reg WHERE lang = 'en'),
+         |sa AS (SELECT s + (64 - nb) * 72057594037927936 AS sa FROM sa1),
+         |sb1 AS (SELECT CAST(sum(72057594037927936 // (1::BIGINT << CAST(register AS INTEGER))) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS nb FROM reg WHERE lang = 'de'),
+         |sb AS (SELECT s + (64 - nb) * 72057594037927936 AS sb FROM sb1),
+         |u AS (SELECT bucket, max(register) AS register FROM reg GROUP BY 1),
+         |su1 AS (SELECT CAST(sum(72057594037927936 // (1::BIGINT << CAST(register AS INTEGER))) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS nb FROM u),
+         |su AS (SELECT s + (64 - nb) * 72057594037927936 AS su FROM su1),
+         |flags AS (SELECT term,
+         |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS inb
+         |  FROM (SELECT DISTINCT lang, term FROM t) GROUP BY 1),
+         |ex AS (SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+         |         CAST(sum(inb) AS BIGINT) AS exact_b,
+         |         CAST(count(*) AS BIGINT) AS exact_union,
+         |         CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS exact_intersect
+         |       FROM flags)
+         |SELECT 64 AS m, exact_a, exact_b, exact_union, exact_intersect,
+         |  round($hllC / sa.sa, 6) AS est_a,
+         |  round($hllC / sb.sb, 6) AS est_b,
+         |  round($hllC / su.su, 6) AS est_union,
+         |  round($hllC / sa.sa + $hllC / sb.sb - $hllC / su.su, 6) AS est_intersect
+         |FROM sa, sb, su, ex""".stripMargin),
+
     // bottom-k quantile sketch: identical hash-order sample + rank pick
     "q_sketch_quantiles" ->
       """WITH s AS (

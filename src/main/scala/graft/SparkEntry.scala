@@ -3450,6 +3450,12 @@ object SparkEntry {
         .withColumnRenamed("grp", "lang")
         .orderBy("lang")),
 
+    // -- HLL set algebra: union = per-bucket register max, intersection
+    // by inclusion-exclusion — cross-shard overlap without re-scanning --
+    "q_text_hll_ops" -> ((s, dir) =>
+      graft.ext.Sketches.hllSetOps(T(s, dir, "documents"), "lang", "text",
+        "en", "de")),
+
     // -- bottom-k quantile sketch: deterministic hash-order sample of
     // orders, rank-interpolated quantile estimates; mergeable across
     // shards (bottom-k closed under union) ------------------------------

@@ -172,6 +172,56 @@ object Sketches {
           .as("rel_error"))
   }
 
+  /** HLL set algebra between two groups' sketches: union by per-bucket
+    * register MAX (exact for HLL — the union sketch IS the sketch of the
+    * union), intersection by inclusion–exclusion on the three estimates.
+    * This is why the sketch wins at 100 TB: overlap between any pair of
+    * shards/days/sources comes from merging m-register states — no
+    * re-scan, no distinct-join of vocabularies. Exact counts ride along
+    * so the error is measured, not trusted.
+    *
+    * Determinism: three exact integer harmonic sums (same fixed-point
+    * construction as [[hllEstimate]]), then one shared double DAG
+    * C/s_a + C/s_b − C/s_u mirrored verbatim in the oracle.
+    */
+  def hllSetOps(df: DataFrame, groupCol: String, textCol: String,
+      grpA: String, grpB: String, m: Int = 64): DataFrame = {
+    val regs = graft.Caches.register(hllRegistersBy(
+      df.where(col(groupCol).isin(grpA, grpB)), groupCol, textCol, m))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val c = alpha * m * m * math.pow(2.0, 56)
+    // harmonic sum of one register set (empty buckets contribute 2^56)
+    def harm(r: DataFrame, name: String): DataFrame = r
+      .select(expr("72057594037927936L div shiftleft(1L, cast(register as int))")
+        .as("__t"))
+      .agg(sum("__t").as("__s"), count(lit(1)).as("__nb"))
+      .select((col("__s") + (lit(m.toLong) - col("__nb")) *
+        lit(72057594037927936L)).as(name))
+    val sa = harm(regs.where(col("grp") === grpA), "sa")
+    val sb = harm(regs.where(col("grp") === grpB), "sb")
+    val su = harm(regs.groupBy("bucket").agg(max("register").as("register")), "su")
+    val toks2 = df.where(col(groupCol).isin(grpA, grpB))
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val exact = toks2.groupBy("term")
+      .agg(max(when(col("grp") === grpA, 1).otherwise(0)).as("ina"),
+        max(when(col("grp") === grpB, 1).otherwise(0)).as("inb"))
+      .agg(sum("ina").cast("long").as("exact_a"),
+        sum("inb").cast("long").as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .cast("long").as("exact_intersect"))
+    sa.crossJoin(sb).crossJoin(su).crossJoin(exact)
+      .select(lit(m).as("m"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersect"),
+        round(lit(c) / col("sa"), 6).as("est_a"),
+        round(lit(c) / col("sb"), 6).as("est_b"),
+        round(lit(c) / col("su"), 6).as("est_union"),
+        round(lit(c) / col("sa") + lit(c) / col("sb") - lit(c) / col("su"), 6)
+          .as("est_intersect"))
+  }
+
   /** Bottom-k quantile sketch: a deterministic uniform sample — the k
     * rows with the SMALLEST md5 hash of their stable id — from which any
     * quantile is estimated by rank (lower interpolation, floor(q·(n−1))).
