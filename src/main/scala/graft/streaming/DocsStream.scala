@@ -86,4 +86,28 @@ object DocsStream {
       .where(col("jaccard") >= threshold)
       .select(col("id"), col("corpus_id"), col("jaccard"))
   }
+
+  /** Streaming corpus term OCCURRENCE counts — the retrieval stack's
+    * term statistics (graft.ext.Retrieval) maintained incrementally as
+    * documents arrive: one stateful aggregation whose state is
+    * vocabulary-sized (Zipf-bounded), emitted in update/complete mode.
+    * Works identically on a batch frame (the equivalence test's basis).
+    */
+  def termOccurrences(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("occurrences"))
+
+  /** Streaming DOCUMENT FREQUENCY (the BM25 idf input): distinct-doc
+    * counts via the dedup-then-count pattern — a streaming `count
+    * (DISTINCT)` is not supported, so dropDuplicates carries the
+    * (term, doc) pairs as dedup state and a plain count follows. State
+    * is bounded by distinct (term, doc) pairs; a long-running ingest
+    * would add an ingest-time watermark column before the dropDuplicates
+    * to age that state out (same contract as streamingDedup).
+    */
+  def termDocFreq(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("term"))
+      .dropDuplicates("term", "doc_id")
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
 }
