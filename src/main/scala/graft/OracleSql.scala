@@ -4311,6 +4311,25 @@ object OracleSql {
         |LEFT JOIN a_old ON s.l_returnflag = a_old.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin,
 
+    // compaction-plan replay: size-desc exclusive prefix sum, bin =
+    // cum_before div target (next-fit-decreasing windows)
+    "q_layout_compaction" ->
+      """WITH inv AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    l_returnflag, CAST(count(*) AS BIGINT) AS size
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT *,
+        |    CAST(coalesce(sum(size) OVER (
+        |      ORDER BY size DESC, ym ASC, l_returnflag ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM inv),
+        |b AS (SELECT *, cum_before // 4000 AS bin FROM p)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(size) AS BIGINT) AS total_size,
+        |  min(size) AS min_file, max(size) AS max_file
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
     // Morton interleave in pure integer arithmetic
     "q_layout_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -3642,6 +3642,24 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // -- compaction planning: a (ship-month, returnflag) file inventory
+    // packed largest-first into ~4000-row rewrite bins via the one
+    // range-exchange prefix sum; summary per bin ------------------------
+    "q_layout_compaction" -> ((s, dir) => {
+      val inv = T(s, dir, "lineitem")
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ym"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("size"))
+      Layout.compactionPlan(inv, "size", Seq("ym", "l_returnflag"), 4000L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum("size").cast("long").as("total_size"),
+          min("size").cast("long").as("min_file"),
+          max("size").cast("long").as("max_file"))
+        .orderBy("bin")
+    }),
+
     // -- PSI drift between deterministic halves of the events stream ----
     "q_quality_psi" -> ((s, dir) => {
       val ev = T(s, dir, "events")

@@ -46,6 +46,30 @@ object Layout {
       .option("path", path).saveAsTable(tableName)
   }
 
+  /** Small-file compaction planning: assign each file of an inventory
+    * (one row per file — metadata-scale even when the DATA is 100 TB) to
+    * a rewrite bin of ≈`targetSize` summed bytes. Files are laid out
+    * largest-first; every bin is a contiguous `targetSize` window of the
+    * size-sorted cumulative mass, so a bin's fill deviates from target
+    * by at most one straddling file in either direction (the straddler
+    * it holds, or the one its predecessor held) — the next-fit-
+    * decreasing bound. The whole plan is ONE range-exchange
+    * prefix sum ([[graft.ext.Pack.prefixSum]]'s carry plan) — no driver
+    * loop, no single-task window.
+    *
+    * `tieCols` must make the order total (file id/path) — determinism
+    * across partitionings depends on it.
+    *
+    * @return the inventory plus `cum_before` and `bin` (0-based)
+    */
+  def compactionPlan(inventory: DataFrame, sizeCol: String,
+      tieCols: Seq[String], targetSize: Long): DataFrame = {
+    require(targetSize > 0, s"targetSize must be positive: $targetSize")
+    graft.ext.Pack.packByBudget(inventory, sizeCol,
+        col(sizeCol).desc +: tieCols.map(col(_).asc), targetSize)
+      .withColumnRenamed("shard_id", "bin")
+  }
+
   /** Exchange-free equi-join of two tables written by [[writeBucketed]]
     * with the SAME bucket count on the join keys: the merge hint pins a
     * sort-merge join, and because both sides already carry the bucketed
