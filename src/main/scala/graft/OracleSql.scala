@@ -3707,6 +3707,43 @@ object OracleSql {
          |  matched_terms
          |FROM a ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
 
+    // hybrid retrieval: the SAME bm25 and cosine top-15 replays, ranked
+    // by row_number with identical keys, fused as 1/(60+rank) summed in
+    // list order
+    "q_retrieval_hybrid" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d0),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM l),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(list_filter(tk, x -> x IN ('spark', 'window', 'merge'))) AS term FROM d0)
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |          * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (corp.sum_dl / corp.n_docs))) AS sc
+         |      FROM tf JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN corp),
+         |ag AS (SELECT doc_id, list(sc ORDER BY term) AS ll FROM sc GROUP BY 1),
+         |bm0 AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll), (acc, x) -> acc + x), 6) AS score
+         |        FROM ag ORDER BY score DESC, doc_id LIMIT 15),
+         |bm AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |       FROM bm0),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
+         |sv AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |cos0 AS (SELECT id, round(${cosine("e", "qe")}, 6) AS cos
+         |         FROM sv, q ORDER BY cos DESC, id LIMIT 15),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank
+         |       FROM cos0),
+         |u AS (SELECT 0 AS lst, id, rank FROM bm
+         |      UNION ALL SELECT 1 AS lst, id, rank FROM cr),
+         |a AS (SELECT id,
+         |        list(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) ORDER BY lst) AS ll,
+         |        CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY 1)
+         |SELECT id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll), (acc, x) -> acc + x), 6) AS rrf_score,
+         |  n_lists
+         |FROM a ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
+
     // ORC round trip: the Spark side writes nation to ORC and reads it
     // back; the oracle is the table itself
     "q_s4_orc_read" ->

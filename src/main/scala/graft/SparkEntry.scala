@@ -3226,6 +3226,23 @@ object SparkEntry {
       Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "window", "merge"), k = 15)),
 
+    // -- hybrid retrieval: BM25 (lexical) and cosine (dense, vec_id ≡
+    // doc_id in the fixtures) top-15 lists fused by reciprocal rank —
+    // fusion runs on the two bounded lists only ------------------------
+    "q_retrieval_hybrid" -> ((s, dir) => {
+      val bm = Retrieval.withRank(
+        Retrieval.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "window", "merge"), k = 15),
+        Seq(col("score").desc, col("doc_id").asc))
+        .select(col("doc_id").as("id"), col("rank"))
+      val dense = Retrieval.withRank(
+        Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
+          "embedding", queryVec(s, dir), 15),
+        Seq(col("cos").desc, col("id").asc))
+        .select(col("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, dense), "id", k = 10)
+    }),
+
     // -- dimensionality reduction: JL random projection (64 -> 16, plan-
     // time md5-parity signs) and PCA (fixed-point moment pass -> bounded
     // driver eigensolve via 30 deterministic power iterations) -----------

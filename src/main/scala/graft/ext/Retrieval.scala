@@ -193,4 +193,54 @@ object Retrieval {
       .select(col("__w").getField("start").as("window_start"), col("term"),
         col("doc_freq"), col("occurrences"))
   }
+
+  /** 1-based rank column over an already-top-k result list. The window
+    * is unpartitioned BY DESIGN: the input is a bounded top-k list (≤ k
+    * rows), never a corpus-scale frame — same bounded-window contract as
+    * the bottom-k sketch's rank pick.
+    */
+  def withRank(list: DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    list.withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * several top-k lists — the standard hybrid-search combiner for
+    * lexical (BM25) + dense (embedding cosine) retrieval:
+    * score(d) = Σ_lists 1/(c + rank_list(d)). Rank-based, so the two
+    * engines' incomparable score scales never mix; c=60 is the published
+    * default.
+    *
+    * Scale shape: inputs are already-reduced top-k lists (each the
+    * result of its own distributed ranking), so fusion runs on ≤ Σk
+    * rows — union, one tiny aggregate, TakeOrdered. The per-doc sum
+    * folds in list-index order over a collect_list bounded by the
+    * number of lists (the bm25TopK idiom), keeping the double sum
+    * order-defined for the oracle.
+    *
+    * @param rankings frames each carrying `idCol` and a 1-based `rank`
+    *                 (see [[withRank]])
+    * @return (id, rrf_score, n_lists) top-k by (rrf_score desc, id)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k > 0 && c >= 0, s"bad k/c: $k, $c")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol).as("id"), col("rank").cast("long").as("rank"),
+        lit(i).as("__list"))
+    }.reduce(_ unionByName _)
+    tagged
+      .withColumn("__contrib",
+        lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__list"), col("__contrib"))))
+          .as("__l"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rrf_score",
+        round(aggregate(col("__l"), lit(0.0),
+          (a, x) => a + x.getField("__contrib")), 6))
+      .select(col("id"), col("rrf_score"), col("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
 }

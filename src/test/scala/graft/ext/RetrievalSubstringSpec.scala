@@ -206,4 +206,23 @@ class RetrievalSubstringSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(short == Set(1L, 2L, 4L))
   }
+
+  test("rrfFuse: exact reciprocal-rank scores, both-list docs outrank single-list ones") {
+    import org.apache.spark.sql.functions._
+    // list A ranks 10,20,30; list B ranks 20,40 — doc 20 is in both
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", k = 10, c = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    def rr(ranks: Long*) = BigDecimal(ranks.map(r => 1.0 / (60.0 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m(20L) === rr(2L, 1L))
+    assert(m(10L) === rr(1L))
+    assert(m(40L) === rr(2L))
+    assert(out.find(_._1 == 20L).get._3 === 2L)
+    // k truncates deterministically
+    assert(Retrieval.rrfFuse(Seq(a, b), "id", k = 2).count() === 2L)
+  }
 }
