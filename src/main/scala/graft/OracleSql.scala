@@ -2969,6 +2969,22 @@ object OracleSql {
     // CTE — ids/scores accumulate as lists, each step's argmax is a
     // correlated LIMIT-1 pick over the not-yet-selected pool, pool-pool
     // similarities precomputed unrounded (the engine's exact loop)
+    // contrastive pair mining replay: same anchors, roles, rounded-cos
+    // ranking with cand_id ties
+    "q_sim_pairs" ->
+      (s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
+         |an AS (SELECT vec_id AS anchor_id, e AS ae, label AS albl FROM v WHERE vec_id % 53 = 0),
+         |cand AS (SELECT an.anchor_id, v.vec_id AS cand_id,
+         |    CASE WHEN v.label = an.albl THEN 'pos' ELSE 'neg' END AS role,
+         |    round(${cosine("v.e", "an.ae")}, 6) AS cos
+         |  FROM v JOIN an ON v.vec_id <> an.anchor_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY anchor_id, role ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM cand)
+         |SELECT anchor_id, role, CAST(rank AS BIGINT) AS rank, cand_id, cos
+         |FROM r WHERE (role = 'pos' AND rank <= 2) OR (role = 'neg' AND rank <= 3)
+         |ORDER BY anchor_id, role, rank""".stripMargin),
+
     "q_sim_mmr" ->
       (s"""WITH RECURSIVE
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

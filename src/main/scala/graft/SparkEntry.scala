@@ -567,6 +567,14 @@ object SparkEntry {
       Similarity.annTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 5, planes = 6)),
 
+    // -- contrastive pair mining: per sampled anchor, top-2 same-label
+    // positives + top-3 different-label HARD negatives, ranked on the
+    // rounded native cosine ---------------------------------------------
+    "q_sim_pairs" -> ((s, dir) =>
+      Similarity.minePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", pmod(col("vec_id"), lit(53)) === 0, posK = 2, negK = 3)
+        .orderBy("anchor_id", "role", "rank")),
+
     // -- MMR diversity selection: greedy λ·rel − (1−λ)·max-sim over a
     // bounded top-20 relevance pool; λ=0.5 keeps (1−λ) float-exact ------
     "q_sim_mmr" -> ((s, dir) =>

@@ -625,4 +625,46 @@ object Similarity {
         .as("max_cos"))
       .where(col("max_cos") >= tau)
   }
+
+  /** Contrastive pair mining for embedding training: for each anchor,
+    * the `posK` most-similar SAME-label vectors (positives) and the
+    * `negK` most-similar DIFFERENT-label vectors (HARD negatives — the
+    * near-misses a contrastive loss learns the most from; cf. the
+    * in-batch/hard-negative practice in SimCSE/DPR-style training).
+    *
+    * Candidate generation here is the exact broadcast-anchors × corpus
+    * scan (one pass, native fused cosine, per-anchor heap via the
+    * rank-k window) — correct and TakeOrdered-cheap when the anchor set
+    * is a bounded sample. At a 100-TB corpus with corpus-scale anchors,
+    * swap the candidate source for the IVF/LSH bucketed join (annTopK /
+    * semanticNeighbors) and keep the same role/rank tail — the
+    * ranking+selection contract below does not change.
+    *
+    * @return (anchor_id, role 'pos'|'neg', rank, cand_id, cos) — cos
+    *         rounded to 6 and RANKED on the rounded value (ties by
+    *         cand_id) so external replays rank identically
+    */
+  def minePairs(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, posK: Int = 1,
+      negK: Int = 3): DataFrame = {
+    require(posK > 0 && negK > 0, s"posK/negK must be positive: $posK, $negK")
+    val anchors = df.where(anchorPred)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        col(labelCol).as("__albl"))
+    val cand = df.select(col(idCol).as("cand_id"), col(vecCol).as("__cvec"),
+        col(labelCol).as("__clbl"))
+      .join(broadcast(anchors), col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        when(col("__clbl") === col("__albl"), "pos").otherwise("neg")
+          .as("role"),
+        round(VectorOps.cosineNative(col("__cvec"), col("__avec")), 6)
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id", "role")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("role") === "pos" && col("rank") <= posK ||
+        col("role") === "neg" && col("rank") <= negK)
+      .select("anchor_id", "role", "rank", "cand_id", "cos")
+  }
 }
