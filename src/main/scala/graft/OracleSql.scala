@@ -1373,6 +1373,31 @@ object OracleSql {
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // AGMS replay: identical md5-parity ±1 streams, integer counter and
+    // product sums, median of 8 group means = avg of sorted 4th/5th
+    "q_join_sizeest" ->
+      """WITH ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |sa AS (SELECT i, CAST(sum(CASE WHEN
+        |    CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS sa
+        |  FROM ka CROSS JOIN ii GROUP BY 1),
+        |sb AS (SELECT i, CAST(sum(CASE WHEN
+        |    CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS sb
+        |  FROM kb CROSS JOIN ii GROUP BY 1),
+        |gm AS (SELECT i // 8 AS g, CAST(sum(sa.sa * sb.sb) AS DOUBLE) / 8.0 AS m
+        |       FROM sa JOIN sb USING (i) GROUP BY 1),
+        |e AS (SELECT list(m ORDER BY m) AS ll FROM gm),
+        |est AS (SELECT (ll[4] + ll[5]) / 2.0 AS est FROM e),
+        |ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_join_size FROM
+        |    (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca FROM orders GROUP BY 1) a
+        |    JOIN (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb FROM lineitem GROUP BY 1) b USING (k))
+        |SELECT 64 AS sketches, round(est, 6) AS est_join_size, exact_join_size,
+        |  round(abs(est - exact_join_size) / exact_join_size, 6) AS rel_error
+        |FROM est, ex""".stripMargin,
+
     "q_sim_neardup" ->
       (s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
          |b AS (SELECT id, e, ${bucketSql("e", 4, 64)} AS bk FROM s),

@@ -993,6 +993,12 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // -- AGMS join-size estimation: |orders ⋈ lineitem| from two 64-long
+    // sketches, median-of-means over 8 groups; exact size rides along --
+    "q_join_sizeest" -> ((s, dir) =>
+      Joins.joinSizeEstimate(T(s, dir, "orders"), T(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey", sketches = 64)),
+
     // -- near-dup clustering (connected components over minhash pairs) ---
     "q_dedup_cluster" -> ((s, dir) => {
       val docs = T(s, dir, "documents")

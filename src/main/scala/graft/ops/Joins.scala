@@ -301,4 +301,64 @@ object Joins {
         (col("rank0") + 1).cast("int").as("rn"),
         col("entry._1").as(valueCol), col("entry._2").as(idCol)): _*)
   }
+
+  /** AGMS ("tug-of-war") sketch of a join column: `sketches` signed
+    * counters s_i = Σ_rows ξ_i(key) with ξ_i(k) ∈ {−1, +1} the parity of
+    * md5("i:k") — deterministic, engine-portable, no RNG. Each sketch
+    * vector is a plain SUM: map-side combinable, mergeable across
+    * shards/batches (add the counters), one exchange of ≤ `sketches`
+    * rows. Alon–Gibbons–Matias–Szegedy 1999 / Alon–Matias–Szegedy 1996.
+    */
+  def joinSizeSketch(df: DataFrame, keyCol: String,
+      sketches: Int = 64): DataFrame = {
+    require(sketches > 0 && sketches % 8 == 0,
+      s"sketches must be a positive multiple of 8: $sketches")
+    df.select(col(keyCol).cast("string").as("__k"))
+      .select(explode(sequence(lit(0), lit(sketches - 1))).as("i"), col("__k"))
+      .select(col("i").cast("long").as("i"),
+        when(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("__k"))), 1, 15), 16, 10).cast("long") % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("__x"))
+      .groupBy("i").agg(sum("__x").as("s"))
+  }
+
+  /** Join-SIZE estimation without the join — the planner's primitive at
+    * 100 TB (broadcast vs shuffle vs skew handling all hinge on |A⋈B|):
+    * E[s_i^A · s_i^B] = Σ_k cA(k)·cB(k) = |A ⋈_k B|, sharpened by
+    * median-of-means over 8 groups of `sketches`/8 products. Inputs are
+    * scanned once each into `sketches` longs; the estimator then runs on
+    * 2×`sketches` rows. Exact join size rides along (per-key count join
+    * — the audit's sized cost) so the error is measured, not trusted.
+    *
+    * Determinism: products and group sums are exact integer arithmetic;
+    * the median of 8 group means is the average of the 4th/5th sorted
+    * values — one shared double DAG, replayed verbatim by the oracle.
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, sketches: Int = 64): DataFrame = {
+    val sa = joinSizeSketch(left, leftKey, sketches)
+      .withColumnRenamed("s", "sa")
+    val sb = joinSizeSketch(right, rightKey, sketches)
+      .withColumnRenamed("s", "sb")
+    val grpMeans = sa.join(sb, Seq("i"))
+      .groupBy(expr(s"i div ${sketches / 8}L").as("g"))
+      .agg((sum(col("sa") * col("sb")).cast("double") /
+        lit((sketches / 8).toDouble)).as("m"))
+    val est = grpMeans
+      .agg(sort_array(collect_list("m")).as("__l"))
+      .select(((element_at(col("__l"), 4) + element_at(col("__l"), 5)) / 2.0)
+        .as("est_join_size"))
+    val exact = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+      .join(right.groupBy(col(rightKey).as("__k"))
+        .agg(count(lit(1)).as("__cb")), Seq("__k"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+        .as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(lit(sketches).as("sketches"),
+        round(col("est_join_size"), 6).as("est_join_size"),
+        col("exact_join_size"),
+        round(abs(col("est_join_size") - col("exact_join_size")) /
+          col("exact_join_size"), 6).as("rel_error"))
+  }
 }
