@@ -2616,6 +2616,33 @@ object OracleSql {
         |  round((rev - lag(rev) OVER (ORDER BY wk)) / lag(rev) OVER (ORDER BY wk), 6) AS wow_pct
         |FROM weekly ORDER BY week""".stripMargin,
 
+    // Mann–Kendall / Theil–Sen replay: integer S and tie-corrected
+    // variance, one sqrt, median slope by rank over (slope, t1, t2)
+    "q_events_trend" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |b AS (SELECT CAST(t AS BIGINT) AS t1, CAST(v AS DOUBLE) AS v1 FROM d),
+        |p AS (SELECT x.t1, y.t1 AS t2, x.v1, y.v1 AS v2,
+        |        (y.v1 - x.v1) / CAST(y.t1 - x.t1 AS DOUBLE) AS slope
+        |      FROM b x JOIN b y ON y.t1 > x.t1),
+        |s AS (SELECT CAST(sum(sign(v2 - v1)) AS BIGINT) AS s_stat,
+        |        CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM b),
+        |ties AS (SELECT CAST(coalesce(sum(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT) AS tiesum
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM b GROUP BY v1)),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope, t1, t2) AS rr FROM p),
+        |med AS (SELECT sum(slope) / CAST(count(DISTINCT rr) AS DOUBLE) AS med
+        |        FROM r, s WHERE rr = (n_pairs + 1) // 2 OR rr = (n_pairs + 2) // 2),
+        |vv AS (SELECT CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tiesum AS DOUBLE)
+        |        / 18.0 AS var_s FROM n, ties)
+        |SELECT n.n_points, s.n_pairs, s.s_stat, round(vv.var_s, 6) AS var_s,
+        |  round(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE) / sqrt(vv.var_s)
+        |             WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE) / sqrt(vv.var_s)
+        |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS z,
+        |  round(med.med, 6) AS slope
+        |FROM n, s, vv, med""".stripMargin,
+
     "q_events_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS uday, user_id FROM events),
         |d AS (SELECT DISTINCT uday AS day FROM du)

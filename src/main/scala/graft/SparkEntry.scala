@@ -2214,6 +2214,17 @@ object SparkEntry {
     // COUNT(DISTINCT) over a sliding frame has no streaming-safe window
     // form, so the (day, user) distinct pairs join a broadcast day grid
     // and re-aggregate — cost = days x active users, not events) ----------
+    // -- Mann–Kendall drift test + Theil–Sen slope on the DAILY series:
+    // the all-pairs stage runs on 30 aggregate rows, never raw events --
+    "q_events_trend" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.mannKendallTrend(daily, "t", "cnt")
+    }),
+
     "q_events_rolling_dau" -> ((s, dir) => {
       val du = T(s, dir, "events")
         .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()

@@ -231,4 +231,61 @@ object Eda {
     }
     stacked.reduce(_ unionByName _).orderBy("column_name")
   }
+
+  /** Mann–Kendall trend test + Theil–Sen slope over a TIME SERIES — the
+    * standard nonparametric "is this metric drifting" audit (Mann 1945,
+    * Kendall 1975; Sen 1968). Input must be an already-AGGREGATED series
+    * (one row per time step — days, hours), so the all-pairs stage is
+    * bounded by series length², never by event count: the raw 100-TB
+    * stream reduces to its daily aggregate first, and this runs on the
+    * metadata-sized result.
+    *
+    * Determinism: S is an exact integer sum of signs; Var(S) with the
+    * tie correction is integer arithmetic divided by 18 once; Z uses one
+    * IEEE sqrt (correctly rounded, engine-identical); the Theil–Sen
+    * slope is the MEDIAN pairwise slope selected by rank over the total
+    * order (slope, t1, t2) — avg of the two middle ranks, which
+    * collapses to the single middle element for an odd pair count. The
+    * rank window is unpartitioned BY DESIGN: it runs on the bounded
+    * pairs table (the bottom-k sketch's bounded-window contract).
+    *
+    * @return one row: (n_points, n_pairs, s_stat, var_s, z, slope)
+    */
+  def mannKendallTrend(series: DataFrame, ordCol: String,
+      valCol: String): DataFrame = {
+    val base = series.select(col(ordCol).cast("long").as("t1"),
+      col(valCol).cast("double").as("v1"))
+    val right = base.select(col("t1").as("t2"), col("v1").as("v2"))
+    val pairs = base.join(right, col("t2") > col("t1"))
+      .select(col("t1"), col("t2"), col("v1"), col("v2"),
+        ((col("v2") - col("v1")) / (col("t2") - col("t1")).cast("double"))
+          .as("__slope"))
+    val sAgg = pairs.agg(
+      sum(signum(col("v2") - col("v1"))).cast("long").as("s_stat"),
+      count(lit(1)).as("n_pairs"))
+    val nAgg = base.agg(count(lit(1)).as("n_points"))
+    val ties = base.groupBy("v1").agg(count(lit(1)).as("__tg"))
+      .agg(coalesce(sum(col("__tg") * (col("__tg") - 1) *
+        (lit(2) * col("__tg") + 5)), lit(0L)).cast("long").as("__tiesum"))
+    val ranked = pairs.withColumn("__r", row_number().over(
+      Window.orderBy(col("__slope"), col("t1"), col("t2"))).cast("long"))
+    val med = ranked.crossJoin(broadcast(sAgg.select(col("n_pairs").as("__p"))))
+      .where(col("__r") === expr("(__p + 1) div 2") ||
+        col("__r") === expr("(__p + 2) div 2"))
+      .agg((sum(col("__slope")) /
+        countDistinct(col("__r")).cast("double")).as("__med"))
+    sAgg.crossJoin(nAgg).crossJoin(ties).crossJoin(med)
+      .withColumn("__var",
+        (col("n_points") * (col("n_points") - 1) *
+          (lit(2) * col("n_points") + 5) - col("__tiesum")).cast("double")
+          / 18.0)
+      .select(col("n_points"), col("n_pairs"), col("s_stat"),
+        round(col("__var"), 6).as("var_s"),
+        round(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("__var")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("__var")))
+          .otherwise(lit(0.0)), 6).as("z"),
+        round(col("__med"), 6).as("slope"))
+  }
 }

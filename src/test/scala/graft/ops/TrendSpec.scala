@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strictly increasing series: S = n_pairs, slope exact, Z positive") {
+    // v = 3t + 1 over t = 0..8: every pair ascends, every slope is 3
+    val s = (0L to 8L).map(t => (t, 3L * t + 1)).toDF("t", "v")
+    val r = Eda.mannKendallTrend(s, "t", "v").collect().head
+    assert(r.getAs[Long]("n_points") === 9L)
+    assert(r.getAs[Long]("n_pairs") === 36L)
+    assert(r.getAs[Long]("s_stat") === 36L)
+    assert(r.getAs[Double]("slope") === 3.0)
+    // no ties: Var = n(n-1)(2n+5)/18 = 9*8*23/18 = 92
+    assert(r.getAs[Double]("var_s") === 92.0)
+    val z = r.getAs[Double]("z")
+    assert(math.abs(z - (36.0 - 1.0) / math.sqrt(92.0)) < 1e-6)
+  }
+
+  test("flat series: S = 0, Z = 0, tie correction zeroes the variance") {
+    val s = (0L to 5L).map(t => (t, 7L)).toDF("t", "v")
+    val r = Eda.mannKendallTrend(s, "t", "v").collect().head
+    assert(r.getAs[Long]("s_stat") === 0L)
+    assert(r.getAs[Double]("z") === 0.0)
+    // one tie group of 6: correction removes the full untied variance
+    assert(r.getAs[Double]("var_s") === 0.0)
+    assert(r.getAs[Double]("slope") === 0.0)
+  }
+
+  test("median slope resists outliers (the Theil-Sen property)") {
+    // linear v = 2t except one wild outlier at t=3
+    val s = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 1000L), (4L, 8L),
+      (5L, 10L), (6L, 12L)).toDF("t", "v")
+    val slope = Eda.mannKendallTrend(s, "t", "v")
+      .collect().head.getAs[Double]("slope")
+    // OLS would be dragged far above 2; the pairwise median stays at 2
+    assert(slope === 2.0, s"slope $slope")
+  }
+
+  test("even pair count averages the two middle slopes") {
+    // 4 points -> 6 pairs (even); slopes chosen so the middle two differ
+    val s = Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)).toDF("t", "v")
+    val r = Eda.mannKendallTrend(s, "t", "v").collect().head
+    // pairwise slopes: 1,2,3,3,4,5 -> median = (3+3)/2 = 3... use exact set
+    val slopes = Seq((0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0),
+      (1, 2, 3.0), (1, 3, 4.0), (2, 3, 5.0)).map(_._3).sorted
+    val want = (slopes(2) + slopes(3)) / 2.0
+    assert(r.getAs[Double]("slope") === want)
+  }
+}
