@@ -2643,6 +2643,25 @@ object OracleSql {
         |  round(med.med, 6) AS slope
         |FROM n, s, vv, med""".stripMargin,
 
+    // CUSUM changepoint replay: n-scaled integer cusum, argmax by
+    // (|S'| desc, t asc), segment means from the same prefix sums
+    "q_events_changepoint" ->
+      """WITH d AS (SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tv FROM d),
+        |pre AS (SELECT t, v,
+        |    CAST(sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS r
+        |  FROM d),
+        |sc AS (SELECT pre.*, tot.n, tot.tv, tot.n * p - r * tv AS s
+        |       FROM pre, tot WHERE r < tot.n),
+        |cp AS (SELECT * FROM sc ORDER BY abs(s) DESC, t ASC LIMIT 1)
+        |SELECT n AS n_points, t AS cp_ord, s AS cusum_scaled,
+        |  round(CAST(p AS DOUBLE) / r, 6) AS mean_before,
+        |  round(CAST(tv - p AS DOUBLE) / (n - r), 6) AS mean_after
+        |FROM cp""".stripMargin,
+
     "q_events_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS uday, user_id FROM events),
         |d AS (SELECT DISTINCT uday AS day FROM du)

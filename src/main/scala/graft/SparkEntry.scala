@@ -2225,6 +2225,16 @@ object SparkEntry {
       Eda.mannKendallTrend(daily, "t", "cnt")
     }),
 
+    // -- CUSUM changepoint on the daily series, scaled to exact longs --
+    "q_events_changepoint" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.cusumChangepoint(daily, "t", "cnt")
+    }),
+
     "q_events_rolling_dau" -> ((s, dir) => {
       val du = T(s, dir, "events")
         .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()

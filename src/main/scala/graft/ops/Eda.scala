@@ -251,6 +251,45 @@ object Eda {
     *
     * @return one row: (n_points, n_pairs, s_stat, var_s, z, slope)
     */
+  /** CUSUM changepoint detection over a TIME SERIES (Page 1954 /
+    * Pettitt-style location): the candidate split is the argmax of
+    * |S_t| where S_t = Σ_{i≤t}(v_i − mean). Computed SCALED by n so
+    * every value is an exact integer: S'_t = n·prefix_t − t·total
+    * (= n·S_t), making argmax and magnitude bit-exact in any engine —
+    * no rational mean ever materializes. Same bounded-series contract
+    * as [[mannKendallTrend]]: input is the aggregated series, the
+    * prefix window runs on series-length rows.
+    *
+    * @return one row: (n_points, cp_ord, cusum_scaled, mean_before,
+    *         mean_after) — cp_ord is the LAST ordinal of the left
+    *         segment; means are round-6 segment averages
+    */
+  def cusumChangepoint(series: DataFrame, ordCol: String,
+      valCol: String): DataFrame = {
+    val base = series.select(col(ordCol).cast("long").as("t"),
+      col(valCol).cast("long").as("v"))
+    val tot = base.agg(count(lit(1)).as("n"), sum("v").as("tv"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val pre = base
+      .withColumn("__p", sum("v").over(w))
+      .withColumn("__r", row_number().over(Window.orderBy("t")).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__s", col("n") * col("__p") - col("__r") * col("tv"))
+      // the last point's cusum is 0 by construction — not a split
+      .where(col("__r") < col("n"))
+    val cp = pre
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(abs(col("__s")).desc, col("t").asc)))
+      .where(col("__rk") === 1)
+      .select(col("n").as("n_points"), col("t").as("cp_ord"),
+        col("__s").as("cusum_scaled"), col("__p").as("lp"),
+        col("__r").as("lr"), col("tv"))
+    cp.select(col("n_points"), col("cp_ord"), col("cusum_scaled"),
+      round(col("lp").cast("double") / col("lr"), 6).as("mean_before"),
+      round((col("tv") - col("lp")).cast("double") /
+        (col("n_points") - col("lr")), 6).as("mean_after"))
+  }
+
   def mannKendallTrend(series: DataFrame, ordCol: String,
       valCol: String): DataFrame = {
     val base = series.select(col(ordCol).cast("long").as("t1"),

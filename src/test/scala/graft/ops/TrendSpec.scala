@@ -40,6 +40,26 @@ class TrendSpec extends SparkSpec {
     assert(slope === 2.0, s"slope $slope")
   }
 
+  test("CUSUM finds the exact mean-shift point with exact segment means") {
+    // 10 @ level 5 then 6 @ level 50: split after t=9
+    val s = ((0L to 9L).map((_, 5L)) ++ (10L to 15L).map((_, 50L))).toDF("t", "v")
+    val r = Eda.cusumChangepoint(s, "t", "v").collect().head
+    assert(r.getAs[Long]("cp_ord") === 9L)
+    assert(r.getAs[Double]("mean_before") === 5.0)
+    assert(r.getAs[Double]("mean_after") === 50.0)
+    // scaled cusum at the split: n*prefix - r*total = 16*50 - 10*350
+    assert(r.getAs[Long]("cusum_scaled") === 16L * 50L - 10L * 350L)
+    assert(r.getAs[Long]("n_points") === 16L)
+  }
+
+  test("CUSUM on a constant series reports zero magnitude") {
+    val s = (0L to 7L).map((_, 4L)).toDF("t", "v")
+    val r = Eda.cusumChangepoint(s, "t", "v").collect().head
+    assert(r.getAs[Long]("cusum_scaled") === 0L)
+    // argmax ties broken by earliest t
+    assert(r.getAs[Long]("cp_ord") === 0L)
+  }
+
   test("even pair count averages the two middle slopes") {
     // 4 points -> 6 pairs (even); slopes chosen so the middle two differ
     val s = Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)).toDF("t", "v")
