@@ -68,7 +68,13 @@ object Bench {
     // (name -> how many) — emitted with the results so a gated number is
     // never indistinguishable from a standard-rep number.
     val gatedReps = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b limits the run
+    // (unset in the driver's per-round invocation, which benches all)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok =

@@ -1377,16 +1377,16 @@ object OracleSql {
     // product sums, median of 8 group means = avg of sorted 4th/5th
     "q_join_sizeest" ->
       """WITH ii AS (SELECT unnest(generate_series(0, 63)) AS i),
-        |ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
-        |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-        |sa AS (SELECT i, CAST(sum(CASE WHEN
-        |    CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) % 2 = 0
-        |    THEN 1 ELSE -1 END) AS BIGINT) AS sa
-        |  FROM ka CROSS JOIN ii GROUP BY 1),
-        |sb AS (SELECT i, CAST(sum(CASE WHEN
-        |    CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) % 2 = 0
-        |    THEN 1 ELSE -1 END) AS BIGINT) AS sb
-        |  FROM kb CROSS JOIN ii GROUP BY 1),
+        |ha AS (SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+        |              CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 15)) AS BIGINT) AS h2
+        |       FROM orders),
+        |hb AS (SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+        |              CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 17, 15)) AS BIGINT) AS h2
+        |       FROM lineitem),
+        |sa AS (SELECT i, CAST(sum(1 - 2 * (((CASE WHEN i < 32 THEN h1 ELSE h2 END) >> (i % 32)) & 1)) AS BIGINT) AS sa
+        |  FROM ha CROSS JOIN ii GROUP BY 1),
+        |sb AS (SELECT i, CAST(sum(1 - 2 * (((CASE WHEN i < 32 THEN h1 ELSE h2 END) >> (i % 32)) & 1)) AS BIGINT) AS sb
+        |  FROM hb CROSS JOIN ii GROUP BY 1),
         |gm AS (SELECT i // 8 AS g, CAST(sum(sa.sa * sb.sb) AS DOUBLE) / 8.0 AS m
         |       FROM sa JOIN sb USING (i) GROUP BY 1),
         |e AS (SELECT list(m ORDER BY m) AS ll FROM gm),
@@ -2643,6 +2643,25 @@ object OracleSql {
         |  round(med.med, 6) AS slope
         |FROM n, s, vv, med""".stripMargin,
 
+    // Holt replay: identical ordered fold with [level, trend] list
+    // state; init rides as the prepended first element
+    "q_events_holt" ->
+      """WITH d AS (SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |a AS (SELECT list(CAST(v AS DOUBLE) ORDER BY t) AS vv,
+        |        CAST(count(*) AS BIGINT) AS n FROM d),
+        |f AS (SELECT n, list_reduce(
+        |    list_prepend([vv[1], vv[2] - vv[1]],
+        |      list_transform(list_slice(vv, 2, n), x -> [x])),
+        |    (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+        |      0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.5 * acc[2]]
+        |  ) AS st FROM a)
+        |SELECT n AS n_points, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[1] + st[2], 6) AS forecast_1,
+        |  round(st[1] + 7.0 * st[2], 6) AS forecast_7
+        |FROM f""".stripMargin,
+
     // CUSUM changepoint replay: n-scaled integer cusum, argmax by
     // (|S'| desc, t asc), segment means from the same prefix sums
     "q_events_changepoint" ->
@@ -3833,6 +3852,12 @@ object OracleSql {
 
     // ORC round trip: the Spark side writes nation to ORC and reads it
     // back; the oracle is the table itself
+    // fixed-width round trip: the oracle is the source table — the
+    // padded serialize + substring parse must be lossless
+    "q_s8_fixedwidth" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 

@@ -211,6 +211,25 @@ object SparkEntry {
         .orderBy(coalesce(col("r_regionkey"), lit(9999)), col("corrupt_raw"))
     }),
 
+    // -- S8 fixed-width text: nation serialized to padded columns in the
+    // query (the legacy-feed upload contract, like the csv fixture),
+    // read back via scan-local substring projections — oracle is the
+    // table itself, so the round trip must be lossless ------------------
+    "q_s8_fixedwidth" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_fixed"
+      new java.io.File(p).mkdirs()
+      val rows = T(s, dir, "nation").orderBy("n_nationkey").collect()
+        .map(r => f"${r.getInt(0)}%-6d${r.getString(1)}%-20s${r.getInt(2)}%-6d")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/part.txt"), rows.mkString("\n") + "\n")
+      Sources.readFixedWidth(s, p,
+          Seq(("n_nationkey", 6), ("n_name", 20), ("n_regionkey", 6)))
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     "q_s3_json_read" -> ((s, dir) => {
       val p = s"${fixDir(dir)}/nation_json"
       T(s, dir, "nation").coalesce(1).write.mode("overwrite").json(p)
@@ -2223,6 +2242,17 @@ object SparkEntry {
         .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
           col("cnt"))
       Eda.mannKendallTrend(daily, "t", "cnt")
+    }),
+
+    // -- Holt level+trend smoothing and 1/7-step forecast on the daily
+    // series: one bounded in-row fold, replayed element-for-element ----
+    "q_events_holt" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.holtSmooth(daily, "t", "cnt")
     }),
 
     // -- CUSUM changepoint on the daily series, scaled to exact longs --

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -251,6 +251,50 @@ object Eda {
     *
     * @return one row: (n_points, n_pairs, s_stat, var_s, z, slope)
     */
+  /** Holt linear (double-exponential) smoothing over a TIME SERIES —
+    * level+trend state with the standard init l₁=v₁, b₁=v₂−v₁ and
+    * recurrence from the second point (Holt 1957 / Hyndman's fpp
+    * formulation); h-step forecast = level + h·trend. Same bounded-
+    * series contract as [[mannKendallTrend]]: the fold runs over ONE
+    * collected row of ≤ series-length values (days, not events), in a
+    * defined order, with the state as a 2-element double array — the
+    * exact shape DuckDB's list_reduce can replay element-for-element,
+    * so the chained IEEE arithmetic is bit-identical cross-engine.
+    *
+    * @return one row: (n_points, level, trend, forecast_1, forecast_7)
+    */
+  def holtSmooth(series: DataFrame, ordCol: String, valCol: String,
+      alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1): $alpha, $beta")
+    val arr = series
+      .select(col(ordCol).cast("long").as("t"),
+        col(valCol).cast("double").as("v"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("__s"))
+      .select(transform(col("__s"), x => x.getField("v")).as("__v"),
+        size(col("__s")).as("n_points"))
+    def lNew(acc: Column, x: Column): Column =
+      lit(alpha) * element_at(x, 1) +
+        lit(1 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    val folded = arr
+      .withColumn("__init", array(element_at(col("__v"), 1),
+        element_at(col("__v"), 2) - element_at(col("__v"), 1)))
+      .withColumn("__st", aggregate(
+        transform(slice(col("__v"), lit(2), greatest(size(col("__v")) - 1, lit(0))),
+          x => array(x)),
+        col("__init"),
+        (acc, x) => array(lNew(acc, x),
+          lit(beta) * (lNew(acc, x) - element_at(acc, 1)) +
+            lit(1 - beta) * element_at(acc, 2))))
+    folded.select(col("n_points").cast("long").as("n_points"),
+      round(element_at(col("__st"), 1), 6).as("level"),
+      round(element_at(col("__st"), 2), 6).as("trend"),
+      round(element_at(col("__st"), 1) + element_at(col("__st"), 2), 6)
+        .as("forecast_1"),
+      round(element_at(col("__st"), 1) + lit(7.0) * element_at(col("__st"), 2), 6)
+        .as("forecast_7"))
+  }
+
   /** CUSUM changepoint detection over a TIME SERIES (Page 1954 /
     * Pettitt-style location): the candidate split is the argmax of
     * |S_t| where S_t = Σ_{i≤t}(v_i − mean). Computed SCALED by n so

@@ -303,23 +303,35 @@ object Joins {
   }
 
   /** AGMS ("tug-of-war") sketch of a join column: `sketches` signed
-    * counters s_i = Σ_rows ξ_i(key) with ξ_i(k) ∈ {−1, +1} the parity of
-    * md5("i:k") — deterministic, engine-portable, no RNG. Each sketch
-    * vector is a plain SUM: map-side combinable, mergeable across
-    * shards/batches (add the counters), one exchange of ≤ `sketches`
-    * rows. Alon–Gibbons–Matias–Szegedy 1999 / Alon–Matias–Szegedy 1996.
+    * counters s_i = Σ_rows ξ_i(key) with ξ_i(k) ∈ {−1, +1} bit i of
+    * md5(key) — deterministic, engine-portable, no RNG. ONE md5 per row
+    * (not per (row, i) — the r13 explode formulation cost 64 md5s/row),
+    * split into two 60-bit halves whose low 32 bits each supply signs,
+    * then `sketches` plain SUM aggregates in a single codegen'd scan:
+    * map-side combinable, mergeable across shards/batches (add the
+    * counters), one exchange of ≤ `sketches` longs. The 1×`sketches`
+    * aggregate row is unpivoted to (i, s) rows after the scan.
+    * Alon–Gibbons–Matias–Szegedy 1999 / Alon–Matias–Szegedy 1996.
     */
   def joinSizeSketch(df: DataFrame, keyCol: String,
       sketches: Int = 64): DataFrame = {
-    require(sketches > 0 && sketches % 8 == 0,
-      s"sketches must be a positive multiple of 8: $sketches")
-    df.select(col(keyCol).cast("string").as("__k"))
-      .select(explode(sequence(lit(0), lit(sketches - 1))).as("i"), col("__k"))
-      .select(col("i").cast("long").as("i"),
-        when(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
-          col("__k"))), 1, 15), 16, 10).cast("long") % 2 === 0, lit(1L))
-          .otherwise(lit(-1L)).as("__x"))
-      .groupBy("i").agg(sum("__x").as("s"))
+    require(sketches > 0 && sketches % 8 == 0 && sketches <= 64,
+      s"sketches must be a positive multiple of 8, at most 64: $sketches")
+    val hashed = df.select(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("__h1"),
+      conv(substring(md5(col(keyCol).cast("string")), 17, 15), 16, 10)
+        .cast("long").as("__h2"))
+    // sign_i = 1 − 2·bit_i; sketches 0..31 read __h1, 32..63 read __h2
+    val sums = (0 until sketches).map { i =>
+      val h = if (i < 32) col("__h1") else col("__h2")
+      sum(lit(1L) - lit(2L) * shiftright(h, i % 32).bitwiseAND(lit(1L)))
+        .as(s"__s$i")
+    }
+    val onerow = hashed.agg(sums.head, sums.tail: _*)
+    val stackArgs = (0 until sketches)
+      .map(i => s"${i}L, coalesce(__s$i, 0L)").mkString(", ")
+    onerow.select(expr(s"stack($sketches, $stackArgs) AS (i, s)"))
   }
 
   /** Join-SIZE estimation without the join — the planner's primitive at

@@ -125,6 +125,32 @@ object Sources {
     else throw new IllegalArgumentException(s"Unsupported file format: $path")
   }
 
+  /** Fixed-width text reader — the mainframe/legacy-feed format the
+    * built-in sources skip. One `spark.read.text` scan with codegen'd
+    * substring projections per column spec (name, width), values
+    * trimmed; a `null` marker string (post-trim) maps to SQL null. The
+    * whole parse is scan-local — splittable text input, no shuffle, no
+    * UDF — so it rides the same distributed scan as CSV at any size.
+    * 1-based offsets accumulate left to right; lines shorter than the
+    * total width yield empty→null tail columns (substring past end is
+    * empty, the lenient legacy contract).
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+      widths: Seq[(String, Int)], nullValue: String = ""): DataFrame = {
+    require(widths.nonEmpty, "widths must be non-empty")
+    require(widths.forall(_._2 > 0), s"widths must be positive: $widths")
+    val offsets = widths.scanLeft(1) { case (off, (_, w)) => off + w }
+    val cols = widths.zip(offsets).map { case ((name, w), off) =>
+      val v = org.apache.spark.sql.functions.trim(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("value"), off, w))
+      org.apache.spark.sql.functions.when(v === nullValue,
+        org.apache.spark.sql.functions.lit(null: String))
+        .otherwise(v).as(name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+
   /** S5 — empty-input check (`data.empty`, DIH.py:181). `isEmpty` runs a
     * LocalLimit(1) job — O(first non-empty partition), not a full count.
     */

@@ -40,6 +40,27 @@ class TrendSpec extends SparkSpec {
     assert(slope === 2.0, s"slope $slope")
   }
 
+  test("Holt smoothing tracks a perfect linear series exactly") {
+    // v = 4t + 2: init l=v1, b=4; recurrence preserves the line exactly
+    // at alpha=beta=0.5 (forecast error is 0 at every step)
+    val s = (0L to 9L).map(t => (t, 4.0 * t + 2.0)).toDF("t", "v")
+    val r = Eda.holtSmooth(s, "t", "v").collect().head
+    assert(r.getAs[Long]("n_points") === 10L)
+    assert(r.getAs[Double]("level") === 38.0)   // v at t=9
+    assert(r.getAs[Double]("trend") === 4.0)
+    assert(r.getAs[Double]("forecast_1") === 42.0)
+    assert(r.getAs[Double]("forecast_7") === 66.0)
+  }
+
+  test("Holt on a two-point series returns the init state") {
+    val s = Seq((0L, 10.0), (1L, 13.0)).toDF("t", "v")
+    val r = Eda.holtSmooth(s, "t", "v").collect().head
+    // fold consumes v2 once from the init-consistent recurrence:
+    // l = .5*13 + .5*(10+3) = 13, b = .5*(13-10) + .5*3 = 3
+    assert(r.getAs[Double]("level") === 13.0)
+    assert(r.getAs[Double]("trend") === 3.0)
+  }
+
   test("CUSUM finds the exact mean-shift point with exact segment means") {
     // 10 @ level 5 then 6 @ level 50: split after t=9
     val s = ((0L to 9L).map((_, 5L)) ++ (10L to 15L).map((_, 50L))).toDF("t", "v")
