@@ -2323,6 +2323,22 @@ object OracleSql {
 
     // P7 robust scale: quartiles rounded to 6 BEFORE the per-row
     // arithmetic, mirroring Preprocess.robustScale's driver-side rounding
+    // target-encoding replay: exact-decimal category sums, the identical
+    // (double(Sc - y) + prior*g) / (nc - 1 + prior) DAG per row
+    "q_p8_target_encode" ->
+      """WITH pc AS (SELECT o_orderpriority AS cat,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DECIMAL(30,8)) AS sc,
+        |    CAST(count(*) AS BIGINT) AS nc FROM orders GROUP BY 1),
+        |g AS (SELECT
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DECIMAL(30,8)) AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round((CAST(sc - CAST(o_totalprice AS DECIMAL(24,8)) AS DOUBLE)
+        |      + CAST(10 AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+        |    / (CAST(nc - 1 AS DOUBLE) + CAST(10 AS DOUBLE)), 6) + 0.0 AS target_enc
+        |FROM orders JOIN pc ON o_orderpriority = cat CROSS JOIN g
+        |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
     "q_p7_robust" ->
       """WITH st AS (SELECT
         |    round(quantile_cont(l_quantity, 0.25), 6) AS q1_q,
@@ -2618,6 +2634,25 @@ object OracleSql {
 
     // Mann–Kendall / Theil–Sen replay: integer S and tie-corrected
     // variance, one sqrt, median slope by rank over (slope, t1, t2)
+    // ACF replay: identical n-scaled deviations in HUGEINT, identical
+    // lag equi-join over the bounded daily table, one division per lag
+    "q_events_acf" ->
+      """WITH d AS (SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv FROM d),
+        |dev AS (SELECT t, CAST(n * v - sv AS HUGEINT) AS dev FROM d, s),
+        |den AS (SELECT sum(dev * dev) AS den FROM dev),
+        |l AS (SELECT unnest(generate_series(1, 10)) AS lag),
+        |num AS (SELECT CAST(l.lag AS BIGINT) AS lag, sum(a.dev * b.dev) AS num,
+        |        CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM l CROSS JOIN dev a JOIN dev b ON b.t = a.t + l.lag
+        |      GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 END AS acf
+        |FROM num, den ORDER BY lag""".stripMargin,
+
     "q_events_trend" ->
       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
         |      - DATE '2024-01-01' AS t, CAST(count(*) AS BIGINT) AS v

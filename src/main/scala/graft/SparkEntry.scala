@@ -1894,6 +1894,17 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -- P8 smoothed leave-one-out target encoding (Micci-Barreca): stats
+    // from ALL orders, row-level output sampled 1-in-100 by key ----------
+    "q_p8_target_encode" -> ((s, dir) => {
+      Preprocess.targetEncode(T(s, dir, "orders"), "o_orderpriority",
+          "o_totalprice", prior = 10.0)
+        .where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("target_enc"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- P7 robust scaling ((x - median) / IQR, exact CDF quantiles) ------
     "q_p7_robust" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").select(
@@ -2242,6 +2253,17 @@ object SparkEntry {
         .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
           col("cnt"))
       Eda.mannKendallTrend(daily, "t", "cnt")
+    }),
+
+    // -- autocorrelation of the daily series at lags 1..10: integer-exact
+    // num/den from n-scaled deviations, one division per lag -----------
+    "q_events_acf" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.autocorrelation(daily, "t", "cnt")
     }),
 
     // -- Holt level+trend smoothing and 1/7-step forecast on the daily

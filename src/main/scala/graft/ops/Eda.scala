@@ -295,6 +295,49 @@ object Eda {
         .as("forecast_7"))
   }
 
+  /** Autocorrelation function over a TIME SERIES at lags 1..`maxLag` —
+    * the "does this metric echo itself" audit that completes the drift
+    * family ([[mannKendallTrend]] / [[cusumChangepoint]] / [[holtSmooth]]).
+    * Same bounded-series contract: input is the already-aggregated series
+    * (days, not events), so every stage below is metadata-sized.
+    *
+    * r_k = Σ_t d_t·d_{t+k} / Σ_t d_t² with d_t = n·v_t − Σv — the
+    * n-SCALED deviation (the CUSUM trick): every numerator/denominator
+    * term is exact integer arithmetic in decimal(38,0) (d² overflows
+    * int64 once daily volume passes ~3e9·series-len, decimal does not),
+    * and ONE double division per lag happens at the very end. Lags are
+    * in the series' time unit: a missing step simply contributes no pair
+    * at the lags it would straddle (documented gap semantics, matching
+    * the SQL replay join exactly).
+    *
+    * @return (lag, n_pairs, acf) for each lag with ≥1 pair, ordered
+    */
+  def autocorrelation(series: DataFrame, ordCol: String, valCol: String,
+      maxLag: Int = 10): DataFrame = {
+    require(maxLag > 0, s"maxLag must be positive: $maxLag")
+    val d = series.select(col(ordCol).cast("long").as("t"),
+      col(valCol).cast("long").as("v"))
+    val s = d.agg(count(lit(1)).as("__n"), sum("v").as("__sv"))
+    val dev = d.crossJoin(broadcast(s))
+      .select(col("t"),
+        (col("__n") * col("v") - col("__sv")).cast("decimal(19,0)").as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("__den"))
+    dev
+      .select(explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        col("t"), col("dev"))
+      .withColumn("t2", col("t") + col("lag"))
+      .join(dev.select(col("t").as("t2"), col("dev").as("dev2")), Seq("t2"))
+      .groupBy("lag")
+      .agg(sum(col("dev") * col("dev2")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("__den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__num").cast("double") /
+            col("__den").cast("double"), 6)).as("acf"))
+      .orderBy("lag")
+  }
+
   /** CUSUM changepoint detection over a TIME SERIES (Page 1954 /
     * Pettitt-style location): the candidate split is the argmax of
     * |S_t| where S_t = Σ_{i≤t}(v_i − mean). Computed SCALED by n so

@@ -407,4 +407,42 @@ object Preprocess {
         round(lo + (col("__p") * gridK - jj) * (hi - lo), 6))
       .drop(keyCols.map("__graft_r_" + _) ++ Seq("__rval", "__p"): _*)
   }
+
+  /** Smoothed leave-one-out TARGET ENCODING — the supervised categorical
+    * encoder (Micci-Barreca 2001): each row's category is replaced by the
+    * mean target of the OTHER rows in its category, shrunk toward the
+    * global mean by `prior` pseudo-observations:
+    *   enc_i = (S_c − y_i + prior·ḡ) / (n_c − 1 + prior).
+    * Leaving the row's own target out is what prevents the label leak a
+    * naive per-category mean bakes into training data; the prior keeps
+    * rare categories from memorizing their few labels.
+    *
+    * Scale shape: per-category (sum, count) is ONE map-side-combining
+    * aggregate joined back by broadcast (categories are bounded); the
+    * global mean is a single-row broadcast. No window, no shuffle of the
+    * fact table beyond the broadcast joins.
+    *
+    * Determinism: S_c and the global sum stay in exact DECIMAL; ḡ is one
+    * double division; each row's encoding is the fixed DAG
+    * (double(S_c − y_i) + prior·ḡ) / (n_c − 1 + prior) — numerator
+    * subtraction happens in exact decimal BEFORE the double cast, so
+    * aggregation order cannot leak in. One `target_enc` column appended.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      prior: Double = 10.0): DataFrame = {
+    require(prior > 0, s"prior must be positive: $prior")
+    val y = col(targetCol).cast("decimal(24,8)")
+    val perCat = df.groupBy(col(catCol).as("__cat"))
+      .agg(sum(y).cast("decimal(30,8)").as("__sc"),
+        count(y).as("__nc"))
+    val global = df.agg(sum(y).cast("decimal(30,8)").as("__sg"),
+      count(y).as("__ng"))
+    val g = col("__sg").cast("double") / col("__ng").cast("double")
+    df.join(broadcast(perCat), df(catCol) === col("__cat"), "left")
+      .crossJoin(broadcast(global))
+      .withColumn("target_enc",
+        round(((col("__sc") - y).cast("double") + lit(prior) * g) /
+          ((col("__nc") - 1).cast("double") + lit(prior)), 6))
+      .drop("__cat", "__sc", "__nc", "__sg", "__ng")
+  }
 }

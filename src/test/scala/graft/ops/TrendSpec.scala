@@ -61,6 +61,32 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[Double]("trend") === 3.0)
   }
 
+  test("ACF of an alternating series: acf(1) = -0.9, acf(2) = +0.8 at n=10") {
+    // v alternates 0/2 around mean 1: d_t = ±n; lag-1 products all -n^2
+    // (9 pairs), den = 10*n^2 -> -0.9; lag-2 all +n^2 (8 pairs) -> 0.8
+    val s = (0L to 9L).map(t => (t, if (t % 2 == 0) 0L else 2L)).toDF("t", "v")
+    val r = Eda.autocorrelation(s, "t", "v", maxLag = 2)
+      .collect().map(x => x.getAs[Long]("lag") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Double]("acf")))).toMap
+    assert(r(1L) === ((9L, -0.9)))
+    assert(r(2L) === ((8L, 0.8)))
+  }
+
+  test("ACF of a constant series is null (zero variance)") {
+    val s = (0L to 5L).map((_, 7L)).toDF("t", "v")
+    val r = Eda.autocorrelation(s, "t", "v", maxLag = 3).collect()
+    assert(r.nonEmpty && r.forall(_.isNullAt(2)))
+  }
+
+  test("ACF pairs skip series gaps (time-unit lag contract)") {
+    val s = Seq((0L, 1L), (1L, 5L), (3L, 9L)).toDF("t", "v")
+    val r = Eda.autocorrelation(s, "t", "v", maxLag = 3)
+      .collect().map(x => x.getAs[Long]("lag") -> x.getAs[Long]("n_pairs")).toMap
+    assert(r(1L) === 1L)      // only (0,1) — 3 is not 1 after anything
+    assert(r(2L) === 1L)      // (1,3)
+    assert(r(3L) === 1L)      // (0,3)
+  }
+
   test("CUSUM finds the exact mean-shift point with exact segment means") {
     // 10 @ level 5 then 6 @ level 50: split after t=9
     val s = ((0L to 9L).map((_, 5L)) ++ (10L to 15L).map((_, 50L))).toDF("t", "v")
