@@ -2634,6 +2634,28 @@ object OracleSql {
 
     // Mann–Kendall / Theil–Sen replay: integer S and tie-corrected
     // variance, one sqrt, median slope by rank over (slope, t1, t2)
+    // seasonal-decompose replay: identical range-frame window sum, exact
+    // period-scaled detrended integers, the same double DAG per column
+    "q_events_decompose" ->
+      """WITH d AS (SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |w AS (SELECT t, v,
+        |    sum(v) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s0,
+        |    count(*) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c0
+        |  FROM d),
+        |w2 AS (SELECT t, v, CASE WHEN c0 = 7 THEN CAST(s0 AS BIGINT) END AS sp FROM w),
+        |ph AS (SELECT t % 7 AS p, CAST(sum(7 * v - sp) AS BIGINT) AS num,
+        |    CAST(count(*) AS BIGINT) AS pcnt
+        |  FROM w2 WHERE sp IS NOT NULL GROUP BY 1)
+        |SELECT t, v,
+        |  round(CAST(sp AS DOUBLE) / CAST(7 AS DOUBLE), 6) + 0.0 AS trend,
+        |  round(CAST(num AS DOUBLE) / (CAST(7 AS DOUBLE) * pcnt), 6) + 0.0 AS seasonal,
+        |  CASE WHEN sp IS NOT NULL AND num IS NOT NULL THEN
+        |    round(CAST(7 * v - sp AS DOUBLE) / CAST(7 AS DOUBLE)
+        |      - CAST(num AS DOUBLE) / (CAST(7 AS DOUBLE) * pcnt), 6) + 0.0 END AS resid
+        |FROM w2 LEFT JOIN ph ON w2.t % 7 = ph.p ORDER BY t""".stripMargin,
+
     // ACF replay: identical n-scaled deviations in HUGEINT, identical
     // lag equi-join over the bounded daily table, one division per lag
     "q_events_acf" ->
@@ -3055,6 +3077,28 @@ object OracleSql {
 
     // fixed hash-selected centroids; d2 spelled through list_dot_product
     // exactly like the Spark side's graft_dot kernel; ties (d2, cid)
+    // kNN graph: same fixed-centroid assignment, within-cluster pairs,
+    // per-src rank on the ROUNDED cosine (ties to smaller dst)
+    "q_sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid, e.v,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, v,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn0 FROM d),
+        |w AS (SELECT vec_id, cid, v FROM r WHERE rn0 = 1),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cos
+        |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |k AS (SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p)
+        |SELECT src, CAST(rn AS INTEGER) AS rn, dst, cos
+        |FROM k WHERE rn <= 5 ORDER BY src, rn""".stripMargin,
+
     "q_sim_ivf_assign" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e

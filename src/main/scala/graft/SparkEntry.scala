@@ -2255,6 +2255,18 @@ object SparkEntry {
       Eda.mannKendallTrend(daily, "t", "cnt")
     }),
 
+    // -- classical seasonal decomposition of the daily series: centered
+    // 7-day trend MA, per-dow seasonal means of the period-scaled exact
+    // detrended values, residual via the shared double DAG -------------
+    "q_events_decompose" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.seasonalDecompose(daily, "t", "cnt", period = 7)
+    }),
+
     // -- autocorrelation of the daily series at lags 1..10: integer-exact
     // num/den from n-scaled deviations, one division per lag -----------
     "q_events_acf" -> ((s, dir) => {
@@ -2763,6 +2775,20 @@ object SparkEntry {
       Similarity.assignToCentroids(emb, "vec_id", "e", cents.toIndexedSeq)
         .select(col("id").as("vec_id"), col("cluster_id"), col("dist2"))
         .orderBy("vec_id")
+    }),
+
+    // -- kNN graph (r13): every node's top-5 cosine neighbors within its
+    // IVF cluster (nProbe=1) — the graph-ANN/clustering backbone; same
+    // md5-smallest-8 fixed centroids as q_sim_ivf_assign ----------------
+    "q_sim_knn_graph" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.knnGraph(emb, "vec_id", "e", cents.toIndexedSeq, k = 5)
+        .orderBy("src", "rn")
     }),
 
     // -- DSIR importance weights (r13): hashed unigram+bigram

@@ -667,4 +667,52 @@ object Similarity {
         col("role") === "neg" && col("rank") <= negK)
       .select("anchor_id", "role", "rank", "cand_id", "cos")
   }
+
+  /** kNN-GRAPH construction over the whole corpus — every node's top-k
+    * cosine neighbors among nodes sharing its IVF cluster (the nProbe=1
+    * contract). The kNN graph is the backbone artifact of graph-based
+    * ANN (HNSW/NSG builds), kNN-graph clustering, and local-density
+    * curation scores; building it exactly is O(n²), so the standard
+    * scale move is exactly this cluster-bucketed restriction: candidate
+    * pairs come from an EQUI-join on the assigned cluster id — never an
+    * all-pairs product — and the per-cluster quadratic term is bounded
+    * by cluster size (size the centroid count ∝ √n at ingest; more
+    * centroids = smaller clusters = cheaper and more approximate).
+    *
+    * Per-node ranking uses the bounded-buffer [[graft.functions.TopKAgg]]
+    * hash aggregate (map-side combinable, k-sized buffers — no window
+    * sort over the pair table). Determinism: assignment is the proven
+    * `q_sim_ivf_assign` subtractive-dot argmin (ties to smaller cid);
+    * neighbors rank on the ROUND-6 cosine with ties to the smaller
+    * neighbor id, so external replays rank identically.
+    *
+    * @return (src, rn, dst, cos) — rn 1-based by (cos desc, dst asc)
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(centroids.nonEmpty && k > 0, "need centroids and k > 0")
+    val e = VectorOps.toDouble(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+        VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val cluster = array_min(array(entries: _*)).getField("cid")
+    val assigned = df.select(col(idCol).cast("long").as("id"),
+      e.as("__v"), cluster.as("__c"))
+    val pairs = assigned
+      .select(col("__c"), col("id").as("src"), col("__v").as("__va"))
+      .join(assigned.select(col("__c").as("__c2"), col("id").as("dst"),
+          col("__v").as("__vb")),
+        col("__c") === col("__c2") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosineNative(col("__va"), col("__vb")), 6).as("cos"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    pairs.groupBy("src").agg(topk(col("cos"), col("dst")).as("__top"))
+      .select(col("src"),
+        posexplode(col("__top")).as(Seq("__rank0", "__entry")))
+      .select(col("src"), (col("__rank0") + 1).cast("int").as("rn"),
+        col("__entry._2").as("dst"), col("__entry._1").as("cos"))
+  }
 }

@@ -295,6 +295,54 @@ object Eda {
         .as("forecast_7"))
   }
 
+  /** Classical seasonal decomposition over a TIME SERIES (the
+    * moving-average method statsmodels' `seasonal_decompose` uses, STL's
+    * simpler ancestor): trend = centered `period`-point moving average
+    * (null where the window is incomplete), seasonal = per-phase mean of
+    * the detrended values, residual = value − trend − seasonal. Same
+    * bounded-series contract as the rest of the drift family — the
+    * unpartitioned range window runs on the metadata-sized series.
+    *
+    * Determinism: the detrended value is kept PERIOD-SCALED —
+    * period·v − Σwindow is an exact long, so the per-phase numerator is
+    * an exact integer SUM (order-invariant); trend, seasonal and
+    * residual each apply the same fixed double DAG (one or two
+    * divisions) that the SQL replay spells identically.
+    *
+    * @param period seasonal period in time units; must be odd so the
+    *               centered window is symmetric
+    * @return (t, v, trend, seasonal, resid) one row per input step
+    */
+  def seasonalDecompose(series: DataFrame, ordCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period > 1 && period % 2 == 1,
+      s"period must be odd and > 1: $period")
+    val half = (period - 1) / 2
+    val d = series.select(col(ordCol).cast("long").as("t"),
+      col(valCol).cast("long").as("v"))
+    val w = Window.orderBy("t").rangeBetween(-half, half)
+    val tr = d
+      .withColumn("__cnt", count("v").over(w))
+      .withColumn("__sp",
+        when(col("__cnt") === period, sum("v").over(w)))
+    val ph = tr.where(col("__sp").isNotNull)
+      .groupBy((col("t") % period).as("__p"))
+      .agg(sum(lit(period) * col("v") - col("__sp")).as("__num"),
+        count(lit(1)).as("__pcnt"))
+    val pD = lit(period.toDouble)
+    tr.withColumn("__p", col("t") % period)
+      .join(broadcast(ph), Seq("__p"), "left")
+      .select(col("t"), col("v"),
+        round(col("__sp").cast("double") / pD, 6).as("trend"),
+        round(col("__num").cast("double") / (pD * col("__pcnt")), 6)
+          .as("seasonal"),
+        when(col("__sp").isNotNull && col("__num").isNotNull,
+          round((lit(period) * col("v") - col("__sp")).cast("double") / pD -
+            col("__num").cast("double") / (pD * col("__pcnt")), 6))
+          .as("resid"))
+      .orderBy("t")
+  }
+
   /** Autocorrelation function over a TIME SERIES at lags 1..`maxLag` —
     * the "does this metric echo itself" audit that completes the drift
     * family ([[mannKendallTrend]] / [[cusumChangepoint]] / [[holtSmooth]]).

@@ -61,6 +61,35 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[Double]("trend") === 3.0)
   }
 
+  test("seasonal decomposition recovers a pure weekly pattern exactly") {
+    // v = 10 + (t mod 7): trend (7-MA) = 13 on every complete window,
+    // seasonal_p = p - 3, residual identically 0
+    val s = (0L to 20L).map(t => (t, 10L + t % 7)).toDF("t", "v")
+    val out = Eda.seasonalDecompose(s, "t", "v", period = 7).collect()
+    val mid = out.filter(r => !r.isNullAt(2))
+    assert(mid.length === 15)                       // t = 3..17
+    assert(mid.forall(_.getAs[Double]("trend") === 13.0))
+    assert(mid.forall(_.getAs[Double]("resid") === 0.0))
+    out.foreach { r =>
+      val p = r.getAs[Long]("t") % 7
+      assert(r.getAs[Double]("seasonal") === (p - 3).toDouble,
+        s"t=${r.getAs[Long]("t")}")
+    }
+  }
+
+  test("seasonal decomposition of a linear series: trend = the line, zero seasonal") {
+    val s = (0L to 13L).map(t => (t, 2L * t)).toDF("t", "v")
+    val out = Eda.seasonalDecompose(s, "t", "v", period = 7).collect()
+    out.filter(r => !r.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Double]("trend") === 2.0 * r.getAs[Long]("t"))
+      assert(r.getAs[Double]("seasonal") === 0.0)
+      assert(r.getAs[Double]("resid") === 0.0)
+    }
+    // incomplete-window edges: trend and resid null, seasonal present
+    val edge = out.filter(r => r.getAs[Long]("t") < 3)
+    assert(edge.forall(r => r.isNullAt(2) && r.isNullAt(4) && !r.isNullAt(3)))
+  }
+
   test("ACF of an alternating series: acf(1) = -0.9, acf(2) = +0.8 at n=10") {
     // v alternates 0/2 around mean 1: d_t = ±n; lag-1 products all -n^2
     // (9 pairs), den = 10*n^2 -> -0.9; lag-2 all +n^2 (8 pairs) -> 0.8
