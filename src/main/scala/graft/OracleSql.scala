@@ -975,6 +975,27 @@ object OracleSql {
     // brute-force exact all-pairs shingle Jaccard: the prefix-filtered
     // Spark join must reproduce it pair-for-pair (exactness, not
     // approximate recall)
+    // containment replay: same shingles, same maxDf stop-shingle
+    // exclusion from pair generation (sizes keep all shingles)
+    "q_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(tk) >= 5),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 4), i -> array_to_string(tk[i:i+4], ' '))) AS s
+        |  FROM t2),
+        |sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |gg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfreq AS (SELECT g, count(*) AS df FROM gg GROUP BY 1),
+        |kept AS (SELECT doc_id, gg.g FROM gg JOIN dfreq USING (g) WHERE df <= 100),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |res AS (SELECT id_a, id_b,
+        |    round(CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE), 6) + 0.0 AS contain_a,
+        |    round(CAST(i AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) + 0.0 AS contain_b
+        |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
+        |SELECT id_a, id_b, contain_a, contain_b FROM res
+        |WHERE contain_a >= CAST(0.8 AS DOUBLE) OR contain_b >= CAST(0.8 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_jaccard_prefix" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
         |t2 AS (SELECT * FROM t WHERE len(tk) >= 5),
@@ -2357,6 +2378,61 @@ object OracleSql {
     // per-row test (Preprocess.outlierFlagsMad's driver-side rounding)
     // flagged rows only + scanned count on each, over events.value (r12
     // contract — see the registration comment)
+    // Mahalanobis replay: identical exact-decimal sums, identical
+    // mean/cov/adjugate-inverse/score double DAG (products commute
+    // bitwise; association mirrored term for term)
+    "q_outlier_mahalanobis" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS s1,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s2,
+        |    sum(CAST(l_discount AS DECIMAL(18,4))) AS s3,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS s11,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS s12,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(18,4))) AS s13,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS s22,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(18,4))) AS s23,
+        |    sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(18,4))) AS s33
+        |  FROM lineitem),
+        |m AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mu2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS mu3,
+        |    CAST(s11 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c11,
+        |    CAST(s12 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c12,
+        |    CAST(s13 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) AS c13,
+        |    CAST(s22 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c22,
+        |    CAST(s23 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) AS c23,
+        |    CAST(s33 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) AS c33
+        |  FROM s),
+        |dd AS (SELECT m.*, c11 * (c22 * c33 - c23 * c23)
+        |    - c12 * (c12 * c33 - c23 * c13)
+        |    + c13 * (c12 * c23 - c22 * c13) AS det FROM m),
+        |i AS (SELECT mu1, mu2, mu3,
+        |    (c22 * c33 - c23 * c23) / det AS a11,
+        |    (c11 * c33 - c13 * c13) / det AS a22,
+        |    (c11 * c22 - c12 * c12) / det AS a33,
+        |    (c13 * c23 - c12 * c33) / det AS a12,
+        |    (c12 * c23 - c13 * c22) / det AS a13,
+        |    (c12 * c13 - c11 * c23) / det AS a23
+        |  FROM dd),
+        |r AS (SELECT l_orderkey, l_linenumber,
+        |    a11 * (l_quantity - mu1) * (l_quantity - mu1)
+        |      + a22 * (l_extendedprice - mu2) * (l_extendedprice - mu2)
+        |      + a33 * (l_discount - mu3) * (l_discount - mu3)
+        |      + CAST(2 AS DOUBLE) * (a12 * (l_quantity - mu1) * (l_extendedprice - mu2)
+        |        + a13 * (l_quantity - mu1) * (l_discount - mu3)
+        |        + a23 * (l_extendedprice - mu2) * (l_discount - mu3)) AS md2u
+        |  FROM lineitem CROSS JOIN i WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, round(md2u, 6) + 0.0 AS md2,
+        |  md2u > CAST(7.814728 AS DOUBLE) AS is_outlier
+        |FROM r ORDER BY l_orderkey, l_linenumber, md2, is_outlier""".stripMargin,
+
     "q_outlier_mad" ->
       """WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS mv FROM events),
         |a AS (SELECT round(quantile_cont(abs(value - mv), 0.5), 6) AS madv

@@ -552,6 +552,12 @@ object SparkEntry {
       Dedup.jaccardJoinPrefix(T(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8, k = 5)
         .orderBy("id_a", "id_b")),
+    // -- containment pairs (r13): asymmetric |A∩B|/|A| via the inverted
+    // shingle equi-join with the maxDf stop-shingle skew cap ------------
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "text", "doc_id",
+        k = 5, thresh = 0.8, maxDf = 100)
+        .orderBy("id_a", "id_b")),
     // LSH recall audit (r12): the banded MinHash tier measured against
     // the exact PPJoin ground truth at the SAME threshold — the number
     // that justifies (or indicts) running the approximate tier at 100 TB.
@@ -1924,6 +1930,17 @@ object SparkEntry {
     // scanned-row count on each (broadcast 1-row aggregate):
     // materializing + totally ordering all 600k lineitem rows was ~2x
     // the query's real cost, and flags-only is what a pipeline consumes
+    // -- multivariate Mahalanobis outliers (r13): one exact-decimal stats
+    // pass, closed-form 3x3 inverse in-plan, chi2(3) 5% tail flag -------
+    "q_outlier_mahalanobis" -> ((s, dir) => {
+      Preprocess.mahalanobisScores(T(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .where(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("md2"),
+          col("is_outlier"))
+        .orderBy("l_orderkey", "l_linenumber", "md2", "is_outlier")
+    }),
+
     "q_outlier_mad" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val n = ev.agg(count(lit(1)).as("n_scanned"))

@@ -856,4 +856,49 @@ object Dedup {
       .distinct()
       .where(col("dist") <= maxDist)
   }
+
+  /** Exact CONTAINMENT-similarity pairs — C(A,B) = |A∩B| / |A| over
+    * shingle sets, the asymmetric measure Jaccard blinds on: a short doc
+    * fully quoted inside a long one has tiny Jaccard but containment 1.
+    * The sub/superset detector for quote mining and nested-document
+    * dedup (Broder 1997's "containment" alongside "resemblance").
+    *
+    * Scale shape: pair generation is the inverted token join — shingles
+    * EQUI-join against themselves, intersections arrive as map-side-
+    * combining per-pair counts — never an all-pairs product. The skew
+    * device: a shingle occurring in more than `maxDf` docs would emit
+    * O(df²) candidate rows, so such stop-shingles are dropped from PAIR
+    * GENERATION only (set sizes keep them; intersections are therefore
+    * a documented lower bound on pairs glued solely by boilerplate
+    * grams). The drop is observe-logged (no silent caps) and the oracle
+    * applies the identical exclusion.
+    *
+    * @return (id_a, id_b, contain_a, contain_b) with id_a < id_b, kept
+    *         when either ROUND-6 direction reaches `thresh`
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, thresh: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    require(thresh > 0 && maxDf > 0, s"bad params: $thresh, $maxDf")
+    graft.Metrics.ensureListener(df.sparkSession)
+    val sh = shingleTable(df, textCol, idCol, k)
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    val tok = sh.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("__df"))
+    val kept = tok.join(dfreq.where(col("__df") <= maxDf), Seq("g"))
+      .observe(graft.Metrics.name("containment_kept"),
+        count(lit(1)).as("kept_gram_rows"))
+    val inter = kept.select(col("g"), col("id").as("id_a"))
+      .join(kept.select(col("g").as("__g2"), col("id").as("id_b")),
+        col("g") === col("__g2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter").cast("double") / col("__na").cast("double"), 6)
+          .as("contain_a"),
+        round(col("__inter").cast("double") / col("__nb").cast("double"), 6)
+          .as("contain_b"))
+      .where(col("contain_a") >= thresh || col("contain_b") >= thresh)
+  }
 }

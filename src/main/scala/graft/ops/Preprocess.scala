@@ -408,6 +408,74 @@ object Preprocess {
       .drop(keyCols.map("__graft_r_" + _) ++ Seq("__rval", "__p"): _*)
   }
 
+  /** MAHALANOBIS outlier scores over exactly three numeric columns — the
+    * multivariate outlier detector the per-column z/MAD flags miss (a row
+    * can be unremarkable per-coordinate yet far off the data's
+    * correlation ellipsoid). d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with Σ the
+    * population covariance; d² ~ χ²(3) under normality, so
+    * `chi2Thresh` = 7.814728 flags the 5% tail.
+    *
+    * Scale shape: ONE map-side-combining aggregate collects n, the 3
+    * sums and the 6 product sums (all in exact DECIMAL — products in
+    * decimal(18,4)² = decimal(37,8), no precision capping, so the sums
+    * are aggregation-order-invariant); the single stats row broadcasts
+    * back and every downstream value — means, covariances, the
+    * closed-form adjugate/determinant 3×3 INVERSE, each row's score —
+    * is one fixed double DAG evaluated scan-locally. No window, no
+    * second shuffle, no driver-side decision at all: the whole
+    * statistic-to-score chain lives in the plan (the SQL replay spells
+    * the identical DAG).
+    *
+    * @return input columns + (md2 round-6, is_outlier from the
+    *         UNROUNDED score)
+    */
+  def mahalanobisScores(df: DataFrame, cols: Seq[String],
+      chi2Thresh: Double = 7.814728): DataFrame = {
+    require(cols.length == 3, s"exactly 3 columns required: $cols")
+    val d = (p: String, q: String) => s"__s_${p}_$q"
+    val dec = cols.map(c => col(c).cast("decimal(18,4)"))
+    val prodAggs = for {
+      (ci, i) <- cols.zipWithIndex; (cj, j) <- cols.zipWithIndex if i <= j
+    } yield sum(dec(i) * dec(j)).as(d(ci, cj))
+    val sumAggs = cols.zip(dec).map { case (c, x) => sum(x).as(s"__s_$c") }
+    val stats = df.agg(count(lit(1)).as("__n"),
+      (sumAggs ++ prodAggs): _*)
+    val nD = col("__n").cast("double")
+    def mu(c: String) = col(s"__s_$c").cast("double") / nD
+    def cv(i: Int, j: Int) = {
+      val (a, b) = if (i <= j) (cols(i), cols(j)) else (cols(j), cols(i))
+      col(d(a, b)).cast("double") / nD - mu(cols(i)) * mu(cols(j))
+    }
+    val det =
+      cv(0, 0) * (cv(1, 1) * cv(2, 2) - cv(1, 2) * cv(1, 2)) -
+      cv(0, 1) * (cv(0, 1) * cv(2, 2) - cv(1, 2) * cv(0, 2)) +
+      cv(0, 2) * (cv(0, 1) * cv(1, 2) - cv(1, 1) * cv(0, 2))
+    val enriched = stats
+      .withColumn("__a11", (cv(1, 1) * cv(2, 2) - cv(1, 2) * cv(1, 2)) / det)
+      .withColumn("__a22", (cv(0, 0) * cv(2, 2) - cv(0, 2) * cv(0, 2)) / det)
+      .withColumn("__a33", (cv(0, 0) * cv(1, 1) - cv(0, 1) * cv(0, 1)) / det)
+      .withColumn("__a12", (cv(0, 2) * cv(1, 2) - cv(0, 1) * cv(2, 2)) / det)
+      .withColumn("__a13", (cv(0, 1) * cv(1, 2) - cv(0, 2) * cv(1, 1)) / det)
+      .withColumn("__a23", (cv(0, 1) * cv(0, 2) - cv(0, 0) * cv(1, 2)) / det)
+      .withColumn("__mu1", mu(cols(0))).withColumn("__mu2", mu(cols(1)))
+      .withColumn("__mu3", mu(cols(2)))
+      .select("__a11", "__a22", "__a33", "__a12", "__a13", "__a23",
+        "__mu1", "__mu2", "__mu3")
+    val dx1 = col(cols(0)).cast("double") - col("__mu1")
+    val dx2 = col(cols(1)).cast("double") - col("__mu2")
+    val dx3 = col(cols(2)).cast("double") - col("__mu3")
+    val md2 =
+      col("__a11") * dx1 * dx1 + col("__a22") * dx2 * dx2 +
+      col("__a33") * dx3 * dx3 +
+      lit(2.0) * (col("__a12") * dx1 * dx2 + col("__a13") * dx1 * dx3 +
+        col("__a23") * dx2 * dx3)
+    df.crossJoin(broadcast(enriched))
+      .withColumn("md2", round(md2, 6))
+      .withColumn("is_outlier", md2 > lit(chi2Thresh))
+      .drop("__a11", "__a22", "__a33", "__a12", "__a13", "__a23",
+        "__mu1", "__mu2", "__mu3")
+  }
+
   /** Smoothed leave-one-out TARGET ENCODING — the supervised categorical
     * encoder (Micci-Barreca 2001): each row's category is replaced by the
     * mean target of the OTHER rows in its category, shrunk toward the
