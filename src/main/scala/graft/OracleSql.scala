@@ -2662,6 +2662,28 @@ object OracleSql {
 
     // gap-fill CTEs from q_resample_gapfill, then trailing-24-bin rolling
     // mean/std and the sigma test over the SAME rounded per-bin averages
+    // running-anomaly replay: identical exact-cents prefix window sums,
+    // identical mean/std/z double DAG, flags from the UNROUNDED values
+    "q_events_running_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(round(value * 100) AS BIGINT) AS v2 FROM events),
+        |w AS (SELECT user_id, event_id, value,
+        |    count(*) OVER pw AS n,
+        |    CAST(sum(v2) OVER pw AS BIGINT) AS s2,
+        |    CAST(sum(v2 * v2) OVER pw AS BIGINT) AS ss4
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id, value,
+        |    CAST(s2 AS DOUBLE) / n / CAST(100 AS DOUBLE) AS mean,
+        |    sqrt(greatest(CAST(ss4 AS DOUBLE) / n / CAST(10000 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / n / CAST(100 AS DOUBLE)
+        |        * (CAST(s2 AS DOUBLE) / n / CAST(100 AS DOUBLE)),
+        |      CAST(0 AS DOUBLE))) AS std
+        |  FROM w WHERE n >= 10)
+        |SELECT user_id, event_id, value, round((value - mean) / std, 6) + 0.0 AS z
+        |FROM z WHERE std > 0 AND abs(value - mean) > CAST(3 AS DOUBLE) * std
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q_events_anomaly" ->
       """WITH b AS (SELECT event_type,
         |             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS bin,
@@ -3263,6 +3285,29 @@ object OracleSql {
 
     // IVF recall audit: same assignment/probe/cosine DAGs as ivf_topk,
     // per-query exact baseline, recall = |IVF ∩ exact| / 10
+    // truncation audit: same one scored pass, full and sliced cosine on
+    // the same candidate row; both rankings (cos desc, id) on round-6
+    "q_sim_trunc_audit" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |et AS (SELECT vec_id, v, v[1:16] AS vt FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, v[1:16] AS qt FROM et WHERE vec_id < 10),
+         |sc AS (SELECT q.qid, et.vec_id AS id,
+         |    round(${cosine("et.v", "q.qv")}, 6) AS cos_full,
+         |    round(${cosine("et.vt", "q.qt")}, 6) AS cos_trunc
+         |  FROM et CROSS JOIN q),
+         |f AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, id) AS rn FROM sc)
+         |  WHERE rn <= 10),
+         |t AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, id) AS rn FROM sc)
+         |  WHERE rn <= 10)
+         |SELECT f.qid AS query_id, 16 AS dims,
+         |  CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(10 AS DOUBLE), 6) AS overlap
+         |FROM f LEFT JOIN t ON f.qid = t.qid AND f.id = t.id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin),
+
     "q_sim_ivf_recall" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e

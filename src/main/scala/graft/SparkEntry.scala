@@ -2194,6 +2194,13 @@ object SparkEntry {
     // -- time-series anomaly flags: resample -> trailing-24h rolling
     // mean/std -> sigma test (composition of Resample + window ops; every
     // window is keyed by event_type — no global sort)
+    // -- running per-user anomaly (r13): each event z-scored against the
+    // user's strictly-prior history; exact-cents prefix sums ------------
+    "q_events_running_anomaly" -> ((s, dir) =>
+      graft.streaming.EventsStream.runningAnomaly(T(s, dir, "events"),
+          minPrior = 10, kSigma = 3.0)
+        .orderBy("user_id", "event_id")),
+
     "q_events_anomaly" -> ((s, dir) => {
       val series = Resample.resampleGapFill(T(s, dir, "events"), "ts",
         Seq("event_type"), "value", 3600L)
@@ -2885,6 +2892,16 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       Similarity.ivfRecallAudit(emb, "vec_id", "e", cents.toIndexedSeq,
           col("vec_id") < 10, k = 10, nProbe = 4)
+        .orderBy("query_id")
+    }),
+
+    // -- Matryoshka truncation audit (r13): overlap@10 of first-16-dim
+    // retrieval vs the full 64-dim exact top-k, one scored pass ---------
+    "q_sim_trunc_audit" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Similarity.dimTruncationAudit(emb, "vec_id", "e",
+          col("vec_id") < 10, k = 10, dims = 16)
         .orderBy("query_id")
     }),
 

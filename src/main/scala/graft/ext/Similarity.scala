@@ -668,6 +668,50 @@ object Similarity {
       .select("anchor_id", "role", "rank", "cand_id", "cos")
   }
 
+  /** Dimension-TRUNCATION retrieval audit (the Matryoshka-embedding
+    * question): overlap@k between the exact top-k under the FULL vector
+    * and the top-k under only the first `dims` coordinates. Run on a
+    * query sample before shipping truncated embeddings — prefix dims
+    * cost proportionally less to store/scan at 100 TB, and this measures
+    * exactly what that truncation loses (MRL-trained embeddings hold
+    * overlap near 1; untrained ones degrade fast).
+    *
+    * Scale shape: ONE corpus×query-sample scored pass (queries
+    * broadcast) feeds BOTH rankings — full and truncated cosine ride the
+    * same row — so the audit costs one fused-kernel scan plus two
+    * bounded per-query window ranks. Shared round-6 cosine + (cos, id)
+    * tie-break on both sides, so a miss is a genuine truncation miss.
+    *
+    * @return (query_id, dims, n_hits, overlap) — overlap = |∩| / k
+    */
+  def dimTruncationAudit(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dims: Int): DataFrame = {
+    require(k > 0 && dims > 0, s"k and dims must be positive: $k, $dims")
+    import org.apache.spark.sql.expressions.Window
+    val ev = VectorOps.toDouble(col(vecCol))
+    val corpus = df.select(col(idCol).as("id"), ev.as("v"))
+      .withColumn("vt", slice(col("v"), 1, dims))
+    val queries = df.where(queryPred)
+      .select(col(idCol).as("qid"), ev.as("qv"))
+      .withColumn("qt", slice(col("qv"), 1, dims))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos_full"),
+        round(VectorOps.cosineNative(col("vt"), col("qt")), 6).as("cos_trunc"))
+    val wF = Window.partitionBy("qid").orderBy(col("cos_full").desc, col("id"))
+    val wT = Window.partitionBy("qid").orderBy(col("cos_trunc").desc, col("id"))
+    val full = scored.withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= k).select("qid", "id")
+    val trunc = scored.withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), lit(1).as("__hit"))
+    full.join(trunc, Seq("qid", "id"), "left")
+      .groupBy(col("qid").as("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), lit(dims).as("dims"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("overlap"))
+  }
+
   /** kNN-GRAPH construction over the whole corpus — every node's top-k
     * cosine neighbors among nodes sharing its IVF cluster (the nProbe=1
     * contract). The kNN graph is the backbone artifact of graph-based

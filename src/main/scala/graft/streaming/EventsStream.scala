@@ -15,6 +15,17 @@ case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
 case class SessionRow(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
 
+/** Row/state types for the stateful running-anomaly detector. State is
+  * EXACT fixed-point: value is a 2-decimal fixture, so cents (×100) and
+  * squared cents (×10⁴) accumulate as plain longs — batch, stream, and
+  * the SQL window replay all see identical integers whatever the
+  * micro-batch or partition layout.
+  */
+case class AnomEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+  value: Double)
+case class RunStats(n: Long, s2: Long, ss4: Long)
+case class AnomRow(user_id: Long, event_id: Long, value: Double, z: Double)
+
 /** Structured-Streaming flavor of the events analytics (north-star
   * extension; the reference is strictly batch, SURVEY §2.7).
   *
@@ -170,6 +181,90 @@ object EventsStream {
     }
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Running per-user anomaly detection (batch tier): each event is
+    * z-scored against the statistics of that user's STRICTLY PRIOR
+    * events (ordered by ts, event_id) and flagged when
+    * |v − μ_prior| > kSigma·σ_prior with at least `minPrior` history —
+    * the "is this action out of character for THIS entity" audit, the
+    * per-key twin of the global `q_events_anomaly`.
+    *
+    * Determinism: prefix sums run over exact CENTS (value is a
+    * 2-decimal fixture — ×100 and ×10⁴ squared-cents are exact longs),
+    * so partition layout cannot perturb them; mean/σ/z are one shared
+    * double DAG. The window is keyed per user — no global sort, the
+    * per-key frame is the bounded per-entity history.
+    *
+    * @return flagged rows (user_id, event_id, value, z round-6)
+    */
+  def runningAnomaly(events: DataFrame, minPrior: Int = 10,
+      kSigma: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v2 = round(col("value") * 100).cast("long")
+    val pw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mean = col("__s2").cast("double") / col("__n") / lit(100.0)
+    val std = sqrt(greatest(
+      col("__ss4").cast("double") / col("__n") / lit(10000.0) - mean * mean,
+      lit(0.0)))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        v2.as("__v2"))
+      .withColumn("__n", count(lit(1)).over(pw))
+      .withColumn("__s2", sum("__v2").over(pw))
+      .withColumn("__ss4", sum(col("__v2") * col("__v2")).over(pw))
+      .where(col("__n") >= minPrior)
+      .where(std > 0 && abs(col("value") - mean) > lit(kSigma) * std)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round((col("value") - mean) / std, 6).as("z"))
+  }
+
+  /** Streaming tier of [[runningAnomaly]] via flatMapGroupsWithState:
+    * per-user RunStats (n, Σcents, Σcents²) carried across micro-batches
+    * — state per key is THREE longs, bounded by active users, never by
+    * history length. Each arriving event is scored against the state
+    * BEFORE being folded in (the strictly-prior contract), using the
+    * same exact-integer state + double DAG as the batch window, so
+    * batch ≡ stream whatever the micro-batch boundaries (as long as a
+    * user's events arrive in event order — the replay contract of the
+    * file source; late data would need a watermarked reorder buffer in
+    * front).
+    */
+  def runningAnomalyStateful(events: DataFrame, minPrior: Int = 10,
+      kSigma: Double = 3.0): Dataset[AnomRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts"), col("event_id").cast("long").as("event_id"),
+      col("value").cast("double").as("value")).as[AnomEvent]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val fn = (uid: Long, it: Iterator[AnomEvent], state: GroupState[RunStats]) => {
+      val evs = it.map(e => (micros(e.ts), e.event_id, e.value)).toArray.sorted
+      var st = state.getOption.getOrElse(RunStats(0L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomRow]
+      evs.foreach { case (_, eid, v) =>
+        if (st.n >= minPrior) {
+          val mean = st.s2.toDouble / st.n / 100.0
+          val std = math.sqrt(math.max(
+            st.ss4.toDouble / st.n / 10000.0 - mean * mean, 0.0))
+          if (std > 0 && math.abs(v - mean) > kSigma * std)
+            out += AnomRow(uid, eid, v,
+              BigDecimal(java.lang.Double.toString((v - mean) / std))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val v2 = math.round(v * 100)
+        st = RunStats(st.n + 1, st.s2 + v2, st.ss4 + v2 * v2)
+      }
+      state.update(st)
+      out.iterator
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
   }
 
   /** Ordered funnel analysis: for each stage i, users whose FIRST stage-i
