@@ -975,6 +975,20 @@ object OracleSql {
     // brute-force exact all-pairs shingle Jaccard: the prefix-filtered
     // Spark join must reproduce it pair-for-pair (exactness, not
     // approximate recall)
+    // token-window chunk replay: same tokenizer, same start grid,
+    // inclusive list slice caps at len like Spark's slice
+    "q_text_token_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        |t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) > 0),
+        |j AS (SELECT doc_id, tk, n, unnest(generate_series(0, (n - 1) // 48)) AS j FROM t2),
+        |c AS (SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |    CAST(j * 48 + 1 AS INTEGER) AS start_tok,
+        |    tk[(j * 48 + 1):(j * 48 + 64)] AS w
+        |  FROM j)
+        |SELECT doc_id, chunk_idx, start_tok, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(w, ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // containment replay: same shingles, same maxDf stop-shingle
     // exclusion from pair generation (sizes keep all shingles)
     "q_dedup_containment" ->
@@ -4163,6 +4177,28 @@ object OracleSql {
 
     // Fellegi-Sunter linkage: same perturbation/blocking, same plan-time
     // ln(m/u) literal weights (computed below by the SAME math.log calls)
+    // blocking audit replay: same perturbed copy, same block join, same
+    // one-row statistics and divisions
+    "q_link_blocking_audit" ->
+      """WITH l AS (SELECT c_custkey AS lid, c_nationkey AS lnat, c_mktsegment AS lseg FROM customer),
+        |r AS (SELECT c_custkey AS rid,
+        |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS rnat,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED' ELSE c_mktsegment END AS rseg
+        |  FROM customer),
+        |cand AS (SELECT DISTINCT lid, rid FROM l JOIN r ON lnat = rnat AND lseg = rseg),
+        |t AS (SELECT DISTINCT c_custkey AS lid, c_custkey AS rid FROM customer),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left FROM l),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right FROM r),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM t JOIN cand USING (lid, rid))
+        |SELECT n_left, n_right, n_cand, n_true, n_found,
+        |  round(CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE)
+        |    / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)), 6) AS reduction_ratio,
+        |  CASE WHEN n_true = 0 THEN NULL
+        |    ELSE round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS pairs_completeness
+        |FROM nl, nr, nc, nt, nf""".stripMargin,
+
     "q_link_fs_score" -> {
       def w(m: Double, u: Double) = (math.log(m / u), math.log((1 - m) / (1 - u)))
       val (na, nd) = w(0.95, 0.001)

@@ -1485,6 +1485,14 @@ object SparkEntry {
         .orderBy("lang", "lang_guess")),
 
     // -- chunked payload hashing (frame-split plumbing, oracle-able) ------
+    // -- sliding token-window RAG chunks (r13): 64-token windows every 48
+    // tokens (16-token overlap), scan-local, fingerprinted --------------
+    "q_text_token_chunks" -> ((s, dir) =>
+      TextAnalysis.tokenWindowChunks(T(s, dir, "documents"), "text",
+          "doc_id", winSize = 64, stride = 48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_text_chunks" -> ((s, dir) =>
       Multimodal.chunkedHashes(T(s, dir, "documents"), "text", "doc_id", 64)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("n_chunks"),
@@ -3474,6 +3482,26 @@ object SparkEntry {
         transform(TextAnalysis.tokens(col("text")),
           (t, i) => concat(t, element_at(suf, pmod(i, lit(4)) + 1)))).as("text"))
       TextAnalysis.stemmedTermStats(d, "text", "doc_id").orderBy("term")
+    }),
+
+    // -- blocking-quality audit (r13): reduction ratio + pairs
+    // completeness of (nation, segment) blocking on the perturbed-copy
+    // fixture; truth = each record's own twin --------------------------
+    "q_link_blocking_audit" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val l = c.select(col("c_custkey").as("lid"),
+        col("c_nationkey").as("lnat"), col("c_mktsegment").as("lseg"))
+      val r = c.select(col("c_custkey").as("rid"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("rnat"),
+        when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
+          .otherwise(col("c_mktsegment")).as("rseg"))
+      val cand = l.join(r,
+          col("lnat") === col("rnat") && col("lseg") === col("rseg"))
+        .select("lid", "rid")
+      val truth = c.select(col("c_custkey").as("lid"),
+        col("c_custkey").as("rid"))
+      Harmonize.blockingAudit(cand, truth, l, r)
     }),
 
     // -- Fellegi-Sunter record linkage: customer vs a deterministically

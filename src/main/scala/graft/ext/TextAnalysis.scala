@@ -789,4 +789,37 @@ object TextAnalysis {
     df.select(col(idCol) +: counts :+
       redactPii(col(textCol)).as("text_redacted"): _*)
   }
+
+  /** Sliding TOKEN-window chunking with overlap — the RAG/embedding
+    * ingestion splitter (LangChain/LlamaIndex's token splitter): windows
+    * of `winSize` tokens starting every `stride` tokens, so consecutive
+    * chunks share `winSize − stride` tokens of context and no token is
+    * ever lost to a boundary (unlike [[Multimodal.chunkedHashes]]'s
+    * disjoint byte blocks). The last window may be short; a doc shorter
+    * than one window yields exactly one chunk.
+    *
+    * Scale shape: scan-local — tokens, window starts (one explode per
+    * chunk, not per token) and the chunk fingerprint all happen in the
+    * projection chain; no shuffle, no UDF. Downstream dedup/embedding
+    * joins key on `chunk_fp` (md5 of the space-joined window).
+    *
+    * @return (doc_id aliased to idCol, chunk_idx 0-based, start_tok
+    *         1-based, n_tokens, chunk_fp)
+    */
+  def tokenWindowChunks(df: DataFrame, textCol: String, idCol: String,
+      winSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(winSize > 0 && stride > 0 && stride <= winSize,
+      s"need 0 < stride <= winSize: $stride, $winSize")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(0),
+          floor((size(col("tk")) - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("start_tok"),
+        slice(col("tk"), col("chunk_idx") * stride + 1, lit(winSize)).as("__w"))
+      .select(col("id"), col("chunk_idx"), col("start_tok"),
+        size(col("__w")).as("n_tokens"),
+        md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
+  }
 }

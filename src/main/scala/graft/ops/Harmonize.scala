@@ -353,4 +353,40 @@ object Harmonize {
       scored.headOption.collect { case (rc, s) if s <= maxDist => (lc, rc, s) }
     }
   }
+
+  /** BLOCKING-quality audit (Christen 2012 §7) — the two numbers that
+    * decide whether a blocking scheme is safe to run linkage behind at
+    * 100 TB: reduction ratio (how much of the L×R cross product the
+    * blocks avoid — the cost axis) and pairs completeness (what fraction
+    * of TRUE matches still co-block — the recall axis; every true pair
+    * the blocks separate is a linkage miss no downstream scoring can
+    * recover). Tune the block key until completeness holds and reduction
+    * is maximal; this audit is the measurement loop.
+    *
+    * Inputs: `candidates` and `truth` as (lid, rid) pair tables — the
+    * caller's blocking join and ground truth (a labeled sample, a
+    * trusted id equality, or a gold standard). All five statistics are
+    * one-row aggregates joined by broadcast; the only sized cost is
+    * counting the candidate pairs the blocking ALREADY generates.
+    */
+  def blockingAudit(candidates: DataFrame, truth: DataFrame,
+      left: DataFrame, right: DataFrame): DataFrame = {
+    val cand = candidates.select(col("lid"), col("rid")).distinct()
+    val tru = truth.select(col("lid"), col("rid")).distinct()
+    val nl = left.agg(count(lit(1)).as("n_left"))
+    val nr = right.agg(count(lit(1)).as("n_right"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = tru.agg(count(lit(1)).as("n_true"))
+    val nf = tru.join(cand, Seq("lid", "rid")).agg(count(lit(1)).as("n_found"))
+    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nf))
+      .select(col("n_left"), col("n_right"), col("n_cand"), col("n_true"),
+        col("n_found"),
+        round(lit(1.0) - col("n_cand").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double")), 6)
+          .as("reduction_ratio"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_found").cast("double") /
+            col("n_true").cast("double"), 6)).as("pairs_completeness"))
+  }
 }
