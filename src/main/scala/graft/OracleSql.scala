@@ -1800,6 +1800,28 @@ object OracleSql {
         |       md5(substr(text, (chunk_idx - 1) * 64 + 1, 64)) AS chunk_md5
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // per-dimension stats replay: identical 1e-12 fixed-point trunc
+    // sums in HUGEINT, identical mean/std double DAG per dim
+    "q_embed_dimstats" -> {
+      val d = 64
+      val sums = (0 until d).map { j =>
+        val x = s"v[${j + 1}]"
+        s"sum(CAST(CAST(trunc($x * 1e12) AS BIGINT) AS HUGEINT)) AS s_$j, " +
+          s"sum(CAST(CAST(trunc($x * $x * 1e12) AS BIGINT) AS HUGEINT)) AS q_$j, " +
+          s"min($x) AS mn_$j, max($x) AS mx_$j"
+      }.mkString(", ")
+      val rows = (0 until d).map { j =>
+        val mean = s"CAST(s_$j AS DOUBLE) / 1e12 / n"
+        s"SELECT CAST($j AS BIGINT) AS dim, n, round($mean, 6) + 0.0 AS mean, " +
+          s"round(sqrt(greatest(CAST(q_$j AS DOUBLE) / 1e12 / n - $mean * ($mean), " +
+          s"CAST(0 AS DOUBLE))), 6) AS std, " +
+          s"round(mn_$j, 6) + 0.0 AS min_v, round(mx_$j, 6) + 0.0 AS max_v FROM s"
+      }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        s"s AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM e) " +
+        s"SELECT * FROM ($rows) ORDER BY dim"
+    },
+
     "q_embed_normalize" ->
       """WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |nr AS (SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm FROM s),
@@ -2046,6 +2068,22 @@ object OracleSql {
          |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
          |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share
          |FROM c, t ORDER BY digit""".stripMargin
+    },
+
+    // FD replay: per-pair distinct-count rollups, same null-determinant
+    // exclusion
+    "q_profile_fd" -> {
+      def one(a: String, b: String): String =
+        s"SELECT '$a' AS determinant, '$b' AS dependent, " +
+          s"CAST(count(*) AS BIGINT) AS n_groups, " +
+          s"CAST(count(CASE WHEN d > 1 THEN 1 END) AS BIGINT) AS n_violating, " +
+          s"count(CASE WHEN d > 1 THEN 1 END) = 0 AS holds " +
+          s"FROM (SELECT $a, count(DISTINCT $b) AS d FROM orders " +
+          s"WHERE $a IS NOT NULL GROUP BY 1)"
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"))
+        .map { case (a, b) => one(a, b) }
+        .mkString("", " UNION ALL ", " ORDER BY determinant, dependent")
     },
 
     "q_profile_cols" ->
@@ -3054,6 +3092,71 @@ object OracleSql {
 
     // mirrors Joins.asof's union + running last_value(IGNORE NULLS)
     // construction, tie-order included (ts, is_probe, channel)
+    // Markov removal-effect replay: identical journey windows and
+    // transition counts, counts pivoted to one row, then the SAME
+    // integer fixed-point absorption iterations as a recursive CTE
+    "q_events_attribution_markov" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      val states = "START" +: chans
+      val mCols = states.flatMap { s =>
+        (s"CAST(coalesce(sum(CASE WHEN src = '$s' THEN c END), 0) AS BIGINT) AS tot_$s") +:
+          (chans :+ "CONV").map(d =>
+            s"CAST(coalesce(max(CASE WHEN src = '$s' AND dst = '$d' THEN c END), 0) AS BIGINT) AS c_${s}_$d")
+      }.mkString(", ")
+      val pCols = states.map(s => s"p_$s").mkString(", ")
+      val pInit = states.map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+      def nextP(s: String): String = {
+        val flow = chans.map(d =>
+          s"CASE WHEN scen = '$d' THEN 0 ELSE m.c_${s}_$d * p_$d END")
+          .mkString(" + ")
+        s"CASE WHEN m.tot_$s = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"($flow + m.c_${s}_CONV * 1000000000) // m.tot_$s END"
+      }
+      val scenVals = ("FULL" +: chans).map(c => s"('$c')").mkString(", ")
+      val chanVals = chans.map(c => s"('$c')").mkString(", ")
+      s"""WITH RECURSIVE ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+        |    event_id AS i, event_type AS et FROM events),
+        |j AS (SELECT u, t, i, et,
+        |    coalesce(sum(CASE WHEN et = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY u ORDER BY t, i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jidx
+        |  FROM ev),
+        |conv AS (SELECT DISTINCT u, jidx FROM j WHERE et = 'purchase'),
+        |tch AS (SELECT u, jidx, et,
+        |    row_number() OVER (PARTITION BY u, jidx ORDER BY t, i) AS rn,
+        |    lead(et) OVER (PARTITION BY u, jidx ORDER BY t, i) AS nxt
+        |  FROM j WHERE et <> 'purchase'),
+        |tr AS (
+        |  SELECT 'START' AS src, et AS dst FROM tch WHERE rn = 1
+        |  UNION ALL SELECT et, nxt FROM tch WHERE nxt IS NOT NULL
+        |  UNION ALL SELECT t.et,
+        |      CASE WHEN c.u IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |    FROM tch t LEFT JOIN conv c ON t.u = c.u AND t.jidx = c.jidx
+        |    WHERE t.nxt IS NULL
+        |  UNION ALL SELECT 'START', 'CONV' FROM conv c
+        |    WHERE NOT EXISTS (SELECT 1 FROM tch t
+        |      WHERE t.u = c.u AND t.jidx = c.jidx)),
+        |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+        |m AS (SELECT $mCols FROM tc),
+        |it(step, scen, $pCols) AS (
+        |  SELECT 0, scen, $pInit FROM (VALUES $scenVals) s(scen)
+        |  UNION ALL
+        |  SELECT step + 1, scen, ${states.map(nextP).mkString(", ")}
+        |  FROM it, m WHERE step < 60),
+        |f AS (SELECT scen, p_START FROM it WHERE step = 60)
+        |SELECT ch.channel,
+        |  f0.p_START AS p_conv_full_e9,
+        |  fr.p_START AS p_conv_removed_e9,
+        |  CASE WHEN f0.p_START = 0 THEN NULL
+        |    ELSE round(CAST(1 AS DOUBLE)
+        |      - CAST(fr.p_START AS DOUBLE) / CAST(f0.p_START AS DOUBLE), 6) END
+        |    AS removal_effect
+        |FROM (VALUES $chanVals) ch(channel)
+        |JOIN f fr ON fr.scen = ch.channel
+        |CROSS JOIN (SELECT p_START FROM f WHERE scen = 'FULL') f0
+        |ORDER BY ch.channel""".stripMargin
+    },
+
     "q_events_attribution" ->
       """WITH u AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, NULL::BIGINT AS event_id,

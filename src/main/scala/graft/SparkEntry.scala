@@ -1499,6 +1499,11 @@ object SparkEntry {
           col("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // -- per-dimension embedding QA stats (r13): dead/saturated dims in
+    // one fixed-point aggregate pass, stack-unpivoted -------------------
+    "q_embed_dimstats" -> ((s, dir) =>
+      Similarity.embeddingDimStats(T(s, dir, "embeddings"), "embedding", 64)),
+
     // -- L2 normalization (ingest-time pre-step for cosine-as-dot) --------
     "q_embed_normalize" -> ((s, dir) =>
       Similarity.l2Normalize(T(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1679,6 +1684,14 @@ object SparkEntry {
       Quality.benfordProfile(T(s, dir, "lineitem"), "l_extendedprice")),
 
     // -- column-profile report (distributed nunique + null counts) --------
+    // -- functional-dependency check (r13): key discovery / derivability
+    // audit over candidate column pairs ---------------------------------
+    "q_profile_fd" -> ((s, dir) =>
+      Quality.functionalDependencies(T(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority")))),
+
     "q_profile_cols" -> ((s, dir) =>
       Quality.profile(
         T(s, dir, "lineitem").withColumn("tax_masked",
@@ -2725,6 +2738,14 @@ object SparkEntry {
     // -- last-touch attribution: each purchase credits the most recent
     // preceding non-purchase event (as-of composition); purchases with no
     // prior touch form the null-channel bucket
+    // -- Markov removal-effect attribution (r13): journeys -> absorbing
+    // chain; integer fixed-point absorption, channel credit = drop in
+    // conversion probability when the channel is removed ----------------
+    "q_events_attribution_markov" -> ((s, dir) =>
+      graft.ext.Attribution.removalEffects(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        Seq("click", "error", "signup", "view"), iters = 60)),
+
     "q_events_attribution" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val purchases = ev.where(col("event_type") === "purchase")

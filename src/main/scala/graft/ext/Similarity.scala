@@ -668,6 +668,42 @@ object Similarity {
       .select("anchor_id", "role", "rank", "cand_id", "cos")
   }
 
+  /** Per-DIMENSION embedding statistics — the embedding-table QA scan
+    * (dead dimensions, saturated dimensions, mean drift after a model
+    * swap): for each coordinate j, (n, mean, std, min, max). ONE
+    * aggregate pass with 4d map-side-combining columns, unpivoted to d
+    * rows by a stack generator — no explode of the vectors, no second
+    * scan.
+    *
+    * Determinism: mean/std come from the [[graft.ext.DimReduce]]
+    * fixed-point device — per-row values truncate at 1e-12 into longs
+    * summed exactly in DECIMAL(38,0), so aggregation order is
+    * irrelevant; min/max are order-invariant already; the final
+    * mean/std double DAG is shared with the SQL replay verbatim.
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String, d: Int): DataFrame = {
+    require(d > 0, s"d must be positive: $d")
+    def x(j: Int) = element_at(col("__v"), j + 1)
+    def fp(c: Column) = (c * lit(1e12)).cast("long").cast("decimal(38,0)")
+    val aggs = (0 until d).flatMap { j => Seq(
+      sum(fp(x(j))).as(s"__s_$j"),
+      sum(fp(x(j) * x(j))).as(s"__q_$j"),
+      min(x(j)).as(s"__mn_$j"),
+      max(x(j)).as(s"__mx_$j")) }
+    val one = df.select(VectorOps.toDouble(col(vecCol)).as("__v"))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = (0 until d).map { j =>
+      val mean = s"CAST(__s_$j AS DOUBLE) / 1e12 / __n"
+      s"${j}L, __n, round($mean, 6), " +
+        s"round(sqrt(greatest(CAST(__q_$j AS DOUBLE) / 1e12 / __n" +
+        s" - $mean * ($mean), 0D)), 6), " +
+        s"round(__mn_$j, 6), round(__mx_$j, 6)"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack($d, $stackArgs) AS (dim, n, mean, std, min_v, max_v)")
+      .orderBy("dim")
+  }
+
   /** Dimension-TRUNCATION retrieval audit (the Matryoshka-embedding
     * question): overlap@k between the exact top-k under the FULL vector
     * and the top-k under only the first `dims` coordinates. Run on a

@@ -346,4 +346,37 @@ object Quality {
           .otherwise(round(col("n_pass").cast("double") / col("__n"), 6))
           .as("pass_rate"))
   }
+
+  /** FUNCTIONAL-DEPENDENCY check over candidate (determinant →
+    * dependent) column pairs — the schema-profiling primitive behind key
+    * discovery, normalization audits and "is this column derivable"
+    * questions (the pairwise core of Metanome-style FD discovery). A
+    * pair HOLDS iff no determinant value maps to more than one distinct
+    * dependent value (null determinants are out of scope, SQL-style).
+    *
+    * Scale shape: each pair is one map-side-combining groupBy(det)
+    * count-distinct (the exchange carries (det, partial-distinct)
+    * buffers) followed by a one-row rollup; pairs are a bounded
+    * caller-chosen list, so the scan count equals the candidate count —
+    * at 100 TB you prune candidates first (by column-stats type/NDV)
+    * exactly like every FD miner does.
+    *
+    * @return one row per pair: (determinant, dependent, n_groups,
+    *         n_violating, holds)
+    */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val checks = pairs.map { case (a, b) =>
+      df.where(col(a).isNotNull)
+        .groupBy(col(a))
+        .agg(countDistinct(col(b)).as("__d"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("__d") > 1, lit(1))).as("n_violating"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    }
+    checks.reduce(_ unionByName _).orderBy("determinant", "dependent")
+  }
 }
