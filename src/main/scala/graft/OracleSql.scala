@@ -3570,6 +3570,42 @@ object OracleSql {
     // brute-force x<y<z three-way join over the (small at sf0.01) edge
     // set — orientation scheme doesn't change the count, so the
     // degree-ordered Spark plan must agree exactly
+    // MI replay: same three count aggregates, same micro-cell floor at
+    // 1e-9, same final division
+    "q_e9_mutual_info" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |rx AS (SELECT l_returnflag AS x, CAST(count(*) AS BIGINT) AS r FROM lineitem GROUP BY 1),
+        |cy AS (SELECT l_linestatus AS y, CAST(count(*) AS BIGINT) AS k FROM lineitem GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |t AS (SELECT CAST(floor(CAST(c AS DOUBLE)
+        |      * ln(CAST(c * n AS DOUBLE) / CAST(r * k AS DOUBLE)) * 1e9) AS BIGINT) AS t9, n
+        |  FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN nn)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(t9) AS DOUBLE) / 1e9 / n, 6) + 0.0 AS mi_nats
+        |FROM t GROUP BY n""".stripMargin,
+
+    // clustering-coefficient replay: brute triangle enumeration on the
+    // bounded co-purchase graph, per-node fan-out, same coeff DAG
+    "q_graph_clustering" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS x, b.pk AS y
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tpn AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS t FROM (
+        |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.id, degree, CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(CAST(2 AS DOUBLE) * CAST(coalesce(t, 0) AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE), 6) END AS coeff
+        |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
+        |ORDER BY deg.id""".stripMargin,
+
     "q_graph_triangles" ->
       """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (SELECT a.pk AS x, b.pk AS y

@@ -1704,6 +1704,12 @@ object SparkEntry {
     "q_e7_crosstab" -> ((s, dir) =>
       Eda.crosstabChi2(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // -- E9 mutual information (r13): dependence in nats from exact-count
+    // micro-cells, order-invariant integer sum --------------------------
+    "q_e9_mutual_info" -> ((s, dir) =>
+      Eda.mutualInformation(T(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+
     // -- TPC-H Q7 (bi-national shipping volume by year; the two nation
     // dimensions broadcast; synth names NATION_3/NATION_7)
     "q_tpch_q7" -> ((s, dir) => {
@@ -3006,6 +3012,11 @@ object SparkEntry {
     // wedge join bounded by out-degree <= ~sqrt(E), never hub-quadratic
     "q_graph_triangles" -> ((s, dir) =>
       graft.ext.Graph.triangleCount(coEdges(s, dir))),
+
+    // per-node local clustering coefficient over the same co-purchase
+    // graph (Watts-Strogatz; null where degree < 2)
+    "q_graph_clustering" -> ((s, dir) =>
+      graft.ext.Graph.clusteringCoefficient(coEdges(s, dir))),
 
     // degree histogram + Newman assortativity over the same co-purchase
     // graph (exact integer power sums in DECIMAL; shared double Pearson)

@@ -160,8 +160,11 @@ object Graph {
     *              self-loops are cleaned here
     * @return one row: (n_nodes, n_edges, n_triangles)
     */
-  def triangleCount(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+  /** Shared degree-oriented wedge pipeline: (und unique undirected
+    * edges, deg per-node degrees, closed triangles as (src, v, w) rows).
+    */
+  private def orientedClosedTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     requireIntegralIds(edges, srcCol, dstCol)
     val und = edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))
@@ -188,12 +191,48 @@ object Graph {
     val closed = wedges
       .join(oriented.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"), "left_semi")
+    (und, deg, closed)
+  }
+
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (und, deg, closed) = orientedClosedTriangles(edges, srcCol, dstCol)
     val tri = closed.agg(count(lit(1)).as("n_triangles"))
     val counts = und.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     nodes.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT — c(v) = 2·t(v)/(d(v)(d(v)−1))
+    * with t(v) the triangles through v (Watts–Strogatz 1998): the
+    * community-density diagnostic the global triangle count averages
+    * away (hub with no clustering vs tight clique score identically in
+    * the global number). Same degree-oriented wedge pipeline as
+    * [[triangleCount]] — each closed triangle fans out to its three
+    * nodes (3× the triangle rows, still bounded by the wedge join), one
+    * per-node count, one broadcast-joined degree. Nodes with d < 2 get
+    * null (coefficient undefined). One double division per node.
+    *
+    * @return (id, degree, triangles, coeff round-6) ordered by id
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (_, deg, closed) = orientedClosedTriangles(edges, srcCol, dstCol)
+    val triPerNode = closed
+      .select(explode(array(col("src"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("v").as("id"), col("d").as("degree"))
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("coeff"))
+      .orderBy("id")
+  }
+
   /** Degree histogram of an undirected edge list (src < dst, unique):
     * one row per degree value with the node count — the first diagnostic
     * of any graph (Zipf tail? hubs?). Two map-side-combinable aggregates,

@@ -295,6 +295,43 @@ object Eda {
         .as("forecast_7"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * dependence measure correlation can't see (it detects ANY
+    * association, not just monotone): I(X;Y) = Σ p(x,y)·ln(p(x,y)/
+    * (p(x)p(y))) in nats. The feature-relevance / redundancy primitive
+    * behind MI-based feature selection.
+    *
+    * Scale shape: three map-side-combining count aggregates (cells,
+    * row marginals, column marginals — marginals broadcast back to the
+    * bounded cell table) and ONE scan of the fact table per aggregate.
+    * Determinism: each cell's contribution c·ln(cn/(r·k)) is computed
+    * from EXACT integer counts (the ln argument is one exact-int
+    * division), truncated at 1e-9 into a long (the doremi micro-cell
+    * device) and summed exactly — aggregation order can't move the
+    * result; one double division at the end.
+    *
+    * @return one row: (n, n_cells, mi_nats round-6)
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val rx = df.groupBy(col(xCol).as("__x")).agg(count(lit(1)).as("__r"))
+    val cy = df.groupBy(col(yCol).as("__y")).agg(count(lit(1)).as("__k"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    cells.join(broadcast(rx), Seq("__x"))
+      .join(broadcast(cy), Seq("__y"))
+      .crossJoin(broadcast(n))
+      .select(floor(col("__c").cast("double") *
+        log((col("__c") * col("__n")).cast("double") /
+          (col("__r") * col("__k")).cast("double")) * lit(1e9))
+        .cast("decimal(38,0)").as("__t9"), col("__n"))
+      .groupBy("__n").agg(sum("__t9").as("__s9"),
+        count(lit(1)).as("n_cells"))
+      .select(col("__n").as("n"), col("n_cells"),
+        round(col("__s9").cast("double") / lit(1e9) / col("__n"), 6)
+          .as("mi_nats"))
+  }
+
   /** Classical seasonal decomposition over a TIME SERIES (the
     * moving-average method statsmodels' `seasonal_decompose` uses, STL's
     * simpler ancestor): trend = centered `period`-point moving average
