@@ -3092,6 +3092,40 @@ object OracleSql {
 
     // mirrors Joins.asof's union + running last_value(IGNORE NULLS)
     // construction, tie-order included (ts, is_probe, channel)
+    // Kaplan-Meier replay: same per-user durations and day rollup,
+    // risk set as a descending window sum, same integer product-limit
+    // recursion over ranked days
+    "q_events_survival" ->
+      """WITH RECURSIVE per AS (SELECT user_id AS u,
+        |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS st,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) END) AS conv
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS fin FROM events),
+        |dur AS (SELECT u,
+        |    CAST(CASE WHEN conv IS NOT NULL THEN conv - st ELSE fin - st END AS BIGINT) AS t,
+        |    conv IS NOT NULL AS converted
+        |  FROM per CROSS JOIN h),
+        |byday AS (SELECT t, CAST(count(CASE WHEN converted THEN 1 END) AS BIGINT) AS d,
+        |    CAST(count(CASE WHEN NOT converted THEN 1 END) AS BIGINT) AS c
+        |  FROM dur GROUP BY 1),
+        |rk AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(sum(d + c) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM byday),
+        |it AS (
+        |  SELECT rn, t, n_risk, d, c,
+        |    CASE WHEN n_risk > 0 AND d > 0
+        |      THEN 1000000000 * (n_risk - d) // n_risk ELSE 1000000000 END AS s9
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.rn, rk.t, rk.n_risk, rk.d, rk.c,
+        |    CASE WHEN rk.n_risk > 0 AND rk.d > 0
+        |      THEN it.s9 * (rk.n_risk - rk.d) // rk.n_risk ELSE it.s9 END
+        |  FROM it JOIN rk ON rk.rn = it.rn + 1)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored, s9 AS survival_e9
+        |FROM it ORDER BY t""".stripMargin,
+
     // Markov removal-effect replay: identical journey windows and
     // transition counts, counts pivoted to one row, then the SAME
     // integer fixed-point absorption iterations as a recursive CTE
@@ -4205,6 +4239,10 @@ object OracleSql {
 
     // ORC round trip: the Spark side writes nation to ORC and reads it
     // back; the oracle is the table itself
+    // Avro round trip: the oracle is the table itself
+    "q_s9_avro_read" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // fixed-width round trip: the oracle is the source table — the
     // padded serialize + substring parse must be lossless
     "q_s8_fixedwidth" ->

@@ -4,7 +4,7 @@ import graft.ext.{Dedup, DimReduce, Multimodal, Retrieval, Similarity, Substring
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
-import graft.sources.{Sources, Xlsx, XlsWriter}
+import graft.sources.{Avro, Sources, Xlsx, XlsWriter}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -209,6 +209,16 @@ object SparkEntry {
         .select(col("r_regionkey"), col("r_name"),
           col("corrupt_raw").isNotNull.as("is_corrupt"), col("corrupt_raw"))
         .orderBy(coalesce(col("r_regionkey"), lit(9999)), col("corrupt_raw"))
+    }),
+
+    // -- S9 Avro container round trip (avro-core Java API — no
+    // spark-avro connector offline; upload-contract tier like xlsx/xls)
+    "q_s9_avro_read" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro"
+      new java.io.File(p).mkdirs()
+      Avro.write(T(s, dir, "nation").orderBy("n_nationkey"),
+        s"$p/nation.avro")
+      Avro.read(s, s"$p/nation.avro").orderBy("n_nationkey")
     }),
 
     // -- S8 fixed-width text: nation serialized to padded columns in the
@@ -2744,6 +2754,13 @@ object SparkEntry {
     // -- last-touch attribution: each purchase credits the most recent
     // preceding non-purchase event (as-of composition); purchases with no
     // prior touch form the null-channel bucket
+    // -- Kaplan-Meier survival (r13): signup->purchase durations with
+    // right-censoring at the horizon; exact e9 product-limit curve ------
+    "q_events_survival" -> ((s, dir) =>
+      graft.ext.Survival.kaplanMeier(T(s, dir, "events"),
+          "user_id", "ts", "event_type", "purchase")
+        .orderBy("t")),
+
     // -- Markov removal-effect attribution (r13): journeys -> absorbing
     // chain; integer fixed-point absorption, channel credit = drop in
     // conversion probability when the channel is removed ----------------
