@@ -5155,6 +5155,124 @@ object OracleSql {
         |r AS (SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) + 0.0 AS dist2
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // t-closeness replay: same numpy bin rule, dense class×bin grid via
+    // cross join + left join, same cumulative-fraction |diff| terms in
+    // fixed-point 1e9, same /(bins-1) normalization
+    "q_quality_tcloseness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(c_acctbal AS DOUBLE) AS s FROM customer WHERE c_acctbal IS NOT NULL),
+        |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+        |bn AS (SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((s - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+        |    END AS bin FROM b CROSS JOIN mm),
+        |pcb AS (SELECT c_nationkey, c_mktsegment, bin,
+        |    CAST(count(*) AS BIGINT) AS c FROM bn GROUP BY 1, 2, 3),
+        |pc AS (SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS n
+        |  FROM pcb GROUP BY 1, 2),
+        |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM pcb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM gb),
+        |grid AS (SELECT pc.c_nationkey, pc.c_mktsegment, pc.n, g.bin
+        |  FROM pc CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g),
+        |dense AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.n, grid.bin,
+        |    coalesce(pcb.c, 0) AS c, gb.gc
+        |  FROM grid LEFT JOIN pcb ON grid.c_nationkey = pcb.c_nationkey
+        |    AND grid.c_mktsegment = pcb.c_mktsegment AND grid.bin = pcb.bin
+        |  JOIN gb ON grid.bin = gb.bin),
+        |cum AS (SELECT c_nationkey, c_mktsegment, n, bin,
+        |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cm,
+        |    sum(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bin ROWS UNBOUNDED PRECEDING) AS gcm
+        |  FROM dense CROSS JOIN tot),
+        |t AS (SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(floor(abs(CAST(cm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(gcm AS DOUBLE) / CAST((SELECT gn FROM tot) AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS t9
+        |  FROM cum WHERE bin < 9)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(CAST(sum(t9) AS DOUBLE) / 1e9 / 9, 6) + 0.0 AS emd
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Adamic-Adar replay: same co-purchase edge set, same center-degree
+    // cap (<= 500) BEFORE wedge generation, same fixed-point
+    // floor(1e9/ln(deg)) weights summed exactly, same top-100 tie-break
+    "q_graph_linkpred" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS x, b.pk AS y
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT x AS z, y AS n FROM e UNION ALL SELECT y, x FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cent AS (SELECT adj.z, adj.n,
+        |    CAST(floor(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w9
+        |  FROM adj JOIN deg USING (z) WHERE d >= 2 AND d <= 500),
+        |pr AS (SELECT c1.n AS a, c2.n AS b, c1.w9
+        |  FROM cent c1 JOIN cent c2 ON c1.z = c2.z AND c1.n < c2.n),
+        |unk AS (SELECT a, b, w9 FROM pr
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = pr.a AND e.y = pr.b)),
+        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+        |    sum(w9) AS s9 FROM unk GROUP BY 1, 2)
+        |SELECT a AS id_a, b AS id_b, n_common,
+        |  round(CAST(s9 AS DOUBLE) / 1e9, 6) + 0.0 AS score
+        |FROM g ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // AUC replay: the same Mann–Whitney identity — per-distinct-score
+    // (count, positives), cumulative counts in score order, exact-integer
+    // 2·rank-sum in HUGEINT, same final double division DAG
+    "q_ml_auc" ->
+      """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |pv AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
+        |cs AS (SELECT s, c, p, sum(c) OVER (ORDER BY s) AS cum FROM pv),
+        |f AS (SELECT sum(CAST(p AS HUGEINT) * (2 * cum - c + 1)) AS r2,
+        |    CAST(sum(p) AS HUGEINT) AS np, CAST(sum(c - p) AS HUGEINT) AS nn
+        |  FROM cs)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  round((CAST(r2 - np * (np + 1) AS DOUBLE) / 2.0)
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
+        |FROM f""".stripMargin,
+
+    // calibration replay: same numpy bin-edge rule (max clamps into the
+    // last bin, degenerate range -> bin 0), integer positive counts,
+    // fixed-point 1e9 score sums, same final divisions
+    "q_ml_calibration" ->
+      """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(CAST(floor((s - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+        |  END AS bin, s, y FROM b CROSS JOIN mm),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    sum(CAST(CAST(floor(s * 1e9) AS BIGINT) AS HUGEINT)) AS s9
+        |  FROM bb GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS frac_pos,
+        |  round(CAST(s9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) + 0.0 AS mean_score
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // WOE replay: identical +0.5-smoothed ln-odds-ratio and IV-term double
+    // DAG from the same exact integer counts
+    "q_p9_woe" ->
+      """WITH b AS (SELECT o_orderpriority AS category,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |per AS (SELECT category, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS n_neg FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) AS BIGINT) AS tn FROM per)
+        |SELECT category, n_pos, n_neg,
+        |  round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))
+        |    / ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE))), 6) + 0.0 AS woe,
+        |  round(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE)
+        |      - (CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE))
+        |    * ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))
+        |      / ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE))), 6) + 0.0
+        |    AS iv_term
+        |FROM per CROSS JOIN tot ORDER BY category""".stripMargin
   )
 }

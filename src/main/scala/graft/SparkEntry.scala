@@ -3035,6 +3035,13 @@ object SparkEntry {
     "q_graph_clustering" -> ((s, dir) =>
       graft.ext.Graph.clusteringCoefficient(coEdges(s, dir))),
 
+    // Adamic-Adar link prediction over the same graph (r13): top-100
+    // missing-edge candidates by summed 1/ln(deg) over common neighbors;
+    // center-degree cap mirrored in the oracle, fixed-point weight sums
+    "q_graph_linkpred" -> ((s, dir) =>
+      graft.ext.Graph.adamicAdar(coEdges(s, dir),
+        maxCenterDegree = 500, topK = 100)),
+
     // degree histogram + Newman assortativity over the same co-purchase
     // graph (exact integer power sums in DECIMAL; shared double Pearson)
     "q_graph_degrees" -> ((s, dir) =>
@@ -3979,6 +3986,15 @@ object SparkEntry {
           Seq("c_nationkey", "key_bucket"), "c_mktsegment", l = 3L)
         .orderBy("c_nationkey", "key_bucket")),
 
+    // -- t-closeness (r13): per (nationkey, mktsegment) class, the
+    // ordered EMD between the class's acctbal distribution and the
+    // global one over 10 equal-width bins — the distribution-leak audit
+    // k-anonymity and l-diversity both miss ------------------------------
+    "q_quality_tcloseness" -> ((s, dir) =>
+      Quality.tCloseness(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", bins = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // -- salted skew join: every third lineitem remapped to one hot
     // order key, spread over 8 salts so no reducer sees the whole hot
     // key; merge hint keeps the demo on the exchange path ---------------
@@ -4078,7 +4094,30 @@ object SparkEntry {
           .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
           "l_extendedprice"),
         isClassification = false, rfTrees = 10, gbtIter = 5,
-        include = Set("decision_tree", "random_forest")))
+        include = Set("decision_tree", "random_forest"))),
+
+    // -- exact ROC AUC (r13): Mann–Whitney rank-sum with average-rank tie
+    // correction over the distributed score CDF — the scored-corpus eval
+    // metric, no threshold sweep, 2·rank-sum exact in DECIMAL(38,0) ------
+    "q_ml_auc" -> ((s, dir) =>
+      graft.ml.Eval.aucExact(T(s, dir, "embeddings")
+        .withColumn("score",
+          element_at(col("embedding"), 1).cast("double")),
+        "score", col("label") >= 5)),
+
+    // -- reliability (calibration) bins (r13): equal-width score bins ×
+    // observed positive rate, numpy edge rule, fixed-point mean scores ---
+    "q_ml_calibration" -> ((s, dir) =>
+      graft.ml.Eval.calibrationBins(T(s, dir, "embeddings")
+        .withColumn("score",
+          element_at(col("embedding"), 1).cast("double")),
+        "score", col("label") >= 5, bins = 10)),
+
+    // -- weight-of-evidence encoding table (r13): per-category WOE + IV
+    // term for a binary target, +0.5 smoothing, integer counts ----------
+    "q_p9_woe" -> ((s, dir) =>
+      graft.ml.Eval.woeTable(T(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

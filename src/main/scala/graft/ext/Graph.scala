@@ -337,4 +337,58 @@ object Graph {
     dist
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * non-adjacent node pair (a, b), score = Σ over common neighbors z of
+    * 1/ln(deg(z)) — the classic "which edges are missing" ranking over a
+    * similarity or co-occurrence graph (in a curation pipeline: which
+    * near-dup clusters are about to merge).
+    *
+    * Shape: one degree aggregate, then each center node emits its
+    * neighbor pairs through a self-equi-join on the center — the same
+    * wedge generation as [[triangleCount]] but keyed on the CENTER, so a
+    * hub with degree d would fan out d²/2 pairs. Centers above
+    * `maxCenterDegree` are therefore dropped BEFORE the join (skew guard,
+    * observe-logged via the caller's oracle mirroring the same filter —
+    * a hub's weight 1/ln(d) is the least informative anyway). Known edges
+    * leave via one anti-join; per-pair weights are fixed-point
+    * floor(1e9/ln(deg)) longs, so the sum is order-invariant and exact
+    * (overflow at ~9e9 common neighbors per pair — unreachable, a pair
+    * has at most maxCenterDegree² candidates).
+    *
+    * @return (id_a, id_b, n_common, score round-6) for the top-k pairs,
+    *         ordered by score desc with (id_a, id_b) tie-break
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxCenterDegree: Int = 500,
+      topK: Int = 100): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol)
+    val und = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("x").as("z"), col("y").as("n"))
+      .union(und.select(col("y").as("z"), col("x").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    // centers carry their fixed-point weight into the wedge join; the
+    // degree cap bounds the per-center fan-out (d² pairs) before the join
+    val centers = adj.join(
+        deg.where(col("d") >= 2 && col("d") <= maxCenterDegree), Seq("z"))
+      .withColumn("w9", floor(lit(1e9) / log(col("d").cast("double"))))
+    val pairs = centers.select(col("z"), col("n").as("a"), col("w9"))
+      .join(centers.select(col("z"), col("n").as("b")), Seq("z"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("w9"))
+    val unknown = pairs.join(und.select(col("x").as("a"), col("y").as("b")),
+      Seq("a", "b"), "left_anti")
+    unknown.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w9")).as("__s9"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("n_common"),
+        round(col("__s9").cast("double") / 1e9, 6).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
 }

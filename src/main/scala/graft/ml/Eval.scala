@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics computed exactly and distributed — the audit
+  * tier a training pipeline runs over scored corpora at full scale.
+  *
+  * The reference's evaluation surface (`DIH.py:76-120`) is sklearn's
+  * in-memory `roc_auc`-adjacent metric block; these are the same
+  * statistics re-derived as Spark aggregates so they run over a scored
+  * 100 TB table instead of a driver array:
+  *
+  *  - [[aucExact]]: exact ROC AUC via the Mann–Whitney rank-sum identity
+  *    with average-rank tie correction — no threshold sweep, no sampling.
+  *  - [[calibrationBins]]: reliability diagram (equal-width score bins ×
+  *    observed positive rate) for calibration audits.
+  *
+  * Determinism: every data-dependent accumulation is an integer (counts,
+  * 2× rank sums — the factor 2 clears the half from averaged tied ranks,
+  * fixed-point 1e9 score sums), so results are order- and
+  * partitioning-invariant; only the final closed formula runs in double,
+  * shared verbatim with the SQL oracle.
+  */
+object Eval {
+
+  /** Exact ROC AUC.
+    *
+    * Mann–Whitney identity: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊ n₋) where R⁺ is
+    * the sum of the (average, tie-corrected) ranks of the positive items
+    * in the combined score ordering. Ties contribute the average rank of
+    * their run: a score value v with c tied items ending at cumulative
+    * count cum has average rank cum − (c−1)/2, so
+    * 2·R⁺ = Σ_v p_v · (2·cum_v − c_v + 1) — an exact integer.
+    *
+    * Shape: one per-distinct-score aggregate (count + positive count),
+    * a range-partitioned distributed prefix sum for cum ([[graft.ops.Clean
+    * .valueCdfWithTotals]] — no single-task window), and a one-row final
+    * aggregate. DECIMAL(38,0) carries the rank sum: at n = 10¹² rows a
+    * single term reaches p_v·2n ≈ 10²⁴, far past long but 14 digits under
+    * the decimal ceiling.
+    *
+    * Output: one row (n_pos, n_neg, auc).
+    *
+    * @param labelIsPos boolean column marking positives (evaluated per row)
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelIsPos: Column): DataFrame = {
+    val base = df
+      .where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        when(labelIsPos, 1L).otherwise(0L).as("__y"))
+    // cum over ALL items (positives + negatives) in score order
+    val (cdf, _) = graft.ops.Clean.valueCdfWithTotals(base, "__s", Nil)
+    // per-score positive counts ride a second, cheaper agg over the same
+    // scan and meet the CDF in a distinct-score-sized join
+    val pos = base.where(col("__y") === 1L)
+      .groupBy(col("__s").as("__val")).agg(count(lit(1)).as("__p"))
+    val d0 = lit(0).cast("decimal(38,0)")
+    cdf.join(pos, Seq("__val"), "left")
+      .select(
+        coalesce(col("__p"), lit(0L)).cast("decimal(38,0)").as("__p"),
+        col("__c").cast("decimal(38,0)").as("__c"),
+        col("__cum").cast("decimal(38,0)").as("__cum"))
+      .agg(
+        coalesce(sum(col("__p") * (col("__cum") * 2 - col("__c") + 1)), d0)
+          .as("__r2"), // = 2·R⁺, exact integer
+        coalesce(sum(col("__p")), d0).as("__np"),
+        coalesce(sum(col("__c") - col("__p")), d0).as("__nn"))
+      .select(
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        round(
+          ((col("__r2") - col("__np") * (col("__np") + 1)).cast("double") / 2.0)
+            / (col("__np").cast("double") * col("__nn").cast("double")),
+          6).as("auc"))
+  }
+
+  /** Reliability (calibration) bins: equal-width bins over the score's
+    * [min, max] with the numpy edge rule (max clamps into the last bin,
+    * degenerate range → bin 0), each with its item count, observed
+    * positive rate, and mean score. Mean scores are fixed-point 1e9 sums
+    * (order-invariant) divided out only at the end.
+    *
+    * One min/max pre-aggregate broadcast back, one grouped aggregate —
+    * the same two-pass shape as [[graft.ops.Eda.histogram]]; output is
+    * `bins` rows regardless of input size.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelIsPos: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val base = df
+      .where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        when(labelIsPos, 1L).otherwise(0L).as("__y"))
+    val mm = base.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+    base.crossJoin(broadcast(mm))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__s") - col("__lo"))
+              / ((col("__hi") - col("__lo")) / lit(bins.toDouble))),
+            lit((bins - 1).toLong))).as("bin"),
+        col("__s"), col("__y"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(floor(col("__s") * 1e9).cast("decimal(38,0)")).as("__s9"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(col("__s9").cast("double") / 1e9 / col("n").cast("double"), 6)
+          .as("mean_score"))
+      .orderBy("bin")
+  }
+
+  /** Weight-of-evidence table for a categorical predictor against a binary
+    * target: per category, WOE = ln((p_c/P)/(q_c/Q)) with the classic +0.5
+    * numerator smoothing (so empty classes stay finite), and the category's
+    * information-value term IV_c = (p_c/P − q_c/Q)·WOE — Σ IV_c is the
+    * predictor's screening score. All inputs are exact integer counts; the
+    * ln/division DAG is shared verbatim with the oracle.
+    *
+    * One grouped aggregate + a broadcast one-row totals join; output is
+    * |categories| rows.
+    */
+  def woeTable(df: DataFrame, catCol: String, targetIsPos: Column): DataFrame = {
+    val base = df.select(col(catCol).as("category"),
+      when(targetIsPos, 1L).otherwise(0L).as("__y"))
+    val per = base.groupBy("category").agg(
+      sum(col("__y")).as("n_pos"),
+      sum(lit(1L) - col("__y")).as("n_neg"))
+    val tot = per.agg(sum(col("n_pos")).as("__tp"), sum(col("n_neg")).as("__tn"))
+    val pr = (col("n_pos").cast("double") + 0.5) / col("__tp").cast("double")
+    val qr = (col("n_neg").cast("double") + 0.5) / col("__tn").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_pos"), col("n_neg"),
+        round(log(pr / qr), 6).as("woe"),
+        round((pr - qr) * log(pr / qr), 6).as("iv_term"))
+      .orderBy("category")
+  }
+}

@@ -284,6 +284,83 @@ object Quality {
         sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    * refinement l-diversity misses: an equivalence class whose sensitive
+    * DISTRIBUTION diverges from the corpus-wide one leaks information
+    * even with many distinct values). Per quasi-identifier class: the
+    * ordered earth-mover's distance between the class's sensitive-value
+    * distribution and the global one, computed over `bins` equal-width
+    * buckets (numpy edge rule — max clamps into the last bin, degenerate
+    * range → bin 0): EMD = Σₖ |cumFrac_class(k) − cumFrac_global(k)| /
+    * (bins − 1).
+    *
+    * Scale shape: one min/max pre-aggregate, one (class × bin) count
+    * aggregate (wordcount-shaped), a dense class×bins grid (a bounded
+    * 10× multiplier on the CLASS count, never on rows) with a keyed
+    * 10-row window for the cumulative sums, and a broadcast global
+    * distribution. The per-class |diff| sum rides fixed-point 1e9 longs
+    * so the ≤bins-term summation is order-invariant.
+    *
+    * @return one row per class: (quasi…, n, emd round-6)
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, bins: Int = 10): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = df.sparkSession
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+
+        col(sensitiveCol).cast("double").as("__s"): _*)
+    val mm = base.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+    val binned = base.crossJoin(broadcast(mm))
+      .select(quasiCols.map(col) :+
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__s") - col("__lo"))
+              / ((col("__hi") - col("__lo")) / lit(bins.toDouble))),
+            lit((bins - 1).toLong))).as("__bin"): _*)
+    val perClassBin = binned
+      .groupBy(quasiCols.map(col) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perClass = perClassBin.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    val globalBin = perClassBin.groupBy("__bin").agg(sum(col("__c")).as("__gc"))
+    val total = globalBin.agg(sum(col("__gc")).as("__gn"))
+    import spark.implicits._
+    val grid = perClass
+      .crossJoin(broadcast((0L until bins.toLong).toDF("__bin")))
+    // rename the right side's key columns: grid and perClassBin share
+    // lineage (both derive from the same aggregate), so qualified column
+    // references would be ambiguous to the analyzer
+    val pcbR = perClassBin.select(
+      quasiCols.map(k => col(k).as(s"__r_$k")) ++
+        Seq(col("__bin").as("__r_bin"), col("__c")): _*)
+    val dense = grid
+      .join(pcbR, quasiCols.map(k => col(k) <=> col(s"__r_$k"))
+          .reduce(_ && _) && col("__bin") === col("__r_bin"), "left")
+      .select(quasiCols.map(col) ++ Seq(col("__bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"), col("__n")): _*)
+      .join(broadcast(globalBin), Seq("__bin"))
+      .crossJoin(broadcast(total))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+      .orderBy("__bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dense
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__gcum", sum(col("__gc")).over(w))
+      // the last bin's cumulative fractions are both 1 — it contributes 0
+      .where(col("__bin") < (bins - 1).toLong)
+      .withColumn("__t9", floor(abs(
+        col("__cum").cast("double") / col("__n").cast("double")
+          - col("__gcum").cast("double") / col("__gn").cast("double")) * 1e9))
+      .groupBy(quasiCols.map(col) :+ col("__n").as("n"): _*)
+      .agg(round(sum(col("__t9")).cast("double") / 1e9 / (bins - 1), 6)
+        .as("emd"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("emd")): _*)
+  }
+
   /** One level of a deletion cascade: `fkCol` references the PREVIOUS
     * level's key set; `nextKeyCol` is this table's key that the next
     * level references (None for the leaf).

@@ -1,0 +1,77 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucExact: perfect separation gives 1.0, reversed gives 0.0") {
+    val df = Seq((0.1, 0), (0.2, 0), (0.3, 0), (0.8, 1), (0.9, 1))
+      .toDF("score", "y")
+    val r = Eval.aucExact(df, "score", col("y") === 1).head()
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 3L)
+    assert(r.getAs[Double]("auc") === 1.0)
+    val rev = Eval.aucExact(df, "score", col("y") === 0).head()
+    assert(rev.getAs[Double]("auc") === 0.0)
+  }
+
+  test("aucExact: known hand-computed value with ties") {
+    // scores: pos {3, 2}, neg {2, 1}. Ranks (avg ties): 1->1, 2->2.5, 3->4.
+    // R+ = 4 + 2.5 = 6.5; AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    val df = Seq((3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)).toDF("score", "y")
+    val r = Eval.aucExact(df, "score", col("y") === 1).head()
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
+  test("aucExact: random labels on identical scores give exactly 0.5") {
+    val df = Seq((1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)).toDF("score", "y")
+    val r = Eval.aucExact(df, "score", col("y") === 1).head()
+    assert(r.getAs[Double]("auc") === 0.5)
+  }
+
+  test("aucExact is partitioning-invariant") {
+    val df = (1 to 200).map(i => (math.sin(i).abs, i % 3 == 0))
+      .toDF("score", "y")
+    val a = Eval.aucExact(df.repartition(1), "score", col("y")).head()
+    val b = Eval.aucExact(df.repartition(13), "score", col("y")).head()
+    assert(a === b)
+  }
+
+  test("calibrationBins: counts partition the input, rates exact") {
+    val df = (0 until 100).map(i => (i / 100.0, i >= 50)).toDF("score", "y")
+    val bins = Eval.calibrationBins(df, "score", col("y"), bins = 10).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum === 100L)
+    // bin 0 covers scores [0, 0.099]: all negative
+    assert(bins.head.getAs[Double]("frac_pos") === 0.0)
+    // last bin covers [0.891, 0.99]: all positive (max clamps in)
+    assert(bins.last.getAs[Double]("frac_pos") === 1.0)
+  }
+
+  test("calibrationBins: degenerate constant score lands in bin 0") {
+    val df = Seq((2.0, true), (2.0, false)).toDF("score", "y")
+    val bins = Eval.calibrationBins(df, "score", col("y"), bins = 5).collect()
+    assert(bins.length === 1 && bins.head.getAs[Long]("bin") === 0L)
+    assert(bins.head.getAs[Double]("frac_pos") === 0.5)
+  }
+
+  test("woeTable: signs follow the odds ratio; IV terms non-negative") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1), ("a", 0), // a: pos-heavy -> woe > 0
+      ("b", 0), ("b", 0), ("b", 0), ("b", 1)  // b: neg-heavy -> woe < 0
+    ).toDF("cat", "y")
+    val byCat = Eval.woeTable(df, "cat", col("y") === 1).collect()
+    val a = byCat.find(_.getString(0) == "a").get
+    val b = byCat.find(_.getString(0) == "b").get
+    assert(a.getAs[Double]("woe") > 0 && b.getAs[Double]("woe") < 0)
+    assert(a.getAs[Double]("iv_term") >= 0 && b.getAs[Double]("iv_term") >= 0)
+  }
+
+  test("woeTable: smoothing keeps single-class categories finite") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("cat", "y")
+    val rows = Eval.woeTable(df, "cat", col("y") === 1).collect()
+    assert(rows.forall(r => !r.getAs[Double]("woe").isInfinite &&
+      !r.getAs[Double]("woe").isNaN))
+  }
+}
