@@ -5220,6 +5220,63 @@ object OracleSql {
         |  round(CAST(s9 AS DOUBLE) / 1e9, 6) + 0.0 AS score
         |FROM g ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin,
 
+    // HITS replay: the same 2 unnormalized integer iterations unrolled as
+    // CTEs (a1 = indegree, h1 = sum a1, a2 = sum h1, h2 = sum a2) in
+    // HUGEINT, same per-side max scaling, same top-20 tie-break
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS h, l_partkey AS a
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1 AS (SELECT a, CAST(count(*) AS HUGEINT) AS s FROM e GROUP BY 1),
+        |h1 AS (SELECT h, sum(a1.s) AS s FROM e JOIN a1 USING (a) GROUP BY 1),
+        |a2 AS (SELECT a, sum(h1.s) AS s FROM e JOIN h1 USING (h) GROUP BY 1),
+        |h2 AS (SELECT h, sum(a2.s) AS s FROM e JOIN a2 USING (a) GROUP BY 1),
+        |ht AS (SELECT 'hub' AS role, h AS id, CAST(s AS BIGINT) AS score_raw,
+        |    round(CAST(s AS DOUBLE) / CAST((SELECT max(s) FROM h2) AS DOUBLE), 6)
+        |      + 0.0 AS score
+        |  FROM h2 ORDER BY score_raw DESC, id LIMIT 20),
+        |at AS (SELECT 'authority' AS role, a AS id, CAST(s AS BIGINT) AS score_raw,
+        |    round(CAST(s AS DOUBLE) / CAST((SELECT max(s) FROM a2) AS DOUBLE), 6)
+        |      + 0.0 AS score
+        |  FROM a2 ORDER BY score_raw DESC, id LIMIT 20)
+        |SELECT * FROM (SELECT * FROM ht UNION ALL SELECT * FROM at)
+        |ORDER BY role, score_raw DESC, id""".stripMargin,
+
+    // OLS-2 replay: identical exact-decimal moment sums and the SAME
+    // first-column cofactor expansion text, so the double DAG matches
+    // term for term; R2 from the same sums
+    "q_stats_ols2" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s2y,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, sy, s11, s12, s22,
+        |    s1y, s2y, syy,
+        |    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m),
+        |b AS (SELECT n, nd, sy, s1y, s2y, syy,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d)
+        |SELECT n, round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+        |  round(b2, 6) + 0.0 AS b2,
+        |  round(CAST(1.0 AS DOUBLE) - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        |    / (syy - sy * sy / nd), 6) + 0.0 AS r2
+        |FROM b""".stripMargin,
+
     // AUC replay: the same Mann–Whitney identity — per-distinct-score
     // (count, positives), cumulative counts in score order, exact-integer
     // 2·rank-sum in HUGEINT, same final double division DAG

@@ -3042,6 +3042,17 @@ object SparkEntry {
       graft.ext.Graph.adamicAdar(coEdges(s, dir),
         maxCenterDegree = 500, topK = 100)),
 
+    // HITS hubs/authorities (r13) on the bipartite customer->part
+    // purchase graph: 2 unnormalized integer iterations (exact DECIMAL
+    // sums), final per-side max scaling, top-20 each side
+    "q_graph_hits" -> ((s, dir) =>
+      graft.ext.Graph.hitsBipartite(
+        T(s, dir, "lineitem")
+          .join(T(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst")),
+        iters = 2, topK = 20)),
+
     // degree histogram + Newman assortativity over the same co-purchase
     // graph (exact integer power sums in DECIMAL; shared double Pearson)
     "q_graph_degrees" -> ((s, dir) =>
@@ -4095,6 +4106,12 @@ object SparkEntry {
           "l_extendedprice"),
         isClassification = false, rfTrees = 10, gbtIter = 5,
         include = Set("decision_tree", "random_forest"))),
+
+    // -- two-predictor OLS (r13): closed-form 3x3 normal equations from
+    // one exact-decimal moment pass; Cramer expansion shared with oracle
+    "q_stats_ols2" -> ((s, dir) =>
+      graft.ml.Eval.ols2(T(s, dir, "lineitem"),
+        "l_quantity", "l_discount", "l_extendedprice")),
 
     // -- exact ROC AUC (r13): Mann–Whitney rank-sum with average-rank tie
     // correction over the distributed score CDF — the scored-corpus eval

@@ -337,6 +337,60 @@ object Graph {
     dist
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on a bipartite directed
+    * edge list (hub side → authority side), e.g. customers → purchased
+    * parts: authority score = how much hub mass points at you, hub
+    * score = how much authority mass you point at, mutually reinforcing.
+    *
+    * Determinism tier: the classic algorithm L2-normalizes every
+    * iteration (RNG-free but float-order-sensitive); here iterations run
+    * UNNORMALIZED from h₀ = 1 so every intermediate is an exact integer
+    * (a₁ = indegree, h₁ = Σ a₁, …) riding DECIMAL(38,0) — order- and
+    * partitioning-invariant at any parallelism — and only the FINAL
+    * scores are scaled, by each side's max, in one shared double DAG.
+    * Unnormalized growth is geometric in the mean degree (~d̄^(2k)), so
+    * `iters` is capped: even d̄ = 10⁶ at 3 iterations stays under the
+    * 38-digit decimal ceiling.
+    *
+    * Shape: 2·iters keyed aggregates over the edge list (each a
+    * wordcount-shaped shuffle on one endpoint), edges persisted across
+    * iterations; top-k per side via TakeOrdered, never a global sort.
+    *
+    * @return 2·topK rows (role ∈ {hub, authority}, id, score_raw,
+    *         score round-6 = raw/side-max), ordered by role, score desc, id
+    */
+  def hitsBipartite(edges0: DataFrame, hubCol: String = "src",
+      dstCol: String = "dst", iters: Int = 2, topK: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 3, s"iters must be in [1, 3]: $iters")
+    requireIntegralIds(edges0, hubCol, dstCol)
+    val edges = graft.Caches.register(edges0
+      .select(col(hubCol).cast("long").as("h"), col(dstCol).cast("long").as("a"))
+      .where(col("h").isNotNull && col("a").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // h₀ = 1 for every hub ⇒ a₁ = indegree; then alternate exact sums
+    var auth = edges.groupBy("a")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("s"))
+    var hub = edges.join(auth, Seq("a"))
+      .groupBy("h").agg(sum(col("s")).as("s"))
+    for (_ <- 2 to iters) {
+      auth = edges.join(hub, Seq("h")).groupBy("a").agg(sum(col("s")).as("s"))
+      hub = edges.join(auth, Seq("a")).groupBy("h").agg(sum(col("s")).as("s"))
+    }
+    def side(scores: DataFrame, idCol: String, role: String): DataFrame = {
+      val mx = scores.agg(max(col("s")).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(lit(role).as("role"), col(idCol).as("id"),
+          col("s").cast("long").as("score_raw"),
+          round(col("s").cast("double") / col("__mx").cast("double"), 6)
+            .as("score"))
+        .orderBy(col("score_raw").desc, col("id"))
+        .limit(topK)
+    }
+    side(hub, "h", "hub").unionByName(side(auth, "a", "authority"))
+      .orderBy(col("role"), col("score_raw").desc, col("id"))
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
     * non-adjacent node pair (a, b), score = Σ over common neighbors z of
     * 1/ln(deg(z)) — the classic "which edges are missing" ranking over a

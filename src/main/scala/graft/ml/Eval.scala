@@ -114,6 +114,62 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Two-predictor ordinary least squares, closed-form: fits
+    * y = b0 + b1·x1 + b2·x2 by solving the 3×3 normal equations with
+    * Cramer's rule over ONE aggregate pass of exact DECIMAL moment sums
+    * (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y, Σy²) — the
+    * multiple-regression companion to the per-group simple fit
+    * (`q_stats_linreg`). No matrix library, no driver-side math: the
+    * determinant expansion is a fixed closed double DAG shared verbatim
+    * with the SQL oracle, and R² comes from the same sums
+    * (SSE = Σy² − b0Σy − b1Σx1y − b2Σx2y).
+    *
+    * Scale: one map-side-combinable aggregate over the fact table; the
+    * output is a single row. Inputs are cast to DECIMAL(18,2) (exact at
+    * 2 decimal places) so the sums are order-invariant.
+    *
+    * @return one row (n, b0, b1, b2, r2), coefficients round-6
+    */
+  def ols2(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("decimal(18,2)")
+    val x2 = col(x2Col).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val sums = df
+      .where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum((x1 * x1).cast("decimal(38,4)")).as("s11"),
+        sum((x1 * x2).cast("decimal(38,4)")).as("s12"),
+        sum((x2 * x2).cast("decimal(38,4)")).as("s22"),
+        sum((x1 * y).cast("decimal(38,4)")).as("s1y"),
+        sum((x2 * y).cast("decimal(38,4)")).as("s2y"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val sy = col("sy").cast("double")
+    val s11 = col("s11").cast("double"); val s12 = col("s12").cast("double")
+    val s22 = col("s22").cast("double")
+    val s1y = col("s1y").cast("double"); val s2y = col("s2y").cast("double")
+    val syy = col("syy").cast("double")
+    // first-column cofactor expansions — the SAME textual order as the
+    // oracle SQL, so both engines execute the identical double DAG
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    sums.select(col("n"),
+      round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+      round(lit(1.0) - sse / sst, 6).as("r2"))
+  }
+
   /** Weight-of-evidence table for a categorical predictor against a binary
     * target: per category, WOE = ln((p_c/P)/(q_c/Q)) with the classic +0.5
     * numerator smoothing (so empty classes stay finite), and the category's

@@ -68,6 +68,28 @@ class EvalSpec extends SparkSpec {
     assert(a.getAs[Double]("iv_term") >= 0 && b.getAs[Double]("iv_term") >= 0)
   }
 
+  test("ols2: recovers exact coefficients of a noiseless plane") {
+    // y = 2 + 3*x1 - 4*x2 on a non-degenerate grid -> exact fit, r2 = 1
+    val df = (for (a <- 0 to 9; b <- 0 to 9)
+      yield (a.toDouble, b.toDouble, 2.0 + 3.0 * a - 4.0 * b))
+      .toDF("x1", "x2", "y")
+    val r = Eval.ols2(df, "x1", "x2", "y").head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") + 4.0) < 1e-6)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("ols2 is partitioning-invariant") {
+    val df = (1 to 300).map(i =>
+      (i % 17 + 0.25, i % 23 + 0.5, (i % 11) * 2.0 + i % 5))
+      .toDF("x1", "x2", "y")
+    val a = Eval.ols2(df.repartition(1), "x1", "x2", "y").head()
+    val b = Eval.ols2(df.repartition(13), "x1", "x2", "y").head()
+    assert(a === b)
+  }
+
   test("woeTable: smoothing keeps single-class categories finite") {
     val df = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("cat", "y")
     val rows = Eval.woeTable(df, "cat", col("y") === 1).collect()
