@@ -4252,6 +4252,12 @@ object OracleSql {
     "q_s4_orc_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // XML round trip: inference types integers as LONG; the query casts
+    // back to the source's INT so the oracle is simply the source table
+    "q_s10_xml_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     // robust CSV: the two injected malformed lines quarantine with
     // Spark's partial-parse semantics (parseable fields kept, corrupt_raw
     // carries the raw line)
@@ -5219,6 +5225,33 @@ object OracleSql {
         |SELECT a AS id_a, b AS id_b, n_common,
         |  round(CAST(s9 AS DOUBLE) / 1e9, 6) + 0.0 AS score
         |FROM g ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // LPA replay: the same 3 synchronous rounds unrolled — per round, a
+    // (node, neighbor-label) count and the argmax with count DESC, label
+    // ASC tie-break via row_number
+    "q_graph_lpa" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS x, b.pk AS y
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT x AS z, y AS n FROM e UNION ALL SELECT y, x FROM e),
+        |l0 AS (SELECT DISTINCT z AS id, z AS lbl FROM sym),
+        |f1 AS (SELECT sym.z, l0.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym JOIN l0 ON sym.n = l0.id GROUP BY 1, 2),
+        |l1 AS (SELECT z AS id, lbl FROM (SELECT z, lbl,
+        |    row_number() OVER (PARTITION BY z ORDER BY c DESC, lbl) AS rn
+        |  FROM f1) WHERE rn = 1),
+        |f2 AS (SELECT sym.z, l1.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym JOIN l1 ON sym.n = l1.id GROUP BY 1, 2),
+        |l2 AS (SELECT z AS id, lbl FROM (SELECT z, lbl,
+        |    row_number() OVER (PARTITION BY z ORDER BY c DESC, lbl) AS rn
+        |  FROM f2) WHERE rn = 1),
+        |f3 AS (SELECT sym.z, l2.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym JOIN l2 ON sym.n = l2.id GROUP BY 1, 2),
+        |l3 AS (SELECT z AS id, lbl FROM (SELECT z, lbl,
+        |    row_number() OVER (PARTITION BY z ORDER BY c DESC, lbl) AS rn
+        |  FROM f3) WHERE rn = 1)
+        |SELECT id, lbl AS community FROM l3 ORDER BY id""".stripMargin,
 
     // HITS replay: the same 2 unnormalized integer iterations unrolled as
     // CTEs (a1 = indegree, h1 = sum a1, a2 = sum h1, h2 = sum a2) in

@@ -3042,6 +3042,12 @@ object SparkEntry {
       graft.ext.Graph.adamicAdar(coEdges(s, dir),
         maxCenterDegree = 500, topK = 100)),
 
+    // synchronous label-propagation communities (r13) on the co-purchase
+    // graph: 3 deterministic rounds (most-frequent neighbor label, ties
+    // to smallest), per-node community output
+    "q_graph_lpa" -> ((s, dir) =>
+      graft.ext.Graph.labelPropagation(coEdges(s, dir), iters = 3)),
+
     // HITS hubs/authorities (r13) on the bipartite customer->part
     // purchase graph: 2 unnormalized integer iterations (exact DECIMAL
     // sums), final per-side max scaling, top-20 each side
@@ -3746,6 +3752,18 @@ object SparkEntry {
       val p = s"${fixDir(dir)}/nation_orc"
       graft.sources.Sources.writeOrc(T(s, dir, "nation"), p)
       graft.sources.Sources.readOrc(s, p).orderBy("n_nationkey")
+    }),
+
+    // -- XML round trip (r13, Spark 4 built-in xml source): write nation
+    // as <nation> records, read back with inference; oracle = the source
+    // table (the serialize + parse must be lossless)
+    "q_s10_xml_read" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_xml"
+      graft.sources.Sources.writeXml(T(s, dir, "nation"), p, rowTag = "nation")
+      graft.sources.Sources.readXml(s, p, rowTag = "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
     }),
 
     "q_text_entropy" -> ((s, dir) =>

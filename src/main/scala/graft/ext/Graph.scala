@@ -337,6 +337,55 @@ object Graph {
     dist
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007): every node starts labeled with its own id; each round, every
+    * node adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label — which makes the synchronous update fully
+    * deterministic (the classic async/random-order variant is not), at
+    * the cost of possible 2-cycles that a fixed iteration count simply
+    * truncates. Communities are denser-than-CC structure: a connected
+    * component with two tight cliques joined by one bridge splits, where
+    * [[Dedup.clusterNearDups]] would merge it.
+    *
+    * Shape per round: one join of the symmetrized adjacency with the
+    * (node, label) table — shuffles on node id, the layout a 100-TB edge
+    * list would already be bucketed by — one (node, label) count, one
+    * argmax via `max(struct(count, -label))` (no window, map-side
+    * combinable), localCheckpoint to cut lineage. Label tables are
+    * node-sized, never edge-sized.
+    *
+    * @return (id, community) for every node, ordered by id
+    */
+  def labelPropagation(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10]: $iters")
+    requireIntegralIds(edges0, srcCol, dstCol)
+    val und = edges0.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    val sym = graft.Caches.register(
+      und.select(col("x").as("z"), col("y").as("n"))
+        .union(und.select(col("y").as("z"), col("x").as("n")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = sym.select(col("z").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.select(col("id").as("n"), col("lbl")), Seq("n"))
+        .groupBy(col("z"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax count, tie -> min label: maximizing -label = minimizing
+        // label, valid for any id sign
+        .groupBy("z")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("z").as("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("community")).orderBy("id")
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) on a bipartite directed
     * edge list (hub side → authority side), e.g. customers → purchased
     * parts: authority score = how much hub mass points at you, hub

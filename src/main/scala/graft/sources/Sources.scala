@@ -46,6 +46,20 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML read via Spark 4's built-in xml data source (`rowTag` selects
+    * the repeated record element). Schema inference samples the files;
+    * pass an explicit schema through `spark.read.schema(...).format
+    * ("xml")` for production feeds — inference costs a full extra pass.
+    * Round-trips through [[writeXml]].
+    */
+  def readXml(spark: SparkSession, path: String,
+      rowTag: String = "row"): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag)
+      .save(path)
+
   /** Robust CSV ingestion: PERMISSIVE mode with the corrupt-record
     * column, so malformed lines (wrong arity, unparseable fields) land
     * as (nulls..., raw_line) rows instead of failing the job or being
