@@ -1760,6 +1760,7 @@ object OracleSql {
 
     // identical text object the engine's spark.sql runs (SqlTexts)
     "q_sql_recursive" -> SqlTexts.recursiveChain,
+    "q_sql_lateral" -> SqlTexts.lateralTop2,
 
     // identical text to the spark.sql the engine runs (dialect-shared SQL)
     "q_sql_exists" ->
@@ -5273,6 +5274,45 @@ object OracleSql {
         |  FROM a2 ORDER BY score_raw DESC, id LIMIT 20)
         |SELECT * FROM (SELECT * FROM ht UNION ALL SELECT * FROM at)
         |ORDER BY role, score_raw DESC, id""".stripMargin,
+
+    // CCF replay: same integer day index (floor(epoch/86400) — DuckDB's
+    // fractional epoch and Spark's truncated unix_timestamp agree after
+    // the day floor), same per-lag HUGEINT moments, same Pearson DAG
+    "q_events_ccf" ->
+      """WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |p AS (SELECT l.lag, d1.a, d2.b
+        |  FROM d d1 CROSS JOIN l JOIN d d2 ON d2.day = d1.day + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |    sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+        |    sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb,
+        |    sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sab
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |    / sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 6) + 0.0 AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // skyline oracle: the brute quadratic NOT EXISTS dominance test over
+    // distinct (price, size) pairs — the engine's prefix-max plan must
+    // reproduce it exactly
+    "q_skyline" ->
+      """WITH t AS (SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+        |    CAST(p_size AS DOUBLE) AS p_size FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+        |SELECT p_retailprice, p_size FROM t
+        |WHERE NOT EXISTS (SELECT 1 FROM t u
+        |  WHERE u.p_retailprice <= t.p_retailprice AND u.p_size >= t.p_size
+        |    AND (u.p_retailprice < t.p_retailprice OR u.p_size > t.p_size))
+        |ORDER BY p_retailprice""".stripMargin,
 
     // OLS-2 replay: identical exact-decimal moment sums and the SAME
     // first-column cofactor expansion text, so the double DAG matches

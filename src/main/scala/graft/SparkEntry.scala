@@ -1452,6 +1452,14 @@ object SparkEntry {
       s.sql(SqlTexts.recursiveChain)
     }),
 
+    // -- correlated LATERAL subquery (r13, dialect-shared SQL text):
+    // top-2 orders per customer through a per-row dependent join --------
+    "q_sql_lateral" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(SqlTexts.lateralTop2)
+    }),
+
     // -- correlated EXISTS subquery (dialect-shared SQL text) -------------
     "q_sql_exists" -> ((s, dir) => {
       T(s, dir, "orders").createOrReplaceTempView("orders")
@@ -4124,6 +4132,19 @@ object SparkEntry {
           "l_extendedprice"),
         isClassification = false, rfTrees = 10, gbtIter = 5,
         include = Set("decision_tree", "random_forest"))),
+
+    // -- lead-lag cross-correlation (r13): Pearson of daily click counts
+    // vs purchase counts at day t+lag, lags -3..3 — the causal-direction
+    // screen; integer daily counts, exact DECIMAL moments --------------
+    "q_events_ccf" -> ((s, dir) =>
+      Resample.crossCorrelation(T(s, dir, "events"), "ts", "event_type",
+        "click", "purchase", maxLag = 3)),
+
+    // -- 2-D Pareto frontier (r13): cheapest price per size tier over
+    // part — distributed prefix-max, never the quadratic dominance join
+    // (the brute NOT EXISTS dominance is the oracle) ---------------------
+    "q_skyline" -> ((s, dir) =>
+      Eda.paretoFrontier2d(T(s, dir, "part"), "p_retailprice", "p_size")),
 
     // -- two-predictor OLS (r13): closed-form 3x3 normal equations from
     // one exact-decimal moment pass; Cramer expansion shared with oracle

@@ -18,4 +18,18 @@ object SqlTexts {
       |  FROM anc a WHERE a.anc_key > 1)
       |SELECT c_custkey, max(depth) AS depth_to_root, count(*) AS chain_len
       |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Correlated LATERAL subquery: top-2 orders per customer — the
+    * "per-row dependent subquery" surface (Spark plans it as a rewritten
+    * lateral join, DuckDB as a dependent join). Full tie-break so the
+    * LIMIT inside the lateral is deterministic on both engines.
+    */
+  val lateralTop2: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 }

@@ -499,4 +499,54 @@ object Eda {
           .otherwise(lit(0.0)), 6).as("z"),
         round(col("__med"), 6).as("slope"))
   }
+
+  /** 2-D Pareto frontier (skyline): the points not dominated by any other
+    * — u dominates t when u minimizes x at least as well AND maximizes y
+    * at least as well, strictly in one. The classic "best trade-off"
+    * query (cheapest price per capability tier); other orientations =
+    * negate the input columns.
+    *
+    * Scale shape — never the quadratic dominance join: (1) one
+    * wordcount-shaped aggregate keeps max(y) per distinct x; (2) a
+    * distributed prefix-max over x order — range partition, per-partition
+    * running max in PARALLEL windows, plus a broadcast per-partition
+    * offset (the same decomposition as the exact-quantile CDF); (3) a
+    * point survives iff its y strictly exceeds the prefix-max of all
+    * strictly-smaller x. Equal-x ties collapse in step 1; an equal-y at
+    * larger x is dominated and correctly dropped by the STRICT compare.
+    *
+    * @return the frontier points (xCol, yCol as doubles), ordered by x
+    */
+  def paretoFrontier2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val perX = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("__x"))
+      .agg(max(col(yCol).cast("double")).as("__y"))
+    val ranged0 = perX.repartitionByRange(nPart, col("__x"))
+      .withColumn("__pid", spark_partition_id())
+    // pin the pid (the prefixSumCdf convention): a re-optimization must
+    // not move rows after the pid was observed
+    val ranged = spark.createDataFrame(ranged0.rdd, ranged0.schema)
+    val pidMax = ranged.groupBy("__pid").agg(max(col("__y")).as("__pm"))
+    // offsets: prefix-max of the ≤nPart partition maxima — a bounded
+    // single-partition window over partition-count rows, broadcast back
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pidMax
+      .withColumn("__off", max(col("__pm")).over(wOff))
+      .select(col("__pid").as("__opid"), col("__off"))
+    val wLocal = Window.partitionBy("__pid").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__lmax", max(col("__y")).over(wLocal))
+      .join(broadcast(offsets), col("__pid") === col("__opid"), "left")
+      .withColumn("__pmax", greatest(
+        coalesce(col("__lmax"), lit(Double.NegativeInfinity)),
+        coalesce(col("__off"), lit(Double.NegativeInfinity))))
+      .where(col("__y") > col("__pmax"))
+      .select(col("__x").as(xCol), col("__y").as(yCol))
+      .orderBy(xCol)
+  }
 }

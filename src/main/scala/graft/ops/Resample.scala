@@ -106,4 +106,65 @@ object Resample {
         count(lit(1)).as("n_events"))
   }
 
+  /** Lead–lag cross-correlation of two event streams: the Pearson
+    * correlation of daily counts of `typeA` at day t against `typeB` at
+    * day t+lag, for every lag in [−maxLag, maxLag] — positive-lag peaks
+    * mean A leads B (e.g. clicks precede purchases by k days), the
+    * causal-direction screen before any attribution model.
+    *
+    * Determinism: daily counts are exact integers (one wordcount-shaped
+    * aggregate over the events table); each lag's moment sums
+    * (n, Σa, Σb, Σa², Σb², Σab) ride DECIMAL(38,0) — order-invariant —
+    * and only the final Pearson formula runs in double, shared with the
+    * oracle. The per-lag pairing is an equi-join of the daily table with
+    * itself on (day + lag): days×lags rows, independent of event count.
+    *
+    * @return one row per lag: (lag, n_pairs, ccf round-6), ordered by lag
+    */
+  def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag out of range: $maxLag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val day = floor(unix_timestamp(col(tsCol)).cast("double") / 86400d)
+      .as("day")
+    val daily = graft.Caches.register(df
+      .where(col(typeCol).isin(typeA, typeB))
+      .select(day, col(typeCol).as("__t"))
+      .groupBy("day")
+      .agg(sum(when(col("__t") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("__t") === typeB, 1L).otherwise(0L)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lags = broadcast((-maxLag to maxLag).toDF("lag"))
+    // build (a at t, b at t+lag): cross the A side with the lag table,
+    // equi-join the B side shifted back by the lag
+    val paired = daily.select(col("day"), col("a"))
+      .crossJoin(lags)
+      .join(daily.select(col("day").as("__d2"), col("b")),
+        col("__d2") === col("day") + col("lag"))
+    // widen BEFORE multiplying: long×long would wrap past ~3e9 daily
+    // events; decimal(19,0)² promotes to decimal(38,0) exactly
+    val da = col("a").cast("decimal(19,0)")
+    val db = col("b").cast("decimal(19,0)")
+    val d0 = lit(0).cast("decimal(38,0)")
+    def dsum(c: org.apache.spark.sql.Column) =
+      coalesce(sum(c.cast("decimal(38,0)")), d0)
+    paired.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(da).as("sa"), dsum(db).as("sb"),
+        dsum(da * da).as("saa"),
+        dsum(db * db).as("sbb"),
+        dsum(da * db).as("sab"))
+      .select(col("lag"), col("n_pairs"),
+        round(
+          (col("n_pairs").cast("double") * col("sab").cast("double")
+            - col("sa").cast("double") * col("sb").cast("double"))
+          / sqrt(col("n_pairs").cast("double") * col("saa").cast("double")
+            - col("sa").cast("double") * col("sa").cast("double"))
+          / sqrt(col("n_pairs").cast("double") * col("sbb").cast("double")
+            - col("sb").cast("double") * col("sb").cast("double")), 6)
+          .as("ccf"))
+      .orderBy("lag")
+  }
+
 }
