@@ -5275,6 +5275,31 @@ object OracleSql {
         |SELECT * FROM (SELECT * FROM ht UNION ALL SELECT * FROM at)
         |ORDER BY role, score_raw DESC, id""".stripMargin,
 
+    // pair-cosine histogram replay: same deterministic (even, +1) pairing,
+    // the established graft_cos-equivalent double formula, same fixed
+    // [-1,1] bin rule and fixed-point means
+    "q_embed_pairhist" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (SELECT a.v AS va, b.v AS vb FROM e a
+         |  JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 2 = 0),
+         |c AS (SELECT ${cosine("va", "vb")} AS cs FROM p),
+         |g AS (SELECT least(CAST(floor((cs + CAST(1 AS DOUBLE))
+         |    / (CAST(2 AS DOUBLE) / 10)) AS BIGINT), 9) AS bin, cs FROM c)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(CAST(floor(cs * 1e9) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+         |    / 1e9 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos
+         |FROM g GROUP BY 1 ORDER BY bin""".stripMargin),
+
+    // blocklist replay: same tokenizer, IN-list filter, per-doc count +
+    // sorted-distinct matched list
+    "q_text_blocklist" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |m AS (SELECT doc_id, term FROM t
+         |  WHERE term IN ('slow', 'merge', 'window'))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  array_to_string(list_sort(list(DISTINCT term)), ',') AS matched
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // CCF replay: same integer day index (floor(epoch/86400) — DuckDB's
     // fractional epoch and Spark's truncated unix_timestamp agree after
     // the day floor), same per-lag HUGEINT moments, same Pearson DAG

@@ -4133,6 +4133,18 @@ object SparkEntry {
         isClassification = false, rfTrees = 10, gbtIter = 5,
         include = Set("decision_tree", "random_forest"))),
 
+    // -- embedding-space collapse audit (r13): pairwise-cosine histogram
+    // over the deterministic (even id, id+1) pairing — fixed [-1,1] bins
+    "q_embed_pairhist" -> ((s, dir) =>
+      Similarity.pairCosineHistogram(T(s, dir, "embeddings"),
+        "vec_id", "embedding", bins = 10)),
+
+    // -- blocklist keyword tagging (r13): broadcast dictionary join on
+    // the token stream, per-doc hit count + sorted matched terms --------
+    "q_text_blocklist" -> ((s, dir) =>
+      TextAnalysis.keywordTag(T(s, dir, "documents"), "text", "doc_id",
+        Seq("slow", "merge", "window"))),
+
     // -- lead-lag cross-correlation (r13): Pearson of daily click counts
     // vs purchase counts at day t+lag, lags -3..3 — the causal-direction
     // screen; integer daily counts, exact DECIMAL moments --------------

@@ -795,4 +795,39 @@ object Similarity {
       .select(col("src"), (col("__rank0") + 1).cast("int").as("rn"),
         col("__entry._2").as("dst"), col("__entry._1").as("cos"))
   }
+
+  /** Embedding-space geometry audit: the distribution of pairwise
+    * cosines over a DETERMINISTIC id-pairing (even id ↔ id+1 — no RNG,
+    * no sort, no quadratic pair join), histogrammed into `bins`
+    * equal-width buckets over the fixed [−1, 1] range. A healthy
+    * embedding space shows mass spread below ~0.5; a collapsed space
+    * (anisotropy, dead training run) piles everything near 1 — this is
+    * the one-pass screen before any ANN index build.
+    *
+    * Scale shape: one self-equi-join on id+1 (shuffle on id, the join
+    * key the table would already be bucketed by), one fused `graft_cos`
+    * per pair, one `bins`-row aggregate. Per-bin mean cosine rides
+    * fixed-point 1e9 longs.
+    *
+    * @return (bin, n_pairs, mean_cos round-6) ordered by bin
+    */
+  def pairCosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val a = df.where(col(idCol) % 2 === 0)
+      .select(col(idCol).cast("long").as("__ida"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).cast("long").as("__idb"),
+      col(vecCol).as("__vb"))
+    a.join(b, col("__idb") === col("__ida") + 1)
+      .select(VectorOps.cosineNative(col("__va"), col("__vb")).as("__cos"))
+      .select(least(floor((col("__cos") + 1.0) / (2.0 / bins)),
+        lit((bins - 1).toLong)).as("bin"), col("__cos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("__cos") * 1e9).cast("decimal(38,0)")).as("__s9"))
+      .select(col("bin"), col("n_pairs"),
+        round(col("__s9").cast("double") / 1e9 / col("n_pairs").cast("double"),
+          6).as("mean_cos"))
+      .orderBy("bin")
+  }
 }

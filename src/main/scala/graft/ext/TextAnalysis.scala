@@ -822,4 +822,32 @@ object TextAnalysis {
         size(col("__w")).as("n_tokens"),
         md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
   }
+
+  /** Blocklist / taxonomy keyword tagging: every document whose token
+    * stream hits the (small, broadcast) keyword dictionary, with the hit
+    * count and the sorted distinct matched terms — the standard curation
+    * stage for unsafe-content blocklists and topic taxonomies.
+    *
+    * Scale shape: tokenization stays scan-local; the dictionary join is
+    * a BROADCAST hash join on the token (the corpus never shuffles), and
+    * the per-doc aggregate's `collect_set` is bounded by the dictionary
+    * size, never the document length. Docs with zero hits produce no row
+    * (the common case at scale — emit-nothing beats emit-zero).
+    *
+    * @return (doc_id, n_matches, matched csv) for matched docs, by doc_id
+    */
+  def keywordTag(df: DataFrame, textCol: String, idCol: String,
+      keywords: Seq[String]): DataFrame = {
+    require(keywords.nonEmpty, "keywords must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(
+      keywords.map(_.toLowerCase).distinct.toDF("term"))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .join(dict, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        concat_ws(",", sort_array(collect_set(col("term")))).as("matched"))
+      .orderBy("doc_id")
+  }
 }
