@@ -5339,6 +5339,33 @@ object OracleSql {
         |    AND (u.p_retailprice < t.p_retailprice OR u.p_size > t.p_size))
         |ORDER BY p_retailprice""".stripMargin,
 
+    // A/B replay: same per-user any-conversion reduction, same pooled
+    // z double DAG from exact integer counts
+    "q_stats_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS v,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) + 0.0 AS rate_b,
+        |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) + 0.0 AS z
+        |FROM g""".stripMargin,
+
     // OLS-2 replay: identical exact-decimal moment sums and the SAME
     // first-column cofactor expansion text, so the double DAG matches
     // term for term; R2 from the same sums

@@ -4158,6 +4158,14 @@ object SparkEntry {
     "q_skyline" -> ((s, dir) =>
       Eda.paretoFrontier2d(T(s, dir, "part"), "p_retailprice", "p_size")),
 
+    // -- A/B z-test (r13): per-user conversion (any HIGH-VALUE purchase —
+    // plain purchase saturates every user at sf0.01, degenerating the
+    // pooled variance) across the user_id-parity split --------------------
+    "q_stats_abtest" -> ((s, dir) =>
+      graft.ml.Eval.abTest(T(s, dir, "events"), "user_id",
+        col("user_id") % 2 === 1,
+        col("event_type") === "purchase" && col("value") > 150)),
+
     // -- two-predictor OLS (r13): closed-form 3x3 normal equations from
     // one exact-decimal moment pass; Cramer expansion shared with oracle
     "q_stats_ols2" -> ((s, dir) =>

@@ -114,6 +114,40 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Two-proportion A/B z-test: conversion rates of two variants with
+    * the pooled-variance z statistic — the experimentation readout
+    * (|z| ≳ 1.96 ⇒ 5% two-sided significance; the p-value itself needs
+    * erf, which differs across libm implementations, so the statistic is
+    * the contract and the caller applies the threshold).
+    *
+    * One per-unit aggregate (a unit converts if ANY of its rows does —
+    * max rides the groupBy), one 2-row variant rollup, one closed double
+    * formula from exact integer counts.
+    *
+    * @return one row (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z)
+    */
+  def abTest(df: DataFrame, unitCol: String, isVariantB: Column,
+      converted: Column): DataFrame = {
+    val perUnit = df
+      .select(col(unitCol).as("__u"),
+        when(isVariantB, 1L).otherwise(0L).as("__v"),
+        when(converted, 1L).otherwise(0L).as("__c"))
+      .groupBy("__u", "__v").agg(max(col("__c")).as("__conv"))
+    val agg = perUnit.agg(
+      sum(when(col("__v") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__v") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__v") === 0L, col("__conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__v") === 1L, col("__conv")).otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ca = col("conv_a").cast("double"); val cb = col("conv_b").cast("double")
+    val pa = ca / na; val pb = cb / nb
+    val pool = (ca + cb) / (na + nb)
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round((pa - pb) / sqrt(pool * (lit(1.0) - pool)
+        * (lit(1.0) / na + lit(1.0) / nb)), 6).as("z"))
+  }
+
   /** Two-predictor ordinary least squares, closed-form: fits
     * y = b0 + b1·x1 + b2·x2 by solving the 3×3 normal equations with
     * Cramer's rule over ONE aggregate pass of exact DECIMAL moment sums

@@ -90,6 +90,25 @@ class EvalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("abTest: hand-computed z on a small split") {
+    // A: units 1,2 (1 converts); B: units 3,4 (2 convert)
+    // pa=0.5, pb=1.0, pool=0.75, z = -0.5/sqrt(0.75*0.25*(1/2+1/2))
+    val df = Seq((1, 0, 1), (1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 1, 1))
+      .toDF("u", "v", "c")
+    val r = Eval.abTest(df, "u", col("v") === 1, col("c") === 1).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("conv_a") === 1L && r.getAs[Long]("conv_b") === 2L)
+    val expected = BigDecimal(-0.5 / math.sqrt(0.75 * 0.25 * 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") === expected)
+  }
+
+  test("abTest: a unit converts if ANY of its rows does") {
+    val df = Seq((1, 0, 0), (1, 0, 1), (1, 0, 0), (2, 1, 0)).toDF("u", "v", "c")
+    val r = Eval.abTest(df, "u", col("v") === 1, col("c") === 1).head()
+    assert(r.getAs[Long]("conv_a") === 1L && r.getAs[Long]("conv_b") === 0L)
+  }
+
   test("woeTable: smoothing keeps single-class categories finite") {
     val df = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("cat", "y")
     val rows = Eval.woeTable(df, "cat", col("y") === 1).collect()
