@@ -1265,6 +1265,23 @@ object OracleSql {
         |SELECT doc_id, frame, round(sqrt(CAST(sum(sv*sv) AS DOUBLE) / 32), 6) AS rms
         |FROM v GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
 
+    // ZCR replay: same PCM extraction, in-frame lag, strict sign-change
+    // count (zero samples break no crossing), /(N-1) in double
+    "q_audio_zcr" ->
+      """WITH s AS (SELECT doc_id, repeat(md5(text), 16) AS hx FROM documents),
+        |e AS (SELECT doc_id, jj.j AS j,
+        |    CAST(('0x' || substr(hx, jj.j*4+3, 2) || substr(hx, jj.j*4+1, 2)) AS BIGINT) AS v0
+        |  FROM s, (SELECT unnest(generate_series(0, 127)) AS j) jj),
+        |v AS (SELECT doc_id, CAST(j // 32 AS BIGINT) AS frame, j % 32 AS k,
+        |    CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS sv FROM e),
+        |l AS (SELECT doc_id, frame, sv,
+        |    lag(sv) OVER (PARTITION BY doc_id, frame ORDER BY k) AS pv FROM v)
+        |SELECT doc_id, frame,
+        |  CAST(count(CASE WHEN pv * sv < 0 THEN 1 END) AS BIGINT) AS n_cross,
+        |  round(CAST(count(CASE WHEN pv * sv < 0 THEN 1 END) AS DOUBLE)
+        |    / CAST(31 AS DOUBLE), 6) + 0.0 AS zcr
+        |FROM l GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
+
     // frequency-domain perceptual hash (DCT pHash) — see phashOracle
     "q_image_phash" -> phashOracle,
 
@@ -5418,6 +5435,48 @@ object OracleSql {
         |  round((CAST(r2 - np * (np + 1) AS DOUBLE) / 2.0)
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
+
+    // confusion replay: same four conditional counts and guarded rates
+    "q_ml_confusion" ->
+      """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) >= 0.0 AS p,
+        |    label >= 5 AS y FROM embeddings),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM b)
+        |SELECT tp, fp, tn, fn,
+        |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |    / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END, 6) + 0.0 AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |    / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END, 6) + 0.0 AS recall,
+        |  round(CASE WHEN tp > 0 THEN
+        |    CAST(2 AS DOUBLE) * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+        |      * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)))
+        |      / (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        + CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))) END, 6)
+        |    + 0.0 AS f1,
+        |  round((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+        |    / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |      + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)), 6) + 0.0 AS accuracy
+        |FROM g""".stripMargin,
+
+    // coverage-curve replay: same token mass ranking + running share
+    "q_docs_source_coverage" ->
+      (s"""WITH t AS (SELECT source,
+         |    CAST(sum(len($toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM t),
+         |r AS (SELECT source, tokens,
+         |    CAST(row_number() OVER (ORDER BY tokens DESC, source) AS INTEGER) AS rank,
+         |    sum(tokens) OVER (ORDER BY tokens DESC, source
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT rank, source, tokens,
+         |  round(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) + 0.0 AS share,
+         |  round(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) + 0.0 AS cum_share
+         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin),
 
     // calibration replay: same numpy bin-edge rule (max clamps into the
     // last bin, degenerate range -> bin 0), integer positive counts,

@@ -856,6 +856,17 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // zero-crossing rate over the same PCM fixture (r13): strict
+    // sign-change fraction per frame — the voiced/unvoiced screen
+    "q_audio_zcr" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.wavPcm16(repeat(md5(col("text")), 16), numSamples = 128).as("wav"))
+      Multimodal.audioZeroCrossings(d, "wav", "doc_id", frameSamples = 32)
+        .select(col("id").as("doc_id"), col("frame"), col("n_cross"), col("zcr"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // spectral band power over the same PCM fixture: unnormalized DFT at
     // bins 1/4/8 per 32-sample frame, fixed-point twiddle sums
     "q_audio_band_power" -> ((s, dir) => {
@@ -4180,6 +4191,36 @@ object SparkEntry {
         .withColumn("score",
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
+
+    // -- confusion matrix at threshold 0 (r13): the operating-point
+    // companion to q_ml_auc; four conditional counts, guarded rates -----
+    "q_ml_confusion" -> ((s, dir) =>
+      graft.ml.Eval.confusionAtThreshold(T(s, dir, "embeddings")
+        .withColumn("score",
+          element_at(col("embedding"), 1).cast("double")),
+        "score", col("label") >= 5, threshold = 0.0)),
+
+    // -- per-source token coverage curve (r13): sources ranked by token
+    // mass with cumulative corpus share — the "top-k sources cover X%"
+    // mixture readout; bounded |sources|-row window ----------------------
+    "q_docs_source_coverage" -> ((s, dir) => {
+      val perSrc = T(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tokens").desc, col("source"))
+      val tot = perSrc.agg(sum(col("tokens")).as("__tot"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(row_number().over(w).as("rank"), col("source"), col("tokens"),
+          round(col("tokens").cast("double") / col("__tot").cast("double"), 6)
+            .as("share"),
+          round(sum(col("tokens")).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)).cast("double")
+            / col("__tot").cast("double"), 6).as("cum_share"))
+        .orderBy("rank")
+    }),
 
     // -- reliability (calibration) bins (r13): equal-width score bins ×
     // observed positive rate, numpy edge rule, fixed-point mean scores ---

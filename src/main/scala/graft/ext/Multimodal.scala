@@ -545,6 +545,29 @@ object Multimodal {
       .select(col("id"), col("frame"),
         round(sqrt(col("__ss").cast("double") / frameSamples), 6).as("rms"))
 
+  /** Per-frame zero-crossing rate: the fraction of consecutive sample
+    * pairs whose signs differ strictly (product < 0 — a zero sample
+    * breaks no crossing) — with RMS energy and band power the third
+    * classic low-level audio feature (voiced/unvoiced and noisiness
+    * screen). Same expression-only PCM extraction as
+    * [[audioFrameEnergy]]; the lag runs in a (clip, frame)-keyed window
+    * (never a global sort), and the crossing count is an exact integer.
+    *
+    * @return (id, frame, n_cross, zcr round-6) per frame
+    */
+  def audioZeroCrossings(df: DataFrame, payloadCol: String, idCol: String,
+      frameSamples: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "frame").orderBy("__k")
+    pcmSampleRows(df, payloadCol, idCol, frameSamples)
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .groupBy("id", "frame")
+      .agg(count(when(col("__prev") * col("__v") < 0, 1)).as("n_cross"))
+      .select(col("id"), col("frame"), col("n_cross"),
+        round(col("n_cross").cast("double")
+          / lit((frameSamples - 1).toDouble), 6).as("zcr"))
+  }
+
   /** Per-frame spectral band power: an unnormalized DFT at the requested
     * integer `bins` over each `frameSamples`-sample frame — P_b = Re_b² +
     * Im_b² with Re_b = Σ_k s_k·cos(2πbk/N), Im_b = Σ_k s_k·sin(2πbk/N).

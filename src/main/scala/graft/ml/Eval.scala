@@ -114,6 +114,37 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Confusion matrix + threshold metrics: tp/fp/tn/fn at a fixed score
+    * threshold with precision, recall, F1 and accuracy — the operating-
+    * point companion to [[aucExact]] (which integrates over all
+    * thresholds). One aggregate pass of four exact conditional counts;
+    * rates guard their zero denominators with null (no fake 0.0).
+    *
+    * @return one row (tp, fp, tn, fn, precision, recall, f1, accuracy)
+    */
+  def confusionAtThreshold(df: DataFrame, scoreCol: String,
+      labelIsPos: Column, threshold: Double): DataFrame = {
+    val base = df.where(col(scoreCol).isNotNull)
+      .select((col(scoreCol).cast("double") >= threshold).as("__p"),
+        labelIsPos.as("__y"))
+    val agg = base.agg(
+      sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val tn = col("tn").cast("double"); val fn = col("fn").cast("double")
+    val prec = when(col("tp") + col("fp") > 0L, tp / (tp + fp))
+    val rec = when(col("tp") + col("fn") > 0L, tp / (tp + fn))
+    agg.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      round(prec, 6).as("precision"),
+      round(rec, 6).as("recall"),
+      round(when(col("tp") > 0L,
+        lit(2.0) * (tp / (tp + fp)) * (tp / (tp + fn))
+          / (tp / (tp + fp) + tp / (tp + fn))), 6).as("f1"),
+      round((tp + tn) / (tp + fp + tn + fn), 6).as("accuracy"))
+  }
+
   /** Two-proportion A/B z-test: conversion rates of two variants with
     * the pooled-variance z statistic — the experimentation readout
     * (|z| ≳ 1.96 ⇒ 5% two-sided significance; the p-value itself needs

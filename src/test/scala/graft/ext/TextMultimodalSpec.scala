@@ -428,6 +428,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(junk.select(Multimodal.dhash64(col("payload"))).head().isNullAt(0))
   }
 
+  test("audioZeroCrossings: alternating signs cross every pair, constants never") {
+    // +1000/-1000 alternating: 31 crossings per 32-sample frame
+    val alt = ("E803" + "18FC") * 32 // 64 samples alternating
+    val const = "E803" * 64          // 64 samples of +1000
+    val df = Seq((1L, alt), (2L, const)).toDF("id", "hx")
+      .select(col("id"), Multimodal.wavPcm16(col("hx"), numSamples = 64).as("wav"))
+    val got = Multimodal.audioZeroCrossings(df, "wav", "id", frameSamples = 32)
+      .select("id", "frame", "n_cross").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 31L), (1L, 1L, 31L), (2L, 0L, 0L), (2L, 1L, 0L)))
+  }
+
+  test("audioZeroCrossings: a zero sample breaks no crossing (strict sign rule)") {
+    // +1000, 0 alternating: every consecutive product is 0 — never
+    // strictly negative, so zero crossings despite the dips to 0
+    val dip = ("E803" + "0000") * 16 // 32 samples
+    val df = Seq((1L, dip)).toDF("id", "hx")
+      .select(col("id"), Multimodal.wavPcm16(col("hx"), numSamples = 32).as("wav"))
+    val got = Multimodal.audioZeroCrossings(df, "wav", "id", frameSamples = 32)
+      .select("n_cross").head().getLong(0)
+    assert(got === 0L)
+  }
+
   test("audioFrameEnergy: constant and signed samples give exact RMS; junk gives no rows") {
     // 1000 = 0x03E8 -> LE hex "E803"; -1000 = 0xFC18 -> LE "18FC"
     val pos = "E803" * 64  // 64 samples of +1000

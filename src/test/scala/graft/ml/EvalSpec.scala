@@ -90,6 +90,27 @@ class EvalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("confusionAtThreshold: hand-checked counts and metrics") {
+    // scores >= 0.5 predicted positive: tp=2, fp=1, tn=1, fn=1
+    val df = Seq((0.9, 1), (0.8, 1), (0.7, 0), (0.2, 0), (0.1, 1))
+      .toDF("score", "y")
+    val r = Eval.confusionAtThreshold(df, "score", col("y") === 1, 0.5).head()
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn")) === ((2L, 1L, 1L, 1L)))
+    assert(r.getAs[Double]("precision") === 0.666667)
+    assert(r.getAs[Double]("recall") === 0.666667)
+    assert(r.getAs[Double]("f1") === 0.666667)
+    assert(r.getAs[Double]("accuracy") === 0.6)
+  }
+
+  test("confusionAtThreshold: zero denominators yield null, not 0") {
+    // everything predicted negative -> precision undefined
+    val df = Seq((0.1, 1), (0.2, 0)).toDF("score", "y")
+    val r = Eval.confusionAtThreshold(df, "score", col("y") === 1, 0.5).head()
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    assert(r.getAs[Double]("recall") === 0.0)
+  }
+
   test("abTest: hand-computed z on a small split") {
     // A: units 1,2 (1 converts); B: units 3,4 (2 convert)
     // pa=0.5, pb=1.0, pool=0.75, z = -0.5/sqrt(0.75*0.25*(1/2+1/2))
