@@ -5436,6 +5436,47 @@ object OracleSql {
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
 
+    // kappa replay: same four exact counts, same marginal-product pe DAG
+    "q_ml_kappa" ->
+      """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) >= 0.0 AS a,
+        |    label >= 5 AS bb FROM embeddings),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+        |    CAST(sum(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END) AS BIGINT) AS pn,
+        |    CAST(sum(CASE WHEN NOT a AND bb THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM b),
+        |d AS (SELECT pp, pn, np, nn,
+        |    CAST(pp AS DOUBLE) + CAST(pn AS DOUBLE) + CAST(np AS DOUBLE)
+        |      + CAST(nn AS DOUBLE) AS n FROM g),
+        |f AS (SELECT pp + nn AS n_agree, pp + pn + np + nn AS n_total,
+        |    (CAST(pp AS DOUBLE) + CAST(nn AS DOUBLE)) / n AS po,
+        |    ((CAST(pp AS DOUBLE) + CAST(pn AS DOUBLE))
+        |        * (CAST(pp AS DOUBLE) + CAST(np AS DOUBLE))
+        |      + (CAST(np AS DOUBLE) + CAST(nn AS DOUBLE))
+        |        * (CAST(pn AS DOUBLE) + CAST(nn AS DOUBLE))) / (n * n) AS pe
+        |  FROM d)
+        |SELECT n_agree, n_total, round(po, 6) + 0.0 AS po,
+        |  round(pe, 6) + 0.0 AS pe,
+        |  round(CASE WHEN pe < 1.0 THEN (po - pe)
+        |    / (CAST(1.0 AS DOUBLE) - pe) END, 6) + 0.0 AS kappa
+        |FROM f""".stripMargin,
+
+    // collision-audit replay: same md5-slice bucket, distinct vocabulary,
+    // histogram + the computed 0-terms row (Σ n_buckets = dim)
+    "q_text_hashtf_collisions" ->
+      (s"""WITH v AS (SELECT DISTINCT unnest($toks) AS term FROM documents),
+         |pb AS (SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64
+         |    AS bucket, CAST(count(*) AS BIGINT) AS t
+         |  FROM v GROUP BY 1),
+         |h AS (SELECT t AS terms_in_bucket, CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM pb GROUP BY 1),
+         |z AS (SELECT CAST(0 AS BIGINT) AS terms_in_bucket,
+         |    64 - CAST(count(*) AS BIGINT) AS n_buckets FROM pb
+         |  HAVING 64 - count(*) > 0)
+         |SELECT * FROM (SELECT * FROM h UNION ALL SELECT * FROM z)
+         |ORDER BY terms_in_bucket""".stripMargin),
+
     // confusion replay: same four conditional counts and guarded rates
     "q_ml_confusion" ->
       """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) >= 0.0 AS p,

@@ -4192,6 +4192,20 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
 
+    // -- Cohen's kappa (r13): chance-corrected agreement between the
+    // dim-0-sign heuristic rater and the label rater ---------------------
+    "q_ml_kappa" -> ((s, dir) =>
+      graft.ml.Eval.cohensKappa(T(s, dir, "embeddings"),
+        element_at(col("embedding"), 1).cast("double") >= 0.0,
+        col("label") >= 5)),
+
+    // -- hashing-TF collision audit (r13): distinct vocabulary terms per
+    // bucket as a histogram summing to dim — the feature-dim sizing
+    // readout for q_text_hashtf ------------------------------------------
+    "q_text_hashtf_collisions" -> ((s, dir) =>
+      TextAnalysis.hashingTfCollisions(T(s, dir, "documents"), "text",
+        dim = 64)),
+
     // -- confusion matrix at threshold 0 (r13): the operating-point
     // companion to q_ml_auc; four conditional counts, guarded rates -----
     "q_ml_confusion" -> ((s, dir) =>

@@ -752,14 +752,45 @@ object TextAnalysis {
     * dictionary build (no global vocab pass, no driver state). One
     * map-side-combinable shuffle.
     */
+  /** The hashing-trick bucket of a term — md5-slice mod dim, the single
+    * formula [[hashingTf]] and [[hashingTfCollisions]] (and their oracle
+    * replays) share.
+    */
+  def tfBucket(term: Column, dim: Int): Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"),
+      lit(dim.toLong))
+
   def hashingTf(df: DataFrame, textCol: String, docIdCol: String,
       dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
     df.select(col(docIdCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
-          lit(dim.toLong)).as("bucket"))
+      .select(col("doc_id"), tfBucket(col("term"), dim).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Hashing-trick collision audit: how many distinct vocabulary terms
+    * share each bucket — the dimension-sizing readout for
+    * [[hashingTf]] (heavy collisions ⇒ the feature space is conflating
+    * unrelated terms; grow `dim`). Output is a histogram: one row per
+    * collision level (terms_in_bucket → n_buckets), including the
+    * 0-terms row for never-hit buckets, so Σ n_buckets = dim exactly.
+    * Wordcount-shaped: distinct terms → bucket counts → a ≤dim-row
+    * rollup.
+    */
+  def hashingTfCollisions(df: DataFrame, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val perBucket = df
+      .select(explode(tokens(col(textCol))).as("term")).distinct()
+      .select(tfBucket(col("term"), dim).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("__t"))
+    val hist = perBucket.groupBy(col("__t").as("terms_in_bucket"))
+      .agg(count(lit(1)).as("n_buckets"))
+    val zero = perBucket.agg(
+      (lit(dim.toLong) - count(lit(1))).as("n_buckets"))
+      .where(col("n_buckets") > 0L)
+      .select(lit(0L).as("terms_in_bucket"), col("n_buckets"))
+    hist.unionByName(zero).orderBy("terms_in_bucket")
   }
 
   /** The [[EmailRe]]/[[PhoneRe]]/[[Ipv4Re]] patterns as one ordered

@@ -145,6 +145,33 @@ object Eval {
       round((tp + tn) / (tp + fp + tn + fn), 6).as("accuracy"))
   }
 
+  /** Cohen's kappa: agreement between two binary raters corrected for
+    * chance — the label-quality audit when two annotation sources (a
+    * heuristic and a model, two labeling runs) disagree more than their
+    * marginals explain. κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    * marginal products; one aggregate pass of four exact counts.
+    *
+    * @return one row (n_agree, n_total, po, pe, kappa)
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val base = df.select(raterA.as("__a"), raterB.as("__b"))
+    val agg = base.agg(
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("__pp"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("__pn"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("__nn"))
+    val pp = col("__pp").cast("double"); val pn = col("__pn").cast("double")
+    val np = col("__np").cast("double"); val nn = col("__nn").cast("double")
+    val n = pp + pn + np + nn
+    val po = (pp + nn) / n
+    val pe = ((pp + pn) * (pp + np) + (np + nn) * (pn + nn)) / (n * n)
+    agg.select(
+      (col("__pp") + col("__nn")).as("n_agree"),
+      (col("__pp") + col("__pn") + col("__np") + col("__nn")).as("n_total"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
   /** Two-proportion A/B z-test: conversion rates of two variants with
     * the pooled-variance z statistic — the experimentation readout
     * (|z| ≳ 1.96 ⇒ 5% two-sided significance; the p-value itself needs

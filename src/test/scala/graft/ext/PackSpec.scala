@@ -229,6 +229,25 @@ class PackSpec extends SparkSpec {
     assert(rows.map(_._2).sum == 6L)
   }
 
+  test("hashingTfCollisions: histogram covers exactly dim buckets, terms conserved") {
+    val docs = Seq((1L, "one two three four five six seven eight"),
+      (2L, "one two three again")).toDF("doc_id", "text")
+    val dim = 8
+    val rows = TextAnalysis.hashingTfCollisions(docs, "text", dim)
+      .select("terms_in_bucket", "n_buckets").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum === dim.toLong, "bucket rows must sum to dim")
+    // 9 distinct terms total, conserved across the histogram
+    assert(rows.map { case (t, n) => t * n }.sum === 9L)
+  }
+
+  test("hashingTfCollisions: huge dim leaves mostly-empty buckets (0-row present)") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashingTfCollisions(docs, "text", 1024)
+      .select("terms_in_bucket", "n_buckets").as[(Long, Long)].collect().toMap
+    assert(rows(0L) >= 1022L)
+    assert(rows.values.sum === 1024L)
+  }
+
   test("kmeansIterate converges on separated blobs; empty cluster keeps its seed") {
     // two tight blobs around (0,0) and (100,100); seeds: one per blob plus
     // one far-away seed that captures nothing

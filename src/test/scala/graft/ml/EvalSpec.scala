@@ -111,6 +111,25 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") === 0.0)
   }
 
+  test("cohensKappa: perfect agreement is 1, marginal-only agreement is 0") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val r1 = Eval.cohensKappa(perfect, col("a"), col("b")).head()
+    assert(r1.getAs[Double]("kappa") === 1.0)
+    // independent raters with 50/50 marginals: po = pe = 0.5 -> kappa 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val r2 = Eval.cohensKappa(indep, col("a"), col("b")).head()
+    assert(r2.getAs[Double]("kappa") === 0.0)
+  }
+
+  test("cohensKappa: constant raters (pe = 1) yield null, not NaN") {
+    val df = Seq((true, true), (true, true)).toDF("a", "b")
+    val r = Eval.cohensKappa(df, col("a"), col("b")).head()
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+    assert(r.getAs[Double]("po") === 1.0)
+  }
+
   test("abTest: hand-computed z on a small split") {
     // A: units 1,2 (1 converts); B: units 3,4 (2 convert)
     // pa=0.5, pb=1.0, pool=0.75, z = -0.5/sqrt(0.75*0.25*(1/2+1/2))
