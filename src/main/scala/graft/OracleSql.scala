@@ -5436,6 +5436,53 @@ object OracleSql {
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
 
+    // bootstrap replay: same md5 half-sample rule per replicate, same
+    // fixed-point replicate means, same rank-2/63 percentile interval
+    // with the replicate-id tie-break
+    "q_stats_bootstrap" ->
+      """WITH base AS (SELECT concat_ws('_', CAST(l_orderkey AS VARCHAR),
+        |      CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) AS id,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+        |picked AS (SELECT b, v FROM base CROSS JOIN reps
+        |  WHERE CAST(('0x' || substr(md5(concat_ws('|', id, CAST(b AS VARCHAR))),
+        |    1, 15)) AS BIGINT) % 2 = 0),
+        |means AS (SELECT b,
+        |    CAST(sum(CAST(CAST(floor(v * 1e6) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+        |      / 1e6 / CAST(count(*) AS DOUBLE) AS m
+        |  FROM picked GROUP BY 1),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means),
+        |ci AS (SELECT max(CASE WHEN r = 2 THEN m END) AS lo,
+        |    max(CASE WHEN r = 63 THEN m END) AS hi FROM ranked),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(floor(v * 1e6) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+        |      / 1e6 / CAST(count(*) AS DOUBLE) AS mean FROM base)
+        |SELECT n, round(mean, 6) + 0.0 AS mean, round(lo, 6) + 0.0 AS lo95,
+        |  round(hi, 6) + 0.0 AS hi95
+        |FROM o CROSS JOIN ci""".stripMargin,
+
+    // Wilson replay: same exact counts, same z = 1.96 literal DAG
+    "q_stats_wilson" ->
+      """WITH per AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM documents GROUP BY 1),
+        |f AS (SELECT "group", n, n_pos,
+        |    CAST(n AS DOUBLE) AS nd, CAST(n_pos AS DOUBLE) AS x,
+        |    CAST(1.96 AS DOUBLE) AS z FROM per),
+        |g AS (SELECT "group", n, n_pos, nd, x, z, x / nd AS p,
+        |    (x / nd + z * z / (CAST(2.0 AS DOUBLE) * nd))
+        |      / (CAST(1.0 AS DOUBLE) + z * z / nd) AS center,
+        |    (z * sqrt(x / nd * (CAST(1.0 AS DOUBLE) - x / nd) / nd
+        |        + z * z / (CAST(4.0 AS DOUBLE) * nd * nd)))
+        |      / (CAST(1.0 AS DOUBLE) + z * z / nd) AS half
+        |  FROM f)
+        |SELECT "group", n, n_pos, round(p, 6) + 0.0 AS p,
+        |  round(center - half, 6) + 0.0 AS lo95,
+        |  round(center + half, 6) + 0.0 AS hi95
+        |FROM g ORDER BY "group"""".stripMargin,
+
     // kappa replay: same four exact counts, same marginal-product pe DAG
     "q_ml_kappa" ->
       """WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) >= 0.0 AS a,

@@ -4192,6 +4192,21 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
 
+    // -- subsample-bootstrap mean CI (r13): 64 deterministic md5
+    // half-sample replicates, percentile interval ranks 2/63 ------------
+    "q_stats_bootstrap" -> ((s, dir) =>
+      Sampling.bootstrapMeanCI(
+        T(s, dir, "lineitem")
+          .select(concat_ws("_", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")).as("rid"), col("l_extendedprice")),
+        "rid", "l_extendedprice", b = 64)),
+
+    // -- Wilson score intervals (r13): per-source long-doc rate with the
+    // [0,1]-safe 95% CI, z = 1.96 plan-time literal ----------------------
+    "q_stats_wilson" -> ((s, dir) =>
+      graft.ml.Eval.wilsonInterval(T(s, dir, "documents"),
+        "source", col("n_chars") > 300)),
+
     // -- Cohen's kappa (r13): chance-corrected agreement between the
     // dim-0-sign heuristic rater and the label rater ---------------------
     "q_ml_kappa" -> ((s, dir) =>

@@ -145,6 +145,32 @@ object Eval {
       round((tp + tn) / (tp + fp + tn + fn), 6).as("accuracy"))
   }
 
+  /** Wilson score interval: the 95% confidence interval for a proportion
+    * that stays inside [0, 1] and behaves at small n (unlike the normal
+    * approximation) — the standard way to report conversion/defect rates
+    * with uncertainty. z is the plan-time literal 1.96; the formula is
+    * one shared double DAG per group from exact integer counts.
+    *
+    * @return per group: (group, n, n_pos, p, lo95, hi95), ordered
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String,
+      isPos: Column): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isPos, 1L).otherwise(0L)).as("n_pos"))
+    val n = col("n").cast("double"); val x = col("n_pos").cast("double")
+    val z = lit(1.96); val z2 = z * z
+    val p = x / n
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (z * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    per.select(col("group"), col("n"), col("n_pos"),
+      round(p, 6).as("p"),
+      round(center - half, 6).as("lo95"),
+      round(center + half, 6).as("hi95"))
+      .orderBy("group")
+  }
+
   /** Cohen's kappa: agreement between two binary raters corrected for
     * chance — the label-quality audit when two annotation sources (a
     * heuristic and a model, two labeling runs) disagree more than their

@@ -299,6 +299,59 @@ object Sampling {
     * stays inside long. Ties break on the id. Null / non-positive /
     * sub-microunit weights are excluded (zero inclusion probability).
     */
+  /** Deterministic subsample-bootstrap CI for a mean (Politis–Romano
+    * subsampling): B half-sample replicates, each selecting the rows
+    * whose md5(id, b) is even — RNG-free, so the interval is reproducible
+    * and engine-portable — then the percentile interval over the B
+    * replicate means. Replicate k_lo = round(0.025·(B+1)) (clamped to
+    * [1, B]) and k_hi = B+1−k_lo bound the reported 95% interval; with
+    * B = 64 that is ranks 2 and 63. Half-sampling widens the interval by
+    * ~√2 versus the with-replacement bootstrap — the conservative
+    * direction — and is documented as such.
+    *
+    * Scale shape: the corpus crosses a broadcast B-row replicate table
+    * (a bounded ×B scan multiplier), the hash filter and fixed-point 1e6
+    * value sums map-side-combine down to B rows before the only
+    * exchange, and everything after runs on B rows. One pass, no
+    * per-replicate jobs.
+    *
+    * @return one row (n, mean, lo95, hi95), round-6
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 4, s"need at least 4 replicates: $b")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("double").as("__v"))
+    val reps = broadcast((0 until b).toDF("__b"))
+    val picked = base.crossJoin(reps)
+      .where(pmod(conv(substring(md5(concat_ws("|", col("__id"), col("__b"))),
+        1, 15), 16, 10).cast("long"), lit(2L)) === 0L)
+    val means = picked.groupBy("__b")
+      .agg((sum(floor(col("__v") * 1e6).cast("decimal(38,0)")).cast("double")
+        / 1e6 / count(lit(1)).cast("double")).as("__m"))
+    val kLo = math.max(1, math.round(0.025 * (b + 1)).toInt)
+    val kHi = b + 1 - kLo
+    // replicate-id tie-break: two replicates CAN produce equal means and
+    // row_number must rank them identically on both engines
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m"), col("__b"))
+    val ranked = means.select(col("__m"),
+      row_number().over(w).as("__r")) // bounded: B rows
+    val ci = ranked.agg(
+      max(when(col("__r") === kLo, col("__m"))).as("__lo"),
+      max(when(col("__r") === kHi, col("__m"))).as("__hi"),
+      count(lit(1)).as("__nb"))
+    val overall = base.agg(count(lit(1)).as("n"),
+      (sum(floor(col("__v") * 1e6).cast("decimal(38,0)")).cast("double")
+        / 1e6 / count(lit(1)).cast("double")).as("__mean"))
+    overall.crossJoin(broadcast(ci))
+      .select(col("n"), round(col("__mean"), 6).as("mean"),
+        round(col("__lo"), 6).as("lo95"), round(col("__hi"), 6).as("hi95"))
+  }
+
   def sequentialPoisson(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")

@@ -111,6 +111,21 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") === 0.0)
   }
 
+  test("wilsonInterval: brackets the rate, stays inside [0, 1]") {
+    val df = (1 to 40).map(i => ("g", i <= 10)).toDF("g", "pos")
+    val r = Eval.wilsonInterval(df, "g", col("pos")).head()
+    assert(r.getAs[Double]("p") === 0.25)
+    val lo = r.getAs[Double]("lo95"); val hi = r.getAs[Double]("hi95")
+    assert(lo > 0.0 && lo < 0.25 && hi > 0.25 && hi < 1.0)
+  }
+
+  test("wilsonInterval: extreme rates never leave the unit interval") {
+    val df = Seq(("a", true), ("a", true), ("b", false)).toDF("g", "pos")
+    val rows = Eval.wilsonInterval(df, "g", col("pos")).collect()
+    assert(rows.forall(r => r.getAs[Double]("lo95") >= 0.0 &&
+      r.getAs[Double]("hi95") <= 1.0))
+  }
+
   test("cohensKappa: perfect agreement is 1, marginal-only agreement is 0") {
     val perfect = Seq((true, true), (false, false), (true, true))
       .toDF("a", "b")
