@@ -50,6 +50,27 @@ class DocsStreamSpec extends SparkSpec {
       s"stream $streamOut != batch $batchOut")
   }
 
+  test("streaming blocklist tagging equals the batch keywordTag (complete mode)") {
+    val docs = Seq((1L, "bad words and more bad things"),
+      (2L, "perfectly clean text"), (3L, "worse and BAD")).toDF("doc_id", "text")
+    val batchOut = graft.ext.TextAnalysis
+      .keywordTag(docs, "text", "doc_id", Seq("bad", "worse"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_blockstream").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.ext.TextAnalysis.keywordTag(
+        spark.readStream.schema(schema).parquet(tmp), "text", "doc_id",
+        Seq("bad", "worse"))
+      .writeStream.format("memory").queryName("block_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamOut = spark.table("block_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamOut === batchOut, s"stream $streamOut != batch $batchOut")
+  }
+
   test("the stream-side plan is stateless (no state store operators)") {
     val (bandsIdx, shIdx) = DocsStream.corpusIndex(corpus, "text", "doc_id")
     val tmp = java.nio.file.Files.createTempDirectory("graft_docstream2").toString
