@@ -5244,6 +5244,37 @@ object OracleSql {
         |  round(CAST(s9 AS DOUBLE) / 1e9, 6) + 0.0 AS score
         |FROM g ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin,
 
+    // k-core replay: the same 4 peel rounds unrolled — per round a
+    // degree count and a both-endpoints filter
+    "q_graph_kcore" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS x, b.pk AS y
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d1 AS (SELECT v, count(*) AS d FROM (
+        |    SELECT x AS v FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1
+        |  HAVING count(*) >= 3),
+        |e1 AS (SELECT x, y FROM e0
+        |  WHERE x IN (SELECT v FROM d1) AND y IN (SELECT v FROM d1)),
+        |d2 AS (SELECT v, count(*) AS d FROM (
+        |    SELECT x AS v FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1
+        |  HAVING count(*) >= 3),
+        |e2 AS (SELECT x, y FROM e1
+        |  WHERE x IN (SELECT v FROM d2) AND y IN (SELECT v FROM d2)),
+        |d3 AS (SELECT v, count(*) AS d FROM (
+        |    SELECT x AS v FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1
+        |  HAVING count(*) >= 3),
+        |e3 AS (SELECT x, y FROM e2
+        |  WHERE x IN (SELECT v FROM d3) AND y IN (SELECT v FROM d3)),
+        |d4 AS (SELECT v, count(*) AS d FROM (
+        |    SELECT x AS v FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1
+        |  HAVING count(*) >= 3),
+        |e4 AS (SELECT x, y FROM e3
+        |  WHERE x IN (SELECT v FROM d4) AND y IN (SELECT v FROM d4))
+        |SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT x AS v FROM e4 UNION ALL SELECT y FROM e4)
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
     // LPA replay: the same 3 synchronous rounds unrolled — per round, a
     // (node, neighbor-label) count and the argmax with count DESC, label
     // ASC tie-break via row_number
@@ -5435,6 +5466,15 @@ object OracleSql {
         |  round((CAST(r2 - np * (np + 1) AS DOUBLE) / 2.0)
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
+
+    // retract replay: (base − deletes + inserts) = the direct WHERE —
+    // exact DECIMAL sums so maintained state ≡ recompute bit-for-bit
+    "q_agg_retract" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_v
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bootstrap replay: same md5 half-sample rule per replicate, same
     // fixed-point replicate means, same rank-2/63 percentile interval

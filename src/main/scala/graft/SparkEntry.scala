@@ -3061,6 +3061,11 @@ object SparkEntry {
       graft.ext.Graph.adamicAdar(coEdges(s, dir),
         maxCenterDegree = 500, topK = 100)),
 
+    // k-core peel (r13) on the co-purchase graph: 4 rounds of deleting
+    // degree<3 nodes; surviving (id, degree) — the density filter
+    "q_graph_kcore" -> ((s, dir) =>
+      graft.ext.Graph.kCore(coEdges(s, dir), k = 3, rounds = 4)),
+
     // synchronous label-propagation communities (r13) on the co-purchase
     // graph: 3 deterministic rounds (most-frequent neighbor label, ties
     // to smallest), per-node community output
@@ -4191,6 +4196,29 @@ object SparkEntry {
         .withColumn("score",
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
+
+    // -- retractable grouped aggregate (r13): CDC deltas with signed
+    // weights (+1 insert, -1 delete) absorbed into (count, sum) state;
+    // oracle recomputes the equivalent final row set directly ------------
+    "q_agg_retract" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val base = o.where(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(24,2)"))
+            .cast("decimal(28,2)").as("sum_v"))
+      val deltas = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderpriority"), lit(1).as("w"), col("o_totalprice"))
+        .unionByName(o.where(col("o_orderkey") % 7 =!= 0 &&
+            col("o_orderkey") % 5 === 0)
+          .select(col("o_orderpriority"), lit(-1).as("w"),
+            col("o_totalprice")))
+      Merge.applySignedDeltas(base, deltas, Seq("o_orderpriority"),
+          "w", "o_totalprice")
+        .select(col("o_orderpriority"), col("n"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("o_orderpriority")
+    }),
 
     // -- subsample-bootstrap mean CI (r13): 64 deterministic md5
     // half-sample replicates, percentile interval ranks 2/63 ------------

@@ -337,6 +337,48 @@ object Graph {
     dist
   }
 
+  /** k-core peeling: iteratively delete nodes of degree < k (with the
+    * edges they carry) — the surviving subgraph is the k-core, the
+    * standard density filter before community/influence analysis (a
+    * node's core number survives hub noise that raw degree doesn't).
+    * Peeling runs a FIXED `rounds` count so both engines execute the
+    * identical computation; if the graph hasn't converged by then the
+    * result is the documented rounds-bounded peel (a superset of the
+    * true k-core — callers needing the fixpoint raise `rounds`).
+    *
+    * Shape per round: one degree aggregate + two semi-joins filtering
+    * the edge list — all keyed on node id, localCheckpoint cuts the
+    * per-round lineage. Output is (id, degree) of surviving nodes.
+    */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int = 4,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16]: $rounds")
+    requireIntegralIds(edges0, srcCol, dstCol)
+    var und = edges0.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = und.select(col("x").as("v"))
+        .union(und.select(col("y").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select("v")
+      und = und
+        .join(keep.select(col("v").as("x")), Seq("x"), "left_semi")
+        .join(keep.select(col("v").as("y")), Seq("y"), "left_semi")
+        .select("x", "y")
+        .localCheckpoint(true)
+    }
+    und.select(col("x").as("v")).union(und.select(col("y").as("v")))
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("degree"))
+      .orderBy("id")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007): every node starts labeled with its own id; each round, every
     * node adopts the most frequent label among its neighbors, ties to

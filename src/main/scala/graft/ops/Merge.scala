@@ -227,4 +227,38 @@ object Merge {
         least(col("min_v"), col("__d_min_v")).as("min_v"),
         greatest(col("max_v"), col("__d_max_v")).as("max_v")): _*)
   }
+
+  /** Retractable grouped aggregate — incremental view maintenance with
+    * DELETES: the CDC log carries a signed weight (+1 insert, −1
+    * retraction of a previously-counted row) and the maintained
+    * (count, sum) state absorbs it as Σw and Σw·v. Groups whose count
+    * reaches zero leave the view (the Z-set convention [[deltaJoin]]
+    * already uses for joins — this is its aggregate half; min/max are
+    * NOT retractable and belong to [[mergeAggStates]]'s insert-only
+    * contract).
+    *
+    * Scale shape: the delta batch aggregates map-side to per-key signed
+    * partials, then one full-outer merge on the group key — base rows
+    * never rescan. Sums ride exact DECIMAL so retract-then-reinsert is
+    * bit-stable.
+    *
+    * @param deltas (keys…, weightCol ∈ {+1, −1}, valueCol)
+    */
+  def applySignedDeltas(base: DataFrame, deltas: DataFrame,
+      keys: Seq[String], weightCol: String, valueCol: String): DataFrame = {
+    val dAgg = deltas.groupBy(keys.map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("n"),
+        sum(col(weightCol).cast("decimal(4,0)") *
+          col(valueCol).cast("decimal(24,2)")).as("sum_v"))
+    val d = keys.foldLeft(dAgg) { (df, k) => df.withColumnRenamed(k, s"__d_$k") }
+      .withColumnRenamed("n", "__d_n").withColumnRenamed("sum_v", "__d_sum_v")
+    val cond = keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    base.join(d, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__d_n"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("__d_sum_v"), lit(0).cast("decimal(28,2)"))
+            .cast("decimal(28,2)")).as("sum_v")): _*)
+      .where(col("n") > 0L)
+  }
 }
