@@ -5467,6 +5467,43 @@ object OracleSql {
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
 
+    // DiD replay: same integer day split, same four fixed-point cells,
+    // same subtraction DAG
+    "q_stats_did" ->
+      """WITH e AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+        |    AS day, user_id, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |mm AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |b AS (SELECT user_id % 2 = 1 AS t, day >= (lo + hi) // 2 AS p,
+        |    CAST(CAST(floor(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS HUGEINT)
+        |      AS v6
+        |  FROM e CROSS JOIN mm),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+        |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+        |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+        |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+        |    sum(CASE WHEN t AND NOT p THEN v6 ELSE 0 END) AS s_tp0,
+        |    sum(CASE WHEN t AND p THEN v6 ELSE 0 END) AS s_tp1,
+        |    sum(CASE WHEN NOT t AND NOT p THEN v6 ELSE 0 END) AS s_cp0,
+        |    sum(CASE WHEN NOT t AND p THEN v6 ELSE 0 END) AS s_cp1
+        |  FROM b)
+        |SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        |  round(CAST(s_tp0 AS DOUBLE) / 1e6 / CAST(n_treat_pre AS DOUBLE), 6)
+        |    + 0.0 AS mean_treat_pre,
+        |  round(CAST(s_tp1 AS DOUBLE) / 1e6 / CAST(n_treat_post AS DOUBLE), 6)
+        |    + 0.0 AS mean_treat_post,
+        |  round(CAST(s_cp0 AS DOUBLE) / 1e6 / CAST(n_ctrl_pre AS DOUBLE), 6)
+        |    + 0.0 AS mean_ctrl_pre,
+        |  round(CAST(s_cp1 AS DOUBLE) / 1e6 / CAST(n_ctrl_post AS DOUBLE), 6)
+        |    + 0.0 AS mean_ctrl_post,
+        |  round((CAST(s_tp1 AS DOUBLE) / 1e6 / CAST(n_treat_post AS DOUBLE)
+        |      - CAST(s_tp0 AS DOUBLE) / 1e6 / CAST(n_treat_pre AS DOUBLE))
+        |    - (CAST(s_cp1 AS DOUBLE) / 1e6 / CAST(n_ctrl_post AS DOUBLE)
+        |      - CAST(s_cp0 AS DOUBLE) / 1e6 / CAST(n_ctrl_pre AS DOUBLE)), 6)
+        |    + 0.0 AS did
+        |FROM g""".stripMargin,
+
     // retract replay: (base − deletes + inserts) = the direct WHERE —
     // exact DECIMAL sums so maintained state ≡ recompute bit-for-bit
     "q_agg_retract" ->

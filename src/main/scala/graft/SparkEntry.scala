@@ -4197,6 +4197,20 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
 
+    // -- difference-in-differences (r13): purchase value, user-parity
+    // treatment, post = second half of the day range; integer day split
+    "q_stats_did" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(floor(unix_timestamp(col("ts")).cast("double") / 86400d)
+          .as("day"), col("user_id"), col("value"))
+      val mm = e.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      val j = e.crossJoin(broadcast(mm))
+        .withColumn("__post", col("day") >= expr("(__lo + __hi) div 2"))
+      graft.ml.Eval.diffInDiff(j, col("user_id") % 2 === 1, col("__post"),
+        "value")
+    }),
+
     // -- retractable grouped aggregate (r13): CDC deltas with signed
     // weights (+1 insert, -1 delete) absorbed into (count, sum) state;
     // oracle recomputes the equivalent final row set directly ------------

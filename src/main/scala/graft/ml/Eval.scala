@@ -145,6 +145,42 @@ object Eval {
       round((tp + tn) / (tp + fp + tn + fn), 6).as("accuracy"))
   }
 
+  /** Difference-in-differences: the 2×2 (treated × post-period) panel
+    * estimator DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post −
+    * ȳ_ctrl,pre) — the first-line causal screen when treatment wasn't
+    * randomized but both groups share pre-trends. One aggregate pass of
+    * four cell counts + fixed-point 1e6 value sums; the subtraction DAG
+    * is shared with the oracle.
+    *
+    * @return one row: per-cell n/mean (8 cols) + did, round-6
+    */
+  def diffInDiff(df: DataFrame, isTreated: Column, isPost: Column,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select(isTreated.as("__t"), isPost.as("__p"),
+        floor(col(valueCol).cast("double") * 1e6).cast("decimal(38,0)")
+          .as("__v6"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("__t") === t && col("__p") === p, col("__v6"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__s_$suffix"))
+    val aggs = cell(true, false, "treat_pre") ++ cell(true, true, "treat_post") ++
+      cell(false, false, "ctrl_pre") ++ cell(false, true, "ctrl_post")
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def mean(s: String) =
+      col(s"__s_$s").cast("double") / 1e6 / col(s"n_$s").cast("double")
+    agg.select(
+      col("n_treat_pre"), col("n_treat_post"),
+      col("n_ctrl_pre"), col("n_ctrl_post"),
+      round(mean("treat_pre"), 6).as("mean_treat_pre"),
+      round(mean("treat_post"), 6).as("mean_treat_post"),
+      round(mean("ctrl_pre"), 6).as("mean_ctrl_pre"),
+      round(mean("ctrl_post"), 6).as("mean_ctrl_post"),
+      round((mean("treat_post") - mean("treat_pre"))
+        - (mean("ctrl_post") - mean("ctrl_pre")), 6).as("did"))
+  }
+
   /** Wilson score interval: the 95% confidence interval for a proportion
     * that stays inside [0, 1] and behaves at small n (unlike the normal
     * approximation) — the standard way to report conversion/defect rates

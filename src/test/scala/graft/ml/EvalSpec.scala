@@ -111,6 +111,18 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") === 0.0)
   }
 
+  test("diffInDiff: recovers a known treatment effect over a shared trend") {
+    // ctrl: 10 -> 12 (trend +2); treat: 20 -> 27 (trend +2, effect +5)
+    val rows =
+      Seq.fill(50)((false, false, 10.0)) ++ Seq.fill(50)((false, true, 12.0)) ++
+      Seq.fill(50)((true, false, 20.0)) ++ Seq.fill(50)((true, true, 27.0))
+    val df = rows.toDF("t", "p", "v")
+    val r = Eval.diffInDiff(df, col("t"), col("p"), "v").head()
+    assert(r.getAs[Double]("did") === 5.0)
+    assert(r.getAs[Double]("mean_treat_post") === 27.0)
+    assert(r.getAs[Long]("n_ctrl_pre") === 50L)
+  }
+
   test("wilsonInterval: brackets the rate, stays inside [0, 1]") {
     val df = (1 to 40).map(i => ("g", i <= 10)).toDF("g", "pos")
     val r = Eval.wilsonInterval(df, "g", col("pos")).head()
