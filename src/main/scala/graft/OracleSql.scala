@@ -251,6 +251,15 @@ object OracleSql {
     s"""WITH $langGuessCtes
        |SELECT doc_id, lang_guess FROM lg ORDER BY doc_id""".stripMargin
 
+  /** Confusion matrix of the lang-ID heuristic vs the labeled lang
+    * column — same guess CTEs as [[langIdSql]], exact counts.
+    */
+  private val langIdConfusionSql: String =
+    s"""WITH $langGuessCtes
+       |SELECT d.lang, lg.lang_guess, CAST(count(*) AS BIGINT) AS n
+       |FROM documents d JOIN lg ON d.doc_id = lg.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
+
   /** JL random projection oracle: regenerates the identical ±1 literals
     * from [[graft.ext.DimReduce.jlSign]]; the per-dim sum is the same
     * left-associated chain the Spark expression builds.
@@ -5466,6 +5475,59 @@ object OracleSql {
         |  round((CAST(r2 - np * (np + 1) AS DOUBLE) / 2.0)
         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
         |FROM f""".stripMargin,
+
+    // log-rank replay: same per-subject durations, same bounded day
+    // table with suffix at-risk sums, same fixed-point 1e9 E/V terms
+    "q_events_logrank" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS st,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) END) AS conv
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS fin FROM events),
+        |dur AS (SELECT u, u % 2 = 1 AS g,
+        |    CAST(CASE WHEN conv IS NOT NULL THEN conv - st ELSE fin - st END AS BIGINT) AS t,
+        |    conv IS NOT NULL AS converted
+        |  FROM per CROSS JOIN h),
+        |byday AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT g AND converted THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN g AND converted THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN NOT g AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN g AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM dur GROUP BY 1),
+        |ar AS (SELECT t, d1, d2,
+        |    CAST(sum(d1 + c1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+        |    CAST(sum(d2 + c2) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n2
+        |  FROM byday),
+        |ev AS (SELECT d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS d FROM ar
+        |  WHERE d1 + d2 > 0),
+        |terms AS (SELECT d1,
+        |    CAST(floor(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS e9,
+        |    CAST(floor(CASE WHEN n > 1 THEN CAST(d AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END * 1e9) AS BIGINT) AS v9
+        |  FROM ev),
+        |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    sum(CAST(e9 AS HUGEINT)) AS e9s,
+        |    sum(CAST(v9 AS HUGEINT)) AS v9s FROM terms),
+        |tot AS (SELECT CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM dur)
+        |SELECT n_a, n_b, o1,
+        |  round(CAST(e9s AS DOUBLE) / 1e9, 6) + 0.0 AS e1,
+        |  round(CASE WHEN v9s > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9)
+        |      * (CAST(o1 AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9)
+        |      / (CAST(v9s AS DOUBLE) / 1e9) END, 6) + 0.0 AS chi2
+        |FROM tot CROSS JOIN agg""".stripMargin,
+
+    // langid confusion replay: the guess CTEs joined back to the labeled
+    // lang column, exact counts
+    "q_text_langid_confusion" -> langIdConfusionSql,
 
     // DiD replay: same integer day split, same four fixed-point cells,
     // same subtraction DAG

@@ -2780,6 +2780,13 @@ object SparkEntry {
           "user_id", "ts", "event_type", "purchase")
         .orderBy("t")),
 
+    // -- log-rank test (r13): do odd-parity users convert on a different
+    // schedule, censoring-aware — the test companion to the KM curve ----
+    "q_events_logrank" -> ((s, dir) =>
+      graft.ext.Survival.logRank(T(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase",
+        u => u % 2 === 1)),
+
     // -- Markov removal-effect attribution (r13): journeys -> absorbing
     // chain; integer fixed-point absorption, channel credit = drop in
     // conversion probability when the channel is removed ----------------
@@ -4196,6 +4203,15 @@ object SparkEntry {
         .withColumn("score",
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
+
+    // -- lang-ID confusion matrix (r13): the heuristic's predictions vs
+    // the labeled lang column — the eval of q_text_langid itself ---------
+    "q_text_langid_confusion" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")),
 
     // -- difference-in-differences (r13): purchase value, user-parity
     // treatment, post = second half of the day range; integer day split

@@ -50,4 +50,37 @@ class SurvivalSpec extends SparkSpec {
     assert(dur(3L) === ((3L, false)))   // day 0 -> horizon day 3
     assert(dur(4L) === ((0L, true)))    // immediate conversion
   }
+
+  test("logRank: identical schedules give chi2 ~ 0") {
+    import org.apache.spark.sql.functions.col
+    // both parities convert on the same days -> O1 = E1 exactly
+    val same = Seq(
+      (1L, d(0), "view"), (1L, d(1), "purchase"),
+      (2L, d(0), "view"), (2L, d(1), "purchase"),
+      (3L, d(0), "view"), (3L, d(2), "purchase"),
+      (4L, d(0), "view"), (4L, d(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Survival.logRank(same, "user_id", "ts", "event_type",
+      "purchase", u => u % 2 === 1).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r.getAs[Long]("o1").toDouble -
+      r.getAs[Double]("e1")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-6)
+  }
+
+  test("logRank: hand-computed single-event-day statistic") {
+    // day 1: group A (even ids 2, 4) one event, group B (1, 3) none;
+    // all 4 at risk. d=1, n1=2, n=4 -> e1 = 0.5, v = 1*(.5)(.5)*3/3 = .25
+    // chi2 = (1 - 0.5)^2 / 0.25 = 1.0
+    val ev = Seq(
+      (1L, d(0), "view"), (2L, d(0), "view"),
+      (3L, d(0), "view"), (4L, d(0), "view"),
+      (2L, d(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Survival.logRank(ev, "user_id", "ts", "event_type",
+      "purchase", u => u % 2 === 1).head()
+    assert(r.getAs[Long]("o1") === 1L)
+    assert(r.getAs[Double]("e1") === 0.5)
+    assert(r.getAs[Double]("chi2") === 1.0)
+  }
 }
