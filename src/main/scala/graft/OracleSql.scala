@@ -5161,6 +5161,35 @@ object OracleSql {
         |       THEN round(cov / sqrt(varx * vary), 6) END AS roll_corr
         |FROM f ORDER BY event_id""".stripMargin,
 
+    // silhouette replay: same md5-fixed centroids, same expanded-dot d2,
+    // same (d2, cid) argmin, nearest-other min, clamped sqrt and
+    // fixed-point per-cluster means
+    "q_sim_silhouette" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.cv)
+        |      + list_dot_product(c0.cv, c0.cv) AS d2
+        |  FROM e CROSS JOIN c0),
+        |own AS (SELECT vec_id, cid, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d0) WHERE rn = 1),
+        |oth AS (SELECT d0.vec_id, min(d0.d2) AS d2o
+        |  FROM d0 JOIN own ON d0.vec_id = own.vec_id AND d0.cid <> own.cid
+        |  GROUP BY 1),
+        |s AS (SELECT own.vec_id, own.cid,
+        |    sqrt(greatest(own.d2, CAST(0.0 AS DOUBLE))) AS a,
+        |    sqrt(greatest(oth.d2o, CAST(0.0 AS DOUBLE))) AS b
+        |  FROM own JOIN oth ON own.vec_id = oth.vec_id),
+        |t AS (SELECT cid, CASE WHEN greatest(a, b) > 0.0
+        |    THEN (b - a) / greatest(a, b) ELSE CAST(0.0 AS DOUBLE) END AS sil
+        |  FROM s)
+        |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(CAST(floor(sil * 1e9) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+        |    / 1e9 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_sil
+        |FROM t GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
     // one Lloyd round: assign to the 8 md5-selected seeds, recompute
     // per-dimension double means (same determinism contract as
     // q_embed_centroids), keep empty clusters' old centroids, reassign

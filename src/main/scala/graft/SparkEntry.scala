@@ -2893,6 +2893,18 @@ object SparkEntry {
         .orderBy("src", "rn")
     }),
 
+    // -- simplified silhouette (r13): per-cluster cohesion/separation
+    // over the same md5-fixed 8 centroids as the IVF/kNN-graph queries
+    "q_sim_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.clusterSilhouette(emb, "vec_id", "e", cents.toIndexedSeq)
+    }),
+
     // -- DSIR importance weights (r13): hashed unigram+bigram
     // log-likelihood ratio of a target domain (sources src1-src5) vs the
     // raw corpus; λ per bucket is a bounded driver decision re-emitted as

@@ -796,6 +796,48 @@ object Similarity {
         col("__entry._2").as("dst"), col("__entry._1").as("cos"))
   }
 
+  /** Simplified silhouette per cluster (centroid-based Rousseeuw 1987
+    * variant): s = (b − a)/max(a, b) with a = distance to the OWN
+    * centroid and b = distance to the nearest OTHER centroid — the
+    * clustering-quality readout that the full silhouette's all-pairs
+    * distances make infeasible at scale (this variant is one scan ×
+    * |centroids| expanded-dot evaluations per row, the same arithmetic
+    * as the IVF assignment). Negative mean silhouette in a cluster ⇒
+    * its points mostly sit closer to a neighboring centroid.
+    *
+    * Determinism: assignment ties break on (d², cid) exactly like
+    * [[ivfTopKFixed]]; d² is clamped at 0 before the sqrt (the expanded
+    * dot can land a hair negative); per-cluster means ride fixed-point
+    * 1e9 longs.
+    *
+    * @return (cluster_id, n, mean_sil round-6) ordered by cluster_id
+    */
+  def clusterSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2, "need at least two centroids")
+    val e = VectorOps.toDouble(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+        VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val arr = array(entries: _*)
+    val own = array_min(arr)
+    val other = array_min(filter(arr, x => x.getField("cid") =!= own.getField("cid")))
+    val a = sqrt(greatest(own.getField("d2"), lit(0.0)))
+    val b = sqrt(greatest(other.getField("d2"), lit(0.0)))
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    df.select(own.getField("cid").as("cluster_id"), s.as("__s"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__s") * 1e9).cast("decimal(38,0)")).as("__s9"))
+      .select(col("cluster_id"), col("n"),
+        round(col("__s9").cast("double") / 1e9 / col("n").cast("double"), 6)
+          .as("mean_sil"))
+      .orderBy("cluster_id")
+  }
+
   /** Embedding-space geometry audit: the distribution of pairwise
     * cosines over a DETERMINISTIC id-pairing (even id ↔ id+1 — no RNG,
     * no sort, no quadratic pair join), histogrammed into `bins`
