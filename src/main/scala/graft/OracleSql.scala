@@ -155,8 +155,13 @@ object OracleSql {
     * arithmetic op is IEEE +,*,/,abs or an exact integer floor, so the
     * two engines agree bit-for-bit through all iterations.
     */
-  private val qualityClassifierSql: String = {
-    val iters = 8
+  /** Unrolled-GD training replay CTE block, parameterized by the label
+    * rule (a SQL expression over qcn's columns evaluating to 0.0/1.0
+    * DOUBLE) — shared by the quality classifier and the C2ST drift test
+    * so the two replays cannot desynchronize. Yields CTEs through
+    * `sc(doc_id, s)` (unrounded scores) and `qclab(doc_id, y)`.
+    */
+  private def gdCtes(labelCase: String, iters: Int = 8): String = {
     val steps = (1 to iters).map { i =>
       s"""z$i AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
          |  FROM qcfeat f JOIN w${i - 1} w USING (j) GROUP BY f.doc_id),
@@ -167,15 +172,9 @@ object OracleSql {
          |w$i AS (SELECT w.j, w.w - coalesce(g.s / (SELECT nd FROM qcnd), 0.0) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (j))""".stripMargin
     }.mkString(",\n")
-    s"""WITH qct AS (SELECT doc_id, text, $toks AS tk FROM documents),
-       |qcn AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n FROM qct WHERE len(tk) > 0),
-       |qclab AS (SELECT doc_id,
-       |    CASE WHEN len(tk) >= 5
-       |      AND round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) <= 0.4
-       |      AND round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) >= 0.3
-       |      AND round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) >= 2.0
-       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
-       |  FROM qcn),
+    s"""qct AS (SELECT doc_id, text, source, $toks AS tk FROM documents),
+       |qcn AS (SELECT doc_id, text, source, tk, CAST(len(tk) AS BIGINT) AS n FROM qct WHERE len(tk) > 0),
+       |qclab AS (SELECT doc_id, $labelCase AS y FROM qcn),
        |qctf AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS j, count(*) AS cnt
        |  FROM (SELECT doc_id, unnest(tk) AS term FROM qcn) GROUP BY 1, 2),
        |qcfeat AS (SELECT f.doc_id, f.j, CAST(f.cnt AS DOUBLE)/CAST(n.n AS DOUBLE) AS x FROM qctf f JOIN qcn n USING (doc_id)
@@ -185,10 +184,49 @@ object OracleSql {
        |$steps,
        |zf AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
        |  FROM qcfeat f JOIN w$iters w USING (j) GROUP BY f.doc_id),
-       |sc AS (SELECT doc_id, 0.5*(1.0 + z/(1.0 + abs(z))) AS s FROM zf)
+       |sc AS (SELECT doc_id, 0.5*(1.0 + z/(1.0 + abs(z))) AS s FROM zf)""".stripMargin
+  }
+
+  private val qualityLabelCase: String =
+    """CASE WHEN len(tk) >= 5
+      |      AND round(CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 6) <= 0.4
+      |      AND round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) >= 0.3
+      |      AND round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) >= 2.0
+      |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  private val qualityClassifierSql: String =
+    s"""WITH ${gdCtes(qualityLabelCase)}
        |SELECT sc.doc_id, CAST(l.y AS INTEGER) AS label, round(sc.s, 6) AS score,
        |  CASE WHEN sc.s >= 0.5 THEN 1 ELSE 0 END AS pred
        |FROM sc JOIN qclab l USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** C2ST drift replay: the same GD training with a DOMAIN label
+    * (sources src10-src19 vs the rest), scores rounded to the engine's
+    * 6 decimals, then the Mann–Whitney AUC identity over them.
+    */
+  private val c2stSql: String = {
+    val domainCase =
+      "CASE WHEN source IN ('src10','src11','src12','src13','src14'," +
+        "'src15','src16','src17','src18','src19') " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    // iters = 3: the drift READOUT (AUC of the separator) converges in a
+    // few steps, and each unrolled GD step costs the oracle ~55 s of
+    // single-threaded DuckDB — the 8-step replay is the quality
+    // classifier's budget, not this audit's
+    s"""WITH ${gdCtes(domainCase, iters = 3)},
+       |b AS (SELECT round(sc.s, 6) + 0.0 AS s,
+       |    CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN qclab l USING (doc_id)),
+       |pv AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
+       |cs AS (SELECT s, c, p, sum(c) OVER (ORDER BY s) AS cum FROM pv),
+       |f AS (SELECT sum(CAST(p AS HUGEINT) * (2 * cum - c + 1)) AS r2,
+       |    CAST(sum(p) AS HUGEINT) AS np, CAST(sum(c - p) AS HUGEINT) AS nn
+       |  FROM cs)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |  round((CAST(r2 - np * (np + 1) AS DOUBLE) / 2.0)
+       |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) + 0.0 AS auc
+       |FROM f""".stripMargin
   }
 
   /** Arithmetic replay of the image dHash chain (mirrors
@@ -2256,6 +2294,7 @@ object OracleSql {
     // algebraic sigmoid, fixed-point sums — ml.QualityModel) is replayed
     // UNROLLED in SQL; weights never leave the query on either engine
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_quality_c2st" -> c2stSql,
 
     // full LLM curation flagship: quality -> exact canonical -> duplicated-
     // span removal -> near-dup cluster dedup -> benchmark decontamination

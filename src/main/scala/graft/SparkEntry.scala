@@ -4216,6 +4216,18 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
 
+    // -- classifier two-sample drift test (r13): train the GD classifier
+    // to distinguish sources src10-19 from the rest, report its AUC —
+    // ~0.5 means the halves are indistinguishable on these features -----
+    "q_quality_c2st" -> ((s, dir) => {
+      val domainB = (10 to 19).map(i => s"src$i")
+      val scored = graft.ml.QualityModel.trainScore(
+        T(s, dir, "documents"), "text", "doc_id",
+        when(col("source").isin(domainB: _*), 1.0).otherwise(0.0),
+        iters = 3)
+      graft.ml.Eval.aucExact(scored, "score", col("label") === 1)
+    }),
+
     // -- lang-ID confusion matrix (r13): the heuristic's predictions vs
     // the labeled lang column — the eval of q_text_langid itself ---------
     "q_text_langid_confusion" -> ((s, dir) =>

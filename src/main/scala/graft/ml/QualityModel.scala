@@ -47,20 +47,29 @@ object QualityModel {
     * labeled — token-free docs have no feature rows (and fail the rule
     * trivially), so they are excluded from training AND scoring.
     */
-  private def labelTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private def qualityLabel(textCol: String): Column = {
     val t = col(textCol)
     val tk = tokens(t)
-    df.select(col(idCol).as("doc_id"), t.as("__t"), tk.as("__tk"))
-      .where(graft.ops.Plans.noPushdown(size(col("__tk")) > 0))
-      .select(col("doc_id"),
-        when(size(col("__tk")) >= 5 &&
-          round((length(col("__t")) - length(regexp_replace(lower(col("__t")), "[^a-z0-9]", "")))
-            .cast("double") / length(col("__t")), 6) <= 0.4 &&
-          round(size(array_distinct(col("__tk"))).cast("double") / size(col("__tk")), 6) >= 0.3 &&
-          round(aggregate(col("__tk"), lit(0L), (acc, x) => acc + length(x))
-            .cast("double") / size(col("__tk")), 6) >= 2.0,
-          lit(1.0)).otherwise(lit(0.0)).as("y"))
+    when(size(tk) >= 5 &&
+      round((length(t) - length(regexp_replace(lower(t), "[^a-z0-9]", "")))
+        .cast("double") / length(t), 6) <= 0.4 &&
+      round(size(array_distinct(tk)).cast("double") / size(tk), 6) >= 0.3 &&
+      round(aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(tk), 6) >= 2.0,
+      lit(1.0)).otherwise(lit(0.0))
   }
+
+  /** (doc_id, y) for every doc with ≥1 token; `label` is any 0.0/1.0
+    * expression over the source row (the heuristic rule, a domain flag,
+    * …) — evaluated behind the pushdown barrier alongside the token
+    * guard so it can't be inlined into the scan.
+    */
+  private def labelTable(df: DataFrame, textCol: String, idCol: String,
+      label: Column): DataFrame =
+    df.select(col(idCol).as("doc_id"), label.as("__y"),
+        tokens(col(textCol)).as("__tk"))
+      .where(graft.ops.Plans.noPushdown(size(col("__tk")) > 0))
+      .select(col("doc_id"), col("__y").as("y"))
 
   /** Sparse normalized feature rows (doc_id, j, x): tf buckets divided by
     * token count, plus one bias row per doc at j = dim with x = 1.
@@ -83,7 +92,17 @@ object QualityModel {
     * w·x ≥ 0, identical in both engines).
     */
   def scoreQuality(df: DataFrame, textCol: String, idCol: String,
-      dim: Int = 64, iters: Int = 8): DataFrame = {
+      dim: Int = 64, iters: Int = 8): DataFrame =
+    trainScore(df, textCol, idCol, qualityLabel(textCol), dim, iters)
+
+  /** Classifier two-sample test scorer: same GD trainer, but the label
+    * is an arbitrary 0/1 domain flag (reference vs current batch, source
+    * A vs source B). Feed the scores into [[Eval.aucExact]] — AUC ≈ 0.5
+    * means the domains are indistinguishable on these features (no
+    * drift); AUC near 1 means a classifier separates them easily.
+    */
+  def trainScore(df: DataFrame, textCol: String, idCol: String,
+      label: Column, dim: Int = 64, iters: Int = 8): DataFrame = {
     require(dim > 0 && iters >= 0, s"bad dim=$dim / iters=$iters")
     // r13: fold the label ONTO the feature rows once, co-partitioned by
     // doc_id, BEFORE persisting — one cached table satisfies every
@@ -96,7 +115,7 @@ object QualityModel {
     // loop's job count for zero data reasons.
     val feat = graft.Caches.register(
       featureTable(df, textCol, idCol, dim)
-        .join(labelTable(df, textCol, idCol), Seq("doc_id"))
+        .join(labelTable(df, textCol, idCol, label), Seq("doc_id"))
         .repartition(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // every labeled doc has exactly one bias row (j = dim) — counting

@@ -50,4 +50,20 @@ class QualityModelSpec extends SparkSpec {
       assert(r.getInt(3) == (if (s >= 0.5) 1 else 0), "pred/score mismatch")
     }
   }
+
+  test("C2ST: separable domains score high AUC, identical domains ~0.5") {
+    import org.apache.spark.sql.functions._
+    // domain = the junk half: trivially separable on hashed features
+    val sep = QualityModel.trainScore(fixture, "text", "doc_id",
+      when(col("doc_id") >= 100L, 1.0).otherwise(0.0), iters = 3)
+    val aucSep = Eval.aucExact(sep, "score", col("label") === 1)
+      .head().getAs[Double]("auc")
+    assert(aucSep > 0.9, s"separable domains should be detectable: $aucSep")
+    // domain = doc parity WITHIN the same text distribution: no signal
+    val same = QualityModel.trainScore(fixture, "text", "doc_id",
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0), iters = 3)
+    val aucSame = Eval.aucExact(same, "score", col("label") === 1)
+      .head().getAs[Double]("auc")
+    assert(aucSame < 0.9, s"parity split should not separate cleanly: $aucSame")
+  }
 }
