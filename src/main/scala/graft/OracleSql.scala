@@ -5634,6 +5634,25 @@ object OracleSql {
         |    + 0.0 AS did
         |FROM g""".stripMargin,
 
+    // ABC replay: descending cumulative with ties-inclusive RANGE frame
+    // (≡ the engine's value-collapsed weighted CDF), same share DAG and
+    // unrounded thresholds
+    "q_part_abc" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS tot
+        |  FROM pp)
+        |SELECT l_partkey, round(CAST(rev AS DOUBLE), 6) + 0.0 AS revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
+
     // retract replay: (base − deletes + inserts) = the direct WHERE —
     // exact DECIMAL sums so maintained state ≡ recompute bit-for-bit
     "q_agg_retract" ->

@@ -3354,6 +3354,30 @@ object SparkEntry {
 
     // -- filter to rows above their group's exact p90 (keyed CDF as a
     // filter: quantile bounds broadcast back, fact table only filtered) --
+    // -- ABC (Pareto) classification (r13): parts by cumulative revenue
+    // share — A covers the first 80%, B to 95%, C the tail. The
+    // descending cumulative runs as the range-partitioned weighted CDF
+    // (value = -revenue), never a global single-task window; tied
+    // revenues share a class by construction on both engines -----------
+    "q_part_abc" -> ((s, dir) => {
+      val pp = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("__rev"))
+      val (cdf, totals) = Clean.weightedCdfWithTotals(
+        pp.withColumn("__neg", -col("__rev")), "__neg", "__rev", Nil)
+      val share = col("__cum").cast("double") / col("__tot").cast("double")
+      pp.select(col("l_partkey"), col("__rev"),
+          (-col("__rev")).cast("double").as("__val"))
+        .join(cdf.select(col("__val"), col("__cum")), Seq("__val"))
+        .crossJoin(broadcast(totals))
+        .select(col("l_partkey"),
+          round(col("__rev").cast("double"), 6).as("revenue"),
+          round(share, 6).as("cum_share"),
+          when(share <= 0.8, "A").when(share <= 0.95, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy("l_partkey")
+    }),
+
     "q_filter_topdecile" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       // eager localCheckpoint: the 3-row p90 materializes in its own jobs
