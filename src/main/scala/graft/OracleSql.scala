@@ -162,24 +162,30 @@ object OracleSql {
     * `sc(doc_id, s)` (unrounded scores) and `qclab(doc_id, y)`.
     */
   private def gdCtes(labelCase: String, iters: Int = 8): String = {
+    // MATERIALIZED is load-bearing on the step CTEs: each w$i references
+    // w${i-1} twice (once directly, once through z$i→e$i→g$i), so
+    // DuckDB's default CTE INLINING duplicates the whole prefix per
+    // level — 2^iters plan copies, measured 432 s at iters = 8 vs 0.2 s
+    // materialized. Results are identical; only the execution strategy
+    // changes.
     val steps = (1 to iters).map { i =>
-      s"""z$i AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
+      s"""z$i AS MATERIALIZED (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
          |  FROM qcfeat f JOIN w${i - 1} w USING (j) GROUP BY f.doc_id),
-         |e$i AS (SELECT z.doc_id, 0.5*(1.0 + z.z/(1.0 + abs(z.z))) - l.y AS e
+         |e$i AS MATERIALIZED (SELECT z.doc_id, 0.5*(1.0 + z.z/(1.0 + abs(z.z))) - l.y AS e
          |  FROM z$i z JOIN qclab l USING (doc_id)),
-         |g$i AS (SELECT f.j, CAST(sum(CAST(floor(e.e * f.x * 1e9) AS BIGINT)) AS DOUBLE)/1e9 AS s
+         |g$i AS MATERIALIZED (SELECT f.j, CAST(sum(CAST(floor(e.e * f.x * 1e9) AS BIGINT)) AS DOUBLE)/1e9 AS s
          |  FROM qcfeat f JOIN e$i e USING (doc_id) GROUP BY f.j),
-         |w$i AS (SELECT w.j, w.w - coalesce(g.s / (SELECT nd FROM qcnd), 0.0) AS w
+         |w$i AS MATERIALIZED (SELECT w.j, w.w - coalesce(g.s / (SELECT nd FROM qcnd), 0.0) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (j))""".stripMargin
     }.mkString(",\n")
     s"""qct AS (SELECT doc_id, text, source, $toks AS tk FROM documents),
-       |qcn AS (SELECT doc_id, text, source, tk, CAST(len(tk) AS BIGINT) AS n FROM qct WHERE len(tk) > 0),
-       |qclab AS (SELECT doc_id, $labelCase AS y FROM qcn),
+       |qcn AS MATERIALIZED (SELECT doc_id, text, source, tk, CAST(len(tk) AS BIGINT) AS n FROM qct WHERE len(tk) > 0),
+       |qclab AS MATERIALIZED (SELECT doc_id, $labelCase AS y FROM qcn),
        |qctf AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS j, count(*) AS cnt
        |  FROM (SELECT doc_id, unnest(tk) AS term FROM qcn) GROUP BY 1, 2),
-       |qcfeat AS (SELECT f.doc_id, f.j, CAST(f.cnt AS DOUBLE)/CAST(n.n AS DOUBLE) AS x FROM qctf f JOIN qcn n USING (doc_id)
+       |qcfeat AS MATERIALIZED (SELECT f.doc_id, f.j, CAST(f.cnt AS DOUBLE)/CAST(n.n AS DOUBLE) AS x FROM qctf f JOIN qcn n USING (doc_id)
        |  UNION ALL SELECT doc_id, 64, CAST(1.0 AS DOUBLE) FROM qcn),
-       |qcnd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM qclab),
+       |qcnd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM qclab),
        |w0 AS (SELECT CAST(unnest(generate_series(0, 64)) AS INTEGER) AS j, CAST(0.0 AS DOUBLE) AS w),
        |$steps,
        |zf AS (SELECT f.doc_id, CAST(sum(CAST(floor(w.w * f.x * 1e12) AS BIGINT)) AS DOUBLE)/1e12 AS z
@@ -5325,28 +5331,28 @@ object OracleSql {
     // degree count and a both-endpoints filter
     "q_graph_kcore" ->
       """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT a.pk AS x, b.pk AS y
+        |e0 AS MATERIALIZED (SELECT a.pk AS x, b.pk AS y
         |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |d1 AS (SELECT v, count(*) AS d FROM (
+        |d1 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
         |    SELECT x AS v FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1
         |  HAVING count(*) >= 3),
-        |e1 AS (SELECT x, y FROM e0
+        |e1 AS MATERIALIZED (SELECT x, y FROM e0
         |  WHERE x IN (SELECT v FROM d1) AND y IN (SELECT v FROM d1)),
-        |d2 AS (SELECT v, count(*) AS d FROM (
+        |d2 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
         |    SELECT x AS v FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1
         |  HAVING count(*) >= 3),
-        |e2 AS (SELECT x, y FROM e1
+        |e2 AS MATERIALIZED (SELECT x, y FROM e1
         |  WHERE x IN (SELECT v FROM d2) AND y IN (SELECT v FROM d2)),
-        |d3 AS (SELECT v, count(*) AS d FROM (
+        |d3 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
         |    SELECT x AS v FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1
         |  HAVING count(*) >= 3),
-        |e3 AS (SELECT x, y FROM e2
+        |e3 AS MATERIALIZED (SELECT x, y FROM e2
         |  WHERE x IN (SELECT v FROM d3) AND y IN (SELECT v FROM d3)),
-        |d4 AS (SELECT v, count(*) AS d FROM (
+        |d4 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
         |    SELECT x AS v FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1
         |  HAVING count(*) >= 3),
-        |e4 AS (SELECT x, y FROM e3
+        |e4 AS MATERIALIZED (SELECT x, y FROM e3
         |  WHERE x IN (SELECT v FROM d4) AND y IN (SELECT v FROM d4))
         |SELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM (
         |  SELECT x AS v FROM e4 UNION ALL SELECT y FROM e4)
