@@ -5668,25 +5668,26 @@ object OracleSql {
         |WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // bootstrap replay: same md5 half-sample rule per replicate, same
-    // fixed-point replicate means, same rank-2/63 percentile interval
-    // with the replicate-id tie-break
+    // bootstrap replay: same one-md5-per-row bit-slice membership
+    // (replicate b keeps rows whose hash bit b is 0), same fixed-point
+    // replicate means, same rank-2/59 percentile interval with the
+    // replicate-id tie-break
     "q_stats_bootstrap" ->
-      """WITH base AS (SELECT concat_ws('_', CAST(l_orderkey AS VARCHAR),
-        |      CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) AS id,
-        |    CAST(l_extendedprice AS DOUBLE) AS v
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(('0x' || substr(md5(concat_ws('_', CAST(l_orderkey AS VARCHAR),
+        |      CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))),
+        |      1, 15)) AS BIGINT) AS h
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+        |reps AS (SELECT unnest(generate_series(0, 59)) AS b),
         |picked AS (SELECT b, v FROM base CROSS JOIN reps
-        |  WHERE CAST(('0x' || substr(md5(concat_ws('|', id, CAST(b AS VARCHAR))),
-        |    1, 15)) AS BIGINT) % 2 = 0),
+        |  WHERE (h // CAST(power(2, b) AS BIGINT)) % 2 = 0),
         |means AS (SELECT b,
         |    CAST(sum(CAST(CAST(floor(v * 1e6) AS BIGINT) AS HUGEINT)) AS DOUBLE)
         |      / 1e6 / CAST(count(*) AS DOUBLE) AS m
         |  FROM picked GROUP BY 1),
         |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means),
         |ci AS (SELECT max(CASE WHEN r = 2 THEN m END) AS lo,
-        |    max(CASE WHEN r = 63 THEN m END) AS hi FROM ranked),
+        |    max(CASE WHEN r = 59 THEN m END) AS hi FROM ranked),
         |o AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(CAST(floor(v * 1e6) AS BIGINT) AS HUGEINT)) AS DOUBLE)
         |      / 1e6 / CAST(count(*) AS DOUBLE) AS mean FROM base)

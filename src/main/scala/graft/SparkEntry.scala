@@ -4298,14 +4298,14 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // -- subsample-bootstrap mean CI (r13): 64 deterministic md5
-    // half-sample replicates, percentile interval ranks 2/63 ------------
+    // -- subsample-bootstrap mean CI (r13): 60 half-sample replicates
+    // from one md5 bit-slice per row, percentile interval ranks 2/59 ----
     "q_stats_bootstrap" -> ((s, dir) =>
       Sampling.bootstrapMeanCI(
         T(s, dir, "lineitem")
           .select(concat_ws("_", col("l_orderkey"), col("l_linenumber"),
             col("l_partkey")).as("rid"), col("l_extendedprice")),
-        "rid", "l_extendedprice", b = 64)),
+        "rid", "l_extendedprice", b = 60)),
 
     // -- Wilson score intervals (r13): per-source long-doc rate with the
     // [0,1]-safe 95% CI, z = 1.96 plan-time literal ----------------------

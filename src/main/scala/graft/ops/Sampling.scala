@@ -300,38 +300,55 @@ object Sampling {
     * sub-microunit weights are excluded (zero inclusion probability).
     */
   /** Deterministic subsample-bootstrap CI for a mean (Politis–Romano
-    * subsampling): B half-sample replicates, each selecting the rows
-    * whose md5(id, b) is even — RNG-free, so the interval is reproducible
-    * and engine-portable — then the percentile interval over the B
-    * replicate means. Replicate k_lo = round(0.025·(B+1)) (clamped to
-    * [1, B]) and k_hi = B+1−k_lo bound the reported 95% interval; with
-    * B = 64 that is ranks 2 and 63. Half-sampling widens the interval by
-    * ~√2 versus the with-replacement bootstrap — the conservative
-    * direction — and is documented as such.
+    * subsampling): B half-sample replicates — replicate b selects the
+    * rows whose per-row hash has BIT b set to 0, so ONE md5 per row
+    * serves every replicate (an md5 per (row, replicate) was 36 s at
+    * sf0.1; the bit-slice form is ~2 s) — RNG-free and engine-portable,
+    * then the percentile interval over the B replicate means. Replicate
+    * k_lo = round(0.025·(B+1)) (clamped to [1, B]) and k_hi = B+1−k_lo
+    * bound the reported 95% interval; with B = 60 that is ranks 2 and
+    * 59. Half-sampling widens the interval by ~√2 versus the
+    * with-replacement bootstrap — the conservative direction.
     *
-    * Scale shape: the corpus crosses a broadcast B-row replicate table
-    * (a bounded ×B scan multiplier), the hash filter and fixed-point 1e6
-    * value sums map-side-combine down to B rows before the only
-    * exchange, and everything after runs on B rows. One pass, no
-    * per-replicate jobs.
+    * Scale shape: ONE aggregate pass — every replicate is a pair of
+    * conditional (fixed-point sum, count) agg columns keyed off its hash
+    * bit, so the corpus is never row-multiplied by B (the cross-join
+    * form materialized rows×B and cost 11 s at sf0.1; this is ~2 s) —
+    * then the 1×2B result row unpivots to B replicate rows and
+    * everything after runs on B rows.
     *
+    * @param b replicate count, ≤ 60 (the hash slice carries 60 bits)
     * @return one row (n, mean, lo95, hi95), round-6
     */
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
-      b: Int = 64): DataFrame = {
-    require(b >= 4, s"need at least 4 replicates: $b")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.where(col(valueCol).isNotNull)
-      .select(col(idCol).cast("string").as("__id"),
-        col(valueCol).cast("double").as("__v"))
-    val reps = broadcast((0 until b).toDF("__b"))
-    val picked = base.crossJoin(reps)
-      .where(pmod(conv(substring(md5(concat_ws("|", col("__id"), col("__b"))),
-        1, 15), 16, 10).cast("long"), lit(2L)) === 0L)
-    val means = picked.groupBy("__b")
-      .agg((sum(floor(col("__v") * 1e6).cast("decimal(38,0)")).cast("double")
-        / 1e6 / count(lit(1)).cast("double")).as("__m"))
+      b: Int = 60): DataFrame = {
+    require(b >= 4 && b <= 60, s"replicates must be in [4, 60]: $b")
+    // base feeds the chunked replicate passes AND the overall mean —
+    // pin it so the scan + md5 projection evaluates once
+    val base = graft.Caches.register(df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * 1e6)
+          .cast("decimal(38,0)").as("__v6"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val d0 = lit(0).cast("decimal(38,0)")
+    // ≤30 replicates (60 agg columns) per pass: above ~100 aggregate
+    // fields Spark disables whole-stage codegen for the hash aggregate
+    // and the pass runs interpreted (~10 s instead of ~1 s at sf0.1)
+    val stacked = (0 until b).grouped(30).map { chunk =>
+      val aggs = chunk.flatMap { i =>
+        val member = expr(s"(__h div ${1L << i}) % 2") === 0L
+        Seq(sum(when(member, col("__v6")).otherwise(d0)).as(s"__s_$i"),
+          sum(when(member, 1L).otherwise(0L)).as(s"__c_$i"))
+      }.toSeq
+      base.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${chunk.size}, ${chunk.map(i => s"${i}L, __s_$i, __c_$i")
+            .mkString(", ")}) as (__b, __s9, __c)"))
+    }.reduce(_ unionByName _)
+    val means = stacked.select(col("__b"),
+      (col("__s9").cast("double") / 1e6 / col("__c").cast("double"))
+        .as("__m"))
     val kLo = math.max(1, math.round(0.025 * (b + 1)).toInt)
     val kHi = b + 1 - kLo
     // replicate-id tie-break: two replicates CAN produce equal means and
@@ -345,7 +362,7 @@ object Sampling {
       max(when(col("__r") === kHi, col("__m"))).as("__hi"),
       count(lit(1)).as("__nb"))
     val overall = base.agg(count(lit(1)).as("n"),
-      (sum(floor(col("__v") * 1e6).cast("decimal(38,0)")).cast("double")
+      (sum(col("__v6")).cast("double")
         / 1e6 / count(lit(1)).cast("double")).as("__mean"))
     overall.crossJoin(broadcast(ci))
       .select(col("n"), round(col("__mean"), 6).as("mean"),
