@@ -5421,6 +5421,36 @@ object OracleSql {
          |    / 1e9 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos
          |FROM g GROUP BY 1 ORDER BY bin""".stripMargin),
 
+    // ROUGE-2 replay: same tokenizer + bigram build (the lm_score
+    // pattern), clipped-min overlap join, same ratio DAG
+    "q_text_rouge" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |b0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1]) END) AS g FROM t),
+         |gc AS (SELECT doc_id AS id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM b0 GROUP BY 1, 2),
+         |tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS tot FROM gc GROUP BY 1),
+         |ov AS (SELECT r.id AS ref_id,
+         |    CAST(sum(least(r.c, cd.c)) AS BIGINT) AS overlap
+         |  FROM gc r JOIN gc cd ON cd.id = r.id + 1 AND cd.g = r.g
+         |  WHERE r.id % 2 = 0 GROUP BY 1),
+         |p AS (SELECT tr.id AS ref_id, tr.tot AS trt, tc.tot AS tct,
+         |    coalesce(ov.overlap, 0) AS overlap
+         |  FROM tot tr JOIN tot tc ON tc.id = tr.id + 1
+         |  LEFT JOIN ov ON ov.ref_id = tr.id
+         |  WHERE tr.id % 2 = 0)
+         |SELECT ref_id, ref_id + 1 AS cand_id, overlap,
+         |  round(CAST(overlap AS DOUBLE) / CAST(trt AS DOUBLE), 6) + 0.0 AS rouge_r,
+         |  round(CAST(overlap AS DOUBLE) / CAST(tct AS DOUBLE), 6) + 0.0 AS rouge_p,
+         |  round(CASE WHEN overlap > 0 THEN
+         |      CAST(2.0 AS DOUBLE) * (CAST(overlap AS DOUBLE) / CAST(trt AS DOUBLE))
+         |        * (CAST(overlap AS DOUBLE) / CAST(tct AS DOUBLE))
+         |        / (CAST(overlap AS DOUBLE) / CAST(trt AS DOUBLE)
+         |          + CAST(overlap AS DOUBLE) / CAST(tct AS DOUBLE))
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) + 0.0 AS rouge_f
+         |FROM p ORDER BY ref_id""".stripMargin),
+
     // blocklist replay: same tokenizer, IN-list filter, per-doc count +
     // sorted-distinct matched list
     "q_text_blocklist" ->

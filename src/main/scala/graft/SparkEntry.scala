@@ -4198,6 +4198,11 @@ object SparkEntry {
       Similarity.pairCosineHistogram(T(s, dir, "embeddings"),
         "vec_id", "embedding", bins = 10)),
 
+    // -- ROUGE-2 between paired docs (r13): clipped bigram overlap with
+    // recall/precision/F1 over the deterministic (even, +1) pairing -----
+    "q_text_rouge" -> ((s, dir) =>
+      TextAnalysis.rougeN(T(s, dir, "documents"), "text", "doc_id", n = 2)),
+
     // -- blocklist keyword tagging (r13): broadcast dictionary join on
     // the token stream, per-doc hit count + sorted matched terms --------
     "q_text_blocklist" -> ((s, dir) =>

@@ -854,6 +854,54 @@ object TextAnalysis {
         md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
   }
 
+  /** ROUGE-n overlap between paired texts (Lin 2004): clipped n-gram
+    * multiset overlap with recall (vs the reference), precision (vs the
+    * candidate) and F1 — the generation/summarization eval metric, run
+    * at corpus scale over an id-paired table (reference = even id,
+    * candidate = id+1, the deterministic pairing convention of
+    * [[Similarity.pairCosineHistogram]]).
+    *
+    * Scale shape: per-doc n-gram counts are wordcount-shaped; the
+    * overlap is ONE equi-join on (gram, reference id) with
+    * Σ min(c_ref, c_cand) — integer counts throughout, the three ratios
+    * one shared double DAG.
+    *
+    * @return (ref_id, cand_id, overlap, rouge_r, rouge_p, rouge_f
+    *         round-6) per pair, ordered by ref_id
+    */
+  def rougeN(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 4, s"n must be in [1, 4]: $n")
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(ngramsRaw(tokens(col(textCol)), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val totals = grams.groupBy("id").agg(sum(col("c")).as("tot"))
+    val ref = grams.where(col("id") % 2 === 0)
+      .select(col("id").as("ref_id"), col("g"), col("c").as("__cr"))
+    val cand = grams
+      .select((col("id") - 1).as("ref_id"), col("g"), col("c").as("__cc"))
+      .where(col("ref_id") % 2 === 0)
+    val overlap = ref.join(cand, Seq("ref_id", "g"))
+      .groupBy("ref_id")
+      .agg(sum(least(col("__cr"), col("__cc"))).as("overlap"))
+    // pairs where both sides have >= 1 gram; zero-overlap pairs keep a row
+    val pairs = totals.where(col("id") % 2 === 0)
+      .select(col("id").as("ref_id"), col("tot").as("__tr"))
+      .join(totals.select((col("id") - 1).as("ref_id"), col("tot").as("__tc")),
+        Seq("ref_id"))
+      .join(overlap, Seq("ref_id"), "left")
+      .na.fill(0L, Seq("overlap"))
+    val r = col("overlap").cast("double") / col("__tr").cast("double")
+    val p = col("overlap").cast("double") / col("__tc").cast("double")
+    pairs.select(col("ref_id"), (col("ref_id") + 1).as("cand_id"),
+        col("overlap"),
+        round(r, 6).as("rouge_r"), round(p, 6).as("rouge_p"),
+        round(when(col("overlap") > 0L,
+          lit(2.0) * r * p / (r + p)).otherwise(lit(0.0)), 6).as("rouge_f"))
+      .orderBy("ref_id")
+  }
+
   /** Blocklist / taxonomy keyword tagging: every document whose token
     * stream hits the (small, broadcast) keyword dictionary, with the hit
     * count and the sorted distinct matched terms — the standard curation

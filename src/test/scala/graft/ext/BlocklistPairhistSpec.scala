@@ -35,6 +35,33 @@ class BlocklistPairhistSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("rougeN: identical pair scores 1, disjoint pair scores 0") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"), (3L, "five six seven eight")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.rougeN(df, "text", "doc_id", n = 2).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("overlap"),
+        x.getAs[Double]("rouge_f"))).toMap
+    assert(r(0L) === ((3L, 1.0)))
+    assert(r(2L) === ((0L, 0.0)))
+  }
+
+  test("rougeN: clipped counts — repeated grams count min(ref, cand) times") {
+    // ref has "a b" twice, cand once -> overlap clipped to 1
+    val df = Seq((0L, "a b a b"), (1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.rougeN(df, "text", "doc_id", n = 2).head()
+    // ref bigrams: {a b:2, b a:1}; cand: {a b:1, b c:1, c d:1}
+    assert(r.getAs[Long]("overlap") === 1L)
+    assert(r.getAs[Double]("rouge_r") === 0.333333)
+    assert(r.getAs[Double]("rouge_p") === 0.333333)
+  }
+
+  test("rougeN: a too-short side drops the pair (no gram basis)") {
+    val df = Seq((0L, "single"), (1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(TextAnalysis.rougeN(df, "text", "doc_id", n = 2).count() === 0L)
+  }
+
   test("pairCosineHistogram: identical vectors land in the top bin with mean 1") {
     val v = Array(1.0f, 0.0f, 0.0f)
     val df = (0L to 9L).map(i => (i, v)).toDF("vec_id", "embedding")
