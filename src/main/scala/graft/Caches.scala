@@ -78,4 +78,62 @@ object Caches {
       }
     }
   }
+
+  // ---- pinned (cross-query) artifacts -----------------------------------
+
+  private final case class Pin(df: DataFrame, var hits: Int)
+  private val pins = scala.collection.mutable.LinkedHashMap.empty[String, Pin]
+
+  /** Session-lifetime materialized artifact, keyed by a caller-chosen
+    * string (convention: "what|dataDir") — the cross-QUERY complement to
+    * [[register]]'s per-query lifecycle. [[releaseAll]] does NOT touch
+    * pins: a pinned frame survives the harness's per-query cleanup so N
+    * queries over the same derivation (the co-purchase edge list, a
+    * near-dup pair table, the curated corpus remnant) share ONE build —
+    * which is also the correct production shape: a real pipeline
+    * materializes these between stages instead of re-deriving them per
+    * consumer.
+    *
+    * Contract: `build` must be DETERMINISTIC for the key (results are
+    * handed to every later caller verbatim) and BOUNDED (edge lists, pair
+    * tables, shrunk remnants — never a raw fact table: pinning raw scans
+    * would fake away IO cost that a 100 TB deployment actually pays).
+    * The frame is persisted MEMORY_AND_DISK and materialized EAGERLY
+    * inside a [[scoped]] block, so intermediates the build itself
+    * registers (e.g. nearDupMinhash's shingle stage) are unpersisted the
+    * moment the pin is materialized instead of leaking until the next
+    * releaseAll. Keys are scoped to the owning SparkContext: an entry
+    * whose session has stopped is rebuilt, never served stale.
+    *
+    * Build/hit counts are exported ([[pinnedStats]]) so a benchmark can
+    * report which queries rode a pin — shared work must be auditable,
+    * never silently amortized.
+    */
+  def pinned(key: String)(build: => DataFrame): DataFrame = synchronized {
+    pins.get(key) match {
+      case Some(p) if !p.df.sparkSession.sparkContext.isStopped =>
+        p.hits += 1
+        p.df
+      case stale =>
+        if (stale.isDefined) pins.remove(key) // stopped session: rebuild
+        val df = scoped {
+          val d = build.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          d.count() // eager: pay the build exactly once, on the first caller
+          d
+        }
+        pins.put(key, Pin(df, 0))
+        df
+    }
+  }
+
+  /** (key -> hit count after the initial build) for every live pin. */
+  def pinnedStats: Map[String, Int] =
+    synchronized(pins.map { case (k, p) => k -> p.hits }.toMap)
+
+  /** Unpersist and forget every pinned artifact (test teardown hook). */
+  def releasePinned(): Unit = synchronized {
+    pins.values.foreach(p => p.df.unpersist(false))
+    pins.clear()
+  }
 }

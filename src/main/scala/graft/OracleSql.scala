@@ -5414,8 +5414,8 @@ object OracleSql {
          |p AS (SELECT a.v AS va, b.v AS vb FROM e a
          |  JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 2 = 0),
          |c AS (SELECT ${cosine("va", "vb")} AS cs FROM p),
-         |g AS (SELECT least(CAST(floor((cs + CAST(1 AS DOUBLE))
-         |    / (CAST(2 AS DOUBLE) / 10)) AS BIGINT), 9) AS bin, cs FROM c)
+         |g AS (SELECT greatest(least(CAST(floor((cs + CAST(1 AS DOUBLE))
+         |    / (CAST(2 AS DOUBLE) / 10)) AS BIGINT), 9), 0) AS bin, cs FROM c)
          |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
          |  round(CAST(sum(CAST(CAST(floor(cs * 1e9) AS BIGINT) AS HUGEINT)) AS DOUBLE)
          |    / 1e9 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos
@@ -5556,11 +5556,15 @@ object OracleSql {
         |      + sy * (s1 * s12 - s11 * s2) AS det2
         |  FROM m),
         |b AS (SELECT n, nd, sy, s1y, s2y, syy,
-        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d)
+        |    CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2,
+        |    det FROM d)
         |SELECT n, round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
         |  round(b2, 6) + 0.0 AS b2,
-        |  round(CAST(1.0 AS DOUBLE) - (syy - b0 * sy - b1 * s1y - b2 * s2y)
-        |    / (syy - sy * sy / nd), 6) + 0.0 AS r2
+        |  round(CASE WHEN det <> 0 AND (syy - sy * sy / nd) > 0
+        |    THEN CAST(1.0 AS DOUBLE) - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        |      / (syy - sy * sy / nd) END, 6) + 0.0 AS r2
         |FROM b""".stripMargin,
 
     // AUC replay: the same Mann–Whitney identity — per-distinct-score

@@ -60,18 +60,60 @@ object SparkEntry {
     s"/tmp/graft_fixtures/${new java.io.File(dir).getName}"
 
   /** Co-purchase part graph (parts sharing >= 2 orders) — the edge fixture
-    * shared by the triangle / degree / assortativity queries.
+    * shared by NINE graph queries (triangles, clustering, link-pred,
+    * k-core, LPA, degrees, assortativity, BFS, census). PINNED per data
+    * dir: the lineitem distinct + self-join + groupBy is built once per
+    * session and every consumer reads the materialized edge list — the
+    * r13 audit measured the rebuild at ~1-1.5 s x 9 queries, and
+    * materialize-once is also the correct 100 TB shape (a production
+    * pipeline writes the edge table, it doesn't re-derive it per query).
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val oi = T(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    oi.select(col("ok"), col("pk").as("src"))
-      .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-      .where(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= 2)
-      .select("src", "dst")
-  }
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"coedges|$dir") {
+      val oi = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      oi.select(col("ok"), col("pk").as("src"))
+        .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+        .where(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 2)
+        .select("src", "dst")
+    }
+
+  /** Near-dup pair tables shared across their consumers, pinned per data
+    * dir. The k=5 production parametrization feeds THREE queries
+    * (q_dedup_minhash, q_split_leakage, q_split_bycluster) and the k=3
+    * exploratory one feeds TWO (q_dedup_cluster, q_dedup_cluster_sizes);
+    * each was re-running the full shingle -> signature -> banded-join ->
+    * verify chain per consumer. Pair tables are exactly the bounded,
+    * deterministic artifact [[graft.Caches.pinned]] is for — at crawl
+    * scale the pair table is WRITTEN once and every downstream stage
+    * (clustering, split audit, dedup apply) reads it.
+    */
+  private def minhashPairsK5(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"minhash_pairs_k5|$dir")(
+      Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.25,
+        maxBucketSize = 500))
+
+  private def minhashPairsK3(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"minhash_pairs_k3|$dir")(
+      Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25))
+
+  /** Quality-filter + exact-canonical remnant of the documents table —
+    * the shared head of BOTH flagship pipelines (q_curation_pipeline,
+    * q_llm_pipeline), pinned per data dir. A real curation deployment
+    * materializes the cleaned corpus once between stages; the remnant
+    * only shrinks the input, so the pin is bounded by the corpus.
+    */
+  private def curatedExact(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"curated_exact|$dir") {
+      val q = TextAnalysis.qualityFilter(T(s, dir, "documents"), "text",
+        minTokens = 5, maxNonAlnumRatio = 0.4,
+        minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
+      Dedup.exactCanonical(q, "text", "doc_id")
+    }
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -508,17 +550,11 @@ object SparkEntry {
     // construction). The k=3 + engaged-cap proof lives in
     // q_dedup_minhash_capped below.
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
-        k = 5, numHashes = 16, bands = 4, threshold = 0.25,
-        maxBucketSize = 500)
-        .orderBy("id_a", "id_b")),
+      minhashPairsK5(s, dir).orderBy("id_a", "id_b")),
     // split-leakage audit: minhash near-dup pairs crossing the 80/20
-    // hash split — the pre-eval contamination check
+    // hash split — the pre-eval contamination check (pinned pair table)
     "q_split_leakage" -> ((s, dir) =>
-      Sampling.splitLeakage(
-        Dedup.nearDupMinhash(T(s, dir, "documents"), "text", "doc_id",
-          k = 5, numHashes = 16, bands = 4, threshold = 0.25,
-          maxBucketSize = 500),
+      Sampling.splitLeakage(minhashPairsK5(s, dir),
         "id_a", "id_b", trainPerMille = 800)),
 
     // leakage-FREE split (r13): membership hashes the near-dup CLUSTER
@@ -528,9 +564,7 @@ object SparkEntry {
     // and the same ‰-hash)
     "q_split_bycluster" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
-        k = 5, numHashes = 16, bands = 4, threshold = 0.25,
-        maxBucketSize = 500)
+      val pairs = minhashPairsK5(s, dir)
       Sampling.splitByCluster(
           Dedup.clusterNearDups(pairs, docs, "doc_id"), "id", "cluster_id",
           trainPerMille = 800)
@@ -1048,9 +1082,8 @@ object SparkEntry {
     // -- near-dup clustering (connected components over minhash pairs) ---
     "q_dedup_cluster" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
-      Dedup.clusterNearDups(pairs, docs, "doc_id").orderBy("id")
+      Dedup.clusterNearDups(minhashPairsK3(s, dir), docs, "doc_id")
+        .orderBy("id")
     }),
 
     // -- dedup diagnostics: cluster-SIZE histogram (how much of the corpus
@@ -1059,9 +1092,7 @@ object SparkEntry {
     // corpus-rows sized, everything after is cluster-count sized.
     "q_dedup_cluster_sizes" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val pairs = Dedup.nearDupMinhash(docs, "text", "doc_id",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
-      Dedup.clusterNearDups(pairs, docs, "doc_id")
+      Dedup.clusterNearDups(minhashPairsK3(s, dir), docs, "doc_id")
         .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
         .orderBy("csize")
@@ -1825,15 +1856,12 @@ object SparkEntry {
     // quality filter -> exact (fingerprint) dedup -> MinHash-LSH near-dup
     // dedup, emitting the kept doc ids. Each stage only shrinks the data,
     // and the expensive LSH stage runs on the already-curated remnant.
-    "q_curation_pipeline" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val q = TextAnalysis.qualityFilter(docs, "text",
-        minTokens = 5, maxNonAlnumRatio = 0.4,
-        minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
-      val exact = Dedup.exactCanonical(q, "text", "doc_id")
-      Dedup.applyNearDupDedup(exact, "text", "doc_id", threshold = 0.25)
-        .select("doc_id").orderBy("doc_id")
-    }),
+    "q_curation_pipeline" -> ((s, dir) =>
+      // quality filter + exact dedup ride the pinned curated remnant
+      // shared with q_llm_pipeline; only the near-dup apply runs here
+      Dedup.applyNearDupDedup(curatedExact(s, dir), "text", "doc_id",
+          threshold = 0.25)
+        .select("doc_id").orderBy("doc_id")),
 
     // -- learned quality classifier (r12): fastText-pattern distillation
     // of the heuristic quality rule into a logistic-style linear model
@@ -1863,10 +1891,9 @@ object SparkEntry {
       // execution measured without the pin)
       val docs = graft.Caches.register(T(s, dir, "documents")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val q = TextAnalysis.qualityFilter(docs, "text",
-        minTokens = 5, maxNonAlnumRatio = 0.4,
-        minDistinctTokenRatio = 0.3, minMeanTokenLen = 2.0)
-      val exact = Dedup.exactCanonical(q, "text", "doc_id")
+      // quality + exact-canonical head shared with q_curation_pipeline
+      // via the session-pinned curated remnant
+      val exact = curatedExact(s, dir)
       val cleaned = graft.Caches.register(
         SubstringDedup.removeDuplicateSpans(exact, "text", "doc_id",
             gramTokens = 10, minDocFreq = 2)
@@ -3094,12 +3121,19 @@ object SparkEntry {
     // HITS hubs/authorities (r13) on the bipartite customer->part
     // purchase graph: 2 unnormalized integer iterations (exact DECIMAL
     // sums), final per-side max scaling, top-20 each side
+    // the distinct customer->part edge projection (orders ⋈ lineitem) is
+    // pinned per data dir — the 4 keyed HITS aggregates then run over the
+    // materialized edge list instead of redoing the join + distinct
     "q_graph_hits" -> ((s, dir) =>
-      graft.ext.Graph.hitsBipartite(
-        T(s, dir, "lineitem")
-          .join(T(s, dir, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("src"), col("l_partkey").as("dst")),
+      graft.ext.Graph.hitsOnEdges(
+        graft.Caches.pinned(s"hits_edges|$dir")(
+          T(s, dir, "lineitem")
+            .join(T(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").cast("long").as("h"),
+              col("l_partkey").cast("long").as("a"))
+            .where(col("h").isNotNull && col("a").isNotNull)
+            .distinct()),
         iters = 2, topK = 20)),
 
     // degree histogram + Newman assortativity over the same co-purchase

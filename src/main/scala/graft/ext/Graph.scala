@@ -452,13 +452,22 @@ object Graph {
     */
   def hitsBipartite(edges0: DataFrame, hubCol: String = "src",
       dstCol: String = "dst", iters: Int = 2, topK: Int = 20): DataFrame = {
-    require(iters >= 1 && iters <= 3, s"iters must be in [1, 3]: $iters")
     requireIntegralIds(edges0, hubCol, dstCol)
     val edges = graft.Caches.register(edges0
       .select(col(hubCol).cast("long").as("h"), col(dstCol).cast("long").as("a"))
       .where(col("h").isNotNull && col("a").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    hitsOnEdges(edges, iters, topK)
+  }
+
+  /** [[hitsBipartite]] over a PREPARED edge table — (h, a) long columns,
+    * already distinct (the caller owns dedup and persistence; a caller
+    * holding a pinned/materialized edge list skips the projection +
+    * distinct exchange every invocation would otherwise redo).
+    */
+  def hitsOnEdges(edges: DataFrame, iters: Int = 2, topK: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 3, s"iters must be in [1, 3]: $iters")
     // h₀ = 1 for every hub ⇒ a₁ = indegree; then alternate exact sums
     var auth = edges.groupBy("a")
       .agg(count(lit(1)).cast("decimal(38,0)").as("s"))
@@ -470,9 +479,14 @@ object Graph {
     }
     def side(scores: DataFrame, idCol: String, role: String): DataFrame = {
       val mx = scores.agg(max(col("s")).as("__mx"))
+      // score_raw STAYS decimal(38,0): a cast to long past 2^63 goes null
+      // in non-ANSI Spark and nulls sort LAST under DESC, silently dropping
+      // the biggest hubs from the top-K. The value hash is unaffected
+      // (decimal and int64 stringify identically); the oracle's BIGINT cast
+      // is exact at oracle scale and errors loudly (never null) beyond it.
       scores.crossJoin(broadcast(mx))
         .select(lit(role).as("role"), col(idCol).as("id"),
-          col("s").cast("long").as("score_raw"),
+          col("s").as("score_raw"),
           round(col("s").cast("double") / col("__mx").cast("double"), 6)
             .as("score"))
         .orderBy(col("score_raw").desc, col("id"))

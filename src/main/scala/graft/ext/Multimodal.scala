@@ -557,6 +557,10 @@ object Multimodal {
     */
   def audioZeroCrossings(df: DataFrame, payloadCol: String, idCol: String,
       frameSamples: Int): DataFrame = {
+    // a 1-sample frame has zero consecutive pairs: the rate's (N-1)
+    // denominator would be 0 -> Infinity zcr (sibling frame functions
+    // validate their parameters; same convention here)
+    require(frameSamples >= 2, s"frameSamples must be >= 2: $frameSamples")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id", "frame").orderBy("__k")
     pcmSampleRows(df, payloadCol, idCol, frameSamples)

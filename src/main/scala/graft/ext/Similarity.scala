@@ -862,8 +862,10 @@ object Similarity {
       col(vecCol).as("__vb"))
     a.join(b, col("__idb") === col("__ida") + 1)
       .select(VectorOps.cosineNative(col("__va"), col("__vb")).as("__cos"))
-      .select(least(floor((col("__cos") + 1.0) / (2.0 / bins)),
-        lit((bins - 1).toLong)).as("bin"), col("__cos"))
+      // clamp BOTH ends: a cosine a hair outside [-1, 1] from float error
+      // must land in bin 0 / bins-1, never a stray bin -1 / bins row
+      .select(greatest(least(floor((col("__cos") + 1.0) / (2.0 / bins)),
+        lit((bins - 1).toLong)), lit(0L)).as("bin"), col("__cos"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_pairs"),
         sum(floor(col("__cos") * 1e9).cast("decimal(38,0)")).as("__s9"))

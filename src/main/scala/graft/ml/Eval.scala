@@ -316,12 +316,17 @@ object Eval {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
-    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    // degeneracy guards (module convention: zero denominators -> null, not
+    // NaN/Infinity): det = 0 means collinear/constant predictors (the
+    // normal-equation system is singular); sst <= 0 means constant y
+    val b0 = when(det =!= 0.0, det0 / det)
+    val b1 = when(det =!= 0.0, det1 / det)
+    val b2 = when(det =!= 0.0, det2 / det)
     val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
     val sst = syy - sy * sy / n
     sums.select(col("n"),
       round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
-      round(lit(1.0) - sse / sst, 6).as("r2"))
+      round(when(det =!= 0.0 && sst > 0.0, lit(1.0) - sse / sst), 6).as("r2"))
   }
 
   /** Weight-of-evidence table for a categorical predictor against a binary

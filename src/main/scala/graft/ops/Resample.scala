@@ -119,6 +119,18 @@ object Resample {
     * oracle. The per-lag pairing is an equi-join of the daily table with
     * itself on (day + lag): days×lags rows, independent of event count.
     *
+    * CONTRACT — present-days-only pairing: a lag pair (t, t+lag)
+    * contributes only when BOTH days appear in the daily table (>= 1
+    * event of either type); calendar days with zero events of both types
+    * are excluded rather than contributing (0, 0) pairs, so for sparse
+    * streams the CCF deviates from the contiguous-axis textbook
+    * definition (which zero-fills the axis). This is deliberate: the
+    * zero-filled variant rewards co-absence — long dead stretches drive
+    * every lag's correlation toward +1 — while the event-days-only CCF
+    * measures co-intensity where activity exists. Callers who want the
+    * dense-axis definition densify over [min, max] day with a bounded
+    * `sequence` join before calling (the tCloseness dense-grid pattern).
+    *
     * @return one row per lag: (lag, n_pairs, ccf round-6), ordered by lag
     */
   def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
