@@ -48,6 +48,68 @@ object OracleSql {
     s"CASE WHEN sqrt(list_dot_product($e,$e)) = 0 OR sqrt(list_dot_product($q,$q)) = 0 THEN 0.0 " +
       s"ELSE list_dot_product($e,$q)/(sqrt(list_dot_product($e,$e))*sqrt(list_dot_product($q,$q))) END"
 
+  /** Shared WITH-body for the HNSW beam-search replay (q_sim_hnsw_*):
+    * the md5-fixed centroids + IVF assignment + probe-ranking + kNN edge
+    * CTEs (verbatim from the green q_sim_knn_graph / q_sim_ivf_recall
+    * oracles), then each beam hop unrolled as beam -> unseen-neighbors
+    * -> score -> visited-union CTEs. The beam is kept PER (query,
+    * cluster) — the routed-search contract of Similarity.beamSearchKnn —
+    * so visited rows carry the node's cluster id. The visited chain and
+    * the edge table are MATERIALIZED: v_t is referenced three times per
+    * hop (beam, the NOT EXISTS dedup, and the next union) and kg once
+    * per hop, so DuckDB's default inlining would re-expand them
+    * exponentially with hop depth (the BENCHNOTES GD-chain cliff).
+    */
+  private def hnswVisitedCtes(hops: Int, beam: Int, graphK: Int,
+      nProbe: Int): String = {
+    val head =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |d AS (SELECT e.vec_id, e.v, c.cid,
+         |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM e CROSS JOIN c),
+         |a AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+         |  WHERE rn = 1),
+         |pd AS (SELECT q.qid, c.cid,
+         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM q CROSS JOIN c),
+         |pr AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd)
+         |  WHERE rn <= $nProbe),
+         |pe AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    round(list_dot_product(x.v, y.v)
+         |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+         |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+         |kg0 AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM pe)
+         |  WHERE rn <= $graphK),
+         |kg AS MATERIALIZED (SELECT src, dst FROM kg0
+         |  UNION SELECT dst AS src, src AS dst FROM kg0),
+         |v0 AS MATERIALIZED (SELECT pr.qid, a.cid, a.vec_id AS id,
+         |    round(${cosine("a.v", "q.qv")}, 6) AS cos
+         |  FROM pr JOIN a ON a.vec_id = pr.cid
+         |  JOIN q ON q.qid = pr.qid),""".stripMargin
+    val hopCtes = (1 to hops).map { t =>
+      val pv = s"v${t - 1}"
+      s"""b$t AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid, cid ORDER BY cos DESC, id) AS rn FROM $pv)
+         |  WHERE rn <= $beam),
+         |n$t AS (SELECT DISTINCT b$t.qid, kg.dst AS id
+         |  FROM b$t JOIN kg ON kg.src = b$t.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $pv
+         |    WHERE $pv.qid = b$t.qid AND $pv.id = kg.dst)),
+         |s$t AS (SELECT n$t.qid, a.cid, n$t.id, round(${cosine("a.v", "q.qv")}, 6) AS cos
+         |  FROM n$t JOIN a ON a.vec_id = n$t.id JOIN q ON q.qid = n$t.qid),
+         |v$t AS MATERIALIZED (SELECT * FROM $pv UNION ALL SELECT * FROM s$t),""".stripMargin
+    }.mkString("\n")
+    head + "\n" + hopCtes
+  }
+
   // ±1 hyperplane literals shared with Similarity.bucketExpr (same md5 seed)
   private def planeList(j: Int, dims: Int): String =
     Similarity.planeVector(j, dims).map(v => if (v > 0) "1.0" else "-1.0")
@@ -3565,6 +3627,36 @@ object OracleSql {
          |  round(CAST(sum(CASE WHEN ivf.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |        / CAST(10 AS DOUBLE), 6) AS recall
          |FROM ext LEFT JOIN ivf ON ext.qid = ivf.qid AND ext.id = ivf.id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin),
+
+    // HNSW beam-search replay: fixed entry layer (the 8 centroid nodes),
+    // 3 unrolled beam-4 hops over the top-5 kNN edges, final top-10 of
+    // the visited set — shared hop CTEs via hnswVisitedCtes
+    "q_sim_hnsw_search" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4)}
+         |f AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
+         |  cos + 0.0 AS cos
+         |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
+    // beam-search recall audit: the same unrolled visited set vs exact
+    // brute force (the q_sim_ivf_recall comparison shape)
+    "q_sim_hnsw_recall" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4)}
+         |bt AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |  WHERE rn <= 10),
+         |ex AS (SELECT q.qid, e.vec_id AS id, round(${cosine("e.v", "q.qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q),
+         |ext AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM ex)
+         |  WHERE rn <= 10)
+         |SELECT ext.qid AS query_id,
+         |  CAST(sum(CASE WHEN bt.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN bt.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(10 AS DOUBLE), 6) AS recall
+         |FROM ext LEFT JOIN bt ON ext.qid = bt.qid AND ext.id = bt.id
          |GROUP BY 1 ORDER BY query_id""".stripMargin),
 
     "q_set_ops_all" ->

@@ -3012,6 +3012,40 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // -- HNSW-style routed beam search (r14) over the kNN graph: the
+    // upper layer ranks clusters by centroid distance and enters the 4
+    // nearest via their centroid nodes; the lower layer walks 6 hops of
+    // per-cluster beam-8 over the top-8 kNN edges; top-10 of everything
+    // visited, for the 10 lowest-id query vectors. The oracle replays
+    // every hop as an unrolled CTE ---------------------------------------
+    "q_sim_hnsw_search" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.beamSearchKnn(emb, "vec_id", "e", cents.toIndexedSeq,
+        col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
+        nProbe = 4)
+    }),
+
+    // -- beam-search recall audit (r14): recall@10 of the routed beam
+    // graph search vs exact brute force — the graph-ANN twin of
+    // q_sim_ivf_recall, same queries, same tie rules ---------------------
+    "q_sim_hnsw_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.beamRecallAudit(emb, "vec_id", "e", cents.toIndexedSeq,
+          col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
+          nProbe = 4)
+        .orderBy("query_id")
+    }),
+
     // -- Matryoshka truncation audit (r13): overlap@10 of first-16-dim
     // retrieval vs the full 64-dim exact top-k, one scored pass ---------
     "q_sim_trunc_audit" -> ((s, dir) => {
