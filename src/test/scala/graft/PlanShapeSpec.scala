@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Golden plan-shape snapshots for the most expensive registered queries.
+  *
+  * The r13 postmortem: two structural regressions (hash aggregates
+  * dropping out of whole-stage codegen above ~100 fields; a fan-out
+  * exchange silently not firing) were only caught as bench surprises.
+  * This spec freezes the STRUCTURE of each expensive query's physical
+  * plan — shuffle-exchange count, broadcast-exchange count, codegen-span
+  * count — against a checked-in snapshot, so the next
+  * repartition(1)-class or codegen-cliff regression is a red test with a
+  * named query instead of a slow number three rounds later.
+  *
+  * Counts come from the executedPlan STRING (the AQE-initial plan): the
+  * same session config (local[4], shuffle.partitions=4) and the same
+  * data dir (sf0.001) make them deterministic. Value changes are not
+  * forbidden — a plan IMPROVEMENT legitimately changes counts; regenerate
+  * with GRAFT_REGEN_PLAN_SHAPES=1 sbt "testOnly graft.PlanShapeSpec"
+  * and review the diff like any other golden-file change.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private val SnapshotPath = Paths.get("src/test/resources/plan_shapes.tsv")
+
+  /** Top-50 of the r13 driver bench by steady seconds, minus the two
+    * driver-side ML fits (model training at plan-build time — minutes of
+    * work for a structure check) — the queries where a silent plan-shape
+    * regression costs the most.
+    */
+  private val Tracked: Seq[String] = Seq(
+    "q_dedup_minhash_capped", "q_dedup_minhash", "q_llm_pipeline",
+    "q_graph_hits", "q_filter_topdecile", "q_pipeline",
+    "q_graph_assortativity", "q_dedup_incremental", "q_graph_pagerank",
+    "q_curation_pipeline", "q_dsir_select", "q_p7_robust", "q_c1_coerce",
+    "q_quality_classifier", "q_dedup_containment", "q_window_rollcorr",
+    "q_c6_describe", "q_c6_describe_group", "q_p3_winsorize", "q_bucketize",
+    "q_stats_bootstrap", "q_split_bycluster", "q_graph_degrees",
+    "q_quality_c2st", "q_window_rollmed", "q_graph_lpa", "q_harmonize_qnorm",
+    "q_stats_trimmed", "q_basket_pairs", "q_graph_bfs", "q_dsir_weights",
+    "q_dedup_jaccard_prefix", "q_dedup_lsh_recall", "q_c3_interpolate",
+    "q_p1_zscore", "q_audio_band_power", "q_dedup_apply",
+    "q_graph_clustering", "q_link_fs_score", "q_outlier_mad", "q_p6_minmax",
+    "q_text_bpe_segment", "q_join_sizeest", "q_audio_frame_energy",
+    "q_graph_kcore", "q_c5b_drop_const", "q_graph_triangles", "q_part_abc",
+    "q_link_blocking_audit", "q_tpch_q21")
+
+  private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int) {
+    def tsv: String = s"$shuffles\t$broadcasts\t$codegenSpans"
+  }
+
+  private def shapeOf(plan: String): Shape = {
+    val shuffle =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
+    val codegenId = """\*\((\d+)\)""".r
+    Shape(
+      shuffle.findAllIn(plan).size,
+      "BroadcastExchange".r.findAllIn(plan).size,
+      codegenId.findAllMatchIn(plan).map(_.group(1)).toSet.size)
+  }
+
+  private def currentShapes(): Seq[(String, Shape)] =
+    Tracked.map { name =>
+      val df = SparkEntry.queries(name)(spark, SfDir)
+      val s = shapeOf(df.queryExecution.executedPlan.toString)
+      Caches.releaseAll() // drop per-query registered intermediates
+      name -> s
+    }
+
+  test("plan shapes match the checked-in snapshot") {
+    val current = currentShapes()
+    if (sys.env.get("GRAFT_REGEN_PLAN_SHAPES").contains("1")) {
+      val body = current
+        .map { case (n, s) => s"$n\t${s.tsv}" }.mkString("", "\n", "\n")
+      Files.createDirectories(SnapshotPath.getParent)
+      Files.writeString(SnapshotPath, body)
+      info(s"regenerated ${SnapshotPath} (${current.size} queries)")
+    } else {
+      assert(Files.exists(SnapshotPath),
+        s"missing $SnapshotPath — run with GRAFT_REGEN_PLAN_SHAPES=1 once")
+      val golden = Files.readString(SnapshotPath).split('\n')
+        .filter(_.nonEmpty).map { line =>
+          val Array(n, sh, br, cg) = line.split('\t')
+          n -> Shape(sh.toInt, br.toInt, cg.toInt)
+        }.toMap
+      val diffs = current.flatMap { case (n, s) =>
+        golden.get(n) match {
+          case None => Some(s"$n: not in snapshot (regenerate)")
+          case Some(g) if g != s =>
+            Some(s"$n: golden shuffles=${g.shuffles} broadcasts=${g.broadcasts} " +
+              s"codegen=${g.codegenSpans} vs current shuffles=${s.shuffles} " +
+              s"broadcasts=${s.broadcasts} codegen=${s.codegenSpans}")
+          case _ => None
+        }
+      }
+      assert(diffs.isEmpty,
+        "plan-shape drift (improvement? regenerate the snapshot; " +
+          "regression? fix the plan):\n" + diffs.mkString("\n"))
+    }
+  }
+
+  test("the counter flags an injected single-partition exchange") {
+    val base = SparkEntry.queries("q_c1_coerce")(spark, SfDir)
+    val good = shapeOf(base.queryExecution.executedPlan.toString)
+    val bad = shapeOf(
+      base.repartition(1).queryExecution.executedPlan.toString)
+    Caches.releaseAll()
+    assert(bad.shuffles > good.shuffles,
+      s"repartition(1) must surface as an extra exchange: $good vs $bad")
+  }
+}
