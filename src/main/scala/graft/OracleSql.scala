@@ -4407,6 +4407,11 @@ object OracleSql {
     "q_s9_avro_read" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // DSv2 split-read round trip: the oracle is the source table — the
+    // sync-marker split protocol must neither drop nor duplicate rows
+    "q_s11_avro_dsv2" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // fixed-width round trip: the oracle is the source table — the
     // padded serialize + substring parse must be lossless
     "q_s8_fixedwidth" ->

@@ -263,6 +263,21 @@ object SparkEntry {
       Avro.read(s, s"$p/nation.avro").orderBy("n_nationkey")
     }),
 
+    // -- S11 DSv2 parallel Avro scan (r14): the same container file read
+    // through spark.read.format("graft-avro") — the block-splittable
+    // bulk-ingest path (sync-marker split protocol, pruned columns).
+    // Tiny forced splits so even the 25-row fixture exercises the
+    // multi-partition read; the oracle is the source table, so the
+    // split protocol must neither drop nor duplicate a block ------------
+    "q_s11_avro_dsv2" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro"
+      new java.io.File(p).mkdirs()
+      val f = s"$p/nation_dsv2.avro"
+      Avro.write(T(s, dir, "nation").orderBy("n_nationkey"), f)
+      s.read.format("graft-avro").option("graft.splitbytes", 256)
+        .load(f).orderBy("n_nationkey")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the
