@@ -13,12 +13,19 @@ import java.nio.file.{Files, Paths}
   * repartition(1)-class or codegen-cliff regression is a red test with a
   * named query instead of a slow number three rounds later.
   *
-  * Counts come from the executedPlan STRING (the AQE-initial plan): the
-  * same session config (local[4], shuffle.partitions=4) and the same
-  * data dir (sf0.001) make them deterministic. Value changes are not
-  * forbidden — a plan IMPROVEMENT legitimately changes counts; regenerate
-  * with GRAFT_REGEN_PLAN_SHAPES=1 sbt "testOnly graft.PlanShapeSpec"
-  * and review the diff like any other golden-file change.
+  * Counts come from a TREE walk of the executedPlan (the AQE wrapper
+  * unwrapped to its current — initial, nothing executed — plan). A tree
+  * walk, not the plan STRING: the string renders the full cached child
+  * plan under every InMemoryTableScan, so a query consuming a pinned
+  * artifact (graft.Caches.pinned) would count the shared build subtree
+  * — whose printed form depends on whether an earlier suite in the same
+  * JVM already materialized it — while in the TREE a cached scan is a
+  * leaf, making the counts a property of the query's OWN plan only.
+  * Same session config (local[4], shuffle.partitions=4), same data dir
+  * (sf0.001) ⇒ deterministic. Value changes are not forbidden — a plan
+  * IMPROVEMENT legitimately changes counts; regenerate with
+  * GRAFT_REGEN_PLAN_SHAPES=1 sbt "testOnly graft.PlanShapeSpec" and
+  * review the diff like any other golden-file change.
   */
 class PlanShapeSpec extends SparkSpec {
 
@@ -51,20 +58,37 @@ class PlanShapeSpec extends SparkSpec {
     def tsv: String = s"$shuffles\t$broadcasts\t$codegenSpans"
   }
 
-  private def shapeOf(plan: String): Shape = {
-    val shuffle =
-      "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
-    val codegenId = """\*\((\d+)\)""".r
-    Shape(
-      shuffle.findAllIn(plan).size,
-      "BroadcastExchange".r.findAllIn(plan).size,
-      codegenId.findAllMatchIn(plan).map(_.group(1)).toSet.size)
+  private def shapeOf(root: org.apache.spark.sql.execution.SparkPlan): Shape = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    var shuffles = 0; var broadcasts = 0; var codegen = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec => walk(q.plan); return
+        case _: ShuffleExchangeExec => shuffles += 1
+        case _: BroadcastExchangeExec => broadcasts += 1
+        case _: WholeStageCodegenExec => codegen += 1
+        case _ =>
+      }
+      // children only: InMemoryTableScan keeps its cached plan out of
+      // `children`, so pinned-artifact subtrees never enter the counts
+      p.children.foreach(walk)
+    }
+    walk(root)
+    Shape(shuffles, broadcasts, codegen)
   }
 
   private def currentShapes(): Seq[(String, Shape)] =
     Tracked.map { name =>
-      val df = SparkEntry.queries(name)(spark, SfDir)
-      val s = shapeOf(df.queryExecution.executedPlan.toString)
+      val qe = SparkEntry.queries(name)(spark, SfDir).queryExecution
+      // EXECUTE (sf0.001 — cheap) and count the FINAL adaptive plan:
+      // whole-stage codegen is only inserted per stage at materialization,
+      // so the unexecuted AQE plan reports 0 codegen spans and the r13
+      // >100-agg-fields codegen cliff would be invisible to the snapshot
+      qe.toRdd.foreach(_ => ())
+      val s = shapeOf(qe.executedPlan)
       Caches.releaseAll() // drop per-query registered intermediates
       name -> s
     }
@@ -103,9 +127,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("the counter flags an injected single-partition exchange") {
     val base = SparkEntry.queries("q_c1_coerce")(spark, SfDir)
-    val good = shapeOf(base.queryExecution.executedPlan.toString)
-    val bad = shapeOf(
-      base.repartition(1).queryExecution.executedPlan.toString)
+    val good = shapeOf(base.queryExecution.executedPlan)
+    val bad = shapeOf(base.repartition(1).queryExecution.executedPlan)
     Caches.releaseAll()
     assert(bad.shuffles > good.shuffles,
       s"repartition(1) must surface as an extra exchange: $good vs $bad")

@@ -19,11 +19,16 @@ class HitsSpec extends SparkSpec {
     assert(auths.head.getAs[Double]("score") === 1.0)
   }
 
+  // score_raw is DECIMAL(38,0) (a long cast silently nulls past 2^63 and
+  // nulls sort last under DESC, dropping the largest hubs) — compare as long
+  private def rawLong(x: org.apache.spark.sql.Row): Long =
+    x.getAs[java.math.BigDecimal]("score_raw").longValueExact()
+
   test("hitsBipartite: iteration-1 authority score is the indegree") {
     val e = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
     val r = Graph.hitsBipartite(e, iters = 1).collect()
       .filter(_.getString(0) == "authority")
-      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("score_raw")).toMap
+      .map(x => x.getAs[Long]("id") -> rawLong(x)).toMap
     assert(r === Map(10L -> 2L, 11L -> 1L))
   }
 
@@ -31,7 +36,7 @@ class HitsSpec extends SparkSpec {
     val e = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("src", "dst")
     val r = Graph.hitsBipartite(e, iters = 1).collect()
       .filter(_.getString(0) == "authority")
-    assert(r.head.getAs[Long]("score_raw") === 2L)
+    assert(rawLong(r.head) === 2L)
   }
 
   test("hitsBipartite is partitioning-invariant") {
