@@ -4412,6 +4412,44 @@ object OracleSql {
     "q_s11_avro_dsv2" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // time-travel replay: same CDC log, per-key latest-version-wins via
+    // row_number (the window replay of the engine's struct-max), base
+    // keys via NOT EXISTS on the version-filtered log
+    "q_merge_timetravel" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |lg AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS v, 'u' AS op,
+        |      CAST(price + CAST(10.00 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS price
+        |    FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, 2, 'd', NULL FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 3, 'u',
+        |      CAST(price + CAST(1.00 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |    FROM o WHERE k % 3 = 0),
+        |s2 AS (
+        |  SELECT 2 AS snap_version, k, price FROM (
+        |    SELECT k, op, price,
+        |        row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM lg WHERE v <= 2) w WHERE rn = 1 AND op = 'u'
+        |  UNION ALL
+        |  SELECT 2, k, price FROM o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lg WHERE lg.k = o.k AND lg.v <= 2)),
+        |s3 AS (
+        |  SELECT 3 AS snap_version, k, price FROM (
+        |    SELECT k, op, price,
+        |        row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM lg WHERE v <= 3) w WHERE rn = 1 AND op = 'u'
+        |  UNION ALL
+        |  SELECT 3, k, price FROM o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lg WHERE lg.k = o.k AND lg.v <= 3))
+        |SELECT CAST(snap_version AS BIGINT) AS snap_version, k AS o_orderkey,
+        |  CAST(price AS DOUBLE) + 0.0 AS price
+        |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |WHERE k % 50 = 0
+        |ORDER BY snap_version, o_orderkey""".stripMargin,
+
     // fixed-width round trip: the oracle is the source table — the
     // padded serialize + substring parse must be lossless
     "q_s8_fixedwidth" ->

@@ -4006,6 +4006,39 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // -- snapshot-as-of time travel (r14): two versions of the orders
+    // table reconstructed from one keyed CDC log (v1 upserts a +10.00
+    // price correction on keys %5==0, v2 deletes keys %7==0, v3 upserts
+    // +1.00 on keys %3==0); AS OF 2 sees the correction + the delete but
+    // not v3, AS OF 3 sees everything. Per-key winner is one struct-max
+    // aggregate, base touched by one anti-join — never a window. Output
+    // sampled 1-in-50 by key so the row count stays bounded. ------------
+    "q_merge_timetravel" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val log = o.where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(1L).as("v"), lit("u").as("op"),
+            (col("price") + lit(BigDecimal("10.00"))).cast("decimal(18,2)")
+              .as("price"))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(2L).as("v"), lit("d").as("op"),
+            lit(null).cast("decimal(18,2)").as("price")))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit(3L).as("v"), lit("u").as("op"),
+            (col("price") + lit(BigDecimal("1.00"))).cast("decimal(18,2)")
+              .as("price")))
+      def snap(asOf: Long): DataFrame =
+        Merge.snapshotAsOf(o, log, Seq("o_orderkey"), "v", "op",
+            Seq("price"), asOf)
+          .withColumn("snap_version", lit(asOf))
+      snap(2L).unionByName(snap(3L))
+        .where(col("o_orderkey") % 50 === 0)
+        .select(col("snap_version"), col("o_orderkey"),
+          col("price").cast("double").as("price"))
+        .orderBy("snap_version", "o_orderkey")
+    }),
+
     // -- incremental join maintenance: signed delta of orders⋈lineitem
     // from CDC batches only (ΔL⋈R + L⋈ΔR + ΔL⋈ΔR, weight = wL·wR) —
     // the bases are never joined to each other. Oracle takes the

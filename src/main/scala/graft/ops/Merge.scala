@@ -261,4 +261,45 @@ object Merge {
             .cast("decimal(28,2)")).as("sum_v")): _*)
       .where(col("n") > 0L)
   }
+
+  /** Snapshot-as-of (time travel) reconstructed from a keyed CDC log —
+    * the Delta/Iceberg `VERSION AS OF` semantic without a table format:
+    * the state of a table at version V is, per key, the LATEST log entry
+    * with version ≤ V (an `upsert` contributes its payload, a `delete`
+    * removes the key), falling back to the base snapshot for keys the
+    * filtered log never touches.
+    *
+    * Scale shape: the version predicate is a plain comparison pushed to
+    * the log scan (version/date IS the log's partition column in a real
+    * deployment, so time travel prunes files); the per-key winner is ONE
+    * map-side-combinable `max(struct(version, op, payload…))` aggregate —
+    * never a window sort — and the base is touched by exactly one
+    * anti-join on the (delta-sized) touched-key set, with AQE free to
+    * broadcast it. Base rows move at most once; the log moves once.
+    *
+    * Determinism contract: at most one log row per (key, version) —
+    * the struct-max then orders on the version alone. (A production log
+    * gets this from its transaction sequencing; enforce upstream with
+    * keepFirst if a feed can duplicate.)
+    *
+    * @param ops    (opCol value) `'u'` upsert / `'d'` delete
+    * @return base-shaped rows (keys… ++ valueCols) as of `asOfVersion`
+    */
+  def snapshotAsOf(base: DataFrame, log: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String, valueCols: Seq[String],
+      asOfVersion: Long): DataFrame = {
+    val winners = log
+      .where(col(versionCol) <= asOfVersion)
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        (col(versionCol).cast("long").as("__v") +: col(opCol).as("__op") +:
+          valueCols.map(col)): _*)).as("__w"))
+    val touched = winners.select(
+      keys.map(col) ++ Seq(col("__w.__op").as("__op")) ++
+        valueCols.map(c => col(s"__w.$c").as(c)): _*)
+    base.select((keys ++ valueCols).map(col): _*)
+      .join(touched.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(touched.where(col("__op") === "u")
+        .select((keys ++ valueCols).map(col): _*))
+  }
 }

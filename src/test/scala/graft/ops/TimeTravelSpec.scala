@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0))
+    .toDF("k", "price")
+  // v1: upsert k=1 -> 110; v2: delete k=2; v3: upsert k=2 -> 250 (rebirth),
+  // v4: delete k=1
+  private val log = Seq(
+    (1L, 1L, "u", Some(110.0)),
+    (2L, 2L, "d", None),
+    (2L, 3L, "u", Some(250.0)),
+    (1L, 4L, "d", None)
+  ).toDF("k", "v", "op", "price")
+
+  private def snap(asOf: Long): Map[Long, Double] =
+    Merge.snapshotAsOf(base, log, Seq("k"), "v", "op", Seq("price"), asOf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("as-of reconstructs each version's state") {
+    assert(snap(0) === Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0)) // pre-log
+    assert(snap(1) === Map(1L -> 110.0, 2L -> 200.0, 3L -> 300.0))
+    assert(snap(2) === Map(1L -> 110.0, 3L -> 300.0)) // k=2 deleted
+    assert(snap(3) === Map(1L -> 110.0, 2L -> 250.0, 3L -> 300.0)) // reborn
+    assert(snap(4) === Map(2L -> 250.0, 3L -> 300.0)) // k=1 deleted last
+  }
+
+  test("a delete then later upsert resurrects the key (latest wins)") {
+    assert(snap(3).get(2L).contains(250.0))
+  }
+
+  test("untouched keys always come from the base") {
+    (0L to 4L).foreach(v => assert(snap(v).get(3L).contains(300.0)))
+  }
+
+  test("the per-key winner is an aggregate, not a window sort") {
+    val plan = Merge.snapshotAsOf(base, log, Seq("k"), "v", "op",
+        Seq("price"), 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate in plan:\n$plan")
+  }
+}
