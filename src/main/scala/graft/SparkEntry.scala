@@ -3042,7 +3042,7 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       Similarity.beamSearchKnn(emb, "vec_id", "e", cents.toIndexedSeq,
         col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
-        nProbe = 4)
+        nProbe = 4, edgePinKey = Some(s"knn_edges_k8|$dir"))
     }),
 
     // -- beam-search recall audit (r14): recall@10 of the routed beam
@@ -3057,7 +3057,7 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       Similarity.beamRecallAudit(emb, "vec_id", "e", cents.toIndexedSeq,
           col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
-          nProbe = 4)
+          nProbe = 4, edgePinKey = Some(s"knn_edges_k8|$dir"))
         .orderBy("query_id")
     }),
 

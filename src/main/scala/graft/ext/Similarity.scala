@@ -829,10 +829,18 @@ object Similarity {
     *
     * @return (query_id, rn, vec_id, cos) — the top-k visited per query
     */
+  /** @param edgePinKey when set, the symmetrized kNN edge table is
+    *   materialized through [[graft.Caches.pinned]] under this key
+    *   (convention "what|dataDir") and shared across queries and reps —
+    *   the production reading, where the kNN graph is BUILT ONCE at
+    *   ingest and every search serves from it. When None (library
+    *   default) the edge table is per-query persisted via
+    *   [[graft.Caches.register]] and dropped at releaseAll.
+    */
   def beamSearchKnn(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], queryPred: Column,
       k: Int, beamWidth: Int = 2, hops: Int = 5, graphK: Int = 8,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, edgePinKey: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty && k > 0 && beamWidth > 0 && nProbe > 0,
       "need centroids, k > 0, beamWidth > 0, nProbe > 0")
     require(hops >= 1 && hops <= 8, s"hops must be in [1, 8]: $hops")
@@ -858,12 +866,17 @@ object Similarity {
     // even though its own out-edges point at well-connected nodes;
     // adding the reverses makes every node degree >= graphK (measured:
     // recall 0.67 directed vs 0.70 symmetrized, same budget)
-    val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
-      .select(col("src"), col("dst"))
-    val edges = graft.Caches.register(
+    def buildEdges: DataFrame = {
+      val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
+        .select(col("src"), col("dst"))
       kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+    }
+    val edges = edgePinKey match {
+      case Some(key) => graft.Caches.pinned(key)(buildEdges)
+      case None => graft.Caches.register(buildEdges
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     // upper layer: rank clusters by centroid distance (the ivfTopKFixed
     // probe DAG) and enter the nProbe nearest via their centroid NODES
     val probeEntries = centroids.map { case (cid, cv) =>
@@ -912,7 +925,7 @@ object Similarity {
   def beamRecallAudit(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], queryPred: Column,
       k: Int, beamWidth: Int = 2, hops: Int = 5, graphK: Int = 8,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, edgePinKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = VectorOps.toDouble(col(vecCol))
     val corpus = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
@@ -920,7 +933,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("qid"), ev.as("qv"))
     val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     val beamTop = beamSearchKnn(df, idCol, vecCol, centroids, queryPred,
-        k, beamWidth, hops, graphK, nProbe)
+        k, beamWidth, hops, graphK, nProbe, edgePinKey)
       .select(col("query_id").as("qid"), col("vec_id").as("id"),
         lit(1).as("__hit"))
     val exactTop = corpus.crossJoin(broadcast(queries))
