@@ -4412,6 +4412,33 @@ object OracleSql {
     "q_s11_avro_dsv2" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // zone-map audit replay: same zone assignments (modulo / equal-width
+    // over the broadcast min-max grid), same parquet min/max prune rule
+    "q_layout_zonemap" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM ev),
+        |hz AS (SELECT event_id % 32 AS zone, v FROM ev),
+        |rz AS (SELECT CAST(least(floor((v - vmin)
+        |      / ((vmax - vmin) / CAST(32 AS DOUBLE))), CAST(31 AS DOUBLE))
+        |    AS BIGINT) AS zone, v
+        |  FROM ev CROSS JOIN mm),
+        |audit AS (
+        |  SELECT 'hash' AS layout, zone, min(v) AS zmin, max(v) AS zmax,
+        |      CAST(count(*) AS BIGINT) AS n FROM hz GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'range_cluster', zone, min(v), max(v),
+        |      CAST(count(*) AS BIGINT) FROM rz GROUP BY 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS zones_total,
+        |  CAST(sum(CASE WHEN zmax < 30.0 OR zmin > 60.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zones_pruned,
+        |  CAST(sum(n) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN zmax < 30.0 OR zmin > 60.0 THEN n ELSE 0 END)
+        |    AS BIGINT) AS rows_skipped,
+        |  round(CAST(sum(CASE WHEN zmax < 30.0 OR zmin > 60.0 THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS skip_rate
+        |FROM audit GROUP BY 1 ORDER BY layout""".stripMargin,
+
     // time-travel replay: same CDC log, per-key latest-version-wins via
     // row_number (the window replay of the engine's struct-max), base
     // keys via NOT EXISTS on the version-filtered log

@@ -4006,6 +4006,28 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // -- zone-map (file-skipping) audit (r14): how much of the events
+    // table a value ∈ [30, 60] predicate prunes WITHOUT READING under
+    // two physical layouts — hash zones (event_id % 32: every zone spans
+    // the full value range, ~nothing prunes) vs a 32-zone equal-width
+    // range cluster on the filter column (everything outside the band
+    // prunes). One metadata-scale aggregate per layout; the min/max grid
+    // is a broadcast one-row pre-agg shared textually with the oracle.
+    "q_layout_zonemap" -> ((s, dir) => {
+      val ev = T(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_id"), col("value").cast("double").as("v"))
+      val hash = Layout.zoneMapAudit(ev,
+        pmod(col("event_id"), lit(32L)), "v", 30.0, 60.0, "hash")
+      val mm = ev.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val zone = least(
+        floor((col("v") - col("vmin"))
+          / ((col("vmax") - col("vmin")) / lit(32.0))),
+        lit(31.0)).cast("long")
+      val clustered = Layout.zoneMapAudit(ev.crossJoin(broadcast(mm)),
+        zone, "v", 30.0, 60.0, "range_cluster")
+      hash.unionByName(clustered).orderBy("layout")
+    }),
+
     // -- snapshot-as-of time travel (r14): two versions of the orders
     // table reconstructed from one keyed CDC log (v1 upserts a +10.00
     // price correction on keys %5==0, v2 deletes keys %7==0, v3 upserts

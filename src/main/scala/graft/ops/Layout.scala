@@ -81,4 +81,46 @@ object Layout {
       rightTable: String, leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+
+  /** Zone-map (file-skipping) audit: how much of the table a range
+    * predicate `lo <= valueCol <= hi` could PRUNE WITHOUT READING, given
+    * a physical layout — the number that decides whether to re-cluster a
+    * 100 TB table. `zoneCol` models the file/row-group assignment (hash
+    * layout, insertion order, range cluster, [[zorderValue]] bucket —
+    * whatever the writer would produce); the audit computes each zone's
+    * (min, max, rows) and counts zones the predicate skips outright
+    * (zmax < lo or zmin > hi — exactly the parquet min/max-statistics
+    * pruning rule). Run it for the candidate layouts and compare
+    * `rows_skipped`: a hash layout prunes ~nothing, a range/Z-order
+    * cluster on the filter column prunes almost everything outside the
+    * band.
+    *
+    * Scale shape: ONE map-side-combinable aggregate to |zones| rows
+    * (metadata-scale), then a one-row rollup — the table is scanned once
+    * and nothing zone-level ever shuffles more than (zone, min, max, n).
+    * Null values are ignored (parquet stats ignore them for pruning
+    * bounds; a real reader consults null counts separately).
+    *
+    * @return one row: (layout, zones_total, zones_pruned, rows_total,
+    *         rows_skipped, skip_rate round-6)
+    */
+  def zoneMapAudit(df: DataFrame, zoneCol: Column, valueCol: String,
+      lo: Double, hi: Double, layoutName: String): DataFrame = {
+    require(lo <= hi, s"empty predicate range: [$lo, $hi]")
+    val zones = df.where(col(valueCol).isNotNull)
+      .select(zoneCol.as("zone"), col(valueCol).cast("double").as("__v"))
+      .groupBy("zone")
+      .agg(min(col("__v")).as("zmin"), max(col("__v")).as("zmax"),
+        count(lit(1)).as("n"))
+    val pruned = col("zmax") < lo || col("zmin") > hi
+    zones.agg(
+        count(lit(1)).as("zones_total"),
+        sum(when(pruned, 1L).otherwise(0L)).as("zones_pruned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(pruned, col("n")).otherwise(0L)).as("rows_skipped"))
+      .select(lit(layoutName).as("layout"), col("zones_total"),
+        col("zones_pruned"), col("rows_total"), col("rows_skipped"),
+        round(col("rows_skipped").cast("double")
+          / col("rows_total").cast("double"), 6).as("skip_rate"))
+  }
 }
