@@ -4412,6 +4412,38 @@ object OracleSql {
     "q_s11_avro_dsv2" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // trigram fuzzy-join replay: same lowercased distinct values, same
+    // 3-gram blocking with the df-cap exclusion, DuckDB's own
+    // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the
+    // verifier
+    "q_link_fuzzy_trigram" ->
+      """WITH l0 AS (SELECT DISTINCT lower(substr(md5(text), 1, 12)) AS l_val
+        |  FROM documents),
+        |r0 AS (SELECT DISTINCT lower(substr(md5(text), 1, 10)
+        |    || substr(md5(text), 12, 1) || substr(md5(text), 11, 1)) AS r_val
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |lg AS (SELECT DISTINCT l_val, g FROM (SELECT l_val,
+        |    unnest(CASE WHEN len(l_val) >= 3
+        |      THEN list_distinct(list_transform(
+        |        generate_series(1, len(l_val) - 2), i -> substr(l_val, i, 3)))
+        |      ELSE [l_val] END) AS g FROM l0)),
+        |rg AS (SELECT DISTINCT r_val, g FROM (SELECT r_val,
+        |    unnest(CASE WHEN len(r_val) >= 3
+        |      THEN list_distinct(list_transform(
+        |        generate_series(1, len(r_val) - 2), i -> substr(r_val, i, 3)))
+        |      ELSE [r_val] END) AS g FROM r0)),
+        |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM (
+        |      SELECT l_val AS v, g FROM lg UNION ALL SELECT r_val, g FROM rg)
+        |    GROUP BY 1) WHERE df > 100),
+        |cand AS (SELECT DISTINCT l_val, r_val
+        |  FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)) a
+        |  JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)) b
+        |  USING (g))
+        |SELECT l_val, r_val,
+        |  round(jaro_winkler_similarity(l_val, r_val), 6) + 0.0 AS jw
+        |FROM cand WHERE jaro_winkler_similarity(l_val, r_val) >= 0.9
+        |ORDER BY l_val, r_val""".stripMargin,
+
     // zone-map audit replay: same zone assignments (modulo / equal-width
     // over the broadcast min-max grid), same parquet min/max prune rule
     "q_layout_zonemap" ->

@@ -1399,6 +1399,24 @@ object SparkEntry {
         .orderBy("l_val", "r_val")
     }),
 
+    // -- trigram-blocked fuzzy JOIN (r14): pg_trgm-style linkage join —
+    // 12-char md5-derived names vs planted tail-transposed twins (1 in
+    // 5 docs); candidates share >= 1 char 3-gram (stop-gram cap armed at
+    // df > 100), verified with the codegen'd graft_jw kernel at 0.9.
+    // Each twin finds its source (JW ≈ 0.983: one transposition + the
+    // 4-char prefix boost); random hex pairs stay far below threshold.
+    "q_link_fuzzy_trigram" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val h = md5(col("text"))
+      val l = d.select(substring(h, 1, 12).as("nm"))
+      val r = d.where(col("doc_id") % 5 === 0)
+        .select(concat(substring(h, 1, 10), substring(h, 12, 1),
+          substring(h, 11, 1)).as("tw"))
+      Harmonize.fuzzyJoinTrigram(l, "nm", r, "tw",
+          threshold = 0.9, maxDf = 100)
+        .orderBy("l_val", "r_val")
+    }),
+
     // -- Jaro-Winkler scoring (native graft_jw, codegen'd; DuckDB's own
     // jaro_winkler_similarity is the INDEPENDENT oracle implementation):
     // each customer name vs a tail-swapped twin and vs its neighbor ----

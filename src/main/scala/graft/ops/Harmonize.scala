@@ -87,6 +87,62 @@ object Harmonize {
       .select(col("l_val"), col("r_val"), col("dist").cast("int").as("dist"))
   }
 
+  /** Trigram-blocked Jaro-Winkler similarity join — the pg_trgm-style
+    * fuzzy join for name/identifier reconciliation where edit-distance
+    * length-blocking ([[fuzzyMatchBlocked]]) is too coarse: candidates
+    * are pairs sharing at least one character 3-gram (lowercased;
+    * strings shorter than 3 block on themselves), verified with the
+    * codegen'd `graft_jw` kernel at `threshold`.
+    *
+    * Scale shape: gram explode → equi-join on the gram — never a cross
+    * join; cost is Σ per-gram block-pair sizes. `maxDf > 0` arms the
+    * stop-gram skew cap: grams appearing in more than `maxDf` values
+    * (across both sides) are EXCLUDED from candidate generation via one
+    * anti-join — at corpus scale one boilerplate gram ("LLC", "inc")
+    * otherwise turns the join quadratic. The exclusion is deterministic
+    * and must be mirrored by any replay (same contract as
+    * `Dedup.containmentPairs`). BLOCKING CONTRACT: a pair sharing no
+    * (surviving) gram is not found even above the threshold — that is
+    * the trade every trigram index makes.
+    *
+    * Needs `graft_jw` registered (GraftExtensions).
+    *
+    * @return (l_val, r_val, jw round-6), threshold applied UNROUNDED
+    */
+  def fuzzyJoinTrigram(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String, threshold: Double,
+      maxDf: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1]: $threshold")
+    def prep(df: DataFrame, c: String, out: String): DataFrame =
+      df.select(lower(col(c)).as(out))
+        .where(col(out).isNotNull && length(col(out)) > 0).distinct()
+    def grams(v: Column): Column =
+      // Spark sequence(1, 0) DESCENDS — guard short strings explicitly
+      when(length(v) >= 3, array_distinct(
+        transform(sequence(lit(1), length(v) - 2), i => v.substr(i, lit(3)))))
+        .otherwise(array(v))
+    val l = prep(left, leftCol, "l_val")
+    val r = prep(right, rightCol, "r_val")
+    val lg = l.select(col("l_val"), explode(grams(col("l_val"))).as("g"))
+    val rg = r.select(col("r_val"), explode(grams(col("r_val"))).as("g"))
+    val (lgc, rgc) =
+      if (maxDf <= 0) (lg, rg)
+      else {
+        val hot = lg.select(col("l_val").as("v"), col("g"))
+          .union(rg.select(col("r_val").as("v"), col("g")))
+          .groupBy("g").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDf).select("g")
+        (lg.join(hot, Seq("g"), "left_anti"),
+          rg.join(hot, Seq("g"), "left_anti"))
+      }
+    lgc.join(rgc, Seq("g"))
+      .select("l_val", "r_val").distinct()
+      .withColumn("__jw", call_function("graft_jw", col("l_val"), col("r_val")))
+      .where(col("__jw") >= threshold)
+      .select(col("l_val"), col("r_val"), round(col("__jw"), 6).as("jw"))
+  }
+
   /** One comparison field of a Fellegi–Sunter linkage model: `agree` is
     * the per-pair agreement predicate, `m`/`u` the match/unmatch
     * agreement probabilities. Weights are computed HERE, at plan time —
