@@ -4401,6 +4401,56 @@ object OracleSql {
          |  n_lists
          |FROM a ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
 
+    // NDCG/MRR replay: the proven BM25 ranking CTEs, qrels from the same
+    // token rule, the SAME driver-computed ⌊1e9/log2(i+1)⌋ discount
+    // literals (graft.ext.Retrieval.ndcgDiscount — log never executes in
+    // either engine), exact integer DCG/IDCG sums
+    "q_retrieval_ndcg" -> {
+      val discList = (1 to 15).map(graft.ext.Retrieval.ndcgDiscount)
+        .mkString("[", ", ", "]")
+      s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d0),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM l),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(list_filter(tk, x -> x IN ('spark', 'window', 'merge'))) AS term FROM d0)
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |          * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (corp.sum_dl / corp.n_docs))) AS sc
+         |      FROM tf JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN corp),
+         |ag AS (SELECT doc_id, list(sc ORDER BY term) AS ll FROM sc GROUP BY 1),
+         |bm0 AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll), (acc, x) -> acc + x), 6) AS score
+         |        FROM ag ORDER BY score DESC, doc_id LIMIT 15),
+         |bm AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |       FROM bm0),
+         |rels AS (SELECT doc_id, rel FROM (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN CAST(2 AS BIGINT)
+         |      WHEN doc_id % 5 = 0 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS rel FROM d0) WHERE rel > 0),
+         |jo AS (SELECT bm.rank, coalesce(rels.rel, 0) AS rel
+         |  FROM bm LEFT JOIN rels ON rels.doc_id = bm.doc_id),
+         |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank FROM rels),
+         |mets AS (SELECT 5 AS k UNION ALL SELECT 10 UNION ALL SELECT 15),
+         |dc AS (SELECT m.k,
+         |    coalesce(sum(CASE WHEN jo.rank <= m.k
+         |      THEN ((CAST(1 AS BIGINT) << rel) - 1) * list_extract($discList, jo.rank) END), 0) AS dcg9,
+         |    CAST(coalesce(sum(CASE WHEN jo.rank <= m.k AND rel > 0 THEN 1 END), 0) AS BIGINT) AS n_rel_topk,
+         |    min(CASE WHEN jo.rank <= m.k AND rel > 0 THEN jo.rank END) AS first
+         |  FROM mets m CROSS JOIN jo GROUP BY 1),
+         |ic AS (SELECT m.k,
+         |    coalesce(sum(CASE WHEN ideal.rank <= m.k
+         |      THEN ((CAST(1 AS BIGINT) << rel) - 1) * list_extract($discList, ideal.rank) END), 0) AS idcg9
+         |  FROM mets m CROSS JOIN ideal GROUP BY 1)
+         |SELECT dc.k, dc.n_rel_topk,
+         |  round(CAST(dcg9 AS DOUBLE) / 1e9, 6) + 0.0 AS dcg,
+         |  round(CAST(idcg9 AS DOUBLE) / 1e9, 6) + 0.0 AS idcg,
+         |  round(CASE WHEN idcg9 > 0 THEN CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE) END, 6) + 0.0 AS ndcg,
+         |  round(CASE WHEN first IS NOT NULL THEN CAST(1.0 AS DOUBLE) / first END, 6) + 0.0 AS mrr
+         |FROM dc JOIN ic USING (k) ORDER BY k""".stripMargin
+    },
+
     // ORC round trip: the Spark side writes nation to ORC and reads it
     // back; the oracle is the table itself
     // Avro round trip: the oracle is the table itself

@@ -3639,6 +3639,29 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(bm, dense), "id", k = 10)
     }),
 
+    // -- retrieval ranking-quality metrics (r14): NDCG@{5,10,15} + MRR of
+    // the BM25 top-15 against graded qrels (rel 2 for doc_id %17 = 0,
+    // rel 1 for %5 = 0 — deterministic judgments INDEPENDENT of the
+    // ranking, so ndcg sits strictly inside (0, 1); a content-derived
+    // rule saturates at 1.0 on this templated corpus where 77% of docs
+    // contain every query term). The eval readout a retrieval change
+    // ships on; discounts are shared plan-time integer literals and
+    // DCG/IDCG are exact integer sums. ----------------------------------
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ranked = Retrieval.withRank(
+        Retrieval.bm25TopK(docs, "text", "doc_id",
+          Seq("spark", "window", "merge"), k = 15),
+        Seq(col("score").desc, col("doc_id").asc))
+      val rels = docs.select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, 2L)
+            .when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("rel"))
+        .where(col("rel") > 0)
+      Retrieval.rankingMetrics(ranked, "doc_id", "rank", rels, "rel",
+          Seq(5, 10, 15))
+        .orderBy("k")
+    }),
+
     // -- dimensionality reduction: JL random projection (64 -> 16, plan-
     // time md5-parity signs) and PCA (fixed-point moment pass -> bounded
     // driver eigensolve via 30 deterministic power iterations) -----------

@@ -243,4 +243,80 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(k)
   }
+
+  /** Fixed-point 1e9 NDCG discount for 1-based rank i: ⌊1e9 / log₂(i+1)⌋.
+    * Computed driver-side so engine and oracle share IDENTICAL integer
+    * literals — log never executes inside either query.
+    */
+  def ndcgDiscount(rank: Int): Long = {
+    require(rank >= 1, s"rank must be >= 1: $rank")
+    math.floor(1e9 / (math.log(rank + 1.0) / math.log(2.0))).toLong
+  }
+
+  /** Ranking-quality metrics — NDCG@k (exponential gains, standard
+    * Järvelin–Kekäläinen form) and MRR@k — for ONE ranked list against a
+    * graded relevance table: the eval tier of the retrieval stack (what
+    * AUC/confusion are to the classifier stack). A retrieval change at
+    * corpus scale ships on these numbers, not on eyeballing top-10.
+    *
+    * Determinism: per-rank discounts ⌊1e9/log₂(i+1)⌋ are plan-time
+    * integer literals ([[ndcgDiscount]]); DCG and IDCG are exact integer
+    * sums of gain·discount (gain = 2^rel − 1 ≤ bounded by the rel
+    * scale), so aggregation order cannot drift — only the final
+    * ndcg/mrr divisions run in double, one shared DAG. IDCG ranks the
+    * FULL relevance table by (rel desc, id asc) — the standard ideal —
+    * through one row_number window over qrels (judgment-scale, not
+    * corpus-scale). MRR uses the best (smallest) rank among rel > 0
+    * docs in the top-k.
+    *
+    * Scale shape: everything after the two inputs is bounded by k and
+    * |qrels| — the ranked list is top-k by construction and qrels are
+    * judgment-sized; nothing corpus-scale is touched here.
+    *
+    * @param ranked (idCol, rankCol 1-based) — a top-k list
+    * @param rels   (idCol, relCol integer grades >= 0) — the qrels;
+    *               ids absent from it count as rel 0
+    * @return one row per k in `ks`: (k, n_rel_topk, dcg, idcg, ndcg, mrr)
+    */
+  def rankingMetrics(ranked: DataFrame, idCol: String, rankCol: String,
+      rels: DataFrame, relCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val maxK = ks.max
+    val disc = typedLit((1 to maxK).map(ndcgDiscount))
+    // 2^rel − 1 in exact longs; shiftleft's bits arg must be a column, so
+    // spell it in SQL (both frames carry the grade as a column named rel)
+    val gainOfRel =
+      expr("shiftleft(cast(1 as bigint), cast(rel as int)) - cast(1 as bigint)")
+    val r = ranked.select(col(idCol).as("id"),
+        col(rankCol).cast("int").as("rank"))
+      .where(col("rank") <= maxK)
+      .join(rels.select(col(idCol).as("id"),
+        col(relCol).cast("long").as("rel")), Seq("id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val ideal = rels.select(col(relCol).cast("long").as("rel"),
+        col(idCol).as("id"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rel").desc, col("id"))))
+      .where(col("rank") <= maxK)
+    ks.sorted.map { k =>
+      val dcg9 = r.where(col("rank") <= k)
+        .agg(coalesce(sum(gainOfRel *
+            element_at(disc, col("rank"))), lit(0L)).as("__dcg9"),
+          coalesce(sum(when(col("rel") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_rel_topk"),
+          min(when(col("rel") > 0, col("rank"))).as("__first"))
+      val idcg9 = ideal.where(col("rank") <= k)
+        .agg(coalesce(sum(gainOfRel *
+          element_at(disc, col("rank"))), lit(0L)).as("__idcg9"))
+      dcg9.crossJoin(broadcast(idcg9))
+        .select(lit(k).as("k"), col("n_rel_topk"),
+          round(col("__dcg9").cast("double") / 1e9, 6).as("dcg"),
+          round(col("__idcg9").cast("double") / 1e9, 6).as("idcg"),
+          round(when(col("__idcg9") > 0L,
+            col("__dcg9").cast("double") / col("__idcg9").cast("double")),
+            6).as("ndcg"),
+          round(when(col("__first").isNotNull,
+            lit(1.0) / col("__first").cast("double")), 6).as("mrr"))
+    }.reduce(_ unionByName _)
+  }
 }
