@@ -4401,6 +4401,40 @@ object OracleSql {
          |  n_lists
          |FROM a ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
 
+    // batched BM25 replay: the proven ranking CTEs with a qid dimension —
+    // per-term df/corpus stats shared across the batch, per-(qid, doc)
+    // term-sorted fold, per-qid rank window
+    "q_retrieval_bm25_batch" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d0),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM l),
+         |qt AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'spark'), (1, 'merge'),
+         |    (2, 'window'), (2, 'shuffle'),
+         |    (3, 'data'), (3, 'query'), (3, 'fast')) AS t(qid, term)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(list_filter(tk,
+         |         x -> x IN ('spark', 'merge', 'window', 'shuffle',
+         |                    'data', 'query', 'fast'))) AS term FROM d0)
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.qid, tf.doc_id, tf.term,
+         |        ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |          * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (corp.sum_dl / corp.n_docs))) AS sc
+         |      FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |      JOIN l USING (doc_id) CROSS JOIN corp),
+         |ag AS (SELECT qid, doc_id, list(sc ORDER BY term) AS ll,
+         |        CAST(count(*) AS BIGINT) AS matched_terms
+         |      FROM sc GROUP BY 1, 2),
+         |sc2 AS (SELECT qid, doc_id,
+         |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ll), (acc, x) -> acc + x), 6) AS score,
+         |        matched_terms FROM ag),
+         |r AS (SELECT qid, doc_id, score, matched_terms,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc2)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  score + 0.0 AS score, matched_terms
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     // NDCG/MRR replay: the proven BM25 ranking CTEs, qrels from the same
     // token rule, the SAME driver-computed ⌊1e9/log2(i+1)⌋ discount
     // literals (graft.ext.Retrieval.ndcgDiscount — log never executes in

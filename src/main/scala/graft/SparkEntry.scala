@@ -3639,6 +3639,23 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(bm, dense), "id", k = 10)
     }),
 
+    // -- batched multi-query BM25 (r14): one ranking per row of a query
+    // TABLE — the production serving shape; corpus stats and df computed
+    // once for the whole batch, corpus terms filtered against the union
+    // bag before the one corpus shuffle. Query 2 carries an absent term
+    // ("shuffle" is not in the corpus vocabulary) to prove missing terms
+    // drop out instead of poisoning the score. ---------------------------
+    "q_retrieval_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("spark", "merge")),
+        (2L, Seq("window", "shuffle")),
+        (3L, Seq("data", "query", "fast"))).toDF("qid", "terms")
+      Retrieval.bm25TopKBatch(T(s, dir, "documents"), "text", "doc_id",
+          queries, "qid", "terms", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // -- retrieval ranking-quality metrics (r14): NDCG@{5,10,15} + MRR of
     // the BM25 top-15 against graded qrels (rel 2 for doc_id %17 = 0,
     // rel 1 for %5 = 0 — deterministic judgments INDEPENDENT of the
