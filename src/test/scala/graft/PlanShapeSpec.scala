@@ -34,8 +34,8 @@ class PlanShapeSpec extends SparkSpec {
 
   /** Top-50 of the r13 driver bench by steady seconds, minus the two
     * driver-side ML fits (model training at plan-build time — minutes of
-    * work for a structure check) — the queries where a silent plan-shape
-    * regression costs the most.
+    * work for a structure check), plus every r14 operator — the queries
+    * where a silent plan-shape regression costs the most.
     */
   private val Tracked: Seq[String] = Seq(
     "q_dedup_minhash_capped", "q_dedup_minhash", "q_llm_pipeline",
@@ -52,7 +52,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_graph_clustering", "q_link_fs_score", "q_outlier_mad", "q_p6_minmax",
     "q_text_bpe_segment", "q_join_sizeest", "q_audio_frame_energy",
     "q_graph_kcore", "q_c5b_drop_const", "q_graph_triangles", "q_part_abc",
-    "q_link_blocking_audit", "q_tpch_q21")
+    "q_link_blocking_audit", "q_tpch_q21",
+    // r14 additions — cover the round's new operators from day one
+    "q_sim_hnsw_search", "q_sim_hnsw_recall", "q_s11_avro_dsv2",
+    "q_merge_timetravel", "q_layout_zonemap", "q_link_fuzzy_trigram",
+    "q_retrieval_ndcg", "q_retrieval_bm25_batch")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int) {
     def tsv: String = s"$shuffles\t$broadcasts\t$codegenSpans"
