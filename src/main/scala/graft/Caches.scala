@@ -81,8 +81,12 @@ object Caches {
 
   // ---- pinned (cross-query) artifacts -----------------------------------
 
-  private final case class Pin(df: DataFrame, var hits: Int)
-  private val pins = scala.collection.mutable.LinkedHashMap.empty[String, Pin]
+  private sealed trait Slot
+  private final class Ready(val df: DataFrame, var hits: Int,
+      val buildSec: Double) extends Slot
+  private final class Building(
+      val latch: java.util.concurrent.CountDownLatch) extends Slot
+  private val pins = scala.collection.mutable.LinkedHashMap.empty[String, Slot]
 
   /** Session-lifetime materialized artifact, keyed by a caller-chosen
     * string (convention: "what|dataDir") — the cross-QUERY complement to
@@ -98,42 +102,102 @@ object Caches {
     * handed to every later caller verbatim) and BOUNDED (edge lists, pair
     * tables, shrunk remnants — never a raw fact table: pinning raw scans
     * would fake away IO cost that a 100 TB deployment actually pays).
-    * The frame is persisted MEMORY_AND_DISK and materialized EAGERLY
-    * inside a [[scoped]] block, so intermediates the build itself
-    * registers (e.g. nearDupMinhash's shingle stage) are unpersisted the
-    * moment the pin is materialized instead of leaking until the next
-    * releaseAll. Keys are scoped to the owning SparkContext: an entry
-    * whose session has stopped is rebuilt, never served stale.
+    * The frame is persisted MEMORY_AND_DISK_SER (serialized in-memory
+    * batches — for the SQL cache the columnar batches are compact either
+    * way, but the SER level keeps the eviction target as small as the
+    * format allows, which matters under the benchmark's observed
+    * BlockManager-eviction pressure) and materialized EAGERLY inside a
+    * [[scoped]] block, so intermediates the build itself registers (e.g.
+    * nearDupMinhash's shingle stage) are unpersisted the moment the pin
+    * is materialized instead of leaking until the next releaseAll. Keys
+    * are scoped to the owning SparkContext: an entry whose session has
+    * stopped is rebuilt, never served stale.
     *
-    * Build/hit counts are exported ([[pinnedStats]]) so a benchmark can
-    * report which queries rode a pin — shared work must be auditable,
-    * never silently amortized.
+    * LOCKING: the key is RESERVED under the monitor but the build (a
+    * full Spark job — persist + count) runs OUTSIDE it, so concurrent
+    * register/releaseAll/scoped calls never stall behind a multi-second
+    * materialization. A second caller of the same in-flight key parks on
+    * that key's latch, not on the global monitor, and retries once the
+    * build publishes (or fails — a failed build clears the reservation
+    * so a retry can rebuild).
+    *
+    * Build/hit counts and build seconds are exported ([[pinnedStats]],
+    * [[pinnedBuildSec]]) so a benchmark can report which queries rode a
+    * pin and what the one-time build cost — shared work must be
+    * auditable, never silently amortized.
     */
-  def pinned(key: String)(build: => DataFrame): DataFrame = synchronized {
-    pins.get(key) match {
-      case Some(p) if !p.df.sparkSession.sparkContext.isStopped =>
-        p.hits += 1
-        p.df
-      case stale =>
-        if (stale.isDefined) pins.remove(key) // stopped session: rebuild
-        val df = scoped {
-          val d = build.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          d.count() // eager: pay the build exactly once, on the first caller
-          d
+  def pinned(key: String)(build: => DataFrame): DataFrame = {
+    val reserved: Either[java.util.concurrent.CountDownLatch, Option[DataFrame]] =
+      synchronized {
+        pins.get(key) match {
+          case Some(r: Ready) if !r.df.sparkSession.sparkContext.isStopped =>
+            r.hits += 1
+            Right(Some(r.df))
+          case Some(b: Building) => Left(b.latch)
+          case other =>
+            if (other.isDefined) pins.remove(key) // stopped session: rebuild
+            pins.put(key,
+              new Building(new java.util.concurrent.CountDownLatch(1)))
+            Right(None)
         }
-        pins.put(key, Pin(df, 0))
+      }
+    reserved match {
+      case Right(Some(df)) => df
+      case Left(latch) => // someone else is building: wait, then re-enter
+        latch.await()
+        pinned(key)(build)
+      case Right(None) => // this thread holds the reservation: build outside
+        val t0 = System.nanoTime()
+        val df =
+          try scoped {
+            val d = build.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            d.count() // eager: pay the build exactly once, on the first caller
+            d
+          } catch {
+            case e: Throwable =>
+              synchronized {
+                pins.remove(key) match {
+                  case Some(b: Building) => b.latch.countDown()
+                  case _ =>
+                }
+              }
+              throw e
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        synchronized {
+          pins.remove(key) match {
+            case Some(b: Building) =>
+              pins.put(key, new Ready(df, 0, sec))
+              b.latch.countDown()
+            case _ => // releasePinned raced the build: publish anyway
+              pins.put(key, new Ready(df, 0, sec))
+          }
+        }
         df
     }
   }
 
   /** (key -> hit count after the initial build) for every live pin. */
   def pinnedStats: Map[String, Int] =
-    synchronized(pins.map { case (k, p) => k -> p.hits }.toMap)
+    synchronized(pins.collect { case (k, r: Ready) => k -> r.hits }.toMap)
 
-  /** Unpersist and forget every pinned artifact (test teardown hook). */
+  /** (key -> one-time build seconds) for every live pin — the cost the
+    * first consumer's cold number absorbed, exported so cross-round
+    * per-query comparisons can account for the amortization.
+    */
+  def pinnedBuildSec: Map[String, Double] =
+    synchronized(pins.collect { case (k, r: Ready) => k -> r.buildSec }.toMap)
+
+  /** Unpersist and forget every pinned artifact (test teardown hook).
+    * In-flight builds are unblocked (their publish lands in an empty
+    * registry and is simply a fresh pin).
+    */
   def releasePinned(): Unit = synchronized {
-    pins.values.foreach(p => p.df.unpersist(false))
+    pins.values.foreach {
+      case r: Ready => r.df.unpersist(false)
+      case b: Building => b.latch.countDown()
+    }
     pins.clear()
   }
 }
