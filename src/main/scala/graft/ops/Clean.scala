@@ -324,6 +324,26 @@ object Clean {
     sum(v.cast(DecimalType(28, 12))).cast(DoubleType) / count(v)
 
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val quants = exactQuantiles(df, cols, Seq(0.25, 0.5, 0.75)).collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) None // all-null column: no quartiles (pandas NaN)
+        else Some(r.getString(0) ->
+          ((r6(r.getDouble(1)), r6(r.getDouble(2)), r6(r.getDouble(3)))))
+      }.toMap
+    summaryStatsWith(df, cols, quants)
+  }
+
+  /** [[summaryStats]] with PRE-COMPUTED (and pre-rounded) quartiles —
+    * the entry point for callers that serve p25/p50/p75 from a shared
+    * quantile grid (one pinned CDF pass feeding several describe-family
+    * consumers) instead of re-deriving the corpus-sized CDF per call.
+    * Columns absent from `quants` (all-null columns) get null quartiles,
+    * matching pandas. The quartiles land as a literal CASE projection
+    * over the cols-sized moments frame — no join at all.
+    */
+  def summaryStatsWith(df: DataFrame, cols: Seq[String],
+      quants: Map[String, (Double, Double, Double)]): DataFrame = {
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
@@ -339,16 +359,17 @@ object Clean {
     }.mkString(", ") +
       ") as (column_name, cnt, mean, std, min_v, max_v)"
     val moments = agged.select(expr(stackExpr))
-    val quants = exactQuantiles(df, cols, Seq(0.25, 0.5, 0.75))
-      .select(col("column_name"),
-        round(col("q0"), 6).as("p25"),
-        round(col("q1"), 6).as("p50"),
-        round(col("q2"), 6).as("p75"))
-    // left join keeps all-null columns (no CDF rows) with null quartiles,
-    // matching pandas; the quantile side is cols.size rows — broadcast.
-    moments.join(broadcast(quants), Seq("column_name"), "left")
+    def pick(f: ((Double, Double, Double)) => Double): Column =
+      cols.foldRight(lit(null).cast(DoubleType)) { (c, acc) =>
+        quants.get(c) match {
+          case Some(q) => when(col("column_name") === c, lit(f(q))).otherwise(acc)
+          case None => acc
+        }
+      }
+    moments
       .select(col("column_name"), col("cnt"), col("mean"), col("std"),
-        col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+        col("min_v"), pick(_._1).as("p25"), pick(_._2).as("p50"),
+        pick(_._3).as("p75"), col("max_v"))
       .orderBy("column_name")
   }
 

@@ -210,6 +210,15 @@ object Eda {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val bounds = Clean.exactQuantiles(df, cols, Seq(pLo, pHi)).collect()
       .map(r => r.getString(0) -> ((r6(r.getDouble(1)), r6(r.getDouble(2))))).toMap
+    trimmedMeanWith(df, cols, bounds)
+  }
+
+  /** [[trimmedMean]] with PRE-COMPUTED (round-6) [lo, hi] keep-bands — the
+    * entry point for callers serving the band from a shared pinned
+    * quantile grid. Columns absent from `bounds` (all-null) report null.
+    */
+  def trimmedMeanWith(df: DataFrame, cols: Seq[String],
+      bounds: Map[String, (Double, Double)]): DataFrame = {
     val aggs = cols.flatMap { c =>
       bounds.get(c) match {
         case None => // all-null column: no bounds, nothing kept

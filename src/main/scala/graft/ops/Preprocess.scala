@@ -113,22 +113,34 @@ object Preprocess {
   def winsorize(df: DataFrame, cols: Seq[String], pLo: Double = 0.05,
       pHi: Double = 0.95, roundBounds: Int = -1): DataFrame = {
     val q = Clean.exactQuantiles(df, cols, Seq(pLo, pHi)).collect()
-    val bounds = q.map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val bounds = q.map { r =>
+      val (lo0, hi0) = (r.getDouble(1), r.getDouble(2))
+      val pair =
+        if (roundBounds >= 0)
+          (BigDecimal(lo0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(hi0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else (lo0, hi0)
+      r.getString(0) -> pair
+    }.toMap
+    winsorizeWith(df, cols, bounds)
+  }
+
+  /** [[winsorize]] with PRE-COMPUTED (and pre-rounded) clamp bounds — the
+    * entry point for callers that serve [lo, hi] from a shared pinned
+    * quantile grid instead of re-deriving the corpus CDF per call.
+    * Columns absent from `bounds` (all-null columns) pass through.
+    */
+  def winsorizeWith(df: DataFrame, cols: Seq[String],
+      bounds: Map[String, (Double, Double)]): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
       bounds.get(c) match {
         case None => acc // all-null column: nothing to clamp
-        case Some((lo0, hi0)) =>
-          val (lo, hi) =
-            if (roundBounds >= 0)
-              (BigDecimal(lo0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble,
-                BigDecimal(hi0).setScale(roundBounds, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            else (lo0, hi0)
+        case Some((lo, hi)) =>
           val v = col(c)
           acc.withColumn(c,
             when(v < lit(lo), lit(lo)).when(v > lit(hi), lit(hi)).otherwise(v))
       }
     }
-  }
 
   /** Quantile bucketizer (sklearn KBinsDiscretizer(strategy='quantile') /
     * Spark QuantileDiscretizer, but with EXACT edges): assign bucket
@@ -143,6 +155,15 @@ object Preprocess {
     val edges = q.map(r => r.getString(0) ->
       probs.indices.map(i =>
         BigDecimal(r.getDouble(i + 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    quantileBucketizeWith(df, cols, edges, outSuffix)
+  }
+
+  /** [[quantileBucketize]] with PRE-COMPUTED (round-6) edges — the entry
+    * point for callers serving edges from a shared pinned quantile grid.
+    * Columns absent from `edges` (all-null) bucket to null.
+    */
+  def quantileBucketizeWith(df: DataFrame, cols: Seq[String],
+      edges: Map[String, Seq[Double]], outSuffix: String = "_bucket"): DataFrame = {
     cols.foldLeft(df) { (acc, c) =>
       edges.get(c) match {
         case None => acc.withColumn(s"$c$outSuffix", lit(null).cast(LongType))
@@ -264,6 +285,15 @@ object Preprocess {
     val q = Clean.exactQuantiles(df, cols, Seq(0.25, 0.5, 0.75)).collect()
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val stats = q.map(r => r.getString(0) -> ((r6(r.getDouble(1)), r6(r.getDouble(2)), r6(r.getDouble(3))))).toMap
+    robustScaleWith(df, cols, stats)
+  }
+
+  /** [[robustScale]] with PRE-COMPUTED (round-6) (q1, median, q3) — the
+    * entry point for callers serving quartiles from a shared pinned
+    * quantile grid. Columns absent from `stats` (all-null) pass through.
+    */
+  def robustScaleWith(df: DataFrame, cols: Seq[String],
+      stats: Map[String, (Double, Double, Double)]): DataFrame = {
     cols.foldLeft(df) { (acc, c) =>
       stats.get(c) match {
         case None => acc // all-null column
