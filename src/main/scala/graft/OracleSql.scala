@@ -3629,9 +3629,10 @@ object OracleSql {
          |FROM ext LEFT JOIN ivf ON ext.qid = ivf.qid AND ext.id = ivf.id
          |GROUP BY 1 ORDER BY query_id""".stripMargin),
 
-    // HNSW beam-search replay: fixed entry layer (the 8 centroid nodes),
-    // 3 unrolled beam-4 hops over the top-5 kNN edges, final top-10 of
-    // the visited set — shared hop CTEs via hnswVisitedCtes
+    // HNSW beam-search replay: nProbe=4 entry clusters (of 8 centroid
+    // nodes), 6 unrolled beam-8 hops over the symmetrized top-8 kNN
+    // edges, final top-10 of the visited set — shared hop CTEs via
+    // hnswVisitedCtes (parameters mirror the engine call in SparkEntry)
     "q_sim_hnsw_search" ->
       (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4)}
          |f AS (SELECT qid, id, cos,
@@ -4495,6 +4496,13 @@ object OracleSql {
     // sync-marker split protocol must neither drop nor duplicate rows
     "q_s11_avro_dsv2" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // DSv2 Avro filter pushdown: same container round trip, filtered —
+    // the oracle sees the table, so a scan that wrongly skips (or keeps)
+    // a record under the pushed predicate hash-mismatches
+    "q_s11_avro_pushdown" ->
+      ("SELECT * FROM nation WHERE n_regionkey >= 1 AND n_regionkey <= 3 " +
+        "AND n_name <> 'CHINA' ORDER BY n_nationkey"),
 
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own

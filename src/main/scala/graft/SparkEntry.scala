@@ -324,6 +324,23 @@ object SparkEntry {
         .load(f).orderBy("n_nationkey")
     }),
 
+    // -- S11b DSv2 Avro scan with FILTER pushdown (r15): the same split
+    // protocol, but the predicate is evaluated on the decoded record
+    // inside the scan (SupportsPushDownFilters) so non-matching rows are
+    // dropped before InternalRow conversion; a plan test asserts the
+    // filters actually reach the scan. Oracle is the filtered table ----
+    "q_s11_avro_pushdown" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro"
+      new java.io.File(p).mkdirs()
+      val f = s"$p/nation_pushdown.avro"
+      Avro.write(T(s, dir, "nation").orderBy("n_nationkey"), f)
+      s.read.format("graft-avro").option("graft.splitbytes", 256)
+        .load(f)
+        .where(col("n_regionkey") >= 1 && col("n_regionkey") <= 3 &&
+          col("n_name") =!= "CHINA")
+        .orderBy("n_nationkey")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the

@@ -2,14 +2,16 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.avro.file.{DataFileReader, SeekableFileInput}
+import org.apache.avro.file.{DataFileReader, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,11 +30,32 @@ import scala.jdk.CollectionConverters._
   * drop rows, and a 100 TB directory of container files fans out to
   * (files × blocks/splitBytes) independent tasks with zero shuffle.
   *
+  * IO goes through the Hadoop FileSystem API on BOTH sides (r15 — was
+  * java.io.File, a local-FS-only ceiling): the driver lists/stats via
+  * `FileSystem.globStatus`, executors open an `FSDataInputStream`-backed
+  * [[SeekableInput]], so any Hadoop-supported scheme (hdfs://, s3a://,
+  * file://) works. Executors resolve the filesystem from the split's
+  * own URI with a fresh Hadoop `Configuration` — cluster-specific conf
+  * keys that only live in the driver's session conf are NOT propagated
+  * (the documented remaining gap; the sandbox and any default-configured
+  * cluster are unaffected).
+  *
   * Column pruning is pushed down (SupportsPushDownRequiredColumns): the
   * datum reader still decodes each record (Avro is row-major), but only
   * the requested fields are converted and shipped as InternalRow
   * columns, so a 2-column projection over a 50-field feed moves 2
   * columns through the scan.
+  *
+  * Filter pushdown (SupportsPushDownFilters, r15): comparison/null/In
+  * predicates over the five primitive types are evaluated on the decoded
+  * GenericRecord BEFORE row conversion, so non-matching rows never
+  * become InternalRows or travel upstream — on a selective 100 TB ingest
+  * that is the difference between shipping the feed and shipping the
+  * match set. Evaluation maps SQL's unknown (null operand) to "filter
+  * out", exactly WHERE semantics; every filter is also returned as a
+  * residual so Spark re-applies it above the scan — the scan may only
+  * SKIP rows, never wrongly keep one. (Block-level min/max skipping
+  * would be the next rung once the writer records per-block ranges.)
   *
   * Types: the same five primitives as [[Avro]] (long, int, double,
   * string, boolean as nullable unions) — the upload-contract schema
@@ -45,21 +68,38 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def filesOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val path = Option(options.get("path")).getOrElse(
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** (path, length) of every matching container file, via the Hadoop
+    * FileSystem of the path's scheme — a directory expands to its
+    * *.avro children, a file (or glob) stands alone.
+    */
+  private def filesOf(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    val pathStr = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-avro requires a path"))
-    val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".avro")).map(_.getPath).sorted
-      else Array(path)
-    require(files.nonEmpty, s"no .avro files under $path")
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(hadoopConf())
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        else Seq(st)
+      }
+    val files = statuses
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+    require(files.nonEmpty, s"no .avro files under $pathStr")
     files.toIndexedSeq
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val head = filesOf(options).head._1
     val reader = new DataFileReader[GenericRecord](
-      new java.io.File(filesOf(options).head),
+      AvroDsv2.openSeekable(head),
       new GenericDatumReader[GenericRecord]())
     try {
       StructType(reader.getSchema.getFields.asScala.toSeq.map(f =>
@@ -93,11 +133,94 @@ private[sources] object AvroDsv2 {
         s"graft-avro cannot map Avro type $t")
     }
   }
+
+  /** Avro [[SeekableInput]] over a Hadoop FSDataInputStream — resolves
+    * the filesystem from the path's own URI, so the same reader code
+    * serves file://, hdfs:// and any other configured scheme.
+    */
+  def openSeekable(path: String): SeekableInput = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    new SeekableInput {
+      override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+      override def seek(pos: Long): Unit = in.seek(pos)
+      override def tell(): Long = in.getPos
+      override def length(): Long = len
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
-private[sources] class AvroTable(schema: StructType, files: Seq[String],
-    splitBytes: Long) extends Table with SupportsRead {
-  override def name(): String = s"graft-avro(${files.head}…)"
+/** Record-level evaluation of pushed-down source filters against the
+  * decoded Avro record. `eval` returns true only when the predicate is
+  * definitely TRUE under SQL semantics; null operands (SQL unknown) map
+  * to false — i.e. WHERE semantics, so a pushed filter can only skip
+  * rows the residual Filter above would drop anyway.
+  */
+private[sources] object AvroFilters {
+  /** Filters this source can evaluate per record (top-level attributes
+    * over the five supported primitives; boolean combinations thereof).
+    */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case IsNull(_) | IsNotNull(_) => true
+    case In(_, vs) => vs.forall(comparable)
+    case StringStartsWith(_, _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false // incl. Not: three-valued flip needs unknown tracking
+  }
+
+  private def comparable(v: Any): Boolean = v match {
+    case null => false
+    case _: Number | _: String | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case In(a, vs) => { val x = get(a); vs.exists(v => cmp(x, v).contains(0)) }
+    case StringStartsWith(a, prefix) => get(a) match {
+      case s: CharSequence => s.toString.startsWith(prefix)
+      case _ => false
+    }
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case _ => true // unsupported residue: never skip on it
+  }
+
+  /** Three-valued comparison: None when either side is null or the pair
+    * is incomparable (⇒ predicate unknown ⇒ row skipped, WHERE-style).
+    * Numeric compare goes through double — exact for the int/long values
+    * this source's upload contract carries (|v| < 2^53).
+    */
+  private def cmp(recVal: Any, litVal: Any): Option[Int] = (recVal, litVal) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: CharSequence, b: CharSequence) =>
+      Some(a.toString.compareTo(b.toString))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _ => None
+  }
+}
+
+private[sources] class AvroTable(schema: StructType,
+    files: Seq[(String, Long)], splitBytes: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-avro(${files.head._1}…)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -106,25 +229,35 @@ private[sources] class AvroTable(schema: StructType, files: Seq[String],
 }
 
 private[sources] class AvroScanBuilder(fullSchema: StructType,
-    files: Seq[String], splitBytes: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+    files: Seq[(String, Long)], splitBytes: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve ONLY requested fields (Spark hands them back in read order)
     required = requiredSchema
-  override def build(): Scan = new AvroScan(required, files, splitBytes)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(AvroFilters.supported)
+    // everything stays residual: the scan's evaluation only SKIPS rows;
+    // Spark's Filter above re-checks, so a conservative eval is safe
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new AvroScan(required, files, splitBytes, pushed)
 }
 
-private[sources] class AvroScan(required: StructType, files: Seq[String],
-    splitBytes: Long) extends Scan with Batch {
+private[sources] class AvroScan(required: StructType,
+    files: Seq[(String, Long)], splitBytes: Long,
+    val pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro ${files.size} file(s), ReadSchema: ${required.simpleString}"
+    s"graft-avro ${files.size} file(s), ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { path =>
-      val len = new java.io.File(path).length()
+    files.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
         AvroSplit(path, i * step, math.min(len, (i + 1) * step))
@@ -132,27 +265,37 @@ private[sources] class AvroScan(required: StructType, files: Seq[String],
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.fieldNames)
+    new AvroReaderFactory(required.fieldNames, pushed)
 }
 
 private[sources] case class AvroSplit(path: String, start: Long, end: Long)
   extends InputPartition
 
-private[sources] class AvroReaderFactory(fieldNames: Array[String])
-  extends PartitionReaderFactory {
+private[sources] class AvroReaderFactory(fieldNames: Array[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[AvroSplit]
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
-        new SeekableFileInput(new java.io.File(split.path)),
+        AvroDsv2.openSeekable(split.path),
         new GenericDatumReader[GenericRecord]())
       // the split protocol: first sync after start; stop past end's sync
       reader.sync(split.start)
       private var rec: GenericRecord = _
-      override def next(): Boolean =
-        if (reader.hasNext && !reader.pastSync(split.end)) {
-          rec = reader.next(rec); true
-        } else false
+      private def fieldOf(name: String): Any = rec.get(name) match {
+        case u: org.apache.avro.util.Utf8 => u // CharSequence: cmp handles it
+        case v => v
+      }
+      override def next(): Boolean = {
+        while (reader.hasNext && !reader.pastSync(split.end)) {
+          rec = reader.next(rec)
+          // evaluate pushed filters BEFORE row conversion: a non-matching
+          // record is dropped here, costing only its (row-major,
+          // unavoidable) decode — no InternalRow, nothing upstream
+          if (pushed.forall(AvroFilters.eval(_, fieldOf))) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val vals = new Array[Any](fieldNames.length)
         var i = 0
