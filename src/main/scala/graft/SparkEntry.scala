@@ -3037,6 +3037,31 @@ object SparkEntry {
         .orderBy("src", "rn")
     }),
 
+    // -- incremental kNN-graph insert (r15): the graph is built over the
+    // base corpus (vec_id % 10 != 9), then the held-out batch (% 10 == 9)
+    // is inserted — ONE batch × cluster-members pair stage, touched base
+    // nodes merge-and-retrim, untouched adjacency passes through
+    // verbatim. The oracle replays the FULL-graph rebuild over
+    // base ∪ batch, so the incremental path must be exactly the rebuild.
+    "q_sim_knn_insert" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val base = emb.where(col("vec_id") % 10 =!= 9)
+      val batch = emb.where(col("vec_id") % 10 === 9)
+      // the "existing" graph a production pipeline would read from
+      // storage — materialized once, consumed by three plan branches
+      val baseGraph = graft.Caches.register(
+        Similarity.knnGraph(base, "vec_id", "e", cents.toIndexedSeq, k = 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Similarity.knnGraphInsert(baseGraph, base, batch, "vec_id", "e",
+          cents.toIndexedSeq, k = 5)
+        .orderBy("src", "rn")
+    }),
+
     // -- simplified silhouette (r13): per-cluster cohesion/separation
     // over the same md5-fixed 8 centroids as the IVF/kNN-graph queries
     "q_sim_silhouette" -> ((s, dir) => {

@@ -796,6 +796,86 @@ object Similarity {
         col("__entry._2").as("dst"), col("__entry._1").as("cos"))
   }
 
+  /** Incremental kNN-graph maintenance (r15): insert a document batch
+    * into an EXISTING [[knnGraph]] edge table without rebuilding the
+    * quadratic within-cluster pair stage — the graph twin of
+    * `Dedup.incrementalDedup`, and the missing piece between "graph
+    * built once at ingest" (the [[beamSearchKnn]] premise) and a living
+    * corpus.
+    *
+    * Shape: both sides are assigned to the FIXED centroids (one scan
+    * each, the proven argmin kernel — no pairs); the ONLY pair stage is
+    * batch × cluster-members (cost |batch| · clusterSize, not
+    * clusterSize²). Batch nodes take their top-k straight from that pair
+    * table (their candidate set is exactly their cluster). Existing
+    * nodes whose cluster the batch touched merge their CURRENT adjacency
+    * with the reversed batch pairs and re-trim to k — an edge the old
+    * top-k dropped ranked below position k then and a new edge can only
+    * push it further down, so the merge is exact, not approximate.
+    * Untouched nodes' rows pass through VERBATIM (anti-join), never
+    * re-aggregated.
+    *
+    * EXACTNESS: the result equals `knnGraph(base ∪ batch, …)` row for
+    * row (same round-6 cosines, same (cos desc, dst) ties) PROVIDED
+    * `baseGraph` was built by [[knnGraph]] over `base` with the SAME
+    * centroids and k — centroids are fixed by contract (the md5-pinned
+    * convention), so base assignments cannot move.
+    *
+    * @param baseGraph [[knnGraph]] output over `base` (src, rn, dst, cos)
+    * @return the merged graph in [[knnGraph]]'s shape (src, rn, dst, cos)
+    */
+  def knnGraphInsert(baseGraph: DataFrame, base: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[(Long, Seq[Double])],
+      k: Int): DataFrame = {
+    require(centroids.nonEmpty && k > 0, "need centroids and k > 0")
+    val e = VectorOps.toDouble(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(e, e) - lit(2.0) * VectorOps.dotNative(e, c) +
+        VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val cluster = array_min(array(entries: _*)).getField("cid")
+    def assign(df: DataFrame): DataFrame = df.select(
+      col(idCol).cast("long").as("id"), e.as("__v"), cluster.as("__c"))
+    val assignedBatch = assign(batch)
+    val members = assign(base).unionByName(assignedBatch)
+    // the one pair stage: batch × members of its cluster (both directions
+    // ride this table — reversed rows feed the touched base nodes)
+    // persisted: both the forward (batch top-k) and reversed (touched
+    // base nodes) consumers read it — |batch| · clusterSize rows, bounded
+    val pairs = graft.Caches.register(assignedBatch
+      .select(col("__c"), col("id").as("bid"), col("__v").as("__vb"))
+      .join(members.select(col("__c").as("__c2"), col("id").as("oid"),
+          col("__v").as("__vo")),
+        col("__c") === col("__c2") && col("bid") =!= col("oid"))
+      .select(col("bid"), col("oid"),
+        round(VectorOps.cosineNative(col("__vb"), col("__vo")), 6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    def explodeTop(agged: DataFrame): DataFrame = agged
+      .select(col("src"), posexplode(col("__top")).as(Seq("__rank0", "__entry")))
+      .select(col("src"), (col("__rank0") + 1).cast("int").as("rn"),
+        col("__entry._2").as("dst"), col("__entry._1").as("cos"))
+    val batchRows = explodeTop(
+      pairs.groupBy(col("bid").as("src")).agg(topk(col("cos"), col("oid")).as("__top")))
+    // candidate edges for EXISTING nodes: the reversed pairs whose target
+    // is not itself a batch row (those already took the forward direction)
+    val reverse = pairs
+      .join(assignedBatch.select(col("id").as("oid")), Seq("oid"), "left_anti")
+      .select(col("oid").as("src"), col("bid").as("dst"), col("cos"))
+    val touched = reverse.select("src").distinct()
+    val untouched = baseGraph.join(touched, Seq("src"), "left_anti")
+    val retrimmed = explodeTop(
+      baseGraph.join(touched, Seq("src"), "left_semi")
+        .select(col("src"), col("dst"), col("cos"))
+        .unionByName(reverse)
+        .groupBy("src").agg(topk(col("cos"), col("dst")).as("__top")))
+    untouched.select("src", "rn", "dst", "cos")
+      .unionByName(retrimmed)
+      .unionByName(batchRows)
+  }
+
   /** HNSW-style graph-ANN QUERY over the [[knnGraph]] backbone: a
     * two-layer hierarchical search with a fixed hop budget — the search
     * side of graph ANN (Malkov & Yashunin 2018), deterministic enough to
@@ -835,7 +915,11 @@ object Similarity {
     *   the production reading, where the kNN graph is BUILT ONCE at
     *   ingest and every search serves from it. When None (library
     *   default) the edge table is per-query persisted via
-    *   [[graft.Caches.register]] and dropped at releaseAll.
+    *   [[graft.Caches.register]] and dropped at releaseAll. The
+    *   effective pin key is SUFFIXED internally with graphK and a hash
+    *   of the centroids (r14 ADVICE): two call sites reusing a
+    *   caller-chosen key with different graph parameters must get
+    *   different pins, never silently share the wrong edge table.
     */
   def beamSearchKnn(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], queryPred: Column,
@@ -873,7 +957,16 @@ object Similarity {
         .distinct()
     }
     val edges = edgePinKey match {
-      case Some(key) => graft.Caches.pinned(key)(buildEdges)
+      case Some(key) =>
+        // parameter-proof key: the caller names the artifact, the
+        // parameters that shape it (graphK + the centroid set) are
+        // hashed in here so a mismatch can never alias
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sig = md.digest(centroids
+            .map { case (cid, cv) => s"$cid:${cv.mkString(",")}" }
+            .mkString(";").getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        graft.Caches.pinned(s"$key|gk$graphK|c$sig")(buildEdges)
       case None => graft.Caches.register(buildEdges
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }

@@ -39,4 +39,49 @@ class KnnGraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("src"), r.getAs[Int]("rn"),
+      r.getAs[Long]("dst"), r.getAs[Double]("cos"))).sortBy(t => (t._1, t._2)).toSeq
+
+  test("incremental insert equals the full rebuild on the real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+    val cents = emb
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("vec_id").cast("string")),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    val base = emb.where("vec_id % 10 != 9")
+    val batch = emb.where("vec_id % 10 = 9")
+    val rebuild = Similarity.knnGraph(emb, "vec_id", "e", cents, k = 5)
+    val baseGraph = Similarity.knnGraph(base, "vec_id", "e", cents, k = 5)
+      .localCheckpoint(true)
+    val inserted = Similarity.knnGraphInsert(baseGraph, base, batch,
+      "vec_id", "e", cents, k = 5)
+    assert(rows(inserted) === rows(rebuild))
+    graft.Caches.releaseAll()
+  }
+
+  test("insert touches only batch-adjacent adjacency; disjoint clusters pass through verbatim") {
+    // batch lands entirely in cluster 1; cluster 0's rows must be
+    // byte-identical to the base graph (the verbatim pass-through path)
+    val base = vecs
+    val batch = Seq((12L, Seq(0.2, 0.8))).toDF("id", "v")
+    val baseGraph = Similarity.knnGraph(base, "id", "v", cents, k = 2)
+      .localCheckpoint(true)
+    val out = Similarity.knnGraphInsert(baseGraph, base, batch,
+      "id", "v", cents, k = 2)
+    val groupA = Set(1L, 2L, 3L)
+    assert(rows(out.where(out("src").isin(1L, 2L, 3L))) ===
+      rows(baseGraph.where(baseGraph("src").isin(1L, 2L, 3L))))
+    // cluster 1 gained the batch node: 10/11 now have 2 neighbors and 12
+    // has its own adjacency; everything equals the rebuild
+    val rebuild = Similarity.knnGraph(base.unionByName(batch), "id", "v", cents, k = 2)
+    assert(rows(out) === rows(rebuild))
+    assert(rows(out).filter(t => !groupA(t._1)).nonEmpty)
+    graft.Caches.releaseAll()
+  }
 }
