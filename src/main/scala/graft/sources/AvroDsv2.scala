@@ -247,7 +247,7 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   override def build(): Scan = new AvroScan(required, files, splitBytes, pushed)
 }
 
-private[sources] class AvroScan(required: StructType,
+private[graft] class AvroScan(required: StructType,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
