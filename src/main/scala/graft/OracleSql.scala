@@ -4528,6 +4528,18 @@ object OracleSql {
       ("SELECT * FROM nation WHERE n_regionkey >= 1 AND n_regionkey <= 3 " +
         "AND n_name <> 'CHINA' ORDER BY n_nationkey"),
 
+    // parallel Avro sink round trip: one container per partition, read
+    // through the split scan — the oracle is the table itself
+    "q_s12_avro_sink" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // zone-map file skipping: range-banded sink files, pushed range
+    // filter — the oracle is the filtered table, so a wrongly-skipped
+    // band loses rows and hash-mismatches
+    "q_s13_avro_skipping" ->
+      ("SELECT * FROM nation WHERE n_nationkey >= 5 AND n_nationkey <= 11 " +
+        "ORDER BY n_nationkey"),
+
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the

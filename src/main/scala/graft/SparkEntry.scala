@@ -4,7 +4,7 @@ import graft.ext.{Dedup, DimReduce, Multimodal, Retrieval, Similarity, Substring
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
-import graft.sources.{Avro, Sources, Xlsx, XlsWriter}
+import graft.sources.{Avro, AvroSink, Sources, Xlsx, XlsWriter}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -338,6 +338,33 @@ object SparkEntry {
         .load(f)
         .where(col("n_regionkey") >= 1 && col("n_regionkey") <= 3 &&
           col("n_name") =!= "CHINA")
+        .orderBy("n_nationkey")
+    }),
+
+    // -- S12 parallel Avro SINK (r15): one container file + stats
+    // sidecar per partition via AvroSink (distributed, Hadoop-FS), read
+    // back through the DSv2 scan. Oracle is the source table, so the
+    // multi-file round trip must neither drop, duplicate nor reorder
+    // values ------------------------------------------------------------
+    "q_s12_avro_sink" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro_sink"
+      AvroSink.write(T(s, dir, "nation").repartition(4), p, overwrite = true)
+      s.read.format("graft-avro").load(p).orderBy("n_nationkey")
+    }),
+
+    // -- S13 Avro zone-map file skipping (r15): range-banded files (one
+    // per band, tight sidecar min/max), then a pushed filter that can
+    // only be satisfied by a strict subset of them — the scan plans
+    // splits for surviving files only (asserted in AvroSinkSpec); the
+    // oracle is the filtered table, so a wrongly-skipped file loses rows
+    // and hash-mismatches ------------------------------------------------
+    "q_s13_avro_skipping" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro_banded"
+      AvroSink.write(
+        T(s, dir, "nation").repartitionByRange(4, col("n_nationkey")),
+        p, overwrite = true)
+      s.read.format("graft-avro").load(p)
+        .where(col("n_nationkey") >= 5 && col("n_nationkey") <= 11)
         .orderBy("n_nationkey")
     }),
 

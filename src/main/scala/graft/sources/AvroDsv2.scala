@@ -217,6 +217,90 @@ private[sources] object AvroFilters {
   }
 }
 
+/** Sidecar zone-map pruning for the graft-avro scan: [[AvroSink]] writes
+  * `<file>.stats.json` (per-column min/max/nulls + row count); at
+  * planning time [[AvroScan]] consults them and drops whole files whose
+  * ranges cannot satisfy the pushed filters. All decisions are
+  * CONSERVATIVE — missing sidecar, missing column stats, or an
+  * unsupported predicate shape mean "read the file"; only a provably
+  * unsatisfiable range skips, so pruning can never lose a row.
+  */
+private[sources] object AvroStats {
+  /** min/max as Option (absent when the file has no non-null value);
+    * doubles for numerics, strings compared as strings.
+    */
+  final case class Col(minD: Option[Double], maxD: Option[Double],
+      minS: Option[String], maxS: Option[String], nulls: Long)
+  final case class FileStats(rows: Long, cols: Map[String, Col])
+
+  def read(avroPath: String): Option[FileStats] = try {
+    val p = new Path(s"$avroPath.stats.json")
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root = try
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      val cols = Option(root.get("cols")).map { cn =>
+        cn.fields().asScala.map { e =>
+          val v = e.getValue
+          val (minD, maxD, minS, maxS) =
+            (Option(v.get("min")), Option(v.get("max"))) match {
+              case (Some(mn), Some(mx)) if mn.isTextual =>
+                (None, None, Some(mn.asText), Some(mx.asText))
+              case (Some(mn), Some(mx)) =>
+                (Some(mn.asDouble), Some(mx.asDouble), None, None)
+              case _ => (None, None, None, None)
+            }
+          e.getKey -> Col(minD, maxD, minS, maxS,
+            Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
+        }.toMap
+      }.getOrElse(Map.empty[String, Col])
+      Some(FileStats(Option(root.get("rows")).map(_.asLong).getOrElse(0L), cols))
+    }
+  } catch { case _: Throwable => None } // unreadable sidecar: never skip
+
+  /** Could ANY row of a file with these stats satisfy the filter?
+    * (false ⇒ the whole file is skipped)
+    */
+  def mayMatch(f: Filter, st: FileStats): Boolean = f match {
+    case EqualTo(a, v) => inRange(st, a, v, lowOk = 0, highOk = 0)
+    case GreaterThan(a, v) => cmpMax(st, a, v).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmpMax(st, a, v).forall(_ >= 0)
+    case LessThan(a, v) => cmpMin(st, a, v).forall(_ < 0)
+    case LessThanOrEqual(a, v) => cmpMin(st, a, v).forall(_ <= 0)
+    case In(a, vs) => vs.exists(v => inRange(st, a, v, 0, 0))
+    case IsNull(a) => st.cols.get(a).forall(_.nulls > 0)
+    case IsNotNull(a) => st.cols.get(a).forall(c =>
+      st.rows == 0 || c.nulls < st.rows)
+    case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+    case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+    case _ => true
+  }
+
+  // None = stats unavailable for a definite verdict (⇒ caller keeps file)
+  private def cmpMin(st: FileStats, a: String, v: Any): Option[Int] =
+    st.cols.get(a).flatMap { c =>
+      (c.minD, c.minS, v) match {
+        case (Some(m), _, n: Number) => Some(java.lang.Double.compare(m, n.doubleValue()))
+        case (_, Some(m), s: String) => Some(m.compareTo(s))
+        case _ => None
+      }
+    }
+  private def cmpMax(st: FileStats, a: String, v: Any): Option[Int] =
+    st.cols.get(a).flatMap { c =>
+      (c.maxD, c.maxS, v) match {
+        case (Some(m), _, n: Number) => Some(java.lang.Double.compare(m, n.doubleValue()))
+        case (_, Some(m), s: String) => Some(m.compareTo(s))
+        case _ => None
+      }
+    }
+  private def inRange(st: FileStats, a: String, v: Any,
+      lowOk: Int, highOk: Int): Boolean =
+    cmpMin(st, a, v).forall(_ <= lowOk) && cmpMax(st, a, v).forall(_ >= highOk)
+}
+
 private[sources] class AvroTable(schema: StructType,
     files: Seq[(String, Long)], splitBytes: Long)
   extends Table with SupportsRead {
@@ -256,13 +340,31 @@ private[graft] class AvroScan(required: StructType,
     s"graft-avro ${files.size} file(s), ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { case (path, len) =>
+  /** (surviving, total) file counts after sidecar pruning — exposed for
+    * the zone-map audit tests. */
+  @volatile private[sources] var lastPlanned: (Int, Int) = (0, 0)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // sidecar zone-map pruning: with pushed filters, a file whose
+    // stats prove no row can match is dropped BEFORE split planning —
+    // at 100 TB this is the difference between listing-and-skipping and
+    // opening every container in the feed
+    val surviving =
+      if (pushed.isEmpty) files
+      else files.filter { case (path, _) =>
+        AvroStats.read(path) match {
+          case Some(st) => pushed.forall(AvroStats.mayMatch(_, st))
+          case None => true // no/unreadable sidecar: never skip
+        }
+      }
+    lastPlanned = (surviving.size, files.size)
+    surviving.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
         AvroSplit(path, i * step, math.min(len, (i + 1) * step))
       }
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required.fieldNames, pushed)
