@@ -4637,6 +4637,35 @@ object OracleSql {
         |WHERE k % 50 = 0
         |ORDER BY snap_version, o_orderkey""".stripMargin,
 
+    // log compaction: the oracle replays AS-OF-3 from the ORIGINAL base
+    // + FULL log (the same lg/s3 DAG as q_merge_timetravel) — the engine
+    // answers from the watermark-2-compacted pair, so any history lost
+    // or duplicated by compaction at/above the watermark hash-mismatches
+    "q_merge_log_compact" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |lg AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS v, 'u' AS op,
+        |      CAST(price + CAST(10.00 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS price
+        |    FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, 2, 'd', NULL FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 3, 'u',
+        |      CAST(price + CAST(1.00 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |    FROM o WHERE k % 3 = 0),
+        |s3 AS (
+        |  SELECT k, price FROM (
+        |    SELECT k, op, price,
+        |        row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM lg WHERE v <= 3) w WHERE rn = 1 AND op = 'u'
+        |  UNION ALL
+        |  SELECT k, price FROM o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lg WHERE lg.k = o.k AND lg.v <= 3))
+        |SELECT k AS o_orderkey, CAST(price AS DOUBLE) + 0.0 AS price
+        |FROM s3 WHERE k % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // fixed-width round trip: the oracle is the source table — the
     // padded serialize + substring parse must be lossless
     "q_s8_fixedwidth" ->

@@ -4255,6 +4255,36 @@ object SparkEntry {
         .orderBy("snap_version", "o_orderkey")
     }),
 
+    // -- CDC log compaction (r15): the q_merge_timetravel log compacted
+    // at watermark v=2 (entries <= 2 folded into a new base, log
+    // truncated to v > 2), then the LATEST state reconstructed from the
+    // compacted pair. The oracle replays the as-of-3 snapshot from the
+    // ORIGINAL base + full log, so compaction must be history-preserving
+    // at and above the watermark. ---------------------------------------
+    "q_merge_log_compact" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val log = o.where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(1L).as("v"), lit("u").as("op"),
+            (col("price") + lit(BigDecimal("10.00"))).cast("decimal(18,2)")
+              .as("price"))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(2L).as("v"), lit("d").as("op"),
+            lit(null).cast("decimal(18,2)").as("price")))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit(3L).as("v"), lit("u").as("op"),
+            (col("price") + lit(BigDecimal("1.00"))).cast("decimal(18,2)")
+              .as("price")))
+      val (newBase, newLog) = Merge.compactLog(o, log, Seq("o_orderkey"),
+        "v", "op", Seq("price"), watermark = 2L)
+      Merge.snapshotAsOf(newBase, newLog, Seq("o_orderkey"), "v", "op",
+          Seq("price"), asOfVersion = 3L)
+        .where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("price").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- incremental join maintenance: signed delta of orders⋈lineitem
     // from CDC batches only (ΔL⋈R + L⋈ΔR + ΔL⋈ΔR, weight = wL·wR) —
     // the bases are never joined to each other. Oracle takes the

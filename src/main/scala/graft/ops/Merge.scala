@@ -285,6 +285,30 @@ object Merge {
     * @param ops    (opCol value) `'u'` upsert / `'d'` delete
     * @return base-shaped rows (keys… ++ valueCols) as of `asOfVersion`
     */
+  /** CDC log compaction (r15): fold every log entry at or below
+    * `watermark` into a new materialized base and truncate the log —
+    * the retention/checkpoint operation that keeps [[snapshotAsOf]]'s
+    * replay cost bounded as a 100 TB log grows without end. The new
+    * base is one [[snapshotAsOf]] at the watermark (per-key struct-max
+    * winner + delta-sized anti-join, never a window over the log); the
+    * new log is a pushed-down version filter, which prunes whole
+    * partitions when the log is laid out version-banded (the
+    * TimeTravelSpec pruning contract).
+    *
+    * Invariant (spec-gated): for every V >= watermark,
+    * `snapshotAsOf(newBase, newLog, …, V) == snapshotAsOf(base, log, …, V)`.
+    * History BELOW the watermark is deliberately gone — that is the
+    * point of retention; pick the watermark at or below the oldest
+    * version any consumer may still time-travel to.
+    *
+    * @return (compacted base, truncated log)
+    */
+  def compactLog(base: DataFrame, log: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String, valueCols: Seq[String],
+      watermark: Long): (DataFrame, DataFrame) =
+    (snapshotAsOf(base, log, keys, versionCol, opCol, valueCols, watermark),
+      log.where(col(versionCol) > watermark))
+
   def snapshotAsOf(base: DataFrame, log: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String, valueCols: Seq[String],
       asOfVersion: Long): DataFrame = {

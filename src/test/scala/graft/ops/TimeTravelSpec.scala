@@ -45,6 +45,23 @@ class TimeTravelSpec extends SparkSpec {
       s"no aggregate in plan:\n$plan")
   }
 
+  test("compaction preserves every snapshot at or above the watermark") {
+    (0L to 4L).foreach { w =>
+      val (nb, nl) = Merge.compactLog(base, log, Seq("k"), "v", "op",
+        Seq("price"), watermark = w)
+      (w to 4L).foreach { v =>
+        val got = Merge.snapshotAsOf(nb, nl, Seq("k"), "v", "op",
+            Seq("price"), v)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got === snap(v), s"watermark=$w, asOf=$v diverged")
+      }
+      // and the truncated log is exactly the above-watermark suffix
+      assert(nl.agg(org.apache.spark.sql.functions.min(col("v"))).head()
+        .isNullAt(0) || nl.agg(org.apache.spark.sql.functions.min(col("v")))
+        .head().getLong(0) > w)
+    }
+  }
+
   test("the version predicate PRUNES partitions of a version-banded CDC log") {
     // the 100 TB shape: the log is laid out partitioned by version band,
     // so `v <= asOf` must land in PartitionFilters (files of later bands
