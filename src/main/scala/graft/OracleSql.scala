@@ -4544,6 +4544,18 @@ object OracleSql {
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the
     // verifier
+    // bounded edit-distance join: the oracle is the BRUTE-FORCE all-pairs
+    // ground truth over the distinct (bounded) name set — DuckDB's own
+    // levenshtein as the independent verifier — so the engine's
+    // deletion-neighborhood blocking is recall-gated, not replayed
+    "q_link_editdist" ->
+      """WITH w AS (SELECT DISTINCT lower(s_name) AS w FROM supplier
+        |  WHERE s_name IS NOT NULL AND length(s_name) >= 2),
+        |p AS (SELECT a.w AS w_a, b.w AS w_b, levenshtein(a.w, b.w) AS dist
+        |  FROM w a JOIN w b ON a.w < b.w)
+        |SELECT w_a, w_b, CAST(dist AS INTEGER) AS dist
+        |FROM p WHERE dist <= 1 ORDER BY w_a, w_b""".stripMargin,
+
     "q_link_fuzzy_trigram" ->
       """WITH l0 AS (SELECT DISTINCT lower(substr(md5(text), 1, 12)) AS l_val
         |  FROM documents),

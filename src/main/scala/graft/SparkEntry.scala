@@ -1517,6 +1517,17 @@ object SparkEntry {
         .orderBy("l_val", "r_val")
     }),
 
+    // -- bounded edit-distance join (r15): FastSS/SymSpell deletion-
+    // neighborhood blocking over distinct supplier names — candidates
+    // share a single-deletion variant (one equi-join, never all-pairs),
+    // verified with exact levenshtein <= 1. The ORACLE is the brute-
+    // force all-pairs ground truth, so the hash gates RECALL of the
+    // blocking (a missed pair mismatches), not just precision. ----------
+    "q_link_editdist" -> ((s, dir) =>
+      Harmonize.editDistance1Pairs(
+          T(s, dir, "supplier").select(col("s_name")), "s_name")
+        .orderBy("w_a", "w_b")),
+
     // -- Jaro-Winkler scoring (native graft_jw, codegen'd; DuckDB's own
     // jaro_winkler_similarity is the INDEPENDENT oracle implementation):
     // each customer name vs a tail-swapped twin and vs its neighbor ----

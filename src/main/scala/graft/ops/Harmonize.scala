@@ -109,6 +109,46 @@ object Harmonize {
     *
     * @return (l_val, r_val, jw round-6), threshold applied UNROUNDED
     */
+  /** Bounded edit-distance SELF-join (r15) via FastSS/SymSpell deletion
+    * neighborhoods: every distinct-value pair at Levenshtein distance
+    * <= 1, without an all-pairs compare. If ed(u, v) <= 1 the two
+    * single-deletion neighborhoods (value itself + each one-char
+    * deletion) intersect — substitution at i deletes to the same
+    * string, an insertion deletes to the shorter word, equality is the
+    * value itself — so candidates come from ONE equi-join on the
+    * variant, then the exact `levenshtein` verifies. Recall is 100% by
+    * the neighborhood property (the oracle is the brute-force all-pairs
+    * ground truth, so a blocking miss hash-mismatches).
+    *
+    * Scale shape: variants are generated per DISTINCT value (vocabulary-
+    * bounded, the Tokenize/Zipf argument), |variants| = Σ(len+1); the
+    * join shuffles on the variant string with map-side-combinable
+    * distinct; no pair ever forms across different variant buckets. The
+    * HOF lambda is interpreted — fine, it runs over the distinct set,
+    * never the corpus. `minLen` drops ultra-short values whose empty /
+    * 1-char variants would otherwise bucket half the vocabulary
+    * together (the hub guard — same role as fuzzyJoinTrigram's maxDf).
+    *
+    * @return (w_a, w_b, dist) with w_a < w_b, dist <= 1
+    */
+  def editDistance1Pairs(df: DataFrame, c: String,
+      minLen: Int = 2): DataFrame = {
+    val vals = df.select(lower(col(c)).as("w"))
+      .where(col("w").isNotNull && length(col("w")) >= minLen).distinct()
+    // the word itself + every single-char deletion; substr(w, 1, 0) is ''
+    // and substr(w, len+1, …) is '' on BOTH engines (pos >= 1 throughout,
+    // so the substr-at-nonpositive-pos trap never applies)
+    val variants = vals.withColumn("__var", explode(expr(
+      "array_union(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substr(w, 1, i - 1), substr(w, i + 1, length(w)))))")))
+    variants.select(col("w").as("w_a"), col("__var"))
+      .join(variants.select(col("w").as("w_b"), col("__var")), Seq("__var"))
+      .where(col("w_a") < col("w_b"))
+      .select("w_a", "w_b").distinct()
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+      .where(col("dist") <= 1)
+  }
+
   def fuzzyJoinTrigram(left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String, threshold: Double,
       maxDf: Int = 0): DataFrame = {
