@@ -5088,6 +5088,24 @@ object OracleSql {
         |SELECT t.q, r.v AS estimate, t.sample_n
         |FROM t JOIN r ON t.target = r.rnk ORDER BY t.q""".stripMargin,
 
+    // sketch shard-merge: the engine merges four per-shard bottom-k
+    // summaries; the oracle is the GLOBAL build (same DAG as
+    // q_sketch_quantiles) — closure under union must hold exactly
+    "q_sketch_merge_shards" ->
+      """WITH s AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v, CAST(o_orderkey AS VARCHAR) AS i,
+        |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  ORDER BY h, i LIMIT 500),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, i) AS rnk FROM s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS sample_n FROM s),
+        |t AS (SELECT sample_n, q, CAST(floor(q * (sample_n - 1)) + 1 AS INTEGER) AS target
+        |      FROM n, unnest([CAST(0.1 AS DOUBLE), CAST(0.25 AS DOUBLE),
+        |                      CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+        |                      CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS u(q))
+        |SELECT t.q, r.v AS estimate, t.sample_n
+        |FROM t JOIN r ON t.target = r.rnk ORDER BY t.q""".stripMargin,
+
     // greedy longest-match subword segmentation, replayed with a
     // recursive CTE over DISTINCT words (pos advances >= 1 char per step,
     // so it terminates in max-word-length iterations); per-doc piece

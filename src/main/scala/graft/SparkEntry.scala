@@ -4085,6 +4085,23 @@ object SparkEntry {
           qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("q")),
 
+    // -- bottom-k sketch MERGEABILITY (r15): four disjoint shards each
+    // build their own k=500 summary; the merged summary must estimate
+    // the SAME quantiles as one global build — the oracle replays the
+    // global build, so closure-under-union is hash-gated, not assumed.
+    // This is the shard/day-rollup path: history re-aggregated from
+    // kilobyte summaries, never rescanned. ------------------------------
+    "q_sketch_merge_shards" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val shards = (0 until 4).map(r => graft.ext.Sketches.bottomKSketch(
+        o.where(col("o_orderkey") % 4 === r), "o_totalprice", "o_orderkey",
+        k = 500))
+      graft.ext.Sketches.quantilesFromBottomK(
+          graft.ext.Sketches.mergeBottomK(shards, 500),
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     // -- S4c parquet schema evolution: an old batch without n_comment_len
     // and a new batch with it, merged into one union-schema read ----------
     "q_s4_merge_schema" -> ((s, dir) => {

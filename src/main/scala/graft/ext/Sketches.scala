@@ -242,18 +242,49 @@ object Sketches {
     * @return one row per requested quantile: (q, estimate, sample_n)
     */
   def bottomKQuantiles(df: DataFrame, valueCol: String, idCol: String,
-      k: Int, qs: Seq[Double]): DataFrame = {
+      k: Int, qs: Seq[Double]): DataFrame =
+    quantilesFromBottomK(bottomKSketch(df, valueCol, idCol, k), qs)
+
+  /** The bottom-k SUMMARY itself — (v, i, h), the k rows with the
+    * smallest md5 hash — as a first-class mergeable artifact: build one
+    * per shard/day, store it (k rows, kilobytes), and combine with
+    * [[mergeBottomK]] instead of rescanning history. Deterministic by
+    * the (h, i) total order, so shard-built and globally-built sketches
+    * are bit-identical, not just statistically equivalent.
+    */
+  def bottomKSketch(df: DataFrame, valueCol: String, idCol: String,
+      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      "quantiles must be in [0, 1]")
-    val sample = df
-      .select(col(valueCol).cast("double").as("v"),
+    df.select(col(valueCol).cast("double").as("v"),
         col(idCol).cast("string").as("i"))
       .where(col("v").isNotNull)
       .withColumn("h",
         conv(substring(md5(col("i")), 1, 15), 16, 10).cast("long"))
       .orderBy(col("h"), col("i")).limit(k)
-    // ≤ k rows from here on: the unpartitioned window is bounded by k
+  }
+
+  /** EXACT merge of bottom-k sketches (r15): bottom-k sets are closed
+    * under union — the k smallest hashes of a union are among the
+    * per-shard k smallest — so re-trimming the unioned summaries yields
+    * the SAME sketch a global build would (ids are unique and the (h, i)
+    * order is total, so this is set equality, not approximation; the
+    * q_sketch_merge_shards oracle replays the global build to gate it).
+    * Cost: |shards|·k rows through one TakeOrdered — history-scale
+    * re-aggregation without touching history.
+    */
+  def mergeBottomK(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty && k > 0, "need sketches and k > 0")
+    sketches.reduce(_ unionByName _).orderBy(col("h"), col("i")).limit(k)
+  }
+
+  /** Rank-estimate quantiles off a built/merged bottom-k summary (lower
+    * interpolation, floor(q·(n−1)) — the [[bottomKQuantiles]] tail).
+    * Everything runs on ≤ k rows; the unpartitioned window is bounded.
+    */
+  def quantilesFromBottomK(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val sample = sketch
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"), col("i"))
     val ranked = sample.withColumn("rnk", row_number().over(w))

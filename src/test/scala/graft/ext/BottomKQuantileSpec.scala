@@ -42,6 +42,27 @@ class BottomKQuantileSpec extends SparkSpec {
     assert(direct === merged)
   }
 
+  test("mergeBottomK over the public API equals the global build, even with skewed shards") {
+    import spark.implicits._
+    val all = (1 to 8000).map(i => (i.toLong, (i * 37 % 9001).toDouble)).toDF("id", "v")
+    val k = 250
+    // deliberately skewed shards: one holds ~87% of the rows, one is tiny
+    val shards = Seq(
+      all.where(col("id") % 8 === 0),            // ~12.5%
+      all.where(col("id") % 8 === 1),
+      all.where(col("id") % 8 >= 2))             // ~75%
+      .map(Sketches.bottomKSketch(_, "v", "id", k))
+    val merged = Sketches.mergeBottomK(shards, k)
+    val global = Sketches.bottomKSketch(all, "v", "id", k)
+    assert(merged.select("i").collect().map(_.getString(0)).toSet ===
+      global.select("i").collect().map(_.getString(0)).toSet)
+    val qm = Sketches.quantilesFromBottomK(merged, Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    val qg = Sketches.quantilesFromBottomK(global, Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    assert(qm === qg)
+  }
+
   test("bottomKQuantiles rejects out-of-range quantiles") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("id", "v")
