@@ -102,11 +102,13 @@ object Caches {
     * handed to every later caller verbatim) and BOUNDED (edge lists, pair
     * tables, shrunk remnants — never a raw fact table: pinning raw scans
     * would fake away IO cost that a 100 TB deployment actually pays).
-    * The frame is persisted MEMORY_AND_DISK_SER (serialized in-memory
-    * batches — for the SQL cache the columnar batches are compact either
-    * way, but the SER level keeps the eviction target as small as the
-    * format allows, which matters under the benchmark's observed
-    * BlockManager-eviction pressure) and materialized EAGERLY inside a
+    * The frame is persisted MEMORY_AND_DISK (deserialized — the SQL
+    * cache's CachedBatch blocks are compact columnar byte arrays either
+    * way, and a measured A/B showed the SER level's per-read Java
+    * deserialization cost the heaviest pin consumer ~20% steady time
+    * (q_llm_pipeline 7.7 vs 6.4 s at sf0.1) for no observed eviction
+    * benefit; under memory pressure the DISK tier already bounds loss)
+    * and materialized EAGERLY inside a
     * [[scoped]] block, so intermediates the build itself registers (e.g.
     * nearDupMinhash's shingle stage) are unpersisted the moment the pin
     * is materialized instead of leaking until the next releaseAll. Keys
@@ -151,7 +153,7 @@ object Caches {
         val df =
           try scoped {
             val d = build.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             d.count() // eager: pay the build exactly once, on the first caller
             d
           } catch {
