@@ -3482,6 +3482,31 @@ object OracleSql {
         |SELECT src, CAST(rn AS INTEGER) AS rn, dst, cos
         |FROM k WHERE rn <= 5 ORDER BY src, rn""".stripMargin,
 
+    // mutual-kNN pairs: the SAME k=5 graph CTEs as q_sim_knn_graph, then
+    // the reciprocity self-join — (a, b) survives only when each lists
+    // the other in its top-5; cosine taken from the forward (a < b) edge
+    "q_sim_knn_mutual" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid, e.v,
+        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, v,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn0 FROM d),
+        |w AS (SELECT vec_id, cid, v FROM r WHERE rn0 = 1),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cos
+        |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |k AS (SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p),
+        |g AS (SELECT src, dst, cos FROM k WHERE rn <= 5)
+        |SELECT a.src AS id_a, a.dst AS id_b, a.cos
+        |FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // incremental kNN insert: the oracle is the full-graph REBUILD over
     // base ∪ batch (= the whole embeddings table, same centroids/k as
     // q_sim_knn_graph) — the engine's batch×cluster incremental merge

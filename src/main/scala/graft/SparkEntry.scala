@@ -155,6 +155,26 @@ object SparkEntry {
       Dedup.exactCanonical(q, "text", "doc_id")
     }
 
+  /** The k=5 kNN graph over the embeddings table (md5-smallest-8 fixed
+    * centroids — the q_sim_ivf_assign convention), PINNED per data dir
+    * and shared by q_sim_knn_graph and q_sim_knn_mutual. Bounded by
+    * construction (N·k edge rows), deterministic (fixed centroids,
+    * round-6 cosines, (cos desc, dst) ties) — the pin contract's shape,
+    * and the production shape too: the graph is built once at ingest and
+    * every reader (search, reciprocity filter, clustering) serves from
+    * the materialized edge table.
+    */
+  private def knnGraphK5Pinned(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"knn_graph_k5|$dir") {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      Similarity.knnGraph(emb, "vec_id", "e", cents.toIndexedSeq, k = 5)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- flagship composed pipeline (H1+H2+C1..C5+P1+P2) -----------------
@@ -3065,14 +3085,16 @@ object SparkEntry {
     // IVF cluster (nProbe=1) — the graph-ANN/clustering backbone; same
     // md5-smallest-8 fixed centroids as q_sim_ivf_assign ----------------
     "q_sim_knn_graph" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val cents = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      Similarity.knnGraph(emb, "vec_id", "e", cents.toIndexedSeq, k = 5)
-        .orderBy("src", "rn")
+      knnGraphK5Pinned(s, dir).orderBy("src", "rn")
+    }),
+
+    // -- mutual-kNN pairs (r15): reciprocity filter over the SAME pinned
+    // k=5 graph as q_sim_knn_graph (one build feeds both) — keep (a, b)
+    // only when each lists the other in its top-5; one self-equi-join of
+    // the bounded N·k edge table, the corpus is never revisited ---------
+    "q_sim_knn_mutual" -> ((s, dir) => {
+      Similarity.mutualKnnPairs(knnGraphK5Pinned(s, dir))
+        .orderBy("id_a", "id_b")
     }),
 
     // -- incremental kNN-graph insert (r15): the graph is built over the

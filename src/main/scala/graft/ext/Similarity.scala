@@ -1083,6 +1083,35 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** Mutual (reciprocal) kNN filtering over a [[knnGraph]] edge table:
+    * keep the pair (a, b) only when BOTH directions survived the top-k
+    * trim — a is in b's k nearest AND b is in a's. Reciprocity is the
+    * classic precision filter on directed kNN edges (hubness control:
+    * a hub that everyone lists as a neighbor but that lists none of
+    * them back contributes no mutual edges), and mutual-kNN pairs are
+    * the standard edge set for density-based near-dup clustering over
+    * embeddings.
+    *
+    * Scale shape: ONE self-equi-join of the edge table on the composite
+    * (src, dst) key — the graph is N·k rows (bounded by construction),
+    * both sides pre-filtered to their canonical half (src < dst vs
+    * src > dst), so the join never revisits the corpus or the pair
+    * stage that built the graph. The cosine is taken from the forward
+    * edge; the reverse edge's cosine is the same round-6 value by the
+    * symmetry of [[knnGraph]]'s pair kernel.
+    *
+    * @param graph [[knnGraph]] output (src, rn, dst, cos)
+    * @return (id_a, id_b, cos) with id_a < id_b, one row per mutual pair
+    */
+  def mutualKnnPairs(graph: DataFrame): DataFrame = {
+    val fwd = graph.where(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("cos"))
+    val rev = graph.where(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"))
+    fwd.join(rev, Seq("src", "dst"), "left_semi")
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
+  }
+
   /** Embedding-space geometry audit: the distribution of pairwise
     * cosines over a DETERMINISTIC id-pairing (even id ↔ id+1 — no RNG,
     * no sort, no quadratic pair join), histogrammed into `bins`

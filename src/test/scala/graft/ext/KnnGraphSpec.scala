@@ -44,6 +44,27 @@ class KnnGraphSpec extends SparkSpec {
     df.collect().map(r => (r.getAs[Long]("src"), r.getAs[Int]("rn"),
       r.getAs[Long]("dst"), r.getAs[Double]("cos"))).sortBy(t => (t._1, t._2)).toSeq
 
+  test("mutualKnnPairs keeps exactly the reciprocal edges, canonically ordered") {
+    // k=1 on the 3-node cluster: 1->2, 2->1 (mutual), 3->2 (2's top-1 is
+    // 1, so 3-2 is one-directional); the 2-node cluster is mutual
+    val g = Similarity.knnGraph(vecs, "id", "v", cents, k = 1)
+    val out = Similarity.mutualKnnPairs(g).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out === Set((1L, 2L), (10L, 11L)))
+    // cos rides the forward edge and matches the graph's value
+    val cos12 = Similarity.mutualKnnPairs(g)
+      .where("id_a = 1").collect().head.getAs[Double]("cos")
+    val gCos = g.where("src = 1 AND dst = 2").collect().head.getAs[Double]("cos")
+    assert(cos12 === gCos)
+  }
+
+  test("mutualKnnPairs is a single equi-join over the edge table, never a cartesian") {
+    val g = Similarity.knnGraph(vecs, "id", "v", cents, k = 2)
+    val plan = Similarity.mutualKnnPairs(g).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
   test("incremental insert equals the full rebuild on the real embeddings") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
