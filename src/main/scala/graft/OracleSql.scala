@@ -5973,6 +5973,49 @@ object OracleSql {
         |      / (syy - sy * sy / nd) END, 6) + 0.0 AS r2
         |FROM b""".stripMargin,
 
+    // split-conformal replay: train-split OLS sums in exact DECIMAL with
+    // the q_stats_linreg formula DAG, conformity scores on the calib
+    // split, the k-th order statistic at exact-integer rank
+    // ((n+1)*9+9)//10, realized coverage on the test split
+    "q_ml_conformal" ->
+      """WITH tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_orderkey % 10 < 6),
+        |p AS (SELECT n_train,
+        |    (CAST(n_train AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_train AS DOUBLE) * sxx - sx * sx) AS m,
+        |    (sy - ((CAST(n_train AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_train AS DOUBLE) * sxx - sx * sx)) * sx)
+        |      / CAST(n_train AS DOUBLE) AS b
+        |  FROM tr),
+        |cal AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)
+        |      - (p.b + p.m * CAST(l_quantity AS DOUBLE))) AS r
+        |  FROM lineitem, p
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_orderkey % 10 IN (6, 7)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cal),
+        |rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+        |qv AS (SELECT min(r) AS q FROM rk, nc
+        |  WHERE rn >= ((n_calib + 1) * 9 + 9) // 10),
+        |tst AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)
+        |      - (p.b + p.m * CAST(l_quantity AS DOUBLE))) AS r
+        |  FROM lineitem, p
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_orderkey % 10 >= 8)
+        |SELECT p.n_train, nc.n_calib, CAST(count(*) AS BIGINT) AS n_test,
+        |  round(p.m, 6) + 0.0 AS slope, round(p.b, 6) + 0.0 AS intercept,
+        |  round(qv.q, 6) + 0.0 AS q,
+        |  CAST(count_if(tst.r <= qv.q) AS BIGINT) AS covered,
+        |  round(CAST(count_if(tst.r <= qv.q) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM tst, p, nc, qv
+        |GROUP BY p.n_train, nc.n_calib, p.m, p.b, qv.q""".stripMargin,
+
     // AUC replay: the same Mann–Whitney identity — per-distinct-score
     // (count, positives), cumulative counts in score order, exact-integer
     // 2·rank-sum in HUGEINT, same final double division DAG

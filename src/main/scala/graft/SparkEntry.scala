@@ -4664,6 +4664,19 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double")),
         "score", col("label") >= 5)),
 
+    // -- split-conformal interval (r15): OLS price ~ quantity on orders
+    // hashed 0-5, conformity-score quantile (k = ceil((n+1)*9/10), exact
+    // integer rank over the distributed value-CDF) on orders 6-7,
+    // realized 90%-coverage on orders 8-9 — distribution-free interval
+    // calibration over a scored fact table, nothing collected or
+    // globally sorted -----------------------------------------------------
+    "q_ml_conformal" -> ((s, dir) => {
+      val bucket = col("l_orderkey") % 10
+      graft.ml.Eval.conformalSplit(T(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice",
+        bucket < 6, bucket === 6 || bucket === 7, bucket >= 8)
+    }),
+
     // -- classifier two-sample drift test (r13): train the GD classifier
     // to distinguish sources src10-19 from the rest, report its AUC —
     // ~0.5 means the halves are indistinguishable on these features -----

@@ -354,4 +354,79 @@ object Eval {
         round((pr - qr) * log(pr / qr), 6).as("iv_term"))
       .orderBy("category")
   }
+
+  /** Split-conformal prediction interval (Vovk et al.; the
+    * distribution-free finite-sample coverage recipe): fit a simple OLS
+    * y ~ x on the TRAIN split, take the conformity scores |y − ŷ| on a
+    * held-out CALIBRATION split, and the interval half-width is the
+    * k-th smallest calibration score with k = ⌈(n_cal+1)·cov⌉ — then
+    * ŷ ± q covers a fresh point with probability ≥ cov, no Gaussian
+    * residual assumption. The TEST split reports the realized coverage.
+    *
+    * Scale shape: three disjoint filtered passes over the fact table
+    * (train → one decimal-exact sums aggregate; calibration → the
+    * range-partitioned distributed value-CDF of [[graft.ops.Clean
+    * .valueCdf]], no single-task sort even with corpus-sized
+    * calibration; test → one count aggregate against the broadcast
+    * scalar q). The fitted (slope, intercept) is a one-row broadcast;
+    * nothing collects, nothing windows globally.
+    *
+    * Determinism: coverage is the RATIONAL coverNum/coverDen so the
+    * conformal rank k = ((n_cal+1)·num + den−1) div den is exact
+    * integer arithmetic on both engines (a double ⌈(n+1)·0.9⌉ can land
+    * on either side of an integer); the OLS and residual double DAGs
+    * are shared verbatim with the oracle; q is an order STATISTIC
+    * (smallest value with cum ≥ k), bit-identical across engines.
+    *
+    * Output: one row (n_train, n_calib, n_test, slope, intercept, q,
+    * covered, coverage) — slope/intercept/q/coverage round-6.
+    */
+  def conformalSplit(df: DataFrame, xCol: String, yCol: String,
+      trainPred: Column, calibPred: Column, testPred: Column,
+      coverNum: Int = 9, coverDen: Int = 10): DataFrame = {
+    require(coverNum > 0 && coverDen > coverNum,
+      s"coverage must be a proper fraction: $coverNum/$coverDen")
+    val xd = col(xCol).cast("decimal(18,2)")
+    val yd = col(yCol).cast("decimal(18,2)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val sums = base.where(trainPred)
+      .agg(count(lit(1)).as("n_train"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum((xd * xd).cast("decimal(38,4)")).as("sxx"),
+        sum((xd * yd).cast("decimal(38,4)")).as("sxy"))
+    val n = col("n_train").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    // the q_stats_linreg formula DAG, textually mirrored in the oracle
+    val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b = (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+    // one row; eager localCheckpoint so the 3-value fit materializes in
+    // its own jobs and every consumer broadcasts a literal-sized scan
+    val parms = sums.select(col("n_train"), m.as("__m"), b.as("__b"))
+      .localCheckpoint(true)
+    def scores(pred: Column): DataFrame = base.where(pred)
+      .crossJoin(broadcast(parms))
+      .select(col("n_train"), col("__m"), col("__b"),
+        abs(col(yCol).cast("double") -
+          (col("__b") + col("__m") * col(xCol).cast("double"))).as("__r"))
+    val (cdf, tot) = graft.ops.Clean.valueCdfWithTotals(
+      scores(calibPred), "__r", Seq.empty)
+    // k = ceil((n_cal+1) * num / den) in pure integer arithmetic
+    val kRank = expr(s"((__tot + 1) * $coverNum + ${coverDen - 1}) div $coverDen")
+    val qRow = cdf.crossJoin(broadcast(tot))
+      .where(col("__cum") >= kRank)
+      .agg(min(col("__val")).as("__q"), first(col("__tot")).as("n_calib"))
+      .localCheckpoint(true)
+    scores(testPred)
+      .crossJoin(broadcast(qRow))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        round(first(col("__m")), 6).as("slope"),
+        round(first(col("__b")), 6).as("intercept"),
+        round(first(col("__q")), 6).as("q"),
+        sum(when(col("__r") <= col("__q"), 1L).otherwise(0L)).as("covered"))
+      .withColumn("coverage",
+        round(col("covered").cast("double") / col("n_test").cast("double"), 6))
+  }
 }

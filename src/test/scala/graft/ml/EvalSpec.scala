@@ -182,4 +182,39 @@ class EvalSpec extends SparkSpec {
     assert(rows.forall(r => !r.getAs[Double]("woe").isInfinite &&
       !r.getAs[Double]("woe").isNaN))
   }
+
+  test("conformalSplit: exact fit, k-th order-statistic width, test coverage") {
+    // train lies exactly on y = 2x + 1 (decimal-exact sums -> m = 2, b = 1
+    // bit-exactly), so calibration scores equal the injected deviations
+    val train = (1 to 5).map(x => (x.toDouble, 2.0 * x + 1.0, "tr"))
+    val calib = (1 to 9).map(i => (10.0, 21.0 + i, "ca")) // scores 1..9
+    val tst = Seq((3.0, 7.0 + 5.0, "te"), (4.0, 9.0 + 15.0, "te"))
+    val df = (train ++ calib ++ tst).toDF("x", "y", "split")
+    val r = Eval.conformalSplit(df, "x", "y",
+      col("split") === "tr", col("split") === "ca", col("split") === "te").head()
+    assert(r.getAs[Long]("n_train") === 5L)
+    assert(r.getAs[Long]("n_calib") === 9L)
+    assert(r.getAs[Long]("n_test") === 2L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    // k = ceil((9+1) * 9/10) = 9 -> the 9th smallest score = 9
+    assert(r.getAs[Double]("q") === 9.0)
+    assert(r.getAs[Long]("covered") === 1L)
+    assert(r.getAs[Double]("coverage") === 0.5)
+  }
+
+  test("conformalSplit: rank never exceeds n_cal for a proper fraction") {
+    // n_cal = 4, cover 1/2 -> k = ceil(5/2) = 3 -> q = 3rd smallest
+    val train = (1 to 5).map(x => (x.toDouble, 2.0 * x + 1.0, "tr"))
+    val calib = (1 to 4).map(i => (10.0, 21.0 + i, "ca"))
+    val df = (train ++ calib ++ Seq((1.0, 3.0, "te"))).toDF("x", "y", "split")
+    val r = Eval.conformalSplit(df, "x", "y",
+      col("split") === "tr", col("split") === "ca", col("split") === "te",
+      coverNum = 1, coverDen = 2).head()
+    assert(r.getAs[Double]("q") === 3.0)
+    intercept[IllegalArgumentException] {
+      Eval.conformalSplit(df, "x", "y", lit(true), lit(true), lit(true),
+        coverNum = 3, coverDen = 2)
+    }
+  }
 }
