@@ -2769,6 +2769,34 @@ object OracleSql {
 
     // OLS closed form: DECIMAL power sums, double formula DAG shared
     // verbatim with the Spark side
+    // Theil-Sen replay: daily decimal-exact revenue points, within-month
+    // pair slopes, medians as exact order statistics — value at rank
+    // (n+1)//2 averaged with rank n//2+1 (conditional min over the
+    // cumulative count, same rank arithmetic as the engine)
+    "q_stats_theilsen" ->
+      """WITH d AS (SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+        |    CAST(date_part('day', l_shipdate) AS INTEGER) AS x,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT a.mon, (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM d a JOIN d b ON a.mon = b.mon AND a.x < b.x),
+        |ps AS (SELECT mon, s, row_number() OVER (PARTITION BY mon ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY mon) AS n FROM p),
+        |m AS (SELECT mon, CAST(max(n) AS BIGINT) AS n_pairs,
+        |    (min(CASE WHEN rn >= (n + 1) // 2 THEN s END)
+        |      + min(CASE WHEN rn >= n // 2 + 1 THEN s END)) / 2 AS m
+        |  FROM ps GROUP BY mon),
+        |r AS (SELECT d.mon, d.y - m.m * d.x AS r FROM d JOIN m ON d.mon = m.mon),
+        |rs AS (SELECT mon, r, row_number() OVER (PARTITION BY mon ORDER BY r) AS rn,
+        |    count(*) OVER (PARTITION BY mon) AS n FROM r),
+        |b AS (SELECT mon, CAST(max(n) AS BIGINT) AS n_points,
+        |    (min(CASE WHEN rn >= (n + 1) // 2 THEN r END)
+        |      + min(CASE WHEN rn >= n // 2 + 1 THEN r END)) / 2 AS b
+        |  FROM rs GROUP BY mon)
+        |SELECT m.mon, b.n_points, m.n_pairs,
+        |  round(m.m, 6) + 0.0 AS slope, round(b.b, 6) + 0.0 AS intercept
+        |FROM m JOIN b ON m.mon = b.mon ORDER BY m.mon""".stripMargin,
+
     "q_stats_linreg" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,

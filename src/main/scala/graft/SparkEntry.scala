@@ -2377,6 +2377,21 @@ object SparkEntry {
     // exact DECIMAL so the double formulas (identical DAG in the oracle)
     // are aggregation-order-independent. The grouped moments-method
     // regression — no MLlib, no iterative solver, one shuffle.
+    // -- Theil–Sen robust trend (r15): per ship-month, the median of all
+    // pairwise daily-revenue slopes (and median-residual intercept) —
+    // the 29%-breakdown robust line; points are the bounded daily
+    // rollup (<= 31 per month), pairs a month equi-join, medians exact
+    // order statistics over the distributed value-CDF ------------------
+    "q_stats_theilsen" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val daily = li.groupBy(
+          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+          dayofmonth(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      graft.ml.Eval.theilSen(daily, "d", "rev", Seq("mon"))
+    }),
+
     "q_stats_linreg" -> ((s, dir) => {
       val x = col("l_quantity").cast("decimal(18,2)")
       val y = col("l_extendedprice").cast("decimal(18,2)")

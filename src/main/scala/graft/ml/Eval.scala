@@ -429,4 +429,59 @@ object Eval {
       .withColumn("coverage",
         round(col("covered").cast("double") / col("n_test").cast("double"), 6))
   }
+
+  /** Theil–Sen robust trend per key: slope = median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept = median
+    * of (y_i − m·x_i) — the classic 29.3%-breakdown robust line (Theil
+    * 1950; Sen 1968), immune to outlier days that wreck OLS.
+    *
+    * CONTRACT: `points` must be BOUNDED per key (one row per (key, x) —
+    * e.g. a daily rollup, ≤ 31 points per month) because the pair stage
+    * is quadratic WITHIN a key; the keys themselves can be unbounded.
+    * The pair join is a key equi-join, never a cartesian, and the two
+    * medians run on the distributed value-CDF (conditional-min rank
+    * pick, no per-key sort buffers, no single-task window).
+    *
+    * Median of n values = (v⌊(n+1)/2⌋ + v⌊n/2⌋+1) / 2 (exact order
+    * statistics, averaged middles for even n) — integer ranks, shared
+    * verbatim with the oracle. Keys whose x has fewer than 2 distinct
+    * points yield no pairs and drop from the output.
+    *
+    * @return (keys*, n_points, n_pairs, slope, intercept) round-6
+    */
+  def theilSen(points: DataFrame, xCol: String, yCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "theilSen needs at least one key column")
+    val keys = keyCols.map(col)
+    val x = col(xCol).cast("int"); val y = col(yCol).cast("double")
+    val pts = points.where(x.isNotNull && y.isNotNull)
+      .select(keys :+ x.as("__x") :+ y.as("__y"): _*)
+    val a = pts.select(keys :+ col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
+    val b = pts.select(keys :+ col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
+    val pairs = a.join(b, keyCols).where(col("__xa") < col("__xb"))
+      .select(keys :+
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__s"): _*)
+    def medianBy(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val (cdf, tot) = graft.ops.Clean.valueCdfWithTotals(df, valueCol, keyCols)
+      cdf.join(broadcast(tot), keyCols)
+        .groupBy(keys: _*)
+        .agg(min(when(col("__cum") >= expr("(__tot + 1) div 2"),
+            col("__val"))).as("__v1"),
+          min(when(col("__cum") >= expr("__tot div 2 + 1"),
+            col("__val"))).as("__v2"),
+          first(col("__tot")).as(s"${out}_n"))
+        .select(keys :+ ((col("__v1") + col("__v2")) / 2).as(out) :+
+          col(s"${out}_n"): _*)
+    }
+    val slope = medianBy(pairs, "__s", "__m")
+    val resid = pts.join(broadcast(slope), keyCols)
+      .select(keys :+ (col("__y") - col("__m") * col("__x")).as("__r"): _*)
+    val icept = medianBy(resid, "__r", "__b")
+    slope.join(icept, keyCols)
+      .select(keys ++ Seq(col("__b_n").as("n_points"),
+        col("__m_n").as("n_pairs"),
+        round(col("__m"), 6).as("slope"),
+        round(col("__b"), 6).as("intercept")): _*)
+      .orderBy(keys: _*)
+  }
 }

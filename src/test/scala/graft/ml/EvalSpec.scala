@@ -183,6 +183,28 @@ class EvalSpec extends SparkSpec {
       !r.getAs[Double]("woe").isNaN))
   }
 
+  test("theilSen: median slope/intercept, even-count averaging, per-key") {
+    // slopes: (2-1)/1 = 1, (10-1)/2 = 4.5, (10-2)/1 = 8 -> median 4.5;
+    // residuals y - 4.5x: -3.5, -7, -3.5 -> median -3.5
+    val df = Seq(("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 10.0),
+      ("h", 1, 5.0)).toDF("k", "x", "y")
+    val rows = Eval.theilSen(df, "x", "y", Seq("k")).collect()
+    assert(rows.length === 1) // "h" has a single point: no pairs, dropped
+    val r = rows.head
+    assert(r.getAs[String]("k") === "g")
+    assert(r.getAs[Long]("n_points") === 3L && r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("slope") === 4.5)
+    assert(r.getAs[Double]("intercept") === -3.5)
+  }
+
+  test("theilSen: one outlier cannot move the median slope") {
+    val pts = (1 to 5).map(i => ("g", i, i.toDouble)) :+ (("g", 6, 100.0))
+    val r = Eval.theilSen(pts.toDF("k", "x", "y"), "x", "y", Seq("k")).head()
+    // 10 clean pairs at slope 1, 5 outlier pairs -> median rank 8 of 15 = 1
+    assert(r.getAs[Long]("n_pairs") === 15L)
+    assert(r.getAs[Double]("slope") === 1.0)
+  }
+
   test("conformalSplit: exact fit, k-th order-statistic width, test coverage") {
     // train lies exactly on y = 2x + 1 (decimal-exact sums -> m = 2, b = 1
     // bit-exactly), so calibration scores equal the injected deviations
