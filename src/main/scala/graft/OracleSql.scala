@@ -519,6 +519,72 @@ object OracleSql {
          |  FROM $prev, b$r b)""".stripMargin
     }.mkString(",\n")
 
+  /** Viterbi-segmentation oracle: the engine's lattice shortest path
+    * replayed by plain UNROLLED relaxation — `maxWordLen` dp rounds
+    * (each extends every best path by one lattice edge; shortest-path
+    * VALUES are algorithm-independent, so this meets the engine's
+    * min-plus doubling on identical integers), then the backpointer
+    * table (smallest start j achieving dp[i] — the engine's documented
+    * tie rule) walked backward for `maxWordLen` rounds, prepending
+    * pieces. Vocabulary, costs and caps mirror
+    * [[graft.ext.Tokenize.viterbiSegment]] exactly.
+    */
+  private def viterbiSegmentOracle(maxPieceLen: Int, topV: Int,
+      maxWordLen: Int, minCount: Long, big: Long): String = {
+    val dps = (1 to maxWordLen).map { k =>
+      s"""dp$k AS MATERIALIZED (SELECT word, pos, min(cost) AS cost FROM (
+         |  SELECT word, pos, cost FROM dp${k - 1}
+         |  UNION ALL
+         |  SELECT e.word, e.i AS pos, d.cost + e.ecost AS cost
+         |  FROM dp${k - 1} d JOIN edges e ON d.word = e.word AND d.pos = e.j)
+         | GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    val wks = (1 to maxWordLen).map { k =>
+      s"""wk$k AS MATERIALIZED (SELECT w.word, bp.bj AS pos,
+         |    substr(w.word, CAST(bp.bj + 1 AS INTEGER), CAST(w.pos - bp.bj AS INTEGER)) ||
+         |      (CASE WHEN w.acc = '' THEN '' ELSE ' ' END) || w.acc AS acc
+         |  FROM wk${k - 1} w JOIN bp ON w.word = bp.word AND w.pos = bp.i
+         |  WHERE w.pos > 0
+         |  UNION ALL
+         |  SELECT word, pos, acc FROM wk${k - 1} WHERE pos = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wl AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  WHERE length(word) <= $maxWordLen GROUP BY word),
+       |c0 AS MATERIALIZED (SELECT word, wcnt,
+       |    unnest(generate_series(0, length(word) - 1)) AS j FROM wl),
+       |c1 AS MATERIALIZED (SELECT word, wcnt, j,
+       |    unnest(generate_series(1, least($maxPieceLen, length(word) - j))) AS len
+       |  FROM c0),
+       |cand AS MATERIALIZED (SELECT word, wcnt, j, j + len AS i,
+       |    substr(word, CAST(j + 1 AS INTEGER), CAST(len AS INTEGER)) AS piece
+       |  FROM c1),
+       |pf AS MATERIALIZED (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS pfreq
+       |  FROM cand GROUP BY piece),
+       |v2 AS MATERIALIZED (SELECT piece, pfreq FROM (SELECT piece, pfreq,
+       |    row_number() OVER (ORDER BY pfreq DESC, piece) AS rn
+       |  FROM pf WHERE length(piece) >= 2) WHERE rn <= $topV),
+       |va AS MATERIALIZED (SELECT piece, pfreq FROM v2 UNION ALL
+       |  SELECT piece, pfreq FROM pf WHERE length(piece) = 1),
+       |edges AS MATERIALIZED (SELECT c.word, c.j, c.i, $big - v.pfreq AS ecost
+       |  FROM cand c JOIN va v USING (piece)),
+       |dp0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM wl),
+       |$dps,
+       |bp AS MATERIALIZED (SELECT e.word, e.i, min(e.j) AS bj FROM edges e
+       |  JOIN dp$maxWordLen a ON a.word = e.word AND a.pos = e.j
+       |  JOIN dp$maxWordLen b ON b.word = e.word AND b.pos = e.i
+       |  WHERE a.cost + e.ecost = b.cost GROUP BY e.word, e.i),
+       |wk0 AS MATERIALIZED (SELECT word, CAST(length(word) AS BIGINT) AS pos, '' AS acc
+       |  FROM wl),
+       |$wks
+       |SELECT l.word, l.wcnt,
+       |  CAST(len(string_split(w.acc, ' ')) AS INTEGER) AS n_pieces,
+       |  w.acc AS pieces
+       |FROM wk$maxWordLen w JOIN wl l USING (word)
+       |WHERE w.pos = 0 AND l.wcnt >= $minCount
+       |ORDER BY word""".stripMargin
+  }
+
   private def bpeOracle(numMerges: Int): String = {
     val rounds = bpeRounds(numMerges)
     val out = (1 to numMerges).map(r =>
@@ -4791,6 +4857,9 @@ object OracleSql {
     // BPE merge learning: 8 unrolled trainer rounds (see bpeOracle)
     "q_text_bpe_learn" -> bpeOracle(8),
     "q_text_bpe_segment" -> bpeSegmentOracle(8),
+    "q_text_viterbi_segment" ->
+      viterbiSegmentOracle(maxPieceLen = 4, topV = 200, maxWordLen = 16,
+        minCount = 5L, big = 1000000000000L),
 
     // RAKE keywords: stopword-run segmentation via cumulative window,
     // degree/freq word scores, per-instance ordered score fold

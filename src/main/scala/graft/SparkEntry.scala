@@ -3933,6 +3933,15 @@ object SparkEntry {
           "doc_id", numMerges = 8)
         .orderBy("doc_id")),
 
+    // -- optimal subword segmentation (r15): lattice shortest path over
+    // the distinct-word table — fewest pieces, ties to the highest total
+    // piece frequency, vocab = top-200 substrings + the single-char
+    // fallback tier; the DP is min-plus path DOUBLING (ceil(log2 16) = 4
+    // self-join rounds) and the piece strings come from pointer doubling
+    // over the backpointer table — O(log L) shuffle rounds end to end ---
+    "q_text_viterbi_segment" -> ((s, dir) =>
+      graft.ext.Tokenize.viterbiSegment(T(s, dir, "documents"), "text")),
+
     // -- RAKE keyword extraction (phrases between en-stopwords) -----------
     "q_text_rake" -> ((s, dir) =>
       TextAnalysis.rakeKeywords(T(s, dir, "documents"), "text", "doc_id",

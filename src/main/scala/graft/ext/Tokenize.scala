@@ -205,6 +205,142 @@ object Tokenize {
           .otherwise(round(col("n_fallback").cast("double") / col("n_pieces"), 6))
           .as("fallback_rate"))
 
+  /** Optimal subword segmentation as a lattice shortest path (Viterbi
+    * DP) with exact integer costs: segment every distinct corpus word
+    * into the FEWEST pieces, breaking ties toward the highest total
+    * piece frequency — each lattice edge (j, i) costs `big − freq(w[j..i])`,
+    * so minimizing the additive cost orders by piece count first (big
+    * dominates any frequency sum) and by −Σfreq second. The vocabulary
+    * is data-derived: the top `topV` substrings of length 2..maxPieceLen
+    * by corpus occurrence weight (ties to the lexicographically smaller
+    * piece) plus EVERY single character (the always-available fallback
+    * tier), so concat(pieces) == word holds for every word. Unlike
+    * [[segmentWord]]'s greedy longest-match (which can strand a suffix:
+    * take "abcd" with vocab {a, bcd, ab}: greedy eats "ab" and shatters
+    * "cd"; the DP finds a+bcd), the lattice path is globally optimal.
+    *
+    * Scale shape: everything after the word count runs on the DISTINCT-
+    * word table (Zipf-bounded; corpus rows are touched once); the
+    * lattice has ≤ maxWordLen·maxPieceLen edges per word; and the DP is
+    * min-plus PATH DOUBLING — R_{k+1}(j,i) = min(R_k(j,i),
+    * min_m R_k(j,m) + R_k(m,i)) — so covering maxWordLen pieces takes
+    * ⌈log₂ maxWordLen⌉ self-join rounds, not maxWordLen sequential
+    * relaxations; the piece-string reconstruction is pointer doubling
+    * over the backpointer table (the same ⌈log₂⌉ rounds). O(log L)
+    * shuffle rounds end to end — the shape that survives a cluster
+    * where per-stage latency, not per-row work, dominates.
+    *
+    * Determinism: costs are exact integers; the backpointer at position
+    * i is the SMALLEST start j achieving dp[i] (documented tie rule).
+    * The oracle replays the same final dp by plain unrolled relaxation —
+    * shortest-path VALUES are algorithm-independent, so doubling here
+    * and linear relaxation there meet on identical numbers.
+    *
+    * Words longer than maxWordLen are excluded from the lattice and the
+    * vocabulary weights (the far Zipf tail; a production run raises the
+    * cap). `big` must exceed any piece frequency (10¹² here — raise it
+    * with corpus scale; costs stay ≤ maxWordLen·big, far under Long.Max).
+    *
+    * @return (word, wcnt, n_pieces, pieces) for words with
+    *   wcnt >= minWordCount; pieces space-joined left to right
+    */
+  def viterbiSegment(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topV: Int = 200, maxWordLen: Int = 16,
+      minWordCount: Long = 5L, big: Long = 1000000000000L): DataFrame = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
+    require(maxWordLen >= maxPieceLen, "maxWordLen must cover maxPieceLen")
+    val spark = df.sparkSession
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // eager checkpoint + RDD rebuild: severs lineage AND the origin plan's
+    // constraints (the clusterNearDups pattern — repeated self-joins over
+    // checkpointed unions otherwise crash constraint rewriting)
+    def sever(d: DataFrame): DataFrame = {
+      val c = d.localCheckpoint(true)
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    val words = graft.Caches.register(df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .where(length(col("word")) <= maxWordLen)
+      .persist(mad))
+    // every (word, start, len) substring occurrence — the lattice edge
+    // candidates AND the vocabulary weight rows (one table, two reads)
+    val cand = graft.Caches.register(words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("j"))
+      .select(col("word"), col("wcnt"), col("j"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("j")))).as("len"))
+      .select(col("word"), col("wcnt"), col("j"),
+        (col("j") + col("len")).as("i"),
+        expr("substring(word, j + 1, len)").as("piece"))
+      .persist(mad))
+    val pfreq = cand.groupBy("piece").agg(sum("wcnt").as("pfreq"))
+    val vocab = pfreq.where(length(col("piece")) >= 2)
+      .orderBy(col("pfreq").desc, col("piece")).limit(topV)
+      .unionByName(pfreq.where(length(col("piece")) === 1))
+    val edges = graft.Caches.register(cand
+      .join(broadcast(vocab), Seq("piece"))
+      .select(col("word"), col("j"), col("i"),
+        (lit(big) - col("pfreq")).as("ecost"))
+      .persist(mad))
+    val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(maxWordLen - 1))
+    // min-plus doubling: after round k, r holds the best cost over paths
+    // of <= 2^k pieces for every reachable (word, j, i) interval
+    var r = edges
+    for (_ <- 1 to rounds) {
+      val a = r.select(col("word"), col("j"),
+        col("i").as("__m"), col("ecost").as("__c1"))
+      val b = r.select(col("word"), col("j").as("__m"),
+        col("i"), col("ecost").as("__c2"))
+      val comp = a.join(b, Seq("word", "__m"))
+        .select(col("word"), col("j"), col("i"),
+          (col("__c1") + col("__c2")).as("ecost"))
+      r = sever(r.unionByName(comp)
+        .groupBy("word", "j", "i").agg(min("ecost").as("ecost")))
+    }
+    val dp = sever(r.where(col("j") === 0)
+      .select(col("word"), col("i").as("pos"), col("ecost").as("cost"))
+      .unionByName(words.select(col("word"),
+        lit(0).as("pos"), lit(0L).as("cost"))))
+    // backpointer: the smallest start j whose edge closes dp[i] exactly
+    val bp = sever(edges
+      .join(dp.select(col("word"), col("pos").as("j"),
+        col("cost").as("__ca")), Seq("word", "j"))
+      .join(dp.select(col("word"), col("pos").as("i"),
+        col("cost").as("__cb")), Seq("word", "i"))
+      .where(col("__ca") + col("ecost") === col("__cb"))
+      .groupBy("word", "i").agg(min(col("j")).as("bj")))
+    // pointer doubling: f(i) = (position 2^k backpointer hops earlier,
+    // the pieces crossed, in order); the identity at 0 saturates shorter
+    // paths so every position lands on dest = 0
+    var f = sever(bp
+      .select(col("word"), col("i"), col("bj").as("dest"),
+        expr("substring(word, bj + 1, i - bj)").as("str"))
+      .unionByName(words.select(col("word"), lit(0).as("i"),
+        lit(0).as("dest"), lit("").as("str"))))
+    for (_ <- 1 to rounds) {
+      val hi = f.select(col("word"), col("i"),
+        col("dest").as("__m"), col("str").as("__shi"))
+      val lo = f.select(col("word"), col("i").as("__m"),
+        col("dest"), col("str").as("__slo"))
+      f = sever(hi.join(lo, Seq("word", "__m"))
+        .select(col("word"), col("i"), col("dest"),
+          when(col("__slo") === "", col("__shi"))
+            .when(col("__shi") === "", col("__slo"))
+            .otherwise(concat(col("__slo"), lit(" "), col("__shi")))
+            .as("str")))
+    }
+    f.where(col("dest") === 0)
+      .join(words, Seq("word"))
+      .where(col("i") === length(col("word")) &&
+        col("wcnt") >= minWordCount)
+      .select(col("word"), col("wcnt"),
+        size(split(col("str"), " ")).as("n_pieces"),
+        col("str").as("pieces"))
+      .orderBy("word")
+  }
+
   /** Corpus piece frequencies under the same segmentation: one row per
     * piece with total occurrences (weighted by word frequency) and the
     * number of distinct words it appears in — the "which merges earn

@@ -96,4 +96,77 @@ class TokenizeSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Tokenize.learnBpeMerges(empty, "text", "doc_id", 3).count() == 0L)
   }
+
+  /** Reference DP mirroring viterbiSegment's objective exactly: fewest
+    * pieces, tie-break max Σfreq (cost = big - freq per edge), backpointer
+    * = smallest start j achieving dp[i].
+    */
+  private def refSegment(word: String, freq: Map[String, Long],
+      vocab2: Set[String], maxPieceLen: Int, big: Long): Seq[String] = {
+    val L = word.length
+    val dp = Array.fill(L + 1)(Long.MaxValue); dp(0) = 0L
+    val bp = Array.fill(L + 1)(-1)
+    for (i <- 1 to L; len <- 1 to math.min(maxPieceLen, i)) {
+      val j = i - len
+      val p = word.substring(j, i)
+      val ok = len == 1 || vocab2(p)
+      if (ok && dp(j) != Long.MaxValue) {
+        val c = dp(j) + (big - freq.getOrElse(p, 0L))
+        if (c < dp(i) || (c == dp(i) && j < bp(i))) { dp(i) = c; bp(i) = j }
+      }
+    }
+    var i = L; var acc = List.empty[String]
+    while (i > 0) { acc = word.substring(bp(i), i) :: acc; i = bp(i) }
+    acc
+  }
+
+  test("viterbiSegment matches a reference lattice DP word for word") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd abcd bcd bcd bcd scanner window merge"),
+      (2L, "window window merge scanner bcd ab ab"),
+      (3L, "the customer table stream query abcd")).toDF("doc_id", "text")
+    val out = Tokenize.viterbiSegment(docs, "text",
+        maxPieceLen = 4, topV = 10, maxWordLen = 16, minWordCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    // rebuild the same vocab the engine derives: all substrings of
+    // length <= 16 words, weighted by occurrences, top-10 of len >= 2
+    val words = docs.select(org.apache.spark.sql.functions.explode(
+        graft.ext.TextAnalysis.tokens(org.apache.spark.sql.functions.col("text"))))
+      .as[String].collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._1.length <= 16)
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; j <- 0 until w.length;
+         len <- 1 to math.min(4, w.length - j)) {
+      val p = w.substring(j, j + len)
+      freq(p) = freq.getOrElse(p, 0L) + c
+    }
+    val vocab2 = freq.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(10).map(_._1).toSet
+    for ((w, c) <- words) {
+      val expected = refSegment(w, freq.toMap, vocab2, 4, 1000000000000L)
+      val (wcnt, np, pieces) = out(w)
+      assert(wcnt === c, s"wcnt for $w")
+      assert(pieces === expected.mkString(" "), s"segmentation of $w")
+      assert(np === expected.length, s"n_pieces of $w")
+      assert(pieces.replace(" ", "") === w, s"concat(pieces) != $w")
+    }
+  }
+
+  test("viterbiSegment beats greedy longest-match where greedy strands a suffix") {
+    import spark.implicits._
+    // len>=2 piece freqs: ab/bc/bcd/cd all 7, abc/abcd 1; topV = 3 keeps
+    // {ab, bc, bcd} (tie breaks ascending) and EXCLUDES cd — greedy
+    // longest-match on "abcd" would take "ab" then shatter "cd" into
+    // two fallback chars (3 pieces); the DP finds a + bcd (2 pieces)
+    val docs = Seq((1L, ("ab " * 6 + "bcd " * 6 + "abcd").trim))
+      .toDF("doc_id", "text")
+    val out = Tokenize.viterbiSegment(docs, "text",
+        maxPieceLen = 4, topV = 3, maxWordLen = 16, minWordCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out("abcd") === "a bcd")
+    assert(out("ab") === "ab")
+    assert(out("bcd") === "bcd")
+  }
 }
