@@ -439,8 +439,9 @@ object Eval {
     * e.g. a daily rollup, ≤ 31 points per month) because the pair stage
     * is quadratic WITHIN a key; the keys themselves can be unbounded.
     * The pair join is a key equi-join, never a cartesian, and the two
-    * medians run on the distributed value-CDF (conditional-min rank
-    * pick, no per-key sort buffers, no single-task window).
+    * medians are per-key sorted-array order statistics — correct
+    * because the contract bounds per-key state; keys scale out through
+    * the groupBy.
     *
     * Median of n values = (v⌊(n+1)/2⌋ + v⌊n/2⌋+1) / 2 (exact order
     * statistics, averaged middles for even n) — integer ranks, shared
@@ -454,29 +455,41 @@ object Eval {
     require(keyCols.nonEmpty, "theilSen needs at least one key column")
     val keys = keyCols.map(col)
     val x = col(xCol).cast("int"); val y = col(yCol).cast("double")
-    val pts = points.where(x.isNotNull && y.isNotNull)
+    // persisted: the (key, x) point table is bounded by contract and
+    // feeds THREE consumers (pair slopes, residuals, and the pair join's
+    // second side) — without the pin each median pass re-derives the
+    // caller's upstream rollup from the fact table
+    val pts = graft.Caches.register(points
+      .where(x.isNotNull && y.isNotNull)
       .select(keys :+ x.as("__x") :+ y.as("__y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = pts.select(keys :+ col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
     val b = pts.select(keys :+ col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
     val pairs = a.join(b, keyCols).where(col("__xa") < col("__xb"))
       .select(keys :+
         ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__s"): _*)
-    def medianBy(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val (cdf, tot) = graft.ops.Clean.valueCdfWithTotals(df, valueCol, keyCols)
-      cdf.join(broadcast(tot), keyCols)
-        .groupBy(keys: _*)
-        .agg(min(when(col("__cum") >= expr("(__tot + 1) div 2"),
-            col("__val"))).as("__v1"),
-          min(when(col("__cum") >= expr("__tot div 2 + 1"),
-            col("__val"))).as("__v2"),
-          first(col("__tot")).as(s"${out}_n"))
-        .select(keys :+ ((col("__v1") + col("__v2")) / 2).as(out) :+
-          col(s"${out}_n"): _*)
-    }
-    val slope = medianBy(pairs, "__s", "__m")
+    // per-key values are BOUNDED by the contract (<= n_points² / 2), so
+    // a sorted-array median is the right shape: one aggregate, exact
+    // order statistics by index — the distributed value-CDF would spend
+    // ~15 local-mode jobs per median on range exchanges this small-state
+    // aggregate never needs (measured vs the CDF variant on the monthly
+    // lineitem rollup)
+    def medianBy(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(sort_array(collect_list(col(valueCol))).as("__a"))
+        .select(keys ++ Seq(
+          ((element_at(col("__a"),
+              expr("CAST((size(__a) + 1) div 2 AS INT)")) +
+            element_at(col("__a"),
+              expr("CAST(size(__a) div 2 + 1 AS INT)"))) / 2).as(out),
+          size(col("__a")).cast("long").as(s"${out}_n")): _*)
+    // keys-sized (one row per key): eager-checkpoint so the pair-CDF
+    // subtree runs ONCE instead of once per consumer (the residual
+    // broadcast and the final join both read it)
+    val slope = medianBy(pairs, "__s", "__m").localCheckpoint(true)
     val resid = pts.join(broadcast(slope), keyCols)
       .select(keys :+ (col("__y") - col("__m") * col("__x")).as("__r"): _*)
-    val icept = medianBy(resid, "__r", "__b")
+    val icept = medianBy(resid, "__r", "__b").localCheckpoint(true)
     slope.join(icept, keyCols)
       .select(keys ++ Seq(col("__b_n").as("n_points"),
         col("__m_n").as("n_pairs"),
