@@ -1068,6 +1068,22 @@ object OracleSql {
         |  ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 20 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // interval overlap join: plain predicate join in DuckDB (single
+    // node affords it); [lo, hi) overlap iff a_lo < b_hi AND b_lo < a_hi
+    "q_join_interval" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS a_lo,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS a_hi
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS b_lo,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS b_hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, count(*) AS n_overlaps,
+        |  CAST(sum(epoch_us(least(a_hi, b_hi)) - epoch_us(greatest(a_lo, b_lo)))
+        |    AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
     "q_window_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |w AS (

@@ -650,6 +650,30 @@ object SparkEntry {
         .orderBy("click_id")
     }),
 
+    // -- interval OVERLAP join (r15): click activity windows [ts, +30m)
+    // vs purchase windows [ts, +45m) per user — both sides explode to
+    // 30-minute grid cells, one shuffled equi-join on (user, cell), and
+    // each matched pair survives only in the cell holding its overlap
+    // START (dedup as a filter, not a distinct); naive Spark plans this
+    // predicate as a nested-loop join ------------------------------------
+    "q_join_interval" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val a = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("a_lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_hi"))
+      val b = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_lo"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("b_hi"))
+      Joins.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          Seq("user_id"), binSeconds = 1800)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(unix_micros(least(col("a_hi"), col("b_hi"))) -
+            unix_micros(greatest(col("a_lo"), col("b_lo"))))
+            .as("overlap_us"))
+        .orderBy("user_id")
+    }),
+
     // sliding (hopping) event-time windows: 1-day span, 12-hour slide
     "q_window_sliding" -> ((s, dir) =>
       T(s, dir, "events")

@@ -230,6 +230,37 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval OVERLAP join — BOTH sides are intervals and a pair matches
+    * when [lLo, lHi) ∩ [rLo, rHi) ≠ ∅ (i.e. lLo < rHi AND rLo < lHi).
+    * The naive predicate join plans as broadcast-nested-loop/cartesian;
+    * here both sides explode to the `binSeconds` grid cells they span
+    * and the join is a plain shuffled equi-join on (keys, cell).
+    *
+    * A pair overlapping several shared cells would duplicate under the
+    * grid join; instead of a distinct over the matched payload, each
+    * pair is kept in exactly ONE canonical cell — the cell containing
+    * the overlap's START, max(lLo, rLo), which both sides' cell ranges
+    * provably contain. Dedup is a filter, not an exchange.
+    *
+    * Pick binSeconds ≈ the typical interval length (cells per row stay
+    * ~2); `keys` bound cell populations at scale. Caller supplies
+    * distinct bound column names on the two sides.
+    */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String, keys: Seq[String],
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binUs = binSeconds * 1000000L
+    def binned(df: DataFrame, lo: String, hi: String) = df.withColumn("__bin",
+      explode(sequence(floor(unix_micros(col(lo)) / binUs).cast("long"),
+        floor(unix_micros(col(hi)) / binUs).cast("long"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), keys :+ "__bin")
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__bin") === floor(unix_micros(greatest(col(lLo), col(rLo)))
+          / binUs).cast("long"))
+      .drop("__bin")
+  }
+
   /** Bloom-filter join pruning: build a Bloom filter over the build side's
     * join key, broadcast it, and pre-filter the probe side BEFORE its
     * shuffle — probe rows with no possible match never leave their scan

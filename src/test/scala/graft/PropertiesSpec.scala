@@ -83,6 +83,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals the direct overlap join, duplicates included") {
+    val g = for {
+      n <- Gen.chooseNum(5, 25)
+      as <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9000L),
+        Gen.chooseNum(1L, 5000L)))
+      bs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9000L),
+        Gen.chooseNum(1L, 5000L)))
+    } yield (as, bs)
+    cases(g, n = 4).foreach { case (as, bs) =>
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val a = as.zipWithIndex
+        .map { case ((k, lo, len), i) => (i.toLong, k, ts(lo), ts(lo + len)) }
+        .toDF("aid", "k", "a_lo", "a_hi")
+      val b = bs.zipWithIndex
+        .map { case ((k, lo, len), i) => (i.toLong, k, ts(lo), ts(lo + len)) }
+        .toDF("bid", "k", "b_lo", "b_hi")
+      // intervals span many 2-second grid cells -> the canonical-cell
+      // dedup is exercised hard; compare as SORTED SEQS so a duplicated
+      // pair (the bug the canonical cell prevents) fails the test
+      val gridded = graft.ops.Joins.intervalOverlapJoin(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", Seq("k"), binSeconds = 2)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      val direct = a.join(b, Seq("k"))
+        .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(gridded == direct, s"gridded=$gridded direct=$direct")
+    }
+  }
+
+  test("intervalOverlapJoin plans as an equi-join, never a nested loop") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val a = Seq((1L, 0L, ts(0), ts(100))).toDF("aid", "k", "a_lo", "a_hi")
+    val b = Seq((1L, 0L, ts(50), ts(150))).toDF("bid", "k", "b_lo", "b_hi")
+    val plan = graft.ops.Joins.intervalOverlapJoin(a, "a_lo", "a_hi",
+      b, "b_lo", "b_hi", Seq("k"), binSeconds = 60)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
   test("zscore: |mean| < eps and population std is 0 or 1") {
     cases(vecGen.map(_.flatten).suchThat(_.size > 1)).foreach { xs =>
       val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "v")
