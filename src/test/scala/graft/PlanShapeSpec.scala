@@ -65,7 +65,10 @@ class PlanShapeSpec extends SparkSpec {
     // join-side shuffle regression bumps the count and goes red)
     "q_s11_avro_pushdown", "q_sim_knn_insert",
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q19",
-    "q_layout_bucketed")
+    "q_layout_bucketed",
+    // r15 late additions: the round's second operator wave
+    "q_sim_knn_mutual", "q_ml_conformal", "q_stats_theilsen",
+    "q_text_viterbi_segment", "q_join_interval")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
