@@ -4656,6 +4656,11 @@ object OracleSql {
     "q_s11_avro_dsv2" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // DSv2 Avro streaming tail: two container files drained through the
+    // watermark offset protocol must reassemble the table exactly
+    "q_s14_avro_stream" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // DSv2 Avro filter pushdown: same container round trip, filtered —
     // the oracle sees the table, so a scan that wrongly skips (or keeps)
     // a record under the pushed predicate hash-mismatches

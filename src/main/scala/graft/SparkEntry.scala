@@ -155,6 +155,12 @@ object SparkEntry {
       Dedup.exactCanonical(q, "text", "doc_id")
     }
 
+  /** Monotone id for streaming-query fixtures (fresh memory-sink name +
+    * checkpoint per invocation — the tail protocol is exactly-once per
+    * checkpoint, and the bench repeats queries).
+    */
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The k=5 kNN graph over the embeddings table (md5-smallest-8 fixed
     * centroids — the q_sim_ivf_assign convention), PINNED per data dir
     * and shared by q_sim_knn_graph and q_sim_knn_mutual. Bounded by
@@ -342,6 +348,35 @@ object SparkEntry {
       Avro.write(T(s, dir, "nation").orderBy("n_nationkey"), f)
       s.read.format("graft-avro").option("graft.splitbytes", 256)
         .load(f).orderBy("n_nationkey")
+    }),
+
+    // -- S14 DSv2 Avro streaming TAIL (r15): the same table serves
+    // readStream as a MICRO_BATCH_READ source — nation lands as two
+    // container files, one AvailableNow run drains them through the
+    // file-name-watermark offset protocol into a memory sink; the scan
+    // path (sync splits, pruning, record filters) is the batch one ------
+    "q_s14_avro_stream" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro_stream"
+      new java.io.File(p).mkdirs()
+      val n = T(s, dir, "nation")
+      Avro.write(n.where(col("n_nationkey") < 12).orderBy("n_nationkey"),
+        s"$p/b0.avro")
+      Avro.write(n.where(col("n_nationkey") >= 12).orderBy("n_nationkey"),
+        s"$p/b1.avro")
+      // fresh checkpoint + sink per invocation: the tail protocol is
+      // exactly-once per checkpoint, and the bench runs the query twice
+      val run = streamRunCounter.incrementAndGet()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_avro_stream_ckpt").toString
+      val sink = s"graft_avro_stream_sink_$run"
+      val q = s.readStream.format("graft-avro")
+        .option("graft.splitbytes", 512).load(p)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("n_nationkey")
     }),
 
     // -- S11b DSv2 Avro scan with FILTER pushdown (r15): the same split

@@ -62,6 +62,10 @@ import scala.jdk.CollectionConverters._
   * this engine writes. `load(dir)` expands to the directory's *.avro
   * files; `graft.splitbytes` overrides the split size (tests force tiny
   * splits to exercise multi-partition reads on small files).
+  *
+  * Streaming (r15): the same table serves `spark.readStream` as a
+  * MICRO_BATCH_READ tail — see [[AvroMicroBatchStream]] for the
+  * file-name-watermark offset protocol.
   */
 class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -80,20 +84,9 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   private def filesOf(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
     val pathStr = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-avro requires a path"))
-    val p = new Path(pathStr)
-    val fs = p.getFileSystem(hadoopConf())
-    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      .flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-        else Seq(st)
-      }
-    val files = statuses
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
+    val files = AvroDsv2.listFiles(pathStr, hadoopConf())
     require(files.nonEmpty, s"no .avro files under $pathStr")
-    files.toIndexedSeq
+    files
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -110,12 +103,33 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new AvroTable(schema,
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-avro requires a path")),
       filesOf(new CaseInsensitiveStringMap(properties)),
       Option(properties.get("graft.splitbytes")).map(_.toLong)
         .getOrElse(32L << 20))
 }
 
 private[sources] object AvroDsv2 {
+  /** Sorted (path, length) listing shared by the batch planner and the
+    * streaming tail's per-trigger re-list. May be empty (the stream
+    * starts before the first file lands).
+    */
+  def listFiles(pathStr: String, conf: Configuration): IndexedSeq[(String, Long)] = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        else Seq(st)
+      }
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+      .toIndexedSeq
+  }
+
   def sparkTypeOf(s: org.apache.avro.Schema): org.apache.spark.sql.types.DataType = {
     import org.apache.avro.Schema.Type._
     import org.apache.spark.sql.types._
@@ -301,19 +315,20 @@ private[sources] object AvroStats {
     cmpMin(st, a, v).forall(_ <= lowOk) && cmpMax(st, a, v).forall(_ >= highOk)
 }
 
-private[sources] class AvroTable(schema: StructType,
+private[sources] class AvroTable(schema: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long)
   extends Table with SupportsRead {
-  override def name(): String = s"graft-avro(${files.head._1}…)"
+  override def name(): String = s"graft-avro($pathStr)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(schema, files, splitBytes)
+    new AvroScanBuilder(schema, pathStr, files, splitBytes)
 }
 
 private[sources] class AvroScanBuilder(fullSchema: StructType,
-    files: Seq[(String, Long)], splitBytes: Long)
+    pathStr: String, files: Seq[(String, Long)], splitBytes: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -328,10 +343,11 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new AvroScan(required, files, splitBytes, pushed)
+  override def build(): Scan =
+    new AvroScan(required, pathStr, files, splitBytes, pushed)
 }
 
-private[graft] class AvroScan(required: StructType,
+private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -344,20 +360,22 @@ private[graft] class AvroScan(required: StructType,
     * the zone-map audit tests. */
   @volatile private[sources] var lastPlanned: (Int, Int) = (0, 0)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // sidecar zone-map pruning: with pushed filters, a file whose
-    // stats prove no row can match is dropped BEFORE split planning —
-    // at 100 TB this is the difference between listing-and-skipping and
-    // opening every container in the feed
+  /** Sidecar zone-map pruning + sync-range split planning, shared by the
+    * batch path and the streaming tail's per-batch file slices.
+    */
+  private[sources] def planSplits(input: Seq[(String, Long)]): Array[InputPartition] = {
+    // with pushed filters, a file whose stats prove no row can match is
+    // dropped BEFORE split planning — at 100 TB this is the difference
+    // between listing-and-skipping and opening every container
     val surviving =
-      if (pushed.isEmpty) files
-      else files.filter { case (path, _) =>
+      if (pushed.isEmpty) input
+      else input.filter { case (path, _) =>
         AvroStats.read(path) match {
           case Some(st) => pushed.forall(AvroStats.mayMatch(_, st))
           case None => true // no/unreadable sidecar: never skip
         }
       }
-    lastPlanned = (surviving.size, files.size)
+    lastPlanned = (surviving.size, input.size)
     surviving.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
@@ -366,8 +384,64 @@ private[graft] class AvroScan(required: StructType,
     }.toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] = planSplits(files)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required.fieldNames, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(this, pathStr)
+}
+
+/** Streaming TAIL over a graft-avro directory — `spark.readStream
+  * .format("graft-avro").load(dir)`: each micro-batch reads exactly the
+  * container files that appeared since the last trigger, planned with
+  * the same sync-marker splits, column pruning, record-level filter
+  * evaluation and sidecar zone-map pruning as the batch scan.
+  *
+  * The offset is a lexicographic FILE-NAME WATERMARK (the greatest path
+  * processed so far): a trigger reads the files in (start, end]. The
+  * protocol therefore requires MONOTONE file names — later files must
+  * sort after earlier ones (time-prefixed or sequence-numbered part
+  * names; [[AvroSink]]'s deterministic part names within one directory
+  * satisfy it per write). A late file sorting at or below the watermark
+  * is ignored — the documented contract (production hardening would be
+  * a FileStreamSource-style seen-files log, at the cost of unbounded
+  * offset state). Exactly-once per file: watermark intervals partition
+  * the name space, so a file belongs to exactly one micro-batch.
+  */
+private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new Configuration()
+  private def watermarkOf(o: Offset): String =
+    o.asInstanceOf[AvroStreamOffset].watermark
+
+  override def initialOffset(): Offset = AvroStreamOffset("")
+  override def latestOffset(): Offset = {
+    val files = AvroDsv2.listFiles(pathStr, conf)
+    AvroStreamOffset(if (files.isEmpty) "" else files.last._1)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = watermarkOf(start); val hi = watermarkOf(end)
+    scan.planSplits(AvroDsv2.listFiles(pathStr, conf)
+      .filter { case (p, _) => p > lo && p <= hi })
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def deserializeOffset(json: String): Offset =
+    AvroStreamOffset(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[String]))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class AvroStreamOffset(watermark: String)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(watermark)
 }
 
 private[sources] case class AvroSplit(path: String, start: Long, end: Long)

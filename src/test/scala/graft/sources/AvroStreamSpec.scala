@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** The graft-avro MICRO_BATCH_READ tail: file-name-watermark offsets,
+  * per-trigger directory re-list, and the same split/prune/filter path
+  * as the batch scan.
+  */
+class AvroStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String, ids: Range): Unit =
+    Avro.write(spark.range(ids.head, ids.last + 1).select(
+      col("id"), (col("id") % 5).cast("int").as("m")), s"$dir/$name")
+
+  /** One AvailableNow run into an append parquet sink (the memory sink
+    * cannot recover a checkpoint, and restart recovery is exactly what
+    * this spec proves). Returns the ids the sink holds afterwards.
+    */
+  private def runOnce(dir: String, ckpt: String, out: String): Seq[Long] = {
+    val q = spark.readStream.format("graft-avro")
+      .option("graft.splitbytes", 512).load(dir)
+      .select("id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).as[Long].collect().sorted.toSeq
+  }
+
+  test("tail reads new files only, exactly once, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_stream").toString
+    val ckpt = s"$dir/_ckpt"; val out = s"$dir/_out"
+    writeBatch(dir, "b0.avro", 0 until 100)
+    assert(runOnce(dir, ckpt, out) === (0L until 100L),
+      "first run reads the initial file")
+
+    // a second run from the SAME checkpoint must append ONLY the new file
+    writeBatch(dir, "b1.avro", 100 until 250)
+    assert(runOnce(dir, ckpt, out) === (0L until 250L),
+      "restart must pick up exactly b1.avro, no re-read, no gap")
+
+    // late-file contract: a name sorting BELOW the watermark is ignored
+    writeBatch(dir, "a9.avro", 900 until 910)
+    assert(runOnce(dir, ckpt, out) === (0L until 250L),
+      "a file sorting at or below the watermark is outside the tail contract")
+  }
+
+  test("stream-side filters and pruning ride the same scan as batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_stream_f").toString
+    writeBatch(dir, "b0.avro", 0 until 200)
+    val q = spark.readStream.format("graft-avro")
+      .option("graft.splitbytes", 512).load(dir)
+      .where(col("m") === 0).select("id")
+      .writeStream.format("memory").queryName("avro_tail_f")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("avro_tail_f").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 200L by 5),
+      "filtered tail must equal the predicate over the batch read")
+  }
+
+  test("offsets round-trip through JSON") {
+    val o = AvroStreamOffset("/some/dir/b17.avro")
+    val back = new AvroMicroBatchStream(
+      new AvroScan(new org.apache.spark.sql.types.StructType(), "/tmp",
+        Seq.empty, 1L, Array.empty), "/tmp")
+      .deserializeOffset(o.json())
+    assert(back === o)
+  }
+}
