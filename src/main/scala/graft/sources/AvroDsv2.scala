@@ -324,11 +324,13 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(schema, pathStr, files, splitBytes)
+    new AvroScanBuilder(schema, pathStr, files, splitBytes,
+      Option(options.get("graft.maxfilespertrigger")).map(_.toInt))
 }
 
 private[sources] class AvroScanBuilder(fullSchema: StructType,
-    pathStr: String, files: Seq[(String, Long)], splitBytes: Long)
+    pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -344,12 +346,14 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new AvroScan(required, pathStr, files, splitBytes, pushed)
+    new AvroScan(required, pathStr, files, splitBytes, pushed,
+      maxFilesPerTrigger)
 }
 
 private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
-    val pushed: Array[Filter]) extends Scan with Batch {
+    val pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -391,7 +395,7 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroMicroBatchStream(this, pathStr)
+    new AvroMicroBatchStream(this, pathStr, maxFilesPerTrigger)
 }
 
 /** Streaming TAIL over a graft-avro directory — `spark.readStream
@@ -411,19 +415,51 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   * offset state). Exactly-once per file: watermark intervals partition
   * the name space, so a file belongs to exactly one micro-batch.
   */
-private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val conf = new Configuration()
   private def watermarkOf(o: Offset): String =
     o.asInstanceOf[AvroStreamOffset].watermark
+
+  // Trigger.AvailableNow: the target is FROZEN at query start so the
+  // drain terminates even while new files keep landing; each capped
+  // batch advances toward it and the query stops at the frozen mark
+  @volatile private var availableNowTarget: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(watermarkOf(latestOffset()))
 
   override def initialOffset(): Offset = AvroStreamOffset("")
   override def latestOffset(): Offset = {
     val files = AvroDsv2.listFiles(pathStr, conf)
     AvroStreamOffset(if (files.isEmpty) "" else files.last._1)
   }
+  /** Admission control: `graft.maxfilespertrigger` bounds how many new
+    * files one micro-batch admits — the backlog lever: a tail starting
+    * against a month of accumulated containers must chunk the catch-up
+    * into bounded batches, not read the whole backlog as one giant one.
+    * Under Trigger.AvailableNow repeated capped batches run until the
+    * frozen target is reached.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = watermarkOf(start)
+    val pending0 = AvroDsv2.listFiles(pathStr, conf).map(_._1).filter(_ > lo)
+    val pending = availableNowTarget
+      .map(t => pending0.filter(_ <= t)).getOrElse(pending0)
+    val capped = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _ => pending
+    }
+    AvroStreamOffset(if (capped.isEmpty) lo else capped.last)
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = watermarkOf(start); val hi = watermarkOf(end)
     scan.planSplits(AvroDsv2.listFiles(pathStr, conf)

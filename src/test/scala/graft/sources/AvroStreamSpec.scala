@@ -63,6 +63,27 @@ class AvroStreamSpec extends SparkSpec {
       "filtered tail must equal the predicate over the batch read")
   }
 
+  test("maxFilesPerTrigger chunks the backlog into capped micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_stream_mf").toString
+    writeBatch(dir, "b0.avro", 0 until 10)
+    writeBatch(dir, "b1.avro", 10 until 20)
+    writeBatch(dir, "b2.avro", 20 until 30)
+    val q = spark.readStream.format("graft-avro")
+      .option("graft.splitbytes", 512)
+      .option("graft.maxfilespertrigger", 1).load(dir)
+      .writeStream.format("memory").queryName("avro_tail_mf")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("avro_tail_mf").select("id").as[Long].collect().sorted
+      .toSeq === (0L until 30L), "the capped tail still drains everything")
+    // one offset-log entry per admitted batch: 3 files at cap 1 -> 3
+    val offsets = new java.io.File(s"$dir/_ckpt/offsets").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(offsets.length >= 3,
+      s"cap 1 over 3 files must take >= 3 micro-batches, got ${offsets.toSeq}")
+  }
+
   test("offsets round-trip through JSON") {
     val o = AvroStreamOffset("/some/dir/b17.avro")
     val back = new AvroMicroBatchStream(
