@@ -2649,6 +2649,47 @@ object OracleSql {
     // Mahalanobis replay: identical exact-decimal sums, identical
     // mean/cov/adjugate-inverse/score double DAG (products commute
     // bitwise; association mirrored term for term)
+    // HBOS replay: identical bin DAG (shared double arithmetic, floor,
+    // least-clamp, constant-feature collapse to bin 0), per-feature bin
+    // counts, left-to-right DOUBLE count product (IEEE-deterministic,
+    // shared with the engine)
+    "q_outlier_hbos" -> {
+      val feats = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val mmSel = feats.map { case (c, a) =>
+        s"min(CAST($c AS DOUBLE)) AS mn_$a, max(CAST($c AS DOUBLE)) AS mx_$a"
+      }.mkString(",\n    ")
+      val binSel = feats.map { case (c, a) =>
+        s"""CASE WHEN mx_$a = mn_$a THEN 0 ELSE
+           |    least(CAST(floor((CAST($c AS DOUBLE) - mn_$a) / (mx_$a - mn_$a) * 16)
+           |      AS BIGINT), 15) END AS bin_$a""".stripMargin
+      }.mkString(",\n  ")
+      val cnts = feats.map { case (_, a) =>
+        s"c$a AS (SELECT bin_$a AS b, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1)"
+      }.mkString(",\n")
+      val joins = feats.map { case (_, a) =>
+        s"JOIN c$a ON bi.bin_$a = c$a.b"
+      }.mkString(" ")
+      val prod = feats.map { case (_, a) => s"CAST(c$a.c AS DOUBLE)" }
+        .mkString(" * ")
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+         |    l_extendedprice, l_discount, l_tax FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         |mm AS (SELECT $mmSel FROM b),
+         |bi AS (SELECT b.*,
+         |  $binSel
+         |  FROM b, mm),
+         |$cnts
+         |SELECT bi.l_orderkey, bi.l_linenumber, bi.l_quantity,
+         |  bi.l_extendedprice, bi.l_discount, bi.l_tax,
+         |  $prod AS rarity
+         |FROM bi $joins
+         |ORDER BY rarity, l_orderkey, l_linenumber, l_quantity,
+         |  l_extendedprice, l_discount, l_tax
+         |LIMIT 20""".stripMargin
+    },
+
     "q_outlier_mahalanobis" ->
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS s1,

@@ -2243,6 +2243,15 @@ object SparkEntry {
     // the query's real cost, and flags-only is what a pipeline consumes
     // -- multivariate Mahalanobis outliers (r13): one exact-decimal stats
     // pass, closed-form 3x3 inverse in-plan, chi2(3) 5% tail flag -------
+    // -- HBOS outliers (r15): assumption-free histogram rarity — per
+    // feature an equal-width 16-bin histogram, a row's score the exact
+    // DECIMAL product of its bin counts (orders identically to the
+    // -log-density sum, no libm); 20 rarest lineitems ------------------
+    "q_outlier_hbos" -> ((s, dir) =>
+      Preprocess.hbosTopK(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        Seq("l_orderkey", "l_linenumber"), bins = 16, k = 20)),
+
     "q_outlier_mahalanobis" -> ((s, dir) => {
       Preprocess.mahalanobisScores(T(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -542,5 +542,68 @@ object Preprocess {
         round(((col("__sc") - y).cast("double") + lit(prior) * g) /
           ((col("__nc") - 1).cast("double") + lit(prior)), 6))
       .drop("__cat", "__sc", "__nc", "__sg", "__ng")
+  }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012),
+    * integer-exact: per feature an equal-width histogram over the
+    * observed [min, max] with `bins` buckets; a row's rarity is the
+    * PRODUCT of its per-feature bin counts (HBOS proper sums
+    * −log density; the product orders identically — no libm in either
+    * engine). Rows with any null feature are excluded (HBOS density is
+    * undefined there). Smallest product = most anomalous.
+    *
+    * Scale shape: one min/max aggregate (one-row broadcast), one melt →
+    * (feature, bin) count aggregate (|cols|·bins rows, broadcast back),
+    * one TakeOrdered for the top-k — the fact table is scanned twice
+    * and never shuffled on row identity. Compare [[outlierFlags]]
+    * (per-feature z) and [[mahalanobisScores]] (joint Gaussian): HBOS
+    * is the assumption-free tier that flags a row rare in EVERY
+    * marginal, at histogram cost.
+    *
+    * @return the `k` lowest-scoring rows: passthrough `keep` columns,
+    *   the features, and `rarity` DECIMAL(38,0)
+    */
+  def hbosTopK(df: DataFrame, cols: Seq[String], keep: Seq[String],
+      bins: Int = 16, k: Int = 20): DataFrame = {
+    require(cols.nonEmpty && bins >= 2 && k >= 1, "need cols, bins>=2, k>=1")
+    val base = df
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select((keep ++ cols).map(col): _*)
+    val mmAggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val mm = base.agg(mmAggs.head, mmAggs.tail: _*)
+    // bin index: identical double DAG on both engines; degenerate
+    // (constant) features collapse to bin 0
+    def binOf(c: String): Column = {
+      val x = col(c).cast("double")
+      val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((x - mn) / (mx - mn) * bins).cast("long"),
+          lit(bins - 1L)))
+    }
+    val binned = base.crossJoin(broadcast(mm))
+      .select((keep ++ cols).map(col) ++
+        cols.map(c => binOf(c).as(s"__bin_$c")): _*)
+    val melted = binned.select(explode(array(cols.map(c =>
+      struct(lit(c).as("__f"), col(s"__bin_$c").as("__b"))): _*)).as("fb"))
+      .select(col("fb.__f").as("__f"), col("fb.__b").as("__b"))
+      .groupBy("__f", "__b").agg(count(lit(1)).as("__c"))
+    val withCounts = cols.foldLeft(binned) { (acc, c) =>
+      acc.join(broadcast(melted.where(col("__f") === c)
+          .select(col("__b").as(s"__bin_$c"), col("__c").as(s"__c_$c"))),
+        Seq(s"__bin_$c"))
+    }
+    // DOUBLE product in fixed left-to-right order (shared verbatim with
+    // the oracle): counts are exact in double up to 2^53 and IEEE
+    // multiplication is deterministic, so both engines produce the same
+    // bits — and the interesting (smallest) products are exact anyway.
+    // A DECIMAL(38,0) product would be exact everywhere but DuckDB
+    // hands >18-digit decimals to the comparator as floats.
+    val rarity = cols.map(c => col(s"__c_$c").cast("double")).reduce(_ * _)
+    withCounts
+      .select((keep ++ cols).map(col) :+ rarity.as("rarity"): _*)
+      .orderBy(col("rarity") +: (keep ++ cols).map(col): _*)
+      .limit(k)
   }
 }
