@@ -2892,6 +2892,33 @@ object OracleSql {
 
     // OLS closed form: DECIMAL power sums, double formula DAG shared
     // verbatim with the Spark side
+    // chi-square replay: same integer cells/marginals, the expected-count
+    // double DAG spelled out at each use exactly as the engine's plan
+    // re-expands it, per-cell terms floored at 1e9 before the integer sum
+    "q_stats_chi2" -> {
+      val e = "(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+         |    CAST(count(*) AS BIGINT) AS o FROM orders
+         |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+         |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+         |t AS (SELECT nn.n, nn.r, nn.c,
+         |    CAST(floor(((CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e)
+         |      / $e) * 1e9) AS BIGINT) AS t9
+         |  FROM cells JOIN rt USING (a) JOIN ct USING (b), nn),
+         |s AS (SELECT n, r, c, CAST(sum(t9) AS BIGINT) AS t9
+         |  FROM t GROUP BY 1, 2, 3)
+         |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+         |  round(CAST(t9 AS DOUBLE) / 1e9, 6) + 0.0 AS chi2,
+         |  round(sqrt(CAST(t9 AS DOUBLE) / 1e9 / (CAST(n AS DOUBLE)
+         |    * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) + 0.0 AS cramers_v
+         |FROM s""".stripMargin
+    },
+
     // Theil-Sen replay: daily decimal-exact revenue points, within-month
     // pair slopes, medians as exact order statistics — value at rank
     // (n+1)//2 averaged with rank n//2+1 (conditional min over the

@@ -2460,6 +2460,14 @@ object SparkEntry {
       graft.ml.Eval.theilSen(daily, "d", "rev", Seq("mon"))
     }),
 
+    // -- chi-square independence + Cramér's V (r15): order status ×
+    // priority — exact integer cell/marginal counts, fixed-point 1e9
+    // χ² cell terms so the fold is order-independent, the statistic is
+    // the contract (p-values need incomplete gamma = libm) -------------
+    "q_stats_chi2" -> ((s, dir) =>
+      graft.ml.Eval.chiSquare(T(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
     "q_stats_linreg" -> ((s, dir) => {
       val x = col("l_quantity").cast("decimal(18,2)")
       val y = col("l_extendedprice").cast("decimal(18,2)")

@@ -430,6 +430,47 @@ object Eval {
         round(col("covered").cast("double") / col("n_test").cast("double"), 6))
   }
 
+  /** Pearson chi-square test of independence for two categorical
+    * columns, plus Cramér's V effect size — the categorical association
+    * screen (the crosstab's inferential companion; mutual information
+    * is the entropy-side counterpart). All inputs are exact integer
+    * cell/marginal counts from ONE grouped aggregate over the fact
+    * table; expected counts and the χ² fold run in a double DAG shared
+    * verbatim with the oracle (the statistic is the contract — p-values
+    * need the incomplete gamma, which differs across libm). Cells are
+    * bounded by the category cross product; the fold over cells happens
+    * at marginal scale, never row scale.
+    *
+    * @return one row (n, r, c, dof, chi2, cramers_v) — chi2/V round-6
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    cells.join(broadcast(rowTot), Seq("__a"))
+      .join(broadcast(colTot), Seq("__b"))
+      .crossJoin(broadcast(n))
+      .select(col("__n"), col("__r"), col("__c"),
+        ((col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e)
+          .as("__t"))
+      .groupBy("__n", "__r", "__c")
+      .agg(sum(floor(col("__t") * 1e9)).cast("decimal(38,0)").as("__t9"))
+      .select(col("__n").as("n"), col("__r").as("r"), col("__c").as("c"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        round(col("__t9").cast("double") / 1e9, 6).as("chi2"),
+        round(sqrt(col("__t9").cast("double") / 1e9 /
+          (col("__n").cast("double") *
+            least(col("__r") - 1, col("__c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** Theil–Sen robust trend per key: slope = median of all pairwise
     * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept = median
     * of (y_i − m·x_i) — the classic 29.3%-breakdown robust line (Theil

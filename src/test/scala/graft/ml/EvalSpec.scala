@@ -183,6 +183,23 @@ class EvalSpec extends SparkSpec {
       !r.getAs[Double]("woe").isNaN))
   }
 
+  test("chiSquare: hand-computed 2x2 statistic, zero under independence") {
+    // cells 10/20/20/10: expected all 15, chi2 = 4 * 25/15 = 6.666...,
+    // each fixed-point term floor(1.6666...e9) -> chi2 6.666667 round-6
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(20)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val r = Eval.chiSquare(rows.toDF("x", "y"), "x", "y").head()
+    assert(r.getAs[Long]("n") === 60L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 6.666667)
+    assert(r.getAs[Double]("cramers_v") === 0.333333)
+    // exact proportionality -> statistic 0
+    val ind = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(20)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))
+    val r2 = Eval.chiSquare(ind.toDF("x", "y"), "x", "y").head()
+    assert(r2.getAs[Double]("chi2") === 0.0)
+  }
+
   test("theilSen: median slope/intercept, even-count averaging, per-key") {
     // slopes: (2-1)/1 = 1, (10-1)/2 = 4.5, (10-2)/1 = 8 -> median 4.5;
     // residuals y - 4.5x: -3.5, -7, -3.5 -> median -3.5
