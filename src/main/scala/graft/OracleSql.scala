@@ -2892,6 +2892,33 @@ object OracleSql {
 
     // OLS closed form: DECIMAL power sums, double formula DAG shared
     // verbatim with the Spark side
+    // Kendall tau-b replay: same daily points, exact concordant /
+    // discordant / y-tie counts, the sqrt denominator DAG shared with
+    // the engine (sqrt is IEEE-correctly-rounded, unlike pow/ln)
+    "q_stats_kendall" ->
+      """WITH d AS (SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+        |    CAST(date_part('day', l_shipdate) AS INTEGER) AS x,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT a.mon,
+        |    CAST(count_if(b.y > a.y) AS BIGINT) AS nc,
+        |    CAST(count_if(b.y < a.y) AS BIGINT) AS nd
+        |  FROM d a JOIN d b ON a.mon = b.mon AND a.x < b.x GROUP BY a.mon),
+        |np AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM d GROUP BY mon),
+        |yt AS (SELECT mon, CAST(sum(c * (c - 1)) AS BIGINT) AS t2 FROM (
+        |    SELECT mon, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY mon, y)
+        |  GROUP BY mon)
+        |SELECT np.mon, np.n_points, cd.nc AS n_concordant,
+        |  cd.nd AS n_discordant,
+        |  round(CASE WHEN sqrt((CAST(np.n_points * (np.n_points - 1) AS DOUBLE) / 2)
+        |      * (CAST(np.n_points * (np.n_points - 1) - yt.t2 AS DOUBLE) / 2)) > 0
+        |    THEN CAST(cd.nc - cd.nd AS DOUBLE)
+        |      / sqrt((CAST(np.n_points * (np.n_points - 1) AS DOUBLE) / 2)
+        |        * (CAST(np.n_points * (np.n_points - 1) - yt.t2 AS DOUBLE) / 2))
+        |    ELSE NULL END, 6) + 0.0 AS tau_b
+        |FROM np JOIN cd USING (mon) JOIN yt USING (mon) ORDER BY mon""".stripMargin,
+
     // chi-square replay: same integer cells/marginals, the expected-count
     // double DAG spelled out at each use exactly as the engine's plan
     // re-expands it, per-cell terms floored at 1e9 before the integer sum

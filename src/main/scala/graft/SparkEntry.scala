@@ -2460,6 +2460,20 @@ object SparkEntry {
       graft.ml.Eval.theilSen(daily, "d", "rev", Seq("mon"))
     }),
 
+    // -- Kendall tau-b (r15): monotone-trend strength of daily revenue
+    // within each ship-month — exact concordant/discordant/tie counts
+    // over the same bounded daily rollup as q_stats_theilsen; only the
+    // final sqrt runs in the shared double DAG ---------------------------
+    "q_stats_kendall" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val daily = li.groupBy(
+          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+          dayofmonth(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      graft.ml.Eval.kendallTau(daily, "d", "rev", Seq("mon"))
+    }),
+
     // -- chi-square independence + Cramér's V (r15): order status ×
     // priority — exact integer cell/marginal counts, fixed-point 1e9
     // χ² cell terms so the fold is order-independent, the statistic is

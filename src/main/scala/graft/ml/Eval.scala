@@ -471,6 +471,55 @@ object Eval {
           .as("cramers_v"))
   }
 
+  /** Kendall's τ-b rank correlation per key — the pair-concordance
+    * companion to Pearson (q_e5) and Spearman (q_e8): over all pairs
+    * with x_i < x_j, count concordant (y rises), discordant (y falls)
+    * and y-tied pairs; τ-b = (C − D) / √(n0 · (n0 − n2)) with
+    * n0 = n(n−1)/2 and n2 = Σ_y c_y(c_y−1)/2 the y-tie correction.
+    * Everything except the final √ DAG is an exact integer count, so
+    * the statistic is order- and partitioning-invariant.
+    *
+    * CONTRACT (shared with [[theilSen]]): `points` is bounded per key
+    * with UNIQUE x per key (e.g. a daily rollup) — so x-tie pairs are
+    * zero (n1 = 0) and the quadratic pair stage is a key equi-join over
+    * key-bounded state; keys scale out through the groupBy. Keys with
+    * fewer than 2 points have no pairs and drop from the output;
+    * all-tied-y keys yield null τ (zero denominator).
+    *
+    * @return (keys*, n_points, n_concordant, n_discordant, tau_b)
+    */
+  def kendallTau(points: DataFrame, xCol: String, yCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "kendallTau needs at least one key column")
+    val keys = keyCols.map(col)
+    val x = col(xCol).cast("int"); val y = col(yCol).cast("double")
+    val pts = graft.Caches.register(points
+      .where(x.isNotNull && y.isNotNull)
+      .select(keys :+ x.as("__x") :+ y.as("__y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = pts.select(keys :+ col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
+    val b = pts.select(keys :+ col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
+    val cd = a.join(b, keyCols).where(col("__xa") < col("__xb"))
+      .groupBy(keys: _*)
+      .agg(sum(when(col("__yb") > col("__ya"), 1L).otherwise(0L)).as("n_concordant"),
+        sum(when(col("__yb") < col("__ya"), 1L).otherwise(0L)).as("n_discordant"))
+    val nPts = pts.groupBy(keys: _*).agg(count(lit(1)).as("n_points"))
+    val yTies = pts.groupBy(keys :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__c") * (col("__c") - 1)).as("__t2")) // = 2·n2
+    val n0x2 = col("n_points") * (col("n_points") - 1) // = 2·n0
+    val denom = sqrt((n0x2.cast("double") / 2) *
+      ((n0x2 - col("__t2")).cast("double") / 2))
+    nPts.join(cd, keyCols).join(yTies, keyCols)
+      .select(keys ++ Seq(col("n_points"), col("n_concordant"),
+        col("n_discordant"),
+        round(when(denom > 0.0,
+          (col("n_concordant") - col("n_discordant")).cast("double") / denom),
+          6).as("tau_b")): _*)
+      .orderBy(keys: _*)
+  }
+
   /** Theil–Sen robust trend per key: slope = median of all pairwise
     * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept = median
     * of (y_i − m·x_i) — the classic 29.3%-breakdown robust line (Theil

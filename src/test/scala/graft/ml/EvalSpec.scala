@@ -183,6 +183,28 @@ class EvalSpec extends SparkSpec {
       !r.getAs[Double]("woe").isNaN))
   }
 
+  test("kendallTau: perfect orders, one swap, tie correction, n<2 drop") {
+    // monotone up -> tau 1; monotone down -> tau -1
+    val up = (1 to 5).map(i => ("u", i, i.toDouble))
+    val dn = (1 to 5).map(i => ("d", i, -i.toDouble))
+    // one adjacent swap of 5: C=9, D=1 -> tau = 8/10 = 0.8
+    val sw = Seq(("s", 1, 1.0), ("s", 2, 3.0), ("s", 3, 2.0),
+      ("s", 4, 4.0), ("s", 5, 5.0))
+    // y ties: (1,1),(2,1),(3,2): C=2, D=0, n0=3, n2=1 -> 2/sqrt(3*2)
+    val ti = Seq(("t", 1, 1.0), ("t", 2, 1.0), ("t", 3, 2.0))
+    val single = Seq(("x", 1, 9.0))
+    val df = (up ++ dn ++ sw ++ ti ++ single).toDF("k", "x", "y")
+    val out = Eval.kendallTau(df, "x", "y", Seq("k")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("u").getAs[Double]("tau_b") === 1.0)
+    assert(out("d").getAs[Double]("tau_b") === -1.0)
+    assert(out("s").getAs[Double]("tau_b") === 0.8)
+    val expT = BigDecimal(2.0 / math.sqrt(3.0 * 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("t").getAs[Double]("tau_b") === expT)
+    assert(!out.contains("x"), "single-point keys have no pairs and drop")
+  }
+
   test("chiSquare: hand-computed 2x2 statistic, zero under independence") {
     // cells 10/20/20/10: expected all 15, chi2 = 4 * 25/15 = 6.666...,
     // each fixed-point term floor(1.6666...e9) -> chi2 6.666667 round-6
