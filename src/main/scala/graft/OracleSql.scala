@@ -3208,6 +3208,40 @@ object OracleSql {
         |  round(st[1] + 7.0 * st[2], 6) AS forecast_7
         |FROM f""".stripMargin,
 
+    // Holt-Winters replay: same init window means, the (2+m)-state fold
+    // with identical element order and dyadic constants (0.5/0.25/0.75
+    // exact in binary), seasonal queue rotated by slice+concat
+    "q_events_holtwinters" ->
+      """WITH d AS (SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      - DATE '2024-01-01' AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+        |    FROM events GROUP BY 1),
+        |a AS (SELECT list(CAST(v AS DOUBLE) ORDER BY t) AS vv,
+        |        CAST(count(*) AS BIGINT) AS n FROM d),
+        |i AS (SELECT n, vv,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_slice(vv, 1, 7)),
+        |      (a2, x) -> a2 + x) / 7 AS m1,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_slice(vv, 8, 14)),
+        |      (a2, x) -> a2 + x) / 7 AS m2
+        |  FROM a WHERE n >= 14),
+        |f AS (SELECT n, list_reduce(
+        |    list_prepend(
+        |      list_concat([m1, (m2 - m1) / 7],
+        |        list_transform(list_slice(vv, 1, 7), x -> x - m1)),
+        |      list_transform(list_slice(vv, 8, n), x -> [x])),
+        |    (acc, x) -> list_concat(list_concat(
+        |      [0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+        |       0.25 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2])) - acc[1])
+        |         + 0.75 * acc[2]],
+        |      list_slice(acc, 4, 9)),
+        |      [0.25 * (x[1] - (0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2])))
+        |        + 0.75 * acc[3]])
+        |  ) AS st FROM i)
+        |SELECT n AS n_points, round(st[1], 6) + 0.0 AS level,
+        |  round(st[2], 6) + 0.0 AS trend,
+        |  round(st[1] + 1.0 * st[2] + st[3], 6) + 0.0 AS forecast_1,
+        |  round(st[1] + 7.0 * st[2] + st[9], 6) + 0.0 AS forecast_p
+        |FROM f""".stripMargin,
+
     // CUSUM changepoint replay: n-scaled integer cusum, argmax by
     // (|S'| desc, t asc), segment means from the same prefix sums
     "q_events_changepoint" ->

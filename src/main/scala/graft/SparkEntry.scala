@@ -2676,6 +2676,20 @@ object SparkEntry {
       Eda.holtSmooth(daily, "t", "cnt")
     }),
 
+    // -- Holt-Winters additive seasonal smoothing (r15): the weekly-
+    // cycle upgrade of q_events_holt on the same daily count series —
+    // (2+m)-element state array rotated through the bounded fold, dyadic
+    // smoothing constants so the IEEE chain is bit-identical in DuckDB's
+    // list_reduce replay -----------------------------------------------
+    "q_events_holtwinters" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
+          col("cnt"))
+      Eda.holtWintersSmooth(daily, "t", "cnt", period = 7)
+    }),
+
     // -- CUSUM changepoint on the daily series, scaled to exact longs --
     "q_events_changepoint" -> ((s, dir) => {
       val daily = T(s, dir, "events")

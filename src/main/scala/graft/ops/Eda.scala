@@ -304,6 +304,81 @@ object Eda {
         .as("forecast_7"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (triple exponential;
+    * Winters 1960 / Hyndman's fpp formulation) — the seasonal upgrade of
+    * [[holtSmooth]] for series with a weekly/periodic cycle:
+    *
+    *   l_t = α(v_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(v_t − l_t) + (1−γ) s_{t−m}
+    *
+    * with the standard init l_m = mean(v₁..v_m), b_m = (mean of the
+    * second period − mean of the first)/m, s_i = v_i − l_m, recurring
+    * from t = m+1; forecast ŷ_{n+h} = l + h·b + s_{n+h−m}.
+    *
+    * Same bounded-series contract as [[holtSmooth]]: the fold runs over
+    * ONE collected row of ≤ series-length values in a defined order.
+    * The state is a (2+m)-element double array [l, b, s_oldest..s_newest]
+    * rotated by slice+concat each step — the exact shape DuckDB's
+    * list_reduce replays element-for-element, so the chained IEEE
+    * arithmetic is bit-identical cross-engine. Default smoothing
+    * constants are DYADIC (0.5, 0.25, 0.25) so 1−β etc. are exact
+    * binary on both sides. Series shorter than 2·period (no init
+    * window) produce no row.
+    *
+    * @return one row: (n_points, level, trend, forecast_1, forecast_p)
+    *   — forecast_p is the full-period-ahead (h = period) forecast
+    */
+  def holtWintersSmooth(series: DataFrame, ordCol: String, valCol: String,
+      period: Int = 7, alpha: Double = 0.5, beta: Double = 0.25,
+      gamma: Double = 0.25): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, "alpha/beta/gamma must be in (0,1)")
+    val m = period
+    val arr = series
+      .select(col(ordCol).cast("long").as("t"),
+        col(valCol).cast("double").as("v"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("__s"))
+      .select(transform(col("__s"), x => x.getField("v")).as("__v"),
+        size(col("__s")).as("n_points"))
+      .where(col("n_points") >= 2 * m)
+    def fsum(a: Column): Column =
+      aggregate(a, lit(0.0), (acc, x) => acc + x)
+    val mean1 = fsum(slice(col("__v"), 1, m)) / m
+    val mean2 = fsum(slice(col("__v"), m + 1, m)) / m
+    val init = concat(
+      array(mean1, (mean2 - mean1) / m),
+      transform(slice(col("__v"), 1, m), x => x - mean1))
+    val rest = transform(
+      slice(col("__v"), lit(m + 1), greatest(size(col("__v")) - m, lit(0))),
+      x => array(x))
+    def lNew(acc: Column, x: Column): Column =
+      lit(alpha) * (element_at(x, 1) - element_at(acc, 3)) +
+        lit(1 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    val folded = arr
+      .withColumn("__init", init)
+      .withColumn("__st", aggregate(rest, col("__init"), (acc, x) =>
+        concat(
+          array(
+            lNew(acc, x),
+            lit(beta) * (lNew(acc, x) - element_at(acc, 1)) +
+              lit(1 - beta) * element_at(acc, 2)),
+          slice(acc, 4, m - 1),
+          array(lit(gamma) * (element_at(x, 1) - lNew(acc, x)) +
+            lit(1 - gamma) * element_at(acc, 3)))))
+    // seasonal queue after the fold: [s_{n-m+1} .. s_n]; h steps ahead
+    // uses s_{n+h-m} = queue[((h-1) mod m) + 1]
+    def fc(h: Int): Column =
+      element_at(col("__st"), 1) + lit(h.toDouble) * element_at(col("__st"), 2) +
+        element_at(col("__st"), 3 + ((h - 1) % m))
+    folded.select(col("n_points").cast("long").as("n_points"),
+      round(element_at(col("__st"), 1), 6).as("level"),
+      round(element_at(col("__st"), 2), 6).as("trend"),
+      round(fc(1), 6).as("forecast_1"),
+      round(fc(m), 6).as("forecast_p"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * dependence measure correlation can't see (it detects ANY
     * association, not just monotone): I(X;Y) = Σ p(x,y)·ln(p(x,y)/

@@ -136,6 +136,46 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[Long]("cp_ord") === 0L)
   }
 
+  /** Reference Holt-Winters additive fold with the engine's exact
+    * arithmetic order and init (dyadic constants).
+    */
+  private def refHw(v: Seq[Double], m: Int, a: Double, b: Double,
+      g: Double): Array[Double] = {
+    val m1 = v.take(m).foldLeft(0.0)(_ + _) / m
+    val m2 = v.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m
+    var st = Array(m1, (m2 - m1) / m) ++ v.take(m).map(_ - m1)
+    for (x <- v.drop(m)) {
+      val lN = a * (x - st(2)) + (1 - a) * (st(0) + st(1))
+      val bN = b * (lN - st(0)) + (1 - b) * st(1)
+      val sN = g * (x - lN) + (1 - g) * st(2)
+      st = Array(lN, bN) ++ st.slice(3, 2 + m) ++ Array(sN)
+    }
+    st
+  }
+  private def r6d(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("holtWinters matches the reference fold; seasonal forecast indexes the queue") {
+    // trend + strong period-3 cycle
+    val vs = (0 until 12).map(t => 10.0 + 0.5 * t + Seq(3.0, -1.0, -2.0)(t % 3))
+    val df = vs.zipWithIndex.map { case (v, t) => (t.toLong, v) }.toDF("t", "v")
+    val r = Eda.holtWintersSmooth(df, "t", "v", period = 3).collect().head
+    val st = refHw(vs, 3, 0.5, 0.25, 0.25)
+    assert(r.getAs[Long]("n_points") === 12L)
+    assert(r.getAs[Double]("level") === r6d(st(0)))
+    assert(r.getAs[Double]("trend") === r6d(st(1)))
+    assert(r.getAs[Double]("forecast_1") === r6d(st(0) + 1.0 * st(1) + st(2)))
+    assert(r.getAs[Double]("forecast_p") === r6d(st(0) + 3.0 * st(1) + st(4)))
+  }
+
+  test("holtWinters: series shorter than two periods yields no row") {
+    val df = (0 until 13).map(t => (t.toLong, 1.0)).toDF("t", "v")
+    assert(Eda.holtWintersSmooth(df, "t", "v", period = 7).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Eda.holtWintersSmooth(df, "t", "v", period = 1)
+    }
+  }
+
   test("even pair count averages the two middle slopes") {
     // 4 points -> 6 pairs (even); slopes chosen so the middle two differ
     val s = Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)).toDF("t", "v")
