@@ -4159,6 +4159,35 @@ object OracleSql {
         |  SELECT sym.dst, w.d + 1 FROM walk w JOIN sym ON w.id = sym.src WHERE w.d < 3)
         |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
+    // harmonic centrality replay: same top-8-by-(degree desc, id)
+    // sources, depth-bounded multi-source recursive walk, min distance
+    // per (source, node), fixed-order count_d/d harmonic fold
+    "q_graph_harmonic" ->
+      """WITH RECURSIVE oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |sv AS (SELECT v AS s FROM (SELECT v, count(*) AS dg FROM
+        |    (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)
+        |  ORDER BY dg DESC, v LIMIT 8),
+        |walk(sid, id, d) AS (
+        |  SELECT s, s, CAST(0 AS BIGINT) FROM sv
+        |  UNION
+        |  SELECT w.sid, sym.dst, w.d + 1 FROM walk w
+        |  JOIN sym ON w.id = sym.src WHERE w.d < 3),
+        |md AS (SELECT sid, id, min(d) AS d FROM walk GROUP BY sid, id),
+        |c AS (SELECT sid,
+        |    CAST(count_if(d = 1) AS BIGINT) AS c1,
+        |    CAST(count_if(d = 2) AS BIGINT) AS c2,
+        |    CAST(count_if(d = 3) AS BIGINT) AS c3
+        |  FROM md WHERE d > 0 GROUP BY sid)
+        |SELECT sv.s AS source_id,
+        |  coalesce(c.c1 + c.c2 + c.c3, 0) AS n_reached,
+        |  round(coalesce(CAST(c.c1 AS DOUBLE) / 1 + CAST(c.c2 AS DOUBLE) / 2
+        |    + CAST(c.c3 AS DOUBLE) / 3, CAST(0 AS DOUBLE)), 6) + 0.0 AS harmonic
+        |FROM sv LEFT JOIN c ON sv.s = c.sid ORDER BY source_id""".stripMargin,
+
     "q_events_twap" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec

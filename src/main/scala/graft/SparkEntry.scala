@@ -3503,6 +3503,14 @@ object SparkEntry {
       graft.ext.Graph.shortestHops(coEdges(s, dir), maxHops = 3)
         .orderBy("id")),
 
+    // -- harmonic centrality (r15): hop-3 exact harmonic score of the 8
+    // highest-degree co-purchase nodes — ONE multi-source frontier table
+    // (maxHops rounds regardless of source count) over the pinned edge
+    // list; per-distance integer counts fold as count_d/d in fixed order
+    "q_graph_harmonic" -> ((s, dir) =>
+      graft.ext.Graph.harmonicCentrality(coEdges(s, dir),
+        maxHops = 3, nSources = 8)),
+
     // -- time-weighted average (TWAP): each observation weighted by its
     // holding interval (time to the NEXT event in the key's series; the
     // last observation carries no weight — the standard open-ended

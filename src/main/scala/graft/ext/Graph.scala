@@ -337,6 +337,65 @@ object Graph {
     dist
   }
 
+  /** Harmonic centrality of the `nSources` highest-degree nodes (ties to
+    * the smaller id), hop-bounded: H(s) = Σ_{v≠s, d(s,v)≤maxHops} 1/d(s,v)
+    * — the closeness-family score that handles disconnected graphs
+    * (unreachable nodes contribute 0, not ∞). Exact within the hop
+    * horizon; the source sample and the bound are the standard
+    * approximation at graph scale (Boldi & Vigna's centrality-sampling
+    * framing), both explicit parameters.
+    *
+    * Shape: ONE multi-source frontier table keyed (source, node) — each
+    * round joins only the just-reached frontier against the (pinned)
+    * symmetric edge list and re-minimizes, so the work is `maxHops`
+    * rounds regardless of source count; the distance table is bounded
+    * by nSources × reachable set. The harmonic sum folds per-distance
+    * INTEGER counts in fixed d = 1..maxHops order (count_d / d), so the
+    * double arithmetic is order-independent and shared verbatim with
+    * the oracle's depth-bounded recursive-CTE replay.
+    *
+    * @return (source_id, n_reached, harmonic round-6) ordered by source
+    */
+  def harmonicCentrality(edges0: DataFrame, maxHops: Int = 3,
+      nSources: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 6, s"maxHops must be in [1,6]: $maxHops")
+    require(nSources >= 1, s"nSources must be >= 1: $nSources")
+    requireIntegralIds(edges0, "src", "dst")
+    val edges = graft.Caches.register(
+      edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges
+        .select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+    val sources = edges.select(col("src").cast("long").as("v"))
+      .union(edges.select(col("dst").cast("long").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("v")).limit(nSources)
+      .select(col("v").as("sid"))
+      .localCheckpoint(true)
+    var dist = sources.select(col("sid"), col("sid").as("id"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val next = dist.where(col("hops") === (h - 1).toLong)
+        .join(sym, col("id") === col("src"))
+        .select(col("sid"), col("dst").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("sid", "id").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    val cAggs = (1 to maxHops).map(d =>
+      sum(when(col("hops") === d.toLong, 1L).otherwise(0L)).as(s"__c$d"))
+    val counts = dist.where(col("hops") > 0)
+      .groupBy("sid").agg(cAggs.head, cAggs.tail: _*)
+    val harmonic = (1 to maxHops)
+      .map(d => col(s"__c$d").cast("double") / d).reduce(_ + _)
+    val reached = (1 to maxHops).map(d => col(s"__c$d")).reduce(_ + _)
+    sources.join(counts, Seq("sid"), "left")
+      .select(col("sid").as("source_id"),
+        coalesce(reached, lit(0L)).as("n_reached"),
+        round(coalesce(harmonic, lit(0.0)), 6).as("harmonic"))
+      .orderBy("source_id")
+  }
+
   /** k-core peeling: iteratively delete nodes of degree < k (with the
     * edges they carry) — the surviving subgraph is the k-core, the
     * standard density filter before community/influence analysis (a

@@ -285,6 +285,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(hops == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("harmonicCentrality: hand-computed scores, unreachable islands contribute 0") {
+    // star 0-(1,2,3,4) plus chain 4-5, plus a disconnected island 8-9:
+    // top-2 degrees -> sources 0 (deg 4) and 4 (deg 2)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("src", "dst")
+    val out = Graph.harmonicCentrality(edges, maxHops = 3, nSources = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Double]("harmonic")))).toMap
+    graft.Caches.releaseAll()
+    // H(0) = 4/1 (nodes 1-4) + 1/2 (node 5) = 4.5; island unreached
+    assert(out(0L) === ((5L, 4.5)))
+    // H(4) = 2/1 (0, 5) + 3/2 (1, 2, 3) = 3.5
+    assert(out(4L) === ((5L, 3.5)))
+  }
+
   test("shortestHops tolerates Int-typed node ids (r12 advice)") {
     // an Int-keyed edge frame used to ClassCastException on getLong and
     // break the Long-typed seed union; ids are now cast to long up front
