@@ -68,7 +68,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_layout_bucketed",
     // r15 late additions: the round's second operator wave
     "q_sim_knn_mutual", "q_ml_conformal", "q_stats_theilsen",
-    "q_text_viterbi_segment", "q_join_interval")
+    "q_text_viterbi_segment", "q_join_interval",
+    "q_outlier_hbos", "q_stats_chi2", "q_stats_kendall",
+    "q_events_holtwinters", "q_graph_harmonic")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
