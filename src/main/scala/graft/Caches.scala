@@ -32,10 +32,25 @@ object Caches {
     * the frame for its own cleanup.
     */
   def register(df: DataFrame): DataFrame = synchronized {
-    handles += df
-    scopes.get() match {
-      case innermost :: _ => innermost += df
-      case Nil =>
+    // a PINNED artifact flowing back through an operator's internal
+    // register-persist (shortestHops & co. persist their input edges;
+    // Dataset.persist returns the same instance, so the pinned frame
+    // itself lands here when a query passes it in) must NOT enter the
+    // per-query registry: releaseAll would unpersist the
+    // session-lifetime pin out from under every later consumer — the
+    // pin would keep reporting hits while each consumer silently
+    // recomputed the build (measured: q_graph_degrees steady 2.1 s
+    // before this guard, 0.2 s after).
+    val isPin = pins.values.exists {
+      case r: Ready => r.df eq df
+      case _ => false
+    }
+    if (!isPin) {
+      handles += df
+      scopes.get() match {
+        case innermost :: _ => innermost += df
+        case Nil =>
+      }
     }
     df
   }

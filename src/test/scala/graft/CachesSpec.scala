@@ -43,6 +43,28 @@ class CachesSpec extends SparkSpec {
     Caches.releasePinned()
   }
 
+  test("register() never tracks a pinned frame: releaseAll must not unpersist the pin") {
+    Caches.releasePinned()
+    val key = "caches_spec_pin_guard"
+    val pin = Caches.pinned(key)(spark.range(100).toDF("id"))
+    // the shortestHops pattern: an operator persists + registers the
+    // frame it was handed — which IS the pin (persist returns this)
+    Caches.register(pin.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Caches.releaseAll()
+    assert(pin.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "releaseAll unpersisted the session-lifetime pin")
+    // a derived (non-pin) frame still gets tracked and released
+    val derived = Caches.register(pin.selectExpr("id + 1 AS id2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assert(Caches.registeredCount == 1)
+    Caches.releaseAll()
+    assert(derived.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    Caches.releasePinned()
+  }
+
   test("a failed build clears the reservation so a retry can rebuild") {
     Caches.releasePinned()
     val key = "caches_spec_failing"
