@@ -379,7 +379,10 @@ object Eval {
     * (smallest value with cum ≥ k), bit-identical across engines.
     *
     * Output: one row (n_train, n_calib, n_test, slope, intercept, q,
-    * covered, coverage) — slope/intercept/q/coverage round-6.
+    * covered, coverage) — slope/intercept/q/coverage round-6. When the
+    * conformal rank exceeds n_cal (calibration too small for the
+    * requested coverage: n_cal < num/(den−num)), q is null — the
+    * UNBOUNDED interval — and coverage is trivially 1.
     */
   def conformalSplit(df: DataFrame, xCol: String, yCol: String,
       trainPred: Column, calibPred: Column, testPred: Column,
@@ -417,6 +420,10 @@ object Eval {
       .where(col("__cum") >= kRank)
       .agg(min(col("__val")).as("__q"), first(col("__tot")).as("n_calib"))
       .localCheckpoint(true)
+    // a null q means the conformal rank EXCEEDED n_cal (k = ⌈(n+1)·cov⌉
+    // > n happens whenever n_cal < cov/(1−cov)) — the method's answer is
+    // the UNBOUNDED interval, which trivially covers everything, so a
+    // null q counts every test row as covered rather than none
     scores(testPred)
       .crossJoin(broadcast(qRow))
       .agg(first(col("n_train")).as("n_train"),
@@ -425,7 +432,8 @@ object Eval {
         round(first(col("__m")), 6).as("slope"),
         round(first(col("__b")), 6).as("intercept"),
         round(first(col("__q")), 6).as("q"),
-        sum(when(col("__r") <= col("__q"), 1L).otherwise(0L)).as("covered"))
+        sum(when(col("__q").isNull || col("__r") <= col("__q"), 1L)
+          .otherwise(0L)).as("covered"))
       .withColumn("coverage",
         round(col("covered").cast("double") / col("n_test").cast("double"), 6))
   }

@@ -554,14 +554,16 @@ object Preprocess {
     *
     * Scale shape: one min/max aggregate (one-row broadcast), one melt →
     * (feature, bin) count aggregate (|cols|·bins rows, broadcast back),
-    * one TakeOrdered for the top-k — the fact table is scanned twice
-    * and never shuffled on row identity. Compare [[outlierFlags]]
-    * (per-feature z) and [[mahalanobisScores]] (joint Gaussian): HBOS
-    * is the assumption-free tier that flags a row rare in EVERY
-    * marginal, at histogram cost.
+    * one TakeOrdered for the top-k — three scans of the fact table
+    * (min/max, bin counts, final scoring), none shuffled on row
+    * identity. Compare [[outlierFlags]] (per-feature z) and
+    * [[mahalanobisScores]] (joint Gaussian): HBOS is the
+    * assumption-free tier that flags a row rare in EVERY marginal, at
+    * histogram cost.
     *
     * @return the `k` lowest-scoring rows: passthrough `keep` columns,
-    *   the features, and `rarity` DECIMAL(38,0)
+    *   the features, and `rarity` as a DOUBLE count product (exact up
+    *   to 2^53 — see the inline note on why not DECIMAL)
     */
   def hbosTopK(df: DataFrame, cols: Seq[String], keep: Seq[String],
       bins: Int = 16, k: Int = 20): DataFrame = {

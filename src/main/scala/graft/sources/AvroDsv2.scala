@@ -101,13 +101,18 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new AvroTable(schema,
-      Option(properties.get("path")).getOrElse(
-        throw new IllegalArgumentException("graft-avro requires a path")),
-      filesOf(new CaseInsensitiveStringMap(properties)),
+      properties: JMap[String, String]): Table = {
+    val pathStr = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-avro requires a path"))
+    // NO non-empty requirement here (unlike inferSchema, which needs a
+    // file to read a schema from): with an explicit schema a STREAMING
+    // tail must be startable before its producer writes the first file,
+    // and a batch read of an empty directory is legitimately empty
+    new AvroTable(schema, pathStr,
+      AvroDsv2.listFiles(pathStr, hadoopConf()),
       Option(properties.get("graft.splitbytes")).map(_.toLong)
         .getOrElse(32L << 20))
+  }
 }
 
 private[sources] object AvroDsv2 {
@@ -422,7 +427,12 @@ private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String,
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private val conf = new Configuration()
+  // the SESSION's Hadoop conf (captured at stream construction, on the
+  // driver): spark.hadoop.* filesystem settings that work for the batch
+  // path must work for the per-trigger re-list too
+  private val conf = org.apache.spark.sql.SparkSession.getActiveSession
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new Configuration())
   private def watermarkOf(o: Offset): String =
     o.asInstanceOf[AvroStreamOffset].watermark
 

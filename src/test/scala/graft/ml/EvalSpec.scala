@@ -264,7 +264,7 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") === 0.5)
   }
 
-  test("conformalSplit: rank never exceeds n_cal for a proper fraction") {
+  test("conformalSplit: in-range ranks pick the order statistic; validation") {
     // n_cal = 4, cover 1/2 -> k = ceil(5/2) = 3 -> q = 3rd smallest
     val train = (1 to 5).map(x => (x.toDouble, 2.0 * x + 1.0, "tr"))
     val calib = (1 to 4).map(i => (10.0, 21.0 + i, "ca"))
@@ -277,5 +277,19 @@ class EvalSpec extends SparkSpec {
       Eval.conformalSplit(df, "x", "y", lit(true), lit(true), lit(true),
         coverNum = 3, coverDen = 2)
     }
+  }
+
+  test("conformalSplit: calibration too small -> unbounded interval, coverage 1") {
+    // n_cal = 4 with 9/10 coverage: k = ceil(5 * 9/10) = 5 > 4 -> the
+    // conformal interval is UNBOUNDED: q null, every test row covered
+    val train = (1 to 5).map(x => (x.toDouble, 2.0 * x + 1.0, "tr"))
+    val calib = (1 to 4).map(i => (10.0, 21.0 + i, "ca"))
+    val tst = Seq((3.0, 1000.0, "te"), (4.0, -1000.0, "te"))
+    val r = Eval.conformalSplit((train ++ calib ++ tst).toDF("x", "y", "split"),
+      "x", "y", col("split") === "tr", col("split") === "ca",
+      col("split") === "te").head()
+    assert(r.isNullAt(r.fieldIndex("q")))
+    assert(r.getAs[Long]("covered") === 2L)
+    assert(r.getAs[Double]("coverage") === 1.0)
   }
 }

@@ -84,6 +84,31 @@ class AvroStreamSpec extends SparkSpec {
       s"cap 1 over 3 files must take >= 3 micro-batches, got ${offsets.toSeq}")
   }
 
+  test("a tail starts on an EMPTY directory with an explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_stream_e").toString
+    val ckpt = s"$dir/_ckpt"; val out = s"$dir/_out"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType)))
+    def drain(): Seq[Long] = {
+      val q = spark.readStream.format("graft-avro").schema(sch)
+        .option("graft.splitbytes", 512).load(dir).select("id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val f = new java.io.File(out)
+      if (!f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet")))
+        Seq.empty
+      else spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    }
+    assert(drain() === Seq.empty, "empty directory drains zero rows, no crash")
+    writeBatch(dir, "b0.avro", 0 until 25)
+    assert(drain() === (0L until 25L), "the first file lands in the next run")
+  }
+
   test("offsets round-trip through JSON") {
     val o = AvroStreamOffset("/some/dir/b17.avro")
     val back = new AvroMicroBatchStream(
