@@ -5673,6 +5673,18 @@ object OracleSql {
     // PSI: reference-decile bins via quantile_cont (same interpolation
     // as the exact CDF), bin counts by strict-above differences, each
     // term row-local with the 1e-4 clamp
+    // freshness replay: per-type max epoch-micros vs the global max,
+    // integer-div to seconds, same one-day staleness threshold
+    "q_quality_freshness" ->
+      """WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type),
+        |g AS (SELECT max(mx) AS gmx FROM p)
+        |SELECT p.event_type, p.n_rows,
+        |  CAST((g.gmx - p.mx) // 1000000 AS BIGINT) AS lag_sec,
+        |  ((g.gmx - p.mx) // 1000000) > 86400 AS is_stale
+        |FROM p, g ORDER BY p.event_type""".stripMargin,
+
     "q_quality_psi" ->
       """WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |  WHERE event_id % 2 = 0 AND value IS NOT NULL),

@@ -4565,6 +4565,13 @@ object SparkEntry {
     }),
 
     // -- PSI drift between deterministic halves of the events stream ----
+    // -- per-type data freshness (r15): ingestion-SLO readout — newest
+    // record lag behind the corpus-wide newest, exact integer seconds,
+    // stale at > 1 day; one grouped aggregate + a one-row broadcast ----
+    "q_quality_freshness" -> ((s, dir) =>
+      Quality.freshness(T(s, dir, "events"), "event_type", "ts",
+        staleSec = 86400L)),
+
     "q_quality_psi" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       Quality.psiDrift(ev.where(col("event_id") % 2 === 0),

@@ -25,6 +25,30 @@ object Quality {
     * when small, otherwise a shuffled hash join keyed on the fk; the
     * output is one row per edge, so the union is plan-level only.
     */
+  /** Per-partition data FRESHNESS report — the ingestion-SLO readout a
+    * 100 TB feed is monitored by: for every key (source, feed,
+    * event type), the row count, the lag of its newest record behind
+    * the corpus-wide newest (exact integer seconds), and a staleness
+    * flag at `staleSec`. One grouped aggregate + a one-row broadcast;
+    * the fact table is scanned once.
+    *
+    * @return (key, n_rows, lag_sec, is_stale) ordered by key
+    */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String,
+      staleSec: Long): DataFrame = {
+    require(staleSec > 0, s"staleSec must be positive: $staleSec")
+    val per = df.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(unix_micros(col(tsCol))).as("__mx"))
+    val g = per.agg(max(col("__mx")).as("__gmx"))
+    per.crossJoin(broadcast(g))
+      .select(col(keyCol), col("n_rows"),
+        expr("(__gmx - __mx) div 1000000").as("lag_sec"))
+      .withColumn("is_stale", col("lag_sec") > staleSec)
+      .orderBy(keyCol)
+  }
+
   def fkOrphans(edges: Seq[FkEdge]): DataFrame = {
     require(edges.nonEmpty, "fkOrphans needs at least one FK edge")
     edges.map { e =>
