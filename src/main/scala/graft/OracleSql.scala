@@ -6298,8 +6298,8 @@ object OracleSql {
         |SELECT p.n_train, nc.n_calib, CAST(count(*) AS BIGINT) AS n_test,
         |  round(p.m, 6) + 0.0 AS slope, round(p.b, 6) + 0.0 AS intercept,
         |  round(qv.q, 6) + 0.0 AS q,
-        |  CAST(count_if(tst.r <= qv.q) AS BIGINT) AS covered,
-        |  round(CAST(count_if(tst.r <= qv.q) AS DOUBLE)
+        |  CAST(count_if(qv.q IS NULL OR tst.r <= qv.q) AS BIGINT) AS covered,
+        |  round(CAST(count_if(qv.q IS NULL OR tst.r <= qv.q) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS coverage
         |FROM tst, p, nc, qv
         |GROUP BY p.n_train, nc.n_calib, p.m, p.b, qv.q""".stripMargin,

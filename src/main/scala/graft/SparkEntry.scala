@@ -4702,7 +4702,8 @@ object SparkEntry {
       // candidate): the distinct self-join over ~2M pair rows was
       // rebuilt every rep and was the suite's most eviction-hit
       // artifact (91 block drops in the r14 driver run); a pinned
-      // MEMORY_AND_DISK_SER edge list is built once and survives
+      // MEMORY_AND_DISK (deserialized — the r15 A/B showed SER costs
+      // the heaviest consumer ~20%/read) edge list is built once and survives
       // per-query cache sweeps, which is also the production shape —
       // a graph pipeline writes its edge table, it doesn't re-derive
       // it per algorithm run

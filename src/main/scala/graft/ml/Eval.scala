@@ -416,9 +416,15 @@ object Eval {
       scores(calibPred), "__r", Seq.empty)
     // k = ceil((n_cal+1) * num / den) in pure integer arithmetic
     val kRank = expr(s"((__tot + 1) * $coverNum + ${coverDen - 1}) div $coverDen")
+    // n_calib comes from the TOT frame, not the rank-filtered one: when
+    // the conformal rank exceeds n_cal the filter below matches nothing,
+    // and an agg over empty input would report n_calib = null instead of
+    // the real calibration count (the q = null it also produces is the
+    // correct unbounded-interval answer and is kept)
     val qRow = cdf.crossJoin(broadcast(tot))
       .where(col("__cum") >= kRank)
-      .agg(min(col("__val")).as("__q"), first(col("__tot")).as("n_calib"))
+      .agg(min(col("__val")).as("__q"))
+      .crossJoin(broadcast(tot.select(col("__tot").as("n_calib"))))
       .localCheckpoint(true)
     // a null q means the conformal rank EXCEEDED n_cal (k = ⌈(n+1)·cov⌉
     // > n happens whenever n_cal < cov/(1−cov)) — the method's answer is

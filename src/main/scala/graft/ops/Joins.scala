@@ -251,9 +251,15 @@ object Joins {
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
     val binUs = binSeconds * 1000000L
-    def binned(df: DataFrame, lo: String, hi: String) = df.withColumn("__bin",
-      explode(sequence(floor(unix_micros(col(lo)) / binUs).cast("long"),
-        floor(unix_micros(col(hi)) / binUs).cast("long"))))
+    // An inverted interval (hi < lo) is empty and overlaps nothing — but
+    // Spark's sequence(start, stop) silently steps -1 when start > stop,
+    // which would generate a DESCENDING bin list and join malformed rows
+    // on bogus cells. Drop such rows before exploding the grid.
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .where(col(lo) <= col(hi))
+      .withColumn("__bin",
+        explode(sequence(floor(unix_micros(col(lo)) / binUs).cast("long"),
+          floor(unix_micros(col(hi)) / binUs).cast("long"))))
     binned(left, lLo, lHi).join(binned(right, rLo, rHi), keys :+ "__bin")
       .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
         col("__bin") === floor(unix_micros(greatest(col(lLo), col(rLo)))

@@ -90,6 +90,15 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // `graft.schema` (the DataFrame schema as JSON) wins when present:
+    // the DSv2 WRITE path resolves the table via inferSchema too, and a
+    // first write to an empty directory has no file to infer from —
+    // [[AvroSink.write]] passes it automatically. Reads of existing data
+    // never need it.
+    Option(options.get("graft.schema")).foreach { json =>
+      return org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+    }
     val head = filesOf(options).head._1
     val reader = new DataFileReader[GenericRecord](
       AvroDsv2.openSeekable(head),
@@ -222,18 +231,51 @@ private[sources] object AvroFilters {
 
   /** Three-valued comparison: None when either side is null or the pair
     * is incomparable (⇒ predicate unknown ⇒ row skipped, WHERE-style).
-    * Numeric compare goes through double — exact for the int/long values
-    * this source's upload contract carries (|v| < 2^53).
+    * Numeric compare is EXACT for every representable value: two
+    * integrals compare as longs, integral-vs-floating goes through
+    * [[cmpLongDouble]] (floor + remainder tie-break), never through a
+    * lossy double round-trip — a pushed `l_key = 9007199254740993L`
+    * must not skip the matching row because both sides rounded to the
+    * same double (pushdown skips BEFORE the residual Filter, so a row
+    * wrongly dropped here is unrecoverable).
     */
   private def cmp(recVal: Any, litVal: Any): Option[Int] = (recVal, litVal) match {
     case (null, _) | (_, null) => None
-    case (a: Number, b: Number) =>
-      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: Number, b: Number) => Some(cmpNum(a, b))
     case (a: CharSequence, b: CharSequence) =>
       Some(a.toString.compareTo(b.toString))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
   }
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Exact numeric comparison across the long/int/double value domain. */
+  private[sources] def cmpNum(a: Number, b: Number): Int =
+    if (isIntegral(a) && isIntegral(b))
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    else if (isIntegral(a)) cmpLongDouble(a.longValue(), b.doubleValue())
+    else if (isIntegral(b)) -cmpLongDouble(b.longValue(), a.doubleValue())
+    else java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+
+  /** Exact long-vs-double compare without rounding the long: outside
+    * ±2^63 the double dominates; inside, compare against floor(d) and
+    * break the tie on the fractional remainder. NaN sorts greater than
+    * every long (Spark's NaN ordering).
+    */
+  private[sources] def cmpLongDouble(l: Long, d: Double): Int =
+    if (d.isNaN) -1
+    else if (d >= 9.223372036854776e18) -1 // d >= 2^63 > Long.MaxValue
+    else if (d < -9.223372036854776e18) 1
+    else {
+      val fl = math.floor(d)
+      val c = java.lang.Long.compare(l, fl.toLong)
+      if (c != 0) c else if (d > fl) -1 else 0
+    }
 }
 
 /** Sidecar zone-map pruning for the graft-avro scan: [[AvroSink]] writes
@@ -246,9 +288,11 @@ private[sources] object AvroFilters {
   */
 private[sources] object AvroStats {
   /** min/max as Option (absent when the file has no non-null value);
-    * doubles for numerics, strings compared as strings.
+    * integral JSON stats as exact longs (what [[AvroSink]] writes for
+    * long/int columns), floating stats as doubles, strings as strings.
     */
-  final case class Col(minD: Option[Double], maxD: Option[Double],
+  final case class Col(minL: Option[Long], maxL: Option[Long],
+      minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String], nulls: Long)
   final case class FileStats(rows: Long, cols: Map[String, Col])
 
@@ -264,15 +308,19 @@ private[sources] object AvroStats {
       val cols = Option(root.get("cols")).map { cn =>
         cn.fields().asScala.map { e =>
           val v = e.getValue
-          val (minD, maxD, minS, maxS) =
+          val (minL, maxL, minD, maxD, minS, maxS) =
             (Option(v.get("min")), Option(v.get("max"))) match {
               case (Some(mn), Some(mx)) if mn.isTextual =>
-                (None, None, Some(mn.asText), Some(mx.asText))
+                (None, None, None, None, Some(mn.asText), Some(mx.asText))
+              case (Some(mn), Some(mx))
+                  if mn.isIntegralNumber && mx.isIntegralNumber &&
+                    mn.canConvertToLong && mx.canConvertToLong =>
+                (Some(mn.asLong), Some(mx.asLong), None, None, None, None)
               case (Some(mn), Some(mx)) =>
-                (Some(mn.asDouble), Some(mx.asDouble), None, None)
-              case _ => (None, None, None, None)
+                (None, None, Some(mn.asDouble), Some(mx.asDouble), None, None)
+              case _ => (None, None, None, None, None, None)
             }
-          e.getKey -> Col(minD, maxD, minS, maxS,
+          e.getKey -> Col(minL, maxL, minD, maxD, minS, maxS,
             Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
         }.toMap
       }.getOrElse(Map.empty[String, Col])
@@ -298,20 +346,40 @@ private[sources] object AvroStats {
     case _ => true
   }
 
-  // None = stats unavailable for a definite verdict (⇒ caller keeps file)
+  // None = stats unavailable for a definite verdict (⇒ caller keeps file).
+  // Long-typed stats (our sink's output for long/int columns) compare
+  // exactly; double-typed stats are widened by one ULP beyond 2^53 —
+  // a legacy sidecar that stored a long min/max as a round-to-nearest
+  // double may be off by up to half a ULP in EITHER direction, and a max
+  // that rounded DOWN would otherwise wrongly skip a whole file. Below
+  // 2^53 every integral double is exact and no widening applies, so
+  // pruning strength is unchanged for ordinary data.
+  private val TwoPow53 = 9007199254740992d
+  private def widenDown(m: Double): Double =
+    if (math.abs(m) >= TwoPow53) math.nextDown(m) else m
+  private def widenUp(m: Double): Double =
+    if (math.abs(m) >= TwoPow53) math.nextUp(m) else m
   private def cmpMin(st: FileStats, a: String, v: Any): Option[Int] =
     st.cols.get(a).flatMap { c =>
-      (c.minD, c.minS, v) match {
-        case (Some(m), _, n: Number) => Some(java.lang.Double.compare(m, n.doubleValue()))
-        case (_, Some(m), s: String) => Some(m.compareTo(s))
+      v match {
+        case n: Number => c.minL match {
+          case Some(l) => Some(AvroFilters.cmpNum(java.lang.Long.valueOf(l), n))
+          case None => c.minD.map(m =>
+            AvroFilters.cmpNum(java.lang.Double.valueOf(widenDown(m)), n))
+        }
+        case s: String => c.minS.map(_.compareTo(s))
         case _ => None
       }
     }
   private def cmpMax(st: FileStats, a: String, v: Any): Option[Int] =
     st.cols.get(a).flatMap { c =>
-      (c.maxD, c.maxS, v) match {
-        case (Some(m), _, n: Number) => Some(java.lang.Double.compare(m, n.doubleValue()))
-        case (_, Some(m), s: String) => Some(m.compareTo(s))
+      v match {
+        case n: Number => c.maxL match {
+          case Some(l) => Some(AvroFilters.cmpNum(java.lang.Long.valueOf(l), n))
+          case None => c.maxD.map(m =>
+            AvroFilters.cmpNum(java.lang.Double.valueOf(widenUp(m)), n))
+        }
+        case s: String => c.maxS.map(_.compareTo(s))
         case _ => None
       }
     }
@@ -322,12 +390,18 @@ private[sources] object AvroStats {
 
 private[sources] class AvroTable(schema: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro($pathStr)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(info, pathStr)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, pathStr, files, splitBytes,
       Option(options.get("graft.maxfilespertrigger")).map(_.toInt))

@@ -5,35 +5,54 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 import scala.jdk.CollectionConverters._
 
-/** Distributed Avro container EGRESS — the parallel write half of the
-  * `graft-avro` bulk path ([[AvroDataSourceV2]] is the read half). Each
-  * input partition streams its rows into its own deflate-compressed
-  * container file (`part-<pid>.avro`) through the Hadoop FileSystem of
-  * the target URI — no driver materialization (the [[Avro.write]]
-  * upload-contract tier stays for small driver-side interchange), no
-  * shuffle, 100 TB fans out to one writer task per partition.
+/** Distributed Avro container EGRESS — the DSv2 write half of the
+  * `graft-avro` path ([[AvroDataSourceV2]] is the read half), reachable
+  * as `df.write.format("graft-avro").mode(...).save(dir)` and through
+  * the [[AvroSink.write]] convenience wrapper. Each input partition
+  * streams its rows into its own deflate-compressed container file
+  * through the Hadoop FileSystem of the target URI — no driver
+  * materialization, no shuffle, 100 TB fans out to one writer task per
+  * partition.
   *
-  * Every file gets a `<file>.stats.json` SIDECAR with per-column
-  * min/max/null-count plus the row count. A sidecar, not container
+  * COMMIT PROTOCOL (r16 — the write half now matches the read half's
+  * DSv2 citizenship): every task writes to an attempt-unique dot-temp
+  * name (`.graft-<queryId>-<taskId>-p<pid>.avro.tmp`) that the scan's
+  * `*.avro` listing can never pick up; the job's
+  * [[AvroBatchWrite.commit]] renames the committed temps to their final
+  * `part-<pid>.avro` names, writes the stats sidecars, and only then
+  * stamps `_SUCCESS`. [[AvroBatchWrite.abort]] (and each losing task
+  * attempt's own abort) deletes its temps. A failed or speculated job
+  * therefore can NEVER leave a readable partial file — before commit
+  * the directory holds only dot-temps, and overwrite jobs truncate the
+  * old files inside commit, so the previous dataset stays intact until
+  * the new one is fully written.
+  *
+  * Every committed file gets a `<file>.stats.json` SIDECAR with
+  * per-column min/max/null-count plus the row count, written by the
+  * committer from stats the task accumulated (a sidecar, not container
   * metadata, by format necessity: Avro metadata lives in the HEADER and
   * is fixed at create time, but min/max are only known after the last
-  * row (parquet solves this with footer stats; a header format cannot).
-  * [[AvroScan]] reads the sidecars at planning time and SKIPS whole
-  * files whose [min, max] cannot satisfy the pushed filters — zone-map
-  * pruning for the ingest format, the "block-level min/max skipping
-  * once the writer records them" rung of the r14 verdict. Readers
-  * ignore unknown sidecars, so stats are purely additive; files written
-  * by other tools (no sidecar) are never skipped.
+  * row). Long/int column stats are stored AS JSON INTEGERS, never
+  * doubles — a long ≥ 2^53 stored round-to-nearest could round a true
+  * max DOWN and make [[AvroStats]] zone-map pruning wrongly skip the
+  * whole file. [[AvroScan]] reads the sidecars at planning time and
+  * SKIPS files whose [min, max] cannot satisfy the pushed filters.
+  * Readers ignore unknown sidecars; files written by other tools (no
+  * sidecar) are never skipped.
   *
-  * Task naming is deterministic per partition id, so a retried or
-  * speculated task overwrites its own file rather than duplicating it.
-  * Empty partitions write nothing. The driver stamps `_SUCCESS` after
-  * the job completes.
+  * First write to an empty directory: the DSv2 write path resolves the
+  * table schema via `inferSchema`, which needs either an existing
+  * `.avro` file or the `graft.schema` option (the DataFrame schema as
+  * JSON — [[AvroSink.write]] passes it automatically). Appends to an
+  * existing dataset infer from the files, so the engine validates the
+  * incoming frame against the on-disk schema by name.
   *
   * Types: the same five-primitive upload contract as [[Avro]]
   * (long/int/double/string/boolean as nullable unions).
@@ -41,12 +60,14 @@ import scala.jdk.CollectionConverters._
 object AvroSink {
 
   /** Per-column stats a writer task accumulates; min/max only once a
-    * non-null value was seen (booleans carry counts only — a 2-value
-    * domain gains nothing from range pruning).
+    * non-null value was seen. Integral columns track EXACT long bounds
+    * (booleans carry counts only — a 2-value domain gains nothing from
+    * range pruning).
     */
-  private final class ColAcc(val dt: DataType) {
+  private[sources] final class ColAcc(val dt: DataType) {
     var nulls = 0L
     var minD = Double.NaN; var maxD = Double.NaN
+    var minL = 0L; var maxL = 0L; var seenL = false
     var minS: String = null; var maxS: String = null
     def seenNumeric: Boolean = !minD.isNaN
     def addNull(): Unit = nulls += 1
@@ -54,105 +75,40 @@ object AvroSink {
       if (minD.isNaN || v < minD) minD = v
       if (maxD.isNaN || v > maxD) maxD = v
     }
+    def addL(v: Long): Unit = {
+      if (!seenL) { minL = v; maxL = v; seenL = true }
+      else { if (v < minL) minL = v; if (v > maxL) maxL = v }
+    }
     def addS(v: String): Unit = {
       if (minS == null || v.compareTo(minS) < 0) minS = v
       if (maxS == null || v.compareTo(maxS) > 0) maxS = v
     }
   }
 
-  def write(df: DataFrame, dir: String, overwrite: Boolean = false): Unit = {
-    val schema = df.schema
+  private val SupportedTypes: Seq[DataType] =
+    Seq(LongType, IntegerType, DoubleType, StringType, BooleanType)
+
+  private[sources] def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
-      require(Seq(LongType, IntegerType, DoubleType, StringType, BooleanType)
-        .contains(f.dataType),
+      require(SupportedTypes.contains(f.dataType),
         s"graft-avro sink supports long/int/double/string/boolean, " +
           s"got ${f.dataType} for '${f.name}'")
     }
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val target = new Path(dir)
-    val fs = target.getFileSystem(conf)
-    if (fs.exists(target)) {
-      if (overwrite)
-        fs.listStatus(target).foreach { st =>
-          val n = st.getPath.getName
-          if (n.endsWith(".avro") || n.endsWith(".stats.json") || n == "_SUCCESS")
-            fs.delete(st.getPath, false)
-        }
-    } else fs.mkdirs(target)
-    val fieldMeta: Seq[(String, String)] = // (name, typeName) — serializable
-      schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName))
-    val dirStr = target.toString
-    // toRdd: write the EXACT physical rows of the plan, distributed —
-    // the one place a custom sink legitimately drops below the DataFrame
-    // API (there is no DataFrame-level hook for a custom file format)
-    df.queryExecution.toRdd.foreachPartition { it =>
-      if (it.hasNext) {
-        val avroSch = AvroSink.avroSchemaOf(fieldMeta)
-        val conf2 = new Configuration()
-        val out = new Path(s"$dirStr/part-${f"${org.apache.spark.TaskContext.getPartitionId()}%05d"}.avro")
-        val fs2 = out.getFileSystem(conf2)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avroSch))
-        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        writer.create(avroSch, fs2.create(out, true))
-        val accs = fieldMeta.map { case (_, tn) => new ColAcc(typeOf(tn)) }
-        var rows = 0L
-        try {
-          while (it.hasNext) {
-            val row = it.next()
-            val rec = new GenericData.Record(avroSch)
-            var i = 0
-            while (i < fieldMeta.length) {
-              val (name, tn) = fieldMeta(i)
-              if (row.isNullAt(i)) { accs(i).addNull(); rec.put(name, null) }
-              else tn match {
-                case "long" =>
-                  val v = row.getLong(i); accs(i).addD(v.toDouble)
-                  rec.put(name, java.lang.Long.valueOf(v))
-                case "integer" =>
-                  val v = row.getInt(i); accs(i).addD(v.toDouble)
-                  rec.put(name, java.lang.Integer.valueOf(v))
-                case "double" =>
-                  val v = row.getDouble(i); accs(i).addD(v)
-                  rec.put(name, java.lang.Double.valueOf(v))
-                case "string" =>
-                  val v = row.getUTF8String(i).toString; accs(i).addS(v)
-                  rec.put(name, v)
-                case "boolean" =>
-                  rec.put(name, java.lang.Boolean.valueOf(row.getBoolean(i)))
-                case other => throw new IllegalStateException(other)
-              }
-              i += 1
-            }
-            writer.append(rec)
-            rows += 1
-          }
-        } finally writer.close()
-        // stats sidecar: what the scan's zone-map pruning reads
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.createObjectNode()
-        root.put("rows", rows)
-        val cols = root.putObject("cols")
-        fieldMeta.zip(accs).foreach { case ((name, tn), a) =>
-          val c = cols.putObject(name)
-          c.put("nulls", a.nulls)
-          tn match {
-            case "string" =>
-              if (a.minS != null) { c.put("min", a.minS); c.put("max", a.maxS) }
-            case "boolean" => // counts only
-            case _ =>
-              if (a.seenNumeric) { c.put("min", a.minD); c.put("max", a.maxD) }
-          }
-        }
-        val sOut = fs2.create(new Path(s"$out.stats.json"), true)
-        try sOut.write(om.writeValueAsBytes(root)) finally sOut.close()
-      }
-    }
-    val succ = fs.create(new Path(target, "_SUCCESS"), true)
-    succ.close()
+
+  /** Convenience wrapper over the DSv2 write path — keeps the r15 object
+    * API (`AvroSink.write(df, dir, overwrite)`) while routing through the
+    * commit/abort protocol. Passes the frame's schema as `graft.schema`
+    * so a first write to an empty directory can resolve the table.
+    */
+  def write(df: DataFrame, dir: String, overwrite: Boolean = false): Unit = {
+    validateSchema(df.schema)
+    df.write.format("graft-avro")
+      .option("graft.schema", df.schema.json)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .save(dir)
   }
 
-  private def typeOf(tn: String): DataType = tn match {
+  private[sources] def typeOf(tn: String): DataType = tn match {
     case "long" => LongType
     case "integer" => IntegerType
     case "double" => DoubleType
@@ -176,5 +132,199 @@ object AvroSink {
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord("graft_row", null, "graft", false, fs.toList.asJava)
+  }
+
+  /** Sidecar JSON bytes from a task's accumulated stats — what the
+    * scan's zone-map pruning reads. Long/int bounds emitted as exact
+    * JSON integers (see class doc).
+    */
+  private[sources] def statsJson(fieldMeta: Seq[(String, String)],
+      accs: Seq[ColAcc], rows: Long): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("rows", rows)
+    val cols = root.putObject("cols")
+    fieldMeta.zip(accs).foreach { case ((name, tn), a) =>
+      val c = cols.putObject(name)
+      c.put("nulls", a.nulls)
+      tn match {
+        case "string" =>
+          if (a.minS != null) { c.put("min", a.minS); c.put("max", a.maxS) }
+        case "boolean" => // counts only
+        case "long" | "integer" =>
+          if (a.seenL) { c.put("min", a.minL); c.put("max", a.maxL) }
+        case _ =>
+          if (a.seenNumeric) { c.put("min", a.minD); c.put("max", a.maxD) }
+      }
+    }
+    om.writeValueAsBytes(root)
+  }
+
+  private[sources] def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+}
+
+/** WriteBuilder for the graft-avro table: truncate() (Spark's
+  * SaveMode.Overwrite on a path table) defers the actual deletion to
+  * job COMMIT so a failed overwrite leaves the previous dataset intact.
+  */
+private[sources] class AvroWriteBuilder(info: LogicalWriteInfo,
+    pathStr: String) extends WriteBuilder with SupportsTruncate {
+  private var truncateOnCommit = false
+  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+  override def build(): Write = new AvroBatchWrite(
+    info.schema(), pathStr, truncateOnCommit, info.queryId())
+}
+
+private[sources] case class AvroCommitMessage(partitionId: Int,
+    tempPath: String, statsJson: Array[Byte]) extends WriterCommitMessage
+
+private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
+    truncateOnCommit: Boolean, queryId: String) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-avro sink ($pathStr)"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    AvroSink.validateSchema(schema)
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    fs.mkdirs(target)
+    new AvroWriterFactory(
+      schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName)),
+      target.toString, queryId)
+  }
+
+  private def tempSweep(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path): Unit =
+    Option(fs.globStatus(new Path(target, s".graft-$queryId-*.avro.tmp")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+
+  /** Job commit: (for overwrite) truncate the OLD files, then rename
+    * every committed temp to its final `part-<pid>.avro` name, write the
+    * stats sidecars, sweep zombie temps, and stamp `_SUCCESS` last.
+    * Final names are deterministic per partition id; an append landing
+    * on an occupied name falls back to a queryId-suffixed name rather
+    * than replacing foreign data.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    if (truncateOnCommit && fs.exists(target))
+      fs.listStatus(target).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".avro") || n.endsWith(".stats.json") || n == "_SUCCESS")
+          fs.delete(st.getPath, false)
+      }
+    messages.collect { case m: AvroCommitMessage if m.tempPath != null => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        val base = f"part-${m.partitionId}%05d"
+        val preferred = new Path(target, s"$base.avro")
+        val dst = if (fs.exists(preferred))
+          new Path(target, s"$base-${queryId.take(8)}.avro") else preferred
+        require(fs.rename(new Path(m.tempPath), dst),
+          s"graft-avro commit: rename ${m.tempPath} -> $dst failed")
+        val sOut = fs.create(new Path(target, s"${dst.getName}.stats.json"), true)
+        try sOut.write(m.statsJson) finally sOut.close()
+      }
+    tempSweep(fs, target)
+    fs.create(new Path(target, "_SUCCESS"), true).close()
+  }
+
+  /** Job abort: drop every temp this query produced; never touches
+    * previously committed data (truncation only happens inside commit).
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    messages.collect { case m: AvroCommitMessage if m.tempPath != null => m }
+      .foreach(m => fs.delete(new Path(m.tempPath), false))
+    tempSweep(fs, target)
+  }
+}
+
+private[sources] class AvroWriterFactory(fieldMeta: Seq[(String, String)],
+    dirStr: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(fieldMeta, dirStr, queryId, partitionId, taskId)
+}
+
+/** One task attempt's writer: streams rows into an attempt-unique
+  * dot-temp container (created lazily on the first row, so empty
+  * partitions write nothing), accumulates sidecar stats, and hands the
+  * temp path + stats bytes to the driver at task commit. Losing
+  * speculative attempts abort and delete their own temp — two attempts
+  * can never interleave because they write DIFFERENT files.
+  */
+private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
+    dirStr: String, queryId: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val tempPath =
+    new Path(s"$dirStr/.graft-$queryId-$taskId-p$partitionId.avro.tmp")
+  private var writer: DataFileWriter[GenericRecord] = null
+  private var avroSch: Schema = null
+  private val accs = fieldMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      avroSch = AvroSink.avroSchemaOf(fieldMeta)
+      val fs = tempPath.getFileSystem(new Configuration())
+      writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSch))
+      writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      writer.create(avroSch, fs.create(tempPath, true))
+    }
+    val rec = new GenericData.Record(avroSch)
+    var i = 0
+    while (i < fieldMeta.length) {
+      val (name, tn) = fieldMeta(i)
+      if (row.isNullAt(i)) { accs(i).addNull(); rec.put(name, null) }
+      else tn match {
+        case "long" =>
+          val v = row.getLong(i); accs(i).addL(v)
+          rec.put(name, java.lang.Long.valueOf(v))
+        case "integer" =>
+          val v = row.getInt(i); accs(i).addL(v.toLong)
+          rec.put(name, java.lang.Integer.valueOf(v))
+        case "double" =>
+          val v = row.getDouble(i); accs(i).addD(v)
+          rec.put(name, java.lang.Double.valueOf(v))
+        case "string" =>
+          val v = row.getUTF8String(i).toString; accs(i).addS(v)
+          rec.put(name, v)
+        case "boolean" =>
+          rec.put(name, java.lang.Boolean.valueOf(row.getBoolean(i)))
+        case other => throw new IllegalStateException(other)
+      }
+      i += 1
+    }
+    writer.append(rec)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) AvroCommitMessage(partitionId, null, null)
+    else {
+      writer.close(); writer = null
+      AvroCommitMessage(partitionId, tempPath.toString,
+        AvroSink.statsJson(fieldMeta, accs, rows))
+    }
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { try writer.close() catch { case _: Throwable => () } }
+    writer = null
+    val fs = tempPath.getFileSystem(new Configuration())
+    fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
   }
 }

@@ -291,5 +291,8 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("q")))
     assert(r.getAs[Long]("covered") === 2L)
     assert(r.getAs[Double]("coverage") === 1.0)
+    // n_calib must still report the REAL calibration count even though
+    // the rank filter matched nothing (regression: it used to be null)
+    assert(r.getAs[Long]("n_calib") === 4L)
   }
 }

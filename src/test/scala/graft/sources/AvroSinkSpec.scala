@@ -84,6 +84,79 @@ class AvroSinkSpec extends SparkSpec {
     assert(scanOf(noStats).lastPlanned === ((5, 5)))
   }
 
+  test("df.write.format(graft-avro): append and overwrite through DSv2") {
+    val dir = tempDir()
+    // first write to an empty dir needs the schema option (no file to
+    // infer from) — exactly what AvroSink.write passes
+    val a = spark.range(50).select(col("id"))
+    a.write.format("graft-avro").option("graft.schema", a.schema.json)
+      .mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() === 50)
+    // append to EXISTING data infers from the files — no option needed
+    spark.range(50, 80).select(col("id"))
+      .write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === (0L until 80L))
+    // overwrite truncates the previous files
+    spark.range(7).select(col("id"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() === 7)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.endsWith(".avro.tmp")) === 0, "temps must not survive commit")
+  }
+
+  test("aborted job leaves no readable partial files") {
+    val dir = tempDir()
+    val boom = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 999L) throw new RuntimeException("boom"); id
+    }
+    val df = spark.range(1000).select(boom(col("id")).as("id")).repartition(4)
+    intercept[Exception] { AvroSink.write(df, dir) }
+    val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+    assert(left.count(_.endsWith(".avro")) === 0,
+      s"aborted job left readable files: ${left.mkString(",")}")
+    assert(!left.contains("_SUCCESS"))
+    assert(left.count(_.endsWith(".avro.tmp")) === 0,
+      s"aborted job left temps: ${left.mkString(",")}")
+  }
+
+  test("failed OVERWRITE keeps the previous dataset intact") {
+    val dir = tempDir()
+    AvroSink.write(spark.range(100).select(col("id")).repartition(2), dir)
+    val boom = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 5L) throw new RuntimeException("boom"); id
+    }
+    intercept[Exception] {
+      AvroSink.write(spark.range(10).select(boom(col("id")).as("id")),
+        dir, overwrite = true)
+    }
+    // truncation is deferred to commit, so the old 100 rows survive
+    assert(spark.read.format("graft-avro").load(dir).count() === 100)
+  }
+
+  test("long values beyond 2^53 stay exact in pushdown and zone maps") {
+    val dir = tempDir()
+    val p53 = 9007199254740992L // 2^53; p53 and p53+1 round to the SAME double
+    val df = Seq(p53 - 1, p53, p53 + 1, p53 + 3).toDF("v").repartition(1)
+    AvroSink.write(df, dir)
+    // sidecar must carry exact longs, not rounded doubles
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val st = om.readTree(new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".stats.json")).get)
+    assert(st.get("cols").get("v").get("min").isIntegralNumber)
+    assert(st.get("cols").get("v").get("max").asLong === p53 + 3)
+    val r = spark.read.format("graft-avro").load(dir)
+    // equality at p53+1: a double round-trip would also match p53 (same
+    // rounded value) or skip the row entirely; exact compare returns 1
+    assert(r.where(col("v") === (p53 + 1)).count() === 1)
+    assert(r.where(col("v") === (p53 + 2)).count() === 0)
+    // file-level pruning at the rounded boundary must not skip the file:
+    // max = p53+3; predicate v >= p53+2 is satisfiable
+    assert(r.where(col("v") >= (p53 + 2)).count() === 1)
+    assert(r.where(col("v") > (p53 + 3)).count() === 0)
+  }
+
   test("string and null-aware pruning stays conservative") {
     val dir = tempDir()
     val df = Seq(("alpha", Some(1L)), ("beta", None), ("gamma", Some(3L)))
