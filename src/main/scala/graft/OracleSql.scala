@@ -4819,6 +4819,14 @@ object OracleSql {
     "q_s14_avro_stream" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // seen-files-log streaming tail: a LATE container (name below the
+    // processed watermark) written between two drains of one checkpoint
+    // must still land exactly once — the oracle is the WHOLE table, so
+    // a tail that ignores the late file (the watermark protocol) or
+    // double-admits it hash-mismatches
+    "q_s15_avro_seenlog" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // DSv2 Avro filter pushdown: same container round trip, filtered —
     // the oracle sees the table, so a scan that wrongly skips (or keeps)
     // a record under the pushed predicate hash-mismatches

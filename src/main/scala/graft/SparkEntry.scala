@@ -391,6 +391,56 @@ object SparkEntry {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     }),
 
+    // -- S15 seen-files-log streaming tail (r16): the hardened tail
+    // protocol (graft.seenlog=true) admits a LATE file whose name sorts
+    // BELOW every processed name — written between two AvailableNow
+    // runs on one checkpoint. The oracle is the whole table, which the
+    // r15 watermark protocol would provably FAIL to reassemble (it
+    // ignores a0 < b5), so this query is green only because the
+    // seen-log admits the late arrival exactly once ---------------------
+    "q_s15_avro_seenlog" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro_seenlog"
+      new java.io.File(p).mkdirs()
+      // fresh fixture + checkpoint per invocation (exactly-once is per
+      // checkpoint; bench reps must not see a drained one)
+      Option(new java.io.File(p).listFiles())
+        .foreach(_.filter(_.getName.endsWith(".avro")).foreach(_.delete()))
+      val n = T(s, dir, "nation")
+      // parquet sink: the memory sink cannot RESUME a checkpoint, and
+      // resuming is the whole point of the late-file scenario
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_avro_seenlog_ckpt").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_avro_seenlog_out").toString
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-avro")
+          .option("graft.splitbytes", 512)
+          .option("graft.seenlog", "true").load(p)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(); ()
+      }
+      Avro.write(n.where(col("n_nationkey") >= 12).orderBy("n_nationkey"),
+        s"$p/b5.avro")
+      drain()
+      // the LATE file: sorts below b5.avro, keys below the watermark
+      Avro.write(n.where(col("n_nationkey") < 12).orderBy("n_nationkey"),
+        s"$p/a0.avro")
+      drain()
+      val back = s.read.parquet(out)
+      val rows = back.orderBy("n_nationkey").collect().toSeq
+      val schema = back.schema
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt)); rm(new java.io.File(out))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }),
+
     // -- S11b DSv2 Avro scan with FILTER pushdown (r15): the same split
     // protocol, but the predicate is evaluated on the decoded record
     // inside the scan (SupportsPushDownFilters) so non-matching rows are

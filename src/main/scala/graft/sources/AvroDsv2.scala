@@ -404,12 +404,21 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
     new AvroWriteBuilder(info, pathStr)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, pathStr, files, splitBytes,
-      Option(options.get("graft.maxfilespertrigger")).map(_.toInt))
+      AvroStreamOpts(
+        Option(options.get("graft.maxfilespertrigger")).map(_.toInt),
+        Option(options.get("graft.seenlog")).exists(_.toBoolean),
+        Option(options.get("graft.seenlog.retain")).map(_.toInt)))
 }
+
+/** Streaming-tail knobs parsed from the read options. */
+private[sources] case class AvroStreamOpts(
+    maxFilesPerTrigger: Option[Int] = None,
+    seenLog: Boolean = false,
+    retainBatches: Option[Int] = None)
 
 private[sources] class AvroScanBuilder(fullSchema: StructType,
     pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
-    maxFilesPerTrigger: Option[Int] = None)
+    streamOpts: AvroStreamOpts = AvroStreamOpts())
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -425,14 +434,13 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new AvroScan(required, pathStr, files, splitBytes, pushed,
-      maxFilesPerTrigger)
+    new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts)
 }
 
 private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    streamOpts: AvroStreamOpts = AvroStreamOpts()) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -474,7 +482,10 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroMicroBatchStream(this, pathStr, maxFilesPerTrigger)
+    if (streamOpts.seenLog)
+      new AvroSeenLogStream(this, pathStr, checkpointLocation,
+        streamOpts.maxFilesPerTrigger, streamOpts.retainBatches)
+    else new AvroMicroBatchStream(this, pathStr, streamOpts.maxFilesPerTrigger)
 }
 
 /** Streaming TAIL over a graft-avro directory — `spark.readStream
@@ -489,10 +500,11 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   * sort after earlier ones (time-prefixed or sequence-numbered part
   * names; [[AvroSink]]'s deterministic part names within one directory
   * satisfy it per write). A late file sorting at or below the watermark
-  * is ignored — the documented contract (production hardening would be
-  * a FileStreamSource-style seen-files log, at the cost of unbounded
-  * offset state). Exactly-once per file: watermark intervals partition
-  * the name space, so a file belongs to exactly one micro-batch.
+  * is ignored — the documented contract of THIS mode; opt into
+  * `graft.seenlog=true` ([[AvroSeenLogStream]], r16) when producers
+  * cannot guarantee monotone names and late arrivals must be admitted.
+  * Exactly-once per file: watermark intervals partition the name space,
+  * so a file belongs to exactly one micro-batch.
   */
 private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String,
     maxFilesPerTrigger: Option[Int] = None)
@@ -562,6 +574,195 @@ private[sources] case class AvroStreamOffset(watermark: String)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
     new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(watermark)
+}
+
+/** Offset of the seen-log tail: a SEQUENCE NUMBER into the source's own
+  * batch log under the checkpoint — the FileStreamSource shape, where
+  * the offset names a logged file-set rather than encoding it.
+  */
+private[sources] case class AvroSeqOffset(seq: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = seq.toString
+}
+
+/** Seen-files-log streaming tail (`graft.seenlog=true`, r16) — the
+  * production-hardened alternative to the filename-watermark protocol:
+  * a file is NEW iff its name has not been processed before, so a LATE
+  * file sorting below every processed name is still admitted, exactly
+  * once. The price is source-side state: the set of processed names,
+  * persisted FileStreamSource-style in the query checkpoint
+  * (`<checkpoint>/graft-seen/batch-<seq>` = the file list of micro-batch
+  * seq, written atomically via temp+rename BEFORE the offset is
+  * returned, so a restart replays an uncommitted batch from its logged
+  * file-set bit-for-bit).
+  *
+  * Exactly-once across crashes: if the driver dies after a batch file
+  * was logged but before the engine recorded its offset, the next
+  * `latestOffset(start, _)` sees `start.seq < lastSeq` and ROLLS BACK
+  * the orphan batches (deletes their log entries and un-marks their
+  * files) — they were never visible to the engine, so their files must
+  * become pending again, not silently vanish into the seen set.
+  *
+  * Retention (`graft.seenlog.retain` = R batches): on commit, batches
+  * older than `end - R` are retired — their names fold into a
+  * lexicographic FLOOR below which new names are refused (else dropping
+  * them from the seen set would re-admit them), the floor is persisted,
+  * and their log files are deleted. Bounded state at 100 TB: the seen
+  * set holds at most R batches of names, the same contract as
+  * FileStreamSource's maxFileAge, with the same documented caveat that
+  * a file arriving later than the whole retention window is ignored.
+  */
+private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
+    checkpointLocation: String, maxFilesPerTrigger: Option[Int],
+    retainBatches: Option[Int])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  retainBatches.foreach(r => require(r >= 1,
+    s"graft.seenlog.retain must be >= 1, got $r"))
+
+  private val conf = org.apache.spark.sql.SparkSession.getActiveSession
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new Configuration())
+  private val logDir = new Path(checkpointLocation, "graft-seen")
+  private val fs = logDir.getFileSystem(conf)
+  private def om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // driver-side state, rebuilt from the checkpoint log at construction;
+  // MicroBatchExecution drives the source from a single thread
+  private val batches = scala.collection.mutable.TreeMap.empty[Long, Array[String]]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private var floor: String = ""
+  private var lastSeq: Long = 0L
+
+  if (fs.exists(logDir)) {
+    val fl = new Path(logDir, "_floor")
+    if (fs.exists(fl)) {
+      val in = fs.open(fl)
+      try floor = om.readValue(in: java.io.InputStream, classOf[String])
+      finally in.close()
+    }
+    Option(fs.globStatus(new Path(logDir, "batch-*"))).getOrElse(Array.empty)
+      .foreach { st =>
+        val seq = st.getPath.getName.stripPrefix("batch-").toLong
+        val in = fs.open(st.getPath)
+        val files = try om.readValue(in: java.io.InputStream,
+          classOf[Array[String]]) finally in.close()
+        batches(seq) = files
+        seen ++= files
+        if (seq > lastSeq) lastSeq = seq
+      }
+  } else fs.mkdirs(logDir)
+
+  private def atomicWrite(name: String, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(logDir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new Path(logDir, name)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"graft-seen log: rename $tmp -> $dst failed")
+  }
+
+  private def seqOf(o: Offset): Long = o.asInstanceOf[AvroSeqOffset].seq
+
+  private def pendingNow(): IndexedSeq[String] =
+    AvroDsv2.listFiles(pathStr, conf).map(_._1)
+      .filter(p => p > floor && !seen.contains(p))
+
+  // Trigger.AvailableNow: freeze the pending SET (not a name watermark —
+  // ordering means nothing here); each capped batch drains from it
+  @volatile private var frozenPending: Option[IndexedSeq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenPending = Some(pendingNow())
+
+  override def initialOffset(): Offset = AvroSeqOffset(0L)
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "seen-log tail is driven through SupportsAdmissionControl")
+  override def reportLatestOffset(): Offset = AvroSeqOffset(lastSeq)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startSeq = seqOf(start)
+    // orphan rollback: batches logged past the engine's restart point
+    // were never recorded in the engine's offset log — their files must
+    // become pending again (see class doc)
+    while (lastSeq > startSeq) {
+      batches.remove(lastSeq).foreach(seen --= _)
+      fs.delete(new Path(logDir, s"batch-$lastSeq"), false)
+      lastSeq -= 1
+    }
+    // the engine only asks for a NEXT offset once batch `start` is in
+    // its commit log, so retention can run here too — commit() alone
+    // lags one batch (it fires during the FOLLOWING batch's
+    // construction) and would never retire the final batch of an
+    // AvailableNow drain
+    applyRetention(startSeq)
+    val pending = frozenPending
+      .map(_.filter(p => !seen.contains(p) && p > floor))
+      .getOrElse(pendingNow())
+    val capped = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _ => pending
+    }
+    if (capped.isEmpty) start
+    else {
+      val seq = lastSeq + 1
+      atomicWrite(s"batch-$seq", om.writeValueAsBytes(capped.toArray))
+      batches(seq) = capped.toArray
+      seen ++= capped
+      lastSeq = seq
+      AvroSeqOffset(seq)
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val files = ((seqOf(start) + 1) to seqOf(end)).flatMap { seq =>
+      batches.getOrElse(seq, throw new IllegalStateException(
+        s"graft-seen log: batch $seq missing from $logDir"))
+    }
+    // logged containers are immutable once written (sink contract);
+    // a logged file deleted before replay fails loudly here
+    scan.planSplits(files.map { p =>
+      val st = new Path(p)
+      (p, st.getFileSystem(conf).getFileStatus(st).getLen)
+    })
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def deserializeOffset(json: String): Offset =
+    AvroSeqOffset(json.trim.toLong)
+
+  /** Retire batches older than committed−R, folding their names into
+    * the floor (persisted FIRST — a crash between the floor write and
+    * the deletes only leaves redundant log files, never re-admits a
+    * processed name).
+    */
+  private def applyRetention(committedSeq: Long): Unit =
+    retainBatches.foreach { r =>
+      val cut = committedSeq - r
+      val retired = batches.rangeTo(cut).keys.toIndexedSeq
+      if (retired.nonEmpty) {
+        retired.foreach { seq =>
+          val fls = batches(seq)
+          if (fls.nonEmpty && fls.max > floor) floor = fls.max
+        }
+        atomicWrite("_floor", om.writeValueAsBytes(floor))
+        retired.foreach { seq =>
+          batches.remove(seq).foreach(seen --= _)
+          fs.delete(new Path(logDir, s"batch-$seq"), false)
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = applyRetention(seqOf(end))
+
+  override def stop(): Unit = ()
 }
 
 private[sources] case class AvroSplit(path: String, start: Long, end: Long)

@@ -109,6 +109,89 @@ class AvroStreamSpec extends SparkSpec {
     assert(drain() === (0L until 25L), "the first file lands in the next run")
   }
 
+  /** AvailableNow drain with the seen-files log on; parquet sink so the
+    * checkpoint (and with it the graft-seen log) recovers across runs.
+    */
+  private def runSeenLog(dir: String, ckpt: String, out: String,
+      retain: Option[Int] = None): Seq[Long] = {
+    val reader = spark.readStream.format("graft-avro")
+      .option("graft.splitbytes", 512)
+      .option("graft.seenlog", "true")
+    val withRetain = retain.fold(reader)(n =>
+      reader.option("graft.seenlog.retain", n.toString))
+    val query = withRetain.load(dir).select("id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val f = new java.io.File(out)
+    if (!f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet")))
+      Seq.empty
+    else spark.read.parquet(out).as[Long].collect().sorted.toSeq
+  }
+
+  test("seen-log tail admits LATE files exactly once across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_seenlog").toString
+    val ckpt = s"$dir/_ckpt"; val out = s"$dir/_out"
+    writeBatch(dir, "b5.avro", 0 until 100)
+    assert(runSeenLog(dir, ckpt, out) === (0L until 100L))
+    // a9 sorts BELOW b5 — the watermark tail ignores it; seen-log admits it
+    writeBatch(dir, "a9.avro", 100 until 150)
+    assert(runSeenLog(dir, ckpt, out) === (0L until 150L),
+      "late file must be admitted by the seen-log tail")
+    // and exactly once: an idle re-run appends nothing
+    assert(runSeenLog(dir, ckpt, out) === (0L until 150L),
+      "no file may be processed twice")
+    // the log persists one batch file per non-empty micro-batch
+    val logFiles = new java.io.File(s"$ckpt/sources/0/graft-seen").listFiles()
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(logFiles.length === 2, logFiles.mkString(","))
+  }
+
+  test("seen-log retention folds retired batches into the name floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_seenret").toString
+    val ckpt = s"$dir/_ckpt"; val out = s"$dir/_out"
+    writeBatch(dir, "c1.avro", 0 until 10)
+    assert(runSeenLog(dir, ckpt, out, retain = Some(1)) === (0L until 10L))
+    writeBatch(dir, "c2.avro", 10 until 20)
+    assert(runSeenLog(dir, ckpt, out, retain = Some(1)) === (0L until 20L))
+    writeBatch(dir, "c3.avro", 20 until 30)
+    assert(runSeenLog(dir, ckpt, out, retain = Some(1)) === (0L until 30L))
+    // a file BELOW the floor (older than the whole retention window) is
+    // refused — the documented FileStreamSource-maxFileAge-style caveat.
+    // (This restart also delivers the final batch's commit() callback,
+    // which is when retention retires it — AvailableNow stops before
+    // the last within-run commit.)
+    writeBatch(dir, "a0.avro", 900 until 910)
+    assert(runSeenLog(dir, ckpt, out, retain = Some(1)) === (0L until 30L),
+      "names below the retention floor stay outside the contract")
+    // retention=1: at most the newest batch's log survives (+ the floor)
+    val logDir = new java.io.File(s"$ckpt/sources/0/graft-seen")
+    val kept = logDir.listFiles().map(_.getName).filter(_.startsWith("batch-"))
+    assert(kept.length <= 1, s"retention must bound the log: ${kept.mkString(",")}")
+    assert(logDir.listFiles().map(_.getName).contains("_floor"))
+  }
+
+  test("seen-log tail honors maxFilesPerTrigger while draining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_seenmf").toString
+    writeBatch(dir, "b0.avro", 0 until 10)
+    writeBatch(dir, "b1.avro", 10 until 20)
+    writeBatch(dir, "b2.avro", 20 until 30)
+    val q = spark.readStream.format("graft-avro")
+      .option("graft.splitbytes", 512)
+      .option("graft.seenlog", "true")
+      .option("graft.maxfilespertrigger", 1).load(dir)
+      .writeStream.format("memory").queryName("avro_seen_mf")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("avro_seen_mf").select("id").as[Long].collect().sorted
+      .toSeq === (0L until 30L))
+    val logFiles = new java.io.File(s"$dir/_ckpt/sources/0/graft-seen").listFiles()
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(logFiles.length === 3, s"cap 1 over 3 files: ${logFiles.mkString(",")}")
+  }
+
   test("offsets round-trip through JSON") {
     val o = AvroStreamOffset("/some/dir/b17.avro")
     val back = new AvroMicroBatchStream(
