@@ -4955,10 +4955,11 @@ object OracleSql {
         |WHERE k % 50 = 0
         |ORDER BY snap_version, o_orderkey""".stripMargin,
 
-    // log compaction: the oracle replays AS-OF-3 from the ORIGINAL base
-    // + FULL log (the same lg/s3 DAG as q_merge_timetravel) — the engine
-    // answers from the watermark-2-compacted pair, so any history lost
-    // or duplicated by compaction at/above the watermark hash-mismatches
+    // log compaction (multi-boundary, r16): the oracle replays AS-OF-2
+    // and AS-OF-3 from the ORIGINAL base + FULL log (the same lg/s2/s3
+    // DAG as q_merge_timetravel) — the engine answers BOTH from the
+    // boundary-{1,2}-compacted pair, so any history the band winners or
+    // the tail lose or duplicate at a retained boundary hash-mismatches
     "q_merge_log_compact" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
@@ -4972,17 +4973,27 @@ object OracleSql {
         |  SELECT k, 3, 'u',
         |      CAST(price + CAST(1.00 AS DECIMAL(3,2)) AS DECIMAL(18,2))
         |    FROM o WHERE k % 3 = 0),
+        |s2 AS (
+        |  SELECT 2 AS snap_version, k, price FROM (
+        |    SELECT k, op, price,
+        |        row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM lg WHERE v <= 2) w WHERE rn = 1 AND op = 'u'
+        |  UNION ALL
+        |  SELECT 2, k, price FROM o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lg WHERE lg.k = o.k AND lg.v <= 2)),
         |s3 AS (
-        |  SELECT k, price FROM (
+        |  SELECT 3 AS snap_version, k, price FROM (
         |    SELECT k, op, price,
         |        row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
         |      FROM lg WHERE v <= 3) w WHERE rn = 1 AND op = 'u'
         |  UNION ALL
-        |  SELECT k, price FROM o
+        |  SELECT 3, k, price FROM o
         |    WHERE NOT EXISTS (SELECT 1 FROM lg WHERE lg.k = o.k AND lg.v <= 3))
-        |SELECT k AS o_orderkey, CAST(price AS DOUBLE) + 0.0 AS price
-        |FROM s3 WHERE k % 50 = 0
-        |ORDER BY o_orderkey""".stripMargin,
+        |SELECT CAST(snap_version AS BIGINT) AS snap_version, k AS o_orderkey,
+        |  CAST(price AS DOUBLE) + 0.0 AS price
+        |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |WHERE k % 50 = 0
+        |ORDER BY snap_version, o_orderkey""".stripMargin,
 
     // fixed-width round trip: the oracle is the source table — the
     // padded serialize + substring parse must be lossless

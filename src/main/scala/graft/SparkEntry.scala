@@ -4503,12 +4503,14 @@ object SparkEntry {
         .orderBy("snap_version", "o_orderkey")
     }),
 
-    // -- CDC log compaction (r15): the q_merge_timetravel log compacted
-    // at watermark v=2 (entries <= 2 folded into a new base, log
-    // truncated to v > 2), then the LATEST state reconstructed from the
-    // compacted pair. The oracle replays the as-of-3 snapshot from the
-    // ORIGINAL base + full log, so compaction must be history-preserving
-    // at and above the watermark. ---------------------------------------
+    // -- CDC log compaction (r15; MULTI-BOUNDARY r16): the
+    // q_merge_timetravel log compacted at retained boundaries {1, 2}
+    // (entries <= 1 folded into a new base, band (1,2] reduced to its
+    // per-key winner, tail v > 2 verbatim), then snapshots AT boundary
+    // 2 and at the tail version 3 reconstructed from the compacted
+    // pair. The oracle replays BOTH from the ORIGINAL base + full log,
+    // so compaction must be history-preserving at every retained
+    // boundary and above the newest one. --------------------------------
     "q_merge_log_compact" -> ((s, dir) => {
       val o = T(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -4525,12 +4527,16 @@ object SparkEntry {
             (col("price") + lit(BigDecimal("1.00"))).cast("decimal(18,2)")
               .as("price")))
       val (newBase, newLog) = Merge.compactLog(o, log, Seq("o_orderkey"),
-        "v", "op", Seq("price"), watermark = 2L)
-      Merge.snapshotAsOf(newBase, newLog, Seq("o_orderkey"), "v", "op",
-          Seq("price"), asOfVersion = 3L)
+        "v", "op", Seq("price"), boundaries = Seq(1L, 2L))
+      def snap(asOf: Long): DataFrame =
+        Merge.snapshotAsOf(newBase, newLog, Seq("o_orderkey"), "v", "op",
+            Seq("price"), asOf)
+          .withColumn("snap_version", lit(asOf))
+      snap(2L).unionByName(snap(3L))
         .where(col("o_orderkey") % 50 === 0)
-        .select(col("o_orderkey"), col("price").cast("double").as("price"))
-        .orderBy("o_orderkey")
+        .select(col("snap_version"), col("o_orderkey"),
+          col("price").cast("double").as("price"))
+        .orderBy("snap_version", "o_orderkey")
     }),
 
     // -- incremental join maintenance: signed delta of orders⋈lineitem

@@ -285,29 +285,85 @@ object Merge {
     * @param ops    (opCol value) `'u'` upsert / `'d'` delete
     * @return base-shaped rows (keys… ++ valueCols) as of `asOfVersion`
     */
-  /** CDC log compaction (r15): fold every log entry at or below
-    * `watermark` into a new materialized base and truncate the log —
-    * the retention/checkpoint operation that keeps [[snapshotAsOf]]'s
-    * replay cost bounded as a 100 TB log grows without end. The new
-    * base is one [[snapshotAsOf]] at the watermark (per-key struct-max
-    * winner + delta-sized anti-join, never a window over the log); the
-    * new log is a pushed-down version filter, which prunes whole
-    * partitions when the log is laid out version-banded (the
-    * TimeTravelSpec pruning contract).
-    *
-    * Invariant (spec-gated): for every V >= watermark,
-    * `snapshotAsOf(newBase, newLog, …, V) == snapshotAsOf(base, log, …, V)`.
-    * History BELOW the watermark is deliberately gone — that is the
-    * point of retention; pick the watermark at or below the oldest
-    * version any consumer may still time-travel to.
-    *
-    * @return (compacted base, truncated log)
+  /** CDC log compaction at ONE watermark (r15 form): every entry at or
+    * below `watermark` folds into a new materialized base and the log
+    * truncates to `v > watermark`. Kept as the common single-checkpoint
+    * call; see the boundary-list overload for tiered retention.
     */
   def compactLog(base: DataFrame, log: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String, valueCols: Seq[String],
       watermark: Long): (DataFrame, DataFrame) =
-    (snapshotAsOf(base, log, keys, versionCol, opCol, valueCols, watermark),
-      log.where(col(versionCol) > watermark))
+    compactLog(base, log, keys, versionCol, opCol, valueCols, Seq(watermark))
+
+  /** CDC log compaction at a LIST of retained version boundaries
+    * B1 < … < Bn (r16 — e.g. daily snapshots for a week, then weekly):
+    * the retention/checkpoint operation that keeps [[snapshotAsOf]]'s
+    * replay cost bounded as a 100 TB log grows without end.
+    *
+    *  - the new base is one [[snapshotAsOf]] at B1 (per-key struct-max
+    *    winner + delta-sized anti-join, never a window over the log);
+    *  - each band (Bi, Bi+1] keeps ONE entry per touched key — the
+    *    band's struct-max winner, re-emitted at its own version. Max of
+    *    band-maxes is the global max, so replay AT any retained
+    *    boundary is exact;
+    *  - entries above Bn pass through verbatim (the full-fidelity
+    *    tail), so every version after the newest boundary stays
+    *    reachable.
+    *
+    * Invariant (spec-gated): for every retained boundary Bi — and every
+    * V >= Bn — `snapshotAsOf(newBase, newLog, …, V)` equals the replay
+    * from the ORIGINAL base + full log. History below B1 is gone, and
+    * history strictly INSIDE a band is quantized to the band winner —
+    * that is the point of retention; pick boundaries at the versions
+    * consumers may still time-travel to.
+    *
+    * One hash aggregate keyed (key, band) + two pushed-down version
+    * filters; the band expression is a plan-time literal CASE, so a
+    * version-banded log layout prunes whole partitions (the
+    * TimeTravelSpec pruning contract).
+    *
+    * @return (compacted base, compacted log)
+    */
+  def compactLog(base: DataFrame, log: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String, valueCols: Seq[String],
+      boundaries: Seq[Long]): (DataFrame, DataFrame) = {
+    require(boundaries.nonEmpty, "compactLog needs at least one boundary")
+    require(boundaries.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"boundaries must be strictly increasing: $boundaries")
+    val b1 = boundaries.head
+    val bn = boundaries.last
+    val v = col(versionCol)
+    val newBase = snapshotAsOf(base, log, keys, versionCol, opCol,
+      valueCols, b1)
+    val tail = log.where(v > bn)
+    val newLog =
+      if (boundaries.size == 1) tail
+      else {
+        val logCols = log.columns.toSeq
+        val vType = log.schema(versionCol).dataType
+        // band = index of the smallest retained boundary >= v, for rows
+        // in (B1, Bn] — a literal CASE chain, foldable and pushable
+        val bandCol = boundaries.tail.zipWithIndex
+          .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (b, i)) =>
+              Some(acc.map(_.when(v <= b, lit(i + 1)))
+                .getOrElse(when(v <= b, lit(i + 1))))
+          }.get
+        val winners = log.where(v > b1 && v <= bn)
+          .withColumn("__band", bandCol)
+          .groupBy((keys.map(col) :+ col("__band")): _*)
+          .agg(max(struct(
+            (v.cast("long").as("__v") +: col(opCol).as("__op") +:
+              valueCols.map(col)): _*)).as("__w"))
+          .select(keys.map(col) ++ Seq(
+            col("__w.__v").cast(vType).as(versionCol),
+            col("__w.__op").as(opCol)) ++
+            valueCols.map(c => col(s"__w.$c").as(c)): _*)
+          .select(logCols.map(col): _*)
+        winners.unionByName(tail.select(logCols.map(col): _*))
+      }
+    (newBase, newLog)
+  }
 
   def snapshotAsOf(base: DataFrame, log: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String, valueCols: Seq[String],

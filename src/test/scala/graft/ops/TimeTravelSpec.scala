@@ -62,6 +62,36 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("multi-boundary compaction replays exactly at every retained boundary") {
+    // tiered retention: boundaries {1, 3} — base folds <= 1, band (1,3]
+    // keeps ONE winner per key, tail v=4 verbatim
+    val (nb, nl) = Merge.compactLog(base, log, Seq("k"), "v", "op",
+      Seq("price"), boundaries = Seq(1L, 3L))
+    def replay(v: Long): Map[Long, Double] =
+      Merge.snapshotAsOf(nb, nl, Seq("k"), "v", "op", Seq("price"), v)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact at each retained boundary and at/above the newest one
+    Seq(1L, 3L, 4L).foreach(v => assert(replay(v) === snap(v),
+      s"boundary replay diverged at v=$v"))
+    // the band (1,3] collapsed k=2's delete(v2)+upsert(v3) to ONE entry
+    val bandRows = nl.where(col("v") > 1 && col("v") <= 3).collect()
+    assert(bandRows.length === 1, bandRows.mkString(","))
+    assert(bandRows.head.getAs[Long]("v") === 3L, "winner keeps its version")
+    // the tail is verbatim
+    assert(nl.where(col("v") > 3).count() === 1)
+  }
+
+  test("multi-boundary compaction rejects unsorted boundary lists") {
+    intercept[IllegalArgumentException] {
+      Merge.compactLog(base, log, Seq("k"), "v", "op", Seq("price"),
+        boundaries = Seq(3L, 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.compactLog(base, log, Seq("k"), "v", "op", Seq("price"),
+        boundaries = Seq.empty[Long])
+    }
+  }
+
   test("the version predicate PRUNES partitions of a version-banded CDC log") {
     // the 100 TB shape: the log is laid out partitioned by version band,
     // so `v <= asOf` must land in PartitionFilters (files of later bands
