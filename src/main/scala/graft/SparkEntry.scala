@@ -91,6 +91,23 @@ object SparkEntry {
         }.toMap
       }.toMap
 
+  /** Bounded (ship-month, day) daily-revenue rollup of lineitem — the
+    * shared input of the trend family (`q_stats_theilsen`,
+    * `q_stats_kendall`). PINNED per data dir (r16, the r15 verdict's
+    * task #6): months × ≤31 rows, deterministic, and both consumers
+    * were rebuilding the identical full-table aggregate; one build +
+    * a materialized bounded artifact is also the production shape (a
+    * metrics pipeline persists its daily rollup, it doesn't re-scan
+    * the fact table per statistic).
+    */
+  private def lineitemDailyRev(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"daily_rev_lineitem|$dir")(
+      T(s, dir, "lineitem").groupBy(
+          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+          dayofmonth(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("rev")))
+
   /** Driver-side mirror of Spark's round(col, 6): HALF_UP over the
     * shortest decimal representation (BigDecimal(Double) routes through
     * Double.toString) — the same helper every bounds-collecting operator
@@ -2509,32 +2526,20 @@ object SparkEntry {
     // regression — no MLlib, no iterative solver, one shuffle.
     // -- Theil–Sen robust trend (r15): per ship-month, the median of all
     // pairwise daily-revenue slopes (and median-residual intercept) —
-    // the 29%-breakdown robust line; points are the bounded daily
-    // rollup (<= 31 per month), pairs a month equi-join, medians exact
-    // order statistics over the distributed value-CDF ------------------
-    "q_stats_theilsen" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem")
-      val daily = li.groupBy(
-          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
-          dayofmonth(col("l_shipdate")).as("d"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("double").as("rev"))
-      graft.ml.Eval.theilSen(daily, "d", "rev", Seq("mon"))
-    }),
+    // the 29%-breakdown robust line; points are the PINNED bounded
+    // daily rollup (<= 31 per month, shared with q_stats_kendall, r16),
+    // pairs a month equi-join, medians exact order statistics ----------
+    "q_stats_theilsen" -> ((s, dir) =>
+      graft.ml.Eval.theilSen(lineitemDailyRev(s, dir), "d", "rev",
+        Seq("mon"))),
 
     // -- Kendall tau-b (r15): monotone-trend strength of daily revenue
     // within each ship-month — exact concordant/discordant/tie counts
-    // over the same bounded daily rollup as q_stats_theilsen; only the
-    // final sqrt runs in the shared double DAG ---------------------------
-    "q_stats_kendall" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem")
-      val daily = li.groupBy(
-          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
-          dayofmonth(col("l_shipdate")).as("d"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("double").as("rev"))
-      graft.ml.Eval.kendallTau(daily, "d", "rev", Seq("mon"))
-    }),
+    // over the same PINNED daily rollup as q_stats_theilsen (r16); only
+    // the final sqrt runs in the shared double DAG -----------------------
+    "q_stats_kendall" -> ((s, dir) =>
+      graft.ml.Eval.kendallTau(lineitemDailyRev(s, dir), "d", "rev",
+        Seq("mon"))),
 
     // -- chi-square independence + Cramér's V (r15): order status ×
     // priority — exact integer cell/marginal counts, fixed-point 1e9

@@ -70,7 +70,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_sim_knn_mutual", "q_ml_conformal", "q_stats_theilsen",
     "q_text_viterbi_segment", "q_join_interval",
     "q_outlier_hbos", "q_stats_chi2", "q_stats_kendall",
-    "q_events_holtwinters", "q_graph_harmonic")
+    "q_events_holtwinters", "q_graph_harmonic",
+    // r16 additions: the straggler the r15 verdict flagged as missing,
+    // plus the multi-boundary compaction whose shape changed this round
+    "q_quality_freshness", "q_merge_log_compact")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
