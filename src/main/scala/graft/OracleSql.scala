@@ -4846,6 +4846,21 @@ object OracleSql {
       ("SELECT * FROM nation WHERE n_nationkey >= 5 AND n_nationkey <= 11 " +
         "ORDER BY n_nationkey"),
 
+    // metadata-only aggregate pushdown: the engine answers from the
+    // sidecars alone; the oracle aggregates the SOURCE table, so any
+    // drift between accumulated stats and the true data hash-mismatches
+    "q_s16_avro_agg" ->
+      ("SELECT count(*) AS n_rows, count(s_acctbal) AS n_bal, " +
+        "min(s_suppkey) AS min_key, max(s_suppkey) AS max_key, " +
+        "min(s_nationkey) AS min_nat, max(s_nationkey) AS max_nat, " +
+        "min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, " +
+        "min(s_name) AS min_name, max(s_name) AS max_name FROM supplier"),
+
+    // bloom-sidecar point-lookup skipping: the oracle is the filtered
+    // table — a bloom that wrongly proves a value absent loses the row
+    "q_s17_avro_bloom" ->
+      "SELECT * FROM nation WHERE n_name = 'CHINA' ORDER BY n_nationkey",
+
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the

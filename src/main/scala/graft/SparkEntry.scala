@@ -502,6 +502,46 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // -- S16 metadata-only AGGREGATE pushdown (r16): a global
+    // count/count(col)/min/max over a graft-avro dataset is answered
+    // entirely from the stats sidecars — zero container reads
+    // (SupportsPushDownAggregates, complete pushdown; AvroAggBloomSpec
+    // proves the containers are never opened by corrupting them). The
+    // oracle computes the same aggregates over the source table, so the
+    // sidecar-derived answers must be EXACT --------------------------------
+    "q_s16_avro_agg" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/supplier_avro_agg"
+      AvroSink.write(T(s, dir, "supplier").repartition(4), p, overwrite = true)
+      s.read.format("graft-avro").load(p).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("s_acctbal")).as("n_bal"),
+        min(col("s_suppkey")).as("min_key"),
+        max(col("s_suppkey")).as("max_key"),
+        min(col("s_nationkey")).as("min_nat"),
+        max(col("s_nationkey")).as("max_nat"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"),
+        min(col("s_name")).as("min_name"),
+        max(col("s_name")).as("max_name"))
+    }),
+
+    // -- S17 Bloom-sidecar file skipping (r16): two containers with fully
+    // overlapping key RANGES but disjoint value sets — min/max zone maps
+    // cannot prune a point lookup, the per-column bloom can (the spec
+    // asserts lastPlanned == (1, 2)); the oracle is the filtered table,
+    // so a bloom that wrongly "proves absent" loses the row and
+    // hash-mismatches -----------------------------------------------------
+    "q_s17_avro_bloom" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/nation_avro_bloom"
+      val n = T(s, dir, "nation")
+      AvroSink.write(n.where(col("n_nationkey") % 2 === 0).coalesce(1),
+        p, overwrite = true)
+      AvroSink.write(n.where(col("n_nationkey") % 2 === 1).coalesce(1), p)
+      s.read.format("graft-avro").load(p)
+        .where(col("n_name") === "CHINA")
+        .orderBy("n_nationkey")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the

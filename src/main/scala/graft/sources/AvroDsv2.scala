@@ -9,10 +9,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -278,6 +279,70 @@ private[sources] object AvroFilters {
     }
 }
 
+/** Per-column Bloom filter shared by the sink (build) and the scan
+  * (probe) — the EQUALITY complement to the zone map's range pruning: a
+  * needle-in-haystack point lookup (`WHERE id = 42`) over range-
+  * overlapping files prunes nothing by min/max, but a 2048-bit Bloom
+  * per column per file answers "definitely absent" for ~0.1 KB of
+  * sidecar. The hash is MD5 over a CANONICAL string form (integrals as
+  * their decimal long, strings raw), so an Integer literal probes a
+  * long column's bloom correctly; doubles and booleans are not tracked
+  * (float equality pruning is a trap; a 2-value domain needs no
+  * filter). False positives only cost a read — never a lost row.
+  */
+private[sources] object AvroBloom {
+  val Bits = 2048
+  val Words: Int = Bits / 64
+  val K = 3
+
+  /** The canonical probe/insert string; None = value class not tracked. */
+  def canonical(v: Any): Option[String] = v match {
+    case null => None
+    case n: java.lang.Long => Some(n.toString)
+    case n: java.lang.Integer => Some(n.longValue.toString)
+    case n: java.lang.Short => Some(n.longValue.toString)
+    case n: java.lang.Byte => Some(n.longValue.toString)
+    case s: CharSequence => Some(s.toString)
+    case _ => None
+  }
+
+  private def positions(s: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Array.tabulate(K) { i =>
+      val o = i * 4
+      val h = ((md(o) & 0xff) << 24) | ((md(o + 1) & 0xff) << 16) |
+        ((md(o + 2) & 0xff) << 8) | (md(o + 3) & 0xff)
+      (h & 0x7fffffff) % Bits
+    }
+  }
+
+  def add(words: Array[Long], s: String): Unit =
+    positions(s).foreach(p => words(p >> 6) |= 1L << (p & 63))
+
+  def mayContain(words: Array[Long], s: String): Boolean =
+    positions(s).forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
+
+  def toBase64(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(Words * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** None on any malformed/mis-sized payload (foreign sidecar): the
+    * caller must treat that as "no bloom", never as "empty bloom"
+    * (an empty bloom would prune EVERYTHING).
+    */
+  def fromBase64(s: String): Option[Array[Long]] = try {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    if (bytes.length != Words * 8) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Some(Array.fill(Words)(bb.getLong))
+    }
+  } catch { case _: Throwable => None }
+}
+
 /** Sidecar zone-map pruning for the graft-avro scan: [[AvroSink]] writes
   * `<file>.stats.json` (per-column min/max/nulls + row count); at
   * planning time [[AvroScan]] consults them and drops whole files whose
@@ -285,6 +350,15 @@ private[sources] object AvroFilters {
   * CONSERVATIVE — missing sidecar, missing column stats, or an
   * unsupported predicate shape mean "read the file"; only a provably
   * unsatisfiable range skips, so pruning can never lose a row.
+  *
+  * NaN soundness (r16): double min/max stats EXCLUDE NaN, but under
+  * Spark's ordering NaN is GREATER than every value — so a NaN row
+  * satisfies `a > v` even when the stored max says no row can. Every
+  * decision that leans on an UPPER bound of a double-stat column (>,
+  * >=, = NaN) therefore requires the sidecar's `nans` count to prove
+  * the file NaN-free; a legacy sidecar without the field keeps the
+  * file. Lower-bound decisions (<, <=) are unaffected — NaN satisfies
+  * neither, and excluding NaN cannot raise the stored min.
   */
 private[sources] object AvroStats {
   /** min/max as Option (absent when the file has no non-null value);
@@ -293,7 +367,8 @@ private[sources] object AvroStats {
     */
   final case class Col(minL: Option[Long], maxL: Option[Long],
       minD: Option[Double], maxD: Option[Double],
-      minS: Option[String], maxS: Option[String], nulls: Long)
+      minS: Option[String], maxS: Option[String], nulls: Long,
+      nans: Option[Long] = None, bloom: Option[Array[Long]] = None)
   final case class FileStats(rows: Long, cols: Map[String, Col])
 
   def read(avroPath: String): Option[FileStats] = try {
@@ -321,7 +396,10 @@ private[sources] object AvroStats {
               case _ => (None, None, None, None, None, None)
             }
           e.getKey -> Col(minL, maxL, minD, maxD, minS, maxS,
-            Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
+            Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
+            Option(v.get("nans")).map(_.asLong),
+            Option(v.get("bloom")).filter(_.isTextual)
+              .flatMap(b => AvroBloom.fromBase64(b.asText)))
         }.toMap
       }.getOrElse(Map.empty[String, Col])
       Some(FileStats(Option(root.get("rows")).map(_.asLong).getOrElse(0L), cols))
@@ -332,12 +410,18 @@ private[sources] object AvroStats {
     * (false ⇒ the whole file is skipped)
     */
   def mayMatch(f: Filter, st: FileStats): Boolean = f match {
-    case EqualTo(a, v) => inRange(st, a, v, lowOk = 0, highOk = 0)
-    case GreaterThan(a, v) => cmpMax(st, a, v).forall(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmpMax(st, a, v).forall(_ >= 0)
+    case EqualTo(a, v) =>
+      if (isNaNv(v)) mayHaveNaN(st, a)
+      else inRange(st, a, v, lowOk = 0, highOk = 0) && bloomMay(st, a, v)
+    case GreaterThan(a, v) =>
+      upperUnsound(st, a, v) || cmpMax(st, a, v).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      upperUnsound(st, a, v) || cmpMax(st, a, v).forall(_ >= 0)
     case LessThan(a, v) => cmpMin(st, a, v).forall(_ < 0)
     case LessThanOrEqual(a, v) => cmpMin(st, a, v).forall(_ <= 0)
-    case In(a, vs) => vs.exists(v => inRange(st, a, v, 0, 0))
+    case In(a, vs) => vs.exists(v =>
+      if (isNaNv(v)) mayHaveNaN(st, a)
+      else inRange(st, a, v, 0, 0) && bloomMay(st, a, v))
     case IsNull(a) => st.cols.get(a).forall(_.nulls > 0)
     case IsNotNull(a) => st.cols.get(a).forall(c =>
       st.rows == 0 || c.nulls < st.rows)
@@ -345,6 +429,40 @@ private[sources] object AvroStats {
     case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
     case _ => true
   }
+
+  private def isNaNv(v: Any): Boolean = v match {
+    case d: java.lang.Double => d.isNaN
+    case f: java.lang.Float => f.isNaN
+    case _ => false
+  }
+
+  /** Could the column hold a NaN this file's min/max didn't see? True
+    * unless the stats prove otherwise: long/string-typed stats (NaN
+    * impossible) or a recorded `nans == 0`. A column with no stats
+    * entry at all stays "maybe" (foreign sidecar).
+    */
+  private def mayHaveNaN(st: FileStats, a: String): Boolean =
+    !st.cols.get(a).exists(c =>
+      c.minL.isDefined || c.minS.isDefined || c.nans.contains(0L))
+
+  /** An upper-bound (max-based) prune of `a <op> v` is UNSOUND when the
+    * column may hold NaN (greater than every value under Spark's
+    * ordering, excluded from the stored max) and the literal is numeric.
+    */
+  private def upperUnsound(st: FileStats, a: String, v: Any): Boolean =
+    v.isInstanceOf[Number] && mayHaveNaN(st, a)
+
+  /** Bloom probe for equality: false ⇒ the value is PROVABLY absent.
+    * No bloom in the sidecar, or a value class the bloom doesn't track
+    * (doubles, booleans) ⇒ true (range check alone decides).
+    */
+  private def bloomMay(st: FileStats, a: String, v: Any): Boolean =
+    st.cols.get(a).forall { c =>
+      (c.bloom, AvroBloom.canonical(v)) match {
+        case (Some(words), Some(s)) => AvroBloom.mayContain(words, s)
+        case _ => true
+      }
+    }
 
   // None = stats unavailable for a definite verdict (⇒ caller keeps file).
   // Long-typed stats (our sink's output for long/int columns) compare
@@ -420,7 +538,7 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
     pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
     streamOpts: AvroStreamOpts = AvroStreamOpts())
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -433,8 +551,181 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  // -- metadata-only aggregate pushdown (r16) ---------------------------
+  // A global COUNT(*)/COUNT(col)/MIN/MAX over a graft-avro dataset is
+  // answerable ENTIRELY from the sidecars the sink already writes: the
+  // scan never opens a single container — at 100 TB, `SELECT count(*),
+  // max(ts) FROM feed` costs one sidecar read per file instead of a
+  // full-table scan. Strictly conservative: any file without a sidecar,
+  // any unsupported function (avg, distinct, sum — not derivable from
+  // min/max/rows), any group-by, or any pushed filter (residual
+  // re-filtering above an aggregate is impossible) declines, and Spark
+  // runs the ordinary scan+aggregate plan.
+  private var aggResult: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+
+  private def computeAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    aggResult match {
+      case Some((prev, res)) if prev == agg => return res
+      case _ => ()
+    }
+    val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed)
+    aggResult = Some((agg, res))
+    res
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
   override def build(): Scan =
-    new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts)
+    aggResult match {
+      case Some((agg, Some((schema, row)))) =>
+        new AvroAggScan(schema, row,
+          agg.aggregateExpressions().mkString(", "))
+      case _ =>
+        new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts)
+    }
+}
+
+/** Sidecar-only evaluation of a pushed global aggregation — the shared
+  * logic behind [[AvroScanBuilder.pushAggregation]]. Returns the
+  * (schema, row) of the COMPLETE result, or None when anything at all
+  * prevents an exact metadata answer.
+  */
+private[sources] object AvroAggPush {
+  import org.apache.spark.sql.connector.expressions.Expression
+
+  private def fieldOf(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  // Spark's ordering: NaN is GREATER than every double. A file whose
+  // values are all NaN has no stored minD/maxD but nans > 0.
+  private def foldMin(acc: Option[Double], v: Double): Option[Double] =
+    Some(acc.fold(v)(a =>
+      if (java.lang.Double.compare(v, a) < 0) v else a))
+  private def foldMax(acc: Option[Double], v: Double): Option[Double] =
+    Some(acc.fold(v)(a =>
+      if (java.lang.Double.compare(v, a) > 0) v else a))
+
+  def tryCompute(agg: Aggregation, schema: StructType,
+      files: Seq[(String, Long)],
+      pushedFilters: Array[Filter]): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (pushedFilters.nonEmpty) return None
+    val stats: Seq[AvroStats.FileStats] = files.map { case (p, _) =>
+      AvroStats.read(p) match {
+        case Some(st) => st
+        case None => return None // any sidecar-less file: full scan
+      }
+    }
+    def sparkType(name: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    def colStats(name: String): Option[Seq[AvroStats.Col]] = {
+      val cs = stats.map(_.cols.get(name))
+      if (cs.forall(_.isDefined)) Some(cs.map(_.get)) else None
+    }
+
+    val fields = Vector.newBuilder[StructField]
+    val values = Vector.newBuilder[Any]
+    agg.aggregateExpressions().zipWithIndex.foreach { case (f, i) =>
+      f match {
+        case _: CountStar =>
+          fields += StructField(s"agg_${i}_count_star", LongType, nullable = false)
+          values += stats.map(_.rows).sum
+        case c: Count if !c.isDistinct =>
+          val name = fieldOf(c.column()).getOrElse(return None)
+          val cs = colStats(name).getOrElse(return None)
+          fields += StructField(s"agg_${i}_count_$name", LongType, nullable = false)
+          values += stats.zip(cs).map { case (st, c0) => st.rows - c0.nulls }.sum
+        case mm @ (_: Min | _: Max) =>
+          val isMin = mm.isInstanceOf[Min]
+          val col = mm match {
+            case m: Min => m.column(); case m: Max => m.column()
+            case _ => return None
+          }
+          val name = fieldOf(col).getOrElse(return None)
+          val dt = sparkType(name).getOrElse(return None)
+          val cs = colStats(name).getOrElse(return None)
+          val tag = if (isMin) "min" else "max"
+          fields += StructField(s"agg_${i}_${tag}_$name", dt, nullable = true)
+          values += (dt match {
+            case LongType | IntegerType =>
+              val bs = cs.flatMap(c => if (isMin) c.minL else c.maxL)
+              // a long/int column whose stats carry doubles (foreign
+              // sidecar) must not answer via lossy values
+              if (cs.exists(c => c.minD.isDefined || c.minS.isDefined))
+                return None
+              if (bs.isEmpty) null
+              else {
+                val v = if (isMin) bs.min else bs.max
+                if (dt == LongType) java.lang.Long.valueOf(v)
+                else java.lang.Integer.valueOf(v.toInt)
+              }
+            case DoubleType =>
+              // every file must RECORD its NaN count — a legacy sidecar
+              // can hide a NaN that IS the true max under Spark ordering
+              if (cs.exists(c => c.nans.isEmpty ||
+                  c.minL.isDefined || c.minS.isDefined)) return None
+              var acc: Option[Double] = None
+              cs.foreach { c =>
+                val b = if (isMin) c.minD else c.maxD
+                b.foreach(v => acc = if (isMin) foldMin(acc, v) else foldMax(acc, v))
+                // an all-NaN file contributes NaN (no stored min/max)
+                if (b.isEmpty && c.nans.exists(_ > 0))
+                  acc = if (isMin) foldMin(acc, Double.NaN) else foldMax(acc, Double.NaN)
+                // a file with SOME NaN: max must still see it
+                else if (!isMin && c.nans.exists(_ > 0))
+                  acc = foldMax(acc, Double.NaN)
+              }
+              acc.map(java.lang.Double.valueOf).orNull
+            case StringType =>
+              val bs = cs.flatMap(c => if (isMin) c.minS else c.maxS)
+              if (cs.exists(c => c.minD.isDefined || c.minL.isDefined))
+                return None
+              if (bs.isEmpty) null
+              else UTF8String.fromString(if (isMin) bs.min else bs.max)
+            case _ => return None // boolean min/max: no stats recorded
+          })
+        case _ => return None // avg/sum/distinct/UDAF: not metadata-exact
+      }
+    }
+    Some((StructType(fields.result()), values.result().toArray))
+  }
+}
+
+/** The metadata-only scan a fully pushed aggregation builds: ONE
+  * partition, ONE pre-computed row, ZERO container reads.
+  */
+private[graft] class AvroAggScan(aggSchema: StructType, row: Array[Any],
+    pushedAggs: String) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro metadata-only aggregate, PushedAggregates: [$pushedAggs]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AvroAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroAggReaderFactory()
+}
+
+private[sources] case class AvroAggPartition(row: Array[Any])
+  extends InputPartition
+
+private[sources] class AvroAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.asInstanceOf[AvroAggPartition].row.clone())
+      override def close(): Unit = ()
+    }
 }
 
 private[graft] class AvroScan(required: StructType, pathStr: String,

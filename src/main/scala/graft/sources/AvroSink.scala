@@ -66,22 +66,35 @@ object AvroSink {
     */
   private[sources] final class ColAcc(val dt: DataType) {
     var nulls = 0L
+    var nans = 0L // double columns: NaN is excluded from min/max but
+                  // recorded, so the scan's upper-bound pruning and
+                  // min/max aggregate pushdown stay sound (AvroStats doc)
     var minD = Double.NaN; var maxD = Double.NaN
     var minL = 0L; var maxL = 0L; var seenL = false
     var minS: String = null; var maxS: String = null
+    // equality Bloom filter for long/int/string columns (AvroBloom doc)
+    val bloom: Array[Long] = dt match {
+      case LongType | IntegerType | StringType => new Array[Long](AvroBloom.Words)
+      case _ => null
+    }
     def seenNumeric: Boolean = !minD.isNaN
     def addNull(): Unit = nulls += 1
     def addD(v: Double): Unit = {
-      if (minD.isNaN || v < minD) minD = v
-      if (maxD.isNaN || v > maxD) maxD = v
+      if (v.isNaN) nans += 1
+      else {
+        if (minD.isNaN || v < minD) minD = v
+        if (maxD.isNaN || v > maxD) maxD = v
+      }
     }
     def addL(v: Long): Unit = {
       if (!seenL) { minL = v; maxL = v; seenL = true }
       else { if (v < minL) minL = v; if (v > maxL) maxL = v }
+      AvroBloom.add(bloom, v.toString)
     }
     def addS(v: String): Unit = {
       if (minS == null || v.compareTo(minS) < 0) minS = v
       if (maxS == null || v.compareTo(maxS) > 0) maxS = v
+      AvroBloom.add(bloom, v)
     }
   }
 
@@ -155,7 +168,12 @@ object AvroSink {
           if (a.seenL) { c.put("min", a.minL); c.put("max", a.maxL) }
         case _ =>
           if (a.seenNumeric) { c.put("min", a.minD); c.put("max", a.maxD) }
+          // ALWAYS recorded for doubles (even 0): "provably NaN-free"
+          // is what unlocks upper-bound pruning and max() pushdown
+          c.put("nans", a.nans)
       }
+      if (a.bloom != null && (a.seenL || a.minS != null))
+        c.put("bloom", AvroBloom.toBase64(a.bloom))
     }
     om.writeValueAsBytes(root)
   }

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r16 source features: metadata-only aggregate pushdown and per-column
+  * Bloom sidecars, plus the NaN zone-map soundness fix.
+  */
+class AvroAggBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_avro_agg").toString
+
+  private def fixture(dir: String): Unit =
+    AvroSink.write(
+      spark.range(1000).select(
+        col("id"),
+        (col("id") % 97).cast("int").as("m97"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id") / 8.0)
+          .as("score"),
+        concat(lit("doc-"), format_string("%04d", col("id"))).as("name"))
+        .repartition(4),
+      dir, overwrite = true)
+
+  /** Overwrite every container's BYTES with garbage, keeping names and
+    * sidecars: any code path that OPENS a container now throws, so a
+    * correct answer proves the plan was metadata-only.
+    */
+  private def corruptContainers(dir: String): Unit =
+    new java.io.File(dir).listFiles().foreach { f =>
+      if (f.getName.endsWith(".avro"))
+        java.nio.file.Files.write(f.toPath,
+          "not an avro container at all".getBytes)
+      else if (f.getName.endsWith(".crc")) f.delete() // stale checksums
+    }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global count/min/max answer from sidecars alone — containers never opened") {
+    val dir = tempDir()
+    fixture(dir)
+    // capture the schema BEFORE corrupting: inferSchema opens a container
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    corruptContainers(dir)
+    val agged = spark.read.format("graft-avro").schema(schema).load(dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("score")).as("n_score"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+      min(col("m97")).as("min_m"), max(col("m97")).as("max_m"),
+      min(col("score")).as("min_s"), max(col("score")).as("max_s"),
+      min(col("name")).as("min_n"), max(col("name")).as("max_n"))
+    val plan = planOf(agged)
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val r = agged.collect().head
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 900L) // every 10th score is null
+    assert(r.getLong(2) === 0L && r.getLong(3) === 999L)
+    assert(r.getInt(4) === 0 && r.getInt(5) === 96)
+    assert(r.getDouble(6) === 1.0 / 8.0) // id=0 is null; min non-null is id=1
+    assert(r.getDouble(7) === 999.0 / 8.0)
+    assert(r.getString(8) === "doc-0000" && r.getString(9) === "doc-0999")
+  }
+
+  test("aggregate pushdown declines: filter, distinct, avg, group-by, missing sidecar") {
+    val dir = tempDir()
+    fixture(dir)
+    val base = spark.read.format("graft-avro").load(dir)
+    val withFilter = base.where(col("id") >= 10).agg(count(lit(1)).as("n"))
+    assert(!planOf(withFilter).contains("PushedAggregates"))
+    assert(withFilter.collect().head.getLong(0) === 990L)
+    val dist = base.agg(countDistinct(col("m97")).as("n"))
+    assert(!planOf(dist).contains("PushedAggregates"))
+    assert(dist.collect().head.getLong(0) === 97L)
+    val av = base.agg(avg(col("id")).as("a"))
+    assert(!planOf(av).contains("PushedAggregates"))
+    assert(av.collect().head.getDouble(0) === 499.5)
+    val grouped = base.groupBy(col("m97")).agg(count(lit(1)).as("n"))
+    assert(!planOf(grouped).contains("PushedAggregates"))
+    assert(grouped.count() === 97L)
+    // drop ONE sidecar: the answer must come from a full scan again
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).take(1)
+      .foreach(f => assert(f.delete()))
+    val noSidecar = base.agg(count(lit(1)).as("n"), max(col("id")).as("m"))
+    assert(!planOf(noSidecar).contains("PushedAggregates"))
+    val r = noSidecar.collect().head
+    assert(r.getLong(0) === 1000L && r.getLong(1) === 999L)
+  }
+
+  test("NaN doubles: pushed max is NaN (Spark ordering), min unaffected") {
+    val dir = tempDir()
+    AvroSink.write(
+      Seq(1.0, 2.5, Double.NaN, -3.0).toDF("v").repartition(2),
+      dir, overwrite = true)
+    val agged = spark.read.format("graft-avro").load(dir)
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(planOf(agged).contains("PushedAggregates"))
+    val r = agged.collect().head
+    assert(r.getDouble(0) === -3.0)
+    assert(r.getDouble(1).isNaN)
+    // cross-check against the same frame aggregated without pushdown
+    val direct = Seq(1.0, 2.5, Double.NaN, -3.0).toDF("v")
+      .agg(min(col("v")), max(col("v"))).collect().head
+    assert(direct.getDouble(0) === r.getDouble(0))
+    assert(direct.getDouble(1).isNaN === r.getDouble(1).isNaN)
+  }
+
+  test("NaN zone-map soundness: a > v cannot skip a file whose NaN is the match") {
+    val dir = tempDir()
+    AvroSink.write(Seq(1.0, 2.0, Double.NaN).toDF("v").repartition(1),
+      dir, overwrite = true)
+    // stored max is 2.0; Spark's ordering has NaN > 1e300, so the row
+    // MUST survive planning (the r16 fix: nans>0 keeps the file)
+    val out = spark.read.format("graft-avro").load(dir)
+      .where(col("v") > 1e300)
+    assert(out.count() === 1L, "the NaN row was wrongly pruned")
+    assert(out.collect().head.getDouble(0).isNaN)
+  }
+
+  private def scanOf(d: DataFrame): AvroScan =
+    d.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[AvroScan]
+
+  test("bloom sidecars prune equality probes that zone maps cannot") {
+    val dir = tempDir()
+    // two files with fully OVERLAPPING id ranges but disjoint value sets:
+    // min/max pruning is powerless, the bloom is decisive
+    val evens = spark.range(100).select((col("id") * 2).as("id"),
+      concat(lit("even-"), col("id")).as("tag")).coalesce(1)
+    val odds = spark.range(100).select((col("id") * 2 + 1).as("id"),
+      concat(lit("odd-"), col("id")).as("tag")).coalesce(1)
+    AvroSink.write(evens, dir, overwrite = true)
+    AvroSink.write(odds, dir) // append: second container
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) === 2)
+
+    val hit = spark.read.format("graft-avro").load(dir)
+      .where(col("id") === 42L)
+    assert(hit.select("tag").as[String].collect().toSeq === Seq("even-21"))
+    val (kept, total) = scanOf(hit).lastPlanned
+    assert(total === 2 && kept === 1,
+      s"bloom should prune the odd file: planned $kept of $total")
+
+    // string bloom: probe a tag that lives in exactly one file
+    val stag = spark.read.format("graft-avro").load(dir)
+      .where(col("tag") === "odd-33")
+    assert(stag.select("id").as[Long].collect().toSeq === Seq(67L))
+    assert(scanOf(stag).lastPlanned === ((1, 2)))
+
+    // IN over values from one file only
+    val inq = spark.read.format("graft-avro").load(dir)
+      .where(col("id").isin(2L, 44L, 90L))
+    assert(inq.count() === 3L)
+    assert(scanOf(inq).lastPlanned === ((1, 2)))
+
+    // integer-typed literal probes a long column's bloom correctly
+    val intLit = spark.read.format("graft-avro").load(dir)
+      .where(col("id") === lit(42))
+    assert(intLit.count() === 1L)
+
+    // absent value inside the range: result empty either way (bloom may
+    // false-positive a file, but never loses the row)
+    val miss = spark.read.format("graft-avro").load(dir)
+      .where(col("id") === 100000L)
+    assert(miss.count() === 0L)
+  }
+}
