@@ -1242,6 +1242,26 @@ object OracleSql {
          |SELECT id, round(${cosine("e", "qe")}, 6) AS cos
          |FROM s, q ORDER BY cos DESC, id LIMIT 10""".stripMargin),
 
+    // exact kNN label-vote classification: brute-force ranked on the
+    // 6dp-rounded cosine (the q_sim_topk tie contract), k = 10, vote
+    // breaks on (votes DESC, label ASC) — the engine's TopKAgg order
+    "q_sim_knn_classify" ->
+      (s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         |    label AS actual FROM embeddings WHERE vec_id % 25 = 0),
+         |s AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    label AS nlabel FROM embeddings),
+         |sc AS (SELECT q.qid, q.actual, s.nid, s.nlabel,
+         |    round(${cosine("e", "qe")}, 6) AS cos
+         |  FROM s, q WHERE s.nid <> q.qid),
+         |top AS (SELECT qid, actual, nlabel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc),
+         |v AS (SELECT qid, actual, nlabel, count(*) AS votes
+         |  FROM top WHERE rn <= 10 GROUP BY 1, 2, 3),
+         |w AS (SELECT qid, actual, nlabel, votes,
+         |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS r FROM v)
+         |SELECT qid, actual, nlabel AS predicted, votes
+         |FROM w WHERE r = 1 ORDER BY qid""".stripMargin),
+
     "q_sim_topk_native" ->
       (s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
@@ -1555,6 +1575,15 @@ object OracleSql {
         |  FROM orders)
         |SELECT o_orderkey, o_orderstatus FROM r
         |WHERE rn <= floor(n * 0.1) ORDER BY o_orderkey""".stripMargin,
+
+    // deterministic k-fold: fold = md5-hash(doc_id) mod 5, audited as
+    // per-(stratum, fold) counts — the same hash slice as the engine
+    "q_split_kfold" ->
+      """SELECT lang,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang NULLS FIRST, fold""".stripMargin,
 
     "q_sample_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
@@ -2989,6 +3018,30 @@ object OracleSql {
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
+    // leave-one-group-out slope influence: per-group DECIMAL power sums,
+    // totals by exact decimal addition, subtraction BEFORE the double
+    // cast — the identical sufficient-statistics DAG as the engine
+    "q_stats_logo" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n_g,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx_g,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy_g,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx_g,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy_g
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(sx_g) AS sx, sum(sy_g) AS sy,
+        |    sum(sxx_g) AS sxx, sum(sxy_g) AS sxy FROM g),
+        |f AS (SELECT l_returnflag, n_g,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS full_m,
+        |    (CAST(n - n_g AS DOUBLE) * CAST(sxy - sxy_g AS DOUBLE) - CAST(sx - sx_g AS DOUBLE) * CAST(sy - sy_g AS DOUBLE))
+        |      / (CAST(n - n_g AS DOUBLE) * CAST(sxx - sxx_g AS DOUBLE) - CAST(sx - sx_g AS DOUBLE) * CAST(sx - sx_g AS DOUBLE)) AS wo_m
+        |  FROM g, t)
+        |SELECT l_returnflag, n_g,
+        |  round(full_m, 6) + 0.0 AS slope_full,
+        |  round(wo_m, 6) + 0.0 AS slope_without,
+        |  round(wo_m - full_m, 6) + 0.0 AS influence
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
     // incremental dedup: fingerprint anti-join vs corpus, within-batch
     // canonical exact, batch-bands × corpus-bands near-dup (Jaccard ≥
     // 0.25), then the within-batch minhash chain + recursive closure —
@@ -3110,6 +3163,28 @@ object OracleSql {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // seasonal-naive backtest: lag-7 vs lag-1 forecasts over the daily
+    // count series per event type, fixed-point (trunc-mirrored) error
+    // sums, the shared-DAG MAE divisions and MASE ratio
+    "q_events_backtest" ->
+      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, cnt,
+        |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7,
+        |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1
+        |  FROM d),
+        |e AS (SELECT event_type,
+        |    CAST(trunc(abs(cnt - f7) * 1000000.0) AS BIGINT) AS es,
+        |    CAST(trunc(abs(cnt - f1) * 1000000.0) AS BIGINT) AS e1
+        |  FROM l WHERE f7 IS NOT NULL)
+        |SELECT event_type, count(*) AS n_eval,
+        |  round(CAST(sum(es) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0 AS mae_seasonal,
+        |  round(CAST(sum(e1) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0 AS mae_naive,
+        |  CASE WHEN CAST(sum(e1) AS BIGINT) = 0 THEN NULL
+        |    ELSE round(CAST(sum(es) AS DOUBLE) / CAST(sum(e1) AS DOUBLE), 6) + 0.0 END AS mase
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_events_wow" ->
       """WITH weekly AS (SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
@@ -5815,6 +5890,24 @@ object OracleSql {
         |  round(CAST(1.0 AS DOUBLE) / count(*), 6) AS reid_risk
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 10
         |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    // ε-DP Laplace count release: inverse-CDF noise from the same md5
+    // uniform slice, the identical double DAG (sign · ln(1−2|u−½|))
+    "q_privacy_dpcount" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true FROM documents GROUP BY 1),
+        |n AS (SELECT lang, n_true,
+        |    (CAST(CAST(concat('0x', substr(md5(lang), 1, 15)) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1152921504606846976.0 AS DOUBLE) AS u
+        |  FROM c)
+        |SELECT lang, n_true,
+        |  round(n_true + CAST(-1.0 AS DOUBLE)
+        |      * (CASE WHEN u - CAST(0.5 AS DOUBLE) > 0 THEN CAST(1.0 AS DOUBLE)
+        |              WHEN u - CAST(0.5 AS DOUBLE) < 0 THEN CAST(-1.0 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END)
+        |      * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))), 6)
+        |    + 0.0 AS n_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n ORDER BY lang NULLS FIRST""".stripMargin,
     "q_quality_kanon_summary" ->
       """WITH g AS (SELECT count(*) AS sz FROM customer GROUP BY c_nationkey, c_mktsegment)
         |SELECT CAST(min(sz) AS BIGINT) AS achieved_k, CAST(count(*) AS BIGINT) AS n_classes,

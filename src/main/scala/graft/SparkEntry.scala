@@ -1420,6 +1420,16 @@ object SparkEntry {
         "o_orderkey", 0.1)
         .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")),
 
+    // -- deterministic k-fold CV assignment (r16): fold = md5(id) mod k,
+    // a pure projection (no window, no exchange) — the reproducible-
+    // forever fold map a growing corpus needs; verified as per-
+    // (stratum, fold) counts so the bounded output also audits balance
+    "q_split_kfold" -> ((s, dir) =>
+      Sampling.foldAssign(T(s, dir, "documents"), "doc_id", 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "fold")),
+
     // -- M2 exact 80/20 split: exactly floor(0.8n) train rows, stable
     // (md5(id), id) order, distributed prefix-sum membership ------------
     "q_split_exact" -> ((s, dir) => {
@@ -2581,6 +2591,14 @@ object SparkEntry {
       graft.ml.Eval.kendallTau(lineitemDailyRev(s, dir), "d", "rev",
         Seq("mon"))),
 
+    // -- leave-one-group-out OLS influence (r16): which return-flag
+    // segment moves the fitted price~quantity line — sufficient-stats
+    // subtraction from ONE decimal-exact grouped pass, bounded groups
+    // broadcast against their own total; the data-valuation primitive
+    "q_stats_logo" -> ((s, dir) =>
+      graft.ml.Eval.leaveOneGroupOutSlope(T(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
     // -- chi-square independence + Cramér's V (r15): order status ×
     // priority — exact integer cell/marginal counts, fixed-point 1e9
     // χ² cell terms so the fold is order-independent, the statistic is
@@ -2795,6 +2813,18 @@ object SparkEntry {
         .select(datediff(col("day"), lit("2024-01-01").cast("date")).as("t"),
           col("cnt"))
       Eda.holtWintersSmooth(daily, "t", "cnt", period = 7)
+    }),
+
+    // -- seasonal-naive backtest + MASE (r16): per event type, forecast
+    // each day's count by the value 7 positions back vs 1 back over the
+    // bounded daily rollup; fixed-point error sums, the shared-DAG
+    // ratio — the "is the weekly pattern real signal" gate -------------
+    "q_events_backtest" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.ml.Eval.backtestSeasonalNaive(daily, Seq("event_type"),
+        "day", "cnt", period = 7)
     }),
 
     // -- CUSUM changepoint on the daily series, scaled to exact longs --
@@ -3322,6 +3352,15 @@ object SparkEntry {
       Similarity.mutualKnnPairs(knnGraphK5Pinned(s, dir))
         .orderBy("id_a", "id_b")
     }),
+
+    // -- exact kNN label-vote classification (r16): a bounded query
+    // sample broadcasts, the corpus streams once through the fused
+    // cosine, per-query top-10 via the bounded-buffer TopKAgg (no N·Q
+    // window sort), majority vote — the embedding-space label-
+    // separability audit run before trusting ANN bulk labeling --------
+    "q_sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") % 25 === 0, k = 10)),
 
     // -- incremental kNN-graph insert (r15): the graph is built over the
     // base corpus (vec_id % 10 != 9), then the held-out batch (% 10 == 9)
@@ -4749,6 +4788,14 @@ object SparkEntry {
             expr("c_custkey div 200").as("key_bucket"), col("c_mktsegment")),
           Seq("c_nationkey", "key_bucket"), "c_mktsegment", l = 3L)
         .orderBy("c_nationkey", "key_bucket")),
+
+    // -- ε-DP noisy count release (r16): Laplace(1/ε) noise on corpus
+    // composition counts via inverse-CDF over a deterministic md5
+    // uniform (the documented test-determinism stand-in for secure
+    // randomness — the mechanism is otherwise the real one) -------------
+    "q_privacy_dpcount" -> ((s, dir) =>
+      Quality.dpNoisyCounts(T(s, dir, "documents"), "lang", epsilon = 1.0)
+        .orderBy("lang")),
 
     // -- t-closeness (r13): per (nationkey, mktsegment) class, the
     // ordered EMD between the class's acctbal distribution and the

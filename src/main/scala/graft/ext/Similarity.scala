@@ -1148,4 +1148,53 @@ object Similarity {
           6).as("mean_cos"))
       .orderBy("bin")
   }
+
+  /** k-NN CLASSIFICATION over an embedded, labeled corpus: for each row
+    * matching `queryPred`, predict its label by majority vote of its k
+    * exact cosine nearest neighbors (self excluded) — the audit tier of
+    * weak-label propagation: run on a held-out sample, compare
+    * `predicted` to `actual`, and the agreement rate tells you whether
+    * the embedding space separates the label before trusting any
+    * ANN-routed bulk labeling with it.
+    *
+    * Scale shape: the QUERY side is the bounded sample and broadcasts;
+    * scoring streams the corpus once (N·Q fused-cosine rows, never
+    * materialized); per-query top-k uses the bounded-buffer
+    * [[graft.functions.TopKAgg]] (map-side partials, the shuffle
+    * carries only Q k-sized buffers — no N·Q window sort); the vote is
+    * a count over Q·k rows. Ties: neighbor rank breaks on (cos desc,
+    * id asc), the vote on (votes desc, label asc) — both total orders,
+    * engine-portable.
+    *
+    * Cosine is rounded to 6dp BEFORE ranking so the cut at rank k is
+    * stable against last-ulp float noise (the q_sim_topk contract).
+    */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val q = df.where(queryPred).select(col(idCol).as("qid"),
+      col(vecCol).as("__qv"), col(labelCol).as("actual"))
+    val scored = df.select(col(idCol).as("nid"), col(vecCol).as("__nv"))
+      .crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("actual"), col("nid"),
+        round(VectorOps.cosineNative(col("__nv"), col("__qv")), 6).as("__cos"))
+    val neighbors = scored.groupBy(col("qid"), col("actual"))
+      .agg(topk(col("__cos"), col("nid")).as("__nn"))
+      .select(col("qid"), col("actual"),
+        explode(col("__nn")).as("__e"))
+      .select(col("qid"), col("actual"), col("__e._2").as("nid"))
+    val labels = df.select(col(idCol).as("nid"), col(labelCol).as("__nl"))
+    val votes = neighbors.join(labels, "nid")
+      .groupBy(col("qid"), col("actual"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("votes").desc, col("__nl"))
+    votes.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("qid"), col("actual"), col("__nl").as("predicted"),
+        col("votes"))
+      .orderBy(col("qid"))
+  }
 }

@@ -601,4 +601,95 @@ object Eval {
         round(col("__b"), 6).as("intercept")): _*)
       .orderBy(keys: _*)
   }
+
+  /** Seasonal-naive forecast BACKTEST with the MASE scale-free error —
+    * the standard "is my forecast better than doing nothing" gate run
+    * before trusting any model of a metric series (Hyndman &
+    * Koehler '06). Per key, over a (time-ordered, regularly indexed)
+    * series: forecast value(t) by value(t−period) (seasonal naive) and
+    * by value(t−1) (one-step naive, the MASE denominator); score both
+    * by MAE over the rows where the seasonal lag exists.
+    *
+    * MASE = MAE_seasonal / MAE_naive1: < 1 means the seasonal pattern
+    * carries real signal; the output keeps both MAEs so the ratio is
+    * auditable.
+    *
+    * Determinism: absolute errors are fixed-point 1e6 longs before the
+    * fold (truncation mirrored by trunc() in the oracle), so the sums
+    * are order-independent; only the final divisions run in double.
+    *
+    * Scale: the lag windows run over per-key SERIES — the caller feeds
+    * a bounded rollup (e.g. a daily metric per key), never raw events,
+    * so each partition is the per-key series length, and the two lags
+    * share one sort.
+    */
+  def backtestSeasonalNaive(df: DataFrame, keyCols: Seq[String],
+      tCol: String, valueCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tCol))
+    val v = col(valueCol)
+    val fSeason = lag(v, period).over(w)
+    val fNaive = lag(v, 1).over(w)
+    def fp(c: Column): Column = (abs(c) * lit(1000000.0)).cast("long")
+    df.select(keys :+ v.as("__v") :+ fp(v - fSeason).as("__es")
+        :+ fp(v - fNaive).as("__e1"): _*)
+      .where(col("__es").isNotNull) // first `period` points: no forecast
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("__es")).as("__ses"), sum(col("__e1")).as("__se1"))
+      .select(keys ++ Seq(col("n_eval"),
+        round(col("__ses").cast("double") / (col("n_eval") * lit(1000000.0)), 6)
+          .as("mae_seasonal"),
+        round(col("__se1").cast("double") / (col("n_eval") * lit(1000000.0)), 6)
+          .as("mae_naive"),
+        when(col("__se1") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__ses").cast("double")
+            / col("__se1").cast("double"), 6)).as("mase")): _*)
+      .orderBy(keys: _*)
+  }
+
+  /** Leave-one-group-out OLS influence — data VALUATION for a training
+    * mix: how much does each source/group move the fitted line? For
+    * y ~ x fitted by least squares, report the full-data slope and, per
+    * group g, the slope refitted WITHOUT g's rows, via the sufficient-
+    * statistics identity (subtract g's power sums from the totals) — no
+    * second pass over the data, one grouped aggregate in exact DECIMAL
+    * and a broadcast of the (bounded) per-group sums.
+    *
+    * A large |influence| = slope_without − slope_full flags a group
+    * whose data dominates the fit — the curation signal for "this
+    * source is skewing the model".
+    */
+  def leaveOneGroupOutSlope(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"),
+        sum(x).as("sx_g"), sum(y).as("sy_g"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx_g"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy_g"))
+    val tot = g.agg(sum(col("n_g")).as("n"),
+      sum(col("sx_g")).as("sx"), sum(col("sy_g")).as("sy"),
+      sum(col("sxx_g")).as("sxx"), sum(col("sxy_g")).as("sxy"))
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column): Column = {
+      val nd = n.cast("double"); val sxd = sx.cast("double")
+      val syd = sy.cast("double"); val sxxd = sxx.cast("double")
+      val sxyd = sxy.cast("double")
+      (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    }
+    val full = slope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+    val wo = slope(col("n") - col("n_g"), col("sx") - col("sx_g"),
+      col("sy") - col("sy_g"), col("sxx") - col("sxx_g"),
+      col("sxy") - col("sxy_g"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_g"),
+        round(full, 6).as("slope_full"),
+        round(wo, 6).as("slope_without"),
+        round(wo - full, 6).as("influence"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -480,4 +480,36 @@ object Quality {
     }
     checks.reduce(_ unionByName _).orderBy("determinant", "dependent")
   }
+
+  /** ε-differentially-private category-count release via the Laplace
+    * mechanism: each published count gets noise ~ Laplace(Δ/ε) with
+    * sensitivity Δ = 1 (one row changes one category count by one) —
+    * the standard release shape for sharing corpus composition stats
+    * (counts per language/source/toxicity band) without exposing the
+    * presence of any single document.
+    *
+    * Noise is generated by INVERSE-CDF over a deterministic md5-derived
+    * uniform of the category value: u = (h + 0.5)/2^60 ∈ (0,1),
+    * noise = −b·sign(u−½)·ln(1 − 2|u−½|). DETERMINISM CAVEAT (by
+    * design, documented): a fixed u per category makes the release
+    * reproducible for the test oracle, but real DP requires fresh
+    * secure randomness per release — swap `u` for a secure uniform in
+    * production; every other line is the real mechanism.
+    *
+    * Scale: one groupBy (map-side combinable counts) + a per-group
+    * projection; groups are bounded by the category domain.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilon: Double): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val b = 1.0 / epsilon
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    val c = u - lit(0.5)
+    val noise = lit(-b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy", round(col("n_true") + noise, 6))
+      .withColumn("epsilon", lit(epsilon))
+  }
 }

@@ -385,4 +385,23 @@ object Sampling {
       .limit(k)
       .drop("__graft_w6", "__graft_u", "__graft_pri")
   }
+
+  /** Deterministic k-fold assignment for cross-validation over a corpus
+    * too large to shuffle-and-split: fold = md5-hash(id) mod k — a pure
+    * per-row projection, no window, no sort, no exchange, so the
+    * assignment is embarrassingly parallel and REPRODUCIBLE across
+    * engines, runs and cluster layouts (the property CV demands: the
+    * same row lands in the same fold forever, so fold models can be
+    * trained incrementally as data grows). Balance is statistical
+    * (±O(√n) per fold), the standard trade against [[splitExact]]'s
+    * sort-based exactness; within any stratum the assignment is
+    * independent of the stratum column, so per-stratum fold counts are
+    * unbiased too.
+    */
+  def foldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(k.toLong)).cast("int"))
+  }
 }
