@@ -73,7 +73,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_events_holtwinters", "q_graph_harmonic",
     // r16 additions: the straggler the r15 verdict flagged as missing,
     // plus the multi-boundary compaction whose shape changed this round
-    "q_quality_freshness", "q_merge_log_compact")
+    "q_quality_freshness", "q_merge_log_compact",
+    // r16 second wave: the new source features and analytics operators
+    "q_s16_avro_agg", "q_s17_avro_bloom", "q_split_kfold",
+    "q_privacy_dpcount", "q_events_backtest", "q_stats_logo",
+    "q_sim_knn_classify")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
