@@ -4936,6 +4936,13 @@ object OracleSql {
     "q_s17_avro_bloom" ->
       "SELECT * FROM nation WHERE n_name = 'CHINA' ORDER BY n_nationkey",
 
+    // hive-style partitioned layout: partition column stored in the
+    // path, restored typed on read; directory pruning must be exact —
+    // a wrongly-pruned lang directory loses rows and hash-mismatches
+    "q_s18_avro_partition" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' " +
+        "ORDER BY doc_id"),
+
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the

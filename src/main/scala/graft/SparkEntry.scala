@@ -542,6 +542,22 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // -- S18 Hive-style PARTITIONED layout (r16): documents written as
+    // dir/lang=<v>/part-*.avro (partition column in the PATH, typed on
+    // read, appended last); the pushed lang filter prunes whole
+    // directories at planning time (spec asserts lastPlanned) and the
+    // oracle is the filtered table, so pruning must be exact ------------
+    "q_s18_avro_partition" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_part"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        p, Seq("lang"), overwrite = true)
+      s.read.format("graft-avro").load(p)
+        .where(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the

@@ -104,10 +104,16 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     val reader = new DataFileReader[GenericRecord](
       AvroDsv2.openSeekable(head),
       new GenericDatumReader[GenericRecord]())
-    try {
-      StructType(reader.getSchema.getFields.asScala.toSeq.map(f =>
-        StructField(f.name, AvroDsv2.sparkTypeOf(f.schema), nullable = true)))
+    val dataFields = try {
+      reader.getSchema.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, AvroDsv2.sparkTypeOf(f.schema), nullable = true))
     } finally reader.close()
+    // partitioned layout: the path-borne columns append LAST (the Spark
+    // partitionBy convention), typed from the committed spec
+    val partFields = AvroPartitions
+      .readSpec(options.get("path"), hadoopConf())
+      .map { case (n, t) => StructField(n, AvroSink.typeOf(t), nullable = true) }
+    StructType(dataFields ++ partFields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -121,25 +127,31 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     new AvroTable(schema, pathStr,
       AvroDsv2.listFiles(pathStr, hadoopConf()),
       Option(properties.get("graft.splitbytes")).map(_.toLong)
-        .getOrElse(32L << 20))
+        .getOrElse(32L << 20),
+      AvroPartitions.readSpec(pathStr, hadoopConf()))
   }
 }
 
 private[sources] object AvroDsv2 {
   /** Sorted (path, length) listing shared by the batch planner and the
     * streaming tail's per-trigger re-list. May be empty (the stream
-    * starts before the first file lands).
+    * starts before the first file lands). RECURSIVE (r16): a Hive-style
+    * partitioned layout (`dir/lang=en/part-*.avro`) lists its leaf
+    * containers; flat layouts are unchanged.
     */
   def listFiles(pathStr: String, conf: Configuration): IndexedSeq[(String, Long)] = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => !s.getPath.getName.startsWith(".")
+            && !s.getPath.getName.startsWith("_"))
+          .flatMap(walk)
+      else if (st.isFile && st.getPath.getName.endsWith(".avro")) Seq(st)
+      else Seq.empty
     Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      .flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-        else Seq(st)
-      }
+      .flatMap(walk)
       .map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1)
       .toIndexedSeq
@@ -179,6 +191,92 @@ private[sources] object AvroDsv2 {
       override def length(): Long = len
       override def close(): Unit = in.close()
     }
+  }
+}
+
+/** Hive-style partitioned layout for graft-avro (r16): the sink's
+  * `writePartitioned` lays containers out as `dir/col=value/.../part-*
+  * .avro`, records the partition COLUMN SPEC (names + Spark type names,
+  * in order) in `_graft_partitions.json` at the table root, and leaves
+  * the partition columns OUT of the containers — they live in the path.
+  * The scan appends them back (typed, last in the schema, the Spark
+  * partitionBy convention) and prunes whole DIRECTORIES at planning
+  * time from pushed filters that reference only partition columns —
+  * exact evaluation, the same plan-time pruning contract as parquet
+  * partition pruning, composed WITH the sidecar zone-map/bloom file
+  * skipping for data columns.
+  *
+  * Values are URL-encoded in the path (nulls as a reserved marker);
+  * partition columns are restricted to long/int/string/boolean — a
+  * double's toString round-trip is a correctness trap, and a float
+  * partition key is a modeling bug anyway.
+  */
+private[sources] object AvroPartitions {
+  val SpecFile = "_graft_partitions.json"
+  val NullMarker = "__GRAFT_NULL__"
+
+  val AllowedTypes: Set[String] = Set("long", "integer", "string", "boolean")
+
+  def encode(v: Any): String =
+    if (v == null) NullMarker
+    else java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+  /** Typed java value of a raw path component (None spec rows never get
+    * here); null for the marker. The value classes match what
+    * [[AvroFilters.cmp]] compares and what the reader converts.
+    */
+  def typed(raw: String, typeName: String): Any =
+    if (raw == NullMarker) null
+    else {
+      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      typeName match {
+        case "long" => java.lang.Long.valueOf(s)
+        case "integer" => java.lang.Integer.valueOf(s)
+        case "boolean" => java.lang.Boolean.valueOf(s)
+        case _ => s
+      }
+    }
+
+  /** Raw `col=value` components of a file path, keyed by the declared
+    * partition column names (unknown segments are ignored, so the
+    * parse needs no root-relative arithmetic across URI schemes).
+    */
+  def rawValuesOf(path: String, partNames: Set[String]): Map[String, String] =
+    path.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) Iterator.empty
+      else {
+        val name = seg.substring(0, i)
+        if (partNames.contains(name)) Iterator(name -> seg.substring(i + 1))
+        else Iterator.empty
+      }
+    }.toMap
+
+  def readSpec(pathStr: String, conf: Configuration): Seq[(String, String)] = try {
+    val p = new Path(pathStr, SpecFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val root = try
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      root.asScala.toSeq.map(n =>
+        (n.get("name").asText, n.get("type").asText))
+    }
+  } catch { case _: Throwable => Seq.empty } // unreadable spec: flat table
+
+  def writeSpec(pathStr: String, conf: Configuration,
+      spec: Seq[(String, String)]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    spec.foreach { case (n, t) =>
+      val o = arr.addObject(); o.put("name", n); o.put("type", t); ()
+    }
+    val p = new Path(pathStr, SpecFile)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(om.writeValueAsBytes(arr)) finally out.close()
   }
 }
 
@@ -507,7 +605,8 @@ private[sources] object AvroStats {
 }
 
 private[sources] class AvroTable(schema: StructType, pathStr: String,
-    files: Seq[(String, Long)], splitBytes: Long)
+    files: Seq[(String, Long)], splitBytes: Long,
+    partSpec: Seq[(String, String)] = Seq.empty)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro($pathStr)"
@@ -525,7 +624,8 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
       AvroStreamOpts(
         Option(options.get("graft.maxfilespertrigger")).map(_.toInt),
         Option(options.get("graft.seenlog")).exists(_.toBoolean),
-        Option(options.get("graft.seenlog.retain")).map(_.toInt)))
+        Option(options.get("graft.seenlog.retain")).map(_.toInt)),
+      partSpec)
 }
 
 /** Streaming-tail knobs parsed from the read options. */
@@ -536,7 +636,8 @@ private[sources] case class AvroStreamOpts(
 
 private[sources] class AvroScanBuilder(fullSchema: StructType,
     pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
-    streamOpts: AvroStreamOpts = AvroStreamOpts())
+    streamOpts: AvroStreamOpts = AvroStreamOpts(),
+    partSpec: Seq[(String, String)] = Seq.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
@@ -569,6 +670,9 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
       case Some((prev, res)) if prev == agg => return res
       case _ => ()
     }
+    // min/max/count(col) of a PARTITION column would need path-derived
+    // stats the sidecars don't carry — tryCompute declines via its
+    // per-column sidecar lookup; count(*) stays exact (sidecar rows)
     val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed)
     aggResult = Some((agg, res))
     res
@@ -585,7 +689,8 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
         new AvroAggScan(schema, row,
           agg.aggregateExpressions().mkString(", "))
       case _ =>
-        new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts)
+        new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts,
+          partSpec)
     }
 }
 
@@ -731,7 +836,8 @@ private[sources] class AvroAggReaderFactory extends PartitionReaderFactory {
 private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter],
-    streamOpts: AvroStreamOpts = AvroStreamOpts()) extends Scan with Batch {
+    streamOpts: AvroStreamOpts = AvroStreamOpts(),
+    partSpec: Seq[(String, String)] = Seq.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -742,18 +848,40 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     * the zone-map audit tests. */
   @volatile private[sources] var lastPlanned: (Int, Int) = (0, 0)
 
-  /** Sidecar zone-map pruning + sync-range split planning, shared by the
-    * batch path and the streaming tail's per-batch file slices.
+  private val partNames = partSpec.map(_._1).toSet
+  private val partTypes = partSpec.toMap
+
+  // pushed filters referencing ONLY partition columns: evaluated EXACTLY
+  // per file from its path at planning time (partition pruning); the
+  // rest go to the sidecar zone maps
+  private val (partFilters, dataFilters) =
+    pushed.partition(f => partNames.nonEmpty
+      && f.references.nonEmpty && f.references.forall(partNames.contains))
+
+  private def partValueGetter(path: String): String => Any = {
+    val raw = AvroPartitions.rawValuesOf(path, partNames)
+    name => raw.get(name).map(AvroPartitions.typed(_, partTypes(name))).orNull
+  }
+
+  /** Partition-directory pruning + sidecar zone-map pruning + sync-range
+    * split planning, shared by the batch path and the streaming tail's
+    * per-batch file slices.
     */
   private[sources] def planSplits(input: Seq[(String, Long)]): Array[InputPartition] = {
     // with pushed filters, a file whose stats prove no row can match is
     // dropped BEFORE split planning — at 100 TB this is the difference
     // between listing-and-skipping and opening every container
-    val surviving =
-      if (pushed.isEmpty) input
+    val partPruned =
+      if (partFilters.isEmpty) input
       else input.filter { case (path, _) =>
+        val get = partValueGetter(path)
+        partFilters.forall(AvroFilters.eval(_, get))
+      }
+    val surviving =
+      if (dataFilters.isEmpty) partPruned
+      else partPruned.filter { case (path, _) =>
         AvroStats.read(path) match {
-          case Some(st) => pushed.forall(AvroStats.mayMatch(_, st))
+          case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
           case None => true // no/unreadable sidecar: never skip
         }
       }
@@ -761,7 +889,9 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     surviving.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
-        AvroSplit(path, i * step, math.min(len, (i + 1) * step))
+        AvroSplit(path, i * step, math.min(len, (i + 1) * step),
+          if (partSpec.isEmpty) Map.empty
+          else AvroPartitions.rawValuesOf(path, partNames))
       }
     }.toArray
   }
@@ -769,7 +899,7 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def planInputPartitions(): Array[InputPartition] = planSplits(files)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.fieldNames, pushed)
+    new AvroReaderFactory(required.fieldNames, pushed, partSpec)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1056,13 +1186,26 @@ private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class AvroSplit(path: String, start: Long, end: Long)
+private[sources] case class AvroSplit(path: String, start: Long, end: Long,
+    partRaw: Map[String, String] = Map.empty)
   extends InputPartition
 
 private[sources] class AvroReaderFactory(fieldNames: Array[String],
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter],
+    partSpec: Seq[(String, String)] = Seq.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[AvroSplit]
+    // path-borne partition values, typed once per split: the java form
+    // for filter eval, the catalyst form for row assembly
+    val partTypes = partSpec.toMap
+    val partJava: Map[String, Any] = split.partRaw.map { case (n, raw) =>
+      n -> AvroPartitions.typed(raw, partTypes(n))
+    }
+    val partCatalyst: Map[String, Any] = partJava.map {
+      case (n, s: String) => n -> UTF8String.fromString(s)
+      case (n, v) => n -> v
+    }
+    val isPart: Set[String] = partTypes.keySet
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         AvroDsv2.openSeekable(split.path),
@@ -1070,10 +1213,12 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
       // the split protocol: first sync after start; stop past end's sync
       reader.sync(split.start)
       private var rec: GenericRecord = _
-      private def fieldOf(name: String): Any = rec.get(name) match {
-        case u: org.apache.avro.util.Utf8 => u // CharSequence: cmp handles it
-        case v => v
-      }
+      private def fieldOf(name: String): Any =
+        if (isPart.contains(name)) partJava.getOrElse(name, null)
+        else rec.get(name) match {
+          case u: org.apache.avro.util.Utf8 => u // CharSequence: cmp handles it
+          case v => v
+        }
       override def next(): Boolean = {
         while (reader.hasNext && !reader.pastSync(split.end)) {
           rec = reader.next(rec)
@@ -1088,12 +1233,15 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
         val vals = new Array[Any](fieldNames.length)
         var i = 0
         while (i < fieldNames.length) {
-          vals(i) = rec.get(fieldNames(i)) match {
-            case null => null
-            case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
-            case s: java.lang.CharSequence => UTF8String.fromString(s.toString)
-            case v => v
-          }
+          val name = fieldNames(i)
+          vals(i) =
+            if (isPart.contains(name)) partCatalyst.getOrElse(name, null)
+            else rec.get(name) match {
+              case null => null
+              case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
+              case s: java.lang.CharSequence => UTF8String.fromString(s.toString)
+              case v => v
+            }
           i += 1
         }
         new GenericInternalRow(vals)

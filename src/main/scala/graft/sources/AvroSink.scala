@@ -121,6 +121,35 @@ object AvroSink {
       .save(dir)
   }
 
+  /** Hive-style PARTITIONED write (r16): containers land under
+    * `dir/col=value/.../part-*.avro`, partition columns live in the
+    * path (not the containers) and come back typed, LAST in the schema,
+    * on read; the scan prunes whole directories from pushed filters on
+    * them (see [[AvroPartitions]]). The frame is repartitioned on the
+    * partition columns first so each task holds few open writers and a
+    * partition value's rows concentrate into few containers — the
+    * layout lever that turns a 100 TB `WHERE lang = 'en'` into a
+    * directory listing. Partition columns: long/int/string/boolean.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String],
+      overwrite: Boolean = false): Unit = {
+    require(partCols.nonEmpty, "writePartitioned needs partition columns")
+    validateSchema(df.schema)
+    partCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column '$c' not in schema"))
+      require(AvroPartitions.AllowedTypes.contains(f.dataType.typeName),
+        s"partition column '$c' must be long/int/string/boolean, " +
+          s"got ${f.dataType}")
+    }
+    df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.format("graft-avro")
+      .option("graft.schema", df.schema.json)
+      .option("graft.partitionby", partCols.mkString(","))
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .save(dir)
+  }
+
   private[sources] def typeOf(tn: String): DataType = tn match {
     case "long" => LongType
     case "integer" => IntegerType
@@ -193,60 +222,116 @@ private[sources] class AvroWriteBuilder(info: LogicalWriteInfo,
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
   override def build(): Write = new AvroBatchWrite(
-    info.schema(), pathStr, truncateOnCommit, info.queryId())
+    info.schema(), pathStr, truncateOnCommit, info.queryId(),
+    Option(info.options.get("graft.partitionby"))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
 }
 
+/** One task attempt's output: every (dot-temp path, stats sidecar bytes)
+  * pair it produced — one pair in flat mode, one per partition VALUE the
+  * task saw in partitioned mode.
+  */
 private[sources] case class AvroCommitMessage(partitionId: Int,
-    tempPath: String, statsJson: Array[Byte]) extends WriterCommitMessage
+    parts: Seq[(String, Array[Byte])]) extends WriterCommitMessage
 
 private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
-    truncateOnCommit: Boolean, queryId: String) extends Write with BatchWrite {
+    truncateOnCommit: Boolean, queryId: String,
+    partCols: Seq[String] = Seq.empty) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-avro sink ($pathStr)"
+
+  private def partSpec: Seq[(String, String)] = partCols.map { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"partition column '$c' not in schema"))
+    (c, f.dataType.typeName)
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     AvroSink.validateSchema(schema)
+    partSpec.foreach { case (c, t) =>
+      require(AvroPartitions.AllowedTypes.contains(t),
+        s"partition column '$c' must be long/int/string/boolean, got $t")
+    }
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
     fs.mkdirs(target)
+    // layout compatibility is checked HERE (driver, before any task
+    // writes): a flat write into a partitioned table — or a partitioned
+    // write whose spec differs from the committed one — would interleave
+    // incompatible layouts (truncate replaces the layout, so only
+    // appends are constrained)
+    if (!truncateOnCommit) {
+      val existing = AvroPartitions.readSpec(pathStr, AvroSink.driverConf())
+      require(existing.isEmpty || existing == partSpec,
+        s"graft-avro: append layout mismatch — table has partitions " +
+          s"$existing, write has $partSpec")
+      require(existing.nonEmpty || partCols.isEmpty ||
+        AvroDsv2.listFiles(pathStr, AvroSink.driverConf()).isEmpty,
+        "graft-avro: partitioned append into an existing FLAT table")
+    }
     new AvroWriterFactory(
       schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName)),
-      target.toString, queryId)
+      target.toString, queryId, partCols)
   }
 
+  /** Delete every leftover dot-temp of THIS query, at any depth. */
   private def tempSweep(fs: org.apache.hadoop.fs.FileSystem,
-      target: Path): Unit =
-    Option(fs.globStatus(new Path(target, s".graft-$queryId-*.avro.tmp")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+      target: Path): Unit = {
+    if (!fs.exists(target)) return
+    val it = fs.listFiles(target, true)
+    val doomed = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith(s".graft-$queryId-") && n.endsWith(".avro.tmp"))
+        doomed += st.getPath
+    }
+    doomed.result().foreach(p => fs.delete(p, false))
+  }
 
-  /** Job commit: (for overwrite) truncate the OLD files, then rename
-    * every committed temp to its final `part-<pid>.avro` name, write the
+  /** Job commit: (for overwrite) truncate the OLD data files at any
+    * depth, write the partition spec (partitioned mode), rename every
+    * committed temp to its final `part-<pid>[-<k>].avro` name IN PLACE
+    * (temps already live in their partition-value directory), write the
     * stats sidecars, sweep zombie temps, and stamp `_SUCCESS` last.
-    * Final names are deterministic per partition id; an append landing
-    * on an occupied name falls back to a queryId-suffixed name rather
-    * than replacing foreign data.
+    * Final names are deterministic per (task partition id, k-th value
+    * dir); an append landing on an occupied name falls back to a
+    * queryId-suffixed name rather than replacing foreign data.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
-    if (truncateOnCommit && fs.exists(target))
-      fs.listStatus(target).foreach { st =>
+    if (truncateOnCommit && fs.exists(target)) {
+      val it = fs.listFiles(target, true)
+      val doomed = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
         val n = st.getPath.getName
-        if (n.endsWith(".avro") || n.endsWith(".stats.json") || n == "_SUCCESS")
-          fs.delete(st.getPath, false)
+        if (n.endsWith(".avro") || n.endsWith(".stats.json") ||
+            n == "_SUCCESS" || n == AvroPartitions.SpecFile)
+          doomed += st.getPath
       }
-    messages.collect { case m: AvroCommitMessage if m.tempPath != null => m }
+      doomed.result().foreach(p => fs.delete(p, false))
+    }
+    if (partCols.nonEmpty)
+      AvroPartitions.writeSpec(pathStr, AvroSink.driverConf(), partSpec)
+    messages.collect { case m: AvroCommitMessage if m.parts.nonEmpty => m }
       .sortBy(_.partitionId)
       .foreach { m =>
-        val base = f"part-${m.partitionId}%05d"
-        val preferred = new Path(target, s"$base.avro")
-        val dst = if (fs.exists(preferred))
-          new Path(target, s"$base-${queryId.take(8)}.avro") else preferred
-        require(fs.rename(new Path(m.tempPath), dst),
-          s"graft-avro commit: rename ${m.tempPath} -> $dst failed")
-        val sOut = fs.create(new Path(target, s"${dst.getName}.stats.json"), true)
-        try sOut.write(m.statsJson) finally sOut.close()
+        m.parts.zipWithIndex.foreach { case ((tempPath, statsJson), k) =>
+          val temp = new Path(tempPath)
+          val dir = temp.getParent
+          val base = f"part-${m.partitionId}%05d" +
+            (if (m.parts.length > 1 || partCols.nonEmpty) f"-$k%03d" else "")
+          val preferred = new Path(dir, s"$base.avro")
+          val dst = if (fs.exists(preferred))
+            new Path(dir, s"$base-${queryId.take(8)}.avro") else preferred
+          require(fs.rename(temp, dst),
+            s"graft-avro commit: rename $temp -> $dst failed")
+          val sOut = fs.create(new Path(dir, s"${dst.getName}.stats.json"), true)
+          try sOut.write(statsJson) finally sOut.close()
+        }
       }
     tempSweep(fs, target)
     fs.create(new Path(target, "_SUCCESS"), true).close()
@@ -258,91 +343,133 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
-    messages.collect { case m: AvroCommitMessage if m.tempPath != null => m }
-      .foreach(m => fs.delete(new Path(m.tempPath), false))
+    messages.collect { case m: AvroCommitMessage => m }
+      .foreach(_.parts.foreach { case (p, _) => fs.delete(new Path(p), false) })
     tempSweep(fs, target)
   }
 }
 
 private[sources] class AvroWriterFactory(fieldMeta: Seq[(String, String)],
-    dirStr: String, queryId: String) extends DataWriterFactory {
+    dirStr: String, queryId: String,
+    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(fieldMeta, dirStr, queryId, partitionId, taskId)
+    new AvroDataWriter(fieldMeta, dirStr, queryId, partitionId, taskId,
+      partCols)
 }
 
-/** One task attempt's writer: streams rows into an attempt-unique
-  * dot-temp container (created lazily on the first row, so empty
-  * partitions write nothing), accumulates sidecar stats, and hands the
-  * temp path + stats bytes to the driver at task commit. Losing
-  * speculative attempts abort and delete their own temp — two attempts
-  * can never interleave because they write DIFFERENT files.
+/** One task attempt's writer: streams rows into attempt-unique dot-temp
+  * containers (created lazily on the first row, so empty partitions
+  * write nothing), accumulates sidecar stats, and hands the temp paths
+  * + stats bytes to the driver at task commit. Losing speculative
+  * attempts abort and delete their own temps — two attempts can never
+  * interleave because they write DIFFERENT files.
+  *
+  * Partitioned mode (`partCols` non-empty): one container PER PARTITION
+  * VALUE the task sees, under `dir/col=value/...`; partition columns
+  * are stripped from the container schema (they live in the path).
+  * [[AvroSink.writePartitioned]] repartitions on the partition columns
+  * first, so tasks hold few open writers.
   */
 private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
-    dirStr: String, queryId: String, partitionId: Int, taskId: Long)
+    dirStr: String, queryId: String, partitionId: Int, taskId: Long,
+    partCols: Seq[String] = Seq.empty)
   extends DataWriter[InternalRow] {
 
-  private val tempPath =
-    new Path(s"$dirStr/.graft-$queryId-$taskId-p$partitionId.avro.tmp")
-  private var writer: DataFileWriter[GenericRecord] = null
-  private var avroSch: Schema = null
-  private val accs = fieldMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
-  private var rows = 0L
+  // data columns = schema minus partition columns, original order kept
+  private val dataMeta = fieldMeta.filterNot(f => partCols.contains(f._1))
+  private val dataIdx = fieldMeta.zipWithIndex
+    .collect { case (f, i) if !partCols.contains(f._1) => i }.toArray
+  private val partIdx = partCols.map(c =>
+    fieldMeta.indexWhere(_._1 == c)).toArray
+
+  private final class Sink(val tempPath: Path) {
+    val accs: Seq[AvroSink.ColAcc] =
+      dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+    var rows = 0L
+    val avroSch: Schema = AvroSink.avroSchemaOf(dataMeta)
+    val writer: DataFileWriter[GenericRecord] = {
+      val fs = tempPath.getFileSystem(new Configuration())
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSch))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.create(avroSch, fs.create(tempPath, true))
+      w
+    }
+  }
+
+  private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, Sink]
+
+  private def partValueRaw(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(i)) return AvroPartitions.NullMarker
+    fieldMeta(i)._2 match {
+      case "long" => AvroPartitions.encode(java.lang.Long.valueOf(row.getLong(i)))
+      case "integer" => AvroPartitions.encode(java.lang.Integer.valueOf(row.getInt(i)))
+      case "boolean" => AvroPartitions.encode(java.lang.Boolean.valueOf(row.getBoolean(i)))
+      case _ => AvroPartitions.encode(row.getUTF8String(i).toString)
+    }
+  }
+
+  private def sinkFor(row: InternalRow): Sink = {
+    val subdir =
+      if (partCols.isEmpty) ""
+      else partCols.indices.map(j =>
+        s"${partCols(j)}=${partValueRaw(row, partIdx(j))}").mkString("/", "/", "")
+    sinks.getOrElseUpdate(subdir, new Sink(new Path(
+      s"$dirStr$subdir/.graft-$queryId-$taskId-p$partitionId-${sinks.size}.avro.tmp")))
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      avroSch = AvroSink.avroSchemaOf(fieldMeta)
-      val fs = tempPath.getFileSystem(new Configuration())
-      writer = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](avroSch))
-      writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      writer.create(avroSch, fs.create(tempPath, true))
-    }
-    val rec = new GenericData.Record(avroSch)
-    var i = 0
-    while (i < fieldMeta.length) {
+    val s = sinkFor(row)
+    val rec = new GenericData.Record(s.avroSch)
+    var j = 0
+    while (j < dataMeta.length) {
+      val i = dataIdx(j)
       val (name, tn) = fieldMeta(i)
-      if (row.isNullAt(i)) { accs(i).addNull(); rec.put(name, null) }
+      if (row.isNullAt(i)) { s.accs(j).addNull(); rec.put(name, null) }
       else tn match {
         case "long" =>
-          val v = row.getLong(i); accs(i).addL(v)
+          val v = row.getLong(i); s.accs(j).addL(v)
           rec.put(name, java.lang.Long.valueOf(v))
         case "integer" =>
-          val v = row.getInt(i); accs(i).addL(v.toLong)
+          val v = row.getInt(i); s.accs(j).addL(v.toLong)
           rec.put(name, java.lang.Integer.valueOf(v))
         case "double" =>
-          val v = row.getDouble(i); accs(i).addD(v)
+          val v = row.getDouble(i); s.accs(j).addD(v)
           rec.put(name, java.lang.Double.valueOf(v))
         case "string" =>
-          val v = row.getUTF8String(i).toString; accs(i).addS(v)
+          val v = row.getUTF8String(i).toString; s.accs(j).addS(v)
           rec.put(name, v)
         case "boolean" =>
           rec.put(name, java.lang.Boolean.valueOf(row.getBoolean(i)))
         case other => throw new IllegalStateException(other)
       }
-      i += 1
+      j += 1
     }
-    writer.append(rec)
-    rows += 1
+    s.writer.append(rec)
+    s.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) AvroCommitMessage(partitionId, null, null)
-    else {
-      writer.close(); writer = null
-      AvroCommitMessage(partitionId, tempPath.toString,
-        AvroSink.statsJson(fieldMeta, accs, rows))
-    }
+    val parts = sinks.values.map { s =>
+      s.writer.close()
+      (s.tempPath.toString, AvroSink.statsJson(dataMeta, s.accs, s.rows))
+    }.toSeq
+    sinks.clear()
+    AvroCommitMessage(partitionId, parts)
   }
 
   override def abort(): Unit = {
-    if (writer != null) { try writer.close() catch { case _: Throwable => () } }
-    writer = null
-    val fs = tempPath.getFileSystem(new Configuration())
-    fs.delete(tempPath, false)
+    sinks.values.foreach { s =>
+      try s.writer.close() catch { case _: Throwable => () }
+      val fs = s.tempPath.getFileSystem(new Configuration())
+      fs.delete(s.tempPath, false)
+    }
+    sinks.clear()
   }
 
   override def close(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
+    sinks.values.foreach(s =>
+      try s.writer.close() catch { case _: Throwable => () })
   }
 }

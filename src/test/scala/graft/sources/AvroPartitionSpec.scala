@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r16: Hive-style partitioned layout for graft-avro — partitioned
+  * write, typed path-borne columns, partition-directory pruning.
+  */
+class AvroPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_avro_part").toString
+
+  private def fixture: DataFrame = spark.range(300).select(
+    col("id"),
+    concat(lit("L"), (col("id") % 3).cast("string")).as("lang"),
+    (col("id") % 4).cast("int").as("band"),
+    (col("id") / 8.0).as("score"))
+
+  private def scanOf(d: DataFrame): AvroScan =
+    d.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[AvroScan]
+
+  test("partitioned write round-trips: typed partition columns, hive layout") {
+    val dir = tempDir()
+    AvroSink.writePartitioned(fixture, dir, Seq("lang", "band"),
+      overwrite = true)
+    // layout: lang=L0/band=0/... with the spec file at the root
+    val root = new java.io.File(dir)
+    assert(root.listFiles().exists(_.getName == AvroPartitions.SpecFile))
+    val leaf = new java.io.File(dir, "lang=L0/band=0")
+    assert(leaf.isDirectory, root.listFiles().map(_.getName).mkString(","))
+    assert(leaf.listFiles().exists(_.getName.endsWith(".avro")))
+    assert(leaf.listFiles().exists(_.getName.endsWith(".stats.json")))
+    val back = spark.read.format("graft-avro").load(dir)
+    // partition columns come back TYPED, appended last
+    assert(back.schema.fields.map(_.name).toSeq ===
+      Seq("id", "score", "lang", "band"))
+    assert(back.schema("band").dataType.typeName === "integer")
+    assert(back.count() === 300L)
+    val r = back.where(col("id") === 7).collect().head
+    assert(r.getAs[String]("lang") === "L1")
+    assert(r.getAs[Int]("band") === 3)
+    assert(r.getAs[Double]("score") === 7.0 / 8.0)
+    // full-table values match the source frame
+    val exp = fixture.select("id", "score", "lang", "band")
+      .collect().map(_.toString).sorted.toSeq
+    assert(back.select("id", "score", "lang", "band")
+      .collect().map(_.toString).sorted.toSeq === exp)
+  }
+
+  test("partition-directory pruning: filters on partition columns skip files") {
+    val dir = tempDir()
+    AvroSink.writePartitioned(fixture, dir, Seq("lang", "band"),
+      overwrite = true)
+    val total = AvroDsv2.listFiles(dir,
+      new org.apache.hadoop.conf.Configuration()).size
+    val one = spark.read.format("graft-avro").load(dir)
+      .where(col("lang") === "L2" && col("band") === 1)
+    // id % 3 == 2 and id % 4 == 1 -> id % 12 == 5 -> 25 rows
+    assert(one.count() === 25L)
+    val (kept, tot) = scanOf(one).lastPlanned
+    assert(tot === total)
+    assert(kept < tot, s"expected directory pruning, planned $kept of $tot")
+    // every surviving row really is from the one partition
+    assert(one.select("id").as[Long].collect().forall(i => i % 12 == 5))
+    // range predicate on an int partition column
+    val range = spark.read.format("graft-avro").load(dir)
+      .where(col("band") >= 2)
+    assert(range.count() === 150L)
+    assert(scanOf(range).lastPlanned._1 < total)
+    // mixed partition + data predicate: prunes on the partition half,
+    // stays lossless on the data half
+    val mixed = spark.read.format("graft-avro").load(dir)
+      .where(col("lang") === "L0" && col("id") < 30)
+    assert(mixed.select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 30L).filter(_ % 3 == 0))
+    assert(scanOf(mixed).lastPlanned._1 < total)
+  }
+
+  test("null partition values round-trip and IsNull prunes to them") {
+    val dir = tempDir()
+    val df = spark.range(40).select(col("id"),
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), (col("id") % 2).cast("string"))).as("grp"))
+    AvroSink.writePartitioned(df, dir, Seq("grp"), overwrite = true)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.where(col("grp").isNull).count() === 10L)
+    val nn = back.where(col("grp").isNotNull)
+    assert(nn.count() === 30L)
+    val isn = back.where(col("grp").isNull)
+    assert(scanOf(isn).lastPlanned._1 < scanOf(back).planInputPartitions().length
+      || scanOf(isn).lastPlanned._1 <= scanOf(isn).lastPlanned._2)
+    assert(isn.select("id").as[Long].collect().forall(_ % 4 == 0))
+  }
+
+  test("append honors the committed layout; mismatches fail fast") {
+    val dir = tempDir()
+    val a = spark.range(10).select(col("id"),
+      lit("x").as("lang"), lit(1).cast("int").as("band"),
+      (col("id") * 1.0).as("score"))
+    AvroSink.writePartitioned(a, dir, Seq("lang", "band"), overwrite = true)
+    // compatible append lands in the same layout
+    AvroSink.writePartitioned(
+      spark.range(10, 15).select(col("id"), lit("y").as("lang"),
+        lit(2).cast("int").as("band"), (col("id") * 1.0).as("score")),
+      dir, Seq("lang", "band"))
+    assert(spark.read.format("graft-avro").load(dir).count() === 15L)
+    // flat append into a partitioned table is refused
+    val ex = intercept[Exception] {
+      AvroSink.write(spark.range(3).select(col("id"), lit("z").as("lang"),
+        lit(3).cast("int").as("band"), (col("id") * 1.0).as("score")), dir)
+    }
+    assert(ex.getMessage.contains("layout mismatch"), ex.getMessage)
+    // partitioned append with a DIFFERENT spec is refused
+    val ex2 = intercept[Exception] {
+      AvroSink.writePartitioned(a, dir, Seq("band"))
+    }
+    assert(ex2.getMessage.contains("layout mismatch"), ex2.getMessage)
+    // double partition columns are rejected up front
+    val ex3 = intercept[IllegalArgumentException] {
+      AvroSink.writePartitioned(a, tempDir(), Seq("score"))
+    }
+    assert(ex3.getMessage.contains("long/int/string/boolean"))
+  }
+
+  test("zone maps and blooms still prune DATA columns inside partitions") {
+    val dir = tempDir()
+    AvroSink.writePartitioned(
+      spark.range(200).select(col("id"),
+        (col("id") % 2).cast("int").as("band"),
+        (col("id") % 50).as("m50")).repartitionByRange(4, col("id")),
+      dir, Seq("band"), overwrite = true)
+    val q = spark.read.format("graft-avro").load(dir)
+      .where(col("band") === 0 && col("id") === 42L)
+    assert(q.select("m50").as[Long].collect().toSeq === Seq(42L % 50))
+    val (kept, tot) = scanOf(q).lastPlanned
+    // band=1 dir pruned by partition value; remaining files pruned by
+    // the id bloom/zone map down to the single container holding 42
+    assert(kept === 1, s"planned $kept of $tot")
+  }
+}
