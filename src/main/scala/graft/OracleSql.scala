@@ -4943,6 +4943,16 @@ object OracleSql {
       ("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' " +
         "ORDER BY doc_id"),
 
+    // grouped aggregate pushdown over the partitioned layout: the engine
+    // answers GROUP BY lang from sidecars + directory names; the oracle
+    // aggregates the source table, so any stats/grouping drift
+    // hash-mismatches
+    "q_s19_avro_group_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the

@@ -558,6 +558,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- S19 GROUPED aggregate pushdown over the partitioned layout
+    // (r16): `GROUP BY lang` groups FILES by directory, counts and
+    // min/max come from sidecars + paths — zero container reads (the
+    // composition of S16 and S18; AvroAggBloomSpec corrupts containers
+    // and the grouped aggregate still answers) ---------------------------
+    "q_s19_avro_group_agg" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_part"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        p, Seq("lang"), overwrite = true)
+      s.read.format("graft-avro").load(p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the

@@ -654,26 +654,24 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   // -- metadata-only aggregate pushdown (r16) ---------------------------
-  // A global COUNT(*)/COUNT(col)/MIN/MAX over a graft-avro dataset is
-  // answerable ENTIRELY from the sidecars the sink already writes: the
-  // scan never opens a single container — at 100 TB, `SELECT count(*),
-  // max(ts) FROM feed` costs one sidecar read per file instead of a
-  // full-table scan. Strictly conservative: any file without a sidecar,
-  // any unsupported function (avg, distinct, sum — not derivable from
-  // min/max/rows), any group-by, or any pushed filter (residual
+  // A COUNT(*)/COUNT(col)/MIN/MAX over a graft-avro dataset — global or
+  // GROUPED BY PARTITION COLUMNS — is answerable ENTIRELY from the
+  // sidecars and the partition paths: the scan never opens a single
+  // container — at 100 TB, `SELECT lang, count(*) ... GROUP BY lang`
+  // costs one sidecar read per file instead of a full-table scan.
+  // Strictly conservative: any file without a sidecar, any unsupported
+  // function (avg, distinct, sum — not derivable from min/max/rows),
+  // any group-by on a DATA column, or any pushed filter (residual
   // re-filtering above an aggregate is impossible) declines, and Spark
   // runs the ordinary scan+aggregate plan.
-  private var aggResult: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+  private var aggResult: Option[(Aggregation, Option[(StructType, Seq[Array[Any]])])] = None
 
-  private def computeAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+  private def computeAgg(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     aggResult match {
       case Some((prev, res)) if prev == agg => return res
       case _ => ()
     }
-    // min/max/count(col) of a PARTITION column would need path-derived
-    // stats the sidecars don't carry — tryCompute declines via its
-    // per-column sidecar lookup; count(*) stays exact (sidecar rows)
-    val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed)
+    val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed, partSpec)
     aggResult = Some((agg, res))
     res
   }
@@ -685,19 +683,24 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
 
   override def build(): Scan =
     aggResult match {
-      case Some((agg, Some((schema, row)))) =>
-        new AvroAggScan(schema, row,
-          agg.aggregateExpressions().mkString(", "))
+      case Some((agg, Some((schema, rows)))) =>
+        new AvroAggScan(schema, rows,
+          (agg.groupByExpressions().map(g => s"group:$g")
+            ++ agg.aggregateExpressions().map(_.toString)).mkString(", "))
       case _ =>
         new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts,
           partSpec)
     }
 }
 
-/** Sidecar-only evaluation of a pushed global aggregation — the shared
-  * logic behind [[AvroScanBuilder.pushAggregation]]. Returns the
-  * (schema, row) of the COMPLETE result, or None when anything at all
-  * prevents an exact metadata answer.
+/** Sidecar + partition-path evaluation of a pushed aggregation — the
+  * shared logic behind [[AvroScanBuilder.pushAggregation]]. Handles a
+  * GLOBAL aggregation (one row) and one GROUPED BY PARTITION COLUMNS
+  * (one row per observed group, the composition of the r16 layout and
+  * pushdown features: `GROUP BY lang` groups files by directory).
+  * Returns the (schema, rows) of the COMPLETE result — group columns
+  * first, then aggregates, the V2ScanRelationPushDown contract — or
+  * None when anything at all prevents an exact metadata answer.
   */
 private[sources] object AvroAggPush {
   import org.apache.spark.sql.connector.expressions.Expression
@@ -717,54 +720,113 @@ private[sources] object AvroAggPush {
     Some(acc.fold(v)(a =>
       if (java.lang.Double.compare(v, a) > 0) v else a))
 
+  // generic Spark-ordering min/max over typed java partition values
+  private def ordCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => 0
+  }
+
+  private def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
   def tryCompute(agg: Aggregation, schema: StructType,
       files: Seq[(String, Long)],
-      pushedFilters: Array[Filter]): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+      pushedFilters: Array[Filter],
+      partSpec: Seq[(String, String)] = Seq.empty): Option[(StructType, Seq[Array[Any]])] = {
     if (pushedFilters.nonEmpty) return None
-    val stats: Seq[AvroStats.FileStats] = files.map { case (p, _) =>
-      AvroStats.read(p) match {
-        case Some(st) => st
+    val partTypes = partSpec.toMap
+    val partNames = partTypes.keySet
+    // group-by columns must all be PARTITION columns (path-derived,
+    // exact); a data-column group needs the rows themselves
+    val groupCols: Seq[String] =
+      agg.groupByExpressions().toSeq.map(e => fieldOf(e) match {
+        case Some(n) if partNames.contains(n) => n
+        case _ => return None
+      })
+
+    final case class F(stats: AvroStats.FileStats, part: Map[String, Any])
+    val all: Seq[F] = files.map { case (p, _) =>
+      val st = AvroStats.read(p) match {
+        case Some(s) => s
         case None => return None // any sidecar-less file: full scan
       }
-    }
+      val raw = AvroPartitions.rawValuesOf(p, partNames)
+      F(st, partNames.iterator.map(n =>
+        n -> raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull).toMap)
+    }.filter(_.stats.rows > 0) // a 0-row container defines no group
+
     def sparkType(name: String): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
-    def colStats(name: String): Option[Seq[AvroStats.Col]] = {
-      val cs = stats.map(_.cols.get(name))
-      if (cs.forall(_.isDefined)) Some(cs.map(_.get)) else None
-    }
+
+    // groups in observed order; the GLOBAL case is the single all-files
+    // "group" with no key columns
+    val groups: Seq[(Seq[Any], Seq[F])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, all))
+      else all.groupBy(f => groupCols.map(f.part)).toSeq
+        .map { case (k, fs) => (k, fs) }
 
     val fields = Vector.newBuilder[StructField]
-    val values = Vector.newBuilder[Any]
-    agg.aggregateExpressions().zipWithIndex.foreach { case (f, i) =>
+    groupCols.foreach { n =>
+      fields += StructField(n, sparkType(n).getOrElse(return None),
+        nullable = true)
+    }
+
+    // evaluate one aggregate function over one group's files; appends
+    // the field on the FIRST group only (schema is group-independent)
+    def evalFunc(f: AggregateFunc, i: Int, fs: Seq[F],
+        emitField: Boolean): Any = {
+      def colStats(name: String): Option[Seq[AvroStats.Col]] = {
+        val cs = fs.map(_.stats.cols.get(name))
+        if (cs.forall(_.isDefined)) Some(cs.map(_.get)) else None
+      }
       f match {
         case _: CountStar =>
-          fields += StructField(s"agg_${i}_count_star", LongType, nullable = false)
-          values += stats.map(_.rows).sum
+          if (emitField)
+            fields += StructField(s"agg_${i}_count_star", LongType, nullable = false)
+          java.lang.Long.valueOf(fs.map(_.stats.rows).sum)
         case c: Count if !c.isDistinct =>
-          val name = fieldOf(c.column()).getOrElse(return None)
-          val cs = colStats(name).getOrElse(return None)
-          fields += StructField(s"agg_${i}_count_$name", LongType, nullable = false)
-          values += stats.zip(cs).map { case (st, c0) => st.rows - c0.nulls }.sum
+          val name = fieldOf(c.column()).getOrElse(return NoAnswer)
+          if (emitField)
+            fields += StructField(s"agg_${i}_count_$name", LongType, nullable = false)
+          if (partNames.contains(name))
+            // a partition value covers ALL rows of its file
+            java.lang.Long.valueOf(fs.map(x =>
+              if (x.part(name) == null) 0L else x.stats.rows).sum)
+          else {
+            val cs = colStats(name).getOrElse(return NoAnswer)
+            java.lang.Long.valueOf(
+              fs.zip(cs).map { case (x, c0) => x.stats.rows - c0.nulls }.sum)
+          }
         case mm @ (_: Min | _: Max) =>
           val isMin = mm.isInstanceOf[Min]
           val col = mm match {
             case m: Min => m.column(); case m: Max => m.column()
-            case _ => return None
+            case _ => return NoAnswer
           }
-          val name = fieldOf(col).getOrElse(return None)
-          val dt = sparkType(name).getOrElse(return None)
-          val cs = colStats(name).getOrElse(return None)
+          val name = fieldOf(col).getOrElse(return NoAnswer)
+          val dt = sparkType(name).getOrElse(return NoAnswer)
           val tag = if (isMin) "min" else "max"
-          fields += StructField(s"agg_${i}_${tag}_$name", dt, nullable = true)
-          values += (dt match {
+          if (emitField)
+            fields += StructField(s"agg_${i}_${tag}_$name", dt, nullable = true)
+          if (partNames.contains(name)) {
+            // path-derived: min/max over the files' own partition values
+            val vs = fs.map(_.part(name)).filter(_ != null)
+            if (vs.isEmpty) null
+            else toCatalyst(vs.reduce((a, b) =>
+              if ((ordCmp(a, b) < 0) == isMin) a else b))
+          } else dt match {
             case LongType | IntegerType =>
+              val cs = colStats(name).getOrElse(return NoAnswer)
               val bs = cs.flatMap(c => if (isMin) c.minL else c.maxL)
               // a long/int column whose stats carry doubles (foreign
               // sidecar) must not answer via lossy values
               if (cs.exists(c => c.minD.isDefined || c.minS.isDefined))
-                return None
+                return NoAnswer
               if (bs.isEmpty) null
               else {
                 val v = if (isMin) bs.min else bs.max
@@ -772,10 +834,11 @@ private[sources] object AvroAggPush {
                 else java.lang.Integer.valueOf(v.toInt)
               }
             case DoubleType =>
+              val cs = colStats(name).getOrElse(return NoAnswer)
               // every file must RECORD its NaN count — a legacy sidecar
               // can hide a NaN that IS the true max under Spark ordering
               if (cs.exists(c => c.nans.isEmpty ||
-                  c.minL.isDefined || c.minS.isDefined)) return None
+                  c.minL.isDefined || c.minS.isDefined)) return NoAnswer
               var acc: Option[Double] = None
               cs.foreach { c =>
                 val b = if (isMin) c.minD else c.maxD
@@ -789,46 +852,74 @@ private[sources] object AvroAggPush {
               }
               acc.map(java.lang.Double.valueOf).orNull
             case StringType =>
+              val cs = colStats(name).getOrElse(return NoAnswer)
               val bs = cs.flatMap(c => if (isMin) c.minS else c.maxS)
               if (cs.exists(c => c.minD.isDefined || c.minL.isDefined))
-                return None
+                return NoAnswer
               if (bs.isEmpty) null
               else UTF8String.fromString(if (isMin) bs.min else bs.max)
-            case _ => return None // boolean min/max: no stats recorded
-          })
-        case _ => return None // avg/sum/distinct/UDAF: not metadata-exact
+            case _ => return NoAnswer // boolean min/max: no stats recorded
+          }
+        case _ => NoAnswer // avg/sum/distinct/UDAF: not metadata-exact
       }
     }
-    Some((StructType(fields.result()), values.result().toArray))
+
+    val rows = Vector.newBuilder[Array[Any]]
+    groups.zipWithIndex.foreach { case ((key, fs), gi) =>
+      val row = Vector.newBuilder[Any]
+      key.foreach(v => row += toCatalyst(v))
+      agg.aggregateExpressions().zipWithIndex.foreach { case (f, i) =>
+        evalFunc(f, i, fs, emitField = gi == 0) match {
+          case NoAnswer => return None
+          case v => row += v
+        }
+      }
+      rows += row.result().toArray
+    }
+    // a grouped aggregation over ZERO files has zero groups (correct),
+    // but the scan schema must still carry the aggregate fields: dry-run
+    // the functions over an empty file set purely for their StructFields
+    if (groups.isEmpty)
+      agg.aggregateExpressions().zipWithIndex.foreach { case (f, i) =>
+        evalFunc(f, i, Seq.empty, emitField = true) match {
+          case NoAnswer => return None
+          case _ => ()
+        }
+      }
+    // a GLOBAL aggregation always has its single row (built from `all`)
+    Some((StructType(fields.result()), rows.result()))
   }
+
+  /** Sentinel distinguishing "cannot answer" from a legitimate null. */
+  private object NoAnswer
 }
 
 /** The metadata-only scan a fully pushed aggregation builds: ONE
-  * partition, ONE pre-computed row, ZERO container reads.
+  * partition, pre-computed rows (one for a global aggregate, one per
+  * group for a partition-grouped one), ZERO container reads.
   */
-private[graft] class AvroAggScan(aggSchema: StructType, row: Array[Any],
-    pushedAggs: String) extends Scan with Batch {
+private[graft] class AvroAggScan(aggSchema: StructType,
+    rows: Seq[Array[Any]], pushedAggs: String) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro metadata-only aggregate, PushedAggregates: [$pushedAggs]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(AvroAggPartition(row))
+    Array(AvroAggPartition(rows.toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroAggReaderFactory()
 }
 
-private[sources] case class AvroAggPartition(row: Array[Any])
+private[sources] case class AvroAggPartition(rows: Array[Array[Any]])
   extends InputPartition
 
 private[sources] class AvroAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow =
-        new GenericInternalRow(p.asInstanceOf[AvroAggPartition].row.clone())
+      private val rows = p.asInstanceOf[AvroAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i).clone())
       override def close(): Unit = ()
     }
 }

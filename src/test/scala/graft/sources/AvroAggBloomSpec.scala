@@ -121,6 +121,47 @@ class AvroAggBloomSpec extends SparkSpec {
     assert(out.collect().head.getDouble(0).isNaN)
   }
 
+  test("GROUP BY partition column pushes down: grouped counts from paths + sidecars") {
+    val dir = tempDir()
+    val df = spark.range(120).select(
+      col("id"),
+      concat(lit("L"), (col("id") % 3).cast("string")).as("lang"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 2).as("v"))
+    AvroSink.writePartitioned(df, dir, Seq("lang"), overwrite = true)
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    corruptContainers(dir) // a correct answer proves metadata-only
+    val agged = spark.read.format("graft-avro").schema(schema).load(dir)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        count(col("v")).as("n_v"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .orderBy("lang")
+    val plan = planOf(agged)
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val rows = agged.collect()
+    assert(rows.length === 3)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) === s"L$i")
+      assert(r.getLong(1) === 40L)
+      assert(r.getLong(2) === 32L) // every 5th id null; gcd(3,5)=1 -> 8/40
+      assert(r.getLong(3) === i.toLong) // min id with id%3==i
+      assert(r.getLong(4) === (117 + i).toLong)
+    }
+    // min/max OF the partition column itself answers from the paths
+    val pc = spark.read.format("graft-avro").schema(schema).load(dir)
+      .agg(min(col("lang")).as("mn"), max(col("lang")).as("mx"),
+        count(col("lang")).as("n"))
+    assert(planOf(pc).contains("PushedAggregates"), planOf(pc))
+    val p = pc.collect().head
+    assert(p.getString(0) === "L0" && p.getString(1) === "L2")
+    assert(p.getLong(2) === 120L)
+    // group-by a DATA column declines to the ordinary plan
+    val dataGroup = spark.read.format("graft-avro").schema(schema).load(dir)
+      .groupBy(col("v")).agg(count(lit(1)))
+    assert(!planOf(dataGroup).contains("PushedAggregates"))
+  }
+
   private def scanOf(d: DataFrame): AvroScan =
     d.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
