@@ -3018,6 +3018,44 @@ object OracleSql {
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
+    // k-fold cross-validated linear regression: md5-hash folds, DECIMAL
+    // per-fold power sums, train = totals minus fold, held-out MSE from
+    // the same sums (sum-of-squares expansion) — the identical DAG
+    "q_ml_cv_linreg" ->
+      """WITH f AS (SELECT
+        |    CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |g AS (SELECT fold, count(*) AS n_f,
+        |    sum(x) AS sx_f, sum(y) AS sy_f,
+        |    sum(CAST(x * x AS DECIMAL(38,4))) AS sxx_f,
+        |    sum(CAST(x * y AS DECIMAL(38,4))) AS sxy_f,
+        |    sum(CAST(y * y AS DECIMAL(38,4))) AS syy_f
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_f) AS BIGINT) AS n, sum(sx_f) AS sx, sum(sy_f) AS sy,
+        |    sum(sxx_f) AS sxx, sum(sxy_f) AS sxy FROM g),
+        |e AS (SELECT fold, n_f, n - n_f AS n_train,
+        |    CAST(n - n_f AS DOUBLE) AS nt,
+        |    CAST(sx - sx_f AS DOUBLE) AS tsx, CAST(sy - sy_f AS DOUBLE) AS tsy,
+        |    CAST(sxx - sxx_f AS DOUBLE) AS tsxx, CAST(sxy - sxy_f AS DOUBLE) AS tsxy,
+        |    CAST(n_f AS DOUBLE) AS nf,
+        |    CAST(sx_f AS DOUBLE) AS fsx, CAST(sy_f AS DOUBLE) AS fsy,
+        |    CAST(sxx_f AS DOUBLE) AS fsxx, CAST(sxy_f AS DOUBLE) AS fsxy,
+        |    CAST(syy_f AS DOUBLE) AS fsyy
+        |  FROM g, t),
+        |m AS (SELECT fold, n_f, n_train,
+        |    (nt * tsxy - tsx * tsy) / (nt * tsxx - tsx * tsx) AS b,
+        |    (tsy - ((nt * tsxy - tsx * tsy) / (nt * tsxx - tsx * tsx)) * tsx) / nt AS a,
+        |    nf, fsx, fsy, fsxx, fsxy, fsyy
+        |  FROM e)
+        |SELECT fold, CAST(n_f AS BIGINT) AS n_test, CAST(n_train AS BIGINT) AS n_train,
+        |  round(b, 6) + 0.0 AS slope, round(a, 6) + 0.0 AS intercept,
+        |  round((fsyy + nf * a * a + b * b * fsxx
+        |    - CAST(2.0 AS DOUBLE) * a * fsy - CAST(2.0 AS DOUBLE) * b * fsxy
+        |    + CAST(2.0 AS DOUBLE) * a * b * fsx) / nf, 6) + 0.0 AS mse_test
+        |FROM m ORDER BY fold""".stripMargin,
+
     // leave-one-group-out slope influence: per-group DECIMAL power sums,
     // totals by exact decimal addition, subtraction BEFORE the double
     // cast — the identical sufficient-statistics DAG as the engine

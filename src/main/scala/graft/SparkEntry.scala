@@ -2627,6 +2627,14 @@ object SparkEntry {
       graft.ml.Eval.kendallTau(lineitemDailyRev(s, dir), "d", "rev",
         Seq("mon"))),
 
+    // -- k-fold cross-validated linear regression in ONE pass (r16):
+    // train-side sums = totals minus the held-out fold, test MSE from
+    // the same per-fold sufficient statistics — the generalization
+    // audit of q_stats_linreg at one shuffle regardless of k ----------
+    "q_ml_cv_linreg" -> ((s, dir) =>
+      graft.ml.Eval.cvLinreg(T(s, dir, "lineitem"), "l_orderkey",
+        "l_quantity", "l_extendedprice", k = 5)),
+
     // -- leave-one-group-out OLS influence (r16): which return-flag
     // segment moves the fitted price~quantity line — sufficient-stats
     // subtraction from ONE decimal-exact grouped pass, bounded groups

@@ -650,6 +650,55 @@ object Eval {
       .orderBy(keys: _*)
   }
 
+  /** k-fold CROSS-VALIDATED simple linear regression in ONE data pass —
+    * the distributed form of "train on k−1 folds, test on the held-out
+    * fold": folds are the deterministic md5-hash assignment of
+    * [[graft.ops.Sampling.foldAssign]], per-fold DECIMAL power sums are
+    * one grouped aggregate, the train-side sums are totals MINUS the
+    * fold (sufficient statistics, the same identity as
+    * [[leaveOneGroupOutSlope]]), and the held-out MSE needs no per-row
+    * scoring pass because Σ(y−a−bx)² expands over the SAME sums:
+    * syy + n·a² + b²·sxx − 2a·sy − 2b·sxy + 2ab·sx.
+    *
+    * Output per fold: n_test, n_train, slope, intercept, mse_test —
+    * the k-fold generalization audit of q_stats_linreg's fit, at the
+    * cost of one shuffle regardless of k or data size.
+    */
+  def cvLinreg(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      k: Int): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val g = graft.ops.Sampling.foldAssign(df, idCol, k)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_f"),
+        sum(x).as("sx_f"), sum(y).as("sy_f"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx_f"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy_f"),
+        sum((y * y).cast("decimal(38,4)")).as("syy_f"))
+    val tot = g.agg(sum(col("n_f")).as("n"),
+      sum(col("sx_f")).as("sx"), sum(col("sy_f")).as("sy"),
+      sum(col("sxx_f")).as("sxx"), sum(col("sxy_f")).as("sxy"))
+    val nt = (col("n") - col("n_f")).cast("double")
+    val sx = (col("sx") - col("sx_f")).cast("double")
+    val sy = (col("sy") - col("sy_f")).cast("double")
+    val sxx = (col("sxx") - col("sxx_f")).cast("double")
+    val sxy = (col("sxy") - col("sxy_f")).cast("double")
+    val b = (nt * sxy - sx * sy) / (nt * sxx - sx * sx)
+    val a = (sy - b * sx) / nt
+    val nf = col("n_f").cast("double")
+    val mse = (col("syy_f").cast("double") + nf * a * a
+      + b * b * col("sxx_f").cast("double")
+      - lit(2.0) * a * col("sy_f").cast("double")
+      - lit(2.0) * b * col("sxy_f").cast("double")
+      + lit(2.0) * a * b * col("sx_f").cast("double")) / nf
+    g.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_f").as("n_test"),
+        (col("n") - col("n_f")).as("n_train"),
+        round(b, 6).as("slope"), round(a, 6).as("intercept"),
+        round(mse, 6).as("mse_test"))
+      .orderBy("fold")
+  }
+
   /** Leave-one-group-out OLS influence — data VALUATION for a training
     * mix: how much does each source/group move the fitted line? For
     * y ~ x fitted by least squares, report the full-data slope and, per

@@ -1015,6 +1015,10 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   * is ignored — the documented contract of THIS mode; opt into
   * `graft.seenlog=true` ([[AvroSeenLogStream]], r16) when producers
   * cannot guarantee monotone names and late arrivals must be admitted.
+  * A PARTITIONED layout (r16) should always use the seen-log mode: new
+  * files land under `col=value` directories whose names do NOT sort
+  * monotonically (a new `lang=aa` file sorts below a processed
+  * `lang=zz` watermark and would be silently ignored here).
   * Exactly-once per file: watermark intervals partition the name space,
   * so a file belongs to exactly one micro-batch.
   */

@@ -94,6 +94,27 @@ class R16OpsSpec extends SparkSpec {
     assert(woA.getDouble(4) > 0 && woB.getDouble(4) < 0)
   }
 
+  test("cvLinreg: exact linear data gives every fold the true line and MSE 0") {
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble, 3.0 * i + 1.0))
+      .toDF("id", "x", "y")
+    val out = graft.ml.Eval.cvLinreg(df, "id", "x", "y", k = 5).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 5)
+      assert(r.getLong(1) + r.getLong(2) === 200L) // n_test + n_train
+      assert(r.getDouble(3) === 3.0, r.toString) // slope
+      assert(r.getDouble(4) === 1.0, r.toString) // intercept
+      assert(r.getDouble(5) === 0.0, r.toString) // held-out mse
+    }
+    // noisy group: mse strictly positive, slope near the signal
+    val noisy = (1 to 200).map(i =>
+      (i.toLong, i.toDouble, 3.0 * i + (if (i % 2 == 0) 5.0 else -5.0)))
+      .toDF("id", "x", "y")
+    val n = graft.ml.Eval.cvLinreg(noisy, "id", "x", "y", k = 4).collect()
+    assert(n.forall(_.getDouble(5) > 0.0))
+    assert(n.forall(r => math.abs(r.getDouble(3) - 3.0) < 0.1))
+  }
+
   test("knnClassify: separable clusters vote their own label") {
     // two tight clusters on orthogonal axes; ids 0/1 are the queries
     def v(base: Seq[Double], j: Int): Seq[Double] =
