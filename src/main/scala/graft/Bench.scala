@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   * preserved alongside (`cold_total`, per-query in bench_full.json) so
   * startup cost stays visible.
   *
-  * SENTINEL (r16): a fixed ~20 ms probe (constant-work range-sum) runs
+  * SENTINEL (r16): a fixed ~0.1-0.2 s probe (constant-work range-sum) runs
   * every 20 queries in every pass; its (pass, position, start-offset,
   * seconds) series lands in bench_full.json under `sentinel`. A VM
   * pressure window now shows up as a contiguous sentinel bump with

@@ -400,8 +400,12 @@ object Sampling {
     */
   def foldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
+    // null ids hash a sentinel (the hashMill convention) — md5(null)
+    // would propagate to fold = null, breaking the [0, k) contract and
+    // leaking the rows out of every fold's test side
     df.withColumn("fold",
-      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      pmod(conv(substring(md5(coalesce(col(idCol).cast("string"),
+        lit("\u0000graft_null"))), 1, 15), 16, 10)
         .cast("long"), lit(k.toLong)).cast("int"))
   }
 }

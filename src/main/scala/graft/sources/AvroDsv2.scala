@@ -73,10 +73,7 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def hadoopConf(): Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  private def hadoopConf(): Configuration = AvroSink.driverConf()
 
   /** (path, length) of every matching container file, via the Hadoop
     * FileSystem of the path's scheme — a directory expands to its
@@ -997,7 +994,18 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     if (streamOpts.seenLog)
       new AvroSeenLogStream(this, pathStr, checkpointLocation,
         streamOpts.maxFilesPerTrigger, streamOpts.retainBatches)
-    else new AvroMicroBatchStream(this, pathStr, streamOpts.maxFilesPerTrigger)
+    else {
+      // fail FAST, not silently: partition directories do not sort
+      // monotonically, so the filename-watermark protocol would
+      // permanently drop a new `lang=aa` directory below a processed
+      // `lang=zz` — a known-broken combination, not a mode choice
+      require(partSpec.isEmpty,
+        "graft-avro: a PARTITIONED layout must stream with the seen-log " +
+          "tail (.option(\"graft.seenlog\", \"true\")) — partition " +
+          "directory names do not sort monotonically, so the filename-" +
+          "watermark protocol would silently drop late directories")
+      new AvroMicroBatchStream(this, pathStr, streamOpts.maxFilesPerTrigger)
+    }
 }
 
 /** Streaming TAIL over a graft-avro directory — `spark.readStream
@@ -1032,9 +1040,7 @@ private[sources] class AvroMicroBatchStream(scan: AvroScan, pathStr: String,
   // the SESSION's Hadoop conf (captured at stream construction, on the
   // driver): spark.hadoop.* filesystem settings that work for the batch
   // path must work for the per-trigger re-list too
-  private val conf = org.apache.spark.sql.SparkSession.getActiveSession
-    .map(_.sessionState.newHadoopConf())
-    .getOrElse(new Configuration())
+  private val conf = AvroSink.driverConf()
   private def watermarkOf(o: Offset): String =
     o.asInstanceOf[AvroStreamOffset].watermark
 
@@ -1139,9 +1145,7 @@ private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
   retainBatches.foreach(r => require(r >= 1,
     s"graft.seenlog.retain must be >= 1, got $r"))
 
-  private val conf = org.apache.spark.sql.SparkSession.getActiveSession
-    .map(_.sessionState.newHadoopConf())
-    .getOrElse(new Configuration())
+  private val conf = AvroSink.driverConf()
   private val logDir = new Path(checkpointLocation, "graft-seen")
   private val fs = logDir.getFileSystem(conf)
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1188,10 +1192,19 @@ private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
       .filter(p => p > floor && !seen.contains(p))
 
   // Trigger.AvailableNow: freeze the pending SET (not a name watermark —
-  // ordering means nothing here); each capped batch drains from it
+  // ordering means nothing here); each capped batch drains from it.
+  // The freeze is LAZY — requested here, materialized inside the first
+  // latestOffset(start, _) call AFTER the orphan rollback has run: a
+  // crash that left an unacknowledged batch in the log would otherwise
+  // have its files inside `seen` at prepare time, freezing a pending
+  // set that excludes them and silently skipping them for the whole
+  // drain (they were never emitted to the engine).
+  @volatile private var freezeRequested = false
   @volatile private var frozenPending: Option[IndexedSeq[String]] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    frozenPending = Some(pendingNow())
+  override def prepareForTriggerAvailableNow(): Unit = {
+    freezeRequested = true
+    frozenPending = None
+  }
 
   override def initialOffset(): Offset = AvroSeqOffset(0L)
   override def latestOffset(): Offset = throw new IllegalStateException(
@@ -1217,6 +1230,8 @@ private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
     // construction) and would never retire the final batch of an
     // AvailableNow drain
     applyRetention(startSeq)
+    if (freezeRequested && frozenPending.isEmpty)
+      frozenPending = Some(pendingNow()) // rollback above has run
     val pending = frozenPending
       .map(_.filter(p => !seen.contains(p) && p > floor))
       .getOrElse(pendingNow())

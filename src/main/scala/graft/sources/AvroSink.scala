@@ -406,7 +406,16 @@ private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
       case "long" => AvroPartitions.encode(java.lang.Long.valueOf(row.getLong(i)))
       case "integer" => AvroPartitions.encode(java.lang.Integer.valueOf(row.getInt(i)))
       case "boolean" => AvroPartitions.encode(java.lang.Boolean.valueOf(row.getBoolean(i)))
-      case _ => AvroPartitions.encode(row.getUTF8String(i).toString)
+      case _ =>
+        val s = row.getUTF8String(i).toString
+        // URL-encoding leaves underscores intact, so a real value equal
+        // to the null marker would round-trip as NULL — reject it loudly
+        // instead of silently corrupting the column
+        require(s != AvroPartitions.NullMarker,
+          s"graft-avro: partition value collides with the reserved null " +
+            s"marker '${AvroPartitions.NullMarker}' (column " +
+            s"'${fieldMeta(i)._1}')")
+        AvroPartitions.encode(s)
     }
   }
 

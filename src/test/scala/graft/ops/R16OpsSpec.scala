@@ -24,6 +24,13 @@ class R16OpsSpec extends SparkSpec {
     val b = Sampling.foldAssign(df, "id", 5)
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
     intercept[IllegalArgumentException](Sampling.foldAssign(df, "id", 1))
+    // null ids land in ONE deterministic fold, never fold = null
+    val withNulls = spark.range(10).select(
+      when(col("id") < 3, lit(null)).otherwise(col("id")).as("id"))
+    val nf = Sampling.foldAssign(withNulls, "id", 5)
+    assert(nf.where(col("fold").isNull).count() === 0)
+    assert(nf.where(col("id").isNull).select("fold")
+      .distinct().count() === 1)
   }
 
   test("dpNoisyCounts: real counts plus bounded deterministic Laplace noise") {

@@ -160,6 +160,42 @@ class AvroPartitionSpec extends SparkSpec {
     assert(back.schema.fields.map(_.name).contains("lang"))
   }
 
+  test("watermark-mode streaming over a partitioned layout fails fast") {
+    val dir = tempDir()
+    AvroSink.writePartitioned(
+      spark.range(5).select(col("id"), lit("en").as("lang")),
+      dir, Seq("lang"), overwrite = true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_part_wm_ckpt").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft-avro").load(dir) // no seenlog
+        .writeStream.format("memory").queryName("graft_part_wm")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("seen-log")), messages(ex).mkString("|"))
+  }
+
+  test("a string partition value colliding with the null marker is rejected") {
+    val dir = tempDir()
+    val ex = intercept[Exception] {
+      AvroSink.writePartitioned(
+        spark.range(2).select(col("id"),
+          lit(AvroPartitions.NullMarker).as("grp")),
+        dir, Seq("grp"), overwrite = true)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null marker")),
+      messages(ex).mkString("|"))
+  }
+
   test("zone maps and blooms still prune DATA columns inside partitions") {
     val dir = tempDir()
     AvroSink.writePartitioned(
