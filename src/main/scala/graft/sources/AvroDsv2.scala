@@ -66,7 +66,17 @@ import scala.jdk.CollectionConverters._
   *
   * Streaming (r15): the same table serves `spark.readStream` as a
   * MICRO_BATCH_READ tail — see [[AvroMicroBatchStream]] for the
-  * file-name-watermark offset protocol.
+  * file-name-watermark offset protocol and [[AvroSeenLogStream]]
+  * (`graft.seenlog=true`) for the late-file-tolerant log protocol.
+  *
+  * r16 tiers, all metadata-first:
+  *  - [[AvroStats]] zone maps + [[AvroBloom]] equality blooms skip whole
+  *    files from the sidecars at planning time;
+  *  - [[AvroPartitions]] Hive-style `col=value` layout with exact
+  *    partition-directory pruning;
+  *  - [[AvroAggPush]] complete aggregate pushdown: global or
+  *    partition-grouped count/min/max answered with ZERO container
+  *    reads.
   */
 class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"

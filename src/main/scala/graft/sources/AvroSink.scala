@@ -42,10 +42,14 @@ import scala.jdk.CollectionConverters._
   * row). Long/int column stats are stored AS JSON INTEGERS, never
   * doubles — a long ≥ 2^53 stored round-to-nearest could round a true
   * max DOWN and make [[AvroStats]] zone-map pruning wrongly skip the
-  * whole file. [[AvroScan]] reads the sidecars at planning time and
-  * SKIPS files whose [min, max] cannot satisfy the pushed filters.
-  * Readers ignore unknown sidecars; files written by other tools (no
-  * sidecar) are never skipped.
+  * whole file. r16 additions per column: a NaN count for doubles (what
+  * licenses upper-bound pruning and max() pushdown under Spark's
+  * NaN-greatest ordering) and a 2048-bit equality Bloom filter for
+  * long/int/string ([[AvroBloom]]). [[AvroScan]] reads the sidecars at
+  * planning time and SKIPS files whose [min, max] (or bloom) cannot
+  * satisfy the pushed filters; [[AvroAggPush]] answers whole
+  * aggregations from them. Readers ignore unknown sidecars; files
+  * written by other tools (no sidecar) are never skipped.
   *
   * First write to an empty directory: the DSv2 write path resolves the
   * table schema via `inferSchema`, which needs either an existing
