@@ -4981,6 +4981,15 @@ object OracleSql {
       ("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' " +
         "ORDER BY doc_id"),
 
+    // stats-driven auto-broadcast join: the avro dimension round-trips
+    // through the sink, so the oracle is the same join over the tables —
+    // a stats bug that changed the JOIN RESULT would hash-mismatch
+    "q_s20_avro_stats_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
     // grouped aggregate pushdown over the partitioned layout: the engine
     // answers GROUP BY lang from sidecars + directory names; the oracle
     // aggregates the source table, so any stats/grouping drift

@@ -578,6 +578,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
+    // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
+    // the small graft-avro dimension to the lineitem fact broadcasts
+    // WITHOUT a hint — the plan-shape golden embeds the broadcast; the
+    // oracle is the same join over the source tables ---------------------
+    "q_s20_avro_stats_join" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/supplier_avro_dim"
+      AvroSink.write(T(s, dir, "supplier"), p, overwrite = true)
+      val dim = s.read.format("graft-avro").load(p)
+        .select(col("s_suppkey"), col("s_name"))
+      T(s, dir, "lineitem")
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("s_name")
+    }),
+
     // -- S8 fixed-width text: nation serialized to padded columns in the
     // query (the legacy-feed upload contract, like the csv fixture),
     // read back via scan-local substring projections — oracle is the

@@ -935,7 +935,8 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter],
     streamOpts: AvroStreamOpts = AvroStreamOpts(),
-    partSpec: Seq[(String, String)] = Seq.empty) extends Scan with Batch {
+    partSpec: Seq[(String, String)] = Seq.empty) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -949,11 +950,42 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   private val partNames = partSpec.map(_._1).toSet
   private val partTypes = partSpec.toMap
 
-  // pushed filters referencing ONLY partition columns: evaluated EXACTLY
-  // per file from its path at planning time (partition pruning); the
-  // rest go to the sidecar zone maps
-  private val (partFilters, dataFilters) =
-    pushed.partition(f => partNames.nonEmpty
+  // runtime filters injected AFTER planning (dynamic partition pruning:
+  // Spark derives them from a join's build side and hands them to the
+  // scan before planInputPartitions) — same pruning machinery as the
+  // static pushed filters: exact on partition columns, zone-map/bloom
+  // conservative on data columns. Correctness is unconditional: the
+  // join above re-checks every surviving row, so pruning may only SKIP.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions
+      .Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(AvroFilters.supported)
+
+  /** Planning-time statistics from the metadata the sink already wrote:
+    * bytes = the (pruned) file lengths, rows = the sidecar row counts
+    * when EVERY surviving file has one. Catalyst's join planning sees a
+    * small graft-avro dimension as small and auto-broadcasts it — no
+    * explicit broadcast() hint needed (DataSourceV2Relation.computeStats
+    * consumes this).
+    */
+  override def estimateStatistics(): Statistics = {
+    val surviving = pruneFiles(files)
+    val bytes = surviving.map(_._2).sum
+    val rowCounts = surviving.map { case (p, _) => AvroStats.read(p).map(_.rows) }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rowCounts.forall(_.isDefined))
+          java.util.OptionalLong.of(rowCounts.flatten.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  private def splitFilters(fs: Array[Filter]): (Array[Filter], Array[Filter]) =
+    fs.partition(f => partNames.nonEmpty
       && f.references.nonEmpty && f.references.forall(partNames.contains))
 
   private def partValueGetter(path: String): String => Any = {
@@ -961,28 +993,37 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     name => raw.get(name).map(AvroPartitions.typed(_, partTypes(name))).orNull
   }
 
-  /** Partition-directory pruning + sidecar zone-map pruning + sync-range
-    * split planning, shared by the batch path and the streaming tail's
-    * per-batch file slices.
+  /** Partition-directory + sidecar pruning of a file list under the
+    * static pushed filters plus any runtime (DPP) filters.
     */
-  private[sources] def planSplits(input: Seq[(String, Long)]): Array[InputPartition] = {
-    // with pushed filters, a file whose stats prove no row can match is
-    // dropped BEFORE split planning — at 100 TB this is the difference
-    // between listing-and-skipping and opening every container
+  private def pruneFiles(input: Seq[(String, Long)]): Seq[(String, Long)] = {
+    // pushed filters referencing ONLY partition columns are evaluated
+    // EXACTLY per file from its path (partition pruning); the rest go
+    // to the sidecar zone maps. A file whose stats prove no row can
+    // match is dropped BEFORE split planning — at 100 TB this is the
+    // difference between listing-and-skipping and opening every
+    // container.
+    val (partFilters, dataFilters) = splitFilters(pushed ++ runtimeFilters)
     val partPruned =
       if (partFilters.isEmpty) input
       else input.filter { case (path, _) =>
         val get = partValueGetter(path)
         partFilters.forall(AvroFilters.eval(_, get))
       }
-    val surviving =
-      if (dataFilters.isEmpty) partPruned
-      else partPruned.filter { case (path, _) =>
-        AvroStats.read(path) match {
-          case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
-          case None => true // no/unreadable sidecar: never skip
-        }
+    if (dataFilters.isEmpty) partPruned
+    else partPruned.filter { case (path, _) =>
+      AvroStats.read(path) match {
+        case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
+        case None => true // no/unreadable sidecar: never skip
       }
+    }
+  }
+
+  /** Pruning + sync-range split planning, shared by the batch path and
+    * the streaming tail's per-batch file slices.
+    */
+  private[sources] def planSplits(input: Seq[(String, Long)]): Array[InputPartition] = {
+    val surviving = pruneFiles(input)
     lastPlanned = (surviving.size, input.size)
     surviving.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
@@ -997,7 +1038,8 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def planInputPartitions(): Array[InputPartition] = planSplits(files)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.fieldNames, pushed, partSpec)
+    new AvroReaderFactory(required.fieldNames, pushed ++ runtimeFilters,
+      partSpec)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
