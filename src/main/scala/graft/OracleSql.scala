@@ -2235,6 +2235,30 @@ object OracleSql {
 
     // lift = (n_ab/B) / ((n_a/U)*(n_b/U)) — same IEEE division/multiply
     // DAG as TextAnalysis.collocations; totals counted before the cut
+    // Dunning LLR keyness: identical marginal/expected double DAG, zero
+    // cells contribute 0, direction by exact integer cross-multiply
+    "q_text_keyness" ->
+      (s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f,
+         |    unnest($toks) AS term FROM documents),
+         |c AS (SELECT term, CAST(sum(f) AS BIGINT) AS n_focus,
+         |    CAST(sum(1 - f) AS BIGINT) AS n_ref FROM t GROUP BY term),
+         |tot AS (SELECT CAST(sum(n_focus) AS BIGINT) AS tf,
+         |    CAST(sum(n_ref) AS BIGINT) AS tr FROM c),
+         |k AS (SELECT term, n_focus, n_ref, tf, tr,
+         |    CAST(n_focus AS DOUBLE) AS af, CAST(n_ref AS DOUBLE) AS bf,
+         |    CAST(tf AS DOUBLE) AS ta, CAST(tr AS DOUBLE) AS tb
+         |  FROM c, tot WHERE n_focus + n_ref >= 50)
+         |SELECT term, n_focus, n_ref,
+         |  round(CAST(2.0 AS DOUBLE) * (
+         |    (CASE WHEN n_focus = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE af * ln(af / ((af + bf) * ta / (ta + tb))) END)
+         |    + (CASE WHEN n_ref = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE bf * ln(bf / ((af + bf) * tb / (ta + tb))) END)), 6) + 0.0 AS g2,
+         |  CASE WHEN n_focus * tr > n_ref * tf THEN 'focus'
+         |       WHEN n_focus * tr < n_ref * tf THEN 'ref'
+         |       ELSE 'even' END AS leans
+         |FROM k ORDER BY term""".stripMargin),
+
     "q_text_collocations" ->
       (s"""WITH tk AS (SELECT $toks AS tk FROM documents),
          |u AS (SELECT unnest(tk) AS term FROM tk),
@@ -6387,6 +6411,37 @@ object OracleSql {
 
     // A/B replay: same per-user any-conversion reduction, same pooled
     // z double DAG from exact integer counts
+    // Welch's t: identical conditional DECIMAL sums and double DAG —
+    // variance, standard errors, t, and the Welch–Satterthwaite df
+    "q_stats_welch" ->
+      """WITH s AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN b = 0 THEN x END) AS sx_a,
+        |    sum(CASE WHEN b = 0 THEN CAST(x * x AS DECIMAL(38,4)) END) AS sxx_a,
+        |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN b = 1 THEN x END) AS sx_b,
+        |    sum(CASE WHEN b = 1 THEN CAST(x * x AS DECIMAL(38,4)) END) AS sxx_b
+        |  FROM s),
+        |m AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS va,
+        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vb
+        |  FROM g),
+        |e AS (SELECT n_a, n_b, na, nb, ma, mb, va / na AS sea, vb / nb AS seb FROM m)
+        |SELECT n_a, n_b, round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) + 0.0 AS t_stat,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (na - CAST(1.0 AS DOUBLE))
+        |       + seb * seb / (nb - CAST(1.0 AS DOUBLE))), 6) + 0.0 AS df_welch
+        |FROM e""".stripMargin,
+
     "q_stats_abtest" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS v,

@@ -2114,6 +2114,15 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text", minCount = 5)
         .orderBy("term_a", "term_b")),
 
+    // -- Dunning log-likelihood keyness (r16): terms over-represented in
+    // the ENGLISH subcorpus vs the rest — the corpus-comparison signal;
+    // min-count bounds rows (no G²-rank cutoff: a rank boundary on a
+    // double statistic is an engine-portability trap), direction by
+    // exact integer cross-multiplication -------------------------------
+    "q_text_keyness" -> ((s, dir) =>
+      TextAnalysis.keynessLLR(T(s, dir, "documents"), "text",
+        col("lang") === "en", minCount = 50L)),
+
     // -- referential-integrity report (anti-join counts per FK edge) ------
     // real edges prove the corpus is consistent (0 orphans); the "dirty"
     // edge deterministically breaks every 11th order's custkey to prove
@@ -2653,6 +2662,16 @@ object SparkEntry {
     "q_ml_cv_linreg" -> ((s, dir) =>
       graft.ml.Eval.cvLinreg(T(s, dir, "lineitem"), "l_orderkey",
         "l_quantity", "l_extendedprice", k = 5)),
+
+    // -- Welch's unequal-variance t-test (r16): click vs purchase event
+    // values — the A/B companion to q_stats_abtest's pooled z when group
+    // variances differ; one conditional-sum DECIMAL pass, statistic +
+    // Welch-Satterthwaite df are the contract (p needs incomplete beta)
+    "q_stats_welch" -> ((s, dir) =>
+      graft.ml.Eval.welchTTest(
+        T(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase")),
+        "value", col("event_type") === "purchase")),
 
     // -- leave-one-group-out OLS influence (r16): which return-flag
     // segment moves the fitted price~quantity line — sufficient-stats

@@ -929,4 +929,48 @@ object TextAnalysis {
         concat_ws(",", sort_array(collect_set(col("term")))).as("matched"))
       .orderBy("doc_id")
   }
+
+  /** Dunning log-likelihood KEYNESS (Dunning '93): which terms are
+    * statistically over-represented in a FOCUS subcorpus vs the rest —
+    * the standard corpus-comparison signal for "what makes this source/
+    * language/time-slice different", more robust than raw frequency
+    * ratios at low counts. G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) with the
+    * expected counts from the marginals; a zero cell contributes 0 (the
+    * x·ln x → 0 limit).
+    *
+    * Scale: one (focus?, term) exploded count aggregate (map-side
+    * combinable), a one-row totals broadcast, then a per-term
+    * projection. Direction ties break by EXACT integer cross-
+    * multiplication (a·B vs b·A), never double division. Output ordered
+    * by term (no G²-rank cutoff — a rank boundary on a double statistic
+    * is engine-portability risk; the min-count threshold bounds rows).
+    */
+  def keynessLLR(df: DataFrame, textCol: String, focus: Column,
+      minCount: Long = 50L): DataFrame = {
+    val t = df.select(focus.as("__f"), explode(tokens(col(textCol))).as("term"))
+    val counts = t.groupBy(col("term")).agg(
+      sum(when(col("__f"), 1L).otherwise(0L)).as("n_focus"),
+      sum(when(col("__f"), 0L).otherwise(1L)).as("n_ref"))
+    val tot = counts.agg(sum(col("n_focus")).as("__tf"),
+      sum(col("n_ref")).as("__tr"))
+    val af = col("n_focus").cast("double")
+    val bf = col("n_ref").cast("double")
+    val ta = col("__tf").cast("double")
+    val tb = col("__tr").cast("double")
+    val ea = (af + bf) * ta / (ta + tb)
+    val eb = (af + bf) * tb / (ta + tb)
+    val g2 = lit(2.0) * (
+      when(col("n_focus") === 0, lit(0.0)).otherwise(af * log(af / ea)) +
+      when(col("n_ref") === 0, lit(0.0)).otherwise(bf * log(bf / eb)))
+    counts.where(col("n_focus") + col("n_ref") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_focus"), col("n_ref"),
+        round(g2, 6).as("g2"),
+        when(col("n_focus") * col("__tr") > col("n_ref") * col("__tf"),
+          lit("focus"))
+          .when(col("n_focus") * col("__tr") < col("n_ref") * col("__tf"),
+            lit("ref"))
+          .otherwise(lit("even")).as("leans"))
+      .orderBy("term")
+  }
 }

@@ -650,6 +650,42 @@ object Eval {
       .orderBy(keys: _*)
   }
 
+  /** Welch's two-sample t-test (unequal variances) — the A/B companion
+    * to [[abTest]]'s pooled z-test for metrics whose group variances
+    * differ: t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) with the Welch–Satterthwaite
+    * effective degrees of freedom. One conditional-sum aggregate pass
+    * (DECIMAL-exact power sums per side, no shuffle beyond the single
+    * one-row agg); the statistic and df are the contract — the p-value
+    * needs the incomplete beta, which differs across libm.
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df_welch).
+    */
+  def welchTTest(df: DataFrame, valueCol: String, isB: Column): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,2)")
+    val agg = df.where(col(valueCol).isNotNull).agg(
+      sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isB, x)).as("sx_a"),
+      sum(when(!isB, (x * x).cast("decimal(38,4)"))).as("sxx_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB, x)).as("sx_b"),
+      sum(when(isB, (x * x).cast("decimal(38,4)"))).as("sxx_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sx_a").cast("double") / na
+    val mb = col("sx_b").cast("double") / nb
+    val va = (col("sxx_a").cast("double")
+      - col("sx_a").cast("double") * col("sx_a").cast("double") / na) / (na - lit(1.0))
+    val vb = (col("sxx_b").cast("double")
+      - col("sx_b").cast("double") * col("sx_b").cast("double") / nb) / (nb - lit(1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    agg.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
+  }
+
   /** k-fold CROSS-VALIDATED simple linear regression in ONE data pass —
     * the distributed form of "train on k−1 folds, test on the held-out
     * fold": folds are the deterministic md5-hash assignment of

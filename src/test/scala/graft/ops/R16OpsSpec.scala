@@ -122,6 +122,41 @@ class R16OpsSpec extends SparkSpec {
     assert(n.forall(r => math.abs(r.getDouble(3) - 3.0) < 0.1))
   }
 
+  test("welchTTest: hand-computed two-sample statistic and Welch df") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = graft.ml.Eval.welchTTest(df, "v", col("g") === "b")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 5.0)
+    // ma=2 va=1 sea=1/3; mb=5 vb=20/3 seb=5/3; t=-3/sqrt(2)
+    assert(approx(r.getDouble(4), -3.0 / math.sqrt(2.0), 1e-6))
+    val sea = 1.0 / 3.0; val seb = 5.0 / 3.0
+    val dfW = math.pow(sea + seb, 2) /
+      (sea * sea / 2.0 + seb * seb / 3.0)
+    assert(approx(r.getDouble(5), dfW, 1e-5))
+  }
+
+  test("keynessLLR: focus-only terms lean focus, balanced terms lean even") {
+    val docs = (
+      Seq.fill(30)((1L, "alpha common", "en")) ++
+      Seq.fill(30)((2L, "beta common", "de"))
+    ).zipWithIndex.map { case ((_, t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextAnalysis.keynessLLR(docs, "text",
+      col("lang") === "en", minCount = 20L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    val (af, ar, ag, al) = out("alpha")
+    assert(af === 30L && ar === 0L && al === "focus" && ag > 10.0)
+    val (bf, br, bg, bl) = out("beta")
+    assert(bf === 0L && br === 30L && bl === "ref" && bg > 10.0)
+    val (cf, cr, cg, cl) = out("common")
+    assert(cf === 30L && cr === 30L && cl === "even" && cg === 0.0)
+    // symmetric corpus: alpha's keyness equals beta's
+    assert(ag === bg)
+  }
+
   test("knnClassify: separable clusters vote their own label") {
     // two tight clusters on orthogonal axes; ids 0/1 are the queries
     def v(base: Seq[Double], j: Int): Seq[Double] =
