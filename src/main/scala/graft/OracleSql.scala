@@ -1109,7 +1109,7 @@ object OracleSql {
     "q_split_bycluster" ->
       (s"""WITH RECURSIVE ${minhashCtes(k = 5)},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM documents),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -1146,7 +1146,7 @@ object OracleSql {
       // propagation converges to.
       s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM documents),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -1156,7 +1156,7 @@ object OracleSql {
     "q_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM documents),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -1290,7 +1290,7 @@ object OracleSql {
     "q_dedup_apply" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM documents),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -2485,7 +2485,7 @@ object OracleSql {
          |curated AS (SELECT fpt.doc_id, fpt.text FROM fpt JOIN keepfp USING (doc_id)),
          |${minhashCtes("curated")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM curated),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -2506,7 +2506,7 @@ object OracleSql {
     "q_llm_pipeline" ->
       (s"""WITH RECURSIVE
          |qm AS (SELECT doc_id, text, $toks AS tk FROM documents),
-         |q AS (SELECT doc_id, text FROM (
+         |q AS MATERIALIZED (SELECT doc_id, text FROM (
          |  SELECT doc_id, text,
          |    CAST(len(tk) AS BIGINT) AS n_tokens,
          |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) END AS mean_token_len,
@@ -2515,35 +2515,35 @@ object OracleSql {
          |  FROM qm)
          |  WHERE n_tokens >= 5 AND non_alnum_ratio <= 0.4
          |    AND distinct_token_ratio >= 0.3 AND mean_token_len >= 2.0),
-         |fpt AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM q),
+         |fpt AS MATERIALIZED (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM q),
          |keepfp AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY f),
          |curated AS (SELECT fpt.doc_id, fpt.text FROM fpt JOIN keepfp USING (doc_id)),
-         |st AS (SELECT doc_id, $toks AS tk FROM curated),
+         |st AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM curated),
          |sf AS (SELECT doc_id, tk FROM st WHERE len(tk) >= 10),
          |sg0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 10),
          |        i -> struct_pack(pos := i, gr := array_to_string(tk[i+1 : i+10], ' ')))) AS u FROM sf),
-         |sgm AS (SELECT doc_id, u.pos AS pos, u.gr AS gram FROM sg0),
+         |sgm AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gr AS gram FROM sg0),
          |sv AS (SELECT gram FROM sgm GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
          |sd AS (SELECT sgm.doc_id, sgm.pos FROM sgm JOIN sv USING (gram)),
          |si AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sd),
          |ssp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e FROM si GROUP BY doc_id, grp),
-         |scov AS (SELECT DISTINCT * FROM (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM ssp)),
+         |scov AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM ssp)),
          |stok0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(tk) - 1),
          |          j -> struct_pack(pos := j, tok := tk[j+1]))) AS u FROM st),
          |stokr AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM stok0),
          |skept AS (SELECT k.doc_id, k.pos, k.tok FROM stokr k
          |         WHERE NOT EXISTS (SELECT 1 FROM scov c WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
          |ska AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS body FROM skept GROUP BY doc_id),
-         |cleaned AS (SELECT st.doc_id, coalesce(ska.body, '') AS text FROM st LEFT JOIN ska USING (doc_id)),
+         |cleaned AS MATERIALIZED (SELECT st.doc_id, coalesce(ska.body, '') AS text FROM st LEFT JOIN ska USING (doc_id)),
          |${minhashCtes("cleaned")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT doc_id, doc_id FROM cleaned),
          |reach(a, b) AS (SELECT a, b FROM edges
          |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
-         |survivors AS (SELECT c.doc_id, c.text FROM cleaned c
+         |survivors AS MATERIALIZED (SELECT c.doc_id, c.text FROM cleaned c
          |              JOIN lab ON c.doc_id = lab.id AND lab.id = lab.cluster_id),
          |btok AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0),
          |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
@@ -3129,7 +3129,7 @@ object OracleSql {
          |          FROM wbanded x JOIN wbanded y ON x.bidx = y.bidx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |wpairs AS (SELECT id_a, id_b FROM wcand
          |           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) >= 0.25),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM wpairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wpairs
          |          UNION SELECT id_b, id_a FROM wpairs
          |          UNION SELECT doc_id, doc_id FROM b3),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -3680,8 +3680,8 @@ object OracleSql {
         |  UNION ALL SELECT 'START', 'CONV' FROM conv c
         |    WHERE NOT EXISTS (SELECT 1 FROM tch t
         |      WHERE t.u = c.u AND t.jidx = c.jidx)),
-        |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
-        |m AS (SELECT $mCols FROM tc),
+        |tc AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT $mCols FROM tc),
         |it(step, scen, $pCols) AS (
         |  SELECT 0, scen, $pInit FROM (VALUES $scenVals) s(scen)
         |  UNION ALL
@@ -3825,7 +3825,7 @@ object OracleSql {
         |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
         |          UNION SELECT id_b, id_a FROM p
         |          UNION SELECT vec_id, vec_id FROM embeddings),
         |reach(a, b) AS (SELECT a, b FROM edges
@@ -5355,7 +5355,7 @@ object OracleSql {
          |         + CASE WHEN lseg = rseg THEN CAST($sa AS DOUBLE) ELSE CAST($sd AS DOUBLE) END, 6) AS score
          |  FROM p),
          |pairs AS (SELECT lid AS id_a, rid AS id_b FROM sc WHERE score >= 2.0),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs
          |          UNION SELECT c_custkey, c_custkey FROM customer),
          |reach(a, b) AS (SELECT a, b FROM edges
@@ -5888,7 +5888,7 @@ object OracleSql {
         |cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |  WHERE event_id % 2 = 1 AND value IS NOT NULL),
         |q AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ref),
-        |edges AS (SELECT i.i AS i, qs[i.i] AS e
+        |edges AS MATERIALIZED (SELECT i.i AS i, qs[i.i] AS e
         |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i),
         |above AS (SELECT CAST(0 AS BIGINT) AS i,
         |    (SELECT CAST(count(*) AS BIGINT) FROM ref) AS arf,
