@@ -2235,6 +2235,23 @@ object OracleSql {
 
     // lift = (n_ab/B) / ((n_a/U)*(n_b/U)) — same IEEE division/multiply
     // DAG as TextAnalysis.collocations; totals counted before the cut
+    // burstiness: same sufficient-statistics DAG — per-(term, doc)
+    // counts, then Σc²/N − mean² over ALL docs via a one-row N
+    "q_text_burstiness" ->
+      (s"""WITH pd AS (SELECT term, d, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id AS d, unnest($toks) AS term FROM documents)
+         |  GROUP BY term, d),
+         |bt AS (SELECT term, CAST(sum(c) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS doc_freq,
+         |    CAST(sum(c * c) AS BIGINT) AS sx2
+         |  FROM pd GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+         |SELECT term, total, doc_freq,
+         |  round((CAST(sx2 AS DOUBLE) / CAST(nd AS DOUBLE)
+         |      - (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)) * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)))
+         |    / (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)), 6) + 0.0 AS vmr
+         |FROM bt, n WHERE total >= 50 ORDER BY term""".stripMargin),
+
     // Dunning LLR keyness: identical marginal/expected double DAG, zero
     // cells contribute 0, direction by exact integer cross-multiply
     "q_text_keyness" ->

@@ -2114,6 +2114,13 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text", minCount = 5)
         .orderBy("term_a", "term_b")),
 
+    // -- term burstiness (r16): variance-to-mean of per-doc counts with
+    // the zero cells carried by sufficient statistics (never a
+    // vocab × docs materialization) — Poisson glue vs bursty content
+    "q_text_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(T(s, dir, "documents"), "text", "doc_id",
+        minCount = 50L)),
+
     // -- Dunning log-likelihood keyness (r16): terms over-represented in
     // the ENGLISH subcorpus vs the rest — the corpus-comparison signal;
     // min-count bounds rows (no G²-rank cutoff: a rank boundary on a

@@ -930,6 +930,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Term BURSTINESS (Church & Gale '95): the variance-to-mean ratio of
+    * a term's per-document count — VMR ≈ 1 means Poisson-like function
+    * words, VMR ≫ 1 means bursty content words that clump into few
+    * documents (the signal separating topical vocabulary from glue, and
+    * a dedup/boilerplate tell: templated text makes glue words bursty).
+    *
+    * The subtlety is the ZEROS: the variance runs over ALL N documents,
+    * including those where the term never occurs — materializing
+    * (term × doc) zero cells would be |vocab|·N rows, so both moments
+    * come from sufficient statistics instead: with per-doc counts c_d,
+    * mean = Σc/N and population var = Σc²/N − mean², needing only the
+    * observed (term, doc) count rows and a one-row N broadcast.
+    */
+  def burstiness(df: DataFrame, textCol: String, docIdCol: String,
+      minCount: Long = 50L): DataFrame = {
+    val perDoc = df
+      .select(col(docIdCol).as("__d"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__d")).agg(count(lit(1)).as("__c"))
+    val byTerm = perDoc.groupBy(col("term")).agg(
+      sum(col("__c")).as("total"),
+      count(lit(1)).as("doc_freq"),
+      sum(col("__c") * col("__c")).as("__sx2"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    byTerm.where(col("total") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("total"), col("doc_freq"),
+        round({
+          val n = col("__n").cast("double")
+          val m = col("total").cast("double") / n
+          (col("__sx2").cast("double") / n - m * m) / m
+        }, 6).as("vmr"))
+      .orderBy("term")
+  }
+
   /** Dunning log-likelihood KEYNESS (Dunning '93): which terms are
     * statistically over-represented in a FOCUS subcorpus vs the rest —
     * the standard corpus-comparison signal for "what makes this source/

@@ -79,7 +79,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_privacy_dpcount", "q_events_backtest", "q_stats_logo",
     "q_sim_knn_classify", "q_s18_avro_partition", "q_s19_avro_group_agg",
     "q_ml_cv_linreg", "q_s20_avro_stats_join", "q_text_keyness",
-    "q_stats_welch")
+    "q_stats_welch", "q_text_burstiness")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {

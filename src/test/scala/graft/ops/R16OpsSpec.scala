@@ -157,6 +157,26 @@ class R16OpsSpec extends SparkSpec {
     assert(ag === bg)
   }
 
+  test("burstiness: clumped terms score high VMR, uniform terms near 1") {
+    // "glue" appears once in every doc (VMR -> 0: constant counts);
+    // "burst" appears 10 times in one tenth of the docs (bursty)
+    val docs = (0 until 100).map { i =>
+      val body = if (i % 10 == 0) ("burst " * 10) + "glue" else "glue"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.burstiness(docs, "text", "doc_id",
+      minCount = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (gt, gdf, gv) = out("glue")
+    assert(gt === 100L && gdf === 100L)
+    assert(gv === 0.0) // constant 1-per-doc: zero variance
+    val (bt, bdf, bv) = out("burst")
+    assert(bt === 100L && bdf === 10L)
+    // counts: ten docs of 10, ninety of 0 -> mean 1, var 9, VMR 9
+    assert(bv === 9.0, bv.toString)
+  }
+
   test("knnClassify: separable clusters vote their own label") {
     // two tight clusters on orthogonal axes; ids 0/1 are the queries
     def v(base: Seq[Double], j: Int): Seq[Double] =
