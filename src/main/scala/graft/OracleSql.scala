@@ -2271,8 +2271,10 @@ object OracleSql {
          |      ELSE af * ln(af / ((af + bf) * ta / (ta + tb))) END)
          |    + (CASE WHEN n_ref = 0 THEN CAST(0.0 AS DOUBLE)
          |      ELSE bf * ln(bf / ((af + bf) * tb / (ta + tb))) END)), 6) + 0.0 AS g2,
-         |  CASE WHEN n_focus * tr > n_ref * tf THEN 'focus'
-         |       WHEN n_focus * tr < n_ref * tf THEN 'ref'
+         |  CASE WHEN CAST(n_focus AS DECIMAL(18,0)) * CAST(tr AS DECIMAL(18,0))
+         |         > CAST(n_ref AS DECIMAL(18,0)) * CAST(tf AS DECIMAL(18,0)) THEN 'focus'
+         |       WHEN CAST(n_focus AS DECIMAL(18,0)) * CAST(tr AS DECIMAL(18,0))
+         |         < CAST(n_ref AS DECIMAL(18,0)) * CAST(tf AS DECIMAL(18,0)) THEN 'ref'
          |       ELSE 'even' END AS leans
          |FROM k ORDER BY term""".stripMargin),
 

@@ -996,14 +996,19 @@ object TextAnalysis {
     val g2 = lit(2.0) * (
       when(col("n_focus") === 0, lit(0.0)).otherwise(af * log(af / ea)) +
       when(col("n_ref") === 0, lit(0.0)).otherwise(bf * log(bf / eb)))
+    // the cross-multiplication runs in DECIMAL(18,0)×DECIMAL(18,0) →
+    // DECIMAL(37,0): exact and overflow-free for any count below 10^18
+    // (beyond every physical corpus) — a raw long×long would silently
+    // WRAP past 2^63 and invert the direction label
+    def d18(c: Column): Column = c.cast("decimal(18,0)")
+    val lhs = d18(col("n_focus")) * d18(col("__tr"))
+    val rhs = d18(col("n_ref")) * d18(col("__tf"))
     counts.where(col("n_focus") + col("n_ref") >= minCount)
       .crossJoin(broadcast(tot))
       .select(col("term"), col("n_focus"), col("n_ref"),
         round(g2, 6).as("g2"),
-        when(col("n_focus") * col("__tr") > col("n_ref") * col("__tf"),
-          lit("focus"))
-          .when(col("n_focus") * col("__tr") < col("n_ref") * col("__tf"),
-            lit("ref"))
+        when(lhs > rhs, lit("focus"))
+          .when(lhs < rhs, lit("ref"))
           .otherwise(lit("even")).as("leans"))
       .orderBy("term")
   }

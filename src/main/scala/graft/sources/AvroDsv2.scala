@@ -474,7 +474,11 @@ private[sources] object AvroStats {
       minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String], nulls: Long,
       nans: Option[Long] = None, bloom: Option[Array[Long]] = None)
-  final case class FileStats(rows: Long, cols: Map[String, Col])
+  // rows is an OPTION: a foreign/hand-edited sidecar with `cols` but no
+  // `rows` must read as "row count unknown", never as 0 — a zero here
+  // flows into numRows() estimates (auto-broadcasting a huge table) and
+  // count(*) pushdown (wrong answers), so absence is typed, not defaulted
+  final case class FileStats(rows: Option[Long], cols: Map[String, Col])
 
   def read(avroPath: String): Option[FileStats] = try {
     val p = new Path(s"$avroPath.stats.json")
@@ -507,7 +511,7 @@ private[sources] object AvroStats {
               .flatMap(b => AvroBloom.fromBase64(b.asText)))
         }.toMap
       }.getOrElse(Map.empty[String, Col])
-      Some(FileStats(Option(root.get("rows")).map(_.asLong).getOrElse(0L), cols))
+      Some(FileStats(Option(root.get("rows")).map(_.asLong), cols))
     }
   } catch { case _: Throwable => None } // unreadable sidecar: never skip
 
@@ -529,7 +533,7 @@ private[sources] object AvroStats {
       else inRange(st, a, v, 0, 0) && bloomMay(st, a, v))
     case IsNull(a) => st.cols.get(a).forall(_.nulls > 0)
     case IsNotNull(a) => st.cols.get(a).forall(c =>
-      st.rows == 0 || c.nulls < st.rows)
+      st.rows.forall(r => c.nulls < r)) // unknown rows: never skip
     case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
     case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
     case _ => true
@@ -756,16 +760,20 @@ private[sources] object AvroAggPush {
         case _ => return None
       })
 
-    final case class F(stats: AvroStats.FileStats, part: Map[String, Any])
+    final case class F(rows: Long, stats: AvroStats.FileStats,
+        part: Map[String, Any])
     val all: Seq[F] = files.map { case (p, _) =>
       val st = AvroStats.read(p) match {
         case Some(s) => s
         case None => return None // any sidecar-less file: full scan
       }
+      // a sidecar WITHOUT a row count cannot answer count(*) (and its
+      // partition value must not fabricate a group): decline outright
+      val rows = st.rows.getOrElse(return None)
       val raw = AvroPartitions.rawValuesOf(p, partNames)
-      F(st, partNames.iterator.map(n =>
+      F(rows, st, partNames.iterator.map(n =>
         n -> raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull).toMap)
-    }.filter(_.stats.rows > 0) // a 0-row container defines no group
+    }.filter(_.rows > 0) // a 0-row container defines no group
 
     def sparkType(name: String): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
@@ -795,7 +803,7 @@ private[sources] object AvroAggPush {
         case _: CountStar =>
           if (emitField)
             fields += StructField(s"agg_${i}_count_star", LongType, nullable = false)
-          java.lang.Long.valueOf(fs.map(_.stats.rows).sum)
+          java.lang.Long.valueOf(fs.map(_.rows).sum)
         case c: Count if !c.isDistinct =>
           val name = fieldOf(c.column()).getOrElse(return NoAnswer)
           if (emitField)
@@ -803,11 +811,11 @@ private[sources] object AvroAggPush {
           if (partNames.contains(name))
             // a partition value covers ALL rows of its file
             java.lang.Long.valueOf(fs.map(x =>
-              if (x.part(name) == null) 0L else x.stats.rows).sum)
+              if (x.part(name) == null) 0L else x.rows).sum)
           else {
             val cs = colStats(name).getOrElse(return NoAnswer)
             java.lang.Long.valueOf(
-              fs.zip(cs).map { case (x, c0) => x.stats.rows - c0.nulls }.sum)
+              fs.zip(cs).map { case (x, c0) => x.rows - c0.nulls }.sum)
           }
         case mm @ (_: Min | _: Max) =>
           val isMin = mm.isInstanceOf[Min]
@@ -963,17 +971,30 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(AvroFilters.supported)
 
+  // sidecar reads memoized PER SCAN: the file list is immutable for the
+  // scan's lifetime, and planning may consult the sidecars repeatedly
+  // (estimateStatistics during optimization, pruneFiles at planning, the
+  // streaming tail per batch) — without the cache that is
+  // O(files × invocations) driver I/O, each opening the filesystem and
+  // parsing JSON afresh
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[AvroStats.FileStats]]()
+  private def statsOf(path: String): Option[AvroStats.FileStats] =
+    statsCache.computeIfAbsent(path, p => AvroStats.read(p))
+
   /** Planning-time statistics from the metadata the sink already wrote:
     * bytes = the (pruned) file lengths, rows = the sidecar row counts
-    * when EVERY surviving file has one. Catalyst's join planning sees a
-    * small graft-avro dimension as small and auto-broadcasts it — no
-    * explicit broadcast() hint needed (DataSourceV2Relation.computeStats
-    * consumes this).
+    * when EVERY surviving file has one (a sidecar without a `rows` field
+    * reads as UNKNOWN, never 0 — an understated numRows would
+    * auto-broadcast a huge table). Catalyst's join planning sees a small
+    * graft-avro dimension as small and auto-broadcasts it — no explicit
+    * broadcast() hint needed (DataSourceV2Relation.computeStats consumes
+    * this).
     */
   override def estimateStatistics(): Statistics = {
     val surviving = pruneFiles(files)
     val bytes = surviving.map(_._2).sum
-    val rowCounts = surviving.map { case (p, _) => AvroStats.read(p).map(_.rows) }
+    val rowCounts = surviving.map { case (p, _) => statsOf(p).flatMap(_.rows) }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -1012,7 +1033,7 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
       }
     if (dataFilters.isEmpty) partPruned
     else partPruned.filter { case (path, _) =>
-      AvroStats.read(path) match {
+      statsOf(path) match {
         case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
         case None => true // no/unreadable sidecar: never skip
       }
@@ -1037,9 +1058,14 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
 
   override def planInputPartitions(): Array[InputPartition] = planSplits(files)
 
+  // runtime (DPP) filters prune FILES only, never the record loop: a
+  // DPP-derived In-list is a data-dependent build-side key set that can
+  // hold thousands of values — an O(|values|) linear probe per decoded
+  // record could cost more than the pruning saves, and the join above
+  // re-checks every row anyway. Static pushed filters (small user
+  // literals) keep their record-level evaluation.
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.fieldNames, pushed ++ runtimeFilters,
-      partSpec)
+    new AvroReaderFactory(required.fieldNames, pushed, partSpec)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

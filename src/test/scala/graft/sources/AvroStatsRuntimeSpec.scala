@@ -47,6 +47,32 @@ class AvroStatsRuntimeSpec extends SparkSpec {
     assert(nst.sizeInBytes().getAsLong === st.sizeInBytes().getAsLong)
   }
 
+  test("a sidecar WITHOUT a rows field reads as unknown, never as zero") {
+    val dir = tempDir()
+    AvroSink.write(spark.range(200).select(col("id")).coalesce(1),
+      dir, overwrite = true)
+    // strip the rows field, keep the column stats (a foreign sidecar)
+    val sc = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".stats.json")).get
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(sc).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("rows")
+    java.nio.file.Files.write(sc.toPath, om.writeValueAsBytes(root))
+    // numRows must be UNKNOWN (a fabricated 0 would auto-broadcast a
+    // huge table); bytes stay known
+    val st = scanOf(spark.read.format("graft-avro").load(dir))
+      .estimateStatistics()
+    assert(!st.numRows().isPresent)
+    assert(st.sizeInBytes().getAsLong > 0L)
+    // count(*) pushdown must DECLINE and fall back to the real scan
+    val agged = spark.read.format("graft-avro").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(agged.collect().head.getLong(0) === 200L)
+  }
+
   test("Catalyst auto-broadcasts a small graft-avro dimension from reported stats") {
     val dir = tempDir()
     AvroSink.write(spark.range(20).select(col("id").as("k"),
