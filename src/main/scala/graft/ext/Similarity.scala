@@ -1189,8 +1189,13 @@ object Similarity {
     val votes = neighbors.join(labels, "nid")
       .groupBy(col("qid"), col("actual"), col("__nl"))
       .agg(count(lit(1)).as("votes"))
+    // asc_nulls_last: Spark sorts nulls FIRST on a bare asc while the
+    // DuckDB oracle's `ORDER BY votes DESC, nlabel` sorts them LAST —
+    // a vote tie involving a null label must pick the same winner on
+    // both engines (r16 ADVICE)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("votes").desc, col("__nl"))
+      .partitionBy(col("qid")).orderBy(col("votes").desc,
+        col("__nl").asc_nulls_last)
     votes.withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
       .select(col("qid"), col("actual"), col("__nl").as("predicted"),

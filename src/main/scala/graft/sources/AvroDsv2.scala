@@ -259,19 +259,32 @@ private[sources] object AvroPartitions {
       }
     }.toMap
 
-  def readSpec(pathStr: String, conf: Configuration): Seq[(String, String)] = try {
+  /** The committed partition spec, or empty when the table is flat.
+    * ONLY a missing spec file reads as "flat" — a transient IO error or
+    * corrupt JSON PROPAGATES (fail closed): swallowing it would let a
+    * flat append pass [[AvroBatchWrite]]'s layout-compatibility check
+    * and interleave a flat container into a partitioned table, or let a
+    * read plan a partitioned directory as a flat (wrong-schema) table
+    * (r16 ADVICE).
+    */
+  def readSpec(pathStr: String, conf: Configuration): Seq[(String, String)] = {
     val p = new Path(pathStr, SpecFile)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
-    else {
+    else try {
       val in = fs.open(p)
       val root = try
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
       root.asScala.toSeq.map(n =>
         (n.get("name").asText, n.get("type").asText))
+    } catch {
+      case _: java.io.FileNotFoundException => Seq.empty // raced delete
+      case e: Throwable => throw new IllegalStateException(
+        s"graft-avro: unreadable partition spec $p — refusing to treat " +
+          s"the table as flat (layout corruption risk)", e)
     }
-  } catch { case _: Throwable => Seq.empty } // unreadable spec: flat table
+  }
 
   def writeSpec(pathStr: String, conf: Configuration,
       spec: Seq[(String, String)]): Unit = {
@@ -294,6 +307,29 @@ private[sources] object AvroPartitions {
   * rows the residual Filter above would drop anyway.
   */
 private[sources] object AvroFilters {
+  /** Byte-wise UTF-8 string comparison — Spark's string order
+    * (UTF8String binary compare). Java's String.compareTo orders by
+    * UTF-16 CODE UNITS, which disagrees with UTF-8 byte order whenever
+    * supplementary-plane characters (surrogate pairs, 0xF0.. in UTF-8)
+    * mix with U+E000–U+FFFF (0xEE–0xEF in UTF-8 but numerically above
+    * surrogates in UTF-16) — every stats build, zone-map verdict and
+    * pushed-aggregate fold must use THIS order or a pruning/pushdown
+    * decision can contradict what Spark's own scan would compute
+    * (r16 ADVICE, medium).
+    */
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Filters this source can evaluate per record (top-level attributes
     * over the five supported primitives; boolean combinations thereof).
     */
@@ -349,7 +385,7 @@ private[sources] object AvroFilters {
     case (null, _) | (_, null) => None
     case (a: Number, b: Number) => Some(cmpNum(a, b))
     case (a: CharSequence, b: CharSequence) =>
-      Some(a.toString.compareTo(b.toString))
+      Some(utf8Cmp(a.toString, b.toString))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
   }
@@ -594,7 +630,7 @@ private[sources] object AvroStats {
           case None => c.minD.map(m =>
             AvroFilters.cmpNum(java.lang.Double.valueOf(widenDown(m)), n))
         }
-        case s: String => c.minS.map(_.compareTo(s))
+        case s: String => c.minS.map(AvroFilters.utf8Cmp(_, s))
         case _ => None
       }
     }
@@ -606,7 +642,7 @@ private[sources] object AvroStats {
           case None => c.maxD.map(m =>
             AvroFilters.cmpNum(java.lang.Double.valueOf(widenUp(m)), n))
         }
-        case s: String => c.maxS.map(_.compareTo(s))
+        case s: String => c.maxS.map(AvroFilters.utf8Cmp(_, s))
         case _ => None
       }
     }
@@ -653,6 +689,16 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+
+  // sidecar reads memoized across the WHOLE planning lifecycle — the
+  // aggregate-pushdown probe AND the ordinary scan it may decline into
+  // (pruning, estimateStatistics) consult the same files; without the
+  // shared cache a declined pushdown costs O(2×files) driver JSON
+  // parses per query (r16 ADVICE)
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[AvroStats.FileStats]]()
+  private def statsOf(path: String): Option[AvroStats.FileStats] =
+    statsCache.computeIfAbsent(path, p => AvroStats.read(p))
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve ONLY requested fields (Spark hands them back in read order)
     required = requiredSchema
@@ -682,7 +728,8 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
       case Some((prev, res)) if prev == agg => return res
       case _ => ()
     }
-    val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed, partSpec)
+    val res = AvroAggPush.tryCompute(agg, fullSchema, files, pushed, partSpec,
+      statsOf)
     aggResult = Some((agg, res))
     res
   }
@@ -700,7 +747,7 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
             ++ agg.aggregateExpressions().map(_.toString)).mkString(", "))
       case _ =>
         new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts,
-          partSpec)
+          partSpec, statsCache)
     }
 }
 
@@ -735,7 +782,7 @@ private[sources] object AvroAggPush {
   private def ordCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => AvroFilters.utf8Cmp(x, y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
     case _ => 0
   }
@@ -748,7 +795,9 @@ private[sources] object AvroAggPush {
   def tryCompute(agg: Aggregation, schema: StructType,
       files: Seq[(String, Long)],
       pushedFilters: Array[Filter],
-      partSpec: Seq[(String, String)] = Seq.empty): Option[(StructType, Seq[Array[Any]])] = {
+      partSpec: Seq[(String, String)] = Seq.empty,
+      statsOf: String => Option[AvroStats.FileStats] = AvroStats.read)
+      : Option[(StructType, Seq[Array[Any]])] = {
     if (pushedFilters.nonEmpty) return None
     val partTypes = partSpec.toMap
     val partNames = partTypes.keySet
@@ -763,7 +812,7 @@ private[sources] object AvroAggPush {
     final case class F(rows: Long, stats: AvroStats.FileStats,
         part: Map[String, Any])
     val all: Seq[F] = files.map { case (p, _) =>
-      val st = AvroStats.read(p) match {
+      val st = statsOf(p) match {
         case Some(s) => s
         case None => return None // any sidecar-less file: full scan
       }
@@ -872,7 +921,8 @@ private[sources] object AvroAggPush {
               if (cs.exists(c => c.minD.isDefined || c.minL.isDefined))
                 return NoAnswer
               if (bs.isEmpty) null
-              else UTF8String.fromString(if (isMin) bs.min else bs.max)
+              else UTF8String.fromString(bs.reduce((a, b) =>
+                if ((AvroFilters.utf8Cmp(a, b) < 0) == isMin) a else b))
             case _ => return NoAnswer // boolean min/max: no stats recorded
           }
         case _ => NoAnswer // avg/sum/distinct/UDAF: not metadata-exact
@@ -943,7 +993,10 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     val pushed: Array[Filter],
     streamOpts: AvroStreamOpts = AvroStreamOpts(),
-    partSpec: Seq[(String, String)] = Seq.empty) extends Scan with Batch
+    partSpec: Seq[(String, String)] = Seq.empty,
+    sharedStatsCache: java.util.concurrent.ConcurrentHashMap[
+      String, Option[AvroStats.FileStats]] =
+      new java.util.concurrent.ConcurrentHashMap()) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -971,14 +1024,13 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(AvroFilters.supported)
 
-  // sidecar reads memoized PER SCAN: the file list is immutable for the
-  // scan's lifetime, and planning may consult the sidecars repeatedly
-  // (estimateStatistics during optimization, pruneFiles at planning, the
-  // streaming tail per batch) — without the cache that is
-  // O(files × invocations) driver I/O, each opening the filesystem and
-  // parsing JSON afresh
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[AvroStats.FileStats]]()
+  // sidecar reads memoized for the scan's lifetime — the cache is
+  // SHARED with the AvroScanBuilder that built this scan (r16 ADVICE:
+  // a declined aggregate probe already parsed every sidecar; planning
+  // must not parse them all again), and planning may consult it
+  // repeatedly (estimateStatistics during optimization, pruneFiles at
+  // planning, the streaming tail per batch)
+  private val statsCache = sharedStatsCache
   private def statsOf(path: String): Option[AvroStats.FileStats] =
     statsCache.computeIfAbsent(path, p => AvroStats.read(p))
 

@@ -96,8 +96,12 @@ object AvroSink {
       AvroBloom.add(bloom, v.toString)
     }
     def addS(v: String): Unit = {
-      if (minS == null || v.compareTo(minS) < 0) minS = v
-      if (maxS == null || v.compareTo(maxS) > 0) maxS = v
+      // UTF-8 byte order, NOT String.compareTo (UTF-16 code units):
+      // Spark's min/max over UTF8String is binary UTF-8, and a sidecar
+      // min/max folded in a different collation makes pruning and
+      // aggregate pushdown disagree with the real scan (r16 ADVICE)
+      if (minS == null || AvroFilters.utf8Cmp(v, minS) < 0) minS = v
+      if (maxS == null || AvroFilters.utf8Cmp(v, maxS) > 0) maxS = v
       AvroBloom.add(bloom, v)
     }
   }

@@ -210,4 +210,39 @@ class AvroAggBloomSpec extends SparkSpec {
       .where(col("id") === 100000L)
     assert(miss.count() === 0L)
   }
+
+  test("string stats collate as UTF-8 bytes, not UTF-16 code units") {
+    // U+1F600 (supplementary plane) is 0xF0… in UTF-8 but a 0xD83D
+    // surrogate in UTF-16; U+E000 (private use) is 0xEE… in UTF-8 but
+    // 0xE000 in UTF-16 — the two collations ORDER THEM OPPOSITELY, so a
+    // sidecar min/max folded with String.compareTo makes pushed-down
+    // min/max and zone-map pruning contradict Spark's binary UTF-8
+    // answer (the r16 ADVICE medium finding)
+    val sup = new String(Character.toChars(0x1F600)) // U+1F600
+    val pua = "\uE000"        // U+E000
+    val dir = tempDir()
+    AvroSink.write(Seq("a", pua, sup).toDF("s"), dir, overwrite = true)
+
+    // ground truth: the real scan's aggregate (the pushed IsNotNull
+    // filter declines aggregate pushdown, forcing the row path)
+    val scanAns = spark.read.format("graft-avro").load(dir)
+      .where(col("s").isNotNull).agg(min("s"), max("s")).collect().head
+    val pushed = spark.read.format("graft-avro").load(dir)
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(planOf(pushed).contains("PushedAggregates"), planOf(pushed))
+    val pushAns = pushed.collect().head
+    assert(pushAns.getString(0) === scanAns.getString(0))
+    assert(pushAns.getString(1) === scanAns.getString(1))
+    assert(pushAns.getString(1) === sup, "UTF-8 byte order: F0 > EE")
+
+    // zone-map pruning under the same collation: the supplementary-
+    // plane file must survive `s > U+E000` (a UTF-16 max would say its
+    // max sorts BELOW the literal and wrongly skip the whole file)
+    val dir2 = tempDir()
+    AvroSink.write(Seq("a", pua).toDF("s"), dir2, overwrite = true)
+    AvroSink.write(Seq(sup).toDF("s"), dir2)
+    val over = spark.read.format("graft-avro").load(dir2)
+      .where(col("s") > pua)
+    assert(over.select("s").as[String].collect().toSeq === Seq(sup))
+  }
 }

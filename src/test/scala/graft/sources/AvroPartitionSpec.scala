@@ -19,6 +19,10 @@ class AvroPartitionSpec extends SparkSpec {
     (col("id") % 4).cast("int").as("band"),
     (col("id") / 8.0).as("score"))
 
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
   private def scanOf(d: DataFrame): AvroScan =
     d.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
@@ -91,9 +95,18 @@ class AvroPartitionSpec extends SparkSpec {
     assert(back.where(col("grp").isNull).count() === 10L)
     val nn = back.where(col("grp").isNotNull)
     assert(nn.count() === 30L)
+    // exact expectation (the r16 ADVICE caught a tautological
+    // disjunction here): IsNull must prune to EXACTLY the null-marker
+    // directory's files out of the full listing
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val totalFiles = AvroDsv2.listFiles(dir, conf).size
+    val nullDirFiles = AvroDsv2.listFiles(
+      s"$dir/grp=${AvroPartitions.NullMarker}", conf).size
+    assert(nullDirFiles > 0 && nullDirFiles < totalFiles)
     val isn = back.where(col("grp").isNull)
-    assert(scanOf(isn).lastPlanned._1 < scanOf(back).planInputPartitions().length
-      || scanOf(isn).lastPlanned._1 <= scanOf(isn).lastPlanned._2)
+    val isnScan = scanOf(isn)
+    isnScan.planInputPartitions()
+    assert(isnScan.lastPlanned === ((nullDirFiles, totalFiles)))
     assert(isn.select("id").as[Long].collect().forall(_ % 4 == 0))
   }
 
@@ -210,5 +223,32 @@ class AvroPartitionSpec extends SparkSpec {
     // band=1 dir pruned by partition value; remaining files pruned by
     // the id bloom/zone map down to the single container holding 42
     assert(kept === 1, s"planned $kept of $tot")
+  }
+
+  test("corrupt partition spec fails closed — never read or appended as flat") {
+    val dir = tempDir()
+    AvroSink.writePartitioned(fixture, dir, Seq("lang"), overwrite = true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, AvroPartitions.SpecFile),
+      "{definitely not json".getBytes)
+    // read: a partitioned directory must not silently plan as a flat
+    // (wrong-schema) table
+    val exRead = intercept[Exception] {
+      spark.read.format("graft-avro").load(dir).count()
+    }
+    assert(messages(exRead).exists(_.contains("unreadable partition spec")),
+      messages(exRead).mkString("|"))
+    // append: the layout-compatibility check must fail closed, not let
+    // a flat container interleave into the partitioned layout
+    val exWrite = intercept[Exception] {
+      AvroSink.write(spark.range(3).select(col("id"), lit("x").as("lang"),
+        lit(1).cast("int").as("band"), (col("id") * 1.0).as("score")), dir)
+    }
+    assert(messages(exWrite).exists(_.contains("unreadable partition spec")),
+      messages(exWrite).mkString("|"))
+    // a MISSING spec still reads as an ordinary flat table
+    val flat = tempDir()
+    AvroSink.write(spark.range(5).toDF("id"), flat, overwrite = true)
+    assert(spark.read.format("graft-avro").load(flat).count() === 5L)
   }
 }
