@@ -5043,6 +5043,18 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // SUM/AVG metadata pushdown: the engine answers grouped sums from
+    // exact sidecar longs (avg via Spark's sum/count rewrite); the
+    // oracle aggregates the source table, so any drift hash-mismatches.
+    // avg_chars: the same exact-long division DAG on both sides
+    "q_s22_avro_sum_agg" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  max(n_chars) AS max_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) + 0.0 AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // trigram fuzzy-join replay: same lowercased distinct values, same
     // 3-gram blocking with the df-cap exclusion, DuckDB's own
     // jaro_winkler_similarity (fuzz-pinned bit-exact to graft_jw) as the

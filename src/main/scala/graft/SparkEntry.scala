@@ -578,6 +578,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S22 SUM/AVG metadata aggregate pushdown (r17): the sidecars
+    // carry exact per-file long sums (JSON longs, omitted on task-side
+    // overflow), so `GROUP BY lang` with sum/count/min/max — and avg,
+    // which Spark's partial rewrite splits into pushed sum+count —
+    // answers with ZERO container reads; the fold is checked arithmetic
+    // and declines on any overflow. The oracle aggregates the source
+    // table, so any sum drift hash-mismatches. avg_chars derives from
+    // the exact longs with the SAME division DAG on both engines -------
+    "q_s22_avro_sum_agg" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_part"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        p, Seq("lang"), overwrite = true)
+      s.read.format("graft-avro").load(p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"),
+          max(col("n_chars")).as("max_chars"))
+        .withColumn("avg_chars",
+          round(col("sum_chars").cast("double") / col("n_docs"), 6))
+        .orderBy("lang")
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

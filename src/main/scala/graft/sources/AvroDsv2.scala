@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
@@ -509,7 +509,8 @@ private[sources] object AvroStats {
   final case class Col(minL: Option[Long], maxL: Option[Long],
       minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String], nulls: Long,
-      nans: Option[Long] = None, bloom: Option[Array[Long]] = None)
+      nans: Option[Long] = None, bloom: Option[Array[Long]] = None,
+      sumL: Option[Long] = None)
   // rows is an OPTION: a foreign/hand-edited sidecar with `cols` but no
   // `rows` must read as "row count unknown", never as 0 — a zero here
   // flows into numRows() estimates (auto-broadcasting a huge table) and
@@ -544,7 +545,12 @@ private[sources] object AvroStats {
             Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
             Option(v.get("nans")).map(_.asLong),
             Option(v.get("bloom")).filter(_.isTextual)
-              .flatMap(b => AvroBloom.fromBase64(b.asText)))
+              .flatMap(b => AvroBloom.fromBase64(b.asText)),
+            // exact long sums only — a foreign sidecar storing a lossy
+            // double sum must read as "no sum", never as an approximation
+            Option(v.get("sum"))
+              .filter(n => n.isIntegralNumber && n.canConvertToLong)
+              .map(_.asLong))
         }.toMap
       }.getOrElse(Map.empty[String, Col])
       Some(FileStats(Option(root.get("rows")).map(_.asLong), cols))
@@ -710,14 +716,15 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  // -- metadata-only aggregate pushdown (r16) ---------------------------
-  // A COUNT(*)/COUNT(col)/MIN/MAX over a graft-avro dataset — global or
-  // GROUPED BY PARTITION COLUMNS — is answerable ENTIRELY from the
+  // -- metadata-only aggregate pushdown (r16; SUM r17) ------------------
+  // A COUNT(*)/COUNT(col)/MIN/MAX/SUM over a graft-avro dataset — global
+  // or GROUPED BY PARTITION COLUMNS — is answerable ENTIRELY from the
   // sidecars and the partition paths: the scan never opens a single
-  // container — at 100 TB, `SELECT lang, count(*) ... GROUP BY lang`
-  // costs one sidecar read per file instead of a full-table scan.
-  // Strictly conservative: any file without a sidecar, any unsupported
-  // function (avg, distinct, sum — not derivable from min/max/rows),
+  // container — at 100 TB, `SELECT lang, count(*), sum(n) ... GROUP BY
+  // lang` costs one sidecar read per file instead of a full-table scan
+  // (avg rides for free: Spark's partial rewrite splits it into
+  // sum/count, both pushed). Strictly conservative: any file without a
+  // sidecar, any unsupported function (distinct, double sums, UDAFs),
   // any group-by on a DATA column, or any pushed filter (residual
   // re-filtering above an aggregate is impossible) declines, and Spark
   // runs the ordinary scan+aggregate plan.
@@ -925,7 +932,52 @@ private[sources] object AvroAggPush {
                 if ((AvroFilters.utf8Cmp(a, b) < 0) == isMin) a else b))
             case _ => return NoAnswer // boolean min/max: no stats recorded
           }
-        case _ => NoAnswer // avg/sum/distinct/UDAF: not metadata-exact
+        case sm: Sum if !sm.isDistinct =>
+          // SUM over long/int columns from the sidecars' exact per-file
+          // long sums (r17) — partition columns answer from
+          // path-value × row-count. Every fold uses checked arithmetic:
+          // a cross-file overflow DECLINES (the ordinary scan then
+          // reproduces Spark's own wrap semantics); doubles stay
+          // declined (a float sum is order-dependent, never
+          // metadata-exact). Avg is NOT answered directly — Spark's own
+          // partial-aggregate rewrite turns avg into sum/count and both
+          // halves push down, so `avg(x)` still plans zero container
+          // reads with the division done above the metadata rows.
+          val name = fieldOf(sm.column()).getOrElse(return NoAnswer)
+          val dt = sparkType(name).getOrElse(return NoAnswer)
+          if (dt != LongType && dt != IntegerType) return NoAnswer
+          if (emitField)
+            fields += StructField(s"agg_${i}_sum_$name", LongType,
+              nullable = true)
+          try {
+            var acc = 0L; var any = false
+            if (partNames.contains(name))
+              fs.foreach { x =>
+                x.part(name) match {
+                  case null => ()
+                  case v: java.lang.Long =>
+                    acc = Math.addExact(acc,
+                      Math.multiplyExact(v.longValue, x.rows)); any = true
+                  case v: java.lang.Integer =>
+                    acc = Math.addExact(acc,
+                      Math.multiplyExact(v.longValue, x.rows)); any = true
+                  case _ => return NoAnswer
+                }
+              }
+            else {
+              val cs = colStats(name).getOrElse(return NoAnswer)
+              if (cs.exists(c => c.minD.isDefined || c.minS.isDefined))
+                return NoAnswer // foreign sidecar with lossy stats
+              cs.foreach { c =>
+                if (c.minL.isDefined) c.sumL match {
+                  case Some(sv) => acc = Math.addExact(acc, sv); any = true
+                  case None => return NoAnswer // task overflow / legacy sidecar
+                }
+              }
+            }
+            if (any) java.lang.Long.valueOf(acc) else null // all-null: SQL NULL
+          } catch { case _: ArithmeticException => return NoAnswer }
+        case _ => NoAnswer // avg/distinct/UDAF: not answered directly
       }
     }
 

@@ -75,6 +75,12 @@ object AvroSink {
                   // min/max aggregate pushdown stay sound (AvroStats doc)
     var minD = Double.NaN; var maxD = Double.NaN
     var minL = 0L; var maxL = 0L; var seenL = false
+    // exact Σ over the file's non-null long/int values (r17): what
+    // extends metadata aggregate pushdown to SUM (and avg = sum/count).
+    // Tracked with overflow DETECTION — a sum past ±2^63 is omitted
+    // from the sidecar rather than stored wrapped or as a lossy double
+    // (the same exactness discipline as the JSON-long min/max)
+    var sumL = 0L; var sumOk = true
     var minS: String = null; var maxS: String = null
     // equality Bloom filter for long/int/string columns (AvroBloom doc)
     val bloom: Array[Long] = dt match {
@@ -93,6 +99,8 @@ object AvroSink {
     def addL(v: Long): Unit = {
       if (!seenL) { minL = v; maxL = v; seenL = true }
       else { if (v < minL) minL = v; if (v > maxL) maxL = v }
+      if (sumOk) try sumL = Math.addExact(sumL, v)
+        catch { case _: ArithmeticException => sumOk = false }
       AvroBloom.add(bloom, v.toString)
     }
     def addS(v: String): Unit = {
@@ -202,7 +210,11 @@ object AvroSink {
           if (a.minS != null) { c.put("min", a.minS); c.put("max", a.maxS) }
         case "boolean" => // counts only
         case "long" | "integer" =>
-          if (a.seenL) { c.put("min", a.minL); c.put("max", a.maxL) }
+          if (a.seenL) {
+            c.put("min", a.minL); c.put("max", a.maxL)
+            // exact JSON long; OMITTED (never wrapped/lossy) on overflow
+            if (a.sumOk) c.put("sum", a.sumL)
+          }
         case _ =>
           if (a.seenNumeric) { c.put("min", a.minD); c.put("max", a.maxD) }
           // ALWAYS recorded for doubles (even 0): "provably NaN-free"

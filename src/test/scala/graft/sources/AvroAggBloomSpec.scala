@@ -28,13 +28,15 @@ class AvroAggBloomSpec extends SparkSpec {
     * sidecars: any code path that OPENS a container now throws, so a
     * correct answer proves the plan was metadata-only.
     */
-  private def corruptContainers(dir: String): Unit =
-    new java.io.File(dir).listFiles().foreach { f =>
-      if (f.getName.endsWith(".avro"))
+  private def corruptContainers(dir: String): Unit = {
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else if (f.getName.endsWith(".avro"))
         java.nio.file.Files.write(f.toPath,
           "not an avro container at all".getBytes)
       else if (f.getName.endsWith(".crc")) f.delete() // stale checksums
-    }
+    walk(new java.io.File(dir)) // recursive: partitioned layouts too
+  }
 
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -75,9 +77,12 @@ class AvroAggBloomSpec extends SparkSpec {
     val dist = base.agg(countDistinct(col("m97")).as("n"))
     assert(!planOf(dist).contains("PushedAggregates"))
     assert(dist.collect().head.getLong(0) === 97L)
-    val av = base.agg(avg(col("id")).as("a"))
-    assert(!planOf(av).contains("PushedAggregates"))
-    assert(av.collect().head.getDouble(0) === 499.5)
+    // sum over a DOUBLE column declines (order-dependent fp addition is
+    // never metadata-exact); r17 moved avg to the pushdown tests — it
+    // now pushes via Spark's sum/count partial rewrite
+    val ds = base.agg(sum(col("score")).as("s"))
+    assert(!planOf(ds).contains("PushedAggregates"))
+    assert(ds.collect().head.getDouble(0) === 56250.0)
     val grouped = base.groupBy(col("m97")).agg(count(lit(1)).as("n"))
     assert(!planOf(grouped).contains("PushedAggregates"))
     assert(grouped.count() === 97L)
@@ -209,6 +214,93 @@ class AvroAggBloomSpec extends SparkSpec {
     val miss = spark.read.format("graft-avro").load(dir)
       .where(col("id") === 100000L)
     assert(miss.count() === 0L)
+  }
+
+  test("SUM pushdown answers from sidecar long sums — containers never opened") {
+    val dir = tempDir()
+    fixture(dir)
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    corruptContainers(dir) // a correct answer proves metadata-only
+    val base = spark.read.format("graft-avro").schema(schema).load(dir)
+    val agged = base.agg(
+      sum(col("id")).as("s_id"), sum(col("m97")).as("s_m"),
+      count(lit(1)).as("n"))
+    assert(planOf(agged).contains("PushedAggregates"), planOf(agged))
+    assert(!planOf(agged).contains("HashAggregate"), planOf(agged))
+    val r = agged.collect().head
+    assert(r.getLong(0) === 499500L)
+    assert(r.getLong(1) === (0 until 1000).map(_ % 97).sum.toLong)
+    assert(r.getLong(2) === 1000L)
+    // avg rides for free: Spark's partial rewrite splits avg into
+    // sum/count, both pushed — the division runs above the metadata rows
+    val av = base.agg(avg(col("id")).as("a"))
+    assert(planOf(av).contains("PushedAggregates"), planOf(av))
+    assert(av.collect().head.getDouble(0) === 499.5)
+  }
+
+  test("SUM pushdown declines on overflow — wrapped answers never pushed") {
+    // task-side overflow: the sidecar OMITS the sum entirely
+    val dir = tempDir()
+    AvroSink.write(
+      Seq(Long.MaxValue, 5L, Long.MaxValue).toDF("v").repartition(1),
+      dir, overwrite = true)
+    val sidecar = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).head
+    val json = new String(java.nio.file.Files.readAllBytes(sidecar.toPath))
+    assert(!json.contains("\"sum\""), json)
+    val q = spark.read.format("graft-avro").load(dir).agg(sum(col("v")).as("s"))
+    assert(!planOf(q).contains("PushedAggregates"))
+    // cross-file overflow: each file's sum fits, the FOLD would not —
+    // decline, so the ordinary scan surfaces Spark's own ANSI
+    // ARITHMETIC_OVERFLOW (a pushed wrapped value would silently return
+    // a wrong answer exactly where the engine contract says throw)
+    val dir2 = tempDir()
+    AvroSink.write(Seq(Long.MaxValue - 1).toDF("v"), dir2, overwrite = true)
+    AvroSink.write(Seq(Long.MaxValue - 2).toDF("v"), dir2)
+    val q2 = spark.read.format("graft-avro").load(dir2)
+      .agg(sum(col("v")).as("s"))
+    assert(!planOf(q2).contains("PushedAggregates"))
+    val ex = intercept[Exception] { q2.collect() }
+    assert(ex.getMessage.contains("ARITHMETIC_OVERFLOW"), ex.getMessage)
+    // all-null column: pushed sum is SQL NULL
+    val dir3 = tempDir()
+    AvroSink.write(spark.range(4).select(col("id"),
+      lit(null).cast("long").as("v")), dir3, overwrite = true)
+    val q3 = spark.read.format("graft-avro").load(dir3)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    assert(planOf(q3).contains("PushedAggregates"), planOf(q3))
+    val r3 = q3.collect().head
+    assert(r3.isNullAt(0) && r3.getLong(1) === 4L)
+  }
+
+  test("grouped SUM over the partitioned layout: sidecar + path-value sums") {
+    val dir = tempDir()
+    val df = spark.range(120).select(col("id"),
+      concat(lit("L"), (col("id") % 3).cast("string")).as("lang"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 2).as("v"))
+    AvroSink.writePartitioned(df, dir, Seq("lang"), overwrite = true)
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    corruptContainers(dir)
+    val agged = spark.read.format("graft-avro").schema(schema).load(dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"))
+      .orderBy("lang")
+    assert(planOf(agged).contains("PushedAggregates"), planOf(agged))
+    val exp = df.groupBy(col("lang"))
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"))
+      .orderBy("lang").collect().toSeq.map(_.toString)
+    assert(agged.collect().toSeq.map(_.toString) === exp)
+    // sum OF an integer partition column: path value × row count
+    val dir2 = tempDir()
+    AvroSink.writePartitioned(
+      spark.range(100).select(col("id"), (col("id") % 4).cast("int").as("band")),
+      dir2, Seq("band"), overwrite = true)
+    val schema2 = spark.read.format("graft-avro").load(dir2).schema
+    corruptContainers(dir2)
+    val ps = spark.read.format("graft-avro").schema(schema2).load(dir2)
+      .agg(sum(col("band")).as("sb"))
+    assert(planOf(ps).contains("PushedAggregates"), planOf(ps))
+    assert(ps.collect().head.getLong(0) === (0 until 100).map(_ % 4).sum.toLong)
   }
 
   test("string stats collate as UTF-8 bytes, not UTF-16 code units") {
