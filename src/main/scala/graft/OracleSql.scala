@@ -5043,6 +5043,19 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // storage-partitioned join: the engine joins the two partitioned
+    // avro tables group-by-group with zero exchanges; the oracle
+    // replays the same join over the source table, so a mis-zipped or
+    // dropped partition group hash-mismatches
+    "q_s21_avro_spj" ->
+      """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+        |    max(n_chars) AS lang_max_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, d.doc_id, d.n_chars, st.lang_docs
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |WHERE d.n_chars >= st.lang_max_chars
+        |ORDER BY d.lang, d.doc_id""".stripMargin,
+
     // SUM/AVG metadata pushdown: the engine answers grouped sums from
     // exact sidecar longs (avg via Spark's sum/count rewrite); the
     // oracle aggregates the source table, so any drift hash-mismatches.

@@ -578,6 +578,43 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S21 STORAGE-PARTITIONED JOIN (r17): both sides live in the
+    // lang-partitioned graft-avro layout and opt into reporting their
+    // KeyGroupedPartitioning (`graft.spj`), so the join on lang plans
+    // with ZERO exchanges — Spark zips each side's per-directory split
+    // groups; the merge hint only keeps the small side from
+    // auto-broadcasting so the query demonstrates the partitioned join
+    // itself. The plan-shape golden embeds the exchange count; the
+    // oracle replays the join over the source table, so a mis-zipped
+    // group (rows joined across different langs, or a lang dropped)
+    // hash-mismatches --------------------------------------------------
+    "q_s21_avro_spj" -> ((s, dir) => {
+      val base = s"${fixDir(dir)}/documents_avro_part"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        base, Seq("lang"), overwrite = true)
+      val statsP = s"${fixDir(dir)}/docstats_avro_part"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").groupBy("lang").agg(
+          count(lit(1)).as("lang_docs"),
+          max(col("n_chars")).as("lang_max_chars")),
+        statsP, Seq("lang"), overwrite = true)
+      val docs = s.read.format("graft-avro").option("graft.spj", "true")
+        .load(base)
+      val st = s.read.format("graft-avro").option("graft.spj", "true")
+        .load(statsP)
+      docs.hint("merge").join(st, Seq("lang"))
+        // >= not =: n_chars never exceeds its lang max, so the result is
+        // identical, but an equality here would become a SECOND equi-join
+        // key and the join would no longer be keyed on the partition
+        // column alone — the inequality stays a residual condition and
+        // the storage-partitioned join zips groups on lang
+        .where(col("n_chars") >= col("lang_max_chars"))
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("lang_docs"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // -- S22 SUM/AVG metadata aggregate pushdown (r17): the sidecars
     // carry exact per-file long sums (JSON longs, omitted on task-side
     // overflow), so `GROUP BY lang` with sum/count/min/max — and avg,

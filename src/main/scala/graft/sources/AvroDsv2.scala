@@ -678,7 +678,8 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
         Option(options.get("graft.maxfilespertrigger")).map(_.toInt),
         Option(options.get("graft.seenlog")).exists(_.toBoolean),
         Option(options.get("graft.seenlog.retain")).map(_.toInt)),
-      partSpec)
+      partSpec,
+      Option(options.get("graft.spj")).exists(_.toBoolean))
 }
 
 /** Streaming-tail knobs parsed from the read options. */
@@ -690,7 +691,8 @@ private[sources] case class AvroStreamOpts(
 private[sources] class AvroScanBuilder(fullSchema: StructType,
     pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
     streamOpts: AvroStreamOpts = AvroStreamOpts(),
-    partSpec: Seq[(String, String)] = Seq.empty)
+    partSpec: Seq[(String, String)] = Seq.empty,
+    spj: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
@@ -754,7 +756,7 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
             ++ agg.aggregateExpressions().map(_.toString)).mkString(", "))
       case _ =>
         new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts,
-          partSpec, statsCache)
+          partSpec, statsCache, spj)
     }
 }
 
@@ -1048,8 +1050,10 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     partSpec: Seq[(String, String)] = Seq.empty,
     sharedStatsCache: java.util.concurrent.ConcurrentHashMap[
       String, Option[AvroStats.FileStats]] =
-      new java.util.concurrent.ConcurrentHashMap()) extends Scan with Batch
-  with SupportsReportStatistics with SupportsRuntimeFiltering {
+      new java.util.concurrent.ConcurrentHashMap(),
+    spj: Boolean = false) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -1062,6 +1066,52 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
 
   private val partNames = partSpec.map(_._1).toSet
   private val partTypes = partSpec.toMap
+
+  // -- storage-partitioned joins (r17) ---------------------------------
+  // With `graft.spj=true` (and spark.sql.sources.v2.bucketing.enabled)
+  // the scan reports a KeyGroupedPartitioning over the committed
+  // partition spec and every split carries its partition-value key: a
+  // join of two same-partitioned graft-avro tables on the partition
+  // columns then plans with ZERO ShuffleExchange — Spark groups each
+  // side's splits by key and zips matching groups (pushPartValues
+  // aligns sides whose observed value sets differ). At 100 TB this is
+  // the ingest-time layout amortizing every later join, the same
+  // argument as bucketing but carried by the DSv2 source itself.
+  //
+  // OPT-IN per read, deliberately: once a scan reports KGP under the
+  // enabled conf, Spark plans ONE input partition per partition VALUE
+  // for every query — a full scan of a 3-language table collapses from
+  // (files × splits) tasks to 3. Right for a co-partitioned join, wrong
+  // for a plain scan, and the scan cannot know which query it serves —
+  // so the reader of a join query asks for it explicitly.
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spj && partSpec.nonEmpty) {
+      val distinctKeys = files.map { case (p, _) =>
+        val raw = AvroPartitions.rawValuesOf(p, partNames)
+        partSpec.map { case (n, _) => raw.get(n).orNull }
+      }.distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          partSpec.map(p => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(p._1): org.apache.spark.sql.connector
+            .expressions.Expression).toArray,
+          distinctKeys)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
+  /** The typed catalyst partition-key row of a file's path (spec order),
+    * carried by each split for Spark's key grouping.
+    */
+  private def partKeyOf(path: String): InternalRow = {
+    val raw = AvroPartitions.rawValuesOf(path, partNames)
+    new GenericInternalRow(partSpec.map { case (n, t) =>
+      raw.get(n).map(AvroPartitions.typed(_, t)).orNull match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+    }.toArray[Any])
+  }
 
   // runtime filters injected AFTER planning (dynamic partition pruning:
   // Spark derives them from a join's build side and hands them to the
@@ -1152,10 +1202,12 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     lastPlanned = (surviving.size, input.size)
     surviving.flatMap { case (path, len) =>
       val step = math.max(1L, splitBytes)
+      val key = if (spj && partSpec.nonEmpty) partKeyOf(path) else null
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
         AvroSplit(path, i * step, math.min(len, (i + 1) * step),
           if (partSpec.isEmpty) Map.empty
-          else AvroPartitions.rawValuesOf(path, partNames))
+          else AvroPartitions.rawValuesOf(path, partNames),
+          key)
       }
     }.toArray
   }
@@ -1479,8 +1531,15 @@ private[sources] class AvroSeenLogStream(scan: AvroScan, pathStr: String,
 }
 
 private[sources] case class AvroSplit(path: String, start: Long, end: Long,
-    partRaw: Map[String, String] = Map.empty)
-  extends InputPartition
+    partRaw: Map[String, String] = Map.empty,
+    partKey: InternalRow = null)
+  extends InputPartition with HasPartitionKey {
+  // consulted only when the scan reports KeyGroupedPartitioning (the
+  // graft.spj opt-in guarantees partKey was populated); splits of the
+  // same partition value carry equal rows, Spark groups them with its
+  // comparable wrapper
+  override def partitionKey(): InternalRow = partKey
+}
 
 private[sources] class AvroReaderFactory(fieldNames: Array[String],
     pushed: Array[Filter],

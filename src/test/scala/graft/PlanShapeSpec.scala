@@ -79,7 +79,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_privacy_dpcount", "q_events_backtest", "q_stats_logo",
     "q_sim_knn_classify", "q_s18_avro_partition", "q_s19_avro_group_agg",
     "q_ml_cv_linreg", "q_s20_avro_stats_join", "q_text_keyness",
-    "q_stats_welch", "q_text_burstiness")
+    "q_stats_welch", "q_text_burstiness",
+    // r17 additions: the storage-partitioned join (golden embeds the
+    // exchange-ZERO join — only the final orderBy may exchange) and the
+    // SUM metadata pushdown (golden embeds zero scans/shuffles)
+    "q_s21_avro_spj", "q_s22_avro_sum_agg")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {

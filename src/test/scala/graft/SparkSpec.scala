@@ -16,6 +16,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins (r17): let a scan-reported
+      // KeyGroupedPartitioning eliminate the join shuffle; inert unless
+      // a scan opts into reporting (graft-avro: .option("graft.spj"))
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
