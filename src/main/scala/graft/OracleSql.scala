@@ -5043,6 +5043,18 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // partition-predicate delete: the engine unlinks whole lang=de
+    // files/directories; the oracle aggregates the rows a correct
+    // delete leaves behind (null langs survive — DELETE removes only
+    // definitely-TRUE rows), so any over- or under-deletion
+    // hash-mismatches
+    "q_s24_avro_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IS NULL OR lang <> 'de'
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // storage-partitioned join: the engine joins the two partitioned
     // avro tables group-by-group with zero exchanges; the oracle
     // replays the same join over the source table, so a mis-zipped or

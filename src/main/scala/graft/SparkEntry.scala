@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S24 partition-predicate DELETE (r17): whole-file removal
+    // through the same exact path evaluation as partition pruning —
+    // zero container reads or rewrites; data-column predicates throw.
+    // A DEDICATED directory (the shared partitioned fixture must not be
+    // mutated). The oracle is the surviving-rows aggregate over the
+    // source table, so an over- or under-deletion hash-mismatches -----
+    "q_s24_avro_delete" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_del"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        p, Seq("lang"), overwrite = true)
+      AvroSink.deleteWhere(s, p, col("lang") === "de")
+      s.read.format("graft-avro").load(p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

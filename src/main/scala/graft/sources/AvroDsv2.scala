@@ -661,8 +661,64 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
     partSpec: Seq[(String, String)] = Seq.empty)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-avro($pathStr)"
+
+  // -- partition-predicate DELETE (r17) --------------------------------
+  // A delete whose predicate references ONLY partition columns removes
+  // whole files exactly through the same path evaluation as partition
+  // pruning: every row of a file shares its directory's partition
+  // values, so the predicate decides the whole file — TRUE deletes it,
+  // FALSE or UNKNOWN (null semantics: DELETE removes only rows where
+  // the predicate is true) keeps it. No container is ever rewritten —
+  // the operation is whole-file, idempotent, and re-runnable after a
+  // crash (a partial run leaves a clean table with a prefix of the
+  // doomed files removed). Anything touching a DATA column throws: a
+  // row-level delete would need a container rewrite protocol this
+  // source deliberately does not guess at.
+  private lazy val partNameSet = partSpec.map(_._1).toSet
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    partSpec.nonEmpty && filters.forall(f =>
+      AvroFilters.supported(f) && f.references.nonEmpty &&
+        f.references.forall(partNameSet.contains))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (!canDeleteWhere(filters))
+      throw new UnsupportedOperationException(
+        s"graft-avro: DELETE supports predicates over partition columns " +
+          s"only (${partSpec.map(_._1).mkString(", ")}); got " +
+          s"${filters.mkString("[", ", ", "]")} — a data-column delete " +
+          s"would require rewriting containers")
+    val conf = AvroSink.driverConf()
+    val partTypes = partSpec.toMap
+    val doomed = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
+      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
+      val get: String => Any =
+        n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
+      filters.forall(AvroFilters.eval(_, get))
+    }
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(conf)
+    val rootQualified = fs.makeQualified(root)
+    val parents = scala.collection.mutable.LinkedHashSet.empty[Path]
+    doomed.foreach { case (p, _) =>
+      val fp = new Path(p)
+      fs.delete(fp, false)
+      fs.delete(new Path(p + ".stats.json"), false)
+      parents += fp.getParent
+    }
+    // retire now-empty partition directories (ascending, stopping at the
+    // table root) so a deleted partition disappears from listings
+    parents.foreach { p0 =>
+      var p = p0
+      while (p != null && fs.makeQualified(p) != rootQualified &&
+          fs.exists(p) && fs.listStatus(p).isEmpty) {
+        fs.delete(p, false)
+        p = p.getParent
+      }
+    }
+  }
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -166,6 +166,101 @@ object AvroSink {
       .save(dir)
   }
 
+  /** Partition-predicate DELETE (r17): removes whole container files —
+    * and emptied partition directories — whose path-borne partition
+    * values satisfy `condition`, through the table's
+    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]. The
+    * predicate must reference ONLY partition columns (anything touching
+    * a data column throws — see [[AvroTable.deleteWhere]]); null
+    * partition values follow SQL semantics (only definitely-TRUE rows
+    * delete). At 100 TB, `deleteWhere(lang === "de")` is a directory
+    * listing plus unlink calls — zero container reads or rewrites.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    val analyzed = spark.read.format("graft-avro").load(dir)
+      .where(condition).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft-avro deleteWhere: cannot resolve predicate $condition"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val filters = conjuncts(cond).map { e =>
+      translateDeletePredicate(e).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-avro deleteWhere: untranslatable predicate $e"))
+    }.toArray
+    val provider = new AvroDataSourceV2
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir)
+    val schema = provider.inferSchema(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
+    provider.getTable(schema, Array.empty, props)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+      .deleteWhere(filters)
+  }
+
+  /** Catalyst → data-source filter translation for the delete predicate
+    * shapes this source can evaluate on partition paths (comparisons,
+    * null checks, IN, OR). Spark's own DataSourceStrategy.translateFilter
+    * is protected[sql], so the needed subset lives here; anything it
+    * cannot express returns None and the delete throws rather than
+    * guessing.
+    */
+  private def translateDeletePredicate(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => f}
+    def jv(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    // a literal operand may arrive wrapped (cast(10 as bigint)):
+    // anything foldable evaluates to its constant at translation time
+    object Lit {
+      def unapply(x: Expression): Option[Any] =
+        if (x.foldable) Some(jv(x.eval())) else None
+    }
+    e match {
+      case EqualTo(a: AttributeReference, Lit(v)) => Some(f.EqualTo(a.name, v))
+      case EqualTo(Lit(v), a: AttributeReference) => Some(f.EqualTo(a.name, v))
+      case GreaterThan(a: AttributeReference, Lit(v)) =>
+        Some(f.GreaterThan(a.name, v))
+      case GreaterThan(Lit(v), a: AttributeReference) =>
+        Some(f.LessThan(a.name, v))
+      case GreaterThanOrEqual(a: AttributeReference, Lit(v)) =>
+        Some(f.GreaterThanOrEqual(a.name, v))
+      case GreaterThanOrEqual(Lit(v), a: AttributeReference) =>
+        Some(f.LessThanOrEqual(a.name, v))
+      case LessThan(a: AttributeReference, Lit(v)) =>
+        Some(f.LessThan(a.name, v))
+      case LessThan(Lit(v), a: AttributeReference) =>
+        Some(f.GreaterThan(a.name, v))
+      case LessThanOrEqual(a: AttributeReference, Lit(v)) =>
+        Some(f.LessThanOrEqual(a.name, v))
+      case LessThanOrEqual(Lit(v), a: AttributeReference) =>
+        Some(f.GreaterThanOrEqual(a.name, v))
+      case IsNull(a: AttributeReference) => Some(f.IsNull(a.name))
+      case IsNotNull(a: AttributeReference) => Some(f.IsNotNull(a.name))
+      case In(a: AttributeReference, vs) if vs.forall(_.foldable) =>
+        Some(f.In(a.name, vs.map(l => jv(l.eval())).toArray))
+      case Or(l, r) => for {
+        lf <- translateDeletePredicate(l)
+        rf <- translateDeletePredicate(r)
+      } yield f.Or(lf, rf)
+      case And(l, r) => for {
+        lf <- translateDeletePredicate(l)
+        rf <- translateDeletePredicate(r)
+      } yield f.And(lf, rf)
+      case _ => None
+    }
+  }
+
   private[sources] def typeOf(tn: String): DataType = tn match {
     case "long" => LongType
     case "integer" => IntegerType
