@@ -5043,6 +5043,14 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // schema-evolution read: batch 1 wrote (doc_id, lang), batch 2
+    // appended n_chars; the merged read must null-fill n_chars for
+    // batch-1 rows exactly
+    "q_s23_avro_merge_schema" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // partition-predicate delete: the engine unlinks whole lang=de
     // files/directories; the oracle aggregates the rows a correct
     // delete leaves behind (null langs survive — DELETE removes only

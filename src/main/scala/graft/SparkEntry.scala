@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S23 schema-evolution read (r17): a second write batch appends
+    // the n_chars column; `graft.mergeschema` unions the container
+    // header schemas and the old containers null-fill the new column
+    // (parity with readParquetMerged). The oracle reconstructs the
+    // evolved table from the source, so a dropped column, a wrongly
+    // null-filled row, or a mis-merged schema hash-mismatches ----------
+    "q_s23_avro_merge_schema" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_evo"
+      AvroSink.write(
+        T(s, dir, "documents").where(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang"),
+        p, overwrite = true)
+      AvroSink.write(
+        T(s, dir, "documents").where(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "n_chars"),
+        p)
+      s.read.format("graft-avro").option("graft.mergeschema", "true")
+        .load(p)
+        .orderBy("doc_id")
+    }),
+
     // -- S24 partition-predicate DELETE (r17): whole-file removal
     // through the same exact path evaluation as partition pruning —
     // zero container reads or rewrites; data-column predicates throw.

@@ -107,14 +107,43 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
       return org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType]
     }
-    val head = filesOf(options).head._1
-    val reader = new DataFileReader[GenericRecord](
-      AvroDsv2.openSeekable(head),
-      new GenericDatumReader[GenericRecord]())
-    val dataFields = try {
-      reader.getSchema.getFields.asScala.toSeq.map(f =>
+    val files = filesOf(options)
+    def headerFields(path: String): Seq[StructField] = {
+      val reader = new DataFileReader[GenericRecord](
+        AvroDsv2.openSeekable(path),
+        new GenericDatumReader[GenericRecord]())
+      try reader.getSchema.getFields.asScala.toSeq.map(f =>
         StructField(f.name, AvroDsv2.sparkTypeOf(f.schema), nullable = true))
-    } finally reader.close()
+      finally reader.close()
+    }
+    // schema evolution (r17): `graft.mergeschema=true` unions the
+    // container HEADER schemas across all files by name — old containers
+    // null-fill columns appended by later writes (the Avro record reader
+    // already returns null for a field absent from a file's schema, so
+    // only schema INFERENCE changes; sidecar pruning and aggregate
+    // pushdown stay conservative on files that lack a column's stats).
+    // One header open per file, driver-side — the same planning cost
+    // contract as parquet mergeSchema. A type conflict fails LOUDLY:
+    // silently widening would corrupt every downstream consumer.
+    val dataFields: Seq[StructField] =
+      if (Option(options.get("graft.mergeschema")).exists(_.toBoolean)) {
+        val merged = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+        files.foreach { case (p, _) =>
+          headerFields(p).foreach { f =>
+            merged.get(f.name) match {
+              case None => merged(f.name) = f
+              case Some(prev) =>
+                if (prev.dataType != f.dataType)
+                  throw new IllegalArgumentException(
+                    s"graft-avro mergeschema: column '${f.name}' is " +
+                      s"${prev.dataType.typeName} in an earlier container " +
+                      s"but ${f.dataType.typeName} in $p — type conflicts " +
+                      s"do not merge")
+            }
+          }
+        }
+        merged.values.toSeq
+      } else headerFields(files.head._1)
     // partitioned layout: the path-borne columns append LAST (the Spark
     // partitionBy convention), typed from the committed spec
     val partFields = AvroPartitions
@@ -1617,14 +1646,30 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
       private val reader = new DataFileReader[GenericRecord](
         AvroDsv2.openSeekable(split.path),
         new GenericDatumReader[GenericRecord]())
+      // field positions resolved against THIS FILE's writer schema: a
+      // merged-schema read (r17) hands the reader columns that older
+      // containers do not have — those read as null (GenericData.Record
+      // throws on an unknown field NAME, so resolution happens here,
+      // once per split, never per record)
+      private val fileSchema = reader.getSchema
+      // per required column: -2 = path-borne partition value,
+      // -1 = absent from this file (null-fill), else the field position
+      private val fieldPos: Array[Int] = fieldNames.map { n =>
+        if (isPart.contains(n)) -2
+        else Option(fileSchema.getField(n)).map(_.pos()).getOrElse(-1)
+      }
       // the split protocol: first sync after start; stop past end's sync
       reader.sync(split.start)
       private var rec: GenericRecord = _
       private def fieldOf(name: String): Any =
         if (isPart.contains(name)) partJava.getOrElse(name, null)
-        else rec.get(name) match {
-          case u: org.apache.avro.util.Utf8 => u // CharSequence: cmp handles it
-          case v => v
+        else {
+          val f = fileSchema.getField(name)
+          if (f == null) null // absent column: SQL null semantics
+          else rec.get(f.pos()) match {
+            case u: org.apache.avro.util.Utf8 => u // CharSequence: cmp handles it
+            case v => v
+          }
         }
       override def next(): Boolean = {
         while (reader.hasNext && !reader.pastSync(split.end)) {
@@ -1640,10 +1685,11 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
         val vals = new Array[Any](fieldNames.length)
         var i = 0
         while (i < fieldNames.length) {
-          val name = fieldNames(i)
+          val pos = fieldPos(i)
           vals(i) =
-            if (isPart.contains(name)) partCatalyst.getOrElse(name, null)
-            else rec.get(name) match {
+            if (pos == -2) partCatalyst.getOrElse(fieldNames(i), null)
+            else if (pos == -1) null
+            else rec.get(pos) match {
               case null => null
               case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
               case s: java.lang.CharSequence => UTF8String.fromString(s.toString)
