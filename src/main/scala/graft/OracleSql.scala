@@ -4995,6 +4995,12 @@ object OracleSql {
     "q_s12_avro_sink" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
+    // DSv2 streaming sink: avro tail -> exactly-once avro append; the
+    // oracle is the source table, so a dropped or duplicated epoch
+    // hash-mismatches
+    "q_s25_avro_stream_sink" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     // zone-map file skipping: range-banded sink files, pushed range
     // filter — the oracle is the filtered table, so a wrongly-skipped
     // band loses rows and hash-mismatches

@@ -639,6 +639,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S25 DSv2 STREAMING SINK (r17): the read-tail/write-tail
+    // symmetry — a graft-avro streaming tail drains into the graft-avro
+    // streaming sink (epoch-deterministic names + replay cleanup =
+    // exactly-once append; AvroStreamSinkSpec replays an epoch across a
+    // restart and proves no duplication). The oracle is the source
+    // table, so a dropped or duplicated epoch hash-mismatches ----------
+    "q_s25_avro_stream_sink" -> ((s, dir) => {
+      val src = s"${fixDir(dir)}/nation_avro_ssrc"
+      val dst = s"${fixDir(dir)}/nation_avro_sdst"
+      val ckpt = s"${fixDir(dir)}/nation_avro_sckpt"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dst)); rm(new java.io.File(ckpt))
+      AvroSink.write(T(s, dir, "nation").repartition(2), src,
+        overwrite = true)
+      val q = s.readStream.format("graft-avro").load(src)
+        .writeStream.format("graft-avro")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft-avro").load(dst).orderBy("n_nationkey")
+    }),
+
     // -- S23 schema-evolution read (r17): a second write batch appends
     // the n_chars column; `graft.mergeschema` unions the container
     // header schemas and the old containers null-fill the new column

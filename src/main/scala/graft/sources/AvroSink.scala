@@ -322,6 +322,25 @@ object AvroSink {
     om.writeValueAsBytes(root)
   }
 
+  /** Delete every leftover dot-temp under `target` whose name starts
+    * with `tempPrefix` (`.graft-<queryId>-…` for a batch job,
+    * `.graft-<queryId>-e<epoch>-…` for one streaming epoch), at any
+    * depth — shared by the batch and streaming committers.
+    */
+  private[sources] def tempSweep(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, tempPrefix: String): Unit = {
+    if (!fs.exists(target)) return
+    val it = fs.listFiles(target, true)
+    val doomed = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith(tempPrefix) && n.endsWith(".avro.tmp"))
+        doomed += st.getPath
+    }
+    doomed.result().foreach(p => fs.delete(p, false))
+  }
+
   private[sources] def driverConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -353,6 +372,11 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     truncateOnCommit: Boolean, queryId: String,
     partCols: Seq[String] = Seq.empty) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateOnCommit,
+      "graft-avro: streaming writes are APPEND-only (no Complete/truncate)")
+    new AvroStreamingWrite(schema, pathStr, queryId, partCols)
+  }
   override def description(): String = s"graft-avro sink ($pathStr)"
 
   private def partSpec: Seq[(String, String)] = partCols.map { c =>
@@ -392,18 +416,8 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
 
   /** Delete every leftover dot-temp of THIS query, at any depth. */
   private def tempSweep(fs: org.apache.hadoop.fs.FileSystem,
-      target: Path): Unit = {
-    if (!fs.exists(target)) return
-    val it = fs.listFiles(target, true)
-    val doomed = Seq.newBuilder[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (n.startsWith(s".graft-$queryId-") && n.endsWith(".avro.tmp"))
-        doomed += st.getPath
-    }
-    doomed.result().foreach(p => fs.delete(p, false))
-  }
+      target: Path): Unit =
+    AvroSink.tempSweep(fs, target, s".graft-$queryId-")
 
   /** Job commit: (for overwrite) truncate the OLD data files at any
     * depth, write the partition spec (partitioned mode), rename every
@@ -471,6 +485,142 @@ private[sources] class AvroWriterFactory(fieldMeta: Seq[(String, String)],
       taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(fieldMeta, dirStr, queryId, partitionId, taskId,
       partCols)
+}
+
+/** Exactly-once STREAMING append for graft-avro (r17) — the write half
+  * of the read-tail symmetry: `df.writeStream.format("graft-avro")
+  * .option("path", dir)` appends one epoch's rows per micro-batch
+  * through the same dot-temp task protocol as the batch writer.
+  *
+  * Epoch idempotence (what "exactly once" means for a file sink whose
+  * reader has no metadata log to filter by): final names are
+  * DETERMINISTIC per (query, epoch, task partition, k) —
+  * `part-<queryId>-e<epoch>-p<pid>-<k>.avro` — and commit(epoch) FIRST
+  * deletes every previously committed file of that same (query, epoch)
+  * prefix, then renames the new temps in. A replayed epoch (engine
+  * restart between the sink commit and the checkpoint's commit-log
+  * write) therefore REPLACES its earlier attempt instead of appending a
+  * second copy — the replay carries the same source batch (replayable-
+  * source contract), so the table converges to exactly-once content.
+  * Spark's streaming queryId is stable across restarts (it lives in the
+  * checkpoint metadata), so the cleanup prefix finds the prior run's
+  * files; other queries appending to the same directory use different
+  * prefixes and are never touched.
+  */
+/** Task-side factory: a NAMED serializable class (an anonymous one
+  * would capture the driver-side StreamingWrite). The epoch id joins
+  * the query id in the writer's temp-name prefix so two epochs' task
+  * attempts can never collide.
+  */
+private[sources] class AvroStreamingWriterFactory(
+    fieldMeta: Seq[(String, String)], dirStr: String, queryId: String,
+    partCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(fieldMeta, dirStr,
+      AvroStreamingWriterFactory.epochQueryId(queryId, epochId),
+      partitionId, taskId, partCols)
+}
+
+private[sources] object AvroStreamingWriterFactory {
+  def epochQueryId(queryId: String, epochId: Long): String =
+    s"$queryId-e$epochId"
+}
+
+private[sources] class AvroStreamingWrite(schema: StructType,
+    pathStr: String, queryId: String, partCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def partSpec: Seq[(String, String)] = partCols.map { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"partition column '$c' not in schema"))
+    (c, f.dataType.typeName)
+  }
+
+  private def epochPrefix(epochId: Long) = s"part-$queryId-e$epochId-"
+  private def epochQueryId(epochId: Long) =
+    AvroStreamingWriterFactory.epochQueryId(queryId, epochId)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    AvroSink.validateSchema(schema)
+    partSpec.foreach { case (c, t) =>
+      require(AvroPartitions.AllowedTypes.contains(t),
+        s"partition column '$c' must be long/int/string/boolean, got $t")
+    }
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    fs.mkdirs(target)
+    // the same append layout-compatibility gate as the batch writer
+    val existing = AvroPartitions.readSpec(pathStr, AvroSink.driverConf())
+    require(existing.isEmpty || existing == partSpec,
+      s"graft-avro: streaming append layout mismatch — table has " +
+        s"partitions $existing, write has $partSpec")
+    require(existing.nonEmpty || partCols.isEmpty ||
+      AvroDsv2.listFiles(pathStr, AvroSink.driverConf()).isEmpty,
+      "graft-avro: partitioned streaming append into an existing FLAT table")
+    new AvroStreamingWriterFactory(
+      schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName)),
+      target.toString, queryId, partCols)
+  }
+
+  /** Files previously committed by THIS (query, epoch) — the replay
+    * cleanup set — plus their sidecars, at any depth.
+    */
+  private def committedOfEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, epochId: Long): Seq[Path] = {
+    if (!fs.exists(target)) return Seq.empty
+    val prefix = epochPrefix(epochId)
+    val it = fs.listFiles(target, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith(prefix) &&
+          (n.endsWith(".avro") || n.endsWith(".stats.json")))
+        out += st.getPath
+    }
+    out.result()
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    // replay cleanup FIRST: a re-committed epoch replaces its earlier
+    // attempt wholesale (deterministic names alone would leave
+    // stragglers if the replay produced fewer parts)
+    committedOfEpoch(fs, target, epochId).foreach(p => fs.delete(p, false))
+    if (partCols.nonEmpty)
+      AvroPartitions.writeSpec(pathStr, AvroSink.driverConf(), partSpec)
+    messages.collect { case m: AvroCommitMessage if m.parts.nonEmpty => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        m.parts.zipWithIndex.foreach { case ((tempPath, statsJson), k) =>
+          val temp = new Path(tempPath)
+          val dir = temp.getParent
+          val dst = new Path(dir,
+            epochPrefix(epochId) + f"p${m.partitionId}%05d-$k%03d.avro")
+          fs.delete(dst, false)
+          require(fs.rename(temp, dst),
+            s"graft-avro streaming commit: rename $temp -> $dst failed")
+          val sOut = fs.create(new Path(dir, s"${dst.getName}.stats.json"), true)
+          try sOut.write(statsJson) finally sOut.close()
+        }
+      }
+    AvroSink.tempSweep(fs, target, s".graft-${epochQueryId(epochId)}-")
+    fs.create(new Path(target, "_SUCCESS"), true).close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(pathStr)
+    val fs = target.getFileSystem(AvroSink.driverConf())
+    messages.collect { case m: AvroCommitMessage => m }
+      .foreach(_.parts.foreach { case (p, _) => fs.delete(new Path(p), false) })
+    AvroSink.tempSweep(fs, target, s".graft-${epochQueryId(epochId)}-")
+  }
 }
 
 /** One task attempt's writer: streams rows into attempt-unique dot-temp
