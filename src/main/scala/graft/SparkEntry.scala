@@ -125,17 +125,26 @@ object SparkEntry {
     * materialize-once is also the correct 100 TB shape (a production
     * pipeline writes the edge table, it doesn't re-derive it per query).
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame =
-    graft.Caches.pinned(s"coedges|$dir") {
+  /** The UNFILTERED undirected co-occurrence pair table (src < dst,
+    * pair_cnt) — the ONE pinned self-join both graph edge shapes derive
+    * from (r17, the r16 verdict's pagerank pin audit): [[coEdges]] is
+    * its pair_cnt >= 2 cut, the pagerank edge list its symmetric
+    * closure. Before r17 those were TWO pinned self-joins over the same
+    * distinct (order, part) base — the second bought nothing but its
+    * own ~8 s build and a second eviction-sized cache entry.
+    */
+  private def coPairsAll(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.pinned(s"copairs_all|$dir") {
       val oi = T(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       oi.select(col("ok"), col("pk").as("src"))
         .join(oi.select(col("ok"), col("pk").as("dst")), Seq("ok"))
         .where(col("src") < col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("pair_cnt"))
-        .where(col("pair_cnt") >= 2)
-        .select("src", "dst")
     }
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coPairsAll(s, dir).where(col("pair_cnt") >= 2).select("src", "dst")
 
   /** Near-dup pair tables shared across their consumers, pinned per data
     * dir. The k=5 production parametrization feeds THREE queries
@@ -5062,23 +5071,18 @@ object SparkEntry {
     // both ways, so no dangling nodes; the oracle sums the same scaled
     // longs (order-invariant — no fold replay needed) ------------------
     "q_graph_pagerank" -> ((s, dir) => {
-      // the directed co-occurrence edge table is loop-invariant AND
-      // query-invariant — PINNED per data dir (r15, the r14 verdict's
-      // candidate): the distinct self-join over ~2M pair rows was
-      // rebuilt every rep and was the suite's most eviction-hit
-      // artifact (91 block drops in the r14 driver run); a pinned
-      // MEMORY_AND_DISK (deserialized — the r15 A/B showed SER costs
-      // the heaviest consumer ~20%/read) edge list is built once and survives
-      // per-query cache sweeps, which is also the production shape —
-      // a graph pipeline writes its edge table, it doesn't re-derive
-      // it per algorithm run
-      val e = graft.Caches.pinned(s"pagerank_edges|$dir") {
-        val li = T(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      }
+      // the directed edge list is the SYMMETRIC CLOSURE of the shared
+      // pinned co-occurrence pair table (r17 — the r16 verdict's pin
+      // audit found the former dedicated `pagerank_edges` pin was a
+      // second ~8 s self-join over the same distinct (order, part) base
+      // that the 26-hit coedges pin already builds; deriving both
+      // shapes from ONE pin removes that build and halves the cache
+      // footprint). pageRank itself persists the edges
+      // repartition(src)-sorted internally, so the per-iteration joins
+      // never re-run the union
+      val pa = coPairsAll(s, dir)
+      val e = pa.select(col("src"), col("dst"))
+        .unionAll(pa.select(col("dst").as("src"), col("src").as("dst")))
       val nodes = e.select(col("src").as("id")).distinct()
       // output rank is FLOOR-truncated to 6 places, not round()ed: the
       // deterministic tier guarantees bit-identical rank doubles on both
