@@ -4085,6 +4085,19 @@ object OracleSql {
          |  cos + 0.0 AS cos
          |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
 
+    // ANN index persistence: the search runs from the sink-persisted,
+    // reloaded centroids + adjacency — the oracle is the SAME unrolled
+    // replay as q_sim_hnsw_search, so any round-trip drift (a lost
+    // edge, a perturbed centroid double) diverges the visited set and
+    // hash-mismatches
+    "q_sim_index_persist" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4)}
+         |f AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
+         |  cos + 0.0 AS cos
+         |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
     // beam-search recall audit: the same unrolled visited set vs exact
     // brute force (the q_sim_ivf_recall comparison shape)
     "q_sim_hnsw_recall" ->

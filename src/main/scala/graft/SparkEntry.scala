@@ -3723,6 +3723,29 @@ object SparkEntry {
         nProbe = 4, edgePinKey = Some(s"knn_edges_k8|$dir"))
     }),
 
+    // -- ANN index PERSISTENCE (r17): the centroids + symmetrized kNN
+    // adjacency are written through the DSv2 graft-avro sink and the
+    // search runs from the RELOADED tables (prebuiltEdges — no
+    // corpus-side rebuild, no session pin), the production index
+    // lifecycle. The oracle is the SAME unrolled-CTE replay as
+    // q_sim_hnsw_search: the round-trip must be bit-exact or the
+    // visited set diverges and hash-mismatches ------------------------
+    "q_sim_index_persist" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val ixDir = s"${fixDir(dir)}/ann_index_avro"
+      Similarity.persistIndex(emb, "vec_id", "e", cents.toIndexedSeq,
+        graphK = 8, ixDir)
+      val (loadedCents, loadedEdges) = Similarity.loadIndex(s, ixDir)
+      Similarity.beamSearchKnn(emb, "vec_id", "e", loadedCents,
+        col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
+        nProbe = 4, prebuiltEdges = Some(loadedEdges))
+    }),
+
     // -- beam-search recall audit (r14): recall@10 of the routed beam
     // graph search vs exact brute force — the graph-ANN twin of
     // q_sim_ivf_recall, same queries, same tie rules ---------------------

@@ -921,10 +921,66 @@ object Similarity {
     *   caller-chosen key with different graph parameters must get
     *   different pins, never silently share the wrong edge table.
     */
+  /** PERSIST the ANN index artifacts (r17) — the production index
+    * lifecycle the session pins cannot provide: the IVF/routing
+    * centroids and the symmetrized kNN adjacency are written through
+    * the DSv2 graft-avro sink (commit/abort protocol, stats sidecars),
+    * so a FRESH session reloads and serves them without touching the
+    * corpus. Layout: `<dir>/centroids` = (cid, pos, val) exploded
+    * vectors (the five-primitive sink contract — doubles round-trip
+    * bit-exactly through Avro's binary double), `<dir>/edges` =
+    * (src, dst), already symmetrized and distinct, exactly the table
+    * [[beamSearchKnn]] builds internally.
+    */
+  def persistIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], graphK: Int,
+      dir: String): Unit = {
+    require(centroids.nonEmpty && graphK > 0, "need centroids, graphK > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRows = centroids.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, i) => (cid, i, x) }
+    }
+    graft.sources.AvroSink.write(centRows.toDF("cid", "pos", "val"),
+      s"$dir/centroids", overwrite = true)
+    val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
+      .select(col("src"), col("dst"))
+    graft.sources.AvroSink.write(
+      kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      s"$dir/edges", overwrite = true)
+  }
+
+  /** Reload a [[persistIndex]] artifact: (centroids, edges). The
+    * centroid collect is bounded (n_centroids × dims rows); the edge
+    * table stays distributed — the reload serves [[beamSearchKnn]] via
+    * `prebuiltEdges` without any corpus-side rebuild.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Long, Seq[Double])], DataFrame) = {
+    val cents = spark.read.format("graft-avro").load(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pos"),
+        r.getAs[Double]("val")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double])
+      }
+    (cents, spark.read.format("graft-avro").load(s"$dir/edges"))
+  }
+
+  /** @param prebuiltEdges when set, the symmetrized kNN edge table is
+    *   NOT rebuilt from the corpus — the given table (e.g. the
+    *   [[loadIndex]] reload of a [[persistIndex]] artifact) serves the
+    *   walk directly, per-query persisted. The production index
+    *   lifecycle: build once, write through the DSv2 sink, reload in
+    *   any later session.
+    */
   def beamSearchKnn(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], queryPred: Column,
       k: Int, beamWidth: Int = 2, hops: Int = 5, graphK: Int = 8,
-      nProbe: Int = 4, edgePinKey: Option[String] = None): DataFrame = {
+      nProbe: Int = 4, edgePinKey: Option[String] = None,
+      prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     require(centroids.nonEmpty && k > 0 && beamWidth > 0 && nProbe > 0,
       "need centroids, k > 0, beamWidth > 0, nProbe > 0")
     require(hops >= 1 && hops <= 8, s"hops must be in [1, 8]: $hops")
@@ -956,7 +1012,11 @@ object Similarity {
       kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     }
-    val edges = edgePinKey match {
+    val edges = prebuiltEdges match {
+      case Some(pre) => graft.Caches.register(
+        pre.select(col("src").cast("long"), col("dst").cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case None => edgePinKey match {
       case Some(key) =>
         // parameter-proof key: the caller names the artifact, the
         // parameters that shape it (graphK + the centroid set) are
@@ -969,6 +1029,7 @@ object Similarity {
         graft.Caches.pinned(s"$key|gk$graphK|c$sig")(buildEdges)
       case None => graft.Caches.register(buildEdges
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     }
     // upper layer: rank clusters by centroid distance (the ivfTopKFixed
     // probe DAG) and enter the nProbe nearest via their centroid NODES
