@@ -932,6 +932,20 @@ object Similarity {
     * (src, dst), already symmetrized and distinct, exactly the table
     * [[beamSearchKnn]] builds internally.
     */
+  /** The symmetrized, distinct layer-0 kNN edge table — ONE definition
+    * shared by the in-session [[beamSearchKnn]] build and
+    * [[persistIndex]] (r17 review: two copies could silently diverge,
+    * breaking the persisted-equals-internal contract).
+    */
+  private[graft] def symmetrizedKnnEdges(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Seq[Double])],
+      graphK: Int): DataFrame = {
+    val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
+      .select(col("src"), col("dst"))
+    kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   def persistIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], graphK: Int,
       dir: String): Unit = {
@@ -943,11 +957,8 @@ object Similarity {
     }
     graft.sources.AvroSink.write(centRows.toDF("cid", "pos", "val"),
       s"$dir/centroids", overwrite = true)
-    val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
-      .select(col("src"), col("dst"))
     graft.sources.AvroSink.write(
-      kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct(),
+      symmetrizedKnnEdges(df, idCol, vecCol, centroids, graphK),
       s"$dir/edges", overwrite = true)
   }
 
@@ -1006,12 +1017,8 @@ object Similarity {
     // even though its own out-edges point at well-connected nodes;
     // adding the reverses makes every node degree >= graphK (measured:
     // recall 0.67 directed vs 0.70 symmetrized, same budget)
-    def buildEdges: DataFrame = {
-      val kg = knnGraph(df, idCol, vecCol, centroids, graphK)
-        .select(col("src"), col("dst"))
-      kg.union(kg.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-    }
+    def buildEdges: DataFrame =
+      symmetrizedKnnEdges(df, idCol, vecCol, centroids, graphK)
     val edges = prebuiltEdges match {
       case Some(pre) => graft.Caches.register(
         pre.select(col("src").cast("long"), col("dst").cast("long"))

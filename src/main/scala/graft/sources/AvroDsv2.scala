@@ -347,16 +347,29 @@ private[sources] object AvroFilters {
     * (r16 ADVICE, medium).
     */
   private[sources] def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // allocation-free (r17 review: the byte-array version re-encoded
+    // both strings on every call in per-record and per-written-row hot
+    // paths): UTF-8 byte order equals CODE-POINT order, which differs
+    // from UTF-16 code-unit order only in where the surrogate block
+    // sits — remap chars so surrogates (= supplementary code points)
+    // sort ABOVE all BMP chars: [0, D7FF] unchanged, [E000, FFFF] →
+    // −0x800 = [D800, F7FF], surrogates [D800, DFFF] → +0x2000 =
+    // [F800, FFFF]; ranges stay disjoint and internally ordered, and a
+    // surrogate PAIR compares high-then-low = code-point order.
+    val n = math.min(a.length, b.length)
     var i = 0
-    val n = math.min(x.length, y.length)
     while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
+      val c1 = a.charAt(i); val c2 = b.charAt(i)
+      if (c1 != c2) {
+        def adj(c: Char): Int =
+          if (c < 0xD800) c
+          else if (c >= 0xE000) c - 0x800
+          else c + 0x2000
+        return adj(c1) - adj(c2)
+      }
       i += 1
     }
-    x.length - y.length
+    a.length - b.length
   }
 
   /** Filters this source can evaluate per record (top-level attributes
@@ -555,13 +568,24 @@ private[sources] object AvroStats {
       val root = try
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
+      // legacy-collation guard (r17): sidecars without the "coll" marker
+      // folded string bounds with UTF-16 String.compareTo; under the
+      // UTF-8 comparator a non-ASCII legacy bound could wrongly prune —
+      // DROP such bounds (ASCII bounds order identically in both
+      // collations and stay usable). The aggregate-pushdown side then
+      // declines via the all-null proof (a bound-less column with
+      // non-null rows cannot answer min/max).
+      val utf8Coll = Option(root.get("coll")).exists(_.asText == "utf8")
+      def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
       val cols = Option(root.get("cols")).map { cn =>
         cn.fields().asScala.map { e =>
           val v = e.getValue
           val (minL, maxL, minD, maxD, minS, maxS) =
             (Option(v.get("min")), Option(v.get("max"))) match {
               case (Some(mn), Some(mx)) if mn.isTextual =>
-                (None, None, None, None, Some(mn.asText), Some(mx.asText))
+                if (utf8Coll || (asciiOnly(mn.asText) && asciiOnly(mx.asText)))
+                  (None, None, None, None, Some(mn.asText), Some(mx.asText))
+                else (None, None, None, None, None, None)
               case (Some(mn), Some(mx))
                   if mn.isIntegralNumber && mx.isIntegralNumber &&
                     mn.canConvertToLong && mx.canConvertToLong =>
@@ -986,6 +1010,13 @@ private[sources] object AvroAggPush {
               // sidecar) must not answer via lossy values
               if (cs.exists(c => c.minD.isDefined || c.minS.isDefined))
                 return NoAnswer
+              // a file contributing NO bound must PROVE the column
+              // all-null there (nulls == rows) — a foreign sidecar with
+              // a col entry but no min/max would otherwise silently
+              // answer from the OTHER files' bounds (r17 review)
+              fs.zip(cs).foreach { case (x, c) =>
+                if (c.minL.isEmpty && c.nulls < x.rows) return NoAnswer
+              }
               if (bs.isEmpty) null
               else {
                 val v = if (isMin) bs.min else bs.max
@@ -998,6 +1029,11 @@ private[sources] object AvroAggPush {
               // can hide a NaN that IS the true max under Spark ordering
               if (cs.exists(c => c.nans.isEmpty ||
                   c.minL.isDefined || c.minS.isDefined)) return NoAnswer
+              // bound-less files must be provably all-null-or-NaN
+              fs.zip(cs).foreach { case (x, c) =>
+                if (c.minD.isEmpty &&
+                    c.nulls + c.nans.getOrElse(0L) < x.rows) return NoAnswer
+              }
               var acc: Option[Double] = None
               cs.foreach { c =>
                 val b = if (isMin) c.minD else c.maxD
@@ -1015,6 +1051,12 @@ private[sources] object AvroAggPush {
               val bs = cs.flatMap(c => if (isMin) c.minS else c.maxS)
               if (cs.exists(c => c.minD.isDefined || c.minL.isDefined))
                 return NoAnswer
+              // bound-less files must be provably all-null (this is
+              // also what declines legacy-collation sidecars whose
+              // non-ASCII bounds the reader dropped)
+              fs.zip(cs).foreach { case (x, c) =>
+                if (c.minS.isEmpty && c.nulls < x.rows) return NoAnswer
+              }
               if (bs.isEmpty) null
               else UTF8String.fromString(bs.reduce((a, b) =>
                 if ((AvroFilters.utf8Cmp(a, b) < 0) == isMin) a else b))
@@ -1056,7 +1098,11 @@ private[sources] object AvroAggPush {
               val cs = colStats(name).getOrElse(return NoAnswer)
               if (cs.exists(c => c.minD.isDefined || c.minS.isDefined))
                 return NoAnswer // foreign sidecar with lossy stats
-              cs.foreach { c =>
+              fs.zip(cs).foreach { case (x, c) =>
+                // bound-less files must be provably all-null: a foreign
+                // sidecar with non-null rows but no recorded stats must
+                // decline, not contribute zero
+                if (c.minL.isEmpty && c.nulls < x.rows) return NoAnswer
                 if (c.minL.isDefined) c.sumL match {
                   case Some(sv) => acc = Math.addExact(acc, sv); any = true
                   case None => return NoAnswer // task overflow / legacy sidecar

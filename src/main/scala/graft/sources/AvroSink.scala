@@ -226,29 +226,45 @@ object AvroSink {
       def unapply(x: Expression): Option[Any] =
         if (x.foldable) Some(jv(x.eval())) else None
     }
+    // the COLUMN side may also arrive cast (col("band") === 1L analyzes
+    // to Cast(band as bigint) = 1L) — unwrap it: the delete evaluator
+    // compares the TYPED partition value against the literal with the
+    // exact cross-type numeric compare, and an incomparable pair reads
+    // as UNKNOWN (file kept), so accepting the cast is always safe
+    // (r17 review)
+    object Attr {
+      def unapply(x: Expression): Option[String] = x match {
+        case a: AttributeReference => Some(a.name)
+        case c: Cast => c.child match {
+          case a: AttributeReference => Some(a.name)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
     e match {
-      case EqualTo(a: AttributeReference, Lit(v)) => Some(f.EqualTo(a.name, v))
-      case EqualTo(Lit(v), a: AttributeReference) => Some(f.EqualTo(a.name, v))
-      case GreaterThan(a: AttributeReference, Lit(v)) =>
-        Some(f.GreaterThan(a.name, v))
-      case GreaterThan(Lit(v), a: AttributeReference) =>
-        Some(f.LessThan(a.name, v))
-      case GreaterThanOrEqual(a: AttributeReference, Lit(v)) =>
-        Some(f.GreaterThanOrEqual(a.name, v))
-      case GreaterThanOrEqual(Lit(v), a: AttributeReference) =>
-        Some(f.LessThanOrEqual(a.name, v))
-      case LessThan(a: AttributeReference, Lit(v)) =>
-        Some(f.LessThan(a.name, v))
-      case LessThan(Lit(v), a: AttributeReference) =>
-        Some(f.GreaterThan(a.name, v))
-      case LessThanOrEqual(a: AttributeReference, Lit(v)) =>
-        Some(f.LessThanOrEqual(a.name, v))
-      case LessThanOrEqual(Lit(v), a: AttributeReference) =>
-        Some(f.GreaterThanOrEqual(a.name, v))
-      case IsNull(a: AttributeReference) => Some(f.IsNull(a.name))
-      case IsNotNull(a: AttributeReference) => Some(f.IsNotNull(a.name))
-      case In(a: AttributeReference, vs) if vs.forall(_.foldable) =>
-        Some(f.In(a.name, vs.map(l => jv(l.eval())).toArray))
+      case EqualTo(Attr(a), Lit(v)) => Some(f.EqualTo(a, v))
+      case EqualTo(Lit(v), Attr(a)) => Some(f.EqualTo(a, v))
+      case GreaterThan(Attr(a), Lit(v)) =>
+        Some(f.GreaterThan(a, v))
+      case GreaterThan(Lit(v), Attr(a)) =>
+        Some(f.LessThan(a, v))
+      case GreaterThanOrEqual(Attr(a), Lit(v)) =>
+        Some(f.GreaterThanOrEqual(a, v))
+      case GreaterThanOrEqual(Lit(v), Attr(a)) =>
+        Some(f.LessThanOrEqual(a, v))
+      case LessThan(Attr(a), Lit(v)) =>
+        Some(f.LessThan(a, v))
+      case LessThan(Lit(v), Attr(a)) =>
+        Some(f.GreaterThan(a, v))
+      case LessThanOrEqual(Attr(a), Lit(v)) =>
+        Some(f.LessThanOrEqual(a, v))
+      case LessThanOrEqual(Lit(v), Attr(a)) =>
+        Some(f.GreaterThanOrEqual(a, v))
+      case IsNull(Attr(a)) => Some(f.IsNull(a))
+      case IsNotNull(Attr(a)) => Some(f.IsNotNull(a))
+      case In(Attr(a), vs) if vs.forall(_.foldable) =>
+        Some(f.In(a, vs.map(l => jv(l.eval())).toArray))
       case Or(l, r) => for {
         lf <- translateDeletePredicate(l)
         rf <- translateDeletePredicate(r)
@@ -296,6 +312,13 @@ object AvroSink {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("rows", rows)
+    // collation marker (r17): string min/max below are folded in UTF-8
+    // byte order; a reader seeing a sidecar WITHOUT this marker must
+    // not trust non-ASCII string bounds (pre-r17 sidecars folded them
+    // with UTF-16 String.compareTo, which orders supplementary-plane
+    // characters differently — reinterpreting those bounds under the
+    // new comparator could wrongly prune files)
+    root.put("coll", "utf8")
     val cols = root.putObject("cols")
     fieldMeta.zip(accs).foreach { case ((name, tn), a) =>
       val c = cols.putObject(name)

@@ -303,6 +303,110 @@ class AvroAggBloomSpec extends SparkSpec {
     assert(ps.collect().head.getLong(0) === (0 until 100).map(_ % 4).sum.toLong)
   }
 
+  test("utf8Cmp: the surrogate-adjusted char compare equals UTF-8 byte order") {
+    val rnd = new scala.util.Random(42)
+    def byteCmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)
+          case 1 => sb.append((0xE000 + rnd.nextInt(0x1000)).toChar)
+          case 2 => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+          case _ => sb.append((0x80 + rnd.nextInt(0xD000)).toChar)
+        }
+      }
+      sb.toString
+    }
+    (0 until 2000).foreach { _ =>
+      val a = randString(); val b = randString()
+      assert(Integer.signum(AvroFilters.utf8Cmp(a, b))
+        === Integer.signum(byteCmp(a, b)),
+        s"utf8Cmp disagrees for ${a.codePoints().toArray.toSeq} vs " +
+          s"${b.codePoints().toArray.toSeq}")
+    }
+  }
+
+  test("legacy sidecars without the coll marker: non-ASCII string bounds distrusted") {
+    val sup = new String(Character.toChars(0x1F600))
+    val pua = ""
+    val dir = tempDir()
+    AvroSink.write(Seq("a", pua).toDF("s"), dir, overwrite = true)
+    AvroSink.write(Seq(sup).toDF("s"), dir)
+    // strip the coll marker AND swap the sup-file's bounds to what a
+    // UTF-16 folding would have stored — the r16 on-disk state
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).foreach { f =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        root.remove("coll")
+        java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists) crc.delete() // stale checksum shadow
+      }
+    // pruning: the sup row must SURVIVE s > pua even though the legacy
+    // bound would (under UTF-16 reinterpretation) claim max < pua
+    val over = spark.read.format("graft-avro").load(dir)
+      .where(col("s") > pua)
+    assert(over.select("s").as[String].collect().toSeq === Seq(sup))
+    // pushdown: min/max over distrusted bounds DECLINES (bound-less
+    // files with non-null rows cannot answer)
+    val ag = spark.read.format("graft-avro").load(dir)
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(!planOf(ag).contains("PushedAggregates"), planOf(ag))
+    val r = ag.collect().head
+    assert(r.getString(1) === sup)
+    // ASCII bounds in legacy sidecars stay fully usable
+    val asciiDir = tempDir()
+    AvroSink.write(Seq("aa", "zz").toDF("s"), asciiDir, overwrite = true)
+    new java.io.File(asciiDir).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).foreach { f =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        root.remove("coll")
+        java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists) crc.delete() // stale checksum shadow
+      }
+    val agA = spark.read.format("graft-avro").load(asciiDir)
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(planOf(agA).contains("PushedAggregates"), planOf(agA))
+    assert(agA.collect().head.getString(1) === "zz")
+  }
+
+  test("a foreign sidecar with a col entry but NO bounds declines min/max/sum") {
+    val dir = tempDir()
+    AvroSink.write(spark.range(10).select(col("id")), dir, overwrite = true)
+    // rewrite the sidecar as a foreign tool might: rows + nulls only
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).foreach { f =>
+        java.nio.file.Files.write(f.toPath,
+          """{"rows": 10, "cols": {"id": {"nulls": 0}}}""".getBytes)
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists) crc.delete() // stale checksum shadow
+      }
+    val ag = spark.read.format("graft-avro").load(dir)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        sum(col("id")).as("s"))
+    // bounds absent but nulls < rows: the column provably has values the
+    // stats cannot see — answering NULL (or sum 0) would be WRONG
+    assert(!planOf(ag).contains("PushedAggregates"), planOf(ag))
+    val r = ag.collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 9L && r.getLong(2) === 45L)
+  }
+
   test("string stats collate as UTF-8 bytes, not UTF-16 code units") {
     // U+1F600 (supplementary plane) is 0xF0… in UTF-8 but a 0xD83D
     // surrogate in UTF-16; U+E000 (private use) is 0xEE… in UTF-8 but

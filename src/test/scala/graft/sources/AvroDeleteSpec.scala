@@ -74,6 +74,17 @@ class AvroDeleteSpec extends SparkSpec {
     assert(ex2.getMessage.contains("partition columns"), ex2.getMessage)
     // nothing was deleted by the refused attempts
     assert(spark.read.format("graft-avro").load(dir).count() === 90L)
+    // a cast-wrapped partition column still translates: an int
+    // partition probed with a LONG literal analyzes to
+    // Cast(band as bigint) = 1L and must delete, not refuse
+    val dirI = tempDir()
+    AvroSink.writePartitioned(
+      spark.range(20).select(col("id"), (col("id") % 2).cast("int").as("band")),
+      dirI, Seq("band"), overwrite = true)
+    AvroSink.deleteWhere(spark, dirI, col("band") === 1L)
+    assert(spark.read.format("graft-avro").load(dirI).count() === 10L)
+    assert(spark.read.format("graft-avro").load(dirI)
+      .where(col("band") === 1).count() === 0L)
     // flat table: no partition columns at all
     val flat = tempDir()
     AvroSink.write(spark.range(5).toDF("id"), flat, overwrite = true)
