@@ -5095,6 +5095,16 @@ object OracleSql {
         |WHERE d.n_chars >= st.lang_max_chars
         |ORDER BY d.lang, d.doc_id""".stripMargin,
 
+    // shuffle-free grouped aggregation over the spj layout: the engine
+    // aggregates inside per-directory groups with zero exchanges; the
+    // oracle replays the aggregates over the source table, so a
+    // mis-grouped directory hash-mismatches
+    "q_s26_avro_spj_agg" ->
+      """SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // SUM/AVG metadata pushdown: the engine answers grouped sums from
     // exact sidecar longs (avg via Spark's sum/count rewrite); the
     // oracle aggregates the source table, so any drift hash-mismatches.

@@ -624,6 +624,28 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // -- S26 shuffle-free grouped aggregation on the partition key
+    // (r17): countDistinct is NOT metadata-answerable, so the pushdown
+    // declines and the ordinary hash aggregate runs — but under the
+    // spj opt-in the scan's KeyGroupedPartitioning satisfies the
+    // aggregate's ClusteredDistribution and the whole GROUP BY lang
+    // runs inside the per-directory groups with ZERO aggregate
+    // exchanges (only the final orderBy exchanges; plan-shape-pinned).
+    // At 100 TB: arbitrary per-lang aggregates without shuffling the
+    // corpus — the aggregation face of the same layout lever ----------
+    "q_s26_avro_spj_agg" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_spjagg"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        p, Seq("lang"), overwrite = true)
+      s.read.format("graft-avro").option("graft.spj", "true").load(p)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // -- S22 SUM/AVG metadata aggregate pushdown (r17): the sidecars
     // carry exact per-file long sums (JSON longs, omitted on task-side
     // overflow), so `GROUP BY lang` with sum/count/min/max — and avg,

@@ -102,6 +102,27 @@ class AvroSpjSpec extends SparkSpec {
     assert(grouped.count() === 600)
   }
 
+  test("grouped aggregation on the partition key plans zero exchanges") {
+    val d = tempDir()
+    AvroSink.writePartitioned(docs, d, Seq("lang"), overwrite = true)
+    // countDistinct is NOT metadata-answerable (aggregate pushdown
+    // declines), so this exercises the KeyGroupedPartitioning
+    // satisfying the aggregate's ClusteredDistribution: the whole
+    // group-by runs inside the per-directory groups, no exchange
+    val agged = spark.read.format("graft-avro")
+      .option("graft.spj", "true").load(d)
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("v")).as("n_v"), count(lit(1)).as("n"))
+    val rows = agged.collect()
+    assert(rows.length === 3)
+    assert(exchanges(agged) === ((0, 0)),
+      agged.queryExecution.executedPlan.toString)
+    val exp = docs.groupBy(col("lang"))
+      .agg(count_distinct(col("v")).as("n_v"), count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq === exp)
+  }
+
   test("null partition values round-trip through the grouped join") {
     val dDocs = tempDir(); val dDims = tempDir()
     val withNull = spark.range(40).select(col("id"),
