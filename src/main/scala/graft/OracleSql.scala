@@ -5095,6 +5095,15 @@ object OracleSql {
         |WHERE d.n_chars >= st.lang_max_chars
         |ORDER BY d.lang, d.doc_id""".stripMargin,
 
+    // intra-file block zone-map skipping: the engine plans split ranges
+    // over only the blocks whose recorded min/max can satisfy the
+    // range; the oracle is the filtered table, so a wrongly-skipped
+    // block loses rows and hash-mismatches
+    "q_s27_avro_block_skip" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey >= 4000 AND o_orderkey <= 4400 " +
+        "ORDER BY o_orderkey"),
+
     // shuffle-free grouped aggregation over the spj layout: the engine
     // aggregates inside per-directory groups with zero exchanges; the
     // oracle replays the aggregates over the source table, so a

@@ -624,6 +624,28 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // -- S27 intra-file BLOCK zone-map skipping (r17): the writer
+    // forces a container sync every graft.blockrows rows and records
+    // per-block min/max in the sidecar; a selective range probe into
+    // the sorted container plans split ranges covering ONLY the blocks
+    // that can match — row-group skipping on top of whole-file pruning
+    // (AvroBlockSkipSpec pins kept-block counts). The oracle is the
+    // filtered table, so a wrongly-skipped block loses rows and
+    // hash-mismatches ---------------------------------------------------
+    "q_s27_avro_block_skip" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/orders_avro_blocks"
+      val src = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      src.orderBy("o_orderkey").coalesce(1)
+        .write.format("graft-avro")
+        .option("graft.schema", src.schema.json)
+        .option("graft.blockrows", "1024")
+        .mode("overwrite").save(p)
+      s.read.format("graft-avro").load(p)
+        .where(col("o_orderkey") >= 4000 && col("o_orderkey") <= 4400)
+        .orderBy("o_orderkey")
+    }),
+
     // -- S26 shuffle-free grouped aggregation on the partition key
     // (r17): countDistinct is NOT metadata-answerable, so the pushdown
     // declines and the ordinary hash aggregate runs — but under the

@@ -557,7 +557,15 @@ private[sources] object AvroStats {
   // `rows` must read as "row count unknown", never as 0 — a zero here
   // flows into numRows() estimates (auto-broadcasting a huge table) and
   // count(*) pushdown (wrong answers), so absence is typed, not defaulted
-  final case class FileStats(rows: Option[Long], cols: Map[String, Col])
+  final case class FileStats(rows: Option[Long], cols: Map[String, Col],
+      blocks: Seq[Block] = Seq.empty)
+
+  /** One intra-file zone-map block (r17): `endSync` anchors the sync
+    * position that ends it (the [[AvroSink]] writer's forced-sync
+    * return), so the scan can plan a split range covering exactly the
+    * blocks a filter cannot rule out.
+    */
+  final case class Block(endSync: Long, rows: Long, cols: Map[String, Col])
 
   def read(avroPath: String): Option[FileStats] = try {
     val p = new Path(s"$avroPath.stats.json")
@@ -577,36 +585,48 @@ private[sources] object AvroStats {
       // non-null rows cannot answer min/max).
       val utf8Coll = Option(root.get("coll")).exists(_.asText == "utf8")
       def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
-      val cols = Option(root.get("cols")).map { cn =>
-        cn.fields().asScala.map { e =>
-          val v = e.getValue
-          val (minL, maxL, minD, maxD, minS, maxS) =
-            (Option(v.get("min")), Option(v.get("max"))) match {
-              case (Some(mn), Some(mx)) if mn.isTextual =>
-                if (utf8Coll || (asciiOnly(mn.asText) && asciiOnly(mx.asText)))
-                  (None, None, None, None, Some(mn.asText), Some(mx.asText))
-                else (None, None, None, None, None, None)
-              case (Some(mn), Some(mx))
-                  if mn.isIntegralNumber && mx.isIntegralNumber &&
-                    mn.canConvertToLong && mx.canConvertToLong =>
-                (Some(mn.asLong), Some(mx.asLong), None, None, None, None)
-              case (Some(mn), Some(mx)) =>
-                (None, None, Some(mn.asDouble), Some(mx.asDouble), None, None)
-              case _ => (None, None, None, None, None, None)
-            }
-          e.getKey -> Col(minL, maxL, minD, maxD, minS, maxS,
-            Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
-            Option(v.get("nans")).map(_.asLong),
-            Option(v.get("bloom")).filter(_.isTextual)
-              .flatMap(b => AvroBloom.fromBase64(b.asText)),
-            // exact long sums only — a foreign sidecar storing a lossy
-            // double sum must read as "no sum", never as an approximation
-            Option(v.get("sum"))
-              .filter(n => n.isIntegralNumber && n.canConvertToLong)
-              .map(_.asLong))
-        }.toMap
-      }.getOrElse(Map.empty[String, Col])
-      Some(FileStats(Option(root.get("rows")).map(_.asLong), cols))
+      def parseCols(node: com.fasterxml.jackson.databind.JsonNode)
+          : Map[String, Col] =
+        Option(node).map { cn =>
+          cn.fields().asScala.map { e =>
+            val v = e.getValue
+            val (minL, maxL, minD, maxD, minS, maxS) =
+              (Option(v.get("min")), Option(v.get("max"))) match {
+                case (Some(mn), Some(mx)) if mn.isTextual =>
+                  if (utf8Coll || (asciiOnly(mn.asText) && asciiOnly(mx.asText)))
+                    (None, None, None, None, Some(mn.asText), Some(mx.asText))
+                  else (None, None, None, None, None, None)
+                case (Some(mn), Some(mx))
+                    if mn.isIntegralNumber && mx.isIntegralNumber &&
+                      mn.canConvertToLong && mx.canConvertToLong =>
+                  (Some(mn.asLong), Some(mx.asLong), None, None, None, None)
+                case (Some(mn), Some(mx)) =>
+                  (None, None, Some(mn.asDouble), Some(mx.asDouble), None, None)
+                case _ => (None, None, None, None, None, None)
+              }
+            e.getKey -> Col(minL, maxL, minD, maxD, minS, maxS,
+              Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
+              Option(v.get("nans")).map(_.asLong),
+              Option(v.get("bloom")).filter(_.isTextual)
+                .flatMap(b => AvroBloom.fromBase64(b.asText)),
+              // exact long sums only — a foreign sidecar storing a lossy
+              // double sum must read as "no sum", never as an approximation
+              Option(v.get("sum"))
+                .filter(n => n.isIntegralNumber && n.canConvertToLong)
+                .map(_.asLong))
+          }.toMap
+        }.getOrElse(Map.empty[String, Col])
+      val blocks = Option(root.get("blocks")).filter(_.isArray)
+        .map(_.asScala.toSeq.flatMap { b =>
+          for {
+            e <- Option(b.get("e")).filter(n =>
+              n.isIntegralNumber && n.canConvertToLong).map(_.asLong)
+            r <- Option(b.get("rows")).filter(n =>
+              n.isIntegralNumber && n.canConvertToLong).map(_.asLong)
+          } yield Block(e, r, parseCols(b.get("cols")))
+        }).getOrElse(Seq.empty)
+      Some(FileStats(Option(root.get("rows")).map(_.asLong),
+        parseCols(root.get("cols")), blocks))
     }
   } catch { case _: Throwable => None } // unreadable sidecar: never skip
 
@@ -1326,22 +1346,87 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     }
   }
 
+  /** (kept, total) intra-file block counts of the last planning pass —
+    * exposed for the block-skipping audit tests. */
+  @volatile private[sources] var lastPlannedBlocks: (Int, Int) = (0, 0)
+
+  /** Merge consecutive kept blocks into split ranges, chunked at
+    * `splitBytes`. Block i's split range is anchored 16 bytes BEFORE
+    * the sync position ending block i−1 (so the reader's
+    * `sync(start)` lands exactly on that marker and begins at block i,
+    * under either reading of DataFileWriter.sync()'s return — before
+    * or after its own marker bytes); the last block's range runs to
+    * the file end.
+    */
+  private def blockRuns(blocks: Seq[AvroStats.Block], kept: Seq[Boolean],
+      len: Long): Seq[(Long, Long)] = {
+    val bounds = blocks.indices.map { i =>
+      val s0 = if (i == 0) 0L else blocks(i - 1).endSync - 16
+      val e0 = if (i == blocks.length - 1) len else blocks(i).endSync - 16
+      (s0, e0)
+    }
+    val cap = math.max(1L, splitBytes)
+    val runs = Seq.newBuilder[(Long, Long)]
+    var cur: Option[(Long, Long)] = None
+    bounds.zip(kept).foreach { case ((s0, e0), k) =>
+      if (!k) { cur.foreach(runs += _); cur = None }
+      else cur match {
+        case Some((rs, _)) if e0 - rs <= cap => cur = Some((rs, e0))
+        case Some(r) => runs += r; cur = Some((s0, e0))
+        case None => cur = Some((s0, e0))
+      }
+    }
+    cur.foreach(runs += _)
+    runs.result()
+  }
+
   /** Pruning + sync-range split planning, shared by the batch path and
-    * the streaming tail's per-batch file slices.
+    * the streaming tail's per-batch file slices. Within a surviving
+    * file, BLOCK-level zone maps (r17) drop split ranges whose recorded
+    * min/max cannot satisfy the data filters — the row-group-skipping
+    * rung on top of whole-file pruning: a selective probe into a sorted
+    * 100 TB container reads a handful of blocks, not the file.
+    * Conservative throughout: foreign/implausible block lists (non-
+    * monotonic, out of range, zero rows) fall back to plain byte-range
+    * splits, and a block is only SKIPPED when provably unsatisfiable.
     */
   private[sources] def planSplits(input: Seq[(String, Long)]): Array[InputPartition] = {
     val surviving = pruneFiles(input)
     lastPlanned = (surviving.size, input.size)
-    surviving.flatMap { case (path, len) =>
+    val (_, dataFilters) = splitFilters(pushed ++ runtimeFilters)
+    var keptB = 0; var totalB = 0
+    def byteSplits(path: String, len: Long, raw: Map[String, String],
+        key: InternalRow): Seq[AvroSplit] = {
       val step = math.max(1L, splitBytes)
-      val key = if (spj && partSpec.nonEmpty) partKeyOf(path) else null
       (0L until math.max(1L, (len + step - 1) / step)).map { i =>
-        AvroSplit(path, i * step, math.min(len, (i + 1) * step),
-          if (partSpec.isEmpty) Map.empty
-          else AvroPartitions.rawValuesOf(path, partNames),
-          key)
+        AvroSplit(path, i * step, math.min(len, (i + 1) * step), raw, key)
       }
-    }.toArray
+    }
+    val out = surviving.flatMap { case (path, len) =>
+      val key = if (spj && partSpec.nonEmpty) partKeyOf(path) else null
+      val raw =
+        if (partSpec.isEmpty) Map.empty[String, String]
+        else AvroPartitions.rawValuesOf(path, partNames)
+      val blocks =
+        if (dataFilters.isEmpty) Seq.empty
+        else statsOf(path).map(_.blocks).getOrElse(Seq.empty)
+      val plausible = blocks.size >= 2 &&
+        blocks.forall(b => b.rows > 0 && b.endSync > 16 && b.endSync <= len) &&
+        blocks.zip(blocks.tail).forall { case (a, b) => a.endSync < b.endSync }
+      if (!plausible) byteSplits(path, len, raw, key)
+      else {
+        val kept = blocks.map(b => dataFilters.forall(f =>
+          AvroStats.mayMatch(f, AvroStats.FileStats(Some(b.rows), b.cols))))
+        totalB += blocks.size
+        keptB += kept.count(identity)
+        if (kept.forall(identity)) byteSplits(path, len, raw, key)
+        else blockRuns(blocks, kept, len).map { case (s0, e0) =>
+          AvroSplit(path, s0, e0, raw, key)
+        }
+      }
+    }.toArray[InputPartition]
+    lastPlannedBlocks = (keptB, totalB)
+    out
   }
 
   override def planInputPartitions(): Array[InputPartition] = planSplits(files)

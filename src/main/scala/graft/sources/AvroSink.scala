@@ -63,6 +63,14 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSink {
 
+  /** Rows per intra-file stats block (r17): every `DefaultBlockRows`
+    * rows the writer forces a container sync and records that block's
+    * min/max/null zone map in the sidecar, so a selective scan skips
+    * split RANGES inside a file, not just whole files. Override per
+    * write with `.option("graft.blockrows", n)`.
+    */
+  val DefaultBlockRows: Int = 4096
+
   /** Per-column stats a writer task accumulates; min/max only once a
     * non-null value was seen. Integral columns track EXACT long bounds
     * (booleans carry counts only — a 2-value domain gains nothing from
@@ -303,23 +311,18 @@ object AvroSink {
     Schema.createRecord("graft_row", null, "graft", false, fs.toList.asJava)
   }
 
-  /** Sidecar JSON bytes from a task's accumulated stats — what the
-    * scan's zone-map pruning reads. Long/int bounds emitted as exact
-    * JSON integers (see class doc).
+  /** One completed intra-file BLOCK's stats (r17): the sync position
+    * that ends it plus its row count and column accumulators — what
+    * block-level zone maps are made of.
     */
-  private[sources] def statsJson(fieldMeta: Seq[(String, String)],
-      accs: Seq[ColAcc], rows: Long): Array[Byte] = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    root.put("rows", rows)
-    // collation marker (r17): string min/max below are folded in UTF-8
-    // byte order; a reader seeing a sidecar WITHOUT this marker must
-    // not trust non-ASCII string bounds (pre-r17 sidecars folded them
-    // with UTF-16 String.compareTo, which orders supplementary-plane
-    // characters differently — reinterpreting those bounds under the
-    // new comparator could wrongly prune files)
-    root.put("coll", "utf8")
-    val cols = root.putObject("cols")
+  private[sources] final case class BlockAcc(endSync: Long, rows: Long,
+      accs: Seq[ColAcc])
+
+  private def writeCols(om: com.fasterxml.jackson.databind.ObjectMapper,
+      parent: com.fasterxml.jackson.databind.node.ObjectNode,
+      fieldMeta: Seq[(String, String)], accs: Seq[ColAcc],
+      withBloom: Boolean): Unit = {
+    val cols = parent.putObject("cols")
     fieldMeta.zip(accs).foreach { case ((name, tn), a) =>
       val c = cols.putObject(name)
       c.put("nulls", a.nulls)
@@ -331,7 +334,7 @@ object AvroSink {
           if (a.seenL) {
             c.put("min", a.minL); c.put("max", a.maxL)
             // exact JSON long; OMITTED (never wrapped/lossy) on overflow
-            if (a.sumOk) c.put("sum", a.sumL)
+            if (withBloom && a.sumOk) c.put("sum", a.sumL)
           }
         case _ =>
           if (a.seenNumeric) { c.put("min", a.minD); c.put("max", a.maxD) }
@@ -339,8 +342,44 @@ object AvroSink {
           // is what unlocks upper-bound pruning and max() pushdown
           c.put("nans", a.nans)
       }
-      if (a.bloom != null && (a.seenL || a.minS != null))
+      if (withBloom && a.bloom != null && (a.seenL || a.minS != null))
         c.put("bloom", AvroBloom.toBase64(a.bloom))
+    }
+  }
+
+  /** Sidecar JSON bytes from a task's accumulated stats — what the
+    * scan's zone-map pruning reads. Long/int bounds emitted as exact
+    * JSON integers (see class doc). `blocks` (r17): per-block zone maps
+    * — min/max/nulls (+ NaN counts) anchored at the block's ending
+    * SYNC POSITION, so the scan can plan SPLIT RANGES that skip
+    * non-matching regions INSIDE a container (the row-group-skipping
+    * rung on top of whole-file pruning); emitted only when the file
+    * has at least two blocks (a single block adds nothing over the
+    * file-level stats). Blocks carry no blooms or sums — bounded
+    * sidecar growth, and equality probes/aggregates stay file-level.
+    */
+  private[sources] def statsJson(fieldMeta: Seq[(String, String)],
+      accs: Seq[ColAcc], rows: Long,
+      blocks: Seq[BlockAcc] = Seq.empty): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("rows", rows)
+    // collation marker (r17): string min/max below are folded in UTF-8
+    // byte order; a reader seeing a sidecar WITHOUT this marker must
+    // not trust non-ASCII string bounds (pre-r17 sidecars folded them
+    // with UTF-16 String.compareTo, which orders supplementary-plane
+    // characters differently — reinterpreting those bounds under the
+    // new comparator could wrongly prune files)
+    root.put("coll", "utf8")
+    writeCols(om, root, fieldMeta, accs, withBloom = true)
+    if (blocks.size >= 2) {
+      val arr = root.putArray("blocks")
+      blocks.foreach { b =>
+        val node = arr.addObject()
+        node.put("e", b.endSync)
+        node.put("rows", b.rows)
+        writeCols(om, node, fieldMeta, b.accs, withBloom = false)
+      }
     }
     om.writeValueAsBytes(root)
   }
@@ -381,7 +420,9 @@ private[sources] class AvroWriteBuilder(info: LogicalWriteInfo,
   override def build(): Write = new AvroBatchWrite(
     info.schema(), pathStr, truncateOnCommit, info.queryId(),
     Option(info.options.get("graft.partitionby"))
-      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+    Option(info.options.get("graft.blockrows")).map(_.toInt)
+      .getOrElse(AvroSink.DefaultBlockRows))
 }
 
 /** One task attempt's output: every (dot-temp path, stats sidecar bytes)
@@ -393,12 +434,13 @@ private[sources] case class AvroCommitMessage(partitionId: Int,
 
 private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     truncateOnCommit: Boolean, queryId: String,
-    partCols: Seq[String] = Seq.empty) extends Write with BatchWrite {
+    partCols: Seq[String] = Seq.empty,
+    blockRows: Int = AvroSink.DefaultBlockRows) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateOnCommit,
       "graft-avro: streaming writes are APPEND-only (no Complete/truncate)")
-    new AvroStreamingWrite(schema, pathStr, queryId, partCols)
+    new AvroStreamingWrite(schema, pathStr, queryId, partCols, blockRows)
   }
   override def description(): String = s"graft-avro sink ($pathStr)"
 
@@ -434,7 +476,7 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     }
     new AvroWriterFactory(
       schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName)),
-      target.toString, queryId, partCols)
+      target.toString, queryId, partCols, blockRows)
   }
 
   /** Delete every leftover dot-temp of THIS query, at any depth. */
@@ -503,11 +545,12 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
 
 private[sources] class AvroWriterFactory(fieldMeta: Seq[(String, String)],
     dirStr: String, queryId: String,
-    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    partCols: Seq[String] = Seq.empty,
+    blockRows: Int = AvroSink.DefaultBlockRows) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(fieldMeta, dirStr, queryId, partitionId, taskId,
-      partCols)
+      partCols, blockRows)
 }
 
 /** Exactly-once STREAMING append for graft-avro (r17) — the write half
@@ -537,13 +580,14 @@ private[sources] class AvroWriterFactory(fieldMeta: Seq[(String, String)],
   */
 private[sources] class AvroStreamingWriterFactory(
     fieldMeta: Seq[(String, String)], dirStr: String, queryId: String,
-    partCols: Seq[String])
+    partCols: Seq[String],
+    blockRows: Int = AvroSink.DefaultBlockRows)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(fieldMeta, dirStr,
       AvroStreamingWriterFactory.epochQueryId(queryId, epochId),
-      partitionId, taskId, partCols)
+      partitionId, taskId, partCols, blockRows)
 }
 
 private[sources] object AvroStreamingWriterFactory {
@@ -552,7 +596,8 @@ private[sources] object AvroStreamingWriterFactory {
 }
 
 private[sources] class AvroStreamingWrite(schema: StructType,
-    pathStr: String, queryId: String, partCols: Seq[String])
+    pathStr: String, queryId: String, partCols: Seq[String],
+    blockRows: Int = AvroSink.DefaultBlockRows)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def partSpec: Seq[(String, String)] = partCols.map { c =>
@@ -585,7 +630,7 @@ private[sources] class AvroStreamingWrite(schema: StructType,
       "graft-avro: partitioned streaming append into an existing FLAT table")
     new AvroStreamingWriterFactory(
       schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.typeName)),
-      target.toString, queryId, partCols)
+      target.toString, queryId, partCols, blockRows)
   }
 
   /** Files previously committed by THIS (query, epoch) — the replay
@@ -661,7 +706,8 @@ private[sources] class AvroStreamingWrite(schema: StructType,
   */
 private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     dirStr: String, queryId: String, partitionId: Int, taskId: Long,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    blockRows: Int = AvroSink.DefaultBlockRows)
   extends DataWriter[InternalRow] {
 
   // data columns = schema minus partition columns, original order kept
@@ -675,6 +721,18 @@ private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     val accs: Seq[AvroSink.ColAcc] =
       dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
     var rows = 0L
+    // intra-file block zone maps (r17): a second accumulator set per
+    // current block, flushed at a FORCED sync every `blockRows` rows so
+    // the scan can skip split ranges inside the container
+    var blockAccs: Seq[AvroSink.ColAcc] =
+      dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+    var blockRowCount = 0L
+    val blocks = Seq.newBuilder[AvroSink.BlockAcc]
+    def flushBlock(): Unit = if (blockRowCount > 0) {
+      blocks += AvroSink.BlockAcc(writer.sync(), blockRowCount, blockAccs)
+      blockAccs = dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+      blockRowCount = 0L
+    }
     val avroSch: Schema = AvroSink.avroSchemaOf(dataMeta)
     val writer: DataFileWriter[GenericRecord] = {
       val fs = tempPath.getFileSystem(new Configuration())
@@ -723,19 +781,24 @@ private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     while (j < dataMeta.length) {
       val i = dataIdx(j)
       val (name, tn) = fieldMeta(i)
-      if (row.isNullAt(i)) { s.accs(j).addNull(); rec.put(name, null) }
-      else tn match {
+      if (row.isNullAt(i)) {
+        s.accs(j).addNull(); s.blockAccs(j).addNull(); rec.put(name, null)
+      } else tn match {
         case "long" =>
-          val v = row.getLong(i); s.accs(j).addL(v)
+          val v = row.getLong(i)
+          s.accs(j).addL(v); s.blockAccs(j).addL(v)
           rec.put(name, java.lang.Long.valueOf(v))
         case "integer" =>
-          val v = row.getInt(i); s.accs(j).addL(v.toLong)
+          val v = row.getInt(i)
+          s.accs(j).addL(v.toLong); s.blockAccs(j).addL(v.toLong)
           rec.put(name, java.lang.Integer.valueOf(v))
         case "double" =>
-          val v = row.getDouble(i); s.accs(j).addD(v)
+          val v = row.getDouble(i)
+          s.accs(j).addD(v); s.blockAccs(j).addD(v)
           rec.put(name, java.lang.Double.valueOf(v))
         case "string" =>
-          val v = row.getUTF8String(i).toString; s.accs(j).addS(v)
+          val v = row.getUTF8String(i).toString
+          s.accs(j).addS(v); s.blockAccs(j).addS(v)
           rec.put(name, v)
         case "boolean" =>
           rec.put(name, java.lang.Boolean.valueOf(row.getBoolean(i)))
@@ -745,12 +808,16 @@ private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     }
     s.writer.append(rec)
     s.rows += 1
+    s.blockRowCount += 1
+    if (s.blockRowCount >= blockRows) s.flushBlock()
   }
 
   override def commit(): WriterCommitMessage = {
     val parts = sinks.values.map { s =>
+      s.flushBlock() // the final partial block's boundary + stats
       s.writer.close()
-      (s.tempPath.toString, AvroSink.statsJson(dataMeta, s.accs, s.rows))
+      (s.tempPath.toString,
+        AvroSink.statsJson(dataMeta, s.accs, s.rows, s.blocks.result()))
     }.toSeq
     sinks.clear()
     AvroCommitMessage(partitionId, parts)

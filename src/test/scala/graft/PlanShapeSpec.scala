@@ -83,7 +83,8 @@ class PlanShapeSpec extends SparkSpec {
     // r17 additions: the storage-partitioned join (golden embeds the
     // exchange-ZERO join — only the final orderBy may exchange) and the
     // SUM metadata pushdown (golden embeds zero scans/shuffles)
-    "q_s21_avro_spj", "q_s22_avro_sum_agg", "q_s26_avro_spj_agg")
+    "q_s21_avro_spj", "q_s22_avro_sum_agg", "q_s26_avro_spj_agg",
+    "q_s27_avro_block_skip")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
