@@ -5095,13 +5095,20 @@ object OracleSql {
         |WHERE d.n_chars >= st.lang_max_chars
         |ORDER BY d.lang, d.doc_id""".stripMargin,
 
+    // prefix zone-map skipping: files/blocks outside [p, succ(p)) are
+    // skipped; the oracle is the LIKE-filtered table, so a
+    // wrongly-skipped range loses rows and hash-mismatches
+    "q_s28_avro_prefix_skip" ->
+      ("SELECT s_suppkey, s_name, s_nationkey FROM supplier " +
+        "WHERE s_name LIKE 'Supplier#00000000%' ORDER BY s_suppkey"),
+
     // intra-file block zone-map skipping: the engine plans split ranges
     // over only the blocks whose recorded min/max can satisfy the
     // range; the oracle is the filtered table, so a wrongly-skipped
     // block loses rows and hash-mismatches
     "q_s27_avro_block_skip" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
-        "WHERE o_orderkey >= 4000 AND o_orderkey <= 4400 " +
+        "WHERE o_orderkey >= 400 AND o_orderkey <= 800 " +
         "ORDER BY o_orderkey"),
 
     // shuffle-free grouped aggregation over the spj layout: the engine

@@ -624,6 +624,23 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // -- S28 PREFIX (StringStartsWith) zone-map skipping (r17): a
+    // string with prefix p lies in [p, succ(p)) under UTF-8 byte
+    // order, so name-range files — and blocks — outside that window
+    // are skipped exactly; record-level evaluation re-checks survivors.
+    // The oracle is the LIKE-filtered table, so a wrongly-skipped
+    // range loses rows and hash-mismatches -----------------------------
+    "q_s28_avro_prefix_skip" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/supplier_avro_prefix"
+      AvroSink.write(
+        T(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .repartitionByRange(4, col("s_name")),
+        p, overwrite = true)
+      s.read.format("graft-avro").load(p)
+        .where(col("s_name").startsWith("Supplier#00000000"))
+        .orderBy("s_suppkey")
+    }),
+
     // -- S27 intra-file BLOCK zone-map skipping (r17): the writer
     // forces a container sync every graft.blockrows rows and records
     // per-block min/max in the sidecar; a selective range probe into
@@ -642,7 +659,7 @@ object SparkEntry {
         .option("graft.blockrows", "1024")
         .mode("overwrite").save(p)
       s.read.format("graft-avro").load(p)
-        .where(col("o_orderkey") >= 4000 && col("o_orderkey") <= 4400)
+        .where(col("o_orderkey") >= 400 && col("o_orderkey") <= 800)
         .orderBy("o_orderkey")
     }),
 

@@ -646,12 +646,58 @@ private[sources] object AvroStats {
     case In(a, vs) => vs.exists(v =>
       if (isNaNv(v)) mayHaveNaN(st, a)
       else inRange(st, a, v, 0, 0) && bloomMay(st, a, v))
+    case StringStartsWith(a, prefix) =>
+      // a string with prefix p lies in [p, succ(p)) under UTF-8 byte
+      // order (s = p ++ rest ⟹ s >= p; succ(p) = p with its last
+      // non-0xFF byte incremented bounds every extension above) — the
+      // file may match iff its [minS, maxS] intersects that range.
+      // Nulls never satisfy StartsWith, so value bounds alone decide;
+      // an all-0xFF prefix has no successor and only the lower bound
+      // prunes (r17).
+      st.cols.get(a).forall { c =>
+        (c.minS, c.maxS) match {
+          case (Some(mn), Some(mx)) =>
+            val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val upOk = cmpBytes(
+              mx.getBytes(java.nio.charset.StandardCharsets.UTF_8), pb) >= 0
+            val loOk = prefixSucc(pb).forall(sb => cmpBytes(
+              mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), sb) < 0)
+            upOk && loOk
+          case _ => true // no bounds (all-null, legacy, foreign): keep
+        }
+      }
     case IsNull(a) => st.cols.get(a).forall(_.nulls > 0)
     case IsNotNull(a) => st.cols.get(a).forall(c =>
       st.rows.forall(r => c.nulls < r)) // unknown rows: never skip
     case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
     case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
     case _ => true
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string greater than every string with prefix `p`:
+    * increment the last non-0xFF byte, truncate after it; None when all
+    * bytes are 0xFF (no successor exists).
+    */
+  private def prefixSucc(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = ((out(i) & 0xff) + 1).toByte
+      Some(out)
+    }
   }
 
   private def isNaNv(v: Any): Boolean = v match {

@@ -84,7 +84,7 @@ class PlanShapeSpec extends SparkSpec {
     // exchange-ZERO join — only the final orderBy may exchange) and the
     // SUM metadata pushdown (golden embeds zero scans/shuffles)
     "q_s21_avro_spj", "q_s22_avro_sum_agg", "q_s26_avro_spj_agg",
-    "q_s27_avro_block_skip")
+    "q_s27_avro_block_skip", "q_s28_avro_prefix_skip")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {

@@ -86,6 +86,28 @@ class AvroBlockSkipSpec extends SparkSpec {
     assert(all.count() === 4000L)
   }
 
+  test("StringStartsWith prunes by the [prefix, succ(prefix)) range") {
+    val dir = tempDir()
+    sortedFixture(dir)
+    // k0100x lives only in the [1000, 1250) block
+    val pr = spark.read.format("graft-avro").load(dir)
+      .where(col("name").startsWith("k0100"))
+    assert(pr.select("id").as[Long].collect().sorted.toSeq ===
+      (1000L to 1009L))
+    val sc = scanOf(pr); sc.planInputPartitions()
+    assert(sc.lastPlannedBlocks === ((1, 16)), sc.lastPlannedBlocks.toString)
+    // a prefix above every value prunes everything — and loses nothing
+    val none = spark.read.format("graft-avro").load(dir)
+      .where(col("name").startsWith("z"))
+    assert(none.count() === 0L)
+    val sc2 = scanOf(none); sc2.planInputPartitions()
+    assert(sc2.lastPlannedBlocks._1 === 0, sc2.lastPlannedBlocks.toString)
+    // a prefix that IS a full value still matches it (s >= p inclusive)
+    val exact = spark.read.format("graft-avro").load(dir)
+      .where(col("name").startsWith("k02000"))
+    assert(exact.select("id").as[Long].collect().toSeq === Seq(2000L))
+  }
+
   test("NaN soundness carries into block pruning") {
     val dir = tempDir()
     // block 0: small values; block 1: a NaN hiding above every max
