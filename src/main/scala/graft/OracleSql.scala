@@ -5082,6 +5082,19 @@ object OracleSql {
         |FROM documents WHERE lang IS NULL OR lang <> 'de'
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // row-level copy-on-write delete: the engine rewrites only the
+    // may-match containers and drops exactly the definitely-TRUE rows;
+    // the oracle aggregates the survivors of the same predicate
+    // ((p) IS NOT TRUE = SQL DELETE null semantics), so an over- or
+    // under-deletion — or a stale sidecar answering the post-delete
+    // aggregate — hash-mismatches
+    "q_s29_avro_row_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE (n_chars < 200 OR lang = 'de') IS NOT TRUE
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // storage-partitioned join: the engine joins the two partitioned
     // avro tables group-by-group with zero exchanges; the oracle
     // replays the same join over the source table, so a mis-zipped or

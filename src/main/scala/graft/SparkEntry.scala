@@ -776,6 +776,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S29 row-level copy-on-write DELETE (r18): a data-column
+    // predicate rewrites ONLY the containers the zone maps cannot rule
+    // out (the table is range-laid-out on doc_id, so most files prove
+    // themselves row-free for the lang conjunct via blooms/ranges only
+    // when applicable — correctness never depends on the pruning),
+    // drops exactly the definitely-TRUE rows, and regenerates sidecars.
+    // The oracle aggregates the rows a correct DELETE leaves behind, so
+    // an over-/under-deletion or a stale-sidecar pushdown answer
+    // hash-mismatches ----------------------------------------------------
+    "q_s29_avro_row_delete" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_rowdel"
+      AvroSink.write(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        p, overwrite = true)
+      AvroSink.deleteWhere(s, p,
+        col("n_chars") < 200 || col("lang") === "de")
+      s.read.format("graft-avro").load(p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

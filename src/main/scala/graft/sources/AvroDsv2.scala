@@ -784,59 +784,108 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-avro($pathStr)"
 
-  // -- partition-predicate DELETE (r17) --------------------------------
-  // A delete whose predicate references ONLY partition columns removes
-  // whole files exactly through the same path evaluation as partition
-  // pruning: every row of a file shares its directory's partition
-  // values, so the predicate decides the whole file — TRUE deletes it,
-  // FALSE or UNKNOWN (null semantics: DELETE removes only rows where
-  // the predicate is true) keeps it. No container is ever rewritten —
-  // the operation is whole-file, idempotent, and re-runnable after a
-  // crash (a partial run leaves a clean table with a prefix of the
-  // doomed files removed). Anything touching a DATA column throws: a
-  // row-level delete would need a container rewrite protocol this
-  // source deliberately does not guess at.
+  // -- DELETE (r17 partition grain; r18 row grain) ----------------------
+  // Two tiers, chosen PER FILE from the predicate's column references:
+  //  * partition tier: a conjunct set whose references are all partition
+  //    columns decides a whole file exactly from its path values — TRUE
+  //    unlinks the file (zero reads), FALSE or UNKNOWN (SQL DELETE
+  //    removes only definitely-TRUE rows) keeps it byte-identical.
+  //  * row tier (r18): conjuncts touching DATA columns first prune with
+  //    the sidecar zone maps / blooms — a file whose stats PROVE no row
+  //    can match stays byte-identical — then rewrite ONLY the may-match
+  //    files copy-on-write ([[AvroRewrite]]): stream the container,
+  //    drop definitely-TRUE rows, regenerate the sidecar (file stats +
+  //    block zone maps), and swap in place through a crash-ordered
+  //    sidecar-out / overwrite-rename / sidecar-in protocol. At 100 TB a
+  //    `DELETE WHERE fingerprint IN (dup set)` reads the bloom-positive
+  //    containers only — the dedup-apply and GDPR-erasure shapes.
+  // Rewrites fan out as one Spark task per may-match file when a session
+  // is active (the 1000-executor path); idempotent and re-runnable after
+  // a crash (every interruption point leaves a correct, readable table —
+  // at worst missing a sidecar). Unsupported predicate SHAPES (Not,
+  // EqualNullSafe, functions) still throw rather than guess.
   private lazy val partNameSet = partSpec.map(_._1).toSet
+  private lazy val dataNameSet = schema.fieldNames.toSet
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    partSpec.nonEmpty && filters.forall(f =>
+    filters.forall(f =>
       AvroFilters.supported(f) && f.references.nonEmpty &&
-        f.references.forall(partNameSet.contains))
+        f.references.forall(n =>
+          partNameSet.contains(n) || dataNameSet.contains(n)))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (!canDeleteWhere(filters))
       throw new UnsupportedOperationException(
-        s"graft-avro: DELETE supports predicates over partition columns " +
-          s"only (${partSpec.map(_._1).mkString(", ")}); got " +
-          s"${filters.mkString("[", ", ", "]")} — a data-column delete " +
-          s"would require rewriting containers")
+        s"graft-avro: DELETE supports comparison/null/In/Or predicates " +
+          s"over the table's columns; got " +
+          s"${filters.mkString("[", ", ", "]")}")
     val conf = AvroSink.driverConf()
     val partTypes = partSpec.toMap
-    val doomed = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
+    // conjuncts referencing only partition columns evaluate exactly per
+    // file from its path; the rest need the sidecars (pruning) and —
+    // when pruning cannot rule a file out — its rows
+    val (partFilters, dataFilters) = filters.partition(f =>
+      partNameSet.nonEmpty && f.references.forall(partNameSet.contains))
+    val candidates = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
       val raw = AvroPartitions.rawValuesOf(p, partNameSet)
       val get: String => Any =
         n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
-      filters.forall(AvroFilters.eval(_, get))
+      // a partition conjunct not definitely TRUE for this file means NO
+      // row of it can satisfy the whole conjunction — file untouched
+      partFilters.forall(AvroFilters.eval(_, get))
     }
     val root = new Path(pathStr)
     val fs = root.getFileSystem(conf)
-    val rootQualified = fs.makeQualified(root)
-    val parents = scala.collection.mutable.LinkedHashSet.empty[Path]
-    doomed.foreach { case (p, _) =>
-      val fp = new Path(p)
-      fs.delete(fp, false)
-      fs.delete(new Path(p + ".stats.json"), false)
-      parents += fp.getParent
+    if (dataFilters.isEmpty) {
+      // pure partition delete: whole-file unlink, zero container reads
+      AvroRewrite.unlinkWithDirs(fs, root, candidates.map(_._1))
+      return
     }
-    // retire now-empty partition directories (ascending, stopping at the
-    // table root) so a deleted partition disappears from listings
-    parents.foreach { p0 =>
-      var p = p0
-      while (p != null && fs.makeQualified(p) != rootQualified &&
-          fs.exists(p) && fs.listStatus(p).isEmpty) {
-        fs.delete(p, false)
-        p = p.getParent
+    // zone-map / bloom pruning: a file whose stats prove no row can
+    // match any data conjunct needs no rewrite (mayMatch is conservative
+    // on mixed-reference conjuncts — partition columns have no sidecar
+    // stats and read as "no verdict")
+    val targets = candidates.filter { case (p, _) =>
+      AvroStats.read(p) match {
+        case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
+        case None => true
       }
     }
+    if (targets.isEmpty) return
+    val partValsOf: String => Map[String, Any] = p => {
+      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
+      partSpec.map { case (n, t) =>
+        n -> raw.get(n).map(AvroPartitions.typed(_, t)).orNull
+      }.toMap
+    }
+    // rewrite phase: all dot-temps first (originals untouched); any
+    // failure aborts by sweeping the temps
+    val outcomes: Seq[AvroRewrite.Outcome] = try {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(ss) if targets.size > 1 =>
+          val work = targets.map { case (p, _) => (p, partValsOf(p)) }
+          ss.sparkContext.parallelize(work,
+            math.min(work.size, math.max(1, ss.sparkContext.defaultParallelism)))
+            .map { case (p, pv) => AvroRewrite.deleteRewrite(p, pv, filters) }
+            .collect().toSeq
+        case _ =>
+          targets.map { case (p, _) =>
+            AvroRewrite.deleteRewrite(p, partValsOf(p), filters)
+          }
+      }
+    } catch {
+      case t: Throwable =>
+        AvroSink.tempSweep(fs, root, ".graft-del-")
+        throw t
+    }
+    // commit phase: every swap keeps the visible table correct at every
+    // instant (see AvroRewrite doc); emptied files unlink whole
+    outcomes.foreach {
+      case AvroRewrite.Rewritten(p, temp, stats, _, _) =>
+        AvroRewrite.swapInPlace(conf, temp, p, stats)
+      case _ => ()
+    }
+    AvroRewrite.unlinkWithDirs(fs, root,
+      outcomes.collect { case AvroRewrite.Emptied(p, _) => p })
   }
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -1285,7 +1334,14 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (spj && partSpec.nonEmpty) {
-      val distinctKeys = files.map { case (p, _) =>
+      // key count from the PRUNED file set — the same set planSplits
+      // starts from — so static pushed filters cannot inflate the
+      // declared count past the actual distinct split keys. Runtime
+      // (DPP) filters can still arrive after this is consulted; that
+      // residual mismatch is pinned on Spark's documented behavior:
+      // BatchScanExec regroups from the actual HasPartitionKey split
+      // keys and ignores the declared numPartitions (r17 ADVICE)
+      val distinctKeys = pruneFiles(files).map { case (p, _) =>
         val raw = AvroPartitions.rawValuesOf(p, partNames)
         partSpec.map { case (n, _) => raw.get(n).orNull }
       }.distinct.size

@@ -1,0 +1,216 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.sources.Filter
+
+import scala.jdk.CollectionConverters._
+
+/** Copy-on-write container REWRITE for graft-avro (r18) — the machinery
+  * behind row-level DELETE ([[AvroTable.deleteWhere]] with data-column
+  * predicates) and compaction execution ([[graft.ops.Layout.compact]]).
+  *
+  * The design contract, shared with the public lakehouse formats
+  * (Delta/Iceberg rewrite-on-delete): a data-column delete rewrites ONLY
+  * the files whose zone maps / blooms say a row MAY match, leaves every
+  * other container byte-identical, and regenerates the rewritten files'
+  * sidecars (file stats + intra-file blocks) so pruning and aggregate
+  * pushdown stay exact afterwards. At 100 TB a `DELETE WHERE
+  * fingerprint IN (dup set)` therefore reads and rewrites the handful
+  * of may-match containers, not the table.
+  *
+  * CRASH SAFETY without a transaction log: every rewrite lands in an
+  * invisible dot-temp first; the per-file swap is ordered so that at
+  * every instant the visible table is CORRECT (possibly conservative):
+  *   1. delete the file's sidecar — stale stats must never describe the
+  *      new contents (a stale row count would poison count(*) pushdown);
+  *   2. rename the temp OVER the original in one overwrite-rename
+  *      ([[FileContext]] `Options.Rename.OVERWRITE` — atomic on POSIX
+  *      and HDFS), so there is no instant where the file is absent;
+  *   3. write the regenerated sidecar.
+  * A crash after (1) or (2) leaves a readable, correct file without a
+  * sidecar — reads stay exact (pruning is conservative on missing
+  * sidecars) and re-running the same delete completes the work
+  * (idempotence: the rewrite drops no row twice). A failure BEFORE any
+  * swap aborts by sweeping the `.graft-del-` temps; originals are
+  * untouched.
+  */
+private[graft] object AvroRewrite {
+
+  /** One file's rewrite verdict. `Untouched` = no row matched (the
+    * zone-map may-match was a false positive) — the original stays
+    * byte-identical; `Emptied` = every row matched — the caller unlinks
+    * the original; `Rewritten` = kept rows live in `tempPath`, stats in
+    * `stats`, awaiting the driver-side swap.
+    */
+  sealed trait Outcome extends Serializable
+  final case class Untouched(path: String) extends Outcome
+  final case class Emptied(path: String, deleted: Long) extends Outcome
+  final case class Rewritten(path: String, tempPath: String,
+      stats: Array[Byte], kept: Long, deleted: Long) extends Outcome
+
+  /** Streams records of one container into a fresh dot-temp, dropping
+    * every row where the filter conjunction is definitely TRUE (SQL
+    * DELETE semantics: FALSE and UNKNOWN rows survive). The output
+    * preserves record order — a sorted (zone-map-friendly) container
+    * stays sorted — and regenerates file-level stats plus intra-file
+    * block zone maps through the same [[AvroSink.ColAcc]] discipline as
+    * the sink. Runs task-side (one file per task when distributed).
+    *
+    * `partVals`: the file's path-borne partition values (typed java, may
+    * be null-valued) — partition columns are not IN the container, so a
+    * mixed predicate (`lang = 'de' AND v > 10`) resolves them here.
+    */
+  def deleteRewrite(path: String, partVals: Map[String, Any],
+      filters: Array[Filter],
+      blockRows: Int = AvroSink.DefaultBlockRows): Outcome = {
+    val in = new DataFileReader[GenericRecord](
+      AvroDsv2.openSeekable(path), new GenericDatumReader[GenericRecord]())
+    try {
+      val fileSchema = in.getSchema
+      val fieldMeta: Seq[(String, String)] =
+        fileSchema.getFields.asScala.toSeq.map(f =>
+          (f.name, AvroDsv2.sparkTypeOf(f.schema).typeName))
+      // filter references resolved ONCE: partition value, field position,
+      // or constant null (a column absent from this file's schema)
+      val refs = filters.flatMap(_.references).distinct
+      val resolved: Map[String, Either[Any, Int]] = refs.map { n =>
+        n -> (if (partVals.contains(n)) Left(partVals(n))
+        else Option(fileSchema.getField(n)).map(f => Right(f.pos()))
+          .getOrElse(Left(null)))
+      }.toMap
+      val dir = new Path(path).getParent
+      val temp = new Path(dir,
+        s".graft-del-${java.util.UUID.randomUUID().toString.take(12)}.avro.tmp")
+      val out = new ContainerOut(fileSchema, fieldMeta, temp, blockRows)
+      var kept = 0L; var deleted = 0L
+      try {
+        var rec: GenericRecord = null
+        while (in.hasNext) {
+          rec = in.next(rec)
+          val r = rec
+          val get: String => Any = n => resolved.get(n) match {
+            case Some(Left(v)) => v
+            case Some(Right(pos)) => r.get(pos)
+            case None => null
+          }
+          if (filters.forall(AvroFilters.eval(_, get))) deleted += 1
+          else { out.append(rec); kept += 1 }
+        }
+      } catch { case t: Throwable => out.abort(); throw t }
+      if (deleted == 0L) { out.abort(); Untouched(path) }
+      else if (kept == 0L) { out.abort(); Emptied(path, deleted) }
+      else Rewritten(path, temp.toString, out.finish(), kept, deleted)
+    } finally in.close()
+  }
+
+  /** The ordered in-place swap (see class doc): stale sidecar out,
+    * overwrite-rename the temp over the original, fresh sidecar in.
+    */
+  def swapInPlace(conf: Configuration, tempPath: String, dstPath: String,
+      stats: Array[Byte]): Unit = {
+    val dst = new Path(dstPath)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(new Path(s"$dstPath.stats.json"), false)
+    val fc = FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(new Path(tempPath), dst, Options.Rename.OVERWRITE)
+    val sOut = fs.create(new Path(s"$dstPath.stats.json"), true)
+    try sOut.write(stats) finally sOut.close()
+  }
+
+  /** Unlink a container + its sidecar and retire newly-empty partition
+    * directories up to (never including) the table root.
+    */
+  def unlinkWithDirs(fs: FileSystem, root: Path, paths: Seq[String]): Unit = {
+    val rootQualified = fs.makeQualified(root)
+    val parents = scala.collection.mutable.LinkedHashSet.empty[Path]
+    paths.foreach { p =>
+      val fp = new Path(p)
+      fs.delete(fp, false)
+      fs.delete(new Path(s"$p.stats.json"), false)
+      parents += fp.getParent
+    }
+    parents.foreach { p0 =>
+      var p = p0
+      while (p != null && fs.makeQualified(p) != rootQualified &&
+          fs.exists(p) && fs.listStatus(p).isEmpty) {
+        fs.delete(p, false)
+        p = p.getParent
+      }
+    }
+  }
+
+  /** A standalone container writer over GenericRecords — the sink's
+    * stats discipline ([[AvroSink.ColAcc]] file accumulators with
+    * blooms, bloom-less block accumulators flushed at forced syncs)
+    * without the DSv2 InternalRow plumbing. Used by the delete rewrite
+    * (records pass through in their original schema) and compaction
+    * (records re-mapped into the bin's schema by the caller).
+    */
+  private[graft] final class ContainerOut(avroSch: Schema,
+      fieldMeta: Seq[(String, String)], val tempPath: Path, blockRows: Int) {
+    private val accs = fieldMeta.map(f =>
+      new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+    private var blockAccs = fieldMeta.map(f =>
+      new AvroSink.ColAcc(AvroSink.typeOf(f._2), trackBloom = false))
+    private var blockRowCount = 0L
+    private val blocks = Seq.newBuilder[AvroSink.BlockAcc]
+    var rows = 0L
+    private val writer: DataFileWriter[GenericRecord] = {
+      val fs = tempPath.getFileSystem(new Configuration())
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSch))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.create(avroSch, fs.create(tempPath, true))
+      w
+    }
+    private def flushBlock(): Unit = if (blockRowCount > 0) {
+      blocks += AvroSink.BlockAcc(writer.sync(), blockRowCount, blockAccs)
+      blockAccs = fieldMeta.map(f =>
+        new AvroSink.ColAcc(AvroSink.typeOf(f._2), trackBloom = false))
+      blockRowCount = 0L
+    }
+    /** Appends a record CONFORMING to `avroSch` (same field positions). */
+    def append(rec: GenericRecord): Unit = {
+      var j = 0
+      while (j < fieldMeta.length) {
+        val v = rec.get(j)
+        if (v == null) { accs(j).addNull(); blockAccs(j).addNull() }
+        else fieldMeta(j)._2 match {
+          case "long" =>
+            val l = v.asInstanceOf[java.lang.Long].longValue
+            accs(j).addL(l); blockAccs(j).addL(l)
+          case "integer" =>
+            val l = v.asInstanceOf[java.lang.Integer].longValue
+            accs(j).addL(l); blockAccs(j).addL(l)
+          case "double" =>
+            val d = v.asInstanceOf[java.lang.Double].doubleValue
+            accs(j).addD(d); blockAccs(j).addD(d)
+          case "string" =>
+            val s = v.toString // Utf8 or String
+            accs(j).addS(s); blockAccs(j).addS(s)
+          case _ => () // boolean: counts only
+        }
+        j += 1
+      }
+      writer.append(rec)
+      rows += 1
+      blockRowCount += 1
+      if (blockRowCount >= blockRows) flushBlock()
+    }
+    /** Close and return the sidecar JSON for the written container. */
+    def finish(): Array[Byte] = {
+      flushBlock()
+      writer.close()
+      AvroSink.statsJson(fieldMeta, accs, rows, blocks.result())
+    }
+    def abort(): Unit = {
+      try writer.close() catch { case _: Throwable => () }
+      val fs = tempPath.getFileSystem(new Configuration())
+      fs.delete(tempPath, false)
+    }
+  }
+}

@@ -76,7 +76,8 @@ object AvroSink {
     * (booleans carry counts only — a 2-value domain gains nothing from
     * range pruning).
     */
-  private[sources] final class ColAcc(val dt: DataType) {
+  private[sources] final class ColAcc(val dt: DataType,
+      trackBloom: Boolean = true) {
     var nulls = 0L
     var nans = 0L // double columns: NaN is excluded from min/max but
                   // recorded, so the scan's upper-bound pruning and
@@ -90,11 +91,17 @@ object AvroSink {
     // (the same exactness discipline as the JSON-long min/max)
     var sumL = 0L; var sumOk = true
     var minS: String = null; var maxS: String = null
-    // equality Bloom filter for long/int/string columns (AvroBloom doc)
-    val bloom: Array[Long] = dt match {
-      case LongType | IntegerType | StringType => new Array[Long](AvroBloom.Words)
-      case _ => null
-    }
+    // equality Bloom filter for long/int/string columns (AvroBloom doc).
+    // Block-level accumulators pass trackBloom=false: block stats are
+    // serialized without blooms, so hashing an MD5 per value into a
+    // 2048-bit filter that gets discarded every block would double the
+    // write hot path's hashing for nothing (r17 ADVICE)
+    val bloom: Array[Long] =
+      if (!trackBloom) null
+      else dt match {
+        case LongType | IntegerType | StringType => new Array[Long](AvroBloom.Words)
+        case _ => null
+      }
     def seenNumeric: Boolean = !minD.isNaN
     def addNull(): Unit = nulls += 1
     def addD(v: Double): Unit = {
@@ -109,7 +116,7 @@ object AvroSink {
       else { if (v < minL) minL = v; if (v > maxL) maxL = v }
       if (sumOk) try sumL = Math.addExact(sumL, v)
         catch { case _: ArithmeticException => sumOk = false }
-      AvroBloom.add(bloom, v.toString)
+      if (bloom != null) AvroBloom.add(bloom, v.toString)
     }
     def addS(v: String): Unit = {
       // UTF-8 byte order, NOT String.compareTo (UTF-16 code units):
@@ -118,7 +125,7 @@ object AvroSink {
       // aggregate pushdown disagree with the real scan (r16 ADVICE)
       if (minS == null || AvroFilters.utf8Cmp(v, minS) < 0) minS = v
       if (maxS == null || AvroFilters.utf8Cmp(v, maxS) > 0) maxS = v
-      AvroBloom.add(bloom, v)
+      if (bloom != null) AvroBloom.add(bloom, v)
     }
   }
 
@@ -174,15 +181,16 @@ object AvroSink {
       .save(dir)
   }
 
-  /** Partition-predicate DELETE (r17): removes whole container files —
-    * and emptied partition directories — whose path-borne partition
-    * values satisfy `condition`, through the table's
-    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]. The
-    * predicate must reference ONLY partition columns (anything touching
-    * a data column throws — see [[AvroTable.deleteWhere]]); null
-    * partition values follow SQL semantics (only definitely-TRUE rows
-    * delete). At 100 TB, `deleteWhere(lang === "de")` is a directory
-    * listing plus unlink calls — zero container reads or rewrites.
+  /** DELETE (r17 partition grain, r18 row grain): removes the rows
+    * satisfying `condition` through the table's
+    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]. A
+    * predicate over partition columns unlinks whole files/directories
+    * from path evaluation alone (zero container reads); a predicate
+    * touching data columns rewrites copy-on-write exactly the files the
+    * zone maps / blooms cannot rule out and leaves every other container
+    * byte-identical (see [[AvroTable.deleteWhere]] / [[AvroRewrite]]).
+    * Null semantics throughout: only definitely-TRUE rows delete.
+    * Unsupported predicate shapes throw rather than guess.
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       condition: org.apache.spark.sql.Column): Unit = {
@@ -235,16 +243,24 @@ object AvroSink {
         if (x.foldable) Some(jv(x.eval())) else None
     }
     // the COLUMN side may also arrive cast (col("band") === 1L analyzes
-    // to Cast(band as bigint) = 1L) — unwrap it: the delete evaluator
-    // compares the TYPED partition value against the literal with the
-    // exact cross-type numeric compare, and an incomparable pair reads
-    // as UNKNOWN (file kept), so accepting the cast is always safe
-    // (r17 review)
+    // to Cast(band as bigint) = 1L) — unwrap it ONLY when both the
+    // source and target types are numeric: there [[AvroFilters.cmpNum]]
+    // compares the native typed partition value against the literal
+    // value-exactly, so dropping the cast preserves semantics. Any
+    // OTHER column-side cast (e.g. a string partition column cast to a
+    // numeric to meet a numeric literal) must NOT unwrap: the evaluator
+    // would compare string-vs-number, read UNKNOWN, and KEEP files whose
+    // rows Spark's cast semantics would match — a silent UNDER-delete.
+    // Returning None instead makes deleteWhere throw "untranslatable
+    // predicate", the module's fail-loud contract (r17 ADVICE).
     object Attr {
       def unapply(x: Expression): Option[String] = x match {
         case a: AttributeReference => Some(a.name)
         case c: Cast => c.child match {
-          case a: AttributeReference => Some(a.name)
+          case a: AttributeReference
+              if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            Some(a.name)
           case _ => None
         }
         case _ => None
@@ -723,14 +739,17 @@ private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     var rows = 0L
     // intra-file block zone maps (r17): a second accumulator set per
     // current block, flushed at a FORCED sync every `blockRows` rows so
-    // the scan can skip split ranges inside the container
-    var blockAccs: Seq[AvroSink.ColAcc] =
-      dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+    // the scan can skip split ranges inside the container. trackBloom =
+    // false: block stats serialize without blooms, so the per-value MD5
+    // work would be pure waste on the write hot path (r17 ADVICE)
+    var blockAccs: Seq[AvroSink.ColAcc] = dataMeta.map(f =>
+      new AvroSink.ColAcc(AvroSink.typeOf(f._2), trackBloom = false))
     var blockRowCount = 0L
     val blocks = Seq.newBuilder[AvroSink.BlockAcc]
     def flushBlock(): Unit = if (blockRowCount > 0) {
       blocks += AvroSink.BlockAcc(writer.sync(), blockRowCount, blockAccs)
-      blockAccs = dataMeta.map(f => new AvroSink.ColAcc(AvroSink.typeOf(f._2)))
+      blockAccs = dataMeta.map(f =>
+        new AvroSink.ColAcc(AvroSink.typeOf(f._2), trackBloom = false))
       blockRowCount = 0L
     }
     val avroSch: Schema = AvroSink.avroSchemaOf(dataMeta)
