@@ -5095,6 +5095,15 @@ object OracleSql {
         |FROM documents WHERE (n_chars < 200 OR lang = 'de') IS NOT TRUE
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // clustered write: graft.sortby/range lay the table out range-
+    // disjoint; the probe reads one file's few blocks. The oracle is the
+    // filtered source table, so a layout that loses or duplicates rows
+    // (a bad range boundary, a dropped shuffle row) hash-mismatches
+    "q_s30_avro_clustered_write" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey >= 400 AND o_orderkey <= 800 " +
+        "ORDER BY o_orderkey"),
+
     // storage-partitioned join: the engine joins the two partitioned
     // avro tables group-by-group with zero exchanges; the oracle
     // replays the same join over the source table, so a mis-zipped or

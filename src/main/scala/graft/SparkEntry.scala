@@ -803,6 +803,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S30 CLUSTERED WRITE (r18): graft.sortby + graft.range declare
+    // the layout through the write plan (RequiresDistributionAndOrdering)
+    // — files hold disjoint o_orderkey ranges, blocks are tight — and the
+    // selective probe then reads a handful of blocks from one file. The
+    // oracle is the filtered table, so a wrongly-skipped file or block
+    // loses rows and hash-mismatches --------------------------------------
+    "q_s30_avro_clustered_write" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/orders_avro_clustered"
+      val src = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      src.write.format("graft-avro")
+        .option("graft.schema", src.schema.json)
+        .option("graft.sortby", "o_orderkey")
+        .option("graft.range", "true")
+        .option("graft.writepartitions", "4")
+        .option("graft.blockrows", "250")
+        .mode("overwrite").save(p)
+      s.read.format("graft-avro").load(p)
+        .where(col("o_orderkey") >= 400 && col("o_orderkey") <= 800)
+        .orderBy("o_orderkey")
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

@@ -152,6 +152,26 @@ object AvroSink {
       .save(dir)
   }
 
+  /** CLUSTERED write (r18): sorts rows on `sortCols` before they stream
+    * into containers, so the r17 block zone maps are tight and a later
+    * selective scan skips most of every file. `rangePartition = true`
+    * additionally range-repartitions globally — files then hold DISJOINT
+    * key ranges (whole-FILE pruning gets sharp too), at the cost of one
+    * exchange. The sort is declared through the write plan
+    * ([[RequiresDistributionAndOrdering]]), not performed caller-side.
+    */
+  def writeClustered(df: DataFrame, dir: String, sortCols: Seq[String],
+      rangePartition: Boolean = false, overwrite: Boolean = false): Unit = {
+    require(sortCols.nonEmpty, "writeClustered needs sort columns")
+    validateSchema(df.schema)
+    df.write.format("graft-avro")
+      .option("graft.schema", df.schema.json)
+      .option("graft.sortby", sortCols.mkString(","))
+      .option("graft.range", rangePartition.toString)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .save(dir)
+  }
+
   /** Hive-style PARTITIONED write (r16): containers land under
     * `dir/col=value/.../part-*.avro`, partition columns live in the
     * path (not the containers) and come back typed, LAST in the schema,
@@ -438,7 +458,13 @@ private[sources] class AvroWriteBuilder(info: LogicalWriteInfo,
     Option(info.options.get("graft.partitionby"))
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
     Option(info.options.get("graft.blockrows")).map(_.toInt)
-      .getOrElse(AvroSink.DefaultBlockRows))
+      .getOrElse(AvroSink.DefaultBlockRows),
+    Option(info.options.get("graft.sortby"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty),
+    Option(info.options.get("graft.range")).exists(_.toBoolean),
+    Option(info.options.get("graft.writepartitions")).map(_.toInt)
+      .getOrElse(0))
 }
 
 /** One task attempt's output: every (dot-temp path, stats sidecar bytes)
@@ -451,8 +477,49 @@ private[sources] case class AvroCommitMessage(partitionId: Int,
 private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     truncateOnCommit: Boolean, queryId: String,
     partCols: Seq[String] = Seq.empty,
-    blockRows: Int = AvroSink.DefaultBlockRows) extends Write with BatchWrite {
+    blockRows: Int = AvroSink.DefaultBlockRows,
+    sortBy: Seq[String] = Seq.empty,
+    rangeCluster: Boolean = false,
+    writePartitions: Int = 0) extends Write with BatchWrite
+  with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
+
+  // -- clustered write (r18): `graft.sortby=c1,c2` asks Spark — through
+  // the DSv2 RequiresDistributionAndOrdering contract, so the sort is
+  // part of the WRITE PLAN, not a caller convention — to sort each task's
+  // rows on the named columns before they reach the writer; the r17
+  // block zone maps then come out TIGHT (a selective probe skips most of
+  // every container) instead of full-range. `graft.range=true` upgrades
+  // to a global range repartition (Distributions.ordered): files then
+  // cover DISJOINT key ranges — the strongest zone-map layout, at the
+  // cost of one exchange. Default writes stay exactly as before
+  // (unspecified distribution, empty ordering — Spark adds no node).
+  // Multi-column clustering composes with Layout.zorderValue: sort by a
+  // precomputed z-value column to interleave dimensions.
+  private def sortOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortBy.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft.sortby column '$c' not in schema " +
+          s"${schema.fieldNames.mkString("[", ", ", "]")}")
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+    }.toArray
+  override def requiredOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = sortOrders
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution =
+    if (sortBy.nonEmpty && rangeCluster)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .ordered(sortOrders)
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .unspecified()
+  // `graft.writepartitions`: pins the distribution's partition count —
+  // the output FILE-count lever (one container per task), and what keeps
+  // a range-clustered layout from collapsing to one file when AQE
+  // coalesces a small shuffle. 0 (default) lets Spark/AQE choose.
+  override def requiredNumPartitions(): Int = writePartitions
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateOnCommit,
       "graft-avro: streaming writes are APPEND-only (no Complete/truncate)")
