@@ -5199,6 +5199,12 @@ object OracleSql {
         |FROM cand WHERE jaro_winkler_similarity(l_val, r_val) >= 0.9
         |ORDER BY l_val, r_val""".stripMargin,
 
+    // compaction execution: the engine rewrote 8 containers into one;
+    // the oracle is the source table itself — any row the rewrite
+    // dropped, duplicated, or corrupted hash-mismatches
+    "q_layout_compact_exec" ->
+      ("SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
+
     // zone-map audit replay: same zone assignments (modulo / equal-width
     // over the broadcast min-max grid), same parquet min/max prune rule
     "q_layout_zonemap" ->

@@ -4913,6 +4913,22 @@ object SparkEntry {
       hash.unionByName(clustered).orderBy("layout")
     }),
 
+    // -- compaction EXECUTION (r18): 8 small containers rewrite into one
+    // through the manifest commit protocol (Layout.compact); the oracle
+    // is the PRE-compaction table — data identity is the gate, so a
+    // dropped, duplicated, or corrupted row in the rewrite
+    // hash-mismatches. File-count/idempotence/crash specs live in
+    // AvroCompactSpec --------------------------------------------------
+    "q_layout_compact_exec" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_compact"
+      AvroSink.write(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(8),
+        p, overwrite = true)
+      Layout.compact(p, Long.MaxValue / 4)
+      s.read.format("graft-avro").load(p).orderBy("doc_id")
+    }),
+
     // -- snapshot-as-of time travel (r14): two versions of the orders
     // table reconstructed from one keyed CDC log (v1 upserts a +10.00
     // price correction on keys %5==0, v2 deletes keys %7==0, v3 upserts

@@ -70,6 +70,17 @@ object Layout {
       .withColumnRenamed("shard_id", "bin")
   }
 
+  /** Small-file compaction EXECUTION (r18): rewrites each multi-file
+    * bin of a graft-avro table's [[compactionPlan]]-style assignment
+    * into one ≈`targetBytes` container (per partition directory, stats
+    * sidecars regenerated, unbinned files byte-identical), through a
+    * manifest-recovery commit protocol that a re-run repairs after any
+    * crash. The remedy for the streaming sink's one-container-per-
+    * epoch×task accumulation. Returns the number of bins rewritten.
+    */
+  def compact(dir: String, targetBytes: Long): Int =
+    graft.sources.AvroCompact.compact(dir, targetBytes)
+
   /** Exchange-free equi-join of two tables written by [[writeBucketed]]
     * with the SAME bucket count on the join keys: the merge hint pins a
     * sort-merge join, and because both sides already carry the bucketed

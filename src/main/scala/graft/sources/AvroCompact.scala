@@ -1,0 +1,238 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.jdk.CollectionConverters._
+
+/** Small-file COMPACTION execution for graft-avro (r18) — what turns
+  * [[graft.ops.Layout.compactionPlan]]'s bins into actual rewrites. The
+  * streaming sink writes one container per epoch×task, so a long-lived
+  * tail accumulates thousands of small files; `compact(dir, target)`
+  * rewrites each bin of small containers into ONE container of
+  * ≈`targetBytes`, preserving the partition layout (bins never cross a
+  * `col=value` directory), regenerating sidecars (file stats + block
+  * zone maps), and leaving unbinned files byte-identical.
+  *
+  * Bin assignment mirrors [[graft.ops.Layout.compactionPlan]] exactly —
+  * files size-DESC (path tiebreak), bin = floor(cum_before /
+  * targetBytes), per directory — so the executed file count equals the
+  * plan's bin count (single-file bins are no-ops and stay untouched: a
+  * rewrite that changes nothing but bytes-identity is pure churn).
+  *
+  * CRASH CONTRACT (no transaction log, deterministic-name + manifest
+  * recovery — the streaming sink's discipline applied to rewrites):
+  *  1. the bin's rows stream into an invisible dot-temp;
+  *  2. a MANIFEST (`.graft-cmp-<digest>.manifest.json`: final name +
+  *     source list; digest = md5 of the sorted source names) is written;
+  *  3. the temp renames to `compact-<digest>.avro` + sidecar — THE
+  *     commit point;
+  *  4. the sources (+ sidecars) are deleted;
+  *  5. the manifest is deleted.
+  * A crash before (3) aborts on the next `compact` (manifest with no
+  * final file ⇒ delete temp + manifest; sources untouched). A crash
+  * after (3) leaves the compacted file AND its sources visible —
+  * duplicate rows until the next `compact` runs its RECOVERY sweep,
+  * which finishes (4)+(5); the manifest makes that repair exact. This
+  * is the honest no-log trade: commit is atomic per bin, and the only
+  * inconsistent window (post-rename, pre-delete) is repairable and
+  * detectable, never silent.
+  */
+object AvroCompact {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** One planned bin: the directory it lives in, its source files
+    * (path-sorted), and the deterministic digest naming its output.
+    */
+  private final case class Bin(dir: String, sources: Seq[String]) {
+    def digest: String = md5Hex(sources.sorted.mkString("\n")).take(16)
+    def finalName: String = s"compact-$digest.avro"
+    def manifestName: String = s".graft-cmp-$digest.manifest.json"
+  }
+
+  /** Execute compaction under `dir`: recovery sweep, plan bins (per
+    * partition directory, compactionPlan's next-fit-decreasing rule),
+    * rewrite every multi-file bin, commit each through the manifest
+    * protocol. Returns the number of bins rewritten. Idempotent: a
+    * second run finds no multi-file bins (or finishes a crashed one)
+    * and rewrites nothing.
+    */
+  def compact(dir: String, targetBytes: Long,
+      blockRows: Int = AvroSink.DefaultBlockRows): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val conf = AvroSink.driverConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    recover(fs, root)
+    // candidacy: only files SMALLER than the target are compaction
+    // input — a container already at/above target is done (rewriting it
+    // into an ever-bigger monolith is pure churn, and excluding it is
+    // what makes repeated compaction converge: outputs of multi-file
+    // bins land at ≈≥ target and leave the candidate set)
+    val bins = planBins(
+      AvroDsv2.listFiles(dir, conf).filter(_._2 < targetBytes), targetBytes)
+      .filter(_.sources.size >= 2)
+    if (bins.isEmpty) return 0
+    // rewrite phase: dot-temps only (sources untouched); distributed one
+    // bin per task when a session is active
+    val written: Seq[(Bin, String, Array[Byte])] = try {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(ss) if bins.size > 1 =>
+          ss.sparkContext.parallelize(bins,
+            math.min(bins.size, math.max(1, ss.sparkContext.defaultParallelism)))
+            .map(b => (b, rewriteBin(b, blockRows)))
+            .collect().toSeq.map { case (b, (t, s)) => (b, t, s) }
+        case _ => bins.map { b =>
+          val (t, s) = rewriteBin(b, blockRows); (b, t, s)
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        AvroSink.tempSweep(fs, root, ".graft-cmp-")
+        throw t
+    }
+    // commit phase, per bin: manifest → rename+sidecar → source deletes
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    written.foreach { case (bin, tempPath, stats) =>
+      val dirPath = new Path(bin.dir)
+      val manifest = om.createObjectNode()
+      manifest.put("final", bin.finalName)
+      val arr = manifest.putArray("sources")
+      bin.sources.foreach(arr.add)
+      val mPath = new Path(dirPath, bin.manifestName)
+      val mOut = fs.create(mPath, true)
+      try mOut.write(om.writeValueAsBytes(manifest)) finally mOut.close()
+      val dst = new Path(dirPath, bin.finalName)
+      require(fs.rename(new Path(tempPath), dst),
+        s"graft-avro compact: rename $tempPath -> $dst failed")
+      val sOut = fs.create(new Path(dirPath, s"${bin.finalName}.stats.json"), true)
+      try sOut.write(stats) finally sOut.close()
+      bin.sources.foreach { s =>
+        fs.delete(new Path(s), false)
+        fs.delete(new Path(s"$s.stats.json"), false)
+      }
+      fs.delete(mPath, false)
+    }
+    written.size
+  }
+
+  /** Recovery sweep (see class doc): finish or abort every bin whose
+    * manifest survived a crash.
+    */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val it = fs.listFiles(root, true)
+    val manifests = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith(".graft-cmp-") && n.endsWith(".manifest.json"))
+        manifests += st.getPath
+    }
+    manifests.result().foreach { m =>
+      val in = fs.open(m)
+      val node = try om.readTree(in: java.io.InputStream) finally in.close()
+      val dirPath = m.getParent
+      val finalPath = new Path(dirPath, node.get("final").asText)
+      if (fs.exists(finalPath)) {
+        // crashed AFTER the commit point: finish the source deletes
+        node.get("sources").asScala.foreach { s =>
+          fs.delete(new Path(s.asText), false)
+          fs.delete(new Path(s"${s.asText}.stats.json"), false)
+        }
+      }
+      // crashed BEFORE: abort (temps are swept by prefix below)
+      fs.delete(m, false)
+    }
+    AvroSink.tempSweep(fs, root, ".graft-cmp-")
+  }
+
+  /** compactionPlan's assignment, driver-side over the metadata-scale
+    * listing: per directory, size DESC (path tiebreak), bin =
+    * floor(cumulative-bytes-before / target).
+    */
+  private def planBins(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[Bin] =
+    files.groupBy(f => new Path(f._1).getParent.toString).toSeq
+      .sortBy(_._1)
+      .flatMap { case (d, fs0) =>
+        val ordered = fs0.sortBy { case (p, len) => (-len, p) }
+        var cum = 0L
+        val binned = ordered.map { case (p, len) =>
+          val b = cum / targetBytes
+          cum += len
+          (b, p)
+        }
+        binned.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, ps) => Bin(d, ps.map(_._2).sorted) }
+      }
+
+  /** Rewrite one bin into a dot-temp: union the sources' header schemas
+    * by name (type conflicts fail loudly — the mergeschema contract),
+    * stream every source's records in path order, null-fill absent
+    * columns, regenerate stats. Returns (tempPath, sidecarBytes).
+    */
+  private def rewriteBin(bin: Bin, blockRows: Int): (String, Array[Byte]) = {
+    // merged schema across the bin (usually identical = first file's)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Schema]
+    bin.sources.foreach { p =>
+      val r = new DataFileReader[GenericRecord](
+        AvroDsv2.openSeekable(p), new GenericDatumReader[GenericRecord]())
+      try r.getSchema.getFields.asScala.foreach { f =>
+        merged.get(f.name) match {
+          case None => merged(f.name) = f.schema
+          case Some(prev) =>
+            if (AvroDsv2.sparkTypeOf(prev) != AvroDsv2.sparkTypeOf(f.schema))
+              throw new IllegalArgumentException(
+                s"graft-avro compact: column '${f.name}' type conflict " +
+                  s"within bin (${bin.sources.mkString(", ")})")
+        }
+      } finally r.close()
+    }
+    val fieldMeta = merged.toSeq.map { case (n, s) =>
+      (n, AvroDsv2.sparkTypeOf(s).typeName)
+    }
+    val outSchema = AvroSink.avroSchemaOf(fieldMeta)
+    val temp = new Path(bin.dir,
+      s".graft-cmp-${bin.digest}.avro.tmp")
+    val out = new AvroRewrite.ContainerOut(outSchema, fieldMeta, temp, blockRows)
+    try {
+      bin.sources.foreach { p =>
+        val in = new DataFileReader[GenericRecord](
+          AvroDsv2.openSeekable(p), new GenericDatumReader[GenericRecord]())
+        try {
+          val inSchema = in.getSchema
+          // out position j <- in position (or -1 = null-fill)
+          val posMap: Array[Int] = fieldMeta.map { case (n, _) =>
+            Option(inSchema.getField(n)).map(_.pos()).getOrElse(-1)
+          }.toArray
+          val identity = posMap.length == inSchema.getFields.size() &&
+            posMap.indices.forall(j => posMap(j) == j)
+          var rec: GenericRecord = null
+          while (in.hasNext) {
+            rec = in.next(rec)
+            if (identity) out.append(rec)
+            else {
+              val r2 = new GenericData.Record(outSchema)
+              var j = 0
+              while (j < posMap.length) {
+                if (posMap(j) >= 0) r2.put(j, rec.get(posMap(j)))
+                j += 1
+              }
+              out.append(r2)
+            }
+          }
+        } finally in.close()
+      }
+    } catch { case t: Throwable => out.abort(); throw t }
+    (temp.toString, out.finish())
+  }
+}
