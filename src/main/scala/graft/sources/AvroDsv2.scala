@@ -500,8 +500,28 @@ private[sources] object AvroBloom {
     }
   }
 
+  def md5(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def add(words: Array[Long], s: String): Unit =
     positions(s).foreach(p => words(p >> 6) |= 1L << (p & 63))
+
+  /** Insert from a precomputed MD5 digest — the write hot path computes
+    * the digest ONCE per value and feeds both the bloom and the HLL
+    * register block ([[AvroHll]]).
+    */
+  def addDigest(words: Array[Long], md: Array[Byte]): Unit = {
+    var i = 0
+    while (i < K) {
+      val o = i * 4
+      val h = ((md(o) & 0xff) << 24) | ((md(o + 1) & 0xff) << 16) |
+        ((md(o + 2) & 0xff) << 8) | (md(o + 3) & 0xff)
+      val p = (h & 0x7fffffff) % Bits
+      words(p >> 6) |= 1L << (p & 63)
+      i += 1
+    }
+  }
 
   def mayContain(words: Array[Long], s: String): Boolean =
     positions(s).forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
@@ -523,6 +543,70 @@ private[sources] object AvroBloom {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       Some(Array.fill(Words)(bb.getLong))
     }
+  } catch { case _: Throwable => None }
+}
+
+/** Per-column HyperLogLog register block for the sidecars (r18) — the
+  * NDV (distinct-count) sketch behind the scan's column-level CBO
+  * statistics. Same integer-exact derivation as the engine's corpus
+  * HLL (`Sketches.hllRegisters`, Flajolet et al. 2007): the value's MD5
+  * digest — computed ONCE per written value and shared with the bloom —
+  * yields a 60-bit hash (the first 15 hex digits); bucket = h mod 64,
+  * rho counts the leading zeros of the remaining 54-bit suffix.
+  * Registers MERGE BY MAX, so per-file blocks fold into an exact
+  * whole-table (or pruned-subset) sketch at planning time: 64 bytes per
+  * column per file buys Catalyst a join-selectivity NDV at 100 TB with
+  * zero container reads. Tracked for the same columns as the bloom
+  * (long/int/string canonical forms); doubles/booleans are not.
+  */
+private[sources] object AvroHll {
+  val M = 64
+  private val QBits = 54 // 60-bit hash minus 6 bucket bits
+
+  def add(regs: Array[Byte], md: Array[Byte]): Unit = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    h = h >>> 4 // top 60 bits = the md5's first 15 hex digits
+    val bucket = (h % M).toInt
+    val q = h / M
+    val rho =
+      if (q == 0L) QBits + 1
+      else QBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(q))
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  def mergeInto(acc: Array[Byte], other: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (other(i) > acc(i)) acc(i) = other(i); i += 1 }
+  }
+
+  /** Standard HLL estimate with the small-range linear-counting
+    * correction — driver-side planning math (an ESTIMATE for the
+    * optimizer, never oracle-compared, so libm is fine here).
+    */
+  def estimate(regs: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0; var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * M * M / sum
+    val corrected =
+      if (e <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else e
+    math.max(1L, math.round(corrected))
+  }
+
+  def toBase64(regs: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(regs)
+
+  /** None on any malformed/mis-sized payload (foreign sidecar). */
+  def fromBase64(s: String): Option[Array[Byte]] = try {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    if (bytes.length != M) None else Some(bytes)
   } catch { case _: Throwable => None }
 }
 
@@ -552,7 +636,7 @@ private[sources] object AvroStats {
       minD: Option[Double], maxD: Option[Double],
       minS: Option[String], maxS: Option[String], nulls: Long,
       nans: Option[Long] = None, bloom: Option[Array[Long]] = None,
-      sumL: Option[Long] = None)
+      sumL: Option[Long] = None, hll: Option[Array[Byte]] = None)
   // rows is an OPTION: a foreign/hand-edited sidecar with `cols` but no
   // `rows` must read as "row count unknown", never as 0 — a zero here
   // flows into numRows() estimates (auto-broadcasting a huge table) and
@@ -613,7 +697,9 @@ private[sources] object AvroStats {
               // double sum must read as "no sum", never as an approximation
               Option(v.get("sum"))
                 .filter(n => n.isIntegralNumber && n.canConvertToLong)
-                .map(_.asLong))
+                .map(_.asLong),
+              Option(v.get("hll")).filter(_.isTextual)
+                .flatMap(h => AvroHll.fromBase64(h.asText)))
           }.toMap
         }.getOrElse(Map.empty[String, Col])
       val blocks = Option(root.get("blocks")).filter(_.isArray)
@@ -1402,7 +1488,83 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
   override def estimateStatistics(): Statistics = {
     val surviving = pruneFiles(files)
     val bytes = surviving.map(_._2).sum
-    val rowCounts = surviving.map { case (p, _) => statsOf(p).flatMap(_.rows) }
+    val fileStats = surviving.map { case (p, _) => (p, statsOf(p)) }
+    val rowCounts = fileStats.map(_._2.flatMap(_.rows))
+    // -- per-column statistics for Catalyst's CBO (r18) ------------------
+    // NDV from the sidecars' max-merged HLL register blocks, null counts
+    // exact, min/max for integral columns (the types FilterEstimation's
+    // range math consumes directly) — what lets a selective filter on a
+    // graft-avro dimension shrink its size estimate enough to flip a
+    // join's build side to broadcast WITHOUT a hint. Strictly per-column
+    // conservative: a column is reported only when EVERY surviving file
+    // has a sidecar entry for it carrying the needed block (legacy or
+    // foreign sidecars silently decline that column, never guess).
+    val colStatsMap: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (fileStats.nonEmpty && fileStats.forall(_._2.isDefined)) {
+        val sts = fileStats.map(_._2.get)
+        readSchema().fields.filterNot(f => partNames.contains(f.name))
+          .foreach { f =>
+            val cols = sts.map(_.cols.get(f.name))
+            if (cols.forall(c => c.isDefined && c.get.hll.isDefined)) {
+              val cs = cols.map(_.get)
+              val merged = new Array[Byte](AvroHll.M)
+              cs.foreach(c => AvroHll.mergeInto(merged, c.hll.get))
+              val ndv = AvroHll.estimate(merged)
+              val nullsTotal = cs.map(_.nulls).sum
+              val (mn, mx): (Option[Any], Option[Any]) = f.dataType match {
+                case LongType =>
+                  (cs.flatMap(_.minL).minOption.map(java.lang.Long.valueOf(_): Any),
+                    cs.flatMap(_.maxL).maxOption.map(java.lang.Long.valueOf(_): Any))
+                case IntegerType =>
+                  (cs.flatMap(_.minL).minOption.map(l => java.lang.Integer.valueOf(l.toInt): Any),
+                    cs.flatMap(_.maxL).maxOption.map(l => java.lang.Integer.valueOf(l.toInt): Any))
+                case _ => (None, None)
+              }
+              m.put(org.apache.spark.sql.connector.expressions.Expressions
+                  .column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nullsTotal)
+                  override def min(): java.util.Optional[Object] =
+                    mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                })
+            }
+          }
+        // partition columns: NDV and null counts are EXACT from the
+        // surviving paths — no sketch needed
+        if (partSpec.nonEmpty && rowCounts.forall(_.isDefined)) {
+          val reqNames = readSchema().fieldNames.toSet
+          partSpec.filter(p => reqNames.contains(p._1)).foreach { case (n, t) =>
+            val vals = surviving.map { case (p, _) =>
+              AvroPartitions.rawValuesOf(p, partNames).get(n)
+                .map(AvroPartitions.typed(_, t)).orNull
+            }
+            val nonNull = vals.filter(_ != null).distinct
+            val nullRows = surviving.zip(vals).collect {
+              case ((p, _), null) => statsOf(p).flatMap(_.rows).getOrElse(0L)
+            }.sum
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(n),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(math.max(1L, nonNull.size.toLong))
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nullRows)
+              })
+          }
+        }
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -1410,6 +1572,9 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
         if (rowCounts.forall(_.isDefined))
           java.util.OptionalLong.of(rowCounts.flatten.sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStatsMap
     }
   }
 

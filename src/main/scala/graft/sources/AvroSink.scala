@@ -102,6 +102,15 @@ object AvroSink {
         case LongType | IntegerType | StringType => new Array[Long](AvroBloom.Words)
         case _ => null
       }
+    // HLL NDV registers (r18), tracked for the same columns as the
+    // bloom and fed from the SAME per-value MD5 digest (AvroHll doc)
+    val hll: Array[Byte] =
+      if (bloom == null) null else new Array[Byte](AvroHll.M)
+    private def sketch(s: String): Unit = {
+      val md = AvroBloom.md5(s)
+      AvroBloom.addDigest(bloom, md)
+      AvroHll.add(hll, md)
+    }
     def seenNumeric: Boolean = !minD.isNaN
     def addNull(): Unit = nulls += 1
     def addD(v: Double): Unit = {
@@ -116,7 +125,7 @@ object AvroSink {
       else { if (v < minL) minL = v; if (v > maxL) maxL = v }
       if (sumOk) try sumL = Math.addExact(sumL, v)
         catch { case _: ArithmeticException => sumOk = false }
-      if (bloom != null) AvroBloom.add(bloom, v.toString)
+      if (bloom != null) sketch(v.toString)
     }
     def addS(v: String): Unit = {
       // UTF-8 byte order, NOT String.compareTo (UTF-16 code units):
@@ -125,7 +134,7 @@ object AvroSink {
       // aggregate pushdown disagree with the real scan (r16 ADVICE)
       if (minS == null || AvroFilters.utf8Cmp(v, minS) < 0) minS = v
       if (maxS == null || AvroFilters.utf8Cmp(v, maxS) > 0) maxS = v
-      if (bloom != null) AvroBloom.add(bloom, v)
+      if (bloom != null) sketch(v)
     }
   }
 
@@ -378,8 +387,12 @@ object AvroSink {
           // is what unlocks upper-bound pruning and max() pushdown
           c.put("nans", a.nans)
       }
-      if (withBloom && a.bloom != null && (a.seenL || a.minS != null))
+      if (withBloom && a.bloom != null && (a.seenL || a.minS != null)) {
         c.put("bloom", AvroBloom.toBase64(a.bloom))
+        // NDV registers (r18): 64 bytes per column per file, max-merged
+        // across files at planning into Catalyst column statistics
+        c.put("hll", AvroHll.toBase64(a.hll))
+      }
     }
   }
 
