@@ -61,7 +61,69 @@ object OracleSql {
     * exponentially with hop depth (the BENCHNOTES GD-chain cliff).
     */
   private def hnswVisitedCtes(hops: Int, beam: Int, graphK: Int,
-      nProbe: Int): String = {
+      nProbe: Int, routing: Option[Int] = None): String = {
+    // entry probes: flat = rank ALL centroids per query; two-level
+    // (routing = Some(nCells), r18) = exact triangle-inequality bound
+    // routing over the nCells md5-leading centroids as CELLS — the
+    // oracle twin of Similarity.beamSearchKnnHier's entry stage
+    val entry = routing match {
+      case None =>
+        s"""pd AS (SELECT q.qid, c.cid,
+           |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
+           |      + list_dot_product(c.cv, c.cv) AS d2
+           |  FROM q CROSS JOIN c),
+           |pr AS (SELECT qid, cid FROM (SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd)
+           |  WHERE rn <= $nProbe),""".stripMargin
+      case Some(nCells) =>
+        // exact bound routing (r18): cells = md5-leading nCells
+        // centroids with their max leader->member L2 RADIUS; per query,
+        // lb(cell) = max(d(q, leader) - radius, 0); pass 1 ranks the
+        // best-lb cell's members for UB = the nProbe-th member
+        // distance (+inf when fewer); pass 2 ranks members of exactly
+        // the cells with lb <= UB. sqrt is IEEE-exact, so every bound
+        // replays bit-identically against the engine
+        s"""cl AS (SELECT cid AS cell, cv AS clv FROM c
+           |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $nCells),
+           |ca AS (SELECT cid, cell FROM (SELECT c.cid, cl.cell,
+           |    row_number() OVER (PARTITION BY c.cid ORDER BY
+           |      list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, cl.clv)
+           |        + list_dot_product(cl.clv, cl.clv), cl.cell) AS rn
+           |  FROM c CROSS JOIN cl) WHERE rn = 1),
+           |cr AS (SELECT cl.cell, max(sqrt(greatest(
+           |      list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, cl.clv)
+           |        + list_dot_product(cl.clv, cl.clv), CAST(0.0 AS DOUBLE)))) AS r
+           |  FROM cl JOIN ca ON ca.cell = cl.cell JOIN c ON c.cid = ca.cid
+           |  GROUP BY cl.cell),
+           |qlb AS (SELECT q.qid, cl.cell, greatest(sqrt(greatest(
+           |      list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, cl.clv)
+           |        + list_dot_product(cl.clv, cl.clv), CAST(0.0 AS DOUBLE)))
+           |    - cr.r, CAST(0.0 AS DOUBLE)) AS lb
+           |  FROM q CROSS JOIN cl JOIN cr ON cr.cell = cl.cell),
+           |p1 AS (SELECT qid, cell FROM (SELECT qid, cell,
+           |    row_number() OVER (PARTITION BY qid ORDER BY lb, cell) AS rn FROM qlb)
+           |  WHERE rn = 1),
+           |m1 AS (SELECT p1.qid, c.cid,
+           |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
+           |      + list_dot_product(c.cv, c.cv) AS d2
+           |  FROM p1 JOIN q ON q.qid = p1.qid
+           |  JOIN ca ON ca.cell = p1.cell JOIN c ON c.cid = ca.cid),
+           |ub AS (SELECT qid, coalesce(max(CASE WHEN rn = $nProbe
+           |      THEN sqrt(greatest(d2, CAST(0.0 AS DOUBLE))) END),
+           |    CAST('infinity' AS DOUBLE)) AS ub
+           |  FROM (SELECT qid, d2,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM m1)
+           |  GROUP BY qid),
+           |pd AS (SELECT q.qid, c.cid,
+           |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
+           |      + list_dot_product(c.cv, c.cv) AS d2
+           |  FROM qlb JOIN ub ON ub.qid = qlb.qid AND qlb.lb <= ub.ub
+           |  JOIN q ON q.qid = qlb.qid
+           |  JOIN ca ON ca.cell = qlb.cell JOIN c ON c.cid = ca.cid),
+           |pr AS (SELECT qid, cid FROM (SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd)
+           |  WHERE rn <= $nProbe),""".stripMargin
+    }
     val head =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e
@@ -74,13 +136,7 @@ object OracleSql {
          |a AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
          |  WHERE rn = 1),
-         |pd AS (SELECT q.qid, c.cid,
-         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, c.cv)
-         |      + list_dot_product(c.cv, c.cv) AS d2
-         |  FROM q CROSS JOIN c),
-         |pr AS (SELECT qid, cid FROM (SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd)
-         |  WHERE rn <= $nProbe),
+         |$entry
          |pe AS (SELECT x.vec_id AS src, y.vec_id AS dst,
          |    round(list_dot_product(x.v, y.v)
          |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
@@ -4097,6 +4153,51 @@ object OracleSql {
          |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
          |  cos + 0.0 AS cos
          |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
+    // serve-only ANN search: reload + search over the fixture-built
+    // index — the oracle is the SAME replay as q_sim_hnsw_search, so a
+    // stale or drifted fixture hash-mismatches
+    "q_sim_index_serve" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4)}
+         |f AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
+         |  cos + 0.0 AS cos
+         |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
+    // two-level routed search: the routing layer replays as two extra
+    // CTEs (cells = md5-leading 4 centroids, centroid->cell assignment,
+    // query->top-3 cells), then the same member ranking, entries, and
+    // unrolled beam hops — any divergence in the persisted cells,
+    // assignment table, or member ranking hash-mismatches
+    "q_sim_hnsw2_search" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4,
+              routing = Some(4))}
+         |f AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
+         |  cos + 0.0 AS cos
+         |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
+    // two-level recall audit: the routed visited set vs exact brute
+    // force, same comparison shape as q_sim_hnsw_recall
+    "q_sim_hnsw2_recall" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4,
+              routing = Some(4))}
+         |bt AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |  WHERE rn <= 10),
+         |ex AS (SELECT q.qid, e.vec_id AS id, round(${cosine("e.v", "q.qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q),
+         |ext AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM ex)
+         |  WHERE rn <= 10)
+         |SELECT ext.qid AS query_id,
+         |  CAST(sum(CASE WHEN bt.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN bt.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(10 AS DOUBLE), 6) AS recall
+         |FROM ext LEFT JOIN bt ON ext.qid = bt.qid AND ext.id = bt.id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin),
 
     // beam-search recall audit: the same unrolled visited set vs exact
     // brute force (the q_sim_ivf_recall comparison shape)

@@ -3856,6 +3856,74 @@ object SparkEntry {
         nProbe = 4, prebuiltEdges = Some(loadedEdges))
     }),
 
+    // -- serve-only ANN search (r18): the index fixture is built ONCE
+    // (first rep) and every later rep reloads + searches — the
+    // production serve latency q_sim_index_persist's build-per-rep
+    // lifecycle buries. Same oracle replay as q_sim_hnsw_search --------
+    "q_sim_index_serve" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val ixDir = s"${fixDir(dir)}/ann_index_avro_serve"
+      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+        val cents = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        Similarity.persistIndex(emb, "vec_id", "e", cents.toIndexedSeq,
+          graphK = 8, ixDir)
+      }
+      val (loadedCents, loadedEdges) = Similarity.loadIndex(s, ixDir)
+      Similarity.beamSearchKnn(emb, "vec_id", "e", loadedCents,
+        col("vec_id") < 10, k = 10, beamWidth = 8, hops = 6, graphK = 8,
+        nProbe = 4, prebuiltEdges = Some(loadedEdges))
+    }),
+
+    // -- TWO-LEVEL routed search (r18): the persisted index carries a
+    // routing layer — cells (leader + RADIUS) over the centroids — plus
+    // the corpus assignment table; serve time collects ONLY the cells
+    // and ranks member centroids of just the cells whose triangle-
+    // inequality lower bound admits a better entry (exact bound
+    // routing: the entry set provably equals the flat ranking, so
+    // recall matches flat at the same probe budget by construction).
+    // The driver never holds the centroid set; the oracle replays the
+    // bounds as extra CTEs ------------------------------------------------
+    "q_sim_hnsw2_search" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
+      Similarity.persistIndexHier(emb, "vec_id", "e", cents.toIndexedSeq,
+        nCells = 4, graphK = 8, ixDir)
+      val ix = Similarity.loadIndexHier(s, ixDir)
+      Similarity.beamSearchKnnHier(emb, "vec_id", "e", ix,
+        col("vec_id") < 10, k = 10, nProbe = 4, beamWidth = 8, hops = 6)
+    }),
+
+    // -- two-level recall audit (r18): recall@10 of the bound-routed
+    // search vs exact brute force, same harness/queries/ties as
+    // q_sim_hnsw_recall — by the bound's exactness the numbers must
+    // EQUAL q_sim_hnsw_recall's, and the spec pins that equality ---------
+    "q_sim_hnsw2_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
+      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+        val cents = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        Similarity.persistIndexHier(emb, "vec_id", "e", cents.toIndexedSeq,
+          nCells = 4, graphK = 8, ixDir)
+      }
+      val ix = Similarity.loadIndexHier(s, ixDir)
+      Similarity.beamRecallAuditHier(emb, "vec_id", "e", ix,
+          col("vec_id") < 10, k = 10, nProbe = 4, beamWidth = 8, hops = 6)
+        .orderBy("query_id")
+    }),
+
     // -- beam-search recall audit (r14): recall@10 of the routed beam
     // graph search vs exact brute force — the graph-ANN twin of
     // q_sim_ivf_recall, same queries, same tie rules ---------------------

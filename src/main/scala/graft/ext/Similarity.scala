@@ -1057,6 +1057,26 @@ object Similarity {
       .select(col("qid"), col("cid"), col("id"),
         round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
     val entries = queries.select(col("qid"), explode(col("probes")).as("id"))
+    routedBeamWalk(corpus, queries.select("qid", "qv"), entries, edges,
+      k, beamWidth, hops)
+  }
+
+  /** The per-(query, cluster) routed beam walk shared by the
+    * expression-assigned [[beamSearchKnn]] and the table-assigned
+    * persisted-index tier ([[beamSearchKnnHier]]): score the entry
+    * nodes, expand `hops` times through `edges` under a per-(qid, cid)
+    * beam, return the global top-k of everything visited. `corpus` =
+    * (id, v, cid); `queries` = (qid, qv); `entries` = (qid, id).
+    */
+  private def routedBeamWalk(corpus: DataFrame, queries: DataFrame,
+      entries: DataFrame, edges: DataFrame, k: Int, beamWidth: Int,
+      hops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def score(ids: DataFrame): DataFrame = ids
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("cid"), col("id"),
+        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
     val wc = Window.partitionBy("qid", "cid").orderBy(col("cos").desc, col("id"))
     // visited stays tiny (≤ nProbe·(1 + hops·beamWidth·graphK) rows per
     // query); localCheckpoint keeps the per-hop plan flat instead of
@@ -1075,6 +1095,241 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rn").cast("int").as("rn"),
         col("id").as("vec_id"), col("cos"))
       .orderBy("query_id", "rn")
+  }
+
+  // -- two-level (hierarchical) centroid routing (r18) -------------------
+  // At 100 TB the √n centroid set is itself corpus-sized: a flat reload
+  // collects it to the driver and inlines it into probe expressions.
+  // The fix is a ROUTING LAYER — centroids-of-centroids: the driver
+  // holds only the nCells cell leaders; a query ranks cells from that
+  // bounded list, then ranks ONLY the routed cells' member centroids
+  // through a distributed equi-join against the persisted centroid
+  // TABLE. The driver collect is bounded by the cell count, never the
+  // centroid count.
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    // left-to-right fold — the same IEEE accumulation order as the
+    // native dot expression and DuckDB's list_dot_product, so a
+    // driver-side assignment replays exactly in the oracle
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cells = the first `nCells` centroids in their md5 pick order (the
+    * same deterministic-selection device as the centroids themselves;
+    * farthest-first spread leaders were measured WORSE — in high-dim
+    * concentrated-distance embeddings spread maximization picks
+    * outliers whose routing is noise). Each centroid joins its nearest
+    * cell leader (raw-d2 order, ties to the smaller cell id), and every
+    * cell records its RADIUS — max leader→member L2 distance — which is
+    * what turns routing from a recall-losing heuristic into an exact
+    * bound (see [[beamSearchKnnHier]]). Driver-bounded:
+    * |centroids| × nCells.
+    */
+  private[graft] def cellAssignOf(centroids: Seq[(Long, Seq[Double])],
+      nCells: Int): (Seq[(Long, Seq[Double], Double)], Map[Long, Long]) = {
+    require(nCells >= 1 && nCells <= centroids.size,
+      s"nCells must be in [1, ${centroids.size}]: $nCells")
+    val cells = centroids.take(nCells)
+    val assign = centroids.map { case (cid, cv) =>
+      cid -> cells.map { case (cell, clv) =>
+        (dotSeq(cv, cv) - 2.0 * dotSeq(cv, clv) + dotSeq(clv, clv), cell)
+      }.min._2
+    }.toMap
+    val cellsWithRadius = cells.map { case (cell, clv) =>
+      val r = centroids.filter(c => assign(c._1) == cell).map { case (_, cv) =>
+        // sqrt is IEEE-exact (unlike pow/ln), so the radius replays
+        // bit-identically in the oracle
+        math.sqrt(math.max(0.0,
+          dotSeq(cv, cv) - 2.0 * dotSeq(cv, clv) + dotSeq(clv, clv)))
+      }.foldLeft(0.0)(math.max)
+      (cell, clv, r)
+    }
+    (cellsWithRadius, assign)
+  }
+
+  /** The reloaded two-level index: `cells` (leader vector + radius) is
+    * the only driver-side piece (bounded by the cell count); centroids,
+    * the corpus assignment, and the adjacency stay distributed tables.
+    */
+  final case class HierIndex(cells: Seq[(Long, Seq[Double], Double)],
+      centroids: DataFrame, assign: DataFrame, edges: DataFrame)
+
+  /** PERSIST the two-level ANN index (r18) — [[persistIndex]] plus the
+    * routing layer and the corpus assignment: `<dir>/cells` =
+    * (cell, pos, val), `<dir>/centroids` = (cid, cell, pos, val),
+    * `<dir>/assign` = (id, cid), `<dir>/edges` = (src, dst). The
+    * build-time corpus assignment enumerates the centroid literals once
+    * (the k-means-style ingest job); SERVE time never does.
+    */
+  def persistIndexHier(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], nCells: Int, graphK: Int,
+      dir: String): Unit = {
+    require(centroids.nonEmpty && graphK > 0, "need centroids, graphK > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cells, cellOf) = cellAssignOf(centroids, nCells)
+    graft.sources.AvroSink.write(
+      cells.flatMap { case (cell, v, r) =>
+        v.zipWithIndex.map { case (x, i) => (cell, i, x, r) }
+      }.toDF("cell", "pos", "val", "radius"), s"$dir/cells", overwrite = true)
+    graft.sources.AvroSink.write(
+      centroids.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, cellOf(cid), i, x) }
+      }.toDF("cid", "cell", "pos", "val"), s"$dir/centroids", overwrite = true)
+    val ev = VectorOps.toDouble(col(vecCol))
+    val assignEntries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(col("v"), col("v")) -
+        lit(2.0) * VectorOps.dotNative(col("v"), c) + VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    graft.sources.AvroSink.write(
+      df.select(col(idCol).cast("long").as("id"), ev.as("v"))
+        .select(col("id"),
+          array_min(array(assignEntries: _*)).getField("cid").as("cid")),
+      s"$dir/assign", overwrite = true)
+    graft.sources.AvroSink.write(
+      symmetrizedKnnEdges(df, idCol, vecCol, centroids, graphK),
+      s"$dir/edges", overwrite = true)
+  }
+
+  /** Reload a [[persistIndexHier]] artifact. ONLY the cells collect
+    * (n_cells × dims rows); centroid vectors re-assemble distributedly
+    * from their exploded rows.
+    */
+  def loadIndexHier(spark: org.apache.spark.sql.SparkSession,
+      dir: String): HierIndex = {
+    val cells = spark.read.format("graft-avro").load(s"$dir/cells")
+      .collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("pos"),
+        r.getAs[Double]("val"), r.getAs[Double]("radius")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double],
+          rows.head._4)
+      }
+    val cvecs = spark.read.format("graft-avro").load(s"$dir/centroids")
+      .groupBy("cid", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
+      .select(col("cid"), col("cell"),
+        expr("transform(pv, s -> s.val)").as("cvec"))
+    HierIndex(cells,
+      cvecs,
+      spark.read.format("graft-avro").load(s"$dir/assign"),
+      spark.read.format("graft-avro").load(s"$dir/edges"))
+  }
+
+  /** Hierarchically-routed beam search over a reloaded index (r18),
+    * with EXACT bound routing — the property a heuristic top-cells rule
+    * cannot give (measured: md5-leading 3-of-4-cell routing lost
+    * 0.03–0.04 avg recall vs flat): the entry set provably EQUALS the
+    * flat ranking's, so recall at the same probe budget is identical by
+    * construction, while most cells are never member-ranked.
+    *
+    * Triangle-inequality routing (the IVF branch-and-bound device; L2
+    * sqrt is IEEE-exact so every bound replays bit-identically in the
+    * oracle): for cell leader l with radius r (max leader→member
+    * distance, stored at build), every member m satisfies
+    * d(q, m) ≥ d(q, l) − r = lb(cell). Pass 1 ranks the members of the
+    * single best-lb cell and takes UB = its nProbe-th member distance
+    * (+∞ when fewer); pass 2 ranks members of exactly the cells with
+    * lb ≤ UB. Any true top-nProbe member has d ≤ UB, hence its cell has
+    * lb ≤ UB, hence it is ranked — the final top-nProbe is the flat
+    * top-nProbe, always. At 100 TB with √n centroids in √√n-ish cells,
+    * concentrated queries rank a handful of cells' members instead of
+    * the whole centroid table, and the driver holds ONLY the cell list.
+    *
+    * Corpus cluster ids come from the PERSISTED assignment table — serve
+    * time inlines no centroid literals. Same determinism contract as
+    * [[beamSearchKnn]] (raw-d2 rank with id ties, round-6 cosines).
+    */
+  def beamSearchKnnHier(df: DataFrame, idCol: String, vecCol: String,
+      index: HierIndex, queryPred: Column, k: Int,
+      nProbe: Int = 4, beamWidth: Int = 2, hops: Int = 5): DataFrame = {
+    require(index.cells.nonEmpty && k > 0 && beamWidth > 0 && nProbe > 0,
+      "need cells, k > 0, beamWidth > 0, nProbe > 0")
+    require(hops >= 1 && hops <= 8, s"hops must be in [1, 8]: $hops")
+    import org.apache.spark.sql.expressions.Window
+    val ev = VectorOps.toDouble(col(vecCol))
+    val corpus = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
+      .join(index.assign.select(col("id").cast("long").as("id"),
+        col("cid").cast("long").as("cid")), Seq("id"))
+    // per-cell lower bound lb = max(d(q, leader) − radius, 0), from the
+    // driver-bounded cell list only
+    val cellEntries = index.cells.map { case (cell, clv, r) =>
+      val c = typedLit(clv)
+      val d2 = VectorOps.dotNative(col("qv"), col("qv")) -
+        lit(2.0) * VectorOps.dotNative(col("qv"), c) + VectorOps.dotNative(c, c)
+      struct(greatest(sqrt(greatest(d2, lit(0.0))) - lit(r), lit(0.0)).as("lb"),
+        lit(cell).as("cell"))
+    }
+    val queries = df.where(queryPred)
+      .select(col(idCol).cast("long").as("qid"), ev.as("qv"))
+      .withColumn("lbs", array_sort(array(cellEntries: _*)))
+    val memberD = (VectorOps.dotNative(col("qv"), col("qv")) -
+      lit(2.0) * VectorOps.dotNative(col("qv"), col("cvec")) +
+      VectorOps.dotNative(col("cvec"), col("cvec"))).as("d2")
+    // pass 1: members of the single best-lb cell -> UB
+    val p1 = queries
+      .select(col("qid"), col("qv"),
+        element_at(col("lbs"), 1).getField("cell").as("cell"))
+      .join(index.centroids, Seq("cell"))
+      .select(col("qid"), col("cid"), memberD)
+    val wp = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val ub = p1.withColumn("rn", row_number().over(wp))
+      .groupBy("qid")
+      .agg(max(when(col("rn") === nProbe,
+        sqrt(greatest(col("d2"), lit(0.0))))).as("ubv"))
+      .select(col("qid"),
+        coalesce(col("ubv"), lit(Double.PositiveInfinity)).as("ub"))
+    // pass 2: exactly the cells whose bound admits a better member
+    val routed = queries
+      .select(col("qid"), col("qv"), explode(col("lbs")).as("s"))
+      .select(col("qid"), col("qv"), col("s").getField("lb").as("lb"),
+        col("s").getField("cell").as("cell"))
+      .join(ub, Seq("qid"))
+      .where(col("lb") <= col("ub"))
+    val cand = routed.join(index.centroids, Seq("cell"))
+      .select(col("qid"), col("cid"), memberD)
+    val entries = cand.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("id"))
+    val edges = graft.Caches.register(index.edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    routedBeamWalk(corpus, queries.select("qid", "qv"), entries, edges,
+      k, beamWidth, hops)
+  }
+
+  /** Recall@k of the hierarchically-routed search vs exact brute force
+    * — the two-level twin of [[beamRecallAudit]], same queries and tie
+    * rules, so the two numbers compare at equal probe budgets.
+    */
+  def beamRecallAuditHier(df: DataFrame, idCol: String, vecCol: String,
+      index: HierIndex, queryPred: Column, k: Int,
+      nProbe: Int = 4, beamWidth: Int = 2, hops: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = VectorOps.toDouble(col(vecCol))
+    val corpus = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
+    val queries = df.where(queryPred)
+      .select(col(idCol).cast("long").as("qid"), ev.as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    val beamTop = beamSearchKnnHier(df, idCol, vecCol, index, queryPred,
+        k, nProbe, beamWidth, hops)
+      .select(col("query_id").as("qid"), col("vec_id").as("id"),
+        lit(1).as("__hit"))
+    val exactTop = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= k)
+      .select("qid", "id")
+    exactTop.join(beamTop, Seq("qid", "id"), "left")
+      .groupBy(col("qid").as("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
   }
 
   /** Recall@k of [[beamSearchKnn]] against the exact brute-force top-k —
