@@ -5196,6 +5196,18 @@ object OracleSql {
         |FROM documents WHERE (n_chars < 200 OR lang = 'de') IS NOT TRUE
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // SQL catalog round trip: CREATE/INSERT/DELETE/SELECT through the
+    // graft TableCatalog; the DELETE mixes partition-grain and
+    // row-grain (COW) tiers. The oracle aggregates the survivors, so a
+    // mis-resolved table, a lost INSERT row, or an over/under-delete
+    // hash-mismatches
+    "q_sql_avro_catalog" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE (lang = 'de' OR n_chars < 100) IS NOT TRUE
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // clustered write: graft.sortby/range lay the table out range-
     // disjoint; the probe reads one file's few blocks. The oracle is the
     // filtered source table, so a layout that loses or duplicates rows

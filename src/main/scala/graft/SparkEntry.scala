@@ -825,6 +825,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // -- SQL catalog round trip (r18): CREATE TABLE / INSERT INTO /
+    // DELETE FROM / SELECT resolve through the graft TableCatalog — the
+    // DELETE mixes the partition grain (lang = 'de' unlinks a
+    // directory) and the row grain (n_chars < 100 rewrites copy-on-
+    // write) in ONE SQL statement. The oracle aggregates the rows a
+    // correct delete leaves behind --------------------------------------
+    "q_sql_avro_catalog" -> ((s, dir) => {
+      val wh = s"${fixDir(dir)}/avro_warehouse"
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.AvroCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.g18")
+      s.sql("DROP TABLE IF EXISTS graftcat.g18.docs")
+      s.sql("CREATE TABLE graftcat.g18.docs " +
+        "(doc_id BIGINT, n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      T(s, dir, "documents").select("doc_id", "n_chars", "lang")
+        .createOrReplaceTempView("graft_docs_src")
+      s.sql("INSERT INTO graftcat.g18.docs " +
+        "SELECT doc_id, n_chars, lang FROM graft_docs_src")
+      s.sql("DELETE FROM graftcat.g18.docs " +
+        "WHERE lang = 'de' OR n_chars < 100")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM graftcat.g18.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

@@ -982,7 +982,11 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new AvroWriteBuilder(info, pathStr)
+    // the table's own committed partition spec is the default layout —
+    // what makes a SQL `INSERT INTO` through [[AvroCatalog]] (no write
+    // options) land in the partitioned layout; the explicit
+    // `graft.partitionby` option (path-API writes) still wins
+    new AvroWriteBuilder(info, pathStr, partSpec.map(_._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, pathStr, files, splitBytes,
       AvroStreamOpts(

@@ -463,13 +463,15 @@ object AvroSink {
   * job COMMIT so a failed overwrite leaves the previous dataset intact.
   */
 private[sources] class AvroWriteBuilder(info: LogicalWriteInfo,
-    pathStr: String) extends WriteBuilder with SupportsTruncate {
+    pathStr: String, tablePartCols: Seq[String] = Seq.empty)
+  extends WriteBuilder with SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
   override def build(): Write = new AvroBatchWrite(
     info.schema(), pathStr, truncateOnCommit, info.queryId(),
     Option(info.options.get("graft.partitionby"))
-      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(tablePartCols),
     Option(info.options.get("graft.blockrows")).map(_.toInt)
       .getOrElse(AvroSink.DefaultBlockRows),
     Option(info.options.get("graft.sortby"))
