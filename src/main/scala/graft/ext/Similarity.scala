@@ -1051,11 +1051,6 @@ object Similarity {
       .withColumn("probes", transform(
         slice(array_sort(array(probeEntries: _*)), 1, nProbe),
         s => s.getField("cid")))
-    def score(ids: DataFrame): DataFrame = ids
-      .join(corpus, Seq("id"))
-      .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
-      .select(col("qid"), col("cid"), col("id"),
-        round(VectorOps.cosineNative(col("v"), col("qv")), 6).as("cos"))
     val entries = queries.select(col("qid"), explode(col("probes")).as("id"))
     routedBeamWalk(corpus, queries.select("qid", "qv"), entries, edges,
       k, beamWidth, hops)

@@ -72,6 +72,18 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
 
   private val SchemaMarker = "_graft_schema.json"
 
+  /** Is this directory a TABLE (vs a namespace)? A table carries the
+    * CREATE-time schema marker, a committed partition spec, or direct
+    * `*.avro` children (a flat path-API table adopted into the
+    * catalog). Deliberately NON-recursive: a namespace whose child
+    * tables hold containers must not itself read as a table.
+    */
+  private def isTableDir(dir: Path): Boolean =
+    fs.exists(new Path(dir, SchemaMarker)) ||
+      fs.exists(new Path(dir, AvroPartitions.SpecFile)) ||
+      (fs.exists(dir) && fs.listStatus(dir).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".avro")))
+
   // -- tables -----------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -80,15 +92,14 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
       name() +: namespace)
     fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => fs.exists(new Path(new Path(dir, n), SchemaMarker)))
+      .filter(n => isTableDir(new Path(dir, n)))
       .sorted
       .map(n => Identifier.of(namespace, n))
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
-    fs.exists(new Path(dir, SchemaMarker)) ||
-      (fs.exists(dir) && AvroDsv2.listFiles(dir.toString, conf).nonEmpty)
+    fs.exists(dir) && isTableDir(dir)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -158,9 +169,15 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dir)
     if (partSpec.nonEmpty)
       AvroPartitions.writeSpec(dir.toString, conf, partSpec)
-    val out = fs.create(new Path(dir, SchemaMarker), true)
+    // marker written ATOMICALLY (temp + rename): tableExists keys off
+    // it, so a torn marker would make the table simultaneously
+    // un-creatable and un-loadable (r18 review)
+    val mTmp = new Path(dir, s".$SchemaMarker.tmp")
+    val out = fs.create(mTmp, true)
     try out.write(StructType(dataFields).json.getBytes(
       java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    require(fs.rename(mTmp, new Path(dir, SchemaMarker)),
+      s"graft catalog: schema marker rename failed for $ident")
     loadTable(ident)
   }
 
@@ -188,6 +205,7 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     if (!fs.exists(warehouse)) return Array.empty
     fs.listStatus(warehouse).filter(_.isDirectory)
+      .filter(st => !isTableDir(st.getPath))
       .map(st => Array(st.getPath.getName)).sortBy(_.head)
   }
 
@@ -197,7 +215,7 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       name() +: namespace)
     fs.listStatus(dir).filter(_.isDirectory)
-      .filter(st => !fs.exists(new Path(st.getPath, SchemaMarker)))
+      .filter(st => !isTableDir(st.getPath))
       .map(st => namespace :+ st.getPath.getName)
       .sortBy(_.mkString("."))
   }

@@ -98,7 +98,13 @@ object AvroCompact {
         AvroSink.tempSweep(fs, root, ".graft-cmp-")
         throw t
     }
-    // commit phase, per bin: manifest → rename+sidecar → source deletes
+    // commit phase, per bin: manifest (atomic temp+rename — a torn
+    // manifest must be impossible, recovery parses it) → SIDECAR →
+    // rename (= the commit point; the sidecar lands first because a
+    // sidecar without its container is inert to readers, while a
+    // container that crash-lost its sidecar would lose pushdown/pruning
+    // FOREVER — compacted files sit at/above target and never re-enter
+    // compaction) → source deletes → manifest delete
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     written.foreach { case (bin, tempPath, stats) =>
       val dirPath = new Path(bin.dir)
@@ -107,13 +113,17 @@ object AvroCompact {
       val arr = manifest.putArray("sources")
       bin.sources.foreach(arr.add)
       val mPath = new Path(dirPath, bin.manifestName)
-      val mOut = fs.create(mPath, true)
+      val mTmp = new Path(dirPath, s"${bin.manifestName}.tmp")
+      val mOut = fs.create(mTmp, true)
       try mOut.write(om.writeValueAsBytes(manifest)) finally mOut.close()
+      fs.delete(mPath, false)
+      require(fs.rename(mTmp, mPath),
+        s"graft-avro compact: manifest rename $mTmp -> $mPath failed")
+      val sOut = fs.create(new Path(dirPath, s"${bin.finalName}.stats.json"), true)
+      try sOut.write(stats) finally sOut.close()
       val dst = new Path(dirPath, bin.finalName)
       require(fs.rename(new Path(tempPath), dst),
         s"graft-avro compact: rename $tempPath -> $dst failed")
-      val sOut = fs.create(new Path(dirPath, s"${bin.finalName}.stats.json"), true)
-      try sOut.write(stats) finally sOut.close()
       bin.sources.foreach { s =>
         fs.delete(new Path(s), false)
         fs.delete(new Path(s"$s.stats.json"), false)
@@ -131,25 +141,48 @@ object AvroCompact {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val it = fs.listFiles(root, true)
     val manifests = Seq.newBuilder[Path]
+    val manifestTemps = Seq.newBuilder[Path]
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
       if (n.startsWith(".graft-cmp-") && n.endsWith(".manifest.json"))
         manifests += st.getPath
+      else if (n.startsWith(".graft-cmp-") && n.endsWith(".manifest.json.tmp"))
+        manifestTemps += st.getPath // torn pre-commit write: plain abort
     }
+    manifestTemps.result().foreach(p => fs.delete(p, false))
     manifests.result().foreach { m =>
-      val in = fs.open(m)
-      val node = try om.readTree(in: java.io.InputStream) finally in.close()
       val dirPath = m.getParent
-      val finalPath = new Path(dirPath, node.get("final").asText)
+      // the digest is in the NAME, so the final path is derivable even
+      // from an unreadable manifest (committed manifests are written
+      // atomically, but a foreign/hand-torn file must not brick every
+      // later compact() — the r18 review's repair-contract finding)
+      val digest = m.getName.stripPrefix(".graft-cmp-")
+        .stripSuffix(".manifest.json")
+      val finalPath = new Path(dirPath, s"compact-$digest.avro")
+      val node = try {
+        val in = fs.open(m)
+        try Some(om.readTree(in: java.io.InputStream)) finally in.close()
+      } catch { case _: Throwable => None }
       if (fs.exists(finalPath)) {
-        // crashed AFTER the commit point: finish the source deletes
-        node.get("sources").asScala.foreach { s =>
+        // crashed AFTER the commit point: finish the source deletes —
+        // this needs the source list, so an unreadable manifest here
+        // (impossible under the atomic-write protocol) fails LOUDLY
+        // rather than leaving silent duplicates
+        val sources = node.flatMap(n => Option(n.get("sources"))).getOrElse(
+          throw new IllegalStateException(
+            s"graft-avro compact: unreadable committed manifest $m — " +
+              s"cannot determine which sources to retire (duplicates " +
+              s"visible until resolved)"))
+        sources.asScala.foreach { s =>
           fs.delete(new Path(s.asText), false)
           fs.delete(new Path(s"${s.asText}.stats.json"), false)
         }
+      } else {
+        // crashed BEFORE: abort — also retire the orphan sidecar the
+        // commit may have written ahead of the rename
+        fs.delete(new Path(dirPath, s"compact-$digest.avro.stats.json"), false)
       }
-      // crashed BEFORE: abort (temps are swept by prefix below)
       fs.delete(m, false)
     }
     AvroSink.tempSweep(fs, root, ".graft-cmp-")

@@ -548,6 +548,19 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     (c, f.dataType.typeName)
   }
 
+  // option-combination validation, loud at PLANNING (r18 review):
+  // graft.range without graft.sortby would silently produce no
+  // clustering at all, and graft.writepartitions without graft.range
+  // would die later inside Spark with an opaque unspecified-distribution
+  // error — both are user mistakes this sink can name precisely
+  require(!rangeCluster || sortBy.nonEmpty,
+    "graft-avro: graft.range=true requires graft.sortby (range " +
+      "clustering needs sort columns)")
+  require(writePartitions == 0 || (rangeCluster && sortBy.nonEmpty),
+    "graft-avro: graft.writepartitions requires graft.range=true + " +
+      "graft.sortby (a partition count is only meaningful for the " +
+      "range-clustered distribution)")
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     AvroSink.validateSchema(schema)

@@ -84,7 +84,14 @@ class PlanShapeSpec extends SparkSpec {
     // exchange-ZERO join — only the final orderBy may exchange) and the
     // SUM metadata pushdown (golden embeds zero scans/shuffles)
     "q_s21_avro_spj", "q_s22_avro_sum_agg", "q_s26_avro_spj_agg",
-    "q_s27_avro_block_skip", "q_s28_avro_prefix_skip")
+    "q_s27_avro_block_skip", "q_s28_avro_prefix_skip",
+    // r18 additions: the COW row delete (golden pins the post-delete
+    // aggregate still reading through pushed filters), the clustered
+    // write probe, compaction execution, the SQL-catalog round trip,
+    // and the two-level ANN serve tier
+    "q_s29_avro_row_delete", "q_s30_avro_clustered_write",
+    "q_layout_compact_exec", "q_sql_avro_catalog",
+    "q_sim_index_serve", "q_sim_hnsw2_search", "q_sim_hnsw2_recall")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {

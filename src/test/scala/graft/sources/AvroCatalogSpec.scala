@@ -49,6 +49,10 @@ class AvroCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gtest.db1.t SELECT id + 1000, v, lang FROM cat_src")
     assert(spark.sql("SELECT count(*) FROM gtest.db1.t WHERE id >= 1000")
       .collect().head.getLong(0) === 90L)
+    // unconditional DELETE (AlwaysTrue) unlinks everything, zero reads
+    spark.sql("DELETE FROM gtest.db1.t")
+    assert(spark.sql("SELECT count(*) FROM gtest.db1.t")
+      .collect().head.getLong(0) === 0L)
   }
 
   test("catalog metadata: exists/list/drop/rename; misdeclarations refuse") {

@@ -129,5 +129,23 @@ class AvroClusteredWriteSpec extends SparkSpec {
         .mode("overwrite").save(tempDir())
     }
     assert(ex.getMessage.contains("graft.sortby"), ex.getMessage)
+    // option combinations that would silently do nothing (range without
+    // sort) or die opaquely inside Spark (writepartitions without range)
+    // refuse loudly at planning instead
+    val ex2 = intercept[Exception] {
+      df.write.format("graft-avro")
+        .option("graft.schema", df.schema.json)
+        .option("graft.range", "true")
+        .mode("overwrite").save(tempDir())
+    }
+    assert(ex2.getMessage.contains("graft.range"), ex2.getMessage)
+    val ex3 = intercept[Exception] {
+      df.write.format("graft-avro")
+        .option("graft.schema", df.schema.json)
+        .option("graft.sortby", "id")
+        .option("graft.writepartitions", "4")
+        .mode("overwrite").save(tempDir())
+    }
+    assert(ex3.getMessage.contains("graft.writepartitions"), ex3.getMessage)
   }
 }
