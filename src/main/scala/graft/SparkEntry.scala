@@ -3916,13 +3916,18 @@ object SparkEntry {
     "q_sim_hnsw2_search" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val cents = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
       val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
-      Similarity.persistIndexHier(emb, "vec_id", "e", cents.toIndexedSeq,
-        nCells = 4, graphK = 8, ixDir)
+      // build ONCE (first rep), serve from the reload after — the
+      // serve-latency bench shape (r17 verdict #6); the full
+      // build-per-rep lifecycle stays measured by q_sim_index_persist
+      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+        val cents = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        Similarity.persistIndexHier(emb, "vec_id", "e", cents.toIndexedSeq,
+          nCells = 4, graphK = 8, ixDir)
+      }
       val ix = Similarity.loadIndexHier(s, ixDir)
       Similarity.beamSearchKnnHier(emb, "vec_id", "e", ix,
         col("vec_id") < 10, k = 10, nProbe = 4, beamWidth = 8, hops = 6)

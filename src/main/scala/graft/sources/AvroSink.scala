@@ -185,11 +185,14 @@ object AvroSink {
     * `dir/col=value/.../part-*.avro`, partition columns live in the
     * path (not the containers) and come back typed, LAST in the schema,
     * on read; the scan prunes whole directories from pushed filters on
-    * them (see [[AvroPartitions]]). The frame is repartitioned on the
-    * partition columns first so each task holds few open writers and a
-    * partition value's rows concentrate into few containers — the
-    * layout lever that turns a 100 TB `WHERE lang = 'en'` into a
-    * directory listing. Partition columns: long/int/string/boolean.
+    * them (see [[AvroPartitions]]). The WRITE PLAN declares a clustered
+    * distribution on the partition columns (r18 — was a caller-side
+    * repartition here), so each task holds few open writers and a
+    * partition value's rows concentrate into few containers — and a SQL
+    * `INSERT INTO` through the catalog (no options, no helper) gets the
+    * same layout. The lever that turns a 100 TB `WHERE lang = 'en'`
+    * into a directory listing. Partition columns:
+    * long/int/string/boolean.
     */
   def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String],
       overwrite: Boolean = false): Unit = {
@@ -202,8 +205,7 @@ object AvroSink {
         s"partition column '$c' must be long/int/string/boolean, " +
           s"got ${f.dataType}")
     }
-    df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.format("graft-avro")
+    df.write.format("graft-avro")
       .option("graft.schema", df.schema.json)
       .option("graft.partitionby", partCols.mkString(","))
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
@@ -528,6 +530,19 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     if (sortBy.nonEmpty && rangeCluster)
       org.apache.spark.sql.connector.distributions.Distributions
         .ordered(sortOrders)
+    else if (partCols.nonEmpty)
+      // partitioned writes declare a CLUSTERED distribution on the
+      // partition columns (r18): Spark co-locates each partition
+      // value's rows into one task, so every write path — including a
+      // SQL INSERT INTO through the catalog, which passes no options —
+      // produces few containers per value instead of tasks × values
+      // (writePartitioned used to repartition caller-side; the write
+      // plan now owns that requirement)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(partCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): org.apache.spark.sql.connector.expressions
+            .Expression).toArray)
     else org.apache.spark.sql.connector.distributions.Distributions
       .unspecified()
   // `graft.writepartitions`: pins the distribution's partition count —

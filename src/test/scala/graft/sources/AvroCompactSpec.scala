@@ -70,12 +70,14 @@ class AvroCompactSpec extends SparkSpec {
     val dir = tempDir()
     val df = spark.range(600).select(col("id"),
       concat(lit("L"), (col("id") % 2).cast("string")).as("lang"))
-    // several containers per partition value: bypass writePartitioned's
-    // own repartition-by-lang so each of 6 tasks writes both lang dirs
-    df.repartition(6, col("id")).write.format("graft-avro")
-      .option("graft.schema", df.schema.json)
-      .option("graft.partitionby", "lang")
-      .mode("overwrite").save(dir)
+    // several containers per partition value: partitioned writes now
+    // cluster by lang (one container per value per write), so stack
+    // three APPENDS to get three files per partition directory
+    AvroSink.writePartitioned(df.where(col("id") < 200), dir, Seq("lang"),
+      overwrite = true)
+    AvroSink.writePartitioned(
+      df.where(col("id") >= 200 && col("id") < 400), dir, Seq("lang"))
+    AvroSink.writePartitioned(df.where(col("id") >= 400), dir, Seq("lang"))
     val filesBefore = AvroDsv2.listFiles(dir, conf)
     assert(filesBefore.size > 2, filesBefore.toString)
     val before = contents(dir)

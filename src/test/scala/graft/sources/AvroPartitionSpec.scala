@@ -122,12 +122,25 @@ class AvroPartitionSpec extends SparkSpec {
         lit(2).cast("int").as("band"), (col("id") * 1.0).as("score")),
       dir, Seq("lang", "band"))
     assert(spark.read.format("graft-avro").load(dir).count() === 15L)
-    // flat append into a partitioned table is refused
+    // an option-less append INHERITS the committed layout (r18: the
+    // write builder falls back to the table's partition spec — what
+    // lets a SQL INSERT INTO land partitioned): rows arrive in the
+    // hive layout, never as flat containers
+    AvroSink.write(spark.range(100, 103).select(col("id"),
+      lit("z").as("lang"), lit(3).cast("int").as("band"),
+      (col("id") * 1.0).as("score")), dir)
+    assert(new java.io.File(dir, "lang=z/band=3").exists,
+      "inherited-layout append must land in partition directories")
+    assert(spark.read.format("graft-avro").load(dir).count() === 18L)
+    // an append whose schema LACKS the partition columns still refuses
+    // (the clustered write distribution resolves the partition column
+    // first, so Spark's unresolved-attribute error fires)
     val ex = intercept[Exception] {
-      AvroSink.write(spark.range(3).select(col("id"), lit("z").as("lang"),
-        lit(3).cast("int").as("band"), (col("id") * 1.0).as("score")), dir)
+      AvroSink.write(spark.range(3).select(col("id"),
+        (col("id") * 1.0).as("score")), dir)
     }
-    assert(ex.getMessage.contains("layout mismatch"), ex.getMessage)
+    assert(ex.getMessage.contains("not in schema") ||
+      ex.getMessage.contains("Unable to resolve"), ex.getMessage)
     // partitioned append with a DIFFERENT spec is refused
     val ex2 = intercept[Exception] {
       AvroSink.writePartitioned(a, dir, Seq("band"))
