@@ -5208,6 +5208,23 @@ object OracleSql {
         |FROM documents WHERE (lang = 'de' OR n_chars < 100) IS NOT TRUE
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // row-level copy-on-write update: the engine applied literal
+    // assignments to exactly the definitely-TRUE rows; the oracle
+    // replays the CASE rewrite over the source table, so an over- or
+    // under-update — or a stale sidecar answering the post-update
+    // aggregate — hash-mismatches
+    "q_s31_avro_row_update" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN lang = 'de' AND n_chars >= 300
+        |      THEN 'redacted' ELSE lang END AS lang,
+        |    CASE WHEN lang = 'de' AND n_chars >= 300
+        |      THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // clustered write: graft.sortby/range lay the table out range-
     // disjoint; the probe reads one file's few blocks. The oracle is the
     // filtered source table, so a layout that loses or duplicates rows

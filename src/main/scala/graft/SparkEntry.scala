@@ -803,6 +803,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- S31 row-level copy-on-write UPDATE (r18): literal assignments
+    // (the GDPR-rectification / redaction shape) applied to exactly the
+    // definitely-TRUE rows, only may-match containers rewritten. The
+    // oracle replays the CASE rewrite over the source table, so an
+    // over-/under-update or a stale sidecar hash-mismatches ---------------
+    "q_s31_avro_row_update" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_rowupd"
+      AvroSink.write(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        p, overwrite = true)
+      AvroSink.updateWhere(s, p,
+        col("lang") === "de" && col("n_chars") >= 300,
+        Map("lang" -> "redacted", "n_chars" -> null))
+      s.read.format("graft-avro").load(p)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // -- S30 CLUSTERED WRITE (r18): graft.sortby + graft.range declare
     // the layout through the write plan (RequiresDistributionAndOrdering)
     // — files hold disjoint o_orderkey ranges, blocks are tight — and the

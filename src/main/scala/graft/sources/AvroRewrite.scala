@@ -107,6 +107,68 @@ private[graft] object AvroRewrite {
     } finally in.close()
   }
 
+  /** Row-level copy-on-write UPDATE of one container (r18): rows where
+    * the filter conjunction is definitely TRUE get `assignments`
+    * applied (values pre-validated and pre-boxed to the column's exact
+    * java type by [[AvroSink.updateWhere]]); every other row passes
+    * through byte-equivalent. SQL UPDATE null semantics: FALSE and
+    * UNKNOWN rows are untouched. The GDPR-rectification / redaction
+    * shape — set a column to a constant (or null) on exactly the
+    * matching rows, rewriting only may-match containers.
+    */
+  def updateRewrite(path: String, partVals: Map[String, Any],
+      filters: Array[Filter], assignments: Map[String, Any],
+      blockRows: Int = AvroSink.DefaultBlockRows): Outcome = {
+    val in = new DataFileReader[GenericRecord](
+      AvroDsv2.openSeekable(path), new GenericDatumReader[GenericRecord]())
+    try {
+      val fileSchema = in.getSchema
+      val fieldMeta: Seq[(String, String)] =
+        fileSchema.getFields.asScala.toSeq.map(f =>
+          (f.name, AvroDsv2.sparkTypeOf(f.schema).typeName))
+      val refs = filters.flatMap(_.references).distinct
+      val resolved: Map[String, Either[Any, Int]] = refs.map { n =>
+        n -> (if (partVals.contains(n)) Left(partVals(n))
+        else Option(fileSchema.getField(n)).map(f => Right(f.pos()))
+          .getOrElse(Left(null)))
+      }.toMap
+      // an update targeting a column this container does not carry
+      // (schema evolution) cannot apply — fail loudly, never silently
+      // skip the file's matching rows
+      val setPos: Seq[(Int, Any)] = assignments.toSeq.map { case (n, v) =>
+        val f = fileSchema.getField(n)
+        require(f != null,
+          s"graft-avro update: column '$n' absent from container $path " +
+            s"(schema-evolved table — compact to the merged schema first)")
+        (f.pos(), v)
+      }
+      val dir = new Path(path).getParent
+      val temp = new Path(dir,
+        s".graft-upd-${java.util.UUID.randomUUID().toString.take(12)}.avro.tmp")
+      val out = new ContainerOut(fileSchema, fieldMeta, temp, blockRows)
+      var updated = 0L
+      try {
+        var rec: GenericRecord = null
+        while (in.hasNext) {
+          rec = in.next(rec)
+          val r = rec
+          val get: String => Any = n => resolved.get(n) match {
+            case Some(Left(v)) => v
+            case Some(Right(pos)) => r.get(pos)
+            case None => null
+          }
+          if (filters.forall(AvroFilters.eval(_, get))) {
+            updated += 1
+            setPos.foreach { case (pos, v) => rec.put(pos, v) }
+          }
+          out.append(rec)
+        }
+      } catch { case t: Throwable => out.abort(); throw t }
+      if (updated == 0L) { out.abort(); Untouched(path) }
+      else Rewritten(path, temp.toString, out.finish(), out.rows, updated)
+    } finally in.close()
+  }
+
   /** The ordered in-place swap (see class doc): stale sidecar out,
     * overwrite-rename the temp over the original, fresh sidecar in.
     */
@@ -119,6 +181,69 @@ private[graft] object AvroRewrite {
     fc.rename(new Path(tempPath), dst, Options.Rename.OVERWRITE)
     val sOut = fs.create(new Path(s"$dstPath.stats.json"), true)
     try sOut.write(stats) finally sOut.close()
+  }
+
+  /** Driver orchestration for the UPDATE tier (DELETE's lives in
+    * [[AvroTable.deleteWhere]], whose whole-file fast path has no
+    * UPDATE analogue): partition conjuncts select candidate files
+    * exactly from their paths, zone maps / blooms prune the rewrite set,
+    * rewrites fan out one Spark task per may-match file, and every
+    * `Rewritten` outcome swaps in place through the crash-ordered
+    * protocol. Unchanged files stay byte-identical.
+    */
+  private[sources] def runUpdate(pathStr: String,
+      conf: Configuration, filters: Array[Filter],
+      partSpec: Seq[(String, String)],
+      assignments: Map[String, Any]): Unit = {
+    val partNameSet = partSpec.map(_._1).toSet
+    val partTypes = partSpec.toMap
+    val (partFilters, dataFilters) = filters.partition(f =>
+      partNameSet.nonEmpty && f.references.nonEmpty &&
+        f.references.forall(partNameSet.contains))
+    val candidates = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
+      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
+      val get: String => Any =
+        n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
+      partFilters.forall(AvroFilters.eval(_, get))
+    }
+    val targets = candidates.filter { case (p, _) =>
+      dataFilters.isEmpty || (AvroStats.read(p) match {
+        case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
+        case None => true
+      })
+    }
+    if (targets.isEmpty) return
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(conf)
+    AvroSink.tempSweep(fs, root, ".graft-upd-")
+    val partValsOf: String => Map[String, Any] = p => {
+      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
+      partSpec.map { case (n, t) =>
+        n -> raw.get(n).map(AvroPartitions.typed(_, t)).orNull
+      }.toMap
+    }
+    val outcomes: Seq[Outcome] = try {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(ss) if targets.size > 1 =>
+          val work = targets.map { case (p, _) => (p, partValsOf(p)) }
+          ss.sparkContext.parallelize(work,
+            math.min(work.size, math.max(1, ss.sparkContext.defaultParallelism)))
+            .map { case (p, pv) => updateRewrite(p, pv, filters, assignments) }
+            .collect().toSeq
+        case _ =>
+          targets.map { case (p, _) =>
+            updateRewrite(p, partValsOf(p), filters, assignments)
+          }
+      }
+    } catch {
+      case t: Throwable =>
+        AvroSink.tempSweep(fs, root, ".graft-upd-")
+        throw t
+    }
+    outcomes.foreach {
+      case Rewritten(p, temp, stats, _, _) => swapInPlace(conf, temp, p, stats)
+      case _ => ()
+    }
   }
 
   /** Unlink a container + its sidecar and retire newly-empty partition

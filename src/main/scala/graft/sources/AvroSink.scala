@@ -251,6 +251,74 @@ object AvroSink {
       .deleteWhere(filters)
   }
 
+  /** Row-level copy-on-write UPDATE (r18): sets `assignments` (column →
+    * LITERAL value, or null) on exactly the rows where `condition` is
+    * definitely TRUE, rewriting only the containers the partition paths
+    * + zone maps / blooms cannot rule out — the GDPR-rectification /
+    * redaction shape (`updateWhere(dir, pii_flag === true,
+    * Map("email" -> null))`). Every untouched container stays
+    * byte-identical; rewritten sidecars regenerate. Literal values only
+    * by design: an expression-valued update is the CDC/merge tier's job
+    * ([[graft.ops.Merge]]); a literal update is exactly reproducible in
+    * the rewrite task and in the oracle. Partition columns cannot be
+    * assigned (their values live in the PATH — moving rows between
+    * directories is a delete+insert, not an update). Values are
+    * validated and boxed against the table schema up front: long/int
+    * columns take Long/Int (widened exactly), double takes Double,
+    * string String, boolean Boolean, null always.
+    */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, Any]): Unit = {
+    require(assignments.nonEmpty, "updateWhere needs assignments")
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    val analyzed = spark.read.format("graft-avro").load(dir)
+      .where(condition).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft-avro updateWhere: cannot resolve predicate $condition"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val filters = conjuncts(cond).map { e =>
+      translateDeletePredicate(e).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-avro updateWhere: untranslatable predicate $e"))
+    }.toArray
+    val conf = driverConf()
+    val partSpec = AvroPartitions.readSpec(dir, conf)
+    val partNames = partSpec.map(_._1).toSet
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir)
+    val schema = new AvroDataSourceV2().inferSchema(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
+    val boxed: Map[String, Any] = assignments.map { case (n, v) =>
+      require(!partNames.contains(n),
+        s"graft-avro update: '$n' is a partition column — its value " +
+          s"lives in the path; moving rows between partitions is a " +
+          s"delete + insert, not an update")
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-avro update: column '$n' not in schema"))
+      val bv: Any = (f.dataType.typeName, v) match {
+        case (_, null) => null
+        case ("long", x: Long) => java.lang.Long.valueOf(x)
+        case ("long", x: Int) => java.lang.Long.valueOf(x.toLong)
+        case ("integer", x: Int) => java.lang.Integer.valueOf(x)
+        case ("double", x: Double) => java.lang.Double.valueOf(x)
+        case ("string", x: String) => x
+        case ("boolean", x: Boolean) => java.lang.Boolean.valueOf(x)
+        case (t, x) => throw new IllegalArgumentException(
+          s"graft-avro update: column '$n' is $t, got " +
+            s"${x.getClass.getSimpleName} value '$x'")
+      }
+      n -> bv
+    }
+    AvroRewrite.runUpdate(dir, conf, filters, partSpec, boxed)
+  }
+
   /** Catalyst → data-source filter translation for the delete predicate
     * shapes this source can evaluate on partition paths (comparisons,
     * null checks, IN, OR). Spark's own DataSourceStrategy.translateFilter

@@ -90,6 +90,7 @@ class PlanShapeSpec extends SparkSpec {
     // write probe, compaction execution, the SQL-catalog round trip,
     // and the two-level ANN serve tier
     "q_s29_avro_row_delete", "q_s30_avro_clustered_write",
+    "q_s31_avro_row_update",
     "q_layout_compact_exec", "q_sql_avro_catalog",
     "q_sim_index_serve", "q_sim_hnsw2_search", "q_sim_hnsw2_recall")
 
