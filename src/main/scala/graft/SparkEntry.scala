@@ -59,6 +59,29 @@ object SparkEntry {
   private def fixDir(dir: String): String =
     s"/tmp/graft_fixtures/${new java.io.File(dir).getName}"
 
+  /** Build-once fixture guard with a PARAMETER SIGNATURE (r18 review):
+    * an `edges/_SUCCESS`-style existence check alone can serve a STALE
+    * fixture after the build parameters or protocol change — the sig
+    * file records what built the fixture, and any mismatch rebuilds
+    * from scratch.
+    */
+  private def fixtureOnce(dir: String, sig: String)(build: => Unit): Unit = {
+    val sigFile = new java.io.File(dir, "_graft_fixture_sig")
+    val cur =
+      if (sigFile.exists)
+        new String(java.nio.file.Files.readAllBytes(sigFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    if (cur != sig) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(root, true)
+      build
+      java.nio.file.Files.write(sigFile.toPath,
+        sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Exact-quantile GRID over lineitem's measure columns at the UNION of
     * every percentile the registered describe/scale/clamp consumers
     * request — the r14-verdict fix for the exact-CDF family: five
@@ -3914,7 +3937,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val ixDir = s"${fixDir(dir)}/ann_index_avro_serve"
-      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+      fixtureOnce(ixDir, "flat|cents=md5x8|graphK=8|v1") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()
@@ -3944,7 +3967,7 @@ object SparkEntry {
       // build ONCE (first rep), serve from the reload after — the
       // serve-latency bench shape (r17 verdict #6); the full
       // build-per-rep lifecycle stays measured by q_sim_index_persist
-      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v1") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()
@@ -3965,7 +3988,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
-      if (!new java.io.File(s"$ixDir/edges/_SUCCESS").exists) {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v1") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()

@@ -908,83 +908,32 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
           s"over the table's columns; got " +
           s"${filters.mkString("[", ", ", "]")}")
     val conf = AvroSink.driverConf()
-    val partTypes = partSpec.toMap
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(conf)
     // unconditional delete: every file unlinks, zero reads
     val effective = filters.filterNot(_ ==
       org.apache.spark.sql.sources.AlwaysTrue)
     if (effective.isEmpty) {
-      val root0 = new Path(pathStr)
-      val fs0 = root0.getFileSystem(conf)
-      AvroRewrite.unlinkWithDirs(fs0, root0,
+      AvroRewrite.unlinkWithDirs(fs, root,
         AvroDsv2.listFiles(pathStr, conf).map(_._1))
       return
     }
-    // conjuncts referencing only partition columns evaluate exactly per
-    // file from its path; the rest need the sidecars (pruning) and —
-    // when pruning cannot rule a file out — its rows
-    val (partFilters, dataFilters) = effective.partition(f =>
-      partNameSet.nonEmpty && f.references.forall(partNameSet.contains))
-    val candidates = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
-      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
-      val get: String => Any =
-        n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
-      // a partition conjunct not definitely TRUE for this file means NO
-      // row of it can satisfy the whole conjunction — file untouched
-      partFilters.forall(AvroFilters.eval(_, get))
-    }
-    val root = new Path(pathStr)
-    val fs = root.getFileSystem(conf)
+    // partition conjuncts evaluate exactly per file from its path; the
+    // rest prune through the sidecar zone maps / blooms (conservative on
+    // mixed-reference conjuncts) — shared with the UPDATE tier
+    val (candidates, dataFilters, targets) =
+      AvroRewrite.splitAndPrune(pathStr, conf, effective, partSpec)
     if (dataFilters.isEmpty) {
       // pure partition delete: whole-file unlink, zero container reads
-      AvroRewrite.unlinkWithDirs(fs, root, candidates.map(_._1))
+      AvroRewrite.unlinkWithDirs(fs, root, candidates)
       return
     }
-    // zone-map / bloom pruning: a file whose stats prove no row can
-    // match any data conjunct needs no rewrite (mayMatch is conservative
-    // on mixed-reference conjuncts — partition columns have no sidecar
-    // stats and read as "no verdict")
-    val targets = candidates.filter { case (p, _) =>
-      AvroStats.read(p) match {
-        case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
-        case None => true
-      }
-    }
-    if (targets.isEmpty) return
-    // startup sweep: a HARD crash (no exception path) during a prior
-    // delete's rewrite phase leaves orphan dot-temps the abort handler
-    // never saw — retire them before writing new ones (r18 review).
-    // Caveat, documented: two CONCURRENT deletes on one table would
-    // sweep each other's temps; concurrent mutations are outside this
-    // source's contract.
-    AvroSink.tempSweep(fs, root, ".graft-del-")
-    val partValsOf: String => Map[String, Any] = p => {
-      val raw = AvroPartitions.rawValuesOf(p, partNameSet)
-      partSpec.map { case (n, t) =>
-        n -> raw.get(n).map(AvroPartitions.typed(_, t)).orNull
-      }.toMap
-    }
-    // rewrite phase: all dot-temps first (originals untouched); any
-    // failure aborts by sweeping the temps
-    val outcomes: Seq[AvroRewrite.Outcome] = try {
-      org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(ss) if targets.size > 1 =>
-          val work = targets.map { case (p, _) => (p, partValsOf(p)) }
-          ss.sparkContext.parallelize(work,
-            math.min(work.size, math.max(1, ss.sparkContext.defaultParallelism)))
-            .map { case (p, pv) => AvroRewrite.deleteRewrite(p, pv, effective) }
-            .collect().toSeq
-        case _ =>
-          targets.map { case (p, _) =>
-            AvroRewrite.deleteRewrite(p, partValsOf(p), effective)
-          }
-      }
-    } catch {
-      case t: Throwable =>
-        AvroSink.tempSweep(fs, root, ".graft-del-")
-        throw t
-    }
-    // commit phase: every swap keeps the visible table correct at every
-    // instant (see AvroRewrite doc); emptied files unlink whole
+    // rewrite fan-out (orphan-temp sweep, one task per may-match file,
+    // abort-sweep on failure), then commit: every swap keeps the
+    // visible table correct at every instant (AvroRewrite doc);
+    // emptied files unlink whole
+    val outcomes = AvroRewrite.cowFanout(pathStr, conf, targets, partSpec,
+      ".graft-del-", (p, pv) => AvroRewrite.deleteRewrite(p, pv, effective))
     outcomes.foreach {
       case AvroRewrite.Rewritten(p, temp, stats, _, _) =>
         AvroRewrite.swapInPlace(conf, temp, p, stats)

@@ -183,18 +183,15 @@ private[graft] object AvroRewrite {
     try sOut.write(stats) finally sOut.close()
   }
 
-  /** Driver orchestration for the UPDATE tier (DELETE's lives in
-    * [[AvroTable.deleteWhere]], whose whole-file fast path has no
-    * UPDATE analogue): partition conjuncts select candidate files
-    * exactly from their paths, zone maps / blooms prune the rewrite set,
-    * rewrites fan out one Spark task per may-match file, and every
-    * `Rewritten` outcome swaps in place through the crash-ordered
-    * protocol. Unchanged files stay byte-identical.
+  /** Split `filters` into partition-only conjuncts (evaluated exactly
+    * per file from its path) and the rest, and prune: returns
+    * (candidate paths — partition conjuncts definitely TRUE,
+    * data-conjunct array, target paths — candidates the zone maps /
+    * blooms cannot rule out). Shared by the DELETE and UPDATE tiers.
     */
-  private[sources] def runUpdate(pathStr: String,
-      conf: Configuration, filters: Array[Filter],
-      partSpec: Seq[(String, String)],
-      assignments: Map[String, Any]): Unit = {
+  private[sources] def splitAndPrune(pathStr: String, conf: Configuration,
+      filters: Array[Filter], partSpec: Seq[(String, String)])
+      : (Seq[String], Array[Filter], Seq[String]) = {
     val partNameSet = partSpec.map(_._1).toSet
     val partTypes = partSpec.toMap
     val (partFilters, dataFilters) = filters.partition(f =>
@@ -205,45 +202,75 @@ private[graft] object AvroRewrite {
       val get: String => Any =
         n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
       partFilters.forall(AvroFilters.eval(_, get))
-    }
-    val targets = candidates.filter { case (p, _) =>
-      dataFilters.isEmpty || (AvroStats.read(p) match {
-        case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
-        case None => true
-      })
-    }
-    if (targets.isEmpty) return
+    }.map(_._1)
+    val targets =
+      if (dataFilters.isEmpty) candidates
+      else candidates.filter { p =>
+        AvroStats.read(p) match {
+          case Some(st) => dataFilters.forall(AvroStats.mayMatch(_, st))
+          case None => true
+        }
+      }
+    (candidates, dataFilters, targets)
+  }
+
+  /** Shared copy-on-write FAN-OUT: sweep orphan `tempPrefix` dot-temps
+    * (a hard crash's leftovers), run `rewrite(path, partVals)` one Spark
+    * task per target file (driver-local without a session), sweep temps
+    * and rethrow on any failure. The caller commits the outcomes per
+    * its tier (swap / unlink). Documented caveat: two CONCURRENT
+    * mutations of one table would sweep each other's temps; concurrent
+    * mutations are outside this source's contract.
+    */
+  private[sources] def cowFanout(pathStr: String, conf: Configuration,
+      targets: Seq[String], partSpec: Seq[(String, String)],
+      tempPrefix: String,
+      rewrite: (String, Map[String, Any]) => Outcome): Seq[Outcome] = {
+    if (targets.isEmpty) return Seq.empty
     val root = new Path(pathStr)
     val fs = root.getFileSystem(conf)
-    AvroSink.tempSweep(fs, root, ".graft-upd-")
+    AvroSink.tempSweep(fs, root, tempPrefix)
+    val partNameSet = partSpec.map(_._1).toSet
     val partValsOf: String => Map[String, Any] = p => {
       val raw = AvroPartitions.rawValuesOf(p, partNameSet)
       partSpec.map { case (n, t) =>
         n -> raw.get(n).map(AvroPartitions.typed(_, t)).orNull
       }.toMap
     }
-    val outcomes: Seq[Outcome] = try {
+    try {
       org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(ss) if targets.size > 1 =>
-          val work = targets.map { case (p, _) => (p, partValsOf(p)) }
+          val work = targets.map(p => (p, partValsOf(p)))
           ss.sparkContext.parallelize(work,
             math.min(work.size, math.max(1, ss.sparkContext.defaultParallelism)))
-            .map { case (p, pv) => updateRewrite(p, pv, filters, assignments) }
+            .map { case (p, pv) => rewrite(p, pv) }
             .collect().toSeq
-        case _ =>
-          targets.map { case (p, _) =>
-            updateRewrite(p, partValsOf(p), filters, assignments)
-          }
+        case _ => targets.map(p => rewrite(p, partValsOf(p)))
       }
     } catch {
       case t: Throwable =>
-        AvroSink.tempSweep(fs, root, ".graft-upd-")
+        AvroSink.tempSweep(fs, root, tempPrefix)
         throw t
     }
-    outcomes.foreach {
-      case Rewritten(p, temp, stats, _, _) => swapInPlace(conf, temp, p, stats)
-      case _ => ()
-    }
+  }
+
+  /** Driver orchestration for the UPDATE tier (DELETE's lives in
+    * [[AvroTable.deleteWhere]], whose whole-file fast path has no
+    * UPDATE analogue): prune, fan out, swap every `Rewritten` outcome
+    * in place. Unchanged files stay byte-identical.
+    */
+  private[sources] def runUpdate(pathStr: String,
+      conf: Configuration, filters: Array[Filter],
+      partSpec: Seq[(String, String)],
+      assignments: Map[String, Any]): Unit = {
+    val (_, _, targets) = splitAndPrune(pathStr, conf, filters, partSpec)
+    cowFanout(pathStr, conf, targets, partSpec, ".graft-upd-",
+      (p, pv) => updateRewrite(p, pv, filters, assignments))
+      .foreach {
+        case Rewritten(p, temp, stats, _, _) =>
+          swapInPlace(conf, temp, p, stats)
+        case _ => ()
+      }
   }
 
   /** Unlink a container + its sidecar and retire newly-empty partition

@@ -225,22 +225,7 @@ object AvroSink {
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       condition: org.apache.spark.sql.Column): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
-    val analyzed = spark.read.format("graft-avro").load(dir)
-      .where(condition).queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(throw new IllegalArgumentException(
-      s"graft-avro deleteWhere: cannot resolve predicate $condition"))
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val filters = conjuncts(cond).map { e =>
-      translateDeletePredicate(e).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft-avro deleteWhere: untranslatable predicate $e"))
-    }.toArray
+    val filters = translateCondition(spark, dir, condition, "deleteWhere")
     val provider = new AvroDataSourceV2
     val props = new java.util.HashMap[String, String]()
     props.put("path", dir)
@@ -249,6 +234,36 @@ object AvroSink {
     provider.getTable(schema, Array.empty, props)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
       .deleteWhere(filters)
+  }
+
+  /** Analyze `condition` against the table and translate its conjuncts
+    * to source filters — the shared prologue of [[deleteWhere]] and
+    * [[updateWhere]]. Literal-TRUE conjuncts drop out, so an
+    * unconditional predicate (`lit(true)`) yields an EMPTY array =
+    * match-all; anything untranslatable throws, never guesses.
+    */
+  private def translateCondition(spark: org.apache.spark.sql.SparkSession,
+      dir: String, condition: org.apache.spark.sql.Column,
+      op: String): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, Literal}
+    val analyzed = spark.read.format("graft-avro").load(dir)
+      .where(condition).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft-avro $op: cannot resolve predicate $condition"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).filter {
+      case Literal(true, org.apache.spark.sql.types.BooleanType) => false
+      case _ => true
+    }.map { e =>
+      translateDeletePredicate(e).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-avro $op: untranslatable predicate $e"))
+    }.toArray
   }
 
   /** Row-level copy-on-write UPDATE (r18): sets `assignments` (column →
@@ -271,27 +286,16 @@ object AvroSink {
       condition: org.apache.spark.sql.Column,
       assignments: Map[String, Any]): Unit = {
     require(assignments.nonEmpty, "updateWhere needs assignments")
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
-    val analyzed = spark.read.format("graft-avro").load(dir)
-      .where(condition).queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(throw new IllegalArgumentException(
-      s"graft-avro updateWhere: cannot resolve predicate $condition"))
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val filters = conjuncts(cond).map { e =>
-      translateDeletePredicate(e).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft-avro updateWhere: untranslatable predicate $e"))
-    }.toArray
+    val filters = translateCondition(spark, dir, condition, "updateWhere")
     val conf = driverConf()
     val partSpec = AvroPartitions.readSpec(dir, conf)
     val partNames = partSpec.map(_._1).toSet
+    // validation schema = the MERGED header union, so a schema-evolved
+    // table validates against what the read exposes (listing-order-first
+    // inference could wrongly refuse, or pass and fail late per-file)
     val props = new java.util.HashMap[String, String]()
     props.put("path", dir)
+    props.put("graft.mergeschema", "true")
     val schema = new AvroDataSourceV2().inferSchema(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
     val boxed: Map[String, Any] = assignments.map { case (n, v) =>
@@ -639,6 +643,11 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
   require(!rangeCluster || sortBy.nonEmpty,
     "graft-avro: graft.range=true requires graft.sortby (range " +
       "clustering needs sort columns)")
+  require(!rangeCluster || partCols.isEmpty,
+    "graft-avro: graft.range=true is not supported for PARTITIONED " +
+      "tables — a global range distribution would scatter every " +
+      "partition value across all tasks (tasks × values containers); " +
+      "cluster within partitions with graft.sortby alone")
   require(writePartitions == 0 || (rangeCluster && sortBy.nonEmpty),
     "graft-avro: graft.writepartitions requires graft.range=true + " +
       "graft.sortby (a partition count is only meaningful for the " +
@@ -895,8 +904,9 @@ private[sources] class AvroStreamingWrite(schema: StructType,
   * Partitioned mode (`partCols` non-empty): one container PER PARTITION
   * VALUE the task sees, under `dir/col=value/...`; partition columns
   * are stripped from the container schema (they live in the path).
-  * [[AvroSink.writePartitioned]] repartitions on the partition columns
-  * first, so tasks hold few open writers.
+  * The write plan's clustered distribution (r18 —
+  * [[AvroBatchWrite.requiredDistribution]]) co-locates each partition
+  * value's rows, so tasks hold few open writers.
   */
 private[sources] class AvroDataWriter(fieldMeta: Seq[(String, String)],
     dirStr: String, queryId: String, partitionId: Int, taskId: Long,

@@ -25,13 +25,6 @@ class AvroUpdateSpec extends SparkSpec {
   private def md5s(dir: String): Map[String, String] =
     AvroDsv2.listFiles(dir, conf).map { case (p, _) => p -> md5Of(p) }.toMap
 
-  private def rangedFixture(dir: String): Unit =
-    AvroSink.write(
-      spark.range(4000).select(col("id"), (col("id") % 100).as("v"),
-          concat(lit("u"), col("id")).as("name")),
-      // disjoint sorted ranges -> zone maps prune the rewrite set
-      dir = dir, overwrite = true)
-
   test("update rewrites only may-match files; values change exactly where TRUE") {
     val dir = tempDir()
     AvroSink.write(
