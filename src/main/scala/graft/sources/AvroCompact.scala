@@ -65,7 +65,7 @@ object AvroCompact {
     * and rewrites nothing.
     */
   def compact(dir: String, targetBytes: Long,
-      blockRows: Int = AvroSink.DefaultBlockRows): Int = {
+      blockRows: Option[Int] = None): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val conf = AvroSink.driverConf()
     val root = new Path(dir)
@@ -213,7 +213,18 @@ object AvroCompact {
     * stream every source's records in path order, null-fill absent
     * columns, regenerate stats. Returns (tempPath, sidecarBytes).
     */
-  private def rewriteBin(bin: Bin, blockRows: Int): (String, Array[Byte]) = {
+  private def rewriteBin(bin: Bin,
+      blockRowsOpt: Option[Int]): (String, Array[Byte]) = {
+    // preserve the bin's original block granularity (r18 ADVICE): every
+    // source's sidecar blocks reveal its write-time graft.blockrows —
+    // take the max across sources (identical for a uniformly-written
+    // table; the max is the coarsest tuned setting, never the default)
+    val blockRows = blockRowsOpt.getOrElse {
+      val inferred = bin.sources.flatMap(p =>
+        AvroStats.read(p).map(_.blocks).filter(_.nonEmpty)
+          .map(bs => math.max(1L, bs.map(_.rows).max).toInt))
+      if (inferred.isEmpty) AvroSink.DefaultBlockRows else inferred.max
+    }
     // merged schema across the bin (usually identical = first file's)
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Schema]
     bin.sources.foreach { p =>

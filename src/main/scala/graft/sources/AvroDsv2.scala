@@ -174,23 +174,109 @@ private[sources] object AvroDsv2 {
     * starts before the first file lands). RECURSIVE (r16): a Hive-style
     * partitioned layout (`dir/lang=en/part-*.avro`) lists its leaf
     * containers; flat layouts are unchanged.
+    *
+    * MANIFEST MASKING (r19, the r18 ADVICE medium): a crash between a
+    * compaction bin's commit rename and its source deletes — or between
+    * a row-level replace's add renames and its remove deletes — leaves
+    * the new container(s) AND their sources visible simultaneously.
+    * Rather than serving duplicate rows until the next mutation runs
+    * its physical recovery sweep, the listing itself consults any
+    * surviving commit manifests as EXCLUSION MASKS:
+    *  - `.graft-cmp-<digest>.manifest.json` with its `compact-<digest>
+    *    .avro` present ⇒ the bin committed: its sources are excluded
+    *    (the next compact() finishes their physical deletion);
+    *    final file absent ⇒ pre-commit crash: the sources stand and
+    *    nothing is masked (the temp is a dot-file, invisible anyway).
+    *  - `.graft-rlo-<id>.manifest.json` (row-level SQL UPDATE / MERGE /
+    *    DELETE, r19): ALL listed adds present ⇒ committed, the removes
+    *    are excluded; any add missing ⇒ pre-commit, the ADDS are
+    *    excluded (a partially-renamed add set must read as the old
+    *    snapshot, not a mix).
+    * A COMMITTED manifest that cannot be parsed fails LOUDLY — serving
+    * known-duplicated rows would be silent corruption. The happy path
+    * (no manifests — they exist only mid-commit or after a crash) costs
+    * one name check per directory entry, nothing more.
     */
   def listFiles(pathStr: String, conf: Configuration): IndexedSeq[(String, Long)] = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
+    val manifests = Seq.newBuilder[Path]
     def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
-          .filter(s => !s.getPath.getName.startsWith(".")
-            && !s.getPath.getName.startsWith("_"))
-          .flatMap(walk)
+          .flatMap { s =>
+            val n = s.getPath.getName
+            if (s.isFile && n.endsWith(".manifest.json") &&
+                (n.startsWith(".graft-cmp-") || n.startsWith(".graft-rlo-"))) {
+              manifests += s.getPath; Seq.empty
+            } else if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+            else walk(s)
+          }
       else if (st.isFile && st.getPath.getName.endsWith(".avro")) Seq(st)
       else Seq.empty
-    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val listed = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
       .flatMap(walk)
       .map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1)
       .toIndexedSeq
+    val ms = manifests.result()
+    if (ms.isEmpty) listed
+    else {
+      val excluded = manifestMask(fs, ms, listed.map(_._1).toSet)
+      if (excluded.isEmpty) listed
+      else listed.filterNot(f => excluded.contains(f._1))
+    }
+  }
+
+  /** The set of listed paths the surviving manifests exclude (doc on
+    * [[listFiles]]). Paths compare in the listing's own qualified form.
+    */
+  private def manifestMask(fs: FileSystem, manifests: Seq[Path],
+      listedSet: Set[String]): Set[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(m: Path): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try {
+        val in = fs.open(m)
+        try Some(om.readTree(in: java.io.InputStream)) finally in.close()
+      } catch { case _: Throwable => None }
+    // compaction manifests store ABSOLUTE source paths (r18 format);
+    // row-level manifests store paths RELATIVE to the table root the
+    // manifest sits in (they may span partition subdirectories)
+    def qualify(dir: Path, nameOrPath: String): String = {
+      val child = new Path(nameOrPath)
+      fs.makeQualified(
+        if (child.isAbsolute || nameOrPath.contains(":/")) child
+        else new Path(dir, nameOrPath)).toString
+    }
+    val out = Set.newBuilder[String]
+    manifests.foreach { m =>
+      val dir = m.getParent
+      val name = m.getName
+      if (name.startsWith(".graft-cmp-")) {
+        val digest = name.stripPrefix(".graft-cmp-").stripSuffix(".manifest.json")
+        val finalPath = fs.makeQualified(
+          new Path(dir, s"compact-$digest.avro")).toString
+        if (listedSet.contains(finalPath)) {
+          val sources = parse(m).flatMap(n => Option(n.get("sources")))
+            .getOrElse(throw new IllegalStateException(
+              s"graft-avro: unreadable committed compaction manifest $m — " +
+                s"cannot mask its retired sources (duplicate rows would be " +
+                s"served); repair or remove the manifest"))
+          sources.asScala.foreach(s => out += qualify(dir, s.asText))
+        }
+      } else { // .graft-rlo-
+        val node = parse(m).getOrElse(throw new IllegalStateException(
+          s"graft-avro: unreadable row-level commit manifest $m — cannot " +
+            s"decide its commit state; repair or remove the manifest"))
+        val adds = Option(node.get("adds")).map(_.asScala.toSeq)
+          .getOrElse(Seq.empty).map(a => qualify(dir, a.asText))
+        val removes = Option(node.get("removes")).map(_.asScala.toSeq)
+          .getOrElse(Seq.empty).map(r => qualify(dir, r.asText))
+        if (adds.forall(listedSet.contains)) out ++= removes
+        else out ++= adds
+      }
+    }
+    out.result()
   }
 
   def sparkTypeOf(s: org.apache.avro.Schema): org.apache.spark.sql.types.DataType = {
@@ -395,7 +481,16 @@ private[sources] object AvroFilters {
     case _ => false
   }
 
-  def eval(f: Filter, get: String => Any): Boolean = f match {
+  /** `strict = false` (scan tier): an unsupported residue evaluates to
+    * TRUE = "never skip the row" — safe because the residual Filter
+    * above re-checks. `strict = true` (REWRITE tier, r19 — delete /
+    * update / row-level replace): there TRUE means "destroy or mutate
+    * the row", so an unhandled shape must THROW, never guess — any
+    * future drift between [[supported]] and this match would otherwise
+    * silently turn into delete-everything instead of keep-everything
+    * (r18 ADVICE).
+    */
+  def eval(f: Filter, get: String => Any, strict: Boolean = false): Boolean = f match {
     case EqualTo(a, v) => cmp(get(a), v).contains(0)
     case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
@@ -408,9 +503,12 @@ private[sources] object AvroFilters {
       case s: CharSequence => s.toString.startsWith(prefix)
       case _ => false
     }
-    case And(l, r) => eval(l, get) && eval(r, get)
-    case Or(l, r) => eval(l, get) || eval(r, get)
-    case _ => true // unsupported residue: never skip on it
+    case And(l, r) => eval(l, get, strict) && eval(r, get, strict)
+    case Or(l, r) => eval(l, get, strict) || eval(r, get, strict)
+    case _ if strict => throw new IllegalStateException(
+      s"graft-avro rewrite: unhandled filter shape $f reached the " +
+        s"row-mutation evaluator — refusing to treat it as TRUE")
+    case _ => true // scan residue: never skip on it
   }
 
   /** Three-valued comparison: None when either side is null or the pair

@@ -52,6 +52,37 @@ private[graft] object AvroRewrite {
   final case class Rewritten(path: String, tempPath: String,
       stats: Array[Byte], kept: Long, deleted: Long) extends Outcome
 
+  /** Original block granularity of a container, inferred from its
+    * sidecar's block list (every block but the last holds exactly the
+    * write-time `graft.blockrows`, so the max is the original setting) —
+    * a table laid out with a tuned granularity must not silently fall
+    * back to the default on its first rewrite (r18 ADVICE). No sidecar
+    * or no blocks (single-block file, legacy) ⇒ the default.
+    */
+  private[sources] def inferBlockRows(path: String): Int =
+    AvroStats.read(path).map(_.blocks).filter(_.nonEmpty)
+      .map(bs => math.max(1L, bs.map(_.rows).max).toInt)
+      .getOrElse(AvroSink.DefaultBlockRows)
+
+  /** If `path` has no readable sidecar (a prior crash between the
+    * overwrite-rename and the sidecar write), regenerate it from the
+    * accumulators the rewrite just streamed — FILE-LEVEL stats only:
+    * the aborted temp's sync positions mean nothing in the original
+    * container, so block zone maps must NOT be emitted (they would
+    * anchor splits at wrong offsets). Restores pruning, blooms, HLL
+    * stats and aggregate pushdown that the r18 contract left
+    * permanently degraded (r18 ADVICE).
+    */
+  private def repairSidecarIfMissing(path: String,
+      fileStats: Array[Byte]): Unit = {
+    val sc = new Path(s"$path.stats.json")
+    val fs = sc.getFileSystem(new Configuration())
+    if (!fs.exists(sc)) {
+      val out = fs.create(sc, true)
+      try out.write(fileStats) finally out.close()
+    }
+  }
+
   /** Streams records of one container into a fresh dot-temp, dropping
     * every row where the filter conjunction is definitely TRUE (SQL
     * DELETE semantics: FALSE and UNKNOWN rows survive). The output
@@ -66,7 +97,8 @@ private[graft] object AvroRewrite {
     */
   def deleteRewrite(path: String, partVals: Map[String, Any],
       filters: Array[Filter],
-      blockRows: Int = AvroSink.DefaultBlockRows): Outcome = {
+      blockRowsOpt: Option[Int] = None): Outcome = {
+    val blockRows = blockRowsOpt.getOrElse(inferBlockRows(path))
     val in = new DataFileReader[GenericRecord](
       AvroDsv2.openSeekable(path), new GenericDatumReader[GenericRecord]())
     try {
@@ -97,11 +129,17 @@ private[graft] object AvroRewrite {
             case Some(Right(pos)) => r.get(pos)
             case None => null
           }
-          if (filters.forall(AvroFilters.eval(_, get))) deleted += 1
+          if (filters.forall(AvroFilters.eval(_, get, strict = true)))
+            deleted += 1
           else { out.append(rec); kept += 1 }
         }
       } catch { case t: Throwable => out.abort(); throw t }
-      if (deleted == 0L) { out.abort(); Untouched(path) }
+      if (deleted == 0L) {
+        // the whole file just streamed through the accumulators — if a
+        // prior crash left it sidecar-less, repair it now (free)
+        if (kept > 0L) repairSidecarIfMissing(path, out.fileStatsJson())
+        out.abort(); Untouched(path)
+      }
       else if (kept == 0L) { out.abort(); Emptied(path, deleted) }
       else Rewritten(path, temp.toString, out.finish(), kept, deleted)
     } finally in.close()
@@ -118,7 +156,8 @@ private[graft] object AvroRewrite {
     */
   def updateRewrite(path: String, partVals: Map[String, Any],
       filters: Array[Filter], assignments: Map[String, Any],
-      blockRows: Int = AvroSink.DefaultBlockRows): Outcome = {
+      blockRowsOpt: Option[Int] = None): Outcome = {
+    val blockRows = blockRowsOpt.getOrElse(inferBlockRows(path))
     val in = new DataFileReader[GenericRecord](
       AvroDsv2.openSeekable(path), new GenericDatumReader[GenericRecord]())
     try {
@@ -157,14 +196,17 @@ private[graft] object AvroRewrite {
             case Some(Right(pos)) => r.get(pos)
             case None => null
           }
-          if (filters.forall(AvroFilters.eval(_, get))) {
+          if (filters.forall(AvroFilters.eval(_, get, strict = true))) {
             updated += 1
             setPos.foreach { case (pos, v) => rec.put(pos, v) }
           }
           out.append(rec)
         }
       } catch { case t: Throwable => out.abort(); throw t }
-      if (updated == 0L) { out.abort(); Untouched(path) }
+      if (updated == 0L) {
+        if (out.rows > 0L) repairSidecarIfMissing(path, out.fileStatsJson())
+        out.abort(); Untouched(path)
+      }
       else Rewritten(path, temp.toString, out.finish(), out.rows, updated)
     } finally in.close()
   }
@@ -359,6 +401,13 @@ private[graft] object AvroRewrite {
       writer.close()
       AvroSink.statsJson(fieldMeta, accs, rows, blocks.result())
     }
+    /** FILE-LEVEL stats only (no block list) — for repairing the
+      * sidecar of an UNTOUCHED original whose rows just streamed
+      * through: the blocks accumulated here anchor sync positions of
+      * THIS temp, which mean nothing in the original container.
+      */
+    def fileStatsJson(): Array[Byte] =
+      AvroSink.statsJson(fieldMeta, accs, rows, Seq.empty)
     def abort(): Unit = {
       try writer.close() catch { case _: Throwable => () }
       val fs = tempPath.getFileSystem(new Configuration())
