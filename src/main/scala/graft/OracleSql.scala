@@ -5225,6 +5225,45 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM u GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // SQL UPDATE (row-level COW, r19): expression assignments including
+    // a partition-column rewrite; the oracle replays the CASE rewrite
+    // over the source table — an over-/under-update, a lost row, or a
+    // mis-routed partition move hash-mismatches. NULL semantics match
+    // by construction: UPDATE touches definitely-TRUE rows only; CASE
+    // WHEN treats UNKNOWN as not-matched the same way
+    "q_sql_avro_update" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN n_chars >= 400 THEN n_chars * 2 + doc_id
+        |      ELSE n_chars END AS n_chars,
+        |    CASE WHEN n_chars >= 400 THEN lang || '_u'
+        |      ELSE lang END AS lang
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // SQL MERGE INTO (row-level COW, r19): matched-update + unmatched-
+    // insert replayed as left-join + anti-join union; doc_id is unique
+    // so the merge is cardinality-safe on both engines
+    "q_sql_avro_merge" ->
+      """WITH t AS (SELECT doc_id, n_chars FROM documents
+        |    WHERE lang = 'en'),
+        |  s AS (SELECT doc_id, n_chars + 5 AS nc FROM documents
+        |    WHERE doc_id % 3 = 0),
+        |  merged AS (
+        |    SELECT t.doc_id,
+        |      CASE WHEN s.doc_id IS NOT NULL THEN s.nc
+        |        ELSE t.n_chars END AS n_chars
+        |    FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |    UNION ALL
+        |    SELECT s.doc_id, s.nc FROM s
+        |    WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.doc_id = s.doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged""".stripMargin,
+
     // clustered write: graft.sortby/range lay the table out range-
     // disjoint; the probe reads one file's few blocks. The oracle is the
     // filtered source table, so a layout that loses or duplicates rows

@@ -898,6 +898,65 @@ object SparkEntry {
         |FROM graftcat.g18.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // -- SQL UPDATE via SupportsRowLevelOperations (r19): group-based
+    // copy-on-write — Spark evaluates the EXPRESSION assignments in the
+    // rewrite query (beyond the Scala API's literal tier), the zone
+    // maps + runtime group filter bound the rewrite to files holding a
+    // matching row, and the partition-column assignment routes updated
+    // rows to their new directory. The oracle replays the CASE rewrite
+    // over the source table, so an over-/under-update, a lost row, or a
+    // mis-routed partition move hash-mismatches ---------------------------
+    "q_sql_avro_update" -> ((s, dir) => {
+      val wh = s"${fixDir(dir)}/avro_warehouse_rlo"
+      s.conf.set("spark.sql.catalog.graftrlo", "graft.sources.AvroCatalog")
+      s.conf.set("spark.sql.catalog.graftrlo.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftrlo.g19")
+      s.sql("DROP TABLE IF EXISTS graftrlo.g19.docs")
+      s.sql("CREATE TABLE graftrlo.g19.docs " +
+        "(doc_id BIGINT, n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      T(s, dir, "documents").select("doc_id", "n_chars", "lang")
+        .createOrReplaceTempView("graft_rlo_usrc")
+      s.sql("INSERT INTO graftrlo.g19.docs " +
+        "SELECT doc_id, n_chars, lang FROM graft_rlo_usrc")
+      s.sql("UPDATE graftrlo.g19.docs " +
+        "SET n_chars = n_chars * 2 + doc_id, lang = concat(lang, '_u') " +
+        "WHERE n_chars >= 400")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM graftrlo.g19.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // -- SQL MERGE INTO (r19): the upsert shape through the same
+    // group-based COW — matched rows update from the source, unmatched
+    // source rows insert; runtime group filtering keeps unmatched
+    // containers byte-identical (the ON condition pushes nothing
+    // statically). The oracle replays the merge as left-join +
+    // anti-join over the source table -------------------------------------
+    "q_sql_avro_merge" -> ((s, dir) => {
+      val wh = s"${fixDir(dir)}/avro_warehouse_rlo"
+      s.conf.set("spark.sql.catalog.graftrlo", "graft.sources.AvroCatalog")
+      s.conf.set("spark.sql.catalog.graftrlo.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftrlo.g19")
+      s.sql("DROP TABLE IF EXISTS graftrlo.g19.m")
+      s.sql("CREATE TABLE graftrlo.g19.m (doc_id BIGINT, n_chars BIGINT)")
+      T(s, dir, "documents").where(col("lang") === "en")
+        .select("doc_id", "n_chars")
+        .createOrReplaceTempView("graft_rlo_mt")
+      s.sql("INSERT INTO graftrlo.g19.m SELECT doc_id, n_chars FROM graft_rlo_mt")
+      T(s, dir, "documents").where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), (col("n_chars") + 5).as("nc"))
+        .createOrReplaceTempView("graft_rlo_ms")
+      s.sql("""MERGE INTO graftrlo.g19.m t USING graft_rlo_ms s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET n_chars = s.nc
+        |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+        |  VALUES (s.doc_id, s.nc)""".stripMargin)
+      s.sql("""SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM graftrlo.g19.m""".stripMargin)
+    }),
+
     // -- S20 stats-driven AUTO-BROADCAST (r16): the scan reports
     // sidecar-exact rows + bytes (SupportsReportStatistics), so joining
     // the small graft-avro dimension to the lineitem fact broadcasts

@@ -169,6 +169,9 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object AvroDsv2 {
+  /** Name of the `_file` metadata column (path of the row's container). */
+  val FileColumn = "_file"
+
   /** Sorted (path, length) listing shared by the batch planner and the
     * streaming tail's per-trigger re-list. May be empty (the stream
     * starts before the first file lands). RECURSIVE (r16): a Hive-style
@@ -965,8 +968,44 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
     partSpec: Seq[(String, String)] = Seq.empty)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-avro($pathStr)"
+
+  // -- `_file` metadata column (r19): the container path of each row —
+  // the provenance column (parquet's _metadata.file_path analogue), and
+  // the GROUP IDENTITY the row-level operations key on: Spark's
+  // group-based rewrite resolves requiredMetadataAttributes against
+  // these, which routes the replacement rows through the projecting
+  // writing task (the writer then sees clean data rows) and is the
+  // hook runtime group filtering hangs off.
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = AvroDsv2.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "container file path of the row (graft-avro)"
+    })
+
+  // -- SQL UPDATE / MERGE INTO / rewrite-shaped DELETE (r19) ------------
+  // Group-based (copy-on-write) row-level operations: Spark rewrites the
+  // affected container files through [[AvroRowLevelOperation]]'s scan +
+  // replace-write. Translatable DELETEs still short-circuit to the
+  // metadata tier above (OptimizeMetadataOnlyDeleteFromTable consults
+  // canDeleteWhere); UPDATE assignments are arbitrary expressions —
+  // evaluated by Spark in the rewrite query, not by this source.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build():
+          org.apache.spark.sql.connector.write.RowLevelOperation =
+        new AvroRowLevelOperation(info.command(), schema, pathStr,
+          files, splitBytes, partSpec)
+    }
 
   // -- DELETE (r17 partition grain; r18 row grain) ----------------------
   // Two tiers, chosen PER FILE from the predicate's column references:
@@ -2122,17 +2161,21 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
       // throws on an unknown field NAME, so resolution happens here,
       // once per split, never per record)
       private val fileSchema = reader.getSchema
-      // per required column: -2 = path-borne partition value,
+      // per required column: -3 = the `_file` metadata column (this
+      // split's container path), -2 = path-borne partition value,
       // -1 = absent from this file (null-fill), else the field position
       private val fieldPos: Array[Int] = fieldNames.map { n =>
-        if (isPart.contains(n)) -2
+        if (n == AvroDsv2.FileColumn) -3
+        else if (isPart.contains(n)) -2
         else Option(fileSchema.getField(n)).map(_.pos()).getOrElse(-1)
       }
+      private val fileColValue = UTF8String.fromString(split.path)
       // the split protocol: first sync after start; stop past end's sync
       reader.sync(split.start)
       private var rec: GenericRecord = _
       private def fieldOf(name: String): Any =
-        if (isPart.contains(name)) partJava.getOrElse(name, null)
+        if (name == AvroDsv2.FileColumn) split.path
+        else if (isPart.contains(name)) partJava.getOrElse(name, null)
         else {
           val f = fileSchema.getField(name)
           if (f == null) null // absent column: SQL null semantics
@@ -2157,7 +2200,8 @@ private[sources] class AvroReaderFactory(fieldNames: Array[String],
         while (i < fieldNames.length) {
           val pos = fieldPos(i)
           vals(i) =
-            if (pos == -2) partCatalyst.getOrElse(fieldNames(i), null)
+            if (pos == -3) fileColValue
+            else if (pos == -2) partCatalyst.getOrElse(fieldNames(i), null)
             else if (pos == -1) null
             else rec.get(pos) match {
               case null => null

@@ -92,7 +92,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_s29_avro_row_delete", "q_s30_avro_clustered_write",
     "q_s31_avro_row_update",
     "q_layout_compact_exec", "q_sql_avro_catalog",
-    "q_sim_index_serve", "q_sim_hnsw2_search", "q_sim_hnsw2_recall")
+    "q_sim_index_serve", "q_sim_hnsw2_search", "q_sim_hnsw2_recall",
+    // r19 additions: SQL UPDATE / MERGE through the group-based COW
+    // (goldens pin the post-mutation aggregate's shape)
+    "q_sql_avro_update", "q_sql_avro_merge")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
