@@ -5225,6 +5225,41 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM u GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // versioned snapshot reads (r19): v1 = the full table at enable
+    // time, v2 = after the COW delete; the oracle reconstructs both
+    // aggregates from the source, so a torn snapshot, a lost retained
+    // file, or a wrong manifest swap hash-mismatches
+    "q_s32_avro_snapshot" ->
+      """SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |UNION ALL
+        |SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE (n_chars < 200) IS NOT TRUE
+        |ORDER BY version""".stripMargin,
+
+    // versioned change feed (r19): the SIGNED per-lang deltas of the
+    // feed equal the snapshot delta v3 - v1 regardless of file layout
+    // (a COW-rewritten container's untouched rows cancel additively)
+    "q_s33_avro_changes" ->
+      """WITH v1 AS (SELECT lang, n_chars, doc_id FROM documents
+        |    WHERE doc_id % 2 = 0),
+        |  v3 AS (SELECT lang, n_chars, doc_id FROM documents
+        |    WHERE (n_chars < 150) IS NOT TRUE),
+        |  d AS (
+        |    SELECT lang, CAST(1 AS BIGINT) AS sgn,
+        |      COALESCE(n_chars, 0) AS nc, doc_id FROM v3
+        |    UNION ALL
+        |    SELECT lang, CAST(-1 AS BIGINT), COALESCE(n_chars, 0), doc_id
+        |    FROM v1)
+        |SELECT lang, CAST(sum(sgn) AS BIGINT) AS d_docs,
+        |  CAST(sum(sgn * nc) AS BIGINT) AS d_chars,
+        |  CAST(sum(sgn * doc_id) AS BIGINT) AS d_ids
+        |FROM d GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+
     // SQL UPDATE (row-level COW, r19): expression assignments including
     // a partition-column rewrite; the oracle replays the CASE rewrite
     // over the source table — an over-/under-update, a lost row, or a

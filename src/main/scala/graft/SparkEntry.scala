@@ -4,7 +4,7 @@ import graft.ext.{Dedup, DimReduce, Multimodal, Retrieval, Similarity, Substring
 import graft.ml.Models
 import graft.ops.{Clean, Eda, Harmonize, Joins, Layout, Merge, Preprocess, Quality, Reshape, Resample, Sampling, Skew}
 import graft.pipeline.Pipeline
-import graft.sources.{Avro, AvroSink, Sources, Xlsx, XlsWriter}
+import graft.sources.{Avro, AvroSink, AvroVersions, Sources, Xlsx, XlsWriter}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -896,6 +896,63 @@ object SparkEntry {
         |  sum(n_chars) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM graftcat.g18.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // -- S32 versioned SNAPSHOT reads (r19): the manifest log commits
+    // every mutation as a new version; VERSION AS OF resolves an older
+    // file set, and the COW delete lands under fresh names so version 1
+    // stays byte-reachable. The oracle reconstructs both snapshots from
+    // the source table, so a torn snapshot, a lost retained file, or a
+    // wrong manifest swap hash-mismatches --------------------------------
+    "q_s32_avro_snapshot" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_ver"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      AvroSink.write(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        p, overwrite = true)
+      AvroVersions.enable(p) // v1
+      AvroSink.deleteWhere(s, p, col("n_chars") < 200) // v2 (COW)
+      def agg(v: Long) = s.read.format("graft-avro")
+        .option("graft.versionasof", v.toString).load(p)
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .withColumn("version", lit(v))
+        .select("version", "n_docs", "sum_chars", "min_id", "max_id")
+      agg(1L).unionByName(agg(2L)).orderBy("version")
+    }),
+
+    // -- S33 versioned CHANGE FEED (r19): the signed row feed between
+    // two versions (file-set diff; a COW-rewritten container emits both
+    // sides and the untouched rows cancel additively). The aggregates
+    // are SIGNED, so the result is layout-independent and equals the
+    // snapshot delta the oracle reconstructs ------------------------------
+    "q_s33_avro_changes" -> ((s, dir) => {
+      val p = s"${fixDir(dir)}/documents_avro_cdf"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      val docs = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      AvroSink.write(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .repartitionByRange(2, col("doc_id")), p, overwrite = true)
+      AvroVersions.enable(p) // v1: even doc_ids
+      AvroSink.write(docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+        .repartitionByRange(2, col("doc_id")), p) // v2: all docs
+      AvroSink.deleteWhere(s, p, col("n_chars") < 150) // v3 (COW)
+      AvroVersions.changes(s, p, 1L, 3L)
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("lang"))
+        .agg(sum(col("sgn")).as("d_docs"),
+          sum(col("sgn") * coalesce(col("n_chars"), lit(0L))).as("d_chars"),
+          sum(col("sgn") * col("doc_id")).as("d_ids"))
+        .orderBy("lang")
     }),
 
     // -- SQL UPDATE via SupportsRowLevelOperations (r19): group-based

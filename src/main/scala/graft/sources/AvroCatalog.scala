@@ -102,11 +102,25 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
     fs.exists(dir) && isTableDir(dir)
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, asOf = None)
+
+  /** SQL time travel (r19): `SELECT ... FROM cat.ns.t VERSION AS OF n`
+    * resolves the manifest-log snapshot n of a VERSIONED table.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTableAt(ident, asOf = Some(version.toLong))
+
+  private def loadTableAt(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tablePath(ident)
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
     val pathStr = dir.toString
+    // versioned tables (r19) resolve their file set from the manifest
+    // log; VERSION AS OF pins an older manifest (throws on unversioned)
+    def filesOf(): Seq[(String, Long)] =
+      AvroVersions.resolveFiles(pathStr, conf, asOf)
+        .getOrElse(AvroDsv2.listFiles(pathStr, conf))
     val partSpec = AvroPartitions.readSpec(pathStr, conf)
     val marker = new Path(dir, SchemaMarker)
     val dataFields: StructType =
@@ -124,14 +138,14 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
         return new AvroTable(
           new AvroDataSourceV2().inferSchema(
             new CaseInsensitiveStringMap(props)),
-          pathStr, AvroDsv2.listFiles(pathStr, conf), 32L << 20, partSpec)
+          pathStr, filesOf(), 32L << 20, partSpec)
       }
     val partFields = partSpec.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n, AvroSink.typeOf(t),
         nullable = true)
     }
     new AvroTable(StructType(dataFields.fields ++ partFields), pathStr,
-      AvroDsv2.listFiles(pathStr, conf), 32L << 20, partSpec)
+      filesOf(), 32L << 20, partSpec)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -178,6 +192,10 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
       java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     require(fs.rename(mTmp, new Path(dir, SchemaMarker)),
       s"graft catalog: schema marker rename failed for $ident")
+    // TBLPROPERTIES('versioned'='true') (r19): start the table on the
+    // manifest log from birth — snapshot/time-travel/fenced commits
+    if (Option(properties.get("versioned")).exists(_.toBoolean))
+      AvroVersions.enable(dir.toString, conf)
     loadTable(ident)
   }
 

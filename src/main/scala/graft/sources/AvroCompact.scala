@@ -70,14 +70,20 @@ object AvroCompact {
     val conf = AvroSink.driverConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    recover(fs, root)
+    // a VERSIONED table compacts against its manifest file set and
+    // commits through the log (below) — the .graft-cmp manifest
+    // protocol is the no-log table's substitute commit layer
+    val versioned = AvroVersions.isVersioned(fs, root)
+    if (!versioned) recover(fs, root)
+    val current =
+      if (versioned) AvroVersions.resolveFiles(dir, conf).get
+      else AvroDsv2.listFiles(dir, conf)
     // candidacy: only files SMALLER than the target are compaction
     // input — a container already at/above target is done (rewriting it
     // into an ever-bigger monolith is pure churn, and excluding it is
     // what makes repeated compaction converge: outputs of multi-file
     // bins land at ≈≥ target and leave the candidate set)
-    val bins = planBins(
-      AvroDsv2.listFiles(dir, conf).filter(_._2 < targetBytes), targetBytes)
+    val bins = planBins(current.filter(_._2 < targetBytes), targetBytes)
       .filter(_.sources.size >= 2)
     if (bins.isEmpty) return 0
     // rewrite phase: dot-temps only (sources untouched); distributed one
@@ -97,6 +103,31 @@ object AvroCompact {
       case t: Throwable =>
         AvroSink.tempSweep(fs, root, ".graft-cmp-")
         throw t
+    }
+    // versioned commit (r19): rename every bin's output to a fresh
+    // unique name (sidecar first), then swap sources for outputs in ONE
+    // fenced log commit; sources stay on disk for time travel. A crash
+    // before the log commit leaves only unreferenced fresh-name files
+    // (expire's orphan pass reclaims them)
+    if (versioned) {
+      val opId = java.util.UUID.randomUUID().toString.take(8)
+      val parentV = AvroVersions.latestVersion(fs, root).get
+      val parent = AvroVersions.readManifest(fs, root, parentV)
+      val gone = written.flatMap(_._1.sources)
+        .map(p => fs.makeQualified(new Path(p)).toString).toSet
+      val added = written.map { case (bin, tempPath, stats) =>
+        val dst = new Path(new Path(bin.dir),
+          s"compact-${bin.digest}-$opId.avro")
+        val sOut = fs.create(new Path(s"$dst.stats.json"), true)
+        try sOut.write(stats) finally sOut.close()
+        require(fs.rename(new Path(tempPath), dst),
+          s"graft-avro compact: rename $tempPath -> $dst failed")
+        (dst.toString, fs.getFileStatus(dst).getLen)
+      }
+      AvroVersions.commit(fs, root,
+        parent.filterNot(f => gone.contains(f._1)) ++ added,
+        "compact", parentV)
+      return written.size
     }
     // commit phase, per bin: manifest (atomic temp+rename — a torn
     // manifest must be impossible, recovery parses it) → SIDECAR →

@@ -159,9 +159,28 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     // NO non-empty requirement here (unlike inferSchema, which needs a
     // file to read a schema from): with an explicit schema a STREAMING
     // tail must be startable before its producer writes the first file,
-    // and a batch read of an empty directory is legitimately empty
-    new AvroTable(schema, pathStr,
-      AvroDsv2.listFiles(pathStr, hadoopConf()),
+    // and a batch read of an empty directory is legitimately empty.
+    // A VERSIONED table (r19) resolves its file set from the manifest
+    // log — latest, or `graft.versionasof=N` — instead of listing;
+    // `graft.files` (root-relative, comma-separated) restricts the read
+    // to an explicit subset (the changelog feed's building block).
+    val asOf = Option(properties.get("graft.versionasof")).map(_.toLong)
+    val files = Option(properties.get("graft.files")) match {
+      case Some(rels) =>
+        // an explicit subset resolves DIRECTLY (stat per file), not
+        // through the manifest or the listing: the change feed reads
+        // files a NEWER version already dropped
+        val fs = new Path(pathStr).getFileSystem(hadoopConf())
+        AvroDsv2.qualifySubset(pathStr, hadoopConf(), rels).toSeq.sorted
+          .map { p =>
+            val st = fs.getFileStatus(new Path(p))
+            (p, st.getLen)
+          }
+      case None =>
+        AvroVersions.resolveFiles(pathStr, hadoopConf(), asOf)
+          .getOrElse(AvroDsv2.listFiles(pathStr, hadoopConf()))
+    }
+    new AvroTable(schema, pathStr, files,
       Option(properties.get("graft.splitbytes")).map(_.toLong)
         .getOrElse(32L << 20),
       AvroPartitions.readSpec(pathStr, hadoopConf()))
@@ -171,6 +190,17 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 private[sources] object AvroDsv2 {
   /** Name of the `_file` metadata column (path of the row's container). */
   val FileColumn = "_file"
+
+  /** Qualified absolute paths of a comma-separated root-relative file
+    * list (the `graft.files` read option).
+    */
+  def qualifySubset(pathStr: String, conf: Configuration,
+      rels: String): Set[String] = {
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(conf)
+    rels.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
+  }
 
   /** Sorted (path, length) listing shared by the batch planner and the
     * streaming tail's per-trigger re-list. May be empty (the stream
@@ -1047,12 +1077,28 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
     val conf = AvroSink.driverConf()
     val root = new Path(pathStr)
     val fs = root.getFileSystem(conf)
-    // unconditional delete: every file unlinks, zero reads
+    val versioned = AvroVersions.isVersioned(fs, root)
+    // a VERSIONED table never unlinks physically here: whole-file
+    // deletes drop the files from the next manifest (time travel keeps
+    // the bytes until expire), fenced by the log's claim protocol
+    def dropFromManifest(doomed: Seq[String], op: String): Unit = {
+      val parentV = AvroVersions.latestVersion(fs, root).getOrElse(0L)
+      val parent = if (parentV == 0L) IndexedSeq.empty[(String, Long)]
+        else AvroVersions.readManifest(fs, root, parentV)
+      val gone = doomed.map(p => fs.makeQualified(new Path(p)).toString).toSet
+      AvroVersions.commit(fs, root,
+        parent.filterNot(f => gone.contains(f._1)), op, parentV)
+      ()
+    }
+    // unconditional delete: every file unlinks (or drops out of the
+    // manifest), zero reads
     val effective = filters.filterNot(_ ==
       org.apache.spark.sql.sources.AlwaysTrue)
     if (effective.isEmpty) {
-      AvroRewrite.unlinkWithDirs(fs, root,
-        AvroDsv2.listFiles(pathStr, conf).map(_._1))
+      val all = AvroVersions.resolveFiles(pathStr, conf)
+        .getOrElse(AvroDsv2.listFiles(pathStr, conf)).map(_._1)
+      if (versioned) dropFromManifest(all, "delete")
+      else AvroRewrite.unlinkWithDirs(fs, root, all)
       return
     }
     // partition conjuncts evaluate exactly per file from its path; the
@@ -1062,15 +1108,21 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
       AvroRewrite.splitAndPrune(pathStr, conf, effective, partSpec)
     if (dataFilters.isEmpty) {
       // pure partition delete: whole-file unlink, zero container reads
-      AvroRewrite.unlinkWithDirs(fs, root, candidates)
+      if (versioned) dropFromManifest(candidates, "delete")
+      else AvroRewrite.unlinkWithDirs(fs, root, candidates)
       return
     }
     // rewrite fan-out (orphan-temp sweep, one task per may-match file,
     // abort-sweep on failure), then commit: every swap keeps the
     // visible table correct at every instant (AvroRewrite doc);
-    // emptied files unlink whole
+    // emptied files unlink whole. Versioned tables commit the outcome
+    // set as ONE manifest swap instead (originals retained).
     val outcomes = AvroRewrite.cowFanout(pathStr, conf, targets, partSpec,
       ".graft-del-", (p, pv) => AvroRewrite.deleteRewrite(p, pv, effective))
+    if (versioned) {
+      AvroRewrite.commitOutcomesVersioned(conf, pathStr, outcomes, "delete")
+      return
+    }
     outcomes.foreach {
       case AvroRewrite.Rewritten(p, temp, stats, _, _) =>
         AvroRewrite.swapInPlace(conf, temp, p, stats)
@@ -1818,7 +1870,15 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     new AvroReaderFactory(required.fieldNames, pushed, partSpec)
 
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // both tail protocols key on the PHYSICAL listing; on a versioned
+    // table a COW rewrite would re-deliver rewritten containers (old
+    // and new names both admitted) — refuse rather than duplicate (r19)
+    require(!AvroVersions.isVersioned(pathStr, AvroSink.driverConf()),
+      s"graft-avro: streaming reads of a VERSIONED table are not " +
+        s"supported ($pathStr has a ${AvroVersions.LogDirName}); read " +
+        s"batch snapshots (graft.versionasof) or the change feed " +
+        s"(AvroVersions.changes) instead")
     if (streamOpts.seenLog)
       new AvroSeenLogStream(this, pathStr, checkpointLocation,
         streamOpts.maxFilesPerTrigger, streamOpts.retainBatches)
@@ -1834,6 +1894,7 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
           "watermark protocol would silently drop late directories")
       new AvroMicroBatchStream(this, pathStr, streamOpts.maxFilesPerTrigger)
     }
+  }
 }
 
 /** Streaming TAIL over a graft-avro directory — `spark.readStream

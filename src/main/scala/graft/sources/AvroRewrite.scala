@@ -239,7 +239,11 @@ private[graft] object AvroRewrite {
     val (partFilters, dataFilters) = filters.partition(f =>
       partNameSet.nonEmpty && f.references.nonEmpty &&
         f.references.forall(partNameSet.contains))
-    val candidates = AvroDsv2.listFiles(pathStr, conf).filter { case (p, _) =>
+    // a VERSIONED table's mutation set comes from the manifest log —
+    // retained files of older versions must not be re-deleted/rewritten
+    val current = AvroVersions.resolveFiles(pathStr, conf)
+      .getOrElse(AvroDsv2.listFiles(pathStr, conf))
+    val candidates = current.filter { case (p, _) =>
       val raw = AvroPartitions.rawValuesOf(p, partNameSet)
       val get: String => Any =
         n => raw.get(n).map(AvroPartitions.typed(_, partTypes(n))).orNull
@@ -299,20 +303,71 @@ private[graft] object AvroRewrite {
   /** Driver orchestration for the UPDATE tier (DELETE's lives in
     * [[AvroTable.deleteWhere]], whose whole-file fast path has no
     * UPDATE analogue): prune, fan out, swap every `Rewritten` outcome
-    * in place. Unchanged files stay byte-identical.
+    * in place — or, on a VERSIONED table, commit the outcome set
+    * through the manifest log ([[commitOutcomesVersioned]]), leaving
+    * the originals untouched for time travel. Unchanged files stay
+    * byte-identical either way.
     */
   private[sources] def runUpdate(pathStr: String,
       conf: Configuration, filters: Array[Filter],
       partSpec: Seq[(String, String)],
       assignments: Map[String, Any]): Unit = {
     val (_, _, targets) = splitAndPrune(pathStr, conf, filters, partSpec)
-    cowFanout(pathStr, conf, targets, partSpec, ".graft-upd-",
+    val outcomes = cowFanout(pathStr, conf, targets, partSpec, ".graft-upd-",
       (p, pv) => updateRewrite(p, pv, filters, assignments))
-      .foreach {
-        case Rewritten(p, temp, stats, _, _) =>
-          swapInPlace(conf, temp, p, stats)
-        case _ => ()
+    if (AvroVersions.isVersioned(pathStr, conf))
+      commitOutcomesVersioned(conf, pathStr, outcomes, "update")
+    else outcomes.foreach {
+      case Rewritten(p, temp, stats, _, _) =>
+        swapInPlace(conf, temp, p, stats)
+      case _ => ()
+    }
+  }
+
+  /** Versioned commit of a COW outcome set (r19): every `Rewritten`
+    * temp renames to a FRESH visible name (`part-cow-<op>-<k>.avro`,
+    * sidecar first — inert without its container), then ONE manifest
+    * commit swaps the rewritten and emptied originals out of the file
+    * set — the commit point, fenced by the log's claim protocol. The
+    * originals stay on disk: older versions still reference them
+    * (time travel); [[AvroVersions.expire]] reclaims. A crash before
+    * the manifest commit leaves only unreferenced fresh-name files —
+    * invisible to versioned readers, swept by expire's orphan pass.
+    */
+  private[sources] def commitOutcomesVersioned(conf: Configuration,
+      pathStr: String, outcomes: Seq[Outcome], op: String): Unit = {
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(conf)
+    val parentV = AvroVersions.latestVersion(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-avro: $pathStr versioned but has no committed manifest"))
+    val parent = AvroVersions.readManifest(fs, root, parentV)
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    val replaced =
+      scala.collection.mutable.HashMap.empty[String, Option[(String, Long)]]
+    outcomes.zipWithIndex.foreach {
+      case (Rewritten(p, temp, stats, _, _), k) =>
+        val dst = new Path(new Path(p).getParent,
+          f"part-cow-$opId-$k%05d.avro")
+        val sOut = fs.create(new Path(s"$dst.stats.json"), true)
+        try sOut.write(stats) finally sOut.close()
+        require(fs.rename(new Path(temp), dst),
+          s"graft-avro: rename $temp -> $dst failed")
+        replaced(fs.makeQualified(new Path(p)).toString) =
+          Some((dst.toString, fs.getFileStatus(dst).getLen))
+      case (Emptied(p, _), _) =>
+        replaced(fs.makeQualified(new Path(p)).toString) = None
+      case _ => ()
+    }
+    if (replaced.isEmpty) return // nothing matched: no new version
+    val files = parent.flatMap { case (p, l) =>
+      replaced.get(p) match {
+        case None => Some((p, l)) // untouched
+        case Some(None) => None // emptied: drops out
+        case Some(some) => some // rewritten under its fresh name
       }
+    }
+    AvroVersions.commit(fs, root, files, op, parentV)
   }
 
   /** Unlink a container + its sidecar and retire newly-empty partition

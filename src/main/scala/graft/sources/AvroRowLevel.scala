@@ -290,8 +290,30 @@ private[graft] object AvroRlo {
       removes: Seq[String]): Unit = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(conf)
-    recover(fs, root)
     if (adds.isEmpty && removes.isEmpty) return
+    // VERSIONED table (r19): the manifest log is the commit point —
+    // rename the adds to their final names (sidecar first), then swap
+    // the file set in ONE fenced log commit; removes stay on disk for
+    // time travel, no rlo manifest needed
+    if (AvroVersions.isVersioned(fs, root)) {
+      val parentV = AvroVersions.latestVersion(fs, root).getOrElse(0L)
+      val parent = if (parentV == 0L) IndexedSeq.empty[(String, Long)]
+        else AvroVersions.readManifest(fs, root, parentV)
+      val gone = removes.map(p => fs.makeQualified(new Path(p)).toString).toSet
+      val added = adds.map { case (temp, finalAbs, stats) =>
+        val dst = new Path(finalAbs)
+        val sOut = fs.create(new Path(s"$finalAbs.stats.json"), true)
+        try sOut.write(stats) finally sOut.close()
+        require(fs.rename(new Path(temp), dst),
+          s"graft-avro rlo: rename $temp -> $dst failed")
+        (dst.toString, fs.getFileStatus(dst).getLen)
+      }
+      AvroVersions.commit(fs, root,
+        parent.filterNot(f => gone.contains(f._1)) ++ added,
+        "replace", parentV)
+      return
+    }
+    recover(fs, root)
     if (adds.isEmpty) {
       // delete-everything-scanned, nothing to add: plain unlink (the
       // same per-file atomicity as the metadata DELETE tier)

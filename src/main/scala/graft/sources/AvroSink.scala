@@ -699,7 +699,14 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
-    if (truncateOnCommit && fs.exists(target)) {
+    // VERSIONED table (r19): the manifest log is the commit layer — an
+    // overwrite REPLACES the file set in the next manifest and retains
+    // the old files for time travel (expire() reclaims them), never
+    // deletes them physically here
+    val versioned = AvroVersions.isVersioned(fs, target)
+    val parentV = if (versioned)
+      AvroVersions.latestVersion(fs, target).getOrElse(0L) else 0L
+    if (truncateOnCommit && !versioned && fs.exists(target)) {
       val it = fs.listFiles(target, true)
       val doomed = Seq.newBuilder[Path]
       while (it.hasNext) {
@@ -713,6 +720,7 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     }
     if (partCols.nonEmpty)
       AvroPartitions.writeSpec(pathStr, AvroSink.driverConf(), partSpec)
+    val added = Seq.newBuilder[(String, Long)]
     messages.collect { case m: AvroCommitMessage if m.parts.nonEmpty => m }
       .sortBy(_.partitionId)
       .foreach { m =>
@@ -728,8 +736,17 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
             s"graft-avro commit: rename $temp -> $dst failed")
           val sOut = fs.create(new Path(dir, s"${dst.getName}.stats.json"), true)
           try sOut.write(statsJson) finally sOut.close()
+          if (versioned)
+            added += ((dst.toString, fs.getFileStatus(dst).getLen))
         }
       }
+    if (versioned) {
+      val parentFiles =
+        if (truncateOnCommit || parentV == 0L) Seq.empty
+        else AvroVersions.readManifest(fs, target, parentV)
+      AvroVersions.commit(fs, target, parentFiles ++ added.result(),
+        if (truncateOnCommit) "overwrite" else "append", parentV)
+    }
     tempSweep(fs, target)
     fs.create(new Path(target, "_SUCCESS"), true).close()
   }
@@ -823,6 +840,12 @@ private[sources] class AvroStreamingWrite(schema: StructType,
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
     fs.mkdirs(target)
+    // versioned tables commit through the manifest log, which the
+    // epoch-replay protocol does not speak — refuse loudly (r19)
+    require(!AvroVersions.isVersioned(fs, target),
+      s"graft-avro: streaming writes into a VERSIONED table are not " +
+        s"supported ($pathStr has a ${AvroVersions.LogDirName}); write " +
+        s"batch commits or disable versioning")
     // the same append layout-compatibility gate as the batch writer
     val existing = AvroPartitions.readSpec(pathStr, AvroSink.driverConf())
     require(existing.isEmpty || existing == partSpec,

@@ -94,8 +94,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_layout_compact_exec", "q_sql_avro_catalog",
     "q_sim_index_serve", "q_sim_hnsw2_search", "q_sim_hnsw2_recall",
     // r19 additions: SQL UPDATE / MERGE through the group-based COW
-    // (goldens pin the post-mutation aggregate's shape)
-    "q_sql_avro_update", "q_sql_avro_merge")
+    // (goldens pin the post-mutation aggregate's shape), the versioned
+    // snapshot read and the signed change feed
+    "q_sql_avro_update", "q_sql_avro_merge",
+    "q_s32_avro_snapshot", "q_s33_avro_changes")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
