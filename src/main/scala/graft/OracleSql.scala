@@ -5225,6 +5225,18 @@ object OracleSql {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM u GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
+    // sorted SPJ join (r19): the engine merge-joins the co-partitioned
+    // avro tables with zero exchanges and zero sorts (scan-reported
+    // ordering); the oracle replays the join over the source table, so
+    // a mis-zipped group or a wrongly-elided sort hash-mismatches
+    "q_s34_avro_sorted_join" ->
+      """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS lang_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, d.doc_id, d.n_chars, st.lang_docs, st.lang_chars
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |ORDER BY d.lang NULLS FIRST, d.doc_id""".stripMargin,
+
     // versioned snapshot reads (r19): v1 = the full table at enable
     // time, v2 = after the COW delete; the oracle reconstructs both
     // aggregates from the source, so a torn snapshot, a lost retained

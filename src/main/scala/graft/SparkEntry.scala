@@ -898,6 +898,33 @@ object SparkEntry {
         |FROM graftcat.g18.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // -- S34 SORTED storage-partitioned join (r19): the scans report a
+    // per-partition ordering (partition columns are CONSTANT within an
+    // SPJ key group), so the merge join plans with ZERO exchanges AND
+    // ZERO sorts — the read-side half of the clustered write
+    // (AvroSortedScanSpec pins the plan shape). The oracle replays the
+    // join over the source table ------------------------------------------
+    "q_s34_avro_sorted_join" -> ((s, dir) => {
+      val base = s"${fixDir(dir)}/documents_avro_sj"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        base, Seq("lang"), overwrite = true)
+      val statsP = s"${fixDir(dir)}/docstats_avro_sj"
+      AvroSink.writePartitioned(
+        T(s, dir, "documents").groupBy("lang").agg(
+          count(lit(1)).as("lang_docs"),
+          sum(col("n_chars")).as("lang_chars")),
+        statsP, Seq("lang"), overwrite = true)
+      val docs = s.read.format("graft-avro").option("graft.spj", "true")
+        .load(base)
+      val st = s.read.format("graft-avro").option("graft.spj", "true")
+        .load(statsP)
+      docs.hint("merge").join(st, Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("lang_docs"), col("lang_chars"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // -- S32 versioned SNAPSHOT reads (r19): the manifest log commits
     // every mutation as a new version; VERSION AS OF resolves an older
     // file set, and the COW delete lands under fresh names so version 1

@@ -138,14 +138,15 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
         return new AvroTable(
           new AvroDataSourceV2().inferSchema(
             new CaseInsensitiveStringMap(props)),
-          pathStr, filesOf(), 32L << 20, partSpec)
+          pathStr, filesOf(), 32L << 20, partSpec,
+          mayReportOrdering = asOf.isEmpty)
       }
     val partFields = partSpec.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n, AvroSink.typeOf(t),
         nullable = true)
     }
     new AvroTable(StructType(dataFields.fields ++ partFields), pathStr,
-      filesOf(), 32L << 20, partSpec)
+      filesOf(), 32L << 20, partSpec, mayReportOrdering = asOf.isEmpty)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -127,6 +127,9 @@ object AvroCompact {
       AvroVersions.commit(fs, root,
         parent.filterNot(f => gone.contains(f._1)) ++ added,
         "compact", parentV)
+      // compacted bins CONCATENATE sorted sources (no merge-sort): the
+      // every-file-sorted invariant is gone (r19)
+      AvroSortMarker.clear(dir, conf)
       return written.size
     }
     // commit phase, per bin: manifest (atomic temp+rename — a torn
@@ -161,6 +164,9 @@ object AvroCompact {
       }
       fs.delete(mPath, false)
     }
+    // compacted bins CONCATENATE sorted sources (no merge-sort): the
+    // every-file-sorted invariant is gone (r19)
+    if (written.nonEmpty) AvroSortMarker.clear(dir, conf)
     written.size
   }
 

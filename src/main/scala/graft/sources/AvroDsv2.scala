@@ -183,7 +183,11 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     new AvroTable(schema, pathStr, files,
       Option(properties.get("graft.splitbytes")).map(_.toLong)
         .getOrElse(32L << 20),
-      AvroPartitions.readSpec(pathStr, hadoopConf()))
+      AvroPartitions.readSpec(pathStr, hadoopConf()),
+      // the sort marker describes the LATEST layout only — pinned or
+      // explicit-subset reads must not claim its ordering
+      mayReportOrdering =
+        asOf.isEmpty && !properties.containsKey("graft.files"))
   }
 }
 
@@ -446,6 +450,74 @@ private[sources] object AvroPartitions {
     val out = fs.create(p, true)
     try out.write(om.writeValueAsBytes(arr)) finally out.close()
   }
+}
+
+/** Committed SORT-ORDER metadata for graft-avro (r19) — the read-side
+  * half of the r18 clustered write: `_graft_sort.json` at the table
+  * root records the column list every live container is sorted by
+  * (ascending, nulls first — the clustered write's declared order).
+  * The scan then reports a per-partition ordering
+  * ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]]):
+  * every split is a CONTIGUOUS byte range of one sorted container, so
+  * a sort-merge join or sorted aggregate above it elides its Sort.
+  *
+  * The marker lives and dies with the layout invariant "EVERY file is
+  * sorted by exactly these columns":
+  *  - written by a clustered write into an empty/truncated table, or an
+  *    append whose sort columns MATCH the committed marker;
+  *  - preserved by row-level COW delete/update (rewrites keep record
+  *    order) and whole-file deletes;
+  *  - DELETED by any unsorted append, streaming append, compaction
+  *    (bins concatenate sorted files — not merge-sort), and row-level
+  *    SQL replace (the rewrite query's output order is Spark's).
+  * Conservative by construction: no marker means no ordering claim, and
+  * time-travel / explicit-subset reads never consult it (the marker
+  * describes the LATEST layout only).
+  */
+private[sources] object AvroSortMarker {
+  val File = "_graft_sort.json"
+
+  def read(pathStr: String, conf: Configuration): Seq[String] = {
+    val p = new Path(pathStr, File)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else try {
+      val in = fs.open(p)
+      val node = try
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      node.asScala.toSeq.map(_.asText)
+    } catch { case _: Throwable => Seq.empty } // unreadable: no claim
+  }
+
+  def write(pathStr: String, conf: Configuration,
+      cols: Seq[String]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    cols.foreach(arr.add)
+    val p = new Path(pathStr, File)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(om.writeValueAsBytes(arr)) finally out.close()
+  }
+
+  def clear(pathStr: String, conf: Configuration): Unit = {
+    val p = new Path(pathStr, File)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, false)
+    ()
+  }
+
+  /** Marker update at a write commit: a clustered write KEEPS the
+    * invariant when it replaces the table, starts it, or matches the
+    * committed order; anything else breaks it.
+    */
+  def onCommit(pathStr: String, conf: Configuration, sortBy: Seq[String],
+      replacesTable: Boolean, tableWasEmpty: Boolean): Unit =
+    if (sortBy.nonEmpty &&
+        (replacesTable || tableWasEmpty || read(pathStr, conf) == sortBy))
+      write(pathStr, conf, sortBy)
+    else clear(pathStr, conf)
 }
 
 /** Record-level evaluation of pushed-down source filters against the
@@ -995,7 +1067,10 @@ private[sources] object AvroStats {
 
 private[sources] class AvroTable(schema: StructType, pathStr: String,
     files: Seq[(String, Long)], splitBytes: Long,
-    partSpec: Seq[(String, String)] = Seq.empty)
+    partSpec: Seq[(String, String)] = Seq.empty,
+    // false for time-travel / explicit-subset reads: the sort marker
+    // describes the LATEST layout only (AvroSortMarker doc)
+    mayReportOrdering: Boolean = true)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1152,7 +1227,8 @@ private[sources] class AvroTable(schema: StructType, pathStr: String,
         Option(options.get("graft.seenlog")).exists(_.toBoolean),
         Option(options.get("graft.seenlog.retain")).map(_.toInt)),
       partSpec,
-      Option(options.get("graft.spj")).exists(_.toBoolean))
+      Option(options.get("graft.spj")).exists(_.toBoolean),
+      mayReportOrdering)
 }
 
 /** Streaming-tail knobs parsed from the read options. */
@@ -1165,7 +1241,8 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
     pathStr: String, files: Seq[(String, Long)], splitBytes: Long,
     streamOpts: AvroStreamOpts = AvroStreamOpts(),
     partSpec: Seq[(String, String)] = Seq.empty,
-    spj: Boolean = false)
+    spj: Boolean = false,
+    mayReportOrdering: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
@@ -1229,7 +1306,7 @@ private[sources] class AvroScanBuilder(fullSchema: StructType,
             ++ agg.aggregateExpressions().map(_.toString)).mkString(", "))
       case _ =>
         new AvroScan(required, pathStr, files, splitBytes, pushed, streamOpts,
-          partSpec, statsCache, spj)
+          partSpec, statsCache, spj, mayReportOrdering)
     }
 }
 
@@ -1546,9 +1623,11 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
     sharedStatsCache: java.util.concurrent.ConcurrentHashMap[
       String, Option[AvroStats.FileStats]] =
       new java.util.concurrent.ConcurrentHashMap(),
-    spj: Boolean = false) extends Scan with Batch
+    spj: Boolean = false,
+    mayReportOrdering: Boolean = true) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning
+  with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -1601,6 +1680,40 @@ private[graft] class AvroScan(required: StructType, pathStr: String,
           distinctKeys)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
+
+  // -- reported per-partition ordering (r19) ----------------------------
+  // Two sound sources, both conservative (AvroSortMarker doc):
+  //  * the committed sort marker: every live container is sorted on the
+  //    marker columns, and every split is a CONTIGUOUS range of one
+  //    container — the longest marker PREFIX present in the read schema
+  //    is a true per-partition order (a dropped prefix column breaks
+  //    monotonicity of the rest, so only prefixes qualify);
+  //  * under SPJ key grouping, every Spark partition holds ONE partition
+  //    value — the partition columns are CONSTANT per partition, hence
+  //    trivially sorted (reported ahead of the marker prefix, matching a
+  //    merge join keyed on them). The marker prefix may only follow when
+  //    each key group holds a single split (concatenated sorted files
+  //    are not sorted), which planSplits cannot know here — so SPJ
+  //    reports the constants alone.
+  // What this buys: a sort-merge join or sorted aggregate over a
+  // range-clustered (or co-partitioned) table elides its Sort — at
+  // 100 TB that is the write-once-sort-never-again half of clustering.
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (!mayReportOrdering) return Array.empty
+    def asc(c: String): org.apache.spark.sql.connector.expressions.SortOrder =
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+    val readCols = required.fieldNames.toSet
+    if (spj && partSpec.nonEmpty)
+      partSpec.map(_._1).filter(readCols.contains).map(asc).toArray
+    else {
+      val marker = AvroSortMarker.read(pathStr, AvroSink.driverConf())
+      marker.takeWhile(readCols.contains).map(asc).toArray
+    }
+  }
 
   /** The typed catalyst partition-key row of a file's path (spec order),
     * carried by each split for Spark's key grouping.

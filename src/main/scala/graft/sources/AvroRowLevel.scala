@@ -311,6 +311,9 @@ private[graft] object AvroRlo {
       AvroVersions.commit(fs, root,
         parent.filterNot(f => gone.contains(f._1)) ++ added,
         "replace", parentV)
+      // replacement rows arrive in the rewrite query's order, not the
+      // committed sort order — the marker invariant is gone (r19)
+      AvroSortMarker.clear(rootStr, conf)
       return
     }
     recover(fs, root)
@@ -343,6 +346,8 @@ private[graft] object AvroRlo {
     }
     AvroRewrite.unlinkWithDirs(fs, root, removes)
     fs.delete(mPath, false)
+    // replacement rows arrive in the rewrite query's order (r19)
+    AvroSortMarker.clear(rootStr, conf)
   }
 
   /** Finish or roll back every surviving rlo manifest (commit order in

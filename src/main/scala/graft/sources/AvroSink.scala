@@ -706,6 +706,12 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     val versioned = AvroVersions.isVersioned(fs, target)
     val parentV = if (versioned)
       AvroVersions.latestVersion(fs, target).getOrElse(0L) else 0L
+    // captured BEFORE any mutation: the sort-marker update (below) needs
+    // to know whether this write STARTED the table
+    val tableWasEmpty =
+      if (versioned) parentV == 0L ||
+        AvroVersions.readManifest(fs, target, parentV).isEmpty
+      else AvroDsv2.listFiles(pathStr, AvroSink.driverConf()).isEmpty
     if (truncateOnCommit && !versioned && fs.exists(target)) {
       val it = fs.listFiles(target, true)
       val doomed = Seq.newBuilder[Path]
@@ -747,6 +753,11 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
       AvroVersions.commit(fs, target, parentFiles ++ added.result(),
         if (truncateOnCommit) "overwrite" else "append", parentV)
     }
+    // sort-order metadata (r19): a clustered write that replaces,
+    // starts, or order-matches the table commits the marker; any other
+    // write breaks the every-file-sorted invariant and clears it
+    AvroSortMarker.onCommit(pathStr, AvroSink.driverConf(), sortBy,
+      replacesTable = truncateOnCommit, tableWasEmpty = tableWasEmpty)
     tempSweep(fs, target)
     fs.create(new Path(target, "_SUCCESS"), true).close()
   }
@@ -903,6 +914,9 @@ private[sources] class AvroStreamingWrite(schema: StructType,
           try sOut.write(statsJson) finally sOut.close()
         }
       }
+    // streaming appends are unsorted: a committed sort marker no longer
+    // describes every live container — clear it (r19)
+    AvroSortMarker.clear(pathStr, AvroSink.driverConf())
     AvroSink.tempSweep(fs, target, s".graft-${epochQueryId(epochId)}-")
     fs.create(new Path(target, "_SUCCESS"), true).close()
   }

@@ -97,7 +97,7 @@ class PlanShapeSpec extends SparkSpec {
     // (goldens pin the post-mutation aggregate's shape), the versioned
     // snapshot read and the signed change feed
     "q_sql_avro_update", "q_sql_avro_merge",
-    "q_s32_avro_snapshot", "q_s33_avro_changes")
+    "q_s32_avro_snapshot", "q_s33_avro_changes", "q_s34_avro_sorted_join")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
