@@ -61,7 +61,8 @@ object OracleSql {
     * exponentially with hop depth (the BENCHNOTES GD-chain cliff).
     */
   private def hnswVisitedCtes(hops: Int, beam: Int, graphK: Int,
-      nProbe: Int, routing: Option[Int] = None): String = {
+      nProbe: Int, routing: Option[Int] = None,
+      queryPred: String = "vec_id < 10"): String = {
     // entry probes: flat = rank ALL centroids per query; two-level
     // (routing = Some(nCells), r18) = exact triangle-inequality bound
     // routing over the nCells md5-leading centroids as CELLS — the
@@ -128,7 +129,7 @@ object OracleSql {
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $queryPred),
          |d AS (SELECT e.vec_id, e.v, c.cid,
          |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
          |      + list_dot_product(c.cv, c.cv) AS d2
@@ -4173,6 +4174,20 @@ object OracleSql {
     "q_sim_hnsw2_search" ->
       (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4,
               routing = Some(4))}
+         |f AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
+         |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,
+         |  cos + 0.0 AS cos
+         |FROM f WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
+
+    // two-level incremental insert (r19): the insert path is EXACTLY a
+    // full rebuild over base ∪ batch (spec-pinned), so the search over
+    // the updated artifact replays against the full-corpus routed-
+    // search oracle — only the query set differs
+    "q_sim_hnsw2_insert" ->
+      (s"""WITH ${hnswVisitedCtes(hops = 6, beam = 8, graphK = 8, nProbe = 4,
+              routing = Some(4),
+              queryPred = "vec_id >= 10 AND vec_id < 20")}
          |f AS (SELECT qid, id, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM v6)
          |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rn, id AS vec_id,

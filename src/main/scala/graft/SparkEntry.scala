@@ -4110,7 +4110,7 @@ object SparkEntry {
       // build ONCE (first rep), serve from the reload after — the
       // serve-latency bench shape (r17 verdict #6); the full
       // build-per-rep lifecycle stays measured by q_sim_index_persist
-      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v1") {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v2") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()
@@ -4123,6 +4123,49 @@ object SparkEntry {
         col("vec_id") < 10, k = 10, nProbe = 4, beamWidth = 8, hops = 6)
     }),
 
+    // -- two-level INCREMENTAL INSERT (r19): a document batch joins the
+    // persisted hier index without a rebuild — assignment appends,
+    // exactly the touched clusters' graph/edges partition directories
+    // refresh (knnGraphInsert's exact merge-retrim), the routing layer
+    // is untouched by construction. The updated artifact EQUALS a full
+    // rebuild over base ∪ batch (HierAnnSpec pins it), so the search
+    // over it replays against the SAME full-corpus oracle as
+    // q_sim_hnsw2_search — any drift in the insert path
+    // hash-mismatches. Per rep: copy the build-once BASE artifact,
+    // insert, serve ------------------------------------------------------
+    "q_sim_hnsw2_insert" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val isBatch = pmod(col("vec_id"), lit(5)) === 3
+      val base = emb.where(!isBatch)
+      val batch = emb.where(isBatch)
+      val baseDir = s"${fixDir(dir)}/ann_index_hier_base"
+      fixtureOnce(baseDir,
+        "hier-base|cents=md5x8(full)|nCells=4|graphK=8|batch=mod5eq3|v2") {
+        // centroids from the FULL corpus (fixed literals), so the
+        // inserted artifact is the full-corpus index
+        val cents = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        Similarity.persistIndexHier(base, "vec_id", "e", cents.toIndexedSeq,
+          nCells = 4, graphK = 8, baseDir)
+      }
+      val work = s"${fixDir(dir)}/ann_index_hier_ins"
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = new org.apache.hadoop.fs.Path(work).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(baseDir), fs,
+        new org.apache.hadoop.fs.Path(work), false, conf)
+      Similarity.insertIndexHier(base, batch, "vec_id", "e",
+        graphK = 8, work)
+      val ix = Similarity.loadIndexHier(s, work)
+      Similarity.beamSearchKnnHier(emb, "vec_id", "e", ix,
+        col("vec_id") >= 10 && col("vec_id") < 20,
+        k = 10, nProbe = 4, beamWidth = 8, hops = 6)
+    }),
+
     // -- two-level recall audit (r18): recall@10 of the bound-routed
     // search vs exact brute force, same harness/queries/ties as
     // q_sim_hnsw_recall — by the bound's exactness the numbers must
@@ -4131,7 +4174,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
-      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v1") {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v2") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()

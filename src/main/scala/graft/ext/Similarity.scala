@@ -1180,14 +1180,124 @@ object Similarity {
         lit(2.0) * VectorOps.dotNative(col("v"), c) + VectorOps.dotNative(c, c)
       struct(d2.as("d2"), lit(cid).as("cid"))
     }
-    graft.sources.AvroSink.write(
-      df.select(col(idCol).cast("long").as("id"), ev.as("v"))
-        .select(col("id"),
-          array_min(array(assignEntries: _*)).getField("cid").as("cid")),
-      s"$dir/assign", overwrite = true)
-    graft.sources.AvroSink.write(
-      symmetrizedKnnEdges(df, idCol, vecCol, centroids, graphK),
-      s"$dir/edges", overwrite = true)
+    val assignDf = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
+      .select(col("id"),
+        array_min(array(assignEntries: _*)).getField("cid").as("cid"))
+    graft.sources.AvroSink.write(assignDf, s"$dir/assign", overwrite = true)
+    // r19: the DIRECTED graph (src, rn, dst, cos) persists too, CLUSTER-
+    // PARTITIONED (every kNN edge is intra-cluster by construction) —
+    // what [[insertIndexHier]] needs to merge-and-retrim exactly, laid
+    // out so an insert refreshes ONLY the touched clusters' directories
+    // and every other cluster's files stay byte-identical. The
+    // symmetrized serve edges take the same layout for the same reason.
+    val kg = graft.Caches.register(
+      knnGraph(df, idCol, vecCol, centroids, graphK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val srcCid = assignDf.select(col("id").as("src"), col("cid"))
+    graft.sources.AvroSink.writePartitioned(
+      kg.join(srcCid, Seq("src")).select("src", "rn", "dst", "cos", "cid"),
+      s"$dir/graph", Seq("cid"), overwrite = true)
+    val sym = kg.select(col("src"), col("dst"))
+      .union(kg.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.sources.AvroSink.writePartitioned(
+      sym.join(srcCid, Seq("src")).select("src", "dst", "cid"),
+      s"$dir/edges", Seq("cid"), overwrite = true)
+  }
+
+  /** INCREMENTAL batch insert into a persisted two-level index (r19) —
+    * [[knnGraphInsert]] extended to the on-disk artifact: the routing
+    * layer (cells, radii, centroid vectors) depends ONLY on the fixed
+    * centroid set, so it is untouched by construction; the batch joins
+    * the corpus via
+    *  - an APPEND to `assign` (existing assignment files byte-identical),
+    *  - a refresh of exactly the TOUCHED clusters' `graph`/`edges`
+    *    partition directories (partition-grain delete = directory
+    *    unlink + clustered append; every untouched cluster's files stay
+    *    byte-identical on disk),
+    * with the adjacency merged-and-retrimmed through [[knnGraphInsert]]
+    * — EXACT by its contract: the updated artifact equals a full
+    * [[persistIndexHier]] rebuild over base ∪ batch, row for row, so a
+    * search over it is the rebuild's search (HierAnnSpec pins both).
+    *
+    * `base` = the corpus the artifact was built over (ingest-time op:
+    * the centroid collect is bounded by the centroid count; the one
+    * pair stage costs |batch| × clusterSize). `graphK` must match the
+    * build. Not crash-atomic across the three writes — re-run from the
+    * prior artifact after a crash, or enable the manifest log
+    * ([[graft.sources.AvroVersions.enable]]) on the artifact
+    * directories for fenced, snapshot-isolated commits.
+    */
+  def insertIndexHier(base: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, graphK: Int, dir: String): Unit = {
+    require(graphK > 0, "need graphK > 0")
+    val spark = base.sparkSession
+    val centroids: Seq[(Long, Seq[Double])] =
+      spark.read.format("graft-avro").load(s"$dir/centroids")
+        .select("cid", "pos", "val").collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pos"),
+          r.getAs[Double]("val")))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double])
+        }
+    require(centroids.nonEmpty, s"$dir/centroids is empty")
+    val ev = VectorOps.toDouble(col(vecCol))
+    val assignEntries = centroids.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      val d2 = VectorOps.dotNative(col("v"), col("v")) -
+        lit(2.0) * VectorOps.dotNative(col("v"), c) + VectorOps.dotNative(c, c)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val assignedBatch = batch
+      .select(col(idCol).cast("long").as("id"), ev.as("v"))
+      .select(col("id"),
+        array_min(array(assignEntries: _*)).getField("cid").as("cid"))
+    val touched: Seq[Long] = assignedBatch.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (touched.isEmpty) return
+    val touchedLit = touched.map(java.lang.Long.valueOf)
+    val baseAssign = spark.read.format("graft-avro").load(s"$dir/assign")
+      .select(col("id").cast("long").as("id"), col("cid").cast("long").as("cid"))
+    // base rows of the touched clusters only — the insert's working set
+    val baseTouched = base.join(
+      baseAssign.where(col("cid").isin(touchedLit: _*))
+        .select(col("id").as("__bid")),
+      col(idCol).cast("long") === col("__bid"))
+      .drop("__bid")
+    // the persisted directed graph, partition-pruned to touched clusters
+    val baseGraph = spark.read.format("graft-avro").load(s"$dir/graph")
+      .where(col("cid").isin(touchedLit: _*))
+      .select("src", "rn", "dst", "cos")
+    val merged = graft.Caches.register(
+      knnGraphInsert(baseGraph, baseTouched, batch, idCol, vecCol,
+        centroids, graphK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // MATERIALIZE before the partition deletes below: merged's lineage
+    // READS the graph directory those deletes unlink — a lazy persist
+    // would recompute from vanished files
+    merged.count()
+    val srcCid = baseAssign.unionByName(assignedBatch)
+      .where(col("cid").isin(touchedLit: _*))
+      .select(col("id").as("src"), col("cid"))
+    // refresh = partition-grain delete (directory unlink, zero reads) +
+    // clustered append of the merged adjacency
+    graft.sources.AvroSink.deleteWhere(spark, s"$dir/graph",
+      col("cid").isin(touchedLit: _*))
+    graft.sources.AvroSink.writePartitioned(
+      merged.join(srcCid, Seq("src")).select("src", "rn", "dst", "cos", "cid"),
+      s"$dir/graph", Seq("cid"))
+    val sym = merged.select(col("src"), col("dst"))
+      .union(merged.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.sources.AvroSink.deleteWhere(spark, s"$dir/edges",
+      col("cid").isin(touchedLit: _*))
+    graft.sources.AvroSink.writePartitioned(
+      sym.join(srcCid, Seq("src")).select("src", "dst", "cid"),
+      s"$dir/edges", Seq("cid"))
+    // assignment append LAST: a crash above leaves the batch entirely
+    // un-admitted (re-runnable), never half-admitted to the corpus join
+    graft.sources.AvroSink.write(assignedBatch, s"$dir/assign")
   }
 
   /** Reload a [[persistIndexHier]] artifact. ONLY the cells collect

@@ -97,7 +97,8 @@ class PlanShapeSpec extends SparkSpec {
     // (goldens pin the post-mutation aggregate's shape), the versioned
     // snapshot read and the signed change feed
     "q_sql_avro_update", "q_sql_avro_merge",
-    "q_s32_avro_snapshot", "q_s33_avro_changes", "q_s34_avro_sorted_join")
+    "q_s32_avro_snapshot", "q_s33_avro_changes", "q_s34_avro_sorted_join",
+    "q_sim_hnsw2_insert")
 
   private case class Shape(shuffles: Int, broadcasts: Int, codegenSpans: Int,
       pushedFilters: Int) {
