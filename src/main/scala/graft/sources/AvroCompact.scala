@@ -39,7 +39,18 @@ import scala.jdk.CollectionConverters._
   * which finishes (4)+(5); the manifest makes that repair exact. This
   * is the honest no-log trade: commit is atomic per bin, and the only
   * inconsistent window (post-rename, pre-delete) is repairable and
-  * detectable, never silent.
+  * detectable, never silent — and since r19 it is closed for READERS
+  * entirely: [[AvroDsv2.listFiles]] masks a committed manifest's
+  * sources out of every listing, so the duplicates are never served
+  * even before the next compact() runs the physical sweep.
+  *
+  * CONCURRENCY CONTRACT (r19): single writer per table for this no-log
+  * protocol — a compaction racing another mutation can sweep the other
+  * writer's temps. Enable the manifest log ([[AvroVersions.enable]])
+  * for claim-fenced commits: a versioned compact() commits ONE fenced
+  * log version (sources retained for time travel) and a concurrent
+  * writer fails loudly ([[AvroVersions.ConcurrentWriteException]])
+  * instead of interleaving.
   */
 object AvroCompact {
 

@@ -37,6 +37,16 @@ import scala.jdk.CollectionConverters._
   * (idempotence: the rewrite drops no row twice). A failure BEFORE any
   * swap aborts by sweeping the `.graft-del-` temps; originals are
   * untouched.
+  *
+  * CONCURRENCY CONTRACT (r19): the crash-ordering above keeps every
+  * instant correct for READERS; it does NOT serialize WRITERS. Two
+  * concurrent mutations of one non-versioned table are OUT OF CONTRACT
+  * — they can sweep each other's temps and interleave per-file swaps.
+  * A table that needs multi-writer safety should enable the manifest
+  * log ([[AvroVersions.enable]]): every mutation then commits through
+  * a claim-fenced log version ([[commitOutcomesVersioned]]) and a
+  * losing concurrent writer fails LOUDLY
+  * ([[AvroVersions.ConcurrentWriteException]]) instead of interleaving.
   */
 private[graft] object AvroRewrite {
 
