@@ -1295,8 +1295,14 @@ object Similarity {
     graft.sources.AvroSink.writePartitioned(
       sym.join(srcCid, Seq("src")).select("src", "dst", "cid"),
       s"$dir/edges", Seq("cid"))
-    // assignment append LAST: a crash above leaves the batch entirely
-    // un-admitted (re-runnable), never half-admitted to the corpus join
+    // assignment append LAST: a crash above leaves the batch
+    // un-admitted to the corpus join — but NOT blindly re-runnable in
+    // place: a crash inside the graph/edges refresh leaves those
+    // directories partially swapped, and a re-run would merge against
+    // the polluted adjacency (duplicated or missing edges). Recover by
+    // restoring the prior artifact (a copy, or the manifest log per
+    // the method doc); only a crash BEFORE the first delete below is
+    // safely re-runnable in place.
     graft.sources.AvroSink.write(assignedBatch, s"$dir/assign")
   }
 

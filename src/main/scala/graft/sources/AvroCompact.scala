@@ -121,28 +121,20 @@ object AvroCompact {
     // before the log commit leaves only unreferenced fresh-name files
     // (expire's orphan pass reclaims them)
     if (versioned) {
-      val opId = java.util.UUID.randomUUID().toString.take(8)
-      val parentV = AvroVersions.latestVersion(fs, root).get
-      val parent = AvroVersions.readManifest(fs, root, parentV)
-      val gone = written.flatMap(_._1.sources)
-        .map(p => fs.makeQualified(new Path(p)).toString).toSet
-      val added = written.map { case (bin, tempPath, stats) =>
-        val dst = new Path(new Path(bin.dir),
-          s"compact-${bin.digest}-$opId.avro")
-        val sOut = fs.create(new Path(s"$dst.stats.json"), true)
-        try sOut.write(stats) finally sOut.close()
-        require(fs.rename(new Path(tempPath), dst),
-          s"graft-avro compact: rename $tempPath -> $dst failed")
-        (dst.toString, fs.getFileStatus(dst).getLen)
-      }
-      AvroVersions.commit(fs, root,
-        parent.filterNot(f => gone.contains(f._1)) ++ added,
-        "compact", parentV)
       // compacted bins CONCATENATE sorted sources (no merge-sort): the
-      // every-file-sorted invariant is gone (r19)
+      // every-file-sorted invariant is gone — break the marker's claim
+      // BEFORE any output becomes visible (r19 review)
       AvroSortMarker.clear(dir, conf)
+      val opId = java.util.UUID.randomUUID().toString.take(8)
+      AvroVersions.commitSwap(fs, root,
+        written.map { case (bin, tempPath, stats) =>
+          (tempPath, new Path(new Path(bin.dir),
+            s"compact-${bin.digest}-$opId.avro").toString, stats)
+        },
+        written.flatMap(_._1.sources), "compact")
       return written.size
     }
+    AvroSortMarker.clear(dir, conf)
     // commit phase, per bin: manifest (atomic temp+rename — a torn
     // manifest must be impossible, recovery parses it) → SIDECAR →
     // rename (= the commit point; the sidecar lands first because a
@@ -175,9 +167,6 @@ object AvroCompact {
       }
       fs.delete(mPath, false)
     }
-    // compacted bins CONCATENATE sorted sources (no merge-sort): the
-    // every-file-sorted invariant is gone (r19)
-    if (written.nonEmpty) AvroSortMarker.clear(dir, conf)
     written.size
   }
 

@@ -237,45 +237,70 @@ private[sources] object AvroDsv2 {
   def listFiles(pathStr: String, conf: Configuration): IndexedSeq[(String, Long)] = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
-    val manifests = Seq.newBuilder[Path]
-    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .flatMap { s =>
-            val n = s.getPath.getName
-            if (s.isFile && n.endsWith(".manifest.json") &&
-                (n.startsWith(".graft-cmp-") || n.startsWith(".graft-rlo-"))) {
-              manifests += s.getPath; Seq.empty
-            } else if (n.startsWith(".") || n.startsWith("_")) Seq.empty
-            else walk(s)
-          }
-      else if (st.isFile && st.getPath.getName.endsWith(".avro")) Seq(st)
-      else Seq.empty
-    val listed = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      .flatMap(walk)
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
-      .toIndexedSeq
-    val ms = manifests.result()
-    if (ms.isEmpty) listed
-    else {
-      val excluded = manifestMask(fs, ms, listed.map(_._1).toSet)
-      if (excluded.isEmpty) listed
-      else listed.filterNot(f => excluded.contains(f._1))
+    // bounded retry (r19 review): a manifest can legitimately VANISH
+    // between the walk and the mask parse — the single writer's commit
+    // completing is not corruption; the re-list then sees the finished
+    // physical state (and never the retired sources the stale walk
+    // might still carry)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val manifests = Seq.newBuilder[Path]
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .flatMap { s =>
+              val n = s.getPath.getName
+              if (s.isFile && n.endsWith(".manifest.json") &&
+                  (n.startsWith(".graft-cmp-") || n.startsWith(".graft-rlo-"))) {
+                manifests += s.getPath; Seq.empty
+              } else if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+              else walk(s)
+            }
+        else if (st.isFile && st.getPath.getName.endsWith(".avro")) Seq(st)
+        else Seq.empty
+      val listed = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(walk)
+        .map(st => (st.getPath.toString, st.getLen))
+        .sortBy(_._1)
+        .toIndexedSeq
+      val ms = manifests.result()
+      if (ms.isEmpty) return listed
+      manifestMask(fs, ms, listed.map(_._1).toSet) match {
+        case Some(excluded) =>
+          return if (excluded.isEmpty) listed
+          else listed.filterNot(f => excluded.contains(f._1))
+        case None if attempt < 4 => () // vanished mid-walk: re-list
+        case None => throw new IllegalStateException(
+          s"graft-avro: commit manifests under $pathStr kept vanishing " +
+            s"across $attempt listings — a writer livelock or clock-" +
+            s"skewed mutation storm; retry the read")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The set of listed paths the surviving manifests exclude (doc on
-    * [[listFiles]]). Paths compare in the listing's own qualified form.
+    * [[listFiles]]); None = a manifest vanished since the walk (the
+    * writer's commit completed) — the caller must re-list. Paths
+    * compare in the listing's own qualified form.
     */
   private def manifestMask(fs: FileSystem, manifests: Seq[Path],
-      listedSet: Set[String]): Set[String] = {
+      listedSet: Set[String]): Option[Set[String]] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // Some(node) = parsed; None = VANISHED since the walk (healthy
+    // commit finished; the caller re-lists); present-but-unreadable is
+    // corruption and fails loudly
     def parse(m: Path): Option[com.fasterxml.jackson.databind.JsonNode] =
       try {
         val in = fs.open(m)
         try Some(om.readTree(in: java.io.InputStream)) finally in.close()
-      } catch { case _: Throwable => None }
+      } catch {
+        case _: Throwable if !fs.exists(m) => None
+        case _: Throwable => throw new IllegalStateException(
+          s"graft-avro: unreadable commit manifest $m — cannot decide " +
+            s"its commit state; repair or remove it")
+      }
     // compaction manifests store ABSOLUTE source paths (r18 format);
     // row-level manifests store paths RELATIVE to the table root the
     // manifest sits in (they may span partition subdirectories)
@@ -293,27 +318,28 @@ private[sources] object AvroDsv2 {
         val digest = name.stripPrefix(".graft-cmp-").stripSuffix(".manifest.json")
         val finalPath = fs.makeQualified(
           new Path(dir, s"compact-$digest.avro")).toString
-        if (listedSet.contains(finalPath)) {
-          val sources = parse(m).flatMap(n => Option(n.get("sources")))
-            .getOrElse(throw new IllegalStateException(
-              s"graft-avro: unreadable committed compaction manifest $m — " +
-                s"cannot mask its retired sources (duplicate rows would be " +
-                s"served); repair or remove the manifest"))
-          sources.asScala.foreach(s => out += qualify(dir, s.asText))
+        if (listedSet.contains(finalPath)) parse(m) match {
+          case None => return None // commit finished mid-walk: re-list
+          case Some(node) =>
+            val sources = Option(node.get("sources")).getOrElse(
+              throw new IllegalStateException(
+                s"graft-avro: committed compaction manifest $m carries " +
+                  s"no sources — cannot mask its retired files; repair " +
+                  s"or remove it"))
+            sources.asScala.foreach(s => out += qualify(dir, s.asText))
         }
-      } else { // .graft-rlo-
-        val node = parse(m).getOrElse(throw new IllegalStateException(
-          s"graft-avro: unreadable row-level commit manifest $m — cannot " +
-            s"decide its commit state; repair or remove the manifest"))
-        val adds = Option(node.get("adds")).map(_.asScala.toSeq)
-          .getOrElse(Seq.empty).map(a => qualify(dir, a.asText))
-        val removes = Option(node.get("removes")).map(_.asScala.toSeq)
-          .getOrElse(Seq.empty).map(r => qualify(dir, r.asText))
-        if (adds.forall(listedSet.contains)) out ++= removes
-        else out ++= adds
+      } else parse(m) match { // .graft-rlo-
+        case None => return None // commit finished mid-walk: re-list
+        case Some(node) =>
+          val adds = Option(node.get("adds")).map(_.asScala.toSeq)
+            .getOrElse(Seq.empty).map(a => qualify(dir, a.asText))
+          val removes = Option(node.get("removes")).map(_.asScala.toSeq)
+            .getOrElse(Seq.empty).map(r => qualify(dir, r.asText))
+          if (adds.forall(listedSet.contains)) out ++= removes
+          else out ++= adds
       }
     }
-    out.result()
+    Some(out.result())
   }
 
   def sparkTypeOf(s: org.apache.avro.Schema): org.apache.spark.sql.types.DataType = {
@@ -508,16 +534,17 @@ private[sources] object AvroSortMarker {
     ()
   }
 
-  /** Marker update at a write commit: a clustered write KEEPS the
-    * invariant when it replaces the table, starts it, or matches the
-    * committed order; anything else breaks it.
+  /** Does this write KEEP the every-file-sorted invariant? — a
+    * clustered write that replaces the table, order-matches the
+    * committed marker, or starts an empty table. `tableWasEmpty` is
+    * BY-NAME (r19 review): it costs a full listing and is only
+    * consulted for a clustered first write, never on the common
+    * unsorted-append path.
     */
-  def onCommit(pathStr: String, conf: Configuration, sortBy: Seq[String],
-      replacesTable: Boolean, tableWasEmpty: Boolean): Unit =
-    if (sortBy.nonEmpty &&
-        (replacesTable || tableWasEmpty || read(pathStr, conf) == sortBy))
-      write(pathStr, conf, sortBy)
-    else clear(pathStr, conf)
+  def affirms(pathStr: String, conf: Configuration, sortBy: Seq[String],
+      replacesTable: Boolean, tableWasEmpty: => Boolean): Boolean =
+    sortBy.nonEmpty && (replacesTable ||
+      read(pathStr, conf) == sortBy || tableWasEmpty)
 }
 
 /** Record-level evaluation of pushed-down source filters against the

@@ -322,6 +322,12 @@ private[graft] object AvroRewrite {
       conf: Configuration, filters: Array[Filter],
       partSpec: Seq[(String, String)],
       assignments: Map[String, Any]): Unit = {
+    // an assignment to a SORT-MARKER column breaks the every-file-sorted
+    // invariant even though record ORDER is preserved (the values moved)
+    // — break the claim BEFORE any rewrite becomes visible (r19 review:
+    // a stale claim would let downstream sorts elide over unsorted data)
+    if (AvroSortMarker.read(pathStr, conf).exists(assignments.contains))
+      AvroSortMarker.clear(pathStr, conf)
     val (_, _, targets) = splitAndPrune(pathStr, conf, filters, partSpec)
     val outcomes = cowFanout(pathStr, conf, targets, partSpec, ".graft-upd-",
       (p, pv) => updateRewrite(p, pv, filters, assignments))
@@ -348,36 +354,19 @@ private[graft] object AvroRewrite {
       pathStr: String, outcomes: Seq[Outcome], op: String): Unit = {
     val root = new Path(pathStr)
     val fs = root.getFileSystem(conf)
-    val parentV = AvroVersions.latestVersion(fs, root).getOrElse(
-      throw new IllegalStateException(
-        s"graft-avro: $pathStr versioned but has no committed manifest"))
-    val parent = AvroVersions.readManifest(fs, root, parentV)
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    val replaced =
-      scala.collection.mutable.HashMap.empty[String, Option[(String, Long)]]
-    outcomes.zipWithIndex.foreach {
+    val adds = outcomes.zipWithIndex.collect {
       case (Rewritten(p, temp, stats, _, _), k) =>
-        val dst = new Path(new Path(p).getParent,
-          f"part-cow-$opId-$k%05d.avro")
-        val sOut = fs.create(new Path(s"$dst.stats.json"), true)
-        try sOut.write(stats) finally sOut.close()
-        require(fs.rename(new Path(temp), dst),
-          s"graft-avro: rename $temp -> $dst failed")
-        replaced(fs.makeQualified(new Path(p)).toString) =
-          Some((dst.toString, fs.getFileStatus(dst).getLen))
-      case (Emptied(p, _), _) =>
-        replaced(fs.makeQualified(new Path(p)).toString) = None
-      case _ => ()
+        (temp, new Path(new Path(p).getParent,
+          f"part-cow-$opId-$k%05d.avro").toString, stats)
     }
-    if (replaced.isEmpty) return // nothing matched: no new version
-    val files = parent.flatMap { case (p, l) =>
-      replaced.get(p) match {
-        case None => Some((p, l)) // untouched
-        case Some(None) => None // emptied: drops out
-        case Some(some) => some // rewritten under its fresh name
-      }
+    val removes = outcomes.collect {
+      case Rewritten(p, _, _, _, _) => p
+      case Emptied(p, _) => p
     }
-    AvroVersions.commit(fs, root, files, op, parentV)
+    if (adds.isEmpty && removes.isEmpty) return // nothing matched
+    AvroVersions.commitSwap(fs, root, adds, removes, op)
+    ()
   }
 
   /** Unlink a container + its sidecar and retire newly-empty partition

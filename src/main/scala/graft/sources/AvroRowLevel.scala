@@ -42,9 +42,11 @@ import scala.jdk.CollectionConverters._
   * At 100 TB: a selective `UPDATE ... WHERE id = k` reads and rewrites
   * only the bloom/zone-map-positive containers, one task per split.
   * `MERGE INTO` pushes no static filters (its condition references the
-  * source), so it rewrites every file — the honest group-based
-  * contract; runtime group filtering (a `_file` metadata column +
-  * SupportsRuntimeV2Filtering) is the next rung. Plain `DELETE FROM`
+  * source) — RUNTIME group filtering covers it: [[AvroCowScan]]
+  * implements `SupportsRuntimeFiltering` on `_file`, Spark's
+  * matching-rows scan feeds the matched containers back as an
+  * In-filter before planning, and only those files rewrite (unmatched
+  * files stay byte-identical — spec-pinned). Plain `DELETE FROM`
   * with translatable predicates still routes to the zero/partial-read
   * metadata tier ([[AvroTable.deleteWhere]]) via Spark's
   * OptimizeMetadataOnlyDeleteFromTable; only untranslatable shapes
@@ -277,14 +279,6 @@ private[sources] class AvroCowWrite(op: AvroRowLevelOperation,
   */
 private[graft] object AvroRlo {
 
-  private def relativize(root: Path, fs: FileSystem, p: String): String = {
-    val rootQ = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-    val pq = fs.makeQualified(new Path(p)).toString
-    require(pq.startsWith(rootQ),
-      s"graft-avro rlo: $pq not under table root $rootQ")
-    pq.stripPrefix(rootQ)
-  }
-
   def commitReplace(conf: Configuration, rootStr: String, opId: String,
       adds: Seq[(String, String, Array[Byte])], // (temp, finalAbs, stats)
       removes: Seq[String]): Unit = {
@@ -296,27 +290,16 @@ private[graft] object AvroRlo {
     // the file set in ONE fenced log commit; removes stay on disk for
     // time travel, no rlo manifest needed
     if (AvroVersions.isVersioned(fs, root)) {
-      val parentV = AvroVersions.latestVersion(fs, root).getOrElse(0L)
-      val parent = if (parentV == 0L) IndexedSeq.empty[(String, Long)]
-        else AvroVersions.readManifest(fs, root, parentV)
-      val gone = removes.map(p => fs.makeQualified(new Path(p)).toString).toSet
-      val added = adds.map { case (temp, finalAbs, stats) =>
-        val dst = new Path(finalAbs)
-        val sOut = fs.create(new Path(s"$finalAbs.stats.json"), true)
-        try sOut.write(stats) finally sOut.close()
-        require(fs.rename(new Path(temp), dst),
-          s"graft-avro rlo: rename $temp -> $dst failed")
-        (dst.toString, fs.getFileStatus(dst).getLen)
-      }
-      AvroVersions.commit(fs, root,
-        parent.filterNot(f => gone.contains(f._1)) ++ added,
-        "replace", parentV)
       // replacement rows arrive in the rewrite query's order, not the
-      // committed sort order — the marker invariant is gone (r19)
+      // committed sort order — break the marker's claim BEFORE any file
+      // becomes visible (r19 review: clear-after-rename left a window
+      // where a reader saw unsorted files under a live sorted claim)
       AvroSortMarker.clear(rootStr, conf)
+      AvroVersions.commitSwap(fs, root, adds, removes, "replace")
       return
     }
     recover(fs, root)
+    AvroSortMarker.clear(rootStr, conf)
     if (adds.isEmpty) {
       // delete-everything-scanned, nothing to add: plain unlink (the
       // same per-file atomicity as the metadata DELETE tier)
@@ -326,9 +309,9 @@ private[graft] object AvroRlo {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.createObjectNode()
     val aArr = node.putArray("adds")
-    adds.foreach { case (_, f, _) => aArr.add(relativize(root, fs, f)) }
+    adds.foreach { case (_, f, _) => aArr.add(AvroVersions.relativize(fs, root, f)) }
     val rArr = node.putArray("removes")
-    removes.foreach(r => rArr.add(relativize(root, fs, r)))
+    removes.foreach(r => rArr.add(AvroVersions.relativize(fs, root, r)))
     val mName = s".graft-rlo-$opId.manifest.json"
     val mPath = new Path(root, mName)
     val mTmp = new Path(root, s"$mName.tmp")
@@ -346,8 +329,6 @@ private[graft] object AvroRlo {
     }
     AvroRewrite.unlinkWithDirs(fs, root, removes)
     fs.delete(mPath, false)
-    // replacement rows arrive in the rewrite query's order (r19)
-    AvroSortMarker.clear(rootStr, conf)
   }
 
   /** Finish or roll back every surviving rlo manifest (commit order in

@@ -706,12 +706,21 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
     val versioned = AvroVersions.isVersioned(fs, target)
     val parentV = if (versioned)
       AvroVersions.latestVersion(fs, target).getOrElse(0L) else 0L
-    // captured BEFORE any mutation: the sort-marker update (below) needs
-    // to know whether this write STARTED the table
-    val tableWasEmpty =
+    // sort-marker discipline (r19 review): decide BEFORE any file
+    // becomes visible — a write that breaks the every-file-sorted
+    // invariant clears the claim FIRST (a crash mid-rename must never
+    // leave unsorted files under a live sorted claim); an affirming
+    // clustered write re-commits the marker only AFTER all renames.
+    // The emptiness check is by-name: it costs a listing and is only
+    // evaluated for a clustered first write.
+    def tableWasEmpty: Boolean =
       if (versioned) parentV == 0L ||
         AvroVersions.readManifest(fs, target, parentV).isEmpty
       else AvroDsv2.listFiles(pathStr, AvroSink.driverConf()).isEmpty
+    val sortAffirmed = AvroSortMarker.affirms(pathStr,
+      AvroSink.driverConf(), sortBy, truncateOnCommit, tableWasEmpty)
+    if (!sortAffirmed)
+      AvroSortMarker.clear(pathStr, AvroSink.driverConf())
     if (truncateOnCommit && !versioned && fs.exists(target)) {
       val it = fs.listFiles(target, true)
       val doomed = Seq.newBuilder[Path]
@@ -753,11 +762,10 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
       AvroVersions.commit(fs, target, parentFiles ++ added.result(),
         if (truncateOnCommit) "overwrite" else "append", parentV)
     }
-    // sort-order metadata (r19): a clustered write that replaces,
-    // starts, or order-matches the table commits the marker; any other
-    // write breaks the every-file-sorted invariant and clears it
-    AvroSortMarker.onCommit(pathStr, AvroSink.driverConf(), sortBy,
-      replacesTable = truncateOnCommit, tableWasEmpty = tableWasEmpty)
+    // sort-order metadata (r19): the affirming marker lands only after
+    // every rename — a crash above leaves no claim (conservative)
+    if (sortAffirmed)
+      AvroSortMarker.write(pathStr, AvroSink.driverConf(), sortBy)
     tempSweep(fs, target)
     fs.create(new Path(target, "_SUCCESS"), true).close()
   }
@@ -893,6 +901,9 @@ private[sources] class AvroStreamingWrite(schema: StructType,
       messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(pathStr)
     val fs = target.getFileSystem(AvroSink.driverConf())
+    // streaming appends are unsorted: break the sort marker's claim
+    // BEFORE this epoch's files become visible (r19 review)
+    AvroSortMarker.clear(pathStr, AvroSink.driverConf())
     // replay cleanup FIRST: a re-committed epoch replaces its earlier
     // attempt wholesale (deterministic names alone would leave
     // stragglers if the replay produced fewer parts)
@@ -914,9 +925,6 @@ private[sources] class AvroStreamingWrite(schema: StructType,
           try sOut.write(statsJson) finally sOut.close()
         }
       }
-    // streaming appends are unsorted: a committed sort marker no longer
-    // describes every live container — clear it (r19)
-    AvroSortMarker.clear(pathStr, AvroSink.driverConf())
     AvroSink.tempSweep(fs, target, s".graft-${epochQueryId(epochId)}-")
     fs.create(new Path(target, "_SUCCESS"), true).close()
   }

@@ -106,7 +106,8 @@ object AvroVersions {
   def latestVersion(fs: FileSystem, root: Path): Option[Long] =
     listLog(fs, root)._1.lastOption
 
-  private def relativize(fs: FileSystem, root: Path, p: String): String = {
+  private[sources] def relativize(fs: FileSystem, root: Path,
+      p: String): String = {
     val rootQ = fs.makeQualified(root).toString.stripSuffix("/") + "/"
     val pq = fs.makeQualified(new Path(p)).toString
     require(pq.startsWith(rootQ),
@@ -235,6 +236,35 @@ object AvroVersions {
         s"graft-avro: manifest rename $tmp failed")
       next
     } finally fs.delete(claim, false)
+  }
+
+  /** The ONE versioned file-set swap all mutation tiers commit through
+    * (r19 review: three hand-rolled copies of this crash-critical
+    * ordering could drift): per add, stats sidecar FIRST (inert without
+    * its container), then rename the dot-temp to its fresh visible name
+    * — invisible to versioned readers until the fenced manifest commit
+    * swaps `removes` out and the adds in. Removes stay on disk for time
+    * travel; a crash before the log commit leaves only unreferenced
+    * fresh-name files ([[expire]]'s orphan pass reclaims).
+    */
+  private[sources] def commitSwap(fs: FileSystem, root: Path,
+      adds: Seq[(String, String, Array[Byte])], // (temp, finalAbs, stats)
+      removes: Seq[String], op: String): Long = {
+    val parentV = latestVersion(fs, root).getOrElse(0L)
+    val parent = if (parentV == 0L) IndexedSeq.empty[(String, Long)]
+      else readManifest(fs, root, parentV)
+    val gone = removes
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val added = adds.map { case (temp, finalAbs, stats) =>
+      val dst = new Path(finalAbs)
+      val sOut = fs.create(new Path(s"$finalAbs.stats.json"), true)
+      try sOut.write(stats) finally sOut.close()
+      require(fs.rename(new Path(temp), dst),
+        s"graft-avro: rename $temp -> $dst failed")
+      (dst.toString, fs.getFileStatus(dst).getLen)
+    }
+    commit(fs, root,
+      parent.filterNot(f => gone.contains(f._1)) ++ added, op, parentV)
   }
 
   /** Turn an existing (or empty) table into a versioned one: snapshot

@@ -57,7 +57,7 @@ class AvroRepairSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       AvroDsv2.listFiles(dir, conf)
     }
-    assert(e.getMessage.contains("unreadable committed compaction manifest"))
+    assert(e.getMessage.contains("unreadable commit manifest"))
   }
 
   test("rewrite tier evaluates filters STRICTLY: unhandled shape throws") {

@@ -67,6 +67,14 @@ class AvroSortedScanSpec extends SparkSpec {
     // a row-level COW delete preserves record order -> marker survives
     AvroSink.deleteWhere(spark, dir, col("id") === 3L)
     assert(AvroSortMarker.read(dir, conf) === Seq("id"))
+    // an update to a NON-sort column preserves per-file sortedness
+    AvroSink.updateWhere(spark, dir, col("id") === 5L, Map("v" -> 99L))
+    assert(AvroSortMarker.read(dir, conf) === Seq("id"))
+    // an update ASSIGNING the sort column moves values -> cleared
+    AvroSink.updateWhere(spark, dir, col("id") === 7L, Map("id" -> 0L))
+    assert(AvroSortMarker.read(dir, conf).isEmpty,
+      "assigning a sort-marker column must break the ordering claim")
+    writeClustered(dir, 1000) // restore for the following steps
     // an UNSORTED append breaks the invariant -> cleared
     AvroSink.write(spark.range(5)
       .select(col("id"), (col("id") % 7).as("v")), dir)
