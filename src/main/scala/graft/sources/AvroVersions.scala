@@ -322,6 +322,33 @@ object AvroVersions {
     (drop.size, doomed.size)
   }
 
+  /** Version-log introspection (the `DESCRIBE HISTORY` analogue): one
+    * row per committed version — (version, parent, op, ts, n_files,
+    * total_bytes), newest first. Driver-side metadata only (one JSON
+    * parse per manifest), returned as a DataFrame for SQL composition.
+    */
+  def history(spark: org.apache.spark.sql.SparkSession,
+      pathStr: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val root = new Path(pathStr)
+    val fs = root.getFileSystem(AvroSink.driverConf())
+    val (committed, _) = listLog(fs, root)
+    require(committed.nonEmpty, s"graft-avro: $pathStr is not versioned")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    committed.sorted.reverse.map { v =>
+      val in = fs.open(manifestPath(root, v))
+      val node = try om.readTree(in: java.io.InputStream) finally in.close()
+      val files = Option(node.get("files")).map(_.asScala.toSeq)
+        .getOrElse(Seq.empty)
+      (v,
+        Option(node.get("parent")).map(_.asLong).getOrElse(0L),
+        Option(node.get("op")).map(_.asText).getOrElse(""),
+        Option(node.get("ts")).map(_.asLong).getOrElse(0L),
+        files.size.toLong,
+        files.map(f => f.get("l").asLong).sum)
+    }.toDF("version", "parent", "op", "ts", "n_files", "total_bytes")
+  }
+
   /** Signed row-level change feed between two versions (class doc):
     * every row of a file present only in `toV` as an insert, every row
     * of a file present only in `fromV` as a delete — with `_change_type`

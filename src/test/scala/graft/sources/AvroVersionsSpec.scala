@@ -189,6 +189,24 @@ class AvroVersionsSpec extends SparkSpec {
     }
   }
 
+  test("history lists every committed version with op and file stats") {
+    val dir = tempDir()
+    AvroSink.write(spark.range(10).select(col("id")).repartition(2), dir,
+      overwrite = true)
+    AvroVersions.enable(dir, conf) // v1
+    AvroSink.write(spark.range(10, 20).select(col("id")), dir) // v2
+    AvroSink.deleteWhere(spark, dir, col("id") < 3L) // v3 (COW)
+    val h = AvroVersions.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L), "newest first")
+    assert(h.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((3L, 2L, "delete"), (2L, 1L, "append"), (1L, 0L, "enable")))
+    assert(h.forall(_.getLong(4) > 0L), "every version lists files")
+    assert(h.forall(_.getLong(5) > 0L), "every version sums bytes")
+    intercept[IllegalArgumentException] {
+      AvroVersions.history(spark, tempDir())
+    }
+  }
+
   test("streaming read/write of a versioned table refuse loudly") {
     val dir = tempDir()
     AvroSink.write(spark.range(5).select(col("id")), dir, overwrite = true)
