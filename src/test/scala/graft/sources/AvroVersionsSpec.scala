@@ -189,6 +189,36 @@ class AvroVersionsSpec extends SparkSpec {
     }
   }
 
+  test("IVM composition: applySignedDeltas over the change feed equals full recompute") {
+    val dir = tempDir()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id"), (col("id") % 3).as("k"))
+    AvroSink.write(mk(0, 60).repartition(2), dir, overwrite = true)
+    AvroVersions.enable(dir, conf) // v1
+    AvroSink.write(mk(60, 90), dir) // v2 append
+    AvroSink.deleteWhere(spark, dir,
+      col("id").isin(1L, 8L, 15L, 22L, 29L, 36L, 43L, 50L, 57L, 64L,
+        71L, 78L, 85L)) // v3 COW
+    def aggState(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("id").cast("decimal(24,2)")).cast("decimal(28,2)")
+          .as("sum_v"))
+    val baseState = aggState(readV(dir, 1))
+    val deltas = AvroVersions.changes(spark, dir, 1L, 3L)
+      .withColumn("w",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+    val maintained = graft.ops.Merge.applySignedDeltas(
+        baseState, deltas, Seq("k"), "w", "id")
+      .select(col("k"), col("n"), col("sum_v").cast("long").as("s"))
+      .orderBy("k").collect().toSeq
+    val recomputed = aggState(readV(dir, 3))
+      .select(col("k"), col("n"), col("sum_v").cast("long").as("s"))
+      .orderBy("k").collect().toSeq
+    assert(maintained === recomputed,
+      "the signed change feed must maintain the aggregate to exactly " +
+        "the full-recompute state (redundant COW pairs cancel)")
+  }
+
   test("history lists every committed version with op and file stats") {
     val dir = tempDir()
     AvroSink.write(spark.range(10).select(col("id")).repartition(2), dir,
