@@ -111,6 +111,28 @@ class AvroCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadTableAt(ident, asOf = Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` (r19): the newest committed version whose
+    * manifest timestamp is at or before `timestamp` (Spark passes
+    * MICROseconds; manifests record commit-time millis). A timestamp
+    * before the first commit fails loudly — there is no snapshot to
+    * serve.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tablePath(ident)
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
+    val cutMs = timestamp / 1000L
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = AvroVersions.history(spark, dir.toString)
+      .where(org.apache.spark.sql.functions.col("ts") <= cutMs)
+      .select("version").collect().map(_.getLong(0))
+      .sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: no committed version of $ident at or before " +
+            s"timestamp ${cutMs}ms"))
+    loadTableAt(ident, asOf = Some(v))
+  }
+
   private def loadTableAt(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tablePath(ident)
     if (!tableExists(ident))

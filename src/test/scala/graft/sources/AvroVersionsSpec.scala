@@ -237,6 +237,41 @@ class AvroVersionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL TIMESTAMP AS OF resolves the newest version at or before the instant") {
+    val wh = tempDir()
+    spark.conf.set("spark.sql.catalog.gts", "graft.sources.AvroCatalog")
+    spark.conf.set("spark.sql.catalog.gts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gts.db")
+    spark.sql("CREATE TABLE gts.db.t (id BIGINT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    val dir = s"$wh/db/t"
+    spark.range(10).select(col("id")).createOrReplaceTempView("ts_src")
+    spark.sql("INSERT INTO gts.db.t SELECT id FROM ts_src") // v2
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gts.db.t SELECT id + 100 FROM ts_src") // v3
+    val tsLit = new java.sql.Timestamp(betweenMs).toInstant.toString
+    // between v2 and v3: sees exactly v2's 10 rows
+    assert(spark.sql(
+      s"SELECT count(*) FROM gts.db.t TIMESTAMP AS OF '$tsLit'")
+      .collect().head.getLong(0) === 10L)
+    // after v3: sees all 20
+    val afterLit = new java.sql.Timestamp(
+      System.currentTimeMillis() + 1000).toInstant.toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM gts.db.t TIMESTAMP AS OF '$afterLit'")
+      .collect().head.getLong(0) === 20L)
+    // before the first commit: loud refusal
+    val early = new java.sql.Timestamp(betweenMs - 3600_000L)
+      .toInstant.toString
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM gts.db.t TIMESTAMP AS OF '$early'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
+
   test("streaming read/write of a versioned table refuse loudly") {
     val dir = tempDir()
     AvroSink.write(spark.range(5).select(col("id")), dir, overwrite = true)
