@@ -4080,7 +4080,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val ixDir = s"${fixDir(dir)}/ann_index_avro_serve"
-      fixtureOnce(ixDir, "flat|cents=md5x8|graphK=8|v1") {
+      fixtureOnce(ixDir, "flat|cents=md5x8|graphK=8|v2") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()
@@ -4110,7 +4110,7 @@ object SparkEntry {
       // build ONCE (first rep), serve from the reload after — the
       // serve-latency bench shape (r17 verdict #6); the full
       // build-per-rep lifecycle stays measured by q_sim_index_persist
-      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v2") {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v3") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()
@@ -4141,7 +4141,7 @@ object SparkEntry {
       val batch = emb.where(isBatch)
       val baseDir = s"${fixDir(dir)}/ann_index_hier_base"
       fixtureOnce(baseDir,
-        "hier-base|cents=md5x8(full)|nCells=4|graphK=8|batch=mod5eq3|v2") {
+        "hier-base|cents=md5x8(full)|nCells=4|graphK=8|batch=mod5eq3|v3") {
         // centroids from the FULL corpus (fixed literals), so the
         // inserted artifact is the full-corpus index
         val cents = emb
@@ -4174,7 +4174,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val ixDir = s"${fixDir(dir)}/ann_index_hier_avro"
-      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v2") {
+      fixtureOnce(ixDir, "hier|cents=md5x8|nCells=4|graphK=8|v3") {
         val cents = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(8).collect()

@@ -955,7 +955,10 @@ object Similarity {
     val centRows = centroids.flatMap { case (cid, v) =>
       v.zipWithIndex.map { case (x, i) => (cid, i, x) }
     }
-    graft.sources.AvroSink.write(centRows.toDF("cid", "pos", "val"),
+    // bounded metadata table → one container, not one per local
+    // parallelism slot (§6 small files; see [[persistIndexHier]])
+    graft.sources.AvroSink.write(
+      centRows.toDF("cid", "pos", "val").coalesce(1),
       s"$dir/centroids", overwrite = true)
     graft.sources.AvroSink.write(
       symmetrizedKnnEdges(df, idCol, vecCol, centroids, graphK),
@@ -1165,14 +1168,24 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val (cells, cellOf) = cellAssignOf(centroids, nCells)
+    // cells/centroids are bounded metadata tables (n_cells × dims /
+    // n_centroids × dims rows) built from driver-side Seqs — toDF gives
+    // them defaultParallelism near-empty partitions, which the sink
+    // would faithfully write as one tiny container EACH (measured: 32
+    // files of ~200 bytes per table, ×4 with sidecars — the §6
+    // small-files anti-pattern, paid again by every reload, artifact
+    // copy and fixture scan). One file is the right layout at any scale:
+    // these tables are bounded by the centroid count, not the corpus.
     graft.sources.AvroSink.write(
       cells.flatMap { case (cell, v, r) =>
         v.zipWithIndex.map { case (x, i) => (cell, i, x, r) }
-      }.toDF("cell", "pos", "val", "radius"), s"$dir/cells", overwrite = true)
+      }.toDF("cell", "pos", "val", "radius").coalesce(1),
+      s"$dir/cells", overwrite = true)
     graft.sources.AvroSink.write(
       centroids.flatMap { case (cid, v) =>
         v.zipWithIndex.map { case (x, i) => (cid, cellOf(cid), i, x) }
-      }.toDF("cid", "cell", "pos", "val"), s"$dir/centroids", overwrite = true)
+      }.toDF("cid", "cell", "pos", "val").coalesce(1),
+      s"$dir/centroids", overwrite = true)
     val ev = VectorOps.toDouble(col(vecCol))
     val assignEntries = centroids.map { case (cid, cv) =>
       val c = typedLit(cv)
@@ -1183,7 +1196,15 @@ object Similarity {
     val assignDf = df.select(col(idCol).cast("long").as("id"), ev.as("v"))
       .select(col("id"),
         array_min(array(assignEntries: _*)).getField("cid").as("cid"))
-    graft.sources.AvroSink.write(assignDf, s"$dir/assign", overwrite = true)
+    // assign is CLUSTER-PARTITIONED like graph/edges (r20): the insert
+    // path reads only the touched clusters' assignments, which becomes a
+    // directory-pruned scan instead of a full read + filter; the write's
+    // declared clustered distribution concentrates each cid into few
+    // containers (was one near-empty file per scan partition). Scale-
+    // adaptive by construction — file count follows the clustered
+    // shuffle's AQE-coalesced partitioning, not a local constant.
+    graft.sources.AvroSink.writePartitioned(assignDf, s"$dir/assign",
+      Seq("cid"), overwrite = true)
     // r19: the DIRECTED graph (src, rn, dst, cos) persists too, CLUSTER-
     // PARTITIONED (every kNN edge is intra-cluster by construction) —
     // what [[insertIndexHier]] needs to merge-and-retrim exactly, laid
@@ -1302,8 +1323,10 @@ object Similarity {
     // the polluted adjacency (duplicated or missing edges). Recover by
     // restoring the prior artifact (a copy, or the manifest log per
     // the method doc); only a crash BEFORE the first delete below is
-    // safely re-runnable in place.
-    graft.sources.AvroSink.write(assignedBatch, s"$dir/assign")
+    // safely re-runnable in place. Partitioned append — assign is
+    // cluster-partitioned since r20 (see [[persistIndexHier]]).
+    graft.sources.AvroSink.writePartitioned(assignedBatch, s"$dir/assign",
+      Seq("cid"))
   }
 
   /** Reload a [[persistIndexHier]] artifact. ONLY the cells collect
