@@ -128,8 +128,12 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     val dataFields: Seq[StructField] =
       if (Option(options.get("graft.mergeschema")).exists(_.toBoolean)) {
         val merged = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
-        files.foreach { case (p, _) =>
-          headerFields(p).foreach { f =>
+        // header opens in bounded parallel (r20); the union itself runs
+        // sequentially IN FILE ORDER below, so first-appearance column
+        // order and first-conflict error attribution are unchanged
+        AvroDsv2.parMap(files)(f => (f._1, headerFields(f._1)))
+          .foreach { case (p, fields) =>
+          fields.foreach { f =>
             merged.get(f.name) match {
               case None => merged(f.name) = f
               case Some(prev) =>
@@ -192,6 +196,37 @@ class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object AvroDsv2 {
+
+  /** Bounded-parallel map for driver-side per-file work (r20): header
+    * opens, commit renames, overwrite deletes. These loops are pure
+    * per-file FS metadata operations with no cross-file dependencies,
+    * but they ran strictly serially on the driver — at a few ms per
+    * open/rename, a 64-file table paid hundreds of ms of driver wall
+    * per plan/commit (guide §7.3: driver-side stalls with zero running
+    * tasks). Results come back in input order, so callers' merge/
+    * append logic stays deterministic. Failures rethrow the original
+    * cause. Small inputs short-circuit to a plain map.
+    */
+  def parMap[A, B](xs: Seq[A], par: Int = 16)(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0 || par <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(par, xs.size))
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(x)
+          })
+        }
+        futs.map { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdownNow()
+    }
   /** Name of the `_file` metadata column (path of the row's container). */
   val FileColumn = "_file"
 

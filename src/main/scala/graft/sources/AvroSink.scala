@@ -731,35 +731,44 @@ private[sources] class AvroBatchWrite(schema: StructType, pathStr: String,
             n == "_SUCCESS" || n == AvroPartitions.SpecFile)
           doomed += st.getPath
       }
-      doomed.result().foreach(p => fs.delete(p, false))
+      AvroDsv2.parMap(doomed.result())(p => fs.delete(p, false))
     }
     if (partCols.nonEmpty)
       AvroPartitions.writeSpec(pathStr, AvroSink.driverConf(), partSpec)
-    val added = Seq.newBuilder[(String, Long)]
-    messages.collect { case m: AvroCommitMessage if m.parts.nonEmpty => m }
+    // per-file rename + sidecar writes run bounded-parallel (r20): the
+    // destination names are fully determined per (partitionId, k) before
+    // any FS call, no two files share a name within one commit, and the
+    // manifest `added` list is assembled from the ordered results — so
+    // commit contents and manifest order are byte-identical to the old
+    // serial loop, minus the driver wall of one-rename-at-a-time
+    val renames = messages
+      .collect { case m: AvroCommitMessage if m.parts.nonEmpty => m }
       .sortBy(_.partitionId)
-      .foreach { m =>
-        m.parts.zipWithIndex.foreach { case ((tempPath, statsJson), k) =>
-          val temp = new Path(tempPath)
-          val dir = temp.getParent
+      .flatMap { m =>
+        m.parts.zipWithIndex.map { case ((tempPath, statsJson), k) =>
           val base = f"part-${m.partitionId}%05d" +
             (if (m.parts.length > 1 || partCols.nonEmpty) f"-$k%03d" else "")
-          val preferred = new Path(dir, s"$base.avro")
-          val dst = if (fs.exists(preferred))
-            new Path(dir, s"$base-${queryId.take(8)}.avro") else preferred
-          require(fs.rename(temp, dst),
-            s"graft-avro commit: rename $temp -> $dst failed")
-          val sOut = fs.create(new Path(dir, s"${dst.getName}.stats.json"), true)
-          try sOut.write(statsJson) finally sOut.close()
-          if (versioned)
-            added += ((dst.toString, fs.getFileStatus(dst).getLen))
+          (tempPath, statsJson, base)
         }
-      }
+      }.toSeq
+    val added = AvroDsv2.parMap(renames) { case (tempPath, statsJson, base) =>
+      val temp = new Path(tempPath)
+      val dir = temp.getParent
+      val preferred = new Path(dir, s"$base.avro")
+      val dst = if (fs.exists(preferred))
+        new Path(dir, s"$base-${queryId.take(8)}.avro") else preferred
+      require(fs.rename(temp, dst),
+        s"graft-avro commit: rename $temp -> $dst failed")
+      val sOut = fs.create(new Path(dir, s"${dst.getName}.stats.json"), true)
+      try sOut.write(statsJson) finally sOut.close()
+      if (versioned) Some((dst.toString, fs.getFileStatus(dst).getLen))
+      else None
+    }.flatten
     if (versioned) {
       val parentFiles =
         if (truncateOnCommit || parentV == 0L) Seq.empty
         else AvroVersions.readManifest(fs, target, parentV)
-      AvroVersions.commit(fs, target, parentFiles ++ added.result(),
+      AvroVersions.commit(fs, target, parentFiles ++ added,
         if (truncateOnCommit) "overwrite" else "append", parentV)
     }
     // sort-order metadata (r19): the affirming marker lands only after
