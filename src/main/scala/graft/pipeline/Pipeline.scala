@@ -32,8 +32,23 @@ object Pipeline {
       case f if (f.dataType == DoubleType || f.dataType == FloatType) && f.name != orderCol =>
         f.name
     }.toIndexedSeq
-    val interp = Clean.interpolate(pruned, fillable, orderCol, partitionCols)
-    Clean.ffill(interp, fillable, orderCol, partitionCols)
+    // The reference's statement order is interpolate THEN ffill — but
+    // ffill over the same (cols, orderCol, partitionCols) is provably the
+    // IDENTITY on interpolate's output: `limit_direction='both'` fills
+    // every null in a (group, column) slice that has at least one
+    // non-null value (interior rows interpolate between non-null
+    // neighbours; leading rows take the first valid value, trailing the
+    // last — each branch yields non-null whenever the slice has one),
+    // and a slice with NO non-null value stays all-null, where ffill's
+    // last(ignoreNulls) and cross-partition carry are also null. So
+    // ffill(interpolate(df)) == interpolate(df) pointwise, and running
+    // it only re-paid the whole ordered-carry machinery (range exchange,
+    // boundary aggregate, broadcast carry join, per-column windows) to
+    // rewrite every value with itself. PipelineSpec pins the equality;
+    // the composed q_pipeline oracle (which models the reference's
+    // statement order) stays hash-green. Direct Clean.ffill callers are
+    // unaffected.
+    Clean.interpolate(pruned, fillable, orderCol, partitionCols)
   }
 
   /** `preprocess_data` (DIH.py:36-52): z-score numeric columns, label-encode

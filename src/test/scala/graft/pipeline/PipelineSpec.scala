@@ -29,6 +29,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ffill after both-direction interpolate is the identity (r20 pass elision proof)") {
+    // the property Pipeline.process relies on to skip its ffill pass:
+    // interpolate(limit_direction='both') leaves a null ONLY where the
+    // whole (group, column) slice is null — exactly where ffill is also
+    // powerless. Includes an all-null slice (group "b", column y), edge
+    // nulls, interior runs, and a group confined to one partition.
+    val df = Seq[(String, Long, Option[Double], Option[Double])](
+      ("a", 1L, None, Some(1.0)), ("a", 2L, Some(2.0), None),
+      ("a", 3L, None, Some(3.0)), ("a", 4L, None, None),
+      ("a", 5L, Some(10.0), Some(7.0)),
+      ("b", 1L, Some(4.0), None), ("b", 2L, None, None),
+      ("b", 3L, Some(6.0), None),
+      ("c", 1L, None, Some(9.0))
+    ).toDF("g", "ord", "x", "y")
+    val interp = graft.ops.Clean.interpolate(df, Seq("x", "y"), "ord", Seq("g"))
+    val refilled = graft.ops.Clean.ffill(interp, Seq("x", "y"), "ord", Seq("g"))
+    val key = (r: org.apache.spark.sql.Row) => r.toString
+    assert(refilled.orderBy("g", "ord").collect().map(key).toSeq
+      === interp.orderBy("g", "ord").collect().map(key).toSeq)
+    // and the surviving nulls are exactly the all-null slices:
+    // (b, y) and (c, x); every other (group, column) slice is fully filled
+    val nullCells = interp.select(col("g"), col("ord"),
+        col("x").isNull.as("xn"), col("y").isNull.as("yn"))
+      .collect()
+      .flatMap(r => Seq("x" -> r.getBoolean(2), "y" -> r.getBoolean(3))
+        .collect { case (c, true) => (r.getString(0), c) })
+      .toSet
+    assert(nullCells === Set(("b", "y"), ("c", "x")))
+  }
+
   test("qualityFilter keeps good docs and drops repetitive/short ones") {
     val docs = Seq(
       (1L, "a solid document with plenty of distinct informative tokens spread across the text body"),
