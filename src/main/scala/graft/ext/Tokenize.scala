@@ -219,22 +219,27 @@ object Tokenize {
     * take "abcd" with vocab {a, bcd, ab}: greedy eats "ab" and shatters
     * "cd"; the DP finds a+bcd), the lattice path is globally optimal.
     *
-    * Scale shape: everything after the word count runs on the DISTINCT-
-    * word table (Zipf-bounded; corpus rows are touched once); the
-    * lattice has ≤ maxWordLen·maxPieceLen edges per word; and the DP is
-    * min-plus PATH DOUBLING — R_{k+1}(j,i) = min(R_k(j,i),
-    * min_m R_k(j,m) + R_k(m,i)) — so covering maxWordLen pieces takes
-    * ⌈log₂ maxWordLen⌉ self-join rounds, not maxWordLen sequential
-    * relaxations; the piece-string reconstruction is pointer doubling
-    * over the backpointer table (the same ⌈log₂⌉ rounds). O(log L)
-    * shuffle rounds end to end — the shape that survives a cluster
-    * where per-stage latency, not per-row work, dominates.
+    * Scale shape (r20): everything after the word count runs on the
+    * DISTINCT-word table (Zipf-bounded; corpus rows are touched once);
+    * the vocabulary — topV pieces plus the single-character tier — is a
+    * BOUNDED decision table (≤ topV + |charset| rows), collected once
+    * like a centroid set; and the per-word lattice is ≤ maxWordLen
+    * positions × maxPieceLen edges, entirely LOCAL to its row, so the
+    * DP runs as one pass over the distinct-word table with ZERO shuffle
+    * rounds. (Through r19 this was min-plus path-doubling: ⌈log₂ L⌉
+    * corpus-wide self-join rounds plus the same again for pointer-
+    * doubling reconstruction — 8 shuffle rounds and 10 checkpoints to
+    * compute a per-row dynamic program; measured 58 driver jobs at
+    * sf0.1. The doubling shape only pays when a single sequence exceeds
+    * a task, which maxWordLen rules out by construction.) The word-
+    * bounded closure is the same justified tier as [[segmentWord]]:
+    * per-distinct-word work, never per-corpus-row.
     *
     * Determinism: costs are exact integers; the backpointer at position
     * i is the SMALLEST start j achieving dp[i] (documented tie rule).
     * The oracle replays the same final dp by plain unrolled relaxation —
-    * shortest-path VALUES are algorithm-independent, so doubling here
-    * and linear relaxation there meet on identical numbers.
+    * shortest-path VALUES are algorithm-independent, so the local DP
+    * here and linear relaxation there meet on identical numbers.
     *
     * Words longer than maxWordLen are excluded from the lattice and the
     * vocabulary weights (the far Zipf tail; a production run raises the
@@ -249,95 +254,85 @@ object Tokenize {
       minWordCount: Long = 5L, big: Long = 1000000000000L): DataFrame = {
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
     require(maxWordLen >= maxPieceLen, "maxWordLen must cover maxPieceLen")
-    val spark = df.sparkSession
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // eager checkpoint + RDD rebuild: severs lineage AND the origin plan's
-    // constraints (the clusterNearDups pattern — repeated self-joins over
-    // checkpointed unions otherwise crash constraint rewriting)
-    def sever(d: DataFrame): DataFrame = {
-      val c = d.localCheckpoint(true)
-      spark.createDataFrame(c.rdd, c.schema)
-    }
     val words = graft.Caches.register(df
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .where(length(col("word")) <= maxWordLen)
       .persist(mad))
-    // every (word, start, len) substring occurrence — the lattice edge
-    // candidates AND the vocabulary weight rows (one table, two reads)
-    val cand = graft.Caches.register(words
+    // every (word, start, len) substring occurrence — the vocabulary
+    // weight rows (piece frequencies weighted by word count)
+    val pfreq = words
       .select(col("word"), col("wcnt"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("j"))
       .select(col("word"), col("wcnt"), col("j"),
         explode(sequence(lit(1),
           least(lit(maxPieceLen), length(col("word")) - col("j")))).as("len"))
-      .select(col("word"), col("wcnt"), col("j"),
-        (col("j") + col("len")).as("i"),
-        expr("substring(word, j + 1, len)").as("piece"))
-      .persist(mad))
-    val pfreq = cand.groupBy("piece").agg(sum("wcnt").as("pfreq"))
-    val vocab = pfreq.where(length(col("piece")) >= 2)
-      .orderBy(col("pfreq").desc, col("piece")).limit(topV)
-      .unionByName(pfreq.where(length(col("piece")) === 1))
-    val edges = graft.Caches.register(cand
-      .join(broadcast(vocab), Seq("piece"))
-      .select(col("word"), col("j"), col("i"),
-        (lit(big) - col("pfreq")).as("ecost"))
-      .persist(mad))
-    val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(maxWordLen - 1))
-    // min-plus doubling: after round k, r holds the best cost over paths
-    // of <= 2^k pieces for every reachable (word, j, i) interval
-    var r = edges
-    for (_ <- 1 to rounds) {
-      val a = r.select(col("word"), col("j"),
-        col("i").as("__m"), col("ecost").as("__c1"))
-      val b = r.select(col("word"), col("j").as("__m"),
-        col("i"), col("ecost").as("__c2"))
-      val comp = a.join(b, Seq("word", "__m"))
-        .select(col("word"), col("j"), col("i"),
-          (col("__c1") + col("__c2")).as("ecost"))
-      r = sever(r.unionByName(comp)
-        .groupBy("word", "j", "i").agg(min("ecost").as("ecost")))
-    }
-    val dp = sever(r.where(col("j") === 0)
-      .select(col("word"), col("i").as("pos"), col("ecost").as("cost"))
-      .unionByName(words.select(col("word"),
-        lit(0).as("pos"), lit(0L).as("cost"))))
-    // backpointer: the smallest start j whose edge closes dp[i] exactly
-    val bp = sever(edges
-      .join(dp.select(col("word"), col("pos").as("j"),
-        col("cost").as("__ca")), Seq("word", "j"))
-      .join(dp.select(col("word"), col("pos").as("i"),
-        col("cost").as("__cb")), Seq("word", "i"))
-      .where(col("__ca") + col("ecost") === col("__cb"))
-      .groupBy("word", "i").agg(min(col("j")).as("bj")))
-    // pointer doubling: f(i) = (position 2^k backpointer hops earlier,
-    // the pieces crossed, in order); the identity at 0 saturates shorter
-    // paths so every position lands on dest = 0
-    var f = sever(bp
-      .select(col("word"), col("i"), col("bj").as("dest"),
-        expr("substring(word, bj + 1, i - bj)").as("str"))
-      .unionByName(words.select(col("word"), lit(0).as("i"),
-        lit(0).as("dest"), lit("").as("str"))))
-    for (_ <- 1 to rounds) {
-      val hi = f.select(col("word"), col("i"),
-        col("dest").as("__m"), col("str").as("__shi"))
-      val lo = f.select(col("word"), col("i").as("__m"),
-        col("dest"), col("str").as("__slo"))
-      f = sever(hi.join(lo, Seq("word", "__m"))
-        .select(col("word"), col("i"), col("dest"),
-          when(col("__slo") === "", col("__shi"))
-            .when(col("__shi") === "", col("__slo"))
-            .otherwise(concat(col("__slo"), lit(" "), col("__shi")))
-            .as("str")))
-    }
-    f.where(col("dest") === 0)
-      .join(words, Seq("word"))
-      .where(col("i") === length(col("word")) &&
-        col("wcnt") >= minWordCount)
+      .select(col("wcnt"), expr("substring(word, j + 1, len)").as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("pfreq"))
+    // the vocabulary is a BOUNDED decision table: topV multi-char pieces
+    // (ties to the lexicographically smaller, same rule as r15) plus the
+    // single-char fallback tier — collect it once, like a centroid set
+    val vocabMap: Map[String, Long] =
+      pfreq.where(length(col("piece")) >= 2)
+        .orderBy(col("pfreq").desc, col("piece")).limit(topV)
+        .unionByName(pfreq.where(length(col("piece")) === 1))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mpl = maxPieceLen
+    val bigC = big
+    // word-bounded local DP (≤ maxWordLen positions × maxPieceLen edges
+    // per row): dp[i] = min over vocab pieces ending at i of
+    // dp[j] + (big − pfreq); reconstruction walks the SMALLEST start j
+    // achieving dp[i] exactly — the identical cost lattice and tie rule
+    // the r15 doubling rounds computed, minus their 8 corpus-wide
+    // shuffle rounds
+    val segment = udf((word: String) => {
+      val n = word.length
+      val dp = Array.fill(n + 1)(Long.MaxValue)
+      dp(0) = 0L
+      var i = 1
+      while (i <= n) {
+        var l = 1
+        val lMax = math.min(mpl, i)
+        while (l <= lMax) {
+          val j = i - l
+          if (dp(j) != Long.MaxValue) {
+            val f = vocabMap.get(word.substring(j, i))
+            if (f.isDefined) {
+              val c = dp(j) + (bigC - f.get)
+              if (c < dp(i)) dp(i) = c
+            }
+          }
+          l += 1
+        }
+        i += 1
+      }
+      if (n == 0 || dp(n) == Long.MaxValue) (0, "")
+      else {
+        // backpointer: smallest j with dp[j] + ecost(j, i) == dp[i]
+        val pieces = scala.collection.mutable.ListBuffer.empty[String]
+        var pos = n
+        while (pos > 0) {
+          var bj = -1
+          var j = math.max(0, pos - mpl)
+          while (bj < 0 && j < pos) {
+            if (dp(j) != Long.MaxValue) {
+              val f = vocabMap.get(word.substring(j, pos))
+              if (f.isDefined && dp(j) + (bigC - f.get) == dp(pos)) bj = j
+            }
+            j += 1
+          }
+          pieces.prepend(word.substring(bj, pos))
+          pos = bj
+        }
+        (pieces.size, pieces.mkString(" "))
+      }
+    })
+    words.where(col("wcnt") >= minWordCount)
+      .withColumn("__seg", segment(col("word")))
       .select(col("word"), col("wcnt"),
-        size(split(col("str"), " ")).as("n_pieces"),
-        col("str").as("pieces"))
+        col("__seg._1").as("n_pieces"), col("__seg._2").as("pieces"))
       .orderBy("word")
   }
 
