@@ -536,6 +536,14 @@ object Graph {
       auth = edges.join(hub, Seq("h")).groupBy("a").agg(sum(col("s")).as("s"))
       hub = edges.join(auth, Seq("a")).groupBy("h").agg(sum(col("s")).as("s"))
     }
+    // materialize the final score tables once (r20): each side() reads
+    // its table twice (max broadcast + ranked projection) and hub's
+    // lineage contains auth's whole chain — without the persist the
+    // 2-iteration join chain re-evaluated up to four times per query
+    // (cache substitution rewrites auth's subtree inside hub's plan too)
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    auth = graft.Caches.register(auth.persist(mad))
+    hub = graft.Caches.register(hub.persist(mad))
     def side(scores: DataFrame, idCol: String, role: String): DataFrame = {
       val mx = scores.agg(max(col("s")).as("__mx"))
       // score_raw STAYS decimal(38,0): a cast to long past 2^63 goes null
