@@ -331,6 +331,14 @@ object Sampling {
         conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
           .cast("long").as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize the pin BEFORE the consumers fan out (r20): the final
+    // plan reads base from three subtrees (two chunked replicate aggs
+    // under a broadcast, plus the overall mean), and Spark launches the
+    // broadcast jobs concurrently with the main stage — each racing
+    // consumer recomputed the scan + md5 projection instead of hitting
+    // the still-unbuilt cache (StageProf: 5-6 identical 1.8 s project
+    // stages; with the eager build, one)
+    base.count()
     val d0 = lit(0).cast("decimal(38,0)")
     // ≤30 replicates (60 agg columns) per pass: above ~100 aggregate
     // fields Spark disables whole-stage codegen for the hash aggregate
