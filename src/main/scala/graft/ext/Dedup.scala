@@ -880,13 +880,22 @@ object Dedup {
       k: Int = 5, thresh: Double = 0.8, maxDf: Int = 100): DataFrame = {
     require(thresh > 0 && maxDf > 0, s"bad params: $thresh, $maxDf")
     graft.Metrics.ensureListener(df.sparkSession)
-    val sh = shingleTable(df, textCol, idCol, k)
+    // the shingle stage feeds FOUR branches (both size fetches, the
+    // document-frequency count, pair generation) and the filtered gram
+    // table feeds BOTH sides of the pair self-join — persist each once
+    // (r20), the same contract as jaccardJoinPrefix's shingle pin;
+    // without it the tokenize+shingle subtree re-evaluated per consumer
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = graft.Caches.register(
+      shingleTable(df, textCol, idCol, k).persist(mad))
     val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
     val tok = sh.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("__df"))
-    val kept = tok.join(dfreq.where(col("__df") <= maxDf), Seq("g"))
+    val kept = graft.Caches.register(
+      tok.join(dfreq.where(col("__df") <= maxDf), Seq("g"))
       .observe(graft.Metrics.name("containment_kept"),
         count(lit(1)).as("kept_gram_rows"))
+      .persist(mad))
     val inter = kept.select(col("g"), col("id").as("id_a"))
       .join(kept.select(col("g").as("__g2"), col("id").as("id_b")),
         col("g") === col("__g2") && col("id_a") < col("id_b"))
